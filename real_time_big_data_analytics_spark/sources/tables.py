@@ -1,0 +1,69 @@
+"""Batch table sources.
+
+The reference reads a schema-less line-oriented CSV with positional
+``split(",")`` parsing (reference ConsumerESFinal.scala:50-51); here every
+source is a schema'd columnar scan: ``spark.read.parquet`` gives the
+vectorized reader, predicate pushdown, and column pruning for free.
+
+At 100 TB these tables would be partitioned (e.g. orders/lineitem by
+date) and the same ``load_table`` call would partition-prune via
+Catalyst; nothing in the query layer needs to change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# (region/nation are fixed-cardinality; supplier/part/customer grow but
+# stay << fact tables). Used by operators to hint broadcast joins.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one harness table (SURVEY.md §2.1 S10).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default; we read it as a long and convert to a
+    microsecond timestamp with integer arithmetic (lossless for this
+    data — the generator emits microsecond precision).
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for f in df.schema.fields:
+        if name == "events" and f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or TABLE_NAMES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the spark.sql path.
+
+    The DataFrame API and SQL land in the same Catalyst pipeline
+    (SURVEY.md §3.4) — the engine supports both entry points.
+    """
+    for n in TABLE_NAMES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,130 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark at a given sf_dir AND its DuckDB
+oracle twin, then compares row-count + schema + order-insensitive
+values. Exact comparison with a float-diff report so we learn whether
+our rounding strategy achieves engine-exact equality (the driver
+hashes values, so "close" is not good enough).
+
+Usage:
+    python tools/check.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from real_time_big_data_analytics_spark.registry import all_queries
+from real_time_big_data_analytics_spark.session import get_spark
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize for order-insensitive compare: sort cols by name,
+    stringify cells deterministically, sort rows."""
+    df = df[sorted(df.columns)].copy()
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "<null>"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return repr(v)
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        return str(v)
+
+    out = df.map(cell)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if len(sdf) != len(odf):
+        problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
+    cs, co = canon(sdf), canon(odf)
+    if len(cs) == len(co) and not cs.equals(co):
+        neq = (cs != co).any(axis=1)
+        bad = cs[neq]
+        problems.append(f"{int(neq.sum())} mismatched rows; first few:")
+        for i in bad.index[:3]:
+            problems.append(f"  spark : {cs.loc[i].to_dict()}")
+            problems.append(f"  oracle: {co.loc[i].to_dict()}")
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    qs = all_queries()
+    names = args.names or sorted(qs)
+    spark = get_spark("check")
+    con = duck_connection(args.sf)
+
+    failures = 0
+    for name in names:
+        q = qs[name]
+        t0 = time.monotonic()
+        try:
+            sdf = q.fn(spark, args.sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        dt = time.monotonic() - t0
+        if q.sql is None:
+            status = "rows-only"
+            ok = len(sdf) >= 0
+            print(f"{'ok  ' if ok else 'FAIL'} {name} [{status}] rows={len(sdf)} ({dt:.1f}s)")
+            continue
+        try:
+            odf = con.execute(q.sql).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failures += 1
+            print(f"FAIL {name} ({dt:.1f}s)")
+            for p in problems:
+                print("   ", p)
+        else:
+            print(f"ok   {name} rows={len(sdf)} ({dt:.1f}s)")
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
