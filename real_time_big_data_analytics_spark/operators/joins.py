@@ -1,0 +1,123 @@
+"""J-series joins (SURVEY.md §2.4).
+
+The reference contains no joins — it keeps training features and
+streamed records positionally parallel (reference
+ConsumerESFinal.scala:53-56,70-83). The rebuild provides the baseline
+join surface over the harness star schema.
+
+Scale notes
+-----------
+Dimension tables (region/nation/customer/supplier/part) are broadcast
+explicitly: at 100 TB the fact tables (lineitem/orders/events) shuffle
+for nothing if Catalyst falls back to sort-merge, so we pin
+``F.broadcast`` on every dimension side. Fact-fact joins
+(lineitem⋈orders) stay sort-merge/shuffled-hash on the join key — at
+scale both sides would be bucketed by orderkey to make this
+shuffle-free; AQE handles skew splitting either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round2
+from ..sources.tables import load_table
+
+
+def revenue_by_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — equi inner join (dimension enrichment): orders ⋈ customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            round2(F.sum("o_totalprice")).alias("total_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def revenue_by_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — multi-way chain join lineitem⋈orders⋈customer⋈nation⋈region.
+
+    One shuffle join (lineitem⋈orders on orderkey) + three broadcast
+    joins; the aggregation then shuffles only (nation × region)
+    cardinality rows. This is the plan shape that survives 100×
+    scale-up: fact-fact on the key, dims broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_name", "r_name", revenue)
+        .groupBy("n_name", "r_name")
+        .agg(round2(F.sum("rev")).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (left outer) — per-customer order count including zero-order
+    customers (the rows an inner join would drop)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def customers_with_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (left semi) — EXISTS: customers having ≥1 URGENT order, per nation."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (left anti) — NOT EXISTS: customers with no URGENT order."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), round2(F.sum("c_acctbal")).alias("acctbal"))
+    )
+
+
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q3-style: top-k BUILDING-segment orders by lineitem revenue.
+
+    Ranking happens on the *rounded* revenue with the order key as
+    tiebreak so the top-k cut is deterministic across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )

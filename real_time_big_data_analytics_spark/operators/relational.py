@@ -1,0 +1,229 @@
+"""Relational core: TPC-H-style aggregation, sorts/limits, set ops,
+window functions, pivot, rollup, scalar functions
+(SURVEY.md §2.2, §2.5-2.7).
+
+The reference's per-record transforms (split/cast/encode, reference
+ConsumerESFinal.scala:50-56, ProducerFinal.scala:73-79) become native
+Catalyst expressions here; everything stays inside whole-stage codegen
+with zero Python on the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round2
+from ..sources.tables import load_table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    Filter pushes to the parquet scan; the groupBy has 6-ish distinct
+    keys so partial aggregation reduces each input partition to a
+    handful of rows before the (tiny) shuffle — the canonical
+    scan-heavy plan that scales linearly with input.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round2(F.sum("l_quantity")).alias("sum_qty"),
+            round2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            round2(F.sum(disc_price)).alias("sum_disc_price"),
+            round2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            round2(F.avg("l_quantity")).alias("avg_qty"),
+            round2(F.avg("l_extendedprice")).alias("avg_price"),
+            round2(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def top_orders_by_price(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Sort + limit (top-k) with deterministic tiebreak.
+
+    Spark executes this as TakeOrderedAndProject — per-partition heap
+    top-k then a k-row merge on the driver, no full sort — exactly the
+    plan you want at 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def union_priority_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: UNION (dedup) of two order slices."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    high_value = orders.filter(F.col("o_totalprice") > 400000)
+    return (
+        urgent.select("o_orderkey", "o_custkey")
+        .union(high_value.select("o_orderkey", "o_custkey"))
+        .distinct()
+    )
+
+
+def intersect_customer_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: INTERSECT — customers with URGENT orders ∩ with 5-LOW orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+def except_customer_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: EXCEPT — customers with orders but none URGENT."""
+    orders = load_table(spark, sf_dir, "orders")
+    all_c = orders.select(F.col("o_custkey").alias("custkey"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return all_c.subtract(urgent)  # EXCEPT (distinct semantics)
+
+
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# --- window functions (SURVEY.md §2.5) ---
+
+
+def topk_events_per_type(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """row_number() top-k per group — the A2/A4 ranking building block."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("event_type", "event_id", "value", "rk")
+    )
+
+
+def running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per user ordered by event time (running metric)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return events.select(
+        "event_id", "user_id", round2(F.sum("value").over(w)).alias("running_value")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization via lag + gap-flag cumulative sum
+    (SURVEY.md §2.5 [N]; streaming twin uses session_window).
+
+    Two window passes over the same (user_id, ts) partitioning — Spark
+    reuses the single sort+shuffle for both, so the cost is one
+    shuffle of the events table regardless of scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_id = with_flag.withColumn(
+        "session_id",
+        F.sum("new_session").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_id.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- pivot / rollup (SURVEY.md §2.6 [N]) ---
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → one count column per type, per user.
+
+    Explicit pivot values keep the plan a single pass (no extra
+    distinct-values job) — required practice at scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+def rollup_orders_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year, month) subtotals + grand total over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+            "o_totalprice",
+        )
+        .rollup("yr", "mo")
+        .agg(round2(F.sum("o_totalprice")).alias("total"), F.count("*").alias("n"))
+    )
+
+
+# --- scalar functions (SURVEY.md §2.7) ---
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props (native get_json_object)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions: per (year, month) order stats."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(round2(F.sum("o_totalprice")).alias("total"), F.count("*").alias("n"))
+    )
+
+
+def string_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions over documents (length/upper/distinct counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.upper("lang").alias("lang_uc"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max(F.length("text")).alias("max_len"),
+            F.min(F.length("text")).alias("min_len"),
+            round2(F.avg("n_chars")).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from .operators import aggregations as agg
+from .operators import joins, relational
 from .registry import register
 
 # --- A-series: the internalized Kibana analytics (SURVEY.md §2.3) ---
@@ -87,4 +88,283 @@ register(
     GROUP BY 1, 2
     """,
     tags=("agg", "window", "flagship"),
+)
+
+# --- J-series joins (SURVEY.md §2.4) ---
+
+register(
+    "j1_revenue_by_mktsegment",
+    joins.revenue_by_mktsegment,
+    sql="""
+    SELECT c_mktsegment,
+           round(sum(o_totalprice), 2) AS total_revenue,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join",),
+)
+
+register(
+    "j2_revenue_by_nation_region",
+    joins.revenue_by_nation_region,
+    sql="""
+    SELECT n_name, r_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+    tags=("join", "multiway"),
+)
+
+register(
+    "j3_orders_per_customer",
+    joins.orders_per_customer,
+    sql="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("join", "outer"),
+)
+
+register(
+    "j3_semi_customers_with_urgent",
+    joins.customers_with_orders_by_nation,
+    sql="""
+    SELECT c_nationkey, count(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    tags=("join", "semi"),
+)
+
+register(
+    "j3_anti_customers_without_urgent",
+    joins.customers_without_urgent_orders,
+    sql="""
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "anti"),
+)
+
+register(
+    "q3_top_orders_by_revenue",
+    joins.top_orders_by_revenue,
+    sql="""
+    SELECT l_orderkey, o_orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("join", "topk", "tpch"),
+)
+
+# --- relational core (SURVEY.md §2.2, §2.5-2.7) ---
+
+register(
+    "q1_pricing_summary",
+    relational.pricing_summary,
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 2) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "tpch"),
+)
+
+register(
+    "sort_top_orders_by_price",
+    relational.top_orders_by_price,
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+
+register(
+    "setop_union_priority_slices",
+    relational.union_priority_slices,
+    sql="""
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+    tags=("setop",),
+)
+
+register(
+    "setop_intersect_customers",
+    relational.intersect_customer_sets,
+    sql="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    tags=("setop",),
+)
+
+register(
+    "setop_except_customers",
+    relational.except_customer_sets,
+    sql="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("setop",),
+)
+
+register(
+    "distinct_segments",
+    relational.distinct_segments,
+    sql="SELECT DISTINCT c_mktsegment FROM customer",
+    tags=("setop",),
+)
+
+register(
+    "wf_topk_events_per_type",
+    relational.topk_events_per_type,
+    sql="""
+    SELECT event_type, event_id, value, rk FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rk
+      FROM events
+    ) WHERE rk <= 3
+    """,
+    tags=("window-function",),
+)
+
+register(
+    "wf_running_value_per_user",
+    relational.running_value_per_user,
+    sql="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running_value
+    FROM events
+    """,
+    tags=("window-function",),
+)
+
+register(
+    "wf_sessionize_events",
+    relational.sessionize_events,
+    sql="""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                    OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ids AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(max(session_id) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM ids GROUP BY user_id
+    """,
+    tags=("window-function", "sessionization"),
+)
+
+register(
+    "pivot_event_counts",
+    relational.pivot_event_counts,
+    sql="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'view')     AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+    tags=("pivot",),
+)
+
+register(
+    "rollup_orders_by_year_month",
+    relational.rollup_orders_by_year_month,
+    sql="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           round(sum(o_totalprice), 2) AS total,
+           count(*) AS n
+    FROM orders GROUP BY ROLLUP (yr, mo)
+    """,
+    tags=("rollup",),
+)
+
+register(
+    "sf_json_props_stats",
+    relational.json_props_stats,
+    sql="""
+    SELECT event_type,
+           CAST(sum(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS sum_k,
+           min(CAST(props ->> '$.k' AS INT)) AS min_k,
+           max(CAST(props ->> '$.k' AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("scalar", "json"),
+)
+
+register(
+    "sf_orders_by_month",
+    relational.orders_by_month,
+    sql="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           round(sum(o_totalprice), 2) AS total,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+    tags=("scalar", "date"),
+)
+
+register(
+    "sf_string_profile_by_lang",
+    relational.string_profile_by_lang,
+    sql="""
+    SELECT upper(lang) AS lang_uc,
+           count(*) AS n_docs,
+           max(length(text)) AS max_len,
+           min(length(text)) AS min_len,
+           round(avg(n_chars), 2) AS avg_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY 1
+    """,
+    tags=("scalar", "string"),
 )
