@@ -1,0 +1,76 @@
+"""Driver benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect). Times are per-query wall clock after a shared
+warm-up of the JVM/session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from real_time_big_data_analytics_spark.registry import all_queries
+from real_time_big_data_analytics_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "flagship_windowed_analytics",
+    "q1_pricing_summary",
+    "j2_revenue_by_nation_region",
+    "q3_top_orders_by_revenue",
+    "a2_topk_sources_other",
+    "pivot_event_counts",
+    "wf_sessionize_events",
+    "l1_dup_group_stats",
+    "l2_ngram_jaccard_pairs",
+    "l3_knn_bruteforce",
+    "l4_word_topk",
+    "t4_stream_windowed_analytics",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("rtba-bench")
+    queries = all_queries()
+
+    # warm-up: JVM + parquet footer caches on a trivial plan
+    force(spark.read.parquet(os.path.join(SF_DIR, "region.parquet")))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        force(queries[name].fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall clock, noop sink",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Approximate near-duplicate detection: MinHash+LSH and SimHash
+(SURVEY.md §2.9 L2; north-star dedup family).
+
+Exact n-gram Jaccard (operators/text.py) is the correctness baseline;
+these are the scale paths:
+
+- MinHash+LSH (spark.ml): shingles → HashingTF sparse vectors →
+  MinHashLSH ``approxSimilarityJoin``. Candidate pairs come only from
+  band-bucket collisions, so the join never materializes the O(n²)
+  pair space. This is the standard 100 TB web-dedup design.
+- SimHash: 64-bit signature per doc from xxhash64 word hashes,
+  banded into 4×16-bit keys for bucketed candidate generation;
+  near-dups have small Hamming distance. Entirely native
+  expressions — the per-bit majority vote is 64 codegen'd
+  aggregates, no UDF.
+
+Both are approximate → rows-only harness checks + recall-vs-exact
+pytest (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round2
+from ..sources.tables import load_table
+from .text import shingles
+
+SEED = 42
+N_BITS = 64
+N_BANDS = 4
+BAND_WIDTH = N_BITS // N_BANDS
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    jaccard_distance_threshold: float = 0.3,
+    num_hash_tables: int = 8,
+) -> DataFrame:
+    """L2 — MinHash LSH approximate near-dup pairs (a_id < b_id).
+
+    ``approxSimilarityJoin`` emits only bucket-colliding candidates and
+    computes the exact Jaccard distance on those, so output pairs are
+    exact-distance-filtered with approximate recall.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, n=3).groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("sh")
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh).filter(F.expr("size(sh) > 0"))
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", seed=SEED, numHashTables=num_hash_tables
+    )
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, jaccard_distance_threshold, distCol="jaccard_distance"
+    )
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a_id"),
+            F.col("datasetB.doc_id").alias("b_id"),
+            round2(1 - F.col("jaccard_distance"), 4).alias("jaccard"),
+        )
+    )
+
+
+def _simhash_bits(docs: DataFrame) -> DataFrame:
+    """64 sign-aggregated bits per doc from tf-weighted xxhash64 word
+    hashes → (doc_id, sig) with sig a 64-char '0'/'1' string."""
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    hashed = tokens.select("doc_id", F.xxhash64("word").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(N_BITS)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    sig = F.concat_ws(
+        "", *[F.when(F.col(f"b{j}") > 0, "1").otherwise("0") for j in range(N_BITS)]
+    )
+    return agg.select("doc_id", sig.alias("sig"))
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — SimHash document fingerprints (64-bit signature string)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _simhash_bits(docs)
+
+
+def simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 8
+) -> DataFrame:
+    """L2 — SimHash near-dup pairs via banded bucketing.
+
+    Candidates must collide on at least one of 4 16-bit bands (the
+    pigeonhole guarantee: hamming ≤ 3 ⇒ some band is identical;
+    wider hamming trades recall, standard SimHash practice). The
+    band equi-join is the only shuffle and is bucket-bounded.
+    """
+    sigs = _simhash_bits(load_table(spark, sf_dir, "documents")).cache()
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{i}:"), F.substring("sig", i * BAND_WIDTH + 1, BAND_WIDTH)
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("sig_a", ""), F.split("sig_b", ""), lambda x, y: x != y
+            ),
+            lambda v: v,
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

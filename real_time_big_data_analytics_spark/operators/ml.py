@@ -1,0 +1,135 @@
+"""ML pipeline parity (SURVEY.md §2.10 M1-M3, L6).
+
+The reference's core is a bot-detector: a 6-feature MLlib decision
+tree (gini, maxDepth=6, maxBins=32 — reference
+ConsumerESFinal.scala:61-67) trained on a labeled batch
+(``dataset.txt``) and applied per-record inside a DStream map
+(reference ConsumerESFinal.scala:73), emitting "Bolt"/"Not bolt"
+verdict strings (reference ConsumerESFinal.scala:82).
+
+The rebuild derives an equivalent labeled fixture from the harness
+``events`` table (per-user activity profile, 6 features, imbalanced
+binary label), trains ``pyspark.ml`` ``DecisionTreeClassifier`` with
+the reference's hyperparameters, and scores with ``model.transform``
+— on batch DataFrames here and on streaming DataFrames in
+streaming/scoring.py (the idiomatic replacement for model-in-closure).
+
+Scale notes: training is driver-coordinated but data-parallel
+(level-wise histogram aggregation, same as MLlib's RDD path, reference
+§3.2); scoring is a pure narrow projection — no shuffle, runs at
+stream/scan speed at any scale. ``.cache()`` before ``.fit`` mirrors
+the reference's ``cache()`` ahead of iterative training
+(ConsumerESFinal.scala:56).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round2
+from ..sources.tables import load_table
+
+SEED = 42
+FEATURES = [
+    "n_events",
+    "n_clicks",
+    "n_purchases",
+    "n_signups",
+    "avg_value",
+    "total_value",
+]
+LABEL_ERROR_RATIO = 0.25
+
+
+def user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled per-user activity profile — the rebuild's analog of the
+    reference's 6-feature/binary-label ``dataset.txt`` (FIXTURES.md A1).
+
+    Label: error-heavy users ("bots") — error ratio > 0.25. Features
+    deliberately exclude the error counts themselves so the tree has
+    to learn correlated structure, not read the label back.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "click").cast("int")).alias("n_clicks"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("n_purchases"),
+        F.sum((F.col("event_type") == "signup").cast("int")).alias("n_signups"),
+        round2(F.avg("value")).alias("avg_value"),
+        round2(F.sum("value")).alias("total_value"),
+        (
+            (F.sum((F.col("event_type") == "error").cast("int")) / F.count("*"))
+            > LABEL_ERROR_RATIO
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return per_user
+
+
+def _assembler():
+    from pyspark.ml.feature import VectorAssembler
+
+    return VectorAssembler(inputCols=FEATURES, outputCol="features")
+
+
+def train_decision_tree(train_df: DataFrame):
+    """M1 — DecisionTreeClassifier with the reference's hyperparameters
+    (gini / maxDepth 6 / maxBins 32, ConsumerESFinal.scala:61-67)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import DecisionTreeClassifier
+
+    dt = DecisionTreeClassifier(
+        labelCol="label",
+        featuresCol="features",
+        impurity="gini",
+        maxDepth=6,
+        maxBins=32,
+        seed=SEED,
+    )
+    return Pipeline(stages=[_assembler(), dt]).fit(train_df.cache())
+
+
+def with_verdict(scored: DataFrame) -> DataFrame:
+    """P6 — verdict string column, exactly the reference's encoding
+    (``if (prediction == 0) "Not bolt" else "Bolt"``,
+    ConsumerESFinal.scala:82)."""
+    return scored.withColumn(
+        "bolt_user",
+        F.when(F.col("prediction") == 0, F.lit("Not bolt")).otherwise(F.lit("Bolt")),
+    )
+
+
+def train_score_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M3 — train on the labeled fixture, bulk-score it, emit
+    verdicts (deterministic: fixed seed, deterministic features)."""
+    data = user_activity_features(spark, sf_dir)
+    model = train_decision_tree(data)
+    scored = with_verdict(model.transform(data))
+    return scored.select(
+        "user_id", "label", F.col("prediction").cast("int").alias("prediction"), "bolt_user"
+    )
+
+
+def holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10+M3 — reference test harness parity (DecisionTreeTest.scala:
+    37-45): seeded 70/30 randomSplit, train, bulk-predict the holdout,
+    report accuracy + confusion counts."""
+    data = user_activity_features(spark, sf_dir)
+    train, test = data.randomSplit([0.7, 0.3], seed=SEED)
+    model = train_decision_tree(train)
+    scored = model.transform(test).select(
+        "label", F.col("prediction").cast("int").alias("prediction")
+    )
+    return scored.groupBy("label", "prediction").agg(F.count("*").alias("n"))
+
+
+def label_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class distribution of the derived training fixture — the
+    SQL-checkable half of the ML path (the tree itself is rows-only)."""
+    return (
+        user_activity_features(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -1,0 +1,108 @@
+"""Multimodal column operators (SURVEY.md §2.9 L5; north-star).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata alongside. The Spark-side plumbing — schemas, Arrow-batched
+``mapInPandas``, partitioning — is real and tested; the actual codec
+step is stubbed (decode libs are not in this container) behind either
+a deterministic fake (for pipeline tests) or ``NotImplementedError``
+(the real-codec seam, clearly marked).
+
+Scale notes: binary payloads ride in parquet with the metadata
+columns, so predicate pushdown on metadata prunes payload IO;
+``mapInPandas`` processes Arrow record batches (payload bytes never
+row-by-row through pickle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: encode text → binary payload, compute
+    byte length + content digest natively (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+    )
+
+
+def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake codec: metadata derived from payload bytes.
+
+    Stands in for e.g. PIL/libvips decode; replace the body with the
+    real codec call when the library is available.
+    """
+    n = batch["payload"].str.len().astype("int32")
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bytes": n,
+            "width": (n % 640).astype("int32"),
+            "height": ((n * 7) % 480).astype("int32"),
+            "channels": pd.Series([3] * len(batch), dtype="int32"),
+        }
+    )
+
+
+def decode_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — Arrow-batched decode/feature-extract over binary payloads.
+
+    ``mapInPandas`` streams Arrow record batches through the (stubbed)
+    codec — the real shape of an image-decode stage: per-batch python
+    cost amortized over thousands of rows, payloads never pickled
+    row-at-a-time.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield _fake_decode(batch)
+
+    return with_payload.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def decode_real(payload: bytes) -> dict:
+    """The real-codec seam — intentionally unimplemented in this
+    container (no image/audio libraries baked in)."""
+    raise NotImplementedError(
+        "real image/audio decode requires codec libraries not present "
+        "in this environment; use decode_image_metadata (deterministic "
+        "fake) for pipeline testing"
+    )
+
+
+def frame_sample_stub(spark: SparkSession, sf_dir: str, every_n: int = 10) -> DataFrame:
+    """L5 — video frame-sampling plumbing: one output row per sampled
+    frame index, metadata computed natively; frame decode stubbed."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_frames = (F.col("n_chars") % 100 + 1).cast("int")  # fake per-doc frame count
+    return (
+        docs.select("doc_id", n_frames.alias("n_frames"))
+        .withColumn(
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))),
+        )
+        .select("doc_id", "n_frames", "frame_idx")
+    )

@@ -1,0 +1,135 @@
+"""Embedding similarity search over ``embeddings`` (SURVEY.md §2.9 L3/L5).
+
+Brute-force cosine top-k is the exactness baseline (query-side
+broadcast → linear scan, perfectly parallel, scales as
+n_queries × n_vectors); the LSH-bucketed variant is the 100 TB path
+(candidates only from matching sign-hash buckets). All similarity
+math is native Catalyst array HOFs (functions/arrays.py) — zero
+Python on the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.arrays import cosine_similarity, dot, l2_norm
+from ..functions.numeric import round2
+from ..sources.tables import load_table
+
+N_QUERIES = 5  # vec_id < 5 are the demo query vectors
+TOP_K = 10
+
+
+def _ranked_topk(sims: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k per query: rank on the ROUNDED similarity
+    with vec_id tiebreak, so engine last-ulp float differences can't
+    flip the cut."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "sim", "rk")
+    )
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """L3 — exact cosine top-k for each query vector.
+
+    The (tiny) query side is broadcast, so the plan is a single scan
+    of the corpus with a codegen'd dot product per (query, vector) —
+    the canonical brute-force ANN baseline that parallelizes linearly
+    on a 1000-executor cluster.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    sims = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            round2(cosine_similarity("q", "embedding"), 6).alias("sim"),
+        )
+    )
+    return _ranked_topk(sims, k)
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str, k: int = TOP_K, n_planes: int = 8) -> DataFrame:
+    """L3 (scale path) — sign-random-projection LSH bucketed kNN.
+
+    Hyperplanes are derived deterministically from the corpus itself
+    (the first ``n_planes`` embeddings), so the operator needs no
+    random state and is reproducible. Vectors hash to a bucket of
+    sign bits; candidates come only from the query's bucket, cutting
+    the scanned fraction to ~2^-planes of the corpus at scale.
+    Approximate by construction → rows-only check + recall-vs-brute
+    pytest (SURVEY.md §5.2).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Hyperplanes are metadata (n_planes rows) — collect once on the
+    # driver and inline as literals so the signature is computed in a
+    # single codegen'd projection with no join or shuffle.
+    rows = (
+        emb.filter(F.col("vec_id") < n_planes).orderBy("vec_id").select("embedding").collect()
+    )
+    sig_bits = [
+        (dot("embedding", F.array(*[F.lit(float(x)) for x in r.embedding])) > 0)
+        .cast("int")
+        .cast("string")
+        for r in rows
+    ]
+    with_sig = emb.select("vec_id", "embedding", F.concat_ws("", *sig_bits).alias("sig"))
+    queries = with_sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("sig").alias("qsig"),
+    )
+    sims = (
+        with_sig.join(
+            F.broadcast(queries),
+            (F.col("sig") == F.col("qsig")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            round2(cosine_similarity("q", "embedding"), 6).alias("sim"),
+        )
+    )
+    return _ranked_topk(sims, k)
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — multimodal array column ops: per-label L2-norm statistics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", l2_norm("embedding").alias("norm"))
+        .groupBy("label")
+        .agg(
+            round2(F.avg("norm"), 4).alias("avg_norm"),
+            round2(F.min("norm"), 4).alias("min_norm"),
+            round2(F.max("norm"), 4).alias("max_norm"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — per-label centroid vector (element-wise mean), then its norm.
+
+    Element-wise array mean via posexplode + re-collect: shuffles
+    (label × dim) rows only — the standard scalable centroid pattern
+    (vs. collecting vectors to the driver, which does not scale).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("mean_x"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(round2(F.sqrt(F.sum(F.col("mean_x") * F.col("mean_x"))), 6).alias("centroid_norm"))
+    )

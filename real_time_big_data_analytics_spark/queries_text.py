@@ -1,1 +1,245 @@
 """Registrations: LLM-data-pipeline text/dedup/similarity ops (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+from .operators import dedup_approx, multimodal, similarity, text
+from .registry import register
+
+# --- L1 exact dedup + fingerprints ---
+
+register(
+    "l1_exact_dedup",
+    text.exact_dedup,
+    sql="""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "exact"),
+)
+
+register(
+    "l1_dup_group_stats",
+    text.dup_group_stats,
+    sql="""
+    SELECT md5(text) AS fp, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup", "exact"),
+)
+
+register(
+    "l4_fingerprints",
+    text.fingerprints,
+    sql="""
+    SELECT doc_id, md5(text) AS fp_md5, substring(md5(text), 1, 8) AS fp_bucket
+    FROM documents
+    """,
+    tags=("fingerprint",),
+)
+
+# --- L4 text analysis ---
+
+register(
+    "l4_word_topk",
+    text.word_topk,
+    sql="""
+    SELECT word, count(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ) WHERE word <> ''
+    GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+    """,
+    tags=("text",),
+)
+
+register(
+    "l4_token_stats_by_lang",
+    text.token_stats_by_lang,
+    sql="""
+    SELECT lang,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+           max(len(string_split(text, ' '))) AS max_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    tags=("text",),
+)
+
+register(
+    "l4_quality_scores",
+    text.quality_scores,
+    sql="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop,
+             length(text) AS n_len
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           round((n_len - (n_tokens - 1)) / n_tokens, 4) AS avg_word_len,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+           round(least(n_tokens / 100.0, 1.0) * 0.5
+                 + (1 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+                 + least(((n_len - (n_tokens - 1)) / n_tokens) / 8.0, 1.0) * 0.2,
+                 4) AS quality_score
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+
+register(
+    "l4_lang_id_scores",
+    text.lang_id_scores,
+    sql="""
+    SELECT lang,
+           round(avg((length(text) - length(replace(text, 'e', '')))
+                     / CAST(length(text) AS DOUBLE)), 4) AS avg_e_freq,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    tags=("text", "lang-id"),
+)
+
+# --- L2 near-dup dedup ---
+
+register(
+    "l2_ngram_jaccard_pairs",
+    text.ngram_jaccard_pairs,
+    sql="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle
+      FROM w WHERE len(ws) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON a_id = sa.doc_id
+    JOIN sizes sb ON b_id = sb.doc_id
+    WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8
+    """,
+    tags=("dedup", "near-dup"),
+)
+
+# approximate — no SQL oracle (rows-only check + recall pytest)
+register("l2_minhash_lsh_pairs", dedup_approx.minhash_lsh_pairs, tags=("dedup", "lsh"))
+register("l2_simhash_signatures", dedup_approx.simhash_signatures, tags=("dedup", "simhash"))
+register("l2_simhash_pairs", dedup_approx.simhash_pairs, tags=("dedup", "simhash"))
+
+# --- L3 similarity search ---
+
+_KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), sims AS (
+  SELECT query_id, c.vec_id,
+         round(
+           list_dot_product(qv, ev)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ev, ev))),
+           6) AS sim
+  FROM c, q WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, sim, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM sims
+) WHERE rk <= 10
+"""
+
+register(
+    "l3_knn_bruteforce",
+    similarity.knn_bruteforce,
+    sql=_KNN_SQL,
+    tags=("similarity", "knn"),
+)
+
+# approximate bucketed variant — rows-only + recall pytest
+register("l3_knn_lsh", similarity.knn_lsh, tags=("similarity", "knn", "lsh"))
+
+register(
+    "l5_embedding_norm_stats",
+    similarity.embedding_norm_stats,
+    sql="""
+    SELECT label,
+           round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm,
+           round(min(sqrt(list_dot_product(embedding, embedding))), 4) AS min_norm,
+           round(max(sqrt(list_dot_product(embedding, embedding))), 4) AS max_norm,
+           count(*) AS n
+    FROM embeddings GROUP BY label
+    """,
+    tags=("similarity", "array"),
+)
+
+register(
+    "l5_centroid_per_label",
+    similarity.centroid_per_label,
+    sql="""
+    WITH per_dim AS (
+      SELECT label, pos, avg(CAST(x AS DOUBLE)) AS mean_x
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos
+    )
+    SELECT label, round(sqrt(sum(mean_x * mean_x)), 6) AS centroid_norm
+    FROM per_dim GROUP BY label
+    """,
+    tags=("similarity", "array"),
+)
+
+# --- L5 multimodal plumbing ---
+
+register(
+    "l5_binary_payload_stats",
+    multimodal.binary_payload_stats,
+    sql="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+
+register(
+    "l5_decode_image_metadata",
+    multimodal.decode_image_metadata,
+    sql="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+           3 AS channels
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
+
+register(
+    "l5_frame_sample",
+    multimodal.frame_sample_stub,
+    sql="""
+    SELECT doc_id,
+           CAST(n_chars % 100 + 1 AS INT) AS n_frames,
+           CAST(unnest(range(0, CAST(n_chars % 100 + 1 AS INT), 10)) AS INT) AS frame_idx
+    FROM documents
+    """,
+    tags=("multimodal",),
+)

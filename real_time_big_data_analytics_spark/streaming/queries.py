@@ -1,0 +1,122 @@
+"""Streaming queries (SURVEY.md §2.8 T4-T8, §2.4 J4, §2.10 M2).
+
+Each returns the *finite* result of an availableNow replay over the
+events file-stream (runner.py) — oracle-comparable to its batch twin
+by prefix consistency. Production deployments change only trigger +
+sink.
+
+State-store scale note: these aggregations keep per-group state in
+the streaming state store; at 100 TB/day the RocksDB provider plus
+watermarks (T5) bound state size. Harness runs use complete/update
+modes without watermark-dropped rows so results equal the batch twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round2
+from ..sources.tables import load_table
+from .runner import events_stream, run_to_table
+
+
+def stream_windowed_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — the flagship 15-min tumbling window × event_type, as a
+    genuine Structured Streaming aggregation (complete mode)."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), round2(F.sum("value")).alias("total_value"))
+    )
+    out = run_to_table(spark, agg, output_mode="complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    )
+
+
+def stream_windowed_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — watermarked sliding-window counts in append mode (the
+    late-data upgrade the reference lacks, SURVEY.md §1.2).
+
+    Append mode emits only watermark-finalized windows; with
+    availableNow the final watermark is max(ts) - 10m, so the trailing
+    windows stay open and are withheld. The oracle twin reproduces
+    that cutoff exactly — checking Spark's event-time semantics, not
+    just the arithmetic.
+    """
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_table(spark, agg, output_mode="append")
+    return out.select(F.col("w.start").alias("window_start"), "n")
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — streaming dedup: the stream unioned with itself (every
+    event delivered twice — the at-least-once scenario), then
+    ``dropDuplicates`` on the event key restores exactly-once counts."""
+    s1 = events_stream(spark, sf_dir)
+    s2 = events_stream(spark, sf_dir)
+    deduped = s1.unionByName(s2).dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+    return run_to_table(spark, agg, output_mode="complete")
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — native session windows (5-minute gap) per user."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_table(spark, agg, output_mode="complete")
+    return out.select(
+        "user_id", F.col("w.start").alias("session_start"), "n_events"
+    )
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — stream ⋈ static dimension (events × customer), the
+    idiomatic version of the reference's model-in-closure enrichment
+    (ConsumerESFinal.scala:73). The static side is broadcast per
+    micro-batch — no stream-side shuffle."""
+    stream = events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    joined = stream.join(
+        F.broadcast(customer), stream.user_id == customer.c_custkey, "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), round2(F.sum("value")).alias("total_value")
+    )
+    return run_to_table(spark, agg, output_mode="complete")
+
+
+def stream_scored_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — streaming model scoring: train on the batch fixture, apply
+    ``model.transform`` to the live stream (replaces the reference's
+    per-record ``dtmodel.predict`` in a DStream map), count verdicts.
+
+    The model pipeline (assembler + tree) runs as a narrow projection
+    on each micro-batch — stream-speed scoring at any scale.
+    """
+    from ..operators.ml import (
+        train_decision_tree,
+        user_activity_features,
+        with_verdict,
+    )
+
+    train = user_activity_features(spark, sf_dir)
+    model = train_decision_tree(train)
+
+    stream = events_stream(spark, sf_dir)
+    # per-event features: join the stream to the (static) per-user
+    # profile — stream-static enrichment, then score
+    features = train.drop("label")
+    enriched = stream.join(F.broadcast(features), "user_id", "inner")
+    scored = with_verdict(model.transform(enriched))
+    agg = scored.groupBy("bolt_user").agg(F.count("*").alias("n_events"))
+    return run_to_table(spark, agg, output_mode="complete")

@@ -1,0 +1,69 @@
+"""Structured Streaming plumbing (SURVEY.md §2.8).
+
+The reference's stream is a 5-second DStream micro-batch loop
+(reference ProducerFinal.scala:41, ConsumerESFinal.scala:36) with
+checkpointing (S9) and per-batch output ops (T2 ``foreachRDD``). The
+rebuild's equivalents:
+
+- source: file-stream replay of ``events.parquet`` (FIXTURES.md §B —
+  the Kafka-shaped source stands in for the reference's
+  Twitter→Kafka pipe; swapping in ``format("kafka")`` changes only
+  this function).
+- trigger: ``availableNow`` for harness determinism (finite replay);
+  production uses ``processingTime="5 seconds"`` — T1 parity.
+- sink: in-memory table for oracle-comparable results; production
+  sinks (parquet/kafka/foreachBatch) share the same query graph.
+- checkpointing: every run gets a checkpoint dir (S9/T3).
+
+Prefix-consistency of Structured Streaming makes an availableNow
+replay's result equal to the batch query over the same data — that
+equivalence is exactly what the DuckDB oracle checks (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded view of the events table via file-stream replay.
+
+    Schema comes from the batch footer (no inference on streams);
+    TIMESTAMP(NANOS) handled as in sources/tables.py.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource requires a directory; stage the (read-only)
+    # table file into a temp dir via symlink — zero-copy replay.
+    stage = tempfile.mkdtemp(prefix="rtba_stream_src_")
+    os.symlink(path, os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_to_table(spark: SparkSession, streaming_df: DataFrame, *, output_mode: str) -> DataFrame:
+    """Run a streaming aggregation to completion (availableNow) into a
+    memory sink; return the finite result as a batch DataFrame."""
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    checkpoint = os.path.join(tempfile.mkdtemp(prefix="rtba_ckpt_"), name)
+    query = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+    return spark.table(name)

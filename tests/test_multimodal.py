@@ -1,0 +1,43 @@
+"""Multimodal plumbing: Arrow-batch decode stub, binary columns."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_big_data_analytics_spark.operators import multimodal
+
+
+def test_decode_schema_and_determinism(spark, sf_dir):
+    a = multimodal.decode_image_metadata(spark, sf_dir)
+    assert [f.name for f in a.schema.fields] == [
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "channels",
+    ]
+    ra = {(r.doc_id, r.width, r.height) for r in a.collect()}
+    rb = {(r.doc_id, r.width, r.height) for r in multimodal.decode_image_metadata(spark, sf_dir).collect()}
+    assert ra == rb
+
+
+def test_decode_metadata_consistent_with_payload(spark, sf_dir):
+    rows = multimodal.decode_image_metadata(spark, sf_dir).collect()
+    for r in rows[:50]:
+        assert r.width == r.n_bytes % 640
+        assert r.height == (r.n_bytes * 7) % 480
+        assert r.channels == 3
+
+
+def test_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"\x89PNG")
+
+
+def test_binary_digest_matches_python(spark, sf_dir):
+    import hashlib
+
+    docs = {r.doc_id: r.text for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    out = multimodal.binary_payload_stats(spark, sf_dir).collect()
+    for r in out[:20]:
+        assert r.digest == hashlib.sha256(docs[r.doc_id].encode()).hexdigest()

@@ -1,0 +1,52 @@
+"""Plan hygiene: the 100 TB-scale properties, pinned
+(predicate pushdown, broadcast dimension joins, codegen)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_big_data_analytics_spark.operators import joins, relational
+from real_time_big_data_analytics_spark.plans.inspect import (
+    codegen_stages,
+    explain_str,
+    has_broadcast_join,
+    has_pushed_filters,
+)
+from real_time_big_data_analytics_spark.sources.tables import load_table
+
+
+def test_filter_pushes_to_parquet_scan(spark, sf_dir):
+    df = relational.pricing_summary(spark, sf_dir)
+    assert has_pushed_filters(df), explain_str(df)
+
+
+def test_dimension_joins_are_broadcast(spark, sf_dir):
+    df = joins.revenue_by_nation_region(spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = explain_str(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = relational.top_orders_by_price(spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_aggregations_stay_in_codegen(spark, sf_dir):
+    df = relational.pricing_summary(spark, sf_dir)
+    assert codegen_stages(df) >= 1
+
+
+def test_stream_static_join_broadcasts_static_side(spark, sf_dir):
+    from real_time_big_data_analytics_spark.streaming.runner import events_stream
+
+    customer = load_table(spark, sf_dir, "customer")
+    stream = events_stream(spark, sf_dir)
+    joined = stream.join(F.broadcast(customer), stream.user_id == customer.c_custkey)
+    plan = explain_str(joined, "extended").lower()
+    assert "broadcast" in plan, plan

@@ -1,0 +1,36 @@
+"""Every registered query runs at sf0.001 and returns a stable schema
+(the driver's t1-smoke shape, SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_big_data_analytics_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+# queries whose result can legitimately be empty at smoke scale
+MAY_BE_EMPTY = {"l2_minhash_lsh_pairs", "l2_ngram_jaccard_pairs", "l2_simhash_pairs", "l3_knn_lsh"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert df.schema.fields, f"{name}: empty schema"
+    rows = df.count()
+    if name not in MAY_BE_EMPTY:
+        assert rows > 0, f"{name}: returned no rows at smoke scale"
+
+
+def test_oracle_keys_subset():
+    for name, q in QUERIES.items():
+        if q.sql is not None:
+            assert name in QUERIES
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

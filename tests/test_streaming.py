@@ -1,0 +1,55 @@
+"""Streaming twins equal their batch counterparts (prefix consistency,
+SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_big_data_analytics_spark.operators import aggregations as agg
+from real_time_big_data_analytics_spark.operators.relational import sessionize_events
+from real_time_big_data_analytics_spark.streaming import queries as sq
+
+
+def _as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_stream_windowed_equals_batch(spark, sf_dir):
+    stream = sq.stream_windowed_analytics(spark, sf_dir)
+    batch = agg.flagship_windowed_analytics(spark, sf_dir)
+    assert _as_set(stream) == _as_set(batch)
+
+
+def test_stream_dedup_restores_exactly_once(spark, sf_dir):
+    stream = sq.stream_dedup_counts(spark, sf_dir)
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    assert _as_set(stream) == _as_set(batch)
+
+
+def test_stream_sessions_cover_all_events(spark, sf_dir):
+    sessions = sq.stream_session_windows(spark, sf_dir)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sessions.agg(F.sum("n_events")).collect()[0][0] == n_events
+
+
+def test_stream_sessions_match_batch_sessionization(spark, sf_dir):
+    """session_window(5m) session count per user == lag-gap batch twin."""
+    stream = (
+        sq.stream_session_windows(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    batch = sessionize_events(spark, sf_dir, gap_minutes=5).select(
+        "user_id", "n_sessions"
+    )
+    assert _as_set(stream) == _as_set(batch)
+
+
+def test_stream_scoring_counts_total(spark, sf_dir):
+    out = sq.stream_scored_verdicts(spark, sf_dir).collect()
+    assert {r.bolt_user for r in out} <= {"Bolt", "Not bolt"}
+    assert sum(r.n_events for r in out) > 0
