@@ -1,0 +1,158 @@
+"""P-series reference-parity operators (SURVEY.md §2.2).
+
+The reference's per-record surface is a hand-rolled CSV codec plus a
+scored 9-column output:
+
+- serialize rows to unquoted CSV strings for Kafka (reference
+  ProducerFinal.scala:78-79, P8),
+- drop the header by leading-comma prefix (reference
+  ConsumerESFinal.scala:50, P2),
+- guard on field arity (reference DecisionTreeTest.scala:48, P7),
+- ``split(",")`` + positional casts (reference
+  ConsumerESFinal.scala:50-51, P3),
+- emit the 9-column scored table with "Bolt"/"Not bolt" verdicts
+  (reference ConsumerESFinal.scala:88-90, P6).
+
+Here each step is a codegen'd Catalyst expression over DataFrames —
+no RDDs, no Python row loops — and the whole codec pipeline collapses
+into a single stage (projection + filter + partial agg) at any scale.
+``json_roundtrip_analytics`` is the documented semantic fix for the
+reference's embedded-comma corruption (SURVEY.md §1.4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round2
+from ..sources.tables import load_table
+from .ml import train_decision_tree, user_activity_features, with_verdict
+
+# Rows that exercise the codec's guard paths: a leading-comma header
+# (dataset.txt:1 shape) and a wrong-arity record.
+_HEADER_LINE = ",event_id,user_id,event_type,value"
+_MALFORMED_LINE = "1,2,malformed"
+
+
+def csv_parse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3+P7+P8 — full CSV codec round trip on the events table.
+
+    Serialize → inject header + malformed rows → header filter →
+    arity guard → split + positional cast → aggregate. One shuffle
+    (the final groupBy); everything before it is a single codegen'd
+    narrow stage.
+    """
+    events = load_table(spark, sf_dir, "events")
+    lines = events.select(
+        F.concat_ws(",", "event_id", "user_id", "event_type", "value").alias("line")
+    )
+    noise = spark.createDataFrame(
+        [(_HEADER_LINE,), (_MALFORMED_LINE,)], "line string"
+    )
+    parts = F.split(F.col("line"), ",")
+    parsed = (
+        lines.unionByName(noise)
+        .filter(~F.col("line").startswith(","))  # P2 header filter
+        .filter(F.size(parts) == 4)  # P7 arity guard
+        .select(
+            parts.getItem(2).alias("event_type"),  # P3 positional parse
+            parts.getItem(3).cast("double").alias("value"),
+        )
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"), round2(F.sum("value")).alias("total_value")
+    )
+
+
+CSV_PARSE_PIPELINE_SQL = f"""
+WITH serialized AS (
+  SELECT concat_ws(',', event_id, user_id, event_type, value) AS line FROM events
+  UNION ALL SELECT '{_HEADER_LINE}'
+  UNION ALL SELECT '{_MALFORMED_LINE}'
+), parsed AS (
+  SELECT string_split(line, ',') AS p FROM serialized
+  WHERE NOT starts_with(line, ',') AND len(string_split(line, ',')) = 4
+)
+SELECT p[3] AS event_type, count(*) AS n,
+       round(sum(CAST(p[4] AS DOUBLE)), 2) AS total_value
+FROM parsed GROUP BY p[3]
+"""
+
+
+def json_roundtrip_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 (fixed) — JSON payload codec: ``to_json(struct(...))`` out,
+    ``from_json`` back, then aggregate the decoded rows.
+
+    The payload embeds a comma-bearing string field; the oracle
+    computes the same aggregate straight from the source columns, so a
+    hash match proves the JSON round trip is lossless — exactly where
+    the reference's unquoted CSV corrupts (SURVEY.md §1.4.1,
+    reference src/main/test.txt/part-00000:5).
+    """
+    events = load_table(spark, sf_dir, "events")
+    schema = "user_id bigint, event_type string, location string, value double"
+    payload = events.select(
+        F.to_json(
+            F.struct(
+                "user_id",
+                "event_type",
+                F.concat_ws(", ", "event_type", F.lit("local")).alias("location"),
+                "value",
+            )
+        ).alias("js")
+    )
+    decoded = payload.select(F.from_json("js", schema).alias("r")).select("r.*")
+    return decoded.groupBy("location").agg(
+        F.count("*").alias("n"), round2(F.sum("value")).alias("total_value")
+    )
+
+
+JSON_ROUNDTRIP_SQL = """
+SELECT event_type || ', local' AS location, count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def scored_parity_9col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 golden parity — the reference's exact 9-column scored output
+    shape (reference ConsumerESFinal.scala:90: statuses_count,
+    followers_count, friends_count, favourites_count, protected,
+    verified, lang, location, bolt_user), produced by the idiomatic
+    pipeline: feature fixture → model.transform → broadcast dimension
+    enrichment.
+
+    Column mapping from harness data: activity counts stand in for the
+    Twitter counters; protected/verified derive from customer account
+    state; lang/location from the customer→nation dimension chain.
+    Rows-only check (tree predictions aren't SQL-expressible); the
+    shape + verdict domain are pinned by tests/test_parity.py.
+    """
+    feats = user_activity_features(spark, sf_dir)
+    model = train_decision_tree(feats)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dim = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        ).select(
+            F.col("c_custkey").alias("user_id"),
+            (F.col("c_acctbal") < 0).cast("int").alias("protected"),
+            (F.col("c_acctbal") > 5000).cast("int").alias("verified"),
+            F.lower(F.substring("c_mktsegment", 1, 2)).alias("lang"),
+            F.col("n_name").alias("location"),
+        )
+    )
+    scored = with_verdict(model.transform(feats))
+    return scored.join(F.broadcast(dim), "user_id", "inner").select(
+        F.col("n_events").alias("statuses_count"),
+        F.col("n_clicks").alias("followers_count"),
+        F.col("n_purchases").alias("friends_count"),
+        F.col("n_signups").alias("favourites_count"),
+        "protected",
+        "verified",
+        "lang",
+        "location",
+        "bolt_user",
+    )

@@ -101,6 +101,84 @@ def knn_lsh(spark: SparkSession, sf_dir: str, k: int = TOP_K, n_planes: int = 8)
     return _ranked_topk(sims, k)
 
 
+def embedding_cosine_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """L2 (embedding variant) — near-duplicate pairs by embedding
+    cosine, blocked on ``label`` as the coarse-quantizer cell.
+
+    The label block turns the quadratic all-pairs join into a
+    per-cell self-join — the same blocking structure an IVF/LSH
+    near-dup pass uses at 100 TB (cells bound the candidate set; the
+    join shuffles on the cell key only). Similarity is rounded before
+    thresholding so the cut is engine-exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = emb.select("label", F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, "label").filter(F.col("a_id") < F.col("b_id"))
+    sims = pairs.select(
+        "a_id", "b_id", round2(cosine_similarity("va", "vb"), 4).alias("cos_sim")
+    )
+    return sims.filter(F.col("cos_sim") >= threshold)
+
+
+def knn_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """L3 (IVF variant) — inverted-file ANN: KMeans coarse quantizer,
+    probe the ``n_probe`` nearest cells per query, exact cosine within
+    the probed cells only.
+
+    The scan fraction drops to ~n_probe/n_cells of the corpus; cell
+    assignment is a narrow ``model.transform`` projection and the
+    candidate join broadcasts the (tiny) query×cell probe table — the
+    standard billion-vector IVF layout. Approximate by construction →
+    rows-only check + recall-vs-brute pytest.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("fv"),
+    ).cache()
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell"
+    ).fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+
+    # Probe selection is metadata-scale: n_queries × n_cells distances
+    # on the driver, independent of corpus size.
+    centers = np.asarray(model.clusterCenters())
+    probe_rows = []
+    for r in emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect():
+        q = np.asarray(r.embedding, dtype=float)
+        d2 = ((centers - q) ** 2).sum(axis=1)
+        for c in np.argsort(d2)[:n_probe]:
+            probe_rows.append((r.vec_id, int(c), [float(x) for x in q]))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, cell int, q array<double>"
+    )
+    cands = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sims = cands.select(
+        "query_id",
+        "vec_id",
+        round2(cosine_similarity("q", "embedding"), 6).alias("sim"),
+    )
+    return _ranked_topk(sims, k)
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 — multimodal array column ops: per-label L2-norm statistics."""
     emb = load_table(spark, sf_dir, "embeddings")

@@ -135,6 +135,45 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, single digits, single
+# punctuation marks — the split granularity byte-pair encoders start
+# from. RE2/Java-compatible (no lookarounds) so the DuckDB oracle runs
+# the identical pattern.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — per-document token counting two ways: whitespace tokens
+    and BPE-ish regex tokens, plus chars-per-token (the compression
+    proxy LLM pipelines budget by). Pure codegen'd regex expressions;
+    one narrow stage, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_regex_tokens"),
+        round2(F.length("text").cast("double") / n_bpe, 4).alias("chars_per_token"),
+    )
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """L4 — rolling-window fingerprint (winnowing-style): hash every
+    word n-gram window of the document, keep the minimum hash as the
+    fingerprint. Unlike whole-document md5 (``fingerprints``), the
+    winnow survives edits outside the minimizing window — the standard
+    near-dup-robust fingerprint. Shuffles (doc_id, window-hash) pairs
+    once; at 100 TB the same plan holds with window hashes partially
+    min-combined map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, n=n)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("winnow_fp"),
+        F.count("*").alias("n_windows"),
+    )
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
     words = _words()

@@ -81,4 +81,18 @@ register(
     """,
     tags=("streaming", "watermark"),
 )
+register(
+    "t8_stateful_user_stats",
+    sq.stream_stateful_user_stats,
+    # single-batch availableNow replay → the emitted update equals the
+    # final per-user aggregate, so the batch groupBy is the oracle
+    sql="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+
 register("m2_stream_scored_verdicts", sq.stream_scored_verdicts, tags=("streaming", "ml"))

@@ -105,6 +105,39 @@ register(
     tags=("text", "lang-id"),
 )
 
+register(
+    "l4_token_counts",
+    text.token_counts,
+    sql=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_regex_tokens,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')),
+                 4) AS chars_per_token
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+
+register(
+    "l4_winnowing_fingerprints",
+    text.winnowing_fingerprints,
+    sql="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle
+      FROM w WHERE len(ws) >= 3
+    )
+    SELECT doc_id, min(md5(shingle)) AS winnow_fp, count(*) AS n_windows
+    FROM sh GROUP BY doc_id
+    """,
+    tags=("fingerprint", "rolling-hash"),
+)
+
 # --- L2 near-dup dedup ---
 
 register(
@@ -133,6 +166,23 @@ register(
     WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8
     """,
     tags=("dedup", "near-dup"),
+)
+
+register(
+    "l2_embedding_cosine_pairs",
+    similarity.embedding_cosine_pairs,
+    sql="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 4) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                4) >= 0.35
+    """,
+    tags=("dedup", "near-dup", "embedding"),
 )
 
 # approximate — no SQL oracle (rows-only check + recall pytest)
@@ -172,6 +222,9 @@ register(
 
 # approximate bucketed variant — rows-only + recall pytest
 register("l3_knn_lsh", similarity.knn_lsh, tags=("similarity", "knn", "lsh"))
+
+# IVF (KMeans coarse quantizer) variant — rows-only + recall pytest
+register("l3_knn_ivf", similarity.knn_ivf, tags=("similarity", "knn", "ivf"))
 
 register(
     "l5_embedding_norm_stats",

@@ -41,6 +41,7 @@ def register(name: str, fn, sql: str | None = None, tags: tuple[str, ...] = ()) 
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from . import queries_batch  # noqa: F401
+    from . import queries_parity  # noqa: F401
     from . import queries_text  # noqa: F401
     from . import queries_ml  # noqa: F401
     from . import queries_streaming  # noqa: F401

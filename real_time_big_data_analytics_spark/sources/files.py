@@ -1,0 +1,56 @@
+"""Schema'd CSV / JSON-lines file sources and sinks (SURVEY.md §2.1 S4/S5).
+
+The reference reads its training table as schema-less text lines and
+hand-splits them (reference ConsumerESFinal.scala:50-51) and writes
+micro-batch output with ``saveAsTextFile`` (reference
+ConsumerESFinal.scala:87, which crashes on the second batch — SURVEY.md
+§1.4.3). Here every file source takes an explicit ``StructType`` — no
+sampling-based inference pass, which at 100 TB means zero extra scans
+and a stable schema regardless of which files a job happens to read —
+and sinks go through the DataFrame writers (atomic per-partition task
+commits, re-runnable with ``mode``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    *,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """S4 — columnar CSV scan with a declared schema.
+
+    Malformed rows go to permissive-mode nulls rather than corrupting
+    neighbouring fields (the reference's ``split(",")`` failure mode,
+    SURVEY.md §1.4.1).
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """S4 (JSON-lines) — schema'd newline-delimited JSON scan."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_csv(df: DataFrame, path: str, *, header: bool = True, mode: str = "overwrite") -> None:
+    """S5 — CSV sink via the DataFrame writer (quoted fields, so
+    embedded commas survive — unlike reference ProducerFinal.scala:79)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """S5 (JSON-lines) — lossless text sink for comma-bearing fields."""
+    df.write.mode(mode).json(path)

@@ -95,6 +95,51 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(spark, agg, output_mode="complete")
 
 
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 — arbitrary stateful operator via ``applyInPandasWithState``:
+    per-user running (count, sum, max) kept in the state store across
+    micro-batches, emitted on every update.
+
+    This is the custom-stateful escape hatch for semantics windowed
+    aggs can't express (per-key accumulators, custom eviction). State
+    is Arrow-batched per group — at 100 TB the RocksDB state store
+    holds per-user tuples and the grouping shuffle is the only wide
+    step. The availableNow replay is a single batch, so the emitted
+    update equals the final per-user aggregate — which is exactly what
+    the batch-twin oracle checks.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state):
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total], "max_value": [mx]}
+        )
+
+    agg = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double, max_value double",
+        stateStructType="n bigint, total double, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_table(spark, agg, output_mode="update")
+    return out.select(
+        "user_id",
+        "n_events",
+        round2("total_value").alias("total_value"),
+        round2("max_value").alias("max_value"),
+    )
+
+
 def stream_scored_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 — streaming model scoring: train on the batch fixture, apply
     ``model.transform`` to the live stream (replaces the reference's

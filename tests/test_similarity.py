@@ -35,6 +35,36 @@ def test_knn_lsh_subset_of_true_sims(spark, sf_dir):
         assert abs(brute[(r.query_id, r.vec_id)] - r.sim) < 1e-9
 
 
+def test_knn_ivf_recall_vs_brute(spark, sf_dir):
+    """IVF probes a fraction of the corpus but must recover most of
+    the true top-k (recall floor) with exact similarity values."""
+    brute = similarity.knn_bruteforce(spark, sf_dir).collect()
+    true_sets = {}
+    for r in brute:
+        true_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    all_sims = {
+        (r.query_id, r.vec_id): r.sim
+        for r in similarity.knn_bruteforce(spark, sf_dir, k=10**6).collect()
+    }
+    ivf = similarity.knn_ivf(spark, sf_dir).collect()
+    assert ivf
+    got = {}
+    for r in ivf:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+        assert abs(all_sims[(r.query_id, r.vec_id)] - r.sim) < 1e-9
+    hits = sum(len(true_sets[q] & got.get(q, set())) for q in true_sets)
+    total = sum(len(s) for s in true_sets.values())
+    assert hits / total >= 0.3, f"IVF recall too low: {hits}/{total}"
+
+
+def test_embedding_cosine_pairs_symmetric_and_thresholded(spark, sf_dir):
+    pairs = similarity.embedding_cosine_pairs(spark, sf_dir).collect()
+    assert pairs
+    for r in pairs:
+        assert r.a_id < r.b_id
+        assert r.cos_sim >= 0.35
+
+
 def test_cosine_self_similarity(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     sims = emb.select(
