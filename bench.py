@@ -49,7 +49,16 @@ def main() -> None:
     spark = get_spark("rtba-bench")
     queries = all_queries()
 
-    # warm-up: JVM + parquet footer caches on a trivial plan
+    # Warm-up: exercise each execution path once (parquet scan +
+    # codegen, shuffle agg/join, streaming machinery) at the smallest
+    # SF so per-query timings measure steady-state latency, not
+    # one-time JVM/JIT/checkpoint setup.
+    warm_sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_sf):
+        warm_sf = SF_DIR
+    for wq in ("flagship_windowed_analytics", "j1_revenue_by_mktsegment",
+               "t4_stream_windowed_analytics"):
+        force(queries[wq].fn(spark, warm_sf))
     force(spark.read.parquet(os.path.join(SF_DIR, "region.parquet")))
 
     timings: dict[str, float] = {}

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import round2
 from ..sources.tables import load_table
-from .text import shingles
+from .text import _with_shingle_array
 
 SEED = 42
 N_BITS = 64
@@ -48,9 +48,10 @@ def minhash_lsh_pairs(
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs, n=3).groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("sh")
-    )
+    # Per-doc shingle sets built row-side (array_distinct) — no
+    # explode→regroup shuffle; the doc never leaves its partition
+    # until the LSH bucket join.
+    sh = _with_shingle_array(docs, 3).select("doc_id", F.col("sh_arr").alias("sh"))
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(sh).filter(F.expr("size(sh) > 0"))
     mh = MinHashLSH(

@@ -174,17 +174,34 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str, n: int = 3) -> Data
     )
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
-    words = _words()
-    sh = F.expr(
-        "transform(sequence(1, size(split(text,' ')) - {m}), "
-        "i -> concat_ws(' ', slice(split(text,' '), i, {n})))".format(m=n - 1, n=n)
+def _with_shingle_array(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, sh_arr) — per-row array of DISTINCT word n-gram
+    shingles.
+
+    Two deliberate plan choices:
+    - ``text`` is split into a ``ws`` column FIRST, so the split runs
+      once per row; inlining ``split`` inside the transform lambda
+      re-tokenizes per shingle (O(words²) per doc — measured 4×
+      slower).
+    - ``array_distinct`` dedupes inside the row, so consumers never
+      need a global ``.distinct()`` shuffle — per-doc dedup is narrow
+      at any scale.
+    """
+    ws = docs.select("doc_id", _words().alias("ws")).filter(F.size("ws") >= n)
+    arr = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(ws) - {m}), "
+            "i -> concat_ws(' ', slice(ws, i, {n})))".format(m=n - 1, n=n)
+        )
     )
-    return (
-        docs.filter(F.size(words) >= n)
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
+    return ws.select("doc_id", arr.alias("sh_arr"))
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    Shuffle-free: dedup happens row-side via ``array_distinct``."""
+    return _with_shingle_array(docs, n).select(
+        "doc_id", F.explode("sh_arr").alias("shingle")
     )
 
 
@@ -201,9 +218,18 @@ def ngram_jaccard_pairs(
     bucketing. Kept uncapped here: harness vocab is tiny.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs, n=n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    with_arr = _with_shingle_array(docs, n)
+    sh = with_arr.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    # |doc| is a narrow per-row expression — no shuffle to compute.
+    # Unhinted size joins below: Catalyst/AQE broadcasts the size side
+    # while it fits (harness scale) and falls back to shuffle joins
+    # when the doc count doesn't (100 TB) — correct both times.
+    sizes = with_arr.select("doc_id", F.size("sh_arr").alias("sz"))
+    # SHUFFLE_HASH: the self-join key (shingle) is high-cardinality and
+    # un-skewed (frequency-capped at scale), so a hash join beats
+    # sort-merge — sorting hundreds of millions of shingle strings is
+    # pure overhead (measured 3× slower here).
+    a, b = sh.alias("a"), sh.alias("b").hint("SHUFFLE_HASH")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
