@@ -227,3 +227,54 @@ def string_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — single-table selective filter + global agg.
+
+    Every predicate (shipdate range, discount band, quantity cap) is a
+    plain comparison, so all of them push into the parquet scan
+    (PushedFilters) and row-group/page statistics skip non-matching
+    data before decode — at 100 TB with date-partitioned lineitem this
+    is a partition-pruned scan of ~1/6 of the table, no shuffle at all
+    (partial aggs combine map-side into one row).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            round2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORDERS_ABOVE_AVG_SQL = """
+SELECT o_custkey, count(*) AS n_above
+FROM orders o
+WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+GROUP BY o_custkey
+"""
+
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the ``spark.sql`` entry
+    point — the engine's second query surface (SURVEY.md §3.4: SQL and
+    DataFrame land in the same Catalyst pipeline).
+
+    Catalyst's RewriteCorrelatedScalarSubquery decorrelates this into
+    a per-customer aggregate joined back to orders (SURVEY.md §4.2) —
+    one shuffle on o_custkey reused by both the aggregate and the
+    join, not a per-row subquery execution.
+    """
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(ORDERS_ABOVE_AVG_SQL)

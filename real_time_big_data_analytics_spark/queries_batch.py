@@ -368,3 +368,23 @@ register(
     """,
     tags=("scalar", "string"),
 )
+
+register(
+    "q6_forecast_revenue",
+    relational.forecast_revenue,
+    sql="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    tags=("agg", "tpch", "pushdown"),
+)
+
+register(
+    "subquery_orders_above_avg",
+    relational.orders_above_customer_avg,
+    sql=relational.ORDERS_ABOVE_AVG_SQL,
+    tags=("subquery", "sql-entry"),
+)
