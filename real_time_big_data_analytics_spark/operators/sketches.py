@@ -1,0 +1,50 @@
+"""Sketch aggregates: HLL cardinality and quantile digests
+(SURVEY.md §2.9 L4 profiling; north-star scale family).
+
+Exact ``count(DISTINCT ...)`` and exact percentiles need a full
+shuffle of the distinct values / a global sort; the sketch versions
+are single-pass, mergeable, constant-memory — the only viable shape
+at 100 TB:
+
+- ``approx_count_distinct`` — HyperLogLog++, ~2% default error,
+  merge-able across partitions map-side.
+- ``percentile_approx`` — a t-digest-like quantile summary with an
+  accuracy/space knob.
+
+Sketch outputs are estimator-specific, so the harness check is
+rows-only; tests/test_sketches.py pins the error bound against the
+exact answers (the meaningful notion of sketch correctness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round2
+from ..sources.tables import load_table
+
+QUANTILES = [0.5, 0.95, 0.99]
+PERCENTILE_ACCURACY = 10000
+
+
+def distinct_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user estimate per event type, next to the exact
+    count baseline the error-bound test compares against."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of ``value`` per event type."""
+    events = load_table(spark, sf_dir, "events")
+    qcols = [
+        round2(
+            F.percentile_approx("value", F.lit(q), F.lit(PERCENTILE_ACCURACY))
+        ).alias(f"p{int(q * 100)}")
+        for q in QUANTILES
+    ]
+    return events.groupBy("event_type").agg(*qcols, F.count("*").alias("n"))

@@ -388,3 +388,18 @@ register(
     sql=relational.ORDERS_ABOVE_AVG_SQL,
     tags=("subquery", "sql-entry"),
 )
+
+from .operators import sketches, skew  # noqa: E402
+
+register(
+    "skew_salted_user_stats",
+    skew.salted_user_stats,
+    # the oracle is the UNSALTED aggregate — a hash match proves the
+    # two-phase salted plan is result-identical
+    sql=skew.SALTED_USER_STATS_SQL,
+    tags=("agg", "skew", "salting"),
+)
+
+# sketch estimates are estimator-specific — rows-only + error-bound pytest
+register("sketch_distinct_users", sketches.distinct_user_sketch, tags=("sketch", "hll"))
+register("sketch_value_quantiles", sketches.value_quantile_sketch, tags=("sketch", "quantile"))

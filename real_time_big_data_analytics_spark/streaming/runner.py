@@ -49,6 +49,44 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def run_foreach_batch(
+    streaming_df: DataFrame,
+    batch_fn,
+    *,
+    output_mode: str = "update",
+) -> None:
+    """T2 — per-batch side-effect sink, the structured ``foreachRDD``
+    (reference ConsumerESFinal.scala:86-94). ``batch_fn(df, batch_id)``
+    receives each micro-batch as a batch DataFrame; with an idempotent
+    writer this is the exactly-once pattern (the batch_id is stable
+    across replays)."""
+    checkpoint = tempfile.mkdtemp(prefix="rtba_ckpt_fb_")
+    query = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+
+
+def index_sink(path: str):
+    """S7 — the Elasticsearch-sink stand-in: an append-mode parquet
+    "index" written per micro-batch from ``foreachBatch`` (the
+    reference bulk-indexed each batch to ES, ConsumerESFinal.scala:93;
+    ES connectivity is infra, not query semantics — SURVEY.md §2.1).
+    """
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(path)
+
+    return write
+
+
 def run_to_table(spark: SparkSession, streaming_df: DataFrame, *, output_mode: str) -> DataFrame:
     """Run a streaming aggregation to completion (availableNow) into a
     memory sink; return the finite result as a batch DataFrame."""

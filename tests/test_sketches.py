@@ -1,0 +1,52 @@
+"""Sketch aggregates: error bounds vs exact answers; salted agg parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_big_data_analytics_spark.operators import sketches, skew
+from real_time_big_data_analytics_spark.sources.tables import load_table
+
+
+def test_hll_within_error_bound(spark, sf_dir):
+    rows = sketches.distinct_user_sketch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert rel_err <= 0.05, f"{r.event_type}: {r.approx_users} vs {r.exact_users}"
+
+
+def test_quantile_sketch_brackets_exact(spark, sf_dir):
+    approx = {
+        r.event_type: r for r in sketches.value_quantile_sketch(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for et, a in approx.items():
+        spread = max(abs(exact[et].p95), 1.0)
+        assert abs(a.p50 - exact[et].p50) / spread < 0.05
+        assert abs(a.p95 - exact[et].p95) / spread < 0.05
+
+
+def test_salted_equals_unsalted(spark, sf_dir):
+    """The salted two-phase plan must be result-identical to the
+    direct groupBy (algebraic combine)."""
+    salted = {r.user_id: r for r in skew.salted_user_stats(spark, sf_dir).collect()}
+    events = load_table(spark, sf_dir, "events")
+    direct = {
+        r.user_id: r
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert set(salted) == set(direct)
+    for uid, r in salted.items():
+        assert r.n_events == direct[uid].n_events
