@@ -67,6 +67,13 @@ def main() -> None:
         force(queries[name].fn(spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # End-to-end streaming throughput: events ingested through the
+    # windowed streaming aggregation per second of wall clock — the
+    # comparable number to the reference's ~35 rec/s envelope
+    # (BASELINE.md "observed throughput").
+    n_events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
+    stream_rps = round(n_events / timings["t4_stream_windowed_analytics"], 1)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -75,6 +82,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "stream_events_per_sec": stream_rps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

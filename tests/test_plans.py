@@ -42,6 +42,14 @@ def test_aggregations_stay_in_codegen(spark, sf_dir):
     assert codegen_stages(df) >= 1
 
 
+def test_shingle_self_join_uses_shuffle_hash(spark, sf_dir):
+    """The high-cardinality string self-join must hash, not sort."""
+    from real_time_big_data_analytics_spark.operators import text
+
+    df = text.ngram_jaccard_pairs(spark, sf_dir)
+    assert "ShuffledHashJoin" in explain_str(df), explain_str(df)
+
+
 def test_stream_static_join_broadcasts_static_side(spark, sf_dir):
     from real_time_big_data_analytics_spark.streaming.runner import events_stream
 
