@@ -24,8 +24,20 @@ from pyspark.sql import functions as F
 def round2(col: Column | str, scale: int = 2) -> Column:
     """Round a final (post-aggregation) double column for stable
     output, bit-compatible with DuckDB's ``round(double, s)``
-    (half-away-from-zero on the binary value)."""
+    (half-away-from-zero on the binary value, like C ``round()``).
+
+    NOT ``floor(p + 0.5)``: adding 0.5 can itself round up in floating
+    point (e.g. p = 0.49999999999999994, the largest double < 0.5,
+    where p + 0.5 == 1.0), which C's ``round`` never does. Instead the
+    fractional part ``p - floor(p)`` — an EXACT subtraction for any
+    |p| < 2^53, since the difference is a multiple of ulp(p) below 1 —
+    is compared against 0.5 directly.
+    """
     c = (col if isinstance(col, Column) else F.col(col)).cast("double")
     p = c * F.lit(float(10**scale))
-    n = F.when(p >= 0, F.floor(p + F.lit(0.5))).otherwise(F.ceil(p - F.lit(0.5)))
-    return n.cast("double") / F.lit(float(10**scale))
+    fl = F.floor(p).cast("double")
+    ce = F.ceil(p).cast("double")
+    n = F.when(p >= 0, F.when(p - fl >= 0.5, fl + 1).otherwise(fl)).otherwise(
+        F.when(ce - p >= 0.5, ce - 1).otherwise(ce)
+    )
+    return n / F.lit(float(10**scale))

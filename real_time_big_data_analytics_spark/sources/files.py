@@ -54,3 +54,17 @@ def write_csv(df: DataFrame, path: str, *, header: bool = True, mode: str = "ove
 def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """S5 (JSON-lines) — lossless text sink for comma-bearing fields."""
     df.write.mode(mode).json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, *, partition_by: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-layout partitioned parquet sink (``path/col=value/…``).
+
+    This is the 100 TB table layout: readers filtering on the
+    partition columns prune whole directories before any IO (static
+    partition pruning; dynamic via DPP when joined on the partition
+    key). Fact tables (orders/lineitem/events) would partition by
+    date-derived columns.
+    """
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)

@@ -1,0 +1,64 @@
+"""Cross-engine rounding: round2 must be bit-identical to DuckDB's
+round(double, s) — the invariant every oracle hash match rests on."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from real_time_big_data_analytics_spark.functions.numeric import round2
+
+# Exact-tie values where Spark's BigDecimal HALF_UP and C-style binary
+# rounding disagree, plus sign/magnitude edges.
+ADVERSARIAL = [
+    0.53875,
+    -0.53875,
+    2.675,
+    -2.675,
+    1.005,
+    -1.005,
+    0.125,
+    -0.125,
+    1e15 + 0.005,
+    -1e15 - 0.005,
+    0.0,
+    -0.0,
+    1e-9,
+    -1e-9,
+    123456789.555,
+]
+
+
+def test_round2_matches_duckdb_bitwise(spark):
+    rng = np.random.default_rng(42)
+    vals = ADVERSARIAL + list(rng.uniform(-1e6, 1e6, 5000)) + list(
+        rng.uniform(-1, 1, 5000)
+    )
+    pdf = pd.DataFrame({"x": np.array(vals, dtype="float64")})
+
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select(round2("x").alias("r"))
+        .toPandas()["r"]
+        .to_numpy()
+    )
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute("SELECT round(x, 2) AS r FROM t").df()["r"].to_numpy()
+
+    # bit-identical up to the sign of zero (-0.0 == 0.0 everywhere a
+    # result is consumed; normalize with +0.0)
+    got_n, want_n = got + 0.0, want + 0.0
+    assert np.array_equal(
+        got_n.view("int64"), want_n.view("int64")
+    ), f"mismatches at {np.nonzero(got_n.view('int64') != want_n.view('int64'))[0][:5]}"
+
+
+def test_round2_scale_param(spark):
+    sdf = spark.createDataFrame(pd.DataFrame({"x": [0.123456]}))
+    for scale, expect in [(1, 0.1), (3, 0.123), (4, 0.1235)]:
+        got = sdf.select(round2("x", scale).alias("r")).collect()[0].r
+        assert got == expect

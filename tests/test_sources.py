@@ -26,3 +26,29 @@ def test_csv_roundtrip_quotes_commas(spark):
 
 def test_jsonl_roundtrip(spark):
     _roundtrip(spark, files.write_jsonl, files.read_jsonl)
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir):
+    """Partition layout exists on disk and a partition-key filter
+    prunes to a single directory's rows (static partition pruning)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory(prefix="rtba_part_") as d:
+        path = f"{d}/events_by_type"
+        files.write_partitioned_parquet(events, path, partition_by=["event_type"])
+        dirs = sorted(
+            p.rsplit("=", 1)[1] for p in glob.glob(f"{path}/event_type=*")
+        )
+        assert len(dirs) >= 2
+        back = spark.read.parquet(path)
+        one = back.filter(F.col("event_type") == dirs[0])
+        expected = events.filter(F.col("event_type") == dirs[0]).count()
+        assert one.count() == expected
+        # the filter must reach the scan as a partition filter
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(event_type" in plan, plan
