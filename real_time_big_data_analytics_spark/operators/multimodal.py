@@ -93,6 +93,59 @@ def decode_real(payload: bytes) -> dict:
     )
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — audio feature extraction over binary payloads: interpret
+    the payload as 16-bit PCM and compute RMS / peak / zero-crossing
+    counts vectorized in numpy per Arrow batch (``mapInPandas``).
+
+    The PCM interpretation of the text-derived payload is the
+    deterministic stand-in for a real audio decoder (same seam as
+    ``decode_real``); the feature math is exactly what a production
+    waveform-stats stage runs. Narrow stage, no shuffle: scales
+    linearly with executors.
+    """
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                buf = bytes(payload)
+                pcm = np.frombuffer(buf[: len(buf) - (len(buf) % 2)], dtype="<i2")
+                if len(pcm) == 0:
+                    out.append((doc_id, 0, 0.0, 0.0, 0))
+                    continue
+                x = pcm.astype("float64") / 32768.0
+                out.append(
+                    (
+                        doc_id,
+                        len(pcm),
+                        float(np.sqrt(np.mean(x * x))),
+                        float(np.abs(x).max()),
+                        int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_samples", "rms", "peak", "zero_crossings"]
+            )
+
+    return with_payload.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
 def frame_sample_stub(spark: SparkSession, sf_dir: str, every_n: int = 10) -> DataFrame:
     """L5 — video frame-sampling plumbing: one output row per sampled
     frame index, metadata computed natively; frame decode stubbed."""

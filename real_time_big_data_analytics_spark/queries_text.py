@@ -285,6 +285,9 @@ register(
     tags=("multimodal", "pandas-udf"),
 )
 
+# PCM feature math is numpy-side — rows-only + determinism pytest
+register("l5_audio_features", multimodal.audio_features, tags=("multimodal", "audio"))
+
 register(
     "l5_frame_sample",
     multimodal.frame_sample_stub,

@@ -34,6 +34,26 @@ def test_real_decode_is_explicit_stub():
         multimodal.decode_real(b"\x89PNG")
 
 
+def test_audio_features_match_numpy_reference(spark, sf_dir):
+    """The Arrow-batched PCM features must equal a direct numpy
+    computation on the same payload bytes."""
+    import numpy as np
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    out = multimodal.audio_features(spark, sf_dir).collect()
+    assert len(out) == len(docs)
+    for r in out[:20]:
+        buf = docs[r.doc_id].encode()
+        pcm = np.frombuffer(buf[: len(buf) - (len(buf) % 2)], dtype="<i2")
+        x = pcm.astype("float64") / 32768.0
+        assert r.n_samples == len(pcm)
+        assert abs(r.rms - float(np.sqrt(np.mean(x * x)))) < 1e-12
+        assert abs(r.peak - float(np.abs(x).max())) < 1e-12
+
+
 def test_binary_digest_matches_python(spark, sf_dir):
     import hashlib
 
