@@ -50,6 +50,33 @@ def test_shingle_self_join_uses_shuffle_hash(spark, sf_dir):
     assert "ShuffledHashJoin" in explain_str(df), explain_str(df)
 
 
+def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
+    """Sweep every batch query's physical plan: no row-at-a-time
+    Python UDFs (BatchEvalPython) and no unintended cartesian products.
+    The brute-force kNN family intentionally scans query × corpus via
+    a broadcast nested-loop (that IS the operator); everything else
+    must be hash/sort/broadcast joins and codegen'd expressions.
+    """
+    from real_time_big_data_analytics_spark.registry import all_queries
+
+    # knn: query × corpus broadcast scan IS the operator;
+    # a5: a 1-row broadcast of the scalar max(ts) against the facts.
+    NESTED_LOOP_OK = {
+        "l3_knn_bruteforce",
+        "l3_knn_lsh",
+        "l3_knn_ivf",
+        "a5_recent_window_counts",
+    }
+    for name, q in sorted(all_queries().items()):
+        if "streaming" in q.tags:  # replay runners, not lazy plans
+            continue
+        plan = explain_str(q.fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} uses row-wise Python"
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+        if name not in NESTED_LOOP_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name} nested-loop joins"
+
+
 def test_stream_static_join_broadcasts_static_side(spark, sf_dir):
     from real_time_big_data_analytics_spark.streaming.runner import events_stream
 
