@@ -121,3 +121,44 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> Data
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(k)
     )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — lineitem ⋈ part (broadcast), conditional
+    aggregate: the promo share of revenue in one shipdate month.
+
+    The date predicate pushes to the lineitem scan before the join;
+    part is a broadcast dim, so the whole query is one scan + one
+    map-side join + a single-row aggregate — no fact shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        round2(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev)
+        ).alias("promo_share_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-series — lineitem ⋈ supplier ⋈ nation: revenue by the
+    supplier's nation (the supplier-side dimension chain, closing
+    coverage of every star-schema table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("supp_nation"), rev)
+        .groupBy("supp_nation")
+        .agg(round2(F.sum("rev")).alias("revenue"), F.count("*").alias("n_items"))
+    )

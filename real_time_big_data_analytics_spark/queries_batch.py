@@ -403,3 +403,33 @@ register(
 # sketch estimates are estimator-specific — rows-only + error-bound pytest
 register("sketch_distinct_users", sketches.distinct_user_sketch, tags=("sketch", "hll"))
 register("sketch_value_quantiles", sketches.value_quantile_sketch, tags=("sketch", "quantile"))
+
+register(
+    "q14_promo_revenue",
+    joins.promo_revenue_share,
+    sql="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_share_pct,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+    """,
+    tags=("join", "tpch", "conditional-agg"),
+)
+
+register(
+    "j5_supplier_nation_revenue",
+    joins.supplier_nation_revenue,
+    sql="""
+    SELECT n_name AS supp_nation,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("join", "supplier"),
+)

@@ -53,3 +53,47 @@ def test_stream_scoring_counts_total(spark, sf_dir):
     out = sq.stream_scored_verdicts(spark, sf_dir).collect()
     assert {r.bolt_user for r in out} <= {"Bolt", "Not bolt"}
     assert sum(r.n_events for r in out) > 0
+
+
+def test_processing_time_trigger_with_rate_source(spark):
+    """T1/S1 — the production trigger shape: a live unbounded source
+    (rate — the Twitter-receiver substitute, SURVEY.md §2.1 S1) with a
+    processingTime trigger, windowed count into a memory sink. Proves
+    the continuous path works, not just availableNow replay."""
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .groupBy(F.window("timestamp", "1 second").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    query = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="rtba_rate_"), name),
+        )
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if spark.table(name).count() > 0:
+                break
+            time.sleep(0.25)
+        rows = spark.table(name).collect()
+        assert rows, "rate stream produced no windows in 30s"
+        assert all(r.n > 0 for r in rows)
+    finally:
+        query.stop()
