@@ -278,3 +278,16 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(ORDERS_ABOVE_AVG_SQL)
+
+
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (orderstatus, orderpriority): all 2^2 grouping-set
+    combinations in one pass — Spark expands the sets and aggregates
+    with a single shuffle (same plan family as rollup/grouping sets).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(round2(F.sum("o_totalprice")).alias("total"), F.count("*").alias("n"))
+    )

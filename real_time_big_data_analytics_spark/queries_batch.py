@@ -433,3 +433,14 @@ register(
     """,
     tags=("join", "supplier"),
 )
+
+register(
+    "cube_orders_status_priority",
+    relational.cube_orders_status_priority,
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("cube", "grouping-sets"),
+)
