@@ -106,7 +106,7 @@ def topk_events_per_type(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFr
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
     return (
-        events.withColumn("rk", F.row_number().over(w))
+        events.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
         .select("event_type", "event_id", "value", "rk")
     )
@@ -221,8 +221,8 @@ def string_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy(F.upper("lang").alias("lang_uc"))
         .agg(
             F.count("*").alias("n_docs"),
-            F.max(F.length("text")).alias("max_len"),
-            F.min(F.length("text")).alias("min_len"),
+            F.max(F.length("text")).cast("bigint").alias("max_len"),
+            F.min(F.length("text")).cast("bigint").alias("min_len"),
             round2(F.avg("n_chars")).alias("avg_chars"),
             F.countDistinct("source").alias("n_sources"),
         )

@@ -27,7 +27,7 @@ def _ranked_topk(sims: DataFrame, k: int) -> DataFrame:
     flip the cut."""
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
-        sims.withColumn("rk", F.row_number().over(w))
+        sims.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "sim", "rk")
     )

@@ -74,7 +74,7 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n_tokens").alias("total_tokens"),
             round2(F.avg("n_tokens")).alias("avg_tokens"),
-            F.max("n_tokens").alias("max_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
             F.count("*").alias("n_docs"),
         )
     )
@@ -148,8 +148,8 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxy LLM pipelines budget by). Pure codegen'd regex expressions;
     one narrow stage, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0))
+    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)).cast("bigint")
     return docs.select(
         "doc_id",
         n_ws.alias("n_ws_tokens"),
