@@ -1,0 +1,75 @@
+"""Near-duplicate cluster formation — iterative connected components
+(SURVEY.md §2.9 L2 completion; north-star dedup family).
+
+Pairwise near-dup detection (n-gram Jaccard, MinHash, SimHash) yields
+edges; deduplication needs the transitive closure: each document
+assigned to its duplicate-cluster representative (min doc_id in the
+component), so one representative per cluster survives.
+
+This is the engine's iterative-algorithm shape: min-label propagation
+over the pair graph — each round a join + min-aggregate, state carried
+between rounds via ``localCheckpoint`` (truncates lineage so plan
+depth stays O(1) per round). Rounds needed = graph diameter, which for
+near-dup cliques is tiny (2-3). At 100 TB the same loop runs with the
+edges table partitioned by node — this is exactly large-scale
+connected components (GraphX/GraphFrames use the same iteration).
+
+The DuckDB oracle computes the closure with a recursive CTE — an
+exact cross-paradigm check of an iterative distributed algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text import ngram_jaccard_pairs
+
+MAX_ITER = 20
+
+
+def near_dup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """(doc_id, cluster_rep) for every document in a near-dup pair;
+    cluster_rep is the component's minimum doc_id."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(MAX_ITER):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))

@@ -291,3 +291,42 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(round2(F.sum("o_totalprice")).alias("total"), F.count("*").alias("n"))
     )
+
+
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (event-time attribution): each purchase matched to
+    the user's most recent click at-or-before the purchase.
+
+    Spark has no native as-of join; the scalable formulation is a
+    single event-time window pass — ``last(click, ignorenulls)`` over
+    a per-user ordered frame — not a range self-join, so cost is one
+    shuffle on user_id regardless of event density. Ties on ts break
+    by event_id (deterministic).
+    """
+    events = load_table(spark, sf_dir, "events")
+    ev = events.filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    attributed = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(click_id, ignorenulls=True).over(w).alias("click_event_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .filter(F.col("click_event_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            "click_event_id",
+            F.expr("(unix_micros(ts) - unix_micros(click_ts)) div 1000000").alias("gap_s"),
+        )
+    )

@@ -444,3 +444,26 @@ register(
     """,
     tags=("cube", "grouping-sets"),
 )
+
+register(
+    "asof_purchase_attribution",
+    relational.asof_purchase_attribution,
+    sql="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, ts,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER w AS click_event_id,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER w AS click_ts
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_event_id, user_id, click_event_id,
+           (epoch_us(ts) - epoch_us(click_ts)) // 1000000 AS gap_s
+    FROM ev
+    WHERE event_type = 'purchase' AND click_event_id IS NOT NULL
+    """,
+    tags=("join", "asof", "attribution"),
+)

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from .operators import dedup_approx, multimodal, similarity, text
+from .operators import clustering, dedup_approx, multimodal, similarity, text
 from .registry import register
 
 # --- L1 exact dedup + fingerprints ---
@@ -140,10 +140,8 @@ register(
 
 # --- L2 near-dup dedup ---
 
-register(
-    "l2_ngram_jaccard_pairs",
-    text.ngram_jaccard_pairs,
-    sql="""
+# shared by the pair query and the cluster oracle below
+_NGRAM_PAIRS_SQL = """
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ), sh AS (
@@ -164,8 +162,39 @@ register(
     JOIN sizes sa ON a_id = sa.doc_id
     JOIN sizes sb ON b_id = sb.doc_id
     WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8
-    """,
+"""
+
+register(
+    "l2_ngram_jaccard_pairs",
+    text.ngram_jaccard_pairs,
+    sql=_NGRAM_PAIRS_SQL,
     tags=("dedup", "near-dup"),
+)
+
+register(
+    "l2_dedup_clusters",
+    clustering.near_dup_clusters,
+    # transitive closure via recursive CTE — the exact oracle for the
+    # Spark side's iterative min-label propagation
+    sql=f"""
+    WITH RECURSIVE np AS (
+      SELECT a_id, b_id FROM ({_NGRAM_PAIRS_SQL}) q
+    ), edges AS (
+      SELECT a_id AS s, b_id AS d FROM np
+      UNION
+      SELECT b_id, a_id FROM np
+    ), reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), nodes AS (
+      SELECT DISTINCT s AS node FROM edges
+    )
+    SELECT n.node AS doc_id, least(n.node, min(r.d)) AS cluster_rep
+    FROM nodes n JOIN reach r ON r.s = n.node
+    GROUP BY n.node
+    """,
+    tags=("dedup", "clustering", "iterative"),
 )
 
 register(

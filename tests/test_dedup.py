@@ -54,3 +54,19 @@ def test_simhash_similar_docs_have_close_signatures(spark):
     for p in pairs:
         ham = sum(a != b for a, b in zip(sigs[p.a_id], sigs[p.b_id]))
         assert ham <= 16, f"near-dup pair {(p.a_id, p.b_id)} hamming {ham}"
+
+
+def test_near_dup_clusters_are_consistent(spark):
+    """Cluster reps must be component minima: every doc's rep is ≤ its
+    id, reps are their own reps, and both ends of every pair land in
+    the same cluster."""
+    from real_time_big_data_analytics_spark.operators.clustering import near_dup_clusters
+
+    labels = {r.doc_id: r.cluster_rep for r in near_dup_clusters(spark, SF_CORRECT).collect()}
+    assert labels
+    for doc, rep in labels.items():
+        assert rep <= doc
+        assert labels[rep] == rep  # representative is canonical
+    pairs = text.ngram_jaccard_pairs(spark, SF_CORRECT, threshold=0.8).collect()
+    for p in pairs:
+        assert labels[p.a_id] == labels[p.b_id]
