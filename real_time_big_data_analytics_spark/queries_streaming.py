@@ -95,4 +95,22 @@ register(
     tags=("streaming", "stateful"),
 )
 
+register(
+    "t9_stream_stream_interval_join",
+    sq.stream_stream_interval_join,
+    sql="""
+    WITH pairs AS (
+      SELECT p.user_id, p.event_id AS p_id
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    )
+    SELECT user_id, count(*) AS n_pairs,
+           count(DISTINCT p_id) AS n_purchases
+    FROM pairs GROUP BY user_id
+    """,
+    tags=("streaming", "join", "interval"),
+)
+
 register("m2_stream_scored_verdicts", sq.stream_scored_verdicts, tags=("streaming", "ml"))

@@ -140,6 +140,53 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 — stream-stream interval join: purchases joined to the same
+    user's clicks within the preceding hour, both sides unbounded.
+
+    Watermarks bound the join state on BOTH sides (clicks older than
+    the watermark minus the interval are evicted) — without them a
+    stream-stream join holds state forever. The availableNow replay
+    emits every in-interval pair, which the batch-twin oracle checks
+    exactly. Counts are aggregated per user so the result is compact.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    out = run_to_table(
+        spark,
+        joined.select(F.col("p_user").alias("user_id"), "p_id"),
+        output_mode="append",
+    )
+    # finite post-aggregation on the replay result (batch side)
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"), F.countDistinct("p_id").alias("n_purchases")
+    )
+
+
 def stream_scored_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 — streaming model scoring: train on the batch fixture, apply
     ``model.transform`` to the live stream (replaces the reference's
