@@ -37,6 +37,9 @@ HEADLINE = [
     "l2_ngram_jaccard_pairs",
     "l3_knn_bruteforce",
     "l4_word_topk",
+    "asof_purchase_attribution",
+    "q6_forecast_revenue",
+    "skew_salted_user_stats",
     "t4_stream_windowed_analytics",
 ]
 

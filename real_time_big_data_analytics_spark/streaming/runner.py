@@ -22,12 +22,30 @@ equivalence is exactly what the DuckDB oracle checks (SURVEY.md §5.2).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# A streaming query's state-store partition count is fixed at first
+# start by spark.sql.shuffle.partitions — a deliberate sizing decision
+# in any deployment. The harness replay is one bounded batch of small
+# state, so it sizes low (fewer store instances to open/commit);
+# a production deployment sizes to sustained key cardinality instead.
+STREAM_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+
+
+@contextlib.contextmanager
+def _stream_shuffle_partitions(spark: SparkSession):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,17 +79,19 @@ def run_foreach_batch(
     writer this is the exactly-once pattern (the batch_id is stable
     across replays)."""
     checkpoint = tempfile.mkdtemp(prefix="rtba_ckpt_fb_")
-    query = (
-        streaming_df.writeStream.outputMode(output_mode)
-        .foreachBatch(batch_fn)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination()
-    finally:
-        query.stop()
+    spark = streaming_df.sparkSession
+    with _stream_shuffle_partitions(spark):
+        query = (
+            streaming_df.writeStream.outputMode(output_mode)
+            .foreachBatch(batch_fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination()
+        finally:
+            query.stop()
 
 
 def index_sink(path: str):
@@ -92,16 +112,17 @@ def run_to_table(spark: SparkSession, streaming_df: DataFrame, *, output_mode: s
     memory sink; return the finite result as a batch DataFrame."""
     name = f"q_{uuid.uuid4().hex[:12]}"
     checkpoint = os.path.join(tempfile.mkdtemp(prefix="rtba_ckpt_"), name)
-    query = (
-        streaming_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination()
-    finally:
-        query.stop()
+    with _stream_shuffle_partitions(spark):
+        query = (
+            streaming_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination()
+        finally:
+            query.stop()
     return spark.table(name)
