@@ -48,3 +48,20 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in QUANTILES
     ]
     return events.groupBy("event_type").agg(*qcols, F.count("*").alias("n"))
+
+
+def frequent_words_sketch(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Approximate heavy hitters: ``approx_top_k`` over the token
+    stream — single-pass, mergeable, bounded memory, vs. the exact
+    top-k's full word-count shuffle (text.word_topk). At 100 TB the
+    sketch is the only way to get corpus-wide heavy hitters in one
+    pass; the recall test pins its accuracy against the exact answer.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    topk = words.agg(F.expr(f"approx_top_k(word, {k})").alias("tk"))
+    return topk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("word"), F.col("e.count").alias("est_n")
+    )

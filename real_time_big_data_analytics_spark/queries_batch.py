@@ -467,3 +467,9 @@ register(
     """,
     tags=("join", "asof", "attribution"),
 )
+
+register(
+    "sketch_frequent_words",
+    sketches.frequent_words_sketch,
+    tags=("sketch", "heavy-hitters"),
+)

@@ -50,3 +50,19 @@ def test_salted_equals_unsalted(spark, sf_dir):
     assert set(salted) == set(direct)
     for uid, r in salted.items():
         assert r.n_events == direct[uid].n_events
+
+
+def test_frequent_words_sketch_recovers_exact_topk(spark, sf_dir):
+    """At harness scale the sketch must contain the exact top-10 and
+    estimate their counts exactly (no collisions in a small stream)."""
+    from real_time_big_data_analytics_spark.operators import text
+
+    exact = {r.word: r.n for r in text.word_topk(spark, sf_dir, k=10).collect()}
+    approx = {
+        r.word: r.est_n
+        for r in sketches.frequent_words_sketch(spark, sf_dir, k=30).collect()
+    }
+    missing = set(exact) - set(approx)
+    assert not missing, f"sketch missed {missing}"
+    for w, n in exact.items():
+        assert abs(approx[w] - n) <= max(1, n * 0.02)
