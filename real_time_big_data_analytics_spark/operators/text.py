@@ -245,3 +245,49 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+N_PROFILE = 50  # trigrams kept per language profile
+
+
+def lang_id_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — real n-gram language identification: per-language
+    character-trigram profiles (top-N by frequency), each document
+    classified to the profile with the largest trigram overlap;
+    output is the lang × predicted confusion matrix.
+
+    Entirely native expressions: trigram extraction is a row-side
+    transform, profiles are a vocabulary-bounded aggregate (tiny —
+    broadcastable at any corpus size), scoring is one equi-join on the
+    trigram key. The same structure scales to real fastText-style
+    lang-ID: profiles become weights, overlap becomes a dot product.
+    Deterministic tie-breaks (trigram asc, lang asc) keep it
+    oracle-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    tri_arr = F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    # profile side: all occurrences (frequency-weighted)
+    tri = docs.select("doc_id", "lang", F.explode(tri_arr).alias("tg"))
+    counts = tri.groupBy("lang", "tg").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tg"))
+    profiles = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= N_PROFILE)
+        .select(F.col("lang").alias("plang"), "tg")
+    )
+    # scoring side: distinct trigrams per doc (row-side dedup)
+    doc_tris = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(tri_arr)).alias("tg")
+    )
+    overlaps = (
+        doc_tris.join(F.broadcast(profiles), "tg")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    pick = Window.partitionBy("doc_id").orderBy(F.desc("overlap"), F.asc("plang"))
+    predicted = (
+        overlaps.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select("lang", F.col("plang").alias("predicted"))
+    )
+    return predicted.groupBy("lang", "predicted").agg(F.count("*").alias("n_docs"))

@@ -138,6 +138,45 @@ register(
     tags=("fingerprint", "rolling-hash"),
 )
 
+register(
+    "l4_lang_id_ngram_confusion",
+    text.lang_id_ngram_confusion,
+    sql="""
+    WITH d AS (
+      SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3
+    ), tri AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, length(text) - 1),
+                    i -> substring(text, i, 3))) AS tg
+      FROM d
+    ), counts AS (
+      SELECT lang, tg, count(*) AS n FROM tri GROUP BY lang, tg
+    ), profiles AS (
+      SELECT lang AS plang, tg FROM (
+        SELECT lang, tg,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, tg ASC) AS rk
+        FROM counts
+      ) WHERE rk <= 50
+    ), doc_tris AS (
+      SELECT DISTINCT doc_id, lang, tg FROM tri
+    ), ov AS (
+      SELECT doc_id, lang, plang, count(*) AS n_overlap
+      FROM doc_tris JOIN profiles USING (tg)
+      GROUP BY doc_id, lang, plang
+    ), predicted AS (
+      SELECT lang, plang AS predicted FROM (
+        SELECT lang, plang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n_overlap DESC, plang ASC) AS rk
+        FROM ov
+      ) WHERE rk = 1
+    )
+    SELECT lang, predicted, count(*) AS n_docs
+    FROM predicted GROUP BY lang, predicted
+    """,
+    tags=("text", "lang-id", "ngram"),
+)
+
 # --- L2 near-dup dedup ---
 
 # shared by the pair query and the cluster oracle below
