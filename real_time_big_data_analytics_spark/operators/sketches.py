@@ -65,3 +65,32 @@ def frequent_words_sketch(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
     return topk.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("word"), F.col("e.count").alias("est_n")
     )
+
+
+def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: |users with clicks ∩ users with
+    purchases| estimated from two mergeable sketches, next to the
+    exact intersection count the error-bound test compares against.
+
+    Theta sketches support union/intersection/difference on the
+    SKETCHES (constant size), so at 100 TB the per-segment sketches
+    aggregate map-side and set arithmetic happens on kilobytes — the
+    only viable shape for cross-segment audience overlap.
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    sk = clicks.agg(F.expr("theta_sketch_agg(user_id)").alias("s_click")).crossJoin(
+        purchases.agg(F.expr("theta_sketch_agg(user_id)").alias("s_buy"))
+    )
+    approx = sk.select(
+        F.expr(
+            "theta_sketch_estimate(theta_intersection(s_click, s_buy))"
+        ).cast("bigint").alias("approx_both")
+    )
+    exact = (
+        clicks.select("user_id")
+        .intersect(purchases.select("user_id"))
+        .agg(F.count("*").alias("exact_both"))
+    )
+    return approx.crossJoin(exact)

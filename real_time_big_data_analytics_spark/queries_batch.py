@@ -473,3 +473,9 @@ register(
     sketches.frequent_words_sketch,
     tags=("sketch", "heavy-hitters"),
 )
+
+register(
+    "sketch_theta_user_overlap",
+    sketches.theta_user_overlap,
+    tags=("sketch", "theta", "set-algebra"),
+)

@@ -60,12 +60,13 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
     from real_time_big_data_analytics_spark.registry import all_queries
 
     # knn: query × corpus broadcast scan IS the operator;
-    # a5: a 1-row broadcast of the scalar max(ts) against the facts.
+    # a5 / theta: 1-row scalar broadcasts (max(ts), sketch blobs).
     NESTED_LOOP_OK = {
         "l3_knn_bruteforce",
         "l3_knn_lsh",
         "l3_knn_ivf",
         "a5_recent_window_counts",
+        "sketch_theta_user_overlap",
     }
     for name, q in sorted(all_queries().items()):
         if "streaming" in q.tags:  # replay runners, not lazy plans

@@ -66,3 +66,9 @@ def test_frequent_words_sketch_recovers_exact_topk(spark, sf_dir):
     assert not missing, f"sketch missed {missing}"
     for w, n in exact.items():
         assert abs(approx[w] - n) <= max(1, n * 0.02)
+
+
+def test_theta_intersection_within_error(spark, sf_dir):
+    r = sketches.theta_user_overlap(spark, sf_dir).collect()[0]
+    assert r.exact_both > 0
+    assert abs(r.approx_both - r.exact_both) / r.exact_both <= 0.05
