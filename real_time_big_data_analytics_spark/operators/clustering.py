@@ -73,3 +73,22 @@ def near_dup_clusters(
             break
 
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+
+
+def dedup_corpus(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """The end-to-end dedup deliverable: the cleaned corpus.
+
+    Survivors = exact-dedup winners (lowest doc_id per identical text)
+    minus near-duplicate cluster members that are not their cluster's
+    representative. This is the document set an LLM training pipeline
+    would actually keep; both stages compose as DataFrame ops (anti
+    join on the small non-representative set).
+    """
+    from .text import exact_dedup
+
+    exact = exact_dedup(spark, sf_dir)
+    clusters = near_dup_clusters(spark, sf_dir, threshold=threshold)
+    non_reps = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    return exact.join(non_reps, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )

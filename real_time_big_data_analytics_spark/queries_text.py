@@ -258,6 +258,42 @@ register("l2_minhash_lsh_pairs", dedup_approx.minhash_lsh_pairs, tags=("dedup", 
 register("l2_simhash_signatures", dedup_approx.simhash_signatures, tags=("dedup", "simhash"))
 register("l2_simhash_pairs", dedup_approx.simhash_pairs, tags=("dedup", "simhash"))
 
+register(
+    "l2_dedup_corpus",
+    clustering.dedup_corpus,
+    # exact-dedup winners minus non-representative near-dup members
+    sql=f"""
+    WITH RECURSIVE np AS (
+      SELECT a_id, b_id FROM ({_NGRAM_PAIRS_SQL}) q
+    ), edges AS (
+      SELECT a_id AS s, b_id AS d FROM np
+      UNION
+      SELECT b_id, a_id FROM np
+    ), reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), nodes AS (
+      SELECT DISTINCT s AS node FROM edges
+    ), non_reps AS (
+      SELECT n.node AS doc_id
+      FROM nodes n JOIN reach r ON r.s = n.node
+      GROUP BY n.node
+      HAVING least(n.node, min(r.d)) <> n.node
+    ), exact AS (
+      SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    )
+    SELECT e.doc_id, e.lang, e.source
+    FROM exact e
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM non_reps)
+    """,
+    tags=("dedup", "clustering", "corpus"),
+)
+
 # --- L3 similarity search ---
 
 _KNN_SQL = """

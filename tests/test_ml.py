@@ -32,3 +32,27 @@ def test_holdout_confusion_counts(spark, sf_dir):
     correct = sum(r.n for r in rows if r.label == r.prediction)
     assert total > 0
     assert correct / total >= 0.6, f"holdout accuracy {correct / total:.2f}"
+
+
+def test_model_persistence_roundtrip(spark, sf_dir):
+    """Save/load the trained pipeline (the production pattern the
+    reference lacks — it retrains on every consumer start,
+    ConsumerESFinal.scala:61-67) and verify identical predictions."""
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+
+    from real_time_big_data_analytics_spark.operators.ml import (
+        train_decision_tree,
+        user_activity_features,
+    )
+
+    data = user_activity_features(spark, sf_dir)
+    model = train_decision_tree(data)
+    with tempfile.TemporaryDirectory(prefix="rtba_model_") as d:
+        path = f"{d}/dt_pipeline"
+        model.write().overwrite().save(path)
+        loaded = PipelineModel.load(path)
+        a = {(r.user_id, r.prediction) for r in model.transform(data).select("user_id", "prediction").collect()}
+        b = {(r.user_id, r.prediction) for r in loaded.transform(data).select("user_id", "prediction").collect()}
+        assert a == b
