@@ -76,9 +76,27 @@ def decode_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
+    # The worker closure must be fully self-contained: module-level
+    # functions of this package pickle BY REFERENCE, and executors
+    # can't import the package when the driver runs from another cwd.
+    # Nested defs pickle by value; only site-packages names (pd) may
+    # leak into the closure. Keep in sync with _fake_decode (pinned
+    # by tests/test_multimodal.py).
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
+            n = batch["payload"].str.len().astype("int32")
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_bytes": n,
+                    "width": (n % 640).astype("int32"),
+                    "height": ((n * 7) % 480).astype("int32"),
+                    "channels": pd.Series([3] * len(batch), dtype="int32"),
+                }
+            )
+
         for batch in batches:
-            yield _fake_decode(batch)
+            yield fake_decode(batch)
 
     return with_payload.mapInPandas(run, schema=DECODED_SCHEMA)
 
