@@ -162,3 +162,85 @@ def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation")
         .agg(round2(F.sum("rev")).alias("revenue"), F.count("*").alias("n_items"))
     )
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str, threshold: float = 300.0) -> DataFrame:
+    """TPC-H Q18 shape — IN-subquery with HAVING: orders whose total
+    lineitem quantity exceeds a threshold, enriched with the customer.
+
+    Instead of decorrelating an IN-subquery that re-scans lineitem,
+    the plan aggregates lineitem ONCE (partial map-side sum, one
+    shuffle on orderkey) and reuses that aggregate both as the filter
+    and as the output `sum_qty` — half the fact-table work of the
+    literal SQL. The surviving order set is tiny (threshold is far in
+    the tail), so the joins back to orders/customer are broadcasts
+    at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > threshold)
+        .select("l_orderkey", round2(F.col("raw_qty")).alias("sum_qty"))
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def high_balance_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar subquery + NOT EXISTS: customers with
+    above-average balance and no orders since 2001, per nation.
+
+    The scalar average is a one-row aggregate broadcast into a
+    cross join (no correlated re-scan); the NOT EXISTS is a left-anti
+    join from the small filtered customer side against orders. At
+    100 TB the anti join shuffles on custkey — both sides would be
+    bucketed by custkey to skip it.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "2001-01-01")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            round2(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+def late_shipment_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS with a mixed equi+range
+    condition: orders in a quarter having any lineitem shipped more
+    than 90 days after the order date, counted by priority.
+
+    Catalyst decorrelates the EXISTS into a left-semi join whose
+    condition combines the orderkey equality (the shuffle key) with
+    the date-range comparison (evaluated post-match, no range-join
+    blowup). The date filter on orders pushes to the scan.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )

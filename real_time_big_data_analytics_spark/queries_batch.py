@@ -479,3 +479,50 @@ register(
     sketches.theta_user_overlap,
     tags=("sketch", "theta", "set-algebra"),
 )
+
+register(
+    "q18_large_volume_orders",
+    joins.large_volume_orders,
+    sql="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("join", "tpch", "subquery", "having"),
+)
+
+register(
+    "q22_inactive_high_balance",
+    joins.high_balance_inactive_customers,
+    sql="""
+    SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY c_nationkey
+    """,
+    tags=("join", "tpch", "subquery", "anti"),
+)
+
+register(
+    "q4_late_shipment_priority",
+    joins.late_shipment_priority_check,
+    sql="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "semi", "tpch", "subquery"),
+)

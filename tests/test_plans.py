@@ -67,6 +67,7 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "l3_knn_ivf",
         "a5_recent_window_counts",
         "sketch_theta_user_overlap",
+        "q22_inactive_high_balance",
     }
     for name, q in sorted(all_queries().items()):
         if "streaming" in q.tags:  # replay runners, not lazy plans
