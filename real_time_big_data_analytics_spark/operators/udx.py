@@ -1,0 +1,96 @@
+"""U-series user-defined-function surface (SURVEY.md §2.9).
+
+The reference's only user code run per record is the closure-captured
+model predict and tuple mappers (reference ConsumerESFinal.scala:70-83);
+the rebuild keeps hot paths on built-in Catalyst expressions and
+reserves Python for the three sanctioned vectorized surfaces:
+
+- ``mapInPandas``            — operators/multimodal.py (decode stages)
+- ``applyInPandasWithState`` — streaming/queries.py (T8)
+- grouped-agg ``pandas_udf`` + Arrow Python UDTF — here.
+
+Both operators below are Arrow-batched end to end: the UDAF plans as
+``ArrowAggregatePython`` (vectorized partial-less aggregation after a
+single hash shuffle on the group key) and the UDTF as
+``ArrowEvalPythonUDTF`` (narrow, no shuffle, batches stream through
+the generator). Neither ever materializes per-row Python objects the
+way a row-at-a-time UDF (``BatchEvalPython``) would, so at 100 TB the
+Python cost is one Arrow round trip per ~10k-row batch, not per row.
+
+Closure rule: the UDF/UDTF bodies are defined INSIDE the query
+functions so cloudpickle serializes them by value — module-level
+defs pickle by reference and break when executors can't import this
+package (driver running from a foreign cwd).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..functions.numeric import round2
+from ..sources.tables import load_table
+
+
+def median_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — grouped-agg pandas UDAF: exact median of ``value`` per
+    event_type (a true holistic aggregate, not expressible as a
+    partial-aggregable built-in; ``percentile_approx`` is the sketch
+    cousin registered under sketch_value_quantiles).
+
+    One shuffle on event_type, then Arrow batches per group into
+    ``Series.median`` (linear-interpolated midpoint — same as
+    DuckDB's ``median`` over doubles).
+    """
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas
+    # aggregate too — same shuffle, same Arrow batch.
+    @pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        return len(v)
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            round2(median_udaf(F.col("value"))).alias("med_value"),
+            count_udaf(F.col("value")).alias("n"),
+        )
+    )
+
+
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — Arrow Python UDTF in a LATERAL join: tokenize
+    ``documents.text`` (one output row per token) and histogram the
+    token lengths.
+
+    The UDTF is the sanctioned table-function surface for one→many
+    Python transforms (the explode-shaped cousin of mapInPandas).
+    Plans as ArrowEvalPythonUDTF — narrow, batch-streamed, no
+    shuffle until the final tiny groupBy on token length.
+    """
+
+    @udtf(returnType="token string", useArrow=True)
+    class Tokenize:
+        def eval(self, text: str):
+            for tok in (text or "").split(" "):
+                if tok:
+                    yield (tok,)
+
+    spark.udtf.register("u2_tokenize", Tokenize)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spark.sql(
+        "SELECT t.token FROM {d} AS d, LATERAL u2_tokenize(d.text) AS t",
+        d=docs,
+    )
+    return (
+        toks.groupBy(F.length("token").cast("bigint").alias("tok_len"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 from .operators import aggregations as agg
-from .operators import joins, relational
+from .operators import joins, relational, udx
 from .registry import register
 
 # --- A-series: the internalized Kibana analytics (SURVEY.md §2.3) ---
@@ -478,6 +478,16 @@ register(
     "sketch_theta_user_overlap",
     sketches.theta_user_overlap,
     tags=("sketch", "theta", "set-algebra"),
+)
+
+register(
+    "u1_udaf_median_value",
+    udx.median_value_by_event_type,
+    sql="""
+    SELECT event_type, round(median(value), 2) AS med_value, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("udf", "udaf", "pandas"),
 )
 
 register(

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from .operators import clustering, dedup_approx, multimodal, similarity, text
+from .operators import clustering, dedup_approx, multimodal, similarity, text, udx
 from .registry import register
 
 # --- L1 exact dedup + fingerprints ---
@@ -402,4 +402,16 @@ register(
     FROM documents
     """,
     tags=("multimodal",),
+)
+
+register(
+    "u2_udtf_token_lengths",
+    udx.token_length_histogram,
+    sql="""
+    SELECT CAST(length(t) AS BIGINT) AS tok_len, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    WHERE t <> ''
+    GROUP BY tok_len
+    """,
+    tags=("udf", "udtf", "text"),
 )

@@ -50,6 +50,17 @@ def test_shingle_self_join_uses_shuffle_hash(spark, sf_dir):
     assert "ShuffledHashJoin" in explain_str(df), explain_str(df)
 
 
+def test_udaf_and_udtf_stay_arrow_vectorized(spark, sf_dir):
+    """The sanctioned Python surfaces must plan as Arrow-batched
+    nodes, never row-at-a-time BatchEvalPython."""
+    from real_time_big_data_analytics_spark.operators import udx
+
+    agg_plan = explain_str(udx.median_value_by_event_type(spark, sf_dir))
+    assert "ArrowAggregatePython" in agg_plan, agg_plan
+    udtf_plan = explain_str(udx.token_length_histogram(spark, sf_dir))
+    assert "ArrowEvalPythonUDTF" in udtf_plan, udtf_plan
+
+
 def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
     """Sweep every batch query's physical plan: no row-at-a-time
     Python UDFs (BatchEvalPython) and no unintended cartesian products.
