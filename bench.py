@@ -39,6 +39,7 @@ HEADLINE = [
     "l4_word_topk",
     "asof_purchase_attribution",
     "q6_forecast_revenue",
+    "q18_large_volume_orders",
     "skew_salted_user_stats",
     "t4_stream_windowed_analytics",
 ]

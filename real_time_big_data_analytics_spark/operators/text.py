@@ -219,12 +219,15 @@ def ngram_jaccard_pairs(
     """
     docs = load_table(spark, sf_dir, "documents")
     with_arr = _with_shingle_array(docs, n)
-    sh = with_arr.select("doc_id", F.explode("sh_arr").alias("shingle"))
-    # |doc| is a narrow per-row expression — no shuffle to compute.
-    # Unhinted size joins below: Catalyst/AQE broadcasts the size side
-    # while it fits (harness scale) and falls back to shuffle joins
-    # when the doc count doesn't (100 TB) — correct both times.
-    sizes = with_arr.select("doc_id", F.size("sh_arr").alias("sz"))
+    # |doc| (the distinct-shingle count) is functionally dependent on
+    # doc_id, so it rides along each exploded row — 8 bytes per
+    # shuffle row — and falls out of the pair aggregation for free.
+    # The alternative (join sizes back onto the pairs) re-scans the
+    # raw text and re-computes the shingle transform once per side:
+    # two extra full corpus scans at 100 TB.
+    sh = with_arr.select(
+        "doc_id", F.size("sh_arr").alias("sz"), F.explode("sh_arr").alias("shingle")
+    )
     # SHUFFLE_HASH: the self-join key (shingle) is high-cardinality and
     # un-skewed (frequency-capped at scale), so a hash join beats
     # sort-merge — sorting hundreds of millions of shingle strings is
@@ -233,15 +236,15 @@ def ngram_jaccard_pairs(
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first(F.col("a.sz")).alias("sz_a"),
+            F.first(F.col("b.sz")).alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
-        .withColumn("jaccard", round2(jac, 4))
+        inter.withColumn("jaccard", round2(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
