@@ -120,8 +120,55 @@ def running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # round2 in a second projection: inlining it around .over() would
+    # replan the running sum once per textual reference in the CASE
+    # (see analytic_order_stats).
     return events.select(
-        "event_id", "user_id", round2(F.sum("value").over(w)).alias("running_value")
+        "event_id", "user_id", F.sum("value").over(w).alias("raw_rv")
+    ).select(
+        "event_id", "user_id", round2(F.col("raw_rv")).alias("running_value")
+    )
+
+
+def analytic_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 analytic-function suite in one pass: percent_rank, ntile
+    quartiles, lag, and a 3-row sliding average over one month of
+    orders, partitioned by priority.
+
+    All four functions share a single window spec (same partition +
+    order keys), so the physical plan is ONE shuffle on
+    o_orderpriority and one sort per partition — adding analytics to
+    an existing window is free; a second window spec would double the
+    shuffle. Deterministic across engines because the order key
+    includes the unique o_orderkey tiebreak.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-02-01")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    ma3 = w.rowsBetween(-2, Window.currentRow)
+    # Two projections on purpose: rounding in the same select as
+    # .over() would inline each window expression into round2's CASE
+    # — Catalyst then plans the SAME window function once per textual
+    # reference (~9× for percent_rank). Materializing the raw values
+    # as attributes first makes each a single _we in the Window node.
+    raw = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("raw_pr"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.lag("o_totalprice").over(w).alias("raw_prev"),
+        F.avg("o_totalprice").over(ma3).alias("raw_ma3"),
+    )
+    return raw.select(
+        "o_orderkey",
+        "o_orderpriority",
+        round2(F.col("raw_pr"), 4).alias("pct_rank"),
+        "quartile",
+        round2(F.col("raw_prev")).alias("prev_price"),
+        round2(F.col("raw_ma3")).alias("ma3"),
     )
 
 

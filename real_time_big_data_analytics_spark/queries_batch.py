@@ -276,6 +276,22 @@ register(
 )
 
 register(
+    "wf_analytic_order_stats",
+    relational.analytic_order_stats,
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(lag(o_totalprice) OVER w, 2) AS prev_price,
+           round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-02-01'
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window-function", "analytic"),
+)
+
+register(
     "wf_sessionize_events",
     relational.sessionize_events,
     sql="""
