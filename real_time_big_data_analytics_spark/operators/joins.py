@@ -164,6 +164,57 @@ def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def volume_shipping(
+    spark: SparkSession, sf_dir: str, n1: str = "NATION_1", n2: str = "NATION_2"
+) -> DataFrame:
+    """TPC-H Q7 shape — two-nation volume shipping: revenue flowing
+    between a nation pair (either direction), by supplier nation ×
+    customer nation × ship year.
+
+    Scale plan: the nation filter is applied INSIDE each broadcast
+    dimension (supplier→nation, customer→nation), so both fact tables
+    are reduced to ~2/25 of their rows by map-side broadcast joins
+    BEFORE the one fact-fact shuffle on orderkey. The literal SQL form
+    (join everything, filter the OR-pair at the end) would shuffle the
+    full lineitem and orders tables first.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    nation_pair = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(n1, n2)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation_pair), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation_pair), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li_n = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    ord_n = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li_n.join(ord_n, li_n.l_orderkey == ord_n.o_orderkey)
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(round2(F.sum(rev)).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
 def large_volume_orders(spark: SparkSession, sf_dir: str, threshold: float = 300.0) -> DataFrame:
     """TPC-H Q18 shape — IN-subquery with HAVING: orders whose total
     lineitem quantity exceeds a threshold, enriched with the customer.
