@@ -294,3 +294,101 @@ def lang_id_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("plang").alias("predicted"))
     )
     return predicted.groupBy("lang", "predicted").agg(F.count("*").alias("n_docs"))
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, size: int = 50, stride: int = 40
+) -> DataFrame:
+    """L4 — sliding-window chunking for training-data prep: each
+    document becomes overlapping ``size``-token chunks at ``stride``
+    offsets (the context-window packing precursor).
+
+    Entirely row-side (split once into ``ws``, then
+    sequence→transform→posexplode) — a narrow map at any corpus
+    scale, no shuffle at all. Chunk text is fingerprinted (md5)
+    rather than re-emitted, so output stays small.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    chunks = F.expr(
+        "transform(sequence(0, size(ws) - 1, {stride}), "
+        "s -> concat_ws(' ', slice(ws, s + 1, {size})))".format(
+            stride=stride, size=size
+        )
+    )
+    return (
+        ws.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.size(F.split("chunk", " ")).cast("bigint").alias("n_tokens"),
+            F.md5("chunk").alias("chunk_fp"),
+        )
+    )
+
+
+def hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — deterministic train/val/test assignment: bucket by the
+    first 8 hex digits of md5(doc_id), 80/10/10.
+
+    The idiomatic stable split for a growing corpus — membership
+    depends only on the key (no randomSplit reshuffling between
+    runs), reproducible on any engine that has md5. Narrow expression
+    + one tiny aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            round2(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )
+
+
+def sequence_packing(
+    spark: SparkSession, sf_dir: str, bin_tokens: int = 2048
+) -> DataFrame:
+    """L4 — greedy sequence packing: documents are packed in doc_id
+    order into ~``bin_tokens``-token training bins via a running
+    token-offset cumsum; output is per-bin occupancy.
+
+    Packing is PER SOURCE (the natural shard key), not global: a
+    single global ordering would serialize the window into one
+    partition. Per-source windows scale with the shard count, and the
+    cumsum is one shuffle on ``source``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = t.select(
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("offs"),
+    )
+    return (
+        packed.groupBy(
+            "source",
+            F.floor(F.col("offs") / F.lit(float(bin_tokens))).cast("bigint").alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+    )

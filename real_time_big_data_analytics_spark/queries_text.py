@@ -415,3 +415,58 @@ register(
     """,
     tags=("udf", "udtf", "text"),
 )
+
+register(
+    "l4_chunk_documents",
+    text.chunk_documents,
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, ws, unnest(range(0, len(ws), 40)) AS st FROM w)
+    SELECT doc_id,
+           CAST(st / 40 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(ws, st + 1, least(st + 50, len(ws)))) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(ws, st + 1, least(st + 50, len(ws))), ' ')) AS chunk_fp
+    FROM s
+    """,
+    tags=("text", "chunking", "training-data"),
+)
+
+register(
+    "l4_hash_split_stats",
+    text.hash_split_stats,
+    sql="""
+    WITH b AS (
+      SELECT CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+               AS bucket,
+             n_chars
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM b GROUP BY 1
+    """,
+    tags=("text", "split", "training-data"),
+)
+
+register(
+    "l4_sequence_packing",
+    text.sequence_packing,
+    sql="""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), c AS (
+      SELECT source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offs
+      FROM t
+    )
+    SELECT source, CAST(floor(offs / 2048.0) AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY 1, 2
+    """,
+    tags=("text", "packing", "training-data"),
+)
