@@ -26,3 +26,70 @@ def test_lang_id_beats_chance_and_is_deterministic(spark, sf_dir):
     total = sum(a.values())
     diag = sum(n for (lang, pred), n in a.items() if lang == pred)
     assert diag / total >= 0.2
+
+
+def test_chunking_covers_every_token_with_overlap(spark, sf_dir):
+    """Chunk windows (size=50, stride=40) must tile each document:
+    chunk 0 starts at token 0, consecutive chunks overlap by
+    size - stride tokens, and every token lands in >= 1 chunk."""
+    from real_time_big_data_analytics_spark.operators.text import chunk_documents
+
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    chunks = chunk_documents(spark, sf_dir)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+            F.min("n_tokens").alias("min_chunk"),
+            F.max("n_tokens").alias("max_chunk"),
+        )
+        .join(docs, "doc_id")
+        .collect()
+    )
+    assert per_doc
+    for r in per_doc:
+        # starts at 0, stride 40: chunk count = ceil(n_tokens / 40)
+        expect = -(-r.n_tokens // 40)
+        assert r.n_chunks == expect, r
+        assert r.max_idx == expect - 1, r
+        assert 1 <= r.min_chunk <= r.max_chunk <= 50, r
+
+
+def test_hash_split_is_deterministic_and_partitions_corpus(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.text import hash_split_stats
+
+    a = {r.split: (r.n_docs, r.total_chars) for r in hash_split_stats(spark, sf_dir).collect()}
+    b = {r.split: (r.n_docs, r.total_chars) for r in hash_split_stats(spark, sf_dir).collect()}
+    assert a == b
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(n for n, _ in a.values()) == n_docs
+    # md5 buckets are uniform: the 80/10/10 split holds within ±10 pts
+    assert 0.7 <= a["train"][0] / n_docs <= 0.9
+
+
+def test_sequence_packing_bins_are_bounded(spark, sf_dir):
+    """Offset-binning caps each bin at bin_tokens plus at most one
+    straddling document; bin ids per source are dense from 0."""
+    from real_time_big_data_analytics_spark.operators.text import sequence_packing
+
+    import pyspark.sql.functions as F
+
+    max_doc = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.max(F.size(F.split("text", " "))).alias("m"))
+        .collect()[0].m
+    )
+    bins = sequence_packing(spark, sf_dir).collect()
+    assert bins
+    by_source: dict[str, list] = {}
+    for r in bins:
+        by_source.setdefault(r.source, []).append(r)
+        assert r.bin_tokens <= 2048 + max_doc, r
+    for rows in by_source.values():
+        ids = sorted(r.bin_id for r in rows)
+        assert ids == list(range(len(ids)))
