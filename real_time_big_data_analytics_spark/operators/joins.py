@@ -273,6 +273,38 @@ def high_balance_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def discounted_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — disjunctive OR-of-ANDs predicate across the
+    lineitem ⋈ part broadcast join.
+
+    Catalyst splits the disjunction: the part-only branches
+    (brand, size) evaluate inside the broadcast build side, the
+    lineitem-only conjuncts weaken into a pushed
+    ``l_quantity BETWEEN 1 AND 30`` range filter at the parquet scan
+    (the OR of the two quantity windows), and the cross-table residue
+    runs post-join. The fact scan therefore skips ~40% of rows before
+    any join work — the point of expressing the predicate
+    declaratively instead of filtering after the join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size") <= 10)
+        & F.col("l_quantity").between(1, 11)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size") <= 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(branch1 | branch2).agg(
+        round2(F.sum(rev)).alias("revenue"), F.count("*").alias("n_items")
+    )
+
+
 def late_shipment_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape — correlated EXISTS with a mixed equi+range
     condition: orders in a quarter having any lineitem shipped more

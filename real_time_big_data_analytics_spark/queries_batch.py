@@ -561,6 +561,19 @@ register(
 )
 
 register(
+    "q19_disjunctive_revenue",
+    joins.discounted_revenue_disjunctive,
+    sql="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size <= 25 AND l_quantity BETWEEN 10 AND 30)
+    """,
+    tags=("join", "tpch", "pushdown", "disjunctive"),
+)
+
+register(
     "q4_late_shipment_priority",
     joins.late_shipment_priority_check,
     sql="""

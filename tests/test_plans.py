@@ -50,6 +50,16 @@ def test_shingle_self_join_uses_shuffle_hash(spark, sf_dir):
     assert "ShuffledHashJoin" in explain_str(df), explain_str(df)
 
 
+def test_disjunctive_predicate_splits_and_pushes_to_both_scans(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs must weaken into per-table pushed
+    filters — quantity ranges at the lineitem scan, brand/size at the
+    part scan — instead of evaluating entirely post-join."""
+    df = joins.discounted_revenue_disjunctive(spark, sf_dir)
+    plan = explain_str(df)
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(And(GreaterThanOrEqual(l_quantity" in plan, plan
+    assert "Or(And(EqualTo(p_brand,Brand#1)" in plan, plan
+
+
 def test_udaf_and_udtf_stay_arrow_vectorized(spark, sf_dir):
     """The sanctioned Python surfaces must plan as Arrow-batched
     nodes, never row-at-a-time BatchEvalPython."""
