@@ -10,7 +10,16 @@ from real_time_big_data_analytics_spark.registry import all_queries
 QUERIES = all_queries()
 
 # queries whose result can legitimately be empty at smoke scale
-MAY_BE_EMPTY = {"l2_minhash_lsh_pairs", "l2_ngram_jaccard_pairs", "l2_simhash_pairs", "l3_knn_lsh"}
+# (q7: the selective two-nation pair has no supplier×customer
+# co-occurrence in the ~100-supplier sf0.001 sample; rows appear at
+# sf0.01 where the oracle validates it)
+MAY_BE_EMPTY = {
+    "l2_minhash_lsh_pairs",
+    "l2_ngram_jaccard_pairs",
+    "l2_simhash_pairs",
+    "l3_knn_lsh",
+    "q7_volume_shipping",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
