@@ -52,3 +52,39 @@ def test_partitioned_write_prunes_directories(spark, sf_dir):
         # the filter must reach the scan as a partition filter
         plan = one._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+
+
+def test_sorted_parquet_layout_gives_tight_zone_maps(spark, sf_dir, tmp_path):
+    """write_sorted_parquet must produce files with disjoint value
+    ranges and internally sorted row groups, so min/max footer stats
+    can prune row groups for selective predicates on the sort key."""
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    from real_time_big_data_analytics_spark.sources.files import write_sorted_parquet
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    out = str(tmp_path / "events_by_id")
+    write_sorted_parquet(events, out, ["event_id"], num_partitions=8)
+
+    file_ranges = []
+    for f in glob.glob(os.path.join(out, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.schema.names.__len__())}["event_id"]
+        gmins, gmaxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            gmins.append(st.min); gmaxs.append(st.max)
+        # row groups inside a sorted file are contiguous: each group
+        # starts at or after the previous one's max
+        for prev_max, cur_min in zip(gmaxs, gmins[1:]):
+            assert cur_min >= prev_max
+        file_ranges.append((min(gmins), max(gmaxs)))
+    assert len(file_ranges) > 1, "expected multiple range partitions"
+    file_ranges.sort()
+    # files cover disjoint ranges (range partitioning)
+    for (_, amax), (bmin, _) in zip(file_ranges, file_ranges[1:]):
+        assert bmin >= amax
+    # the layout round-trips losslessly
+    assert spark.read.parquet(out).count() == events.count()
