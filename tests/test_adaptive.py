@@ -1,0 +1,98 @@
+"""Runtime re-planning safety nets: AQE skew-join splitting and
+dynamic partition pruning (DPP).
+
+Manual mitigations exist in the engine (salting for known-skewed
+aggregations, hive partitioning for static pruning); these tests prove
+the AUTOMATIC versions engage on this build of Spark, because at
+100 TB they are the first line of defense against the skew/scan
+patterns nobody predicted. Both assert on executed-plan evidence, not
+configuration.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def _confs(spark, **kv):
+    old = {k: spark.conf.get(k, None) for k in kv}
+    for k, v in kv.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """A 90%-hot-key join must show AQE's skew split (``isSkew=true``)
+    in the final adaptive plan once the skew thresholds are sized to
+    the data (they default to 256 MB — production scale)."""
+    n = 200_000
+    hot = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(50_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    with _confs(
+        spark,
+        **{
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+            # keep it a sort-merge join so skew splitting applies
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        joined = hot.join(dim, "k").select(F.sum(F.col("v") + F.col("w")).alias("s"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "isSkew=true" in plan or "skew=true" in plan, plan
+
+
+def test_dynamic_partition_pruning_on_hive_layout(spark, sf_dir):
+    """Joining a hive-partitioned fact on its partition key against a
+    selectively filtered dim must inject a runtime pruning subquery
+    (``dynamicpruning``) so only matching partitions are scanned."""
+    from real_time_big_data_analytics_spark.sources.files import (
+        write_partitioned_parquet,
+    )
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="rtba_dpp_") + "/events_" + uuid.uuid4().hex[:8]
+    write_partitioned_parquet(events, out, partition_by=["event_type"])
+
+    fact = spark.read.parquet(out)
+    # the filter must be on a NON-join column: a literal predicate on
+    # the join key would be inferred across the join and pushed as a
+    # static filter, making DPP unnecessary
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.0), ("purchase", 0.0)],
+        "event_type string, weight double",
+    ).filter(F.col("weight") > 0.5)
+    with _confs(
+        spark,
+        **{
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+            # force the reuse-broadcast DPP path even for a tiny dim
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly": "false",
+        },
+    ):
+        joined = fact.join(dim, "event_type").groupBy("event_type").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        rows = joined.collect()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert len(rows) == 1 and rows[0]["event_type"] == "click"
