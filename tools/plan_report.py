@@ -62,7 +62,9 @@ def main() -> None:
         "from the executed plans: shuffle count, join strategies, whether",
         "any filter reached the parquet scan, and which (if any) sanctioned",
         "Arrow-vectorized Python nodes appear. Streaming queries are",
-        "excluded (replay runners, not lazy plans).",
+        "excluded (replay runners, not lazy plans). Plans are captured",
+        "pre-execution: AQE may further demote a listed SortMergeJoin to a",
+        "broadcast at runtime when the build side turns out small.",
         "",
         "| query | exchanges | join strategies | pushdown | python |",
         "|---|---|---|---|---|",
