@@ -273,6 +273,84 @@ def high_balance_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def returned_item_customers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape — top-k customers by revenue lost to returned
+    items in one quarter.
+
+    The returnflag filter pushes to the lineitem scan, the order-date
+    filter to the orders scan; their join shuffles only the filtered
+    quarters. Customer/nation broadcast. TakeOrdered computes the
+    global top-k without a full sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round2(F.sum(rev)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the supplier(s) achieving the maximum
+    quarterly revenue (the CREATE VIEW + scalar MAX subquery form).
+
+    The per-supplier revenue aggregate is computed ONCE and reused
+    for both the max (a one-row aggregate broadcast into the join)
+    and the final match — no correlated re-scan of lineitem. Matching
+    on the 2-decimal rounded revenue keeps the float comparison
+    engine-portable.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    by_supp = li.groupBy("l_suppkey").agg(round2(F.sum(rev)).alias("total_revenue"))
+    max_rev = by_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        by_supp.join(
+            F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue")
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — revenue from lineitems whose supplier and
+    ordering customer share a nation, per nation and year.
+
+    The supplier⋈customer nation equality is NOT a join key anywhere
+    — it becomes a post-join filter comparing two broadcast-provided
+    columns. Fact-fact (lineitem⋈orders) stays the only shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(round2(F.sum(rev)).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
 def discounted_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape — disjunctive OR-of-ANDs predicate across the
     lineitem ⋈ part broadcast join.

@@ -561,6 +561,60 @@ register(
 )
 
 register(
+    "q5_local_supplier_volume",
+    joins.local_supplier_volume,
+    sql="""
+    SELECT n_name, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE s_nationkey = c_nationkey
+    GROUP BY 1, 2
+    """,
+    tags=("join", "tpch", "multiway"),
+)
+
+register(
+    "q10_returned_item_customers",
+    joins.returned_item_customers,
+    sql="""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "tpch", "topk"),
+)
+
+register(
+    "q15_top_supplier",
+    joins.top_supplier_by_revenue,
+    sql="""
+    WITH r AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM r JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+    """,
+    tags=("join", "tpch", "subquery", "view"),
+)
+
+register(
     "q19_disjunctive_revenue",
     joins.discounted_revenue_disjunctive,
     sql="""
