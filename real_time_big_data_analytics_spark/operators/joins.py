@@ -351,6 +351,63 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def national_market_share(
+    spark: SparkSession, sf_dir: str, nation: str = "NATION_3", region: str = "ASIA"
+) -> DataFrame:
+    """TPC-H Q8 shape — one nation's market share of STANDARD-part
+    revenue sold into one region, per order year: a conditional
+    aggregate (share = sum(case)/sum) over a six-table join.
+
+    Selective dims shrink the fact side first: part (type filter) and
+    the region-restricted customer set broadcast against lineitem /
+    orders, so the only shuffle is lineitem⋈orders on orderkey. The
+    supplier-nation CASE rides the rows into the final tiny
+    per-year aggregate — no second pass for the denominator.
+    """
+    region_nations = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(region_nations), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            round2(
+                F.sum(F.when(F.col("supp_nation") == nation, rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def discounted_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape — disjunctive OR-of-ANDs predicate across the
     lineitem ⋈ part broadcast join.

@@ -615,6 +615,29 @@ register(
 )
 
 register(
+    "q8_national_market_share",
+    joins.national_market_share,
+    sql="""
+    SELECT year(o_orderdate) AS o_year,
+           round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region   ON n2.n_regionkey = r_regionkey
+    WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+    GROUP BY 1
+    """,
+    tags=("join", "tpch", "conditional-agg"),
+)
+
+register(
     "q19_disjunctive_revenue",
     joins.discounted_revenue_disjunctive,
     sql="""
