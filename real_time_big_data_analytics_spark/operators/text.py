@@ -187,7 +187,14 @@ def _with_shingle_array(docs: DataFrame, n: int) -> DataFrame:
       need a global ``.distinct()`` shuffle — per-doc dedup is narrow
       at any scale.
     """
-    ws = docs.select("doc_id", _words().alias("ws")).filter(F.size("ws") >= n)
+    # spread() first: the split/transform/array_distinct chain is the
+    # CPU hot spot, and the harness corpus scans as ONE partition
+    # (single row group) — without this every shingle computes on one
+    # core. No-op at scale (scan splits >= cores).
+    from ..sources.tables import spread
+
+    base = spread(docs.select("doc_id", "text"))
+    ws = base.select("doc_id", _words().alias("ws")).filter(F.size("ws") >= n)
     arr = F.array_distinct(
         F.expr(
             "transform(sequence(1, size(ws) - {m}), "

@@ -54,6 +54,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Guard for CPU-heavy per-row stages (shingling, trigram
+    extraction): if the scan produced fewer partitions than the
+    session's parallelism, hash-repartition so every core engages.
+
+    This only fires for small single-row-group files (the harness
+    corpus), where parquet gives the scan ONE split and all downstream
+    HOF work would serialize on one core — measured 2.5 s → 0.4 s on
+    the sf0.1 shingle stage. At production scale a table has far more
+    row groups than cores, the predicate is false, and no shuffle is
+    added.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     names = names or TABLE_NAMES
     return {n: load_table(spark, sf_dir, n) for n in names}
