@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.arrays import cosine_similarity, dot, l2_norm
 from ..functions.numeric import round2
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 TOP_K = 10
@@ -41,7 +41,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFram
     the canonical brute-force ANN baseline that parallelizes linearly
     on a 1000-executor cluster.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
@@ -68,7 +68,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str, k: int = TOP_K, n_planes: int = 8)
     Approximate by construction → rows-only check + recall-vs-brute
     pytest (SURVEY.md §5.2).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     # Hyperplanes are metadata (n_planes rows) — collect once on the
     # driver and inline as literals so the signature is computed in a
     # single codegen'd projection with no join or shuffle.
@@ -113,7 +113,7 @@ def embedding_cosine_pairs(
     join shuffles on the cell key only). Similarity is rounded before
     thresholding so the cut is engine-exact.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     a = emb.select("label", F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
     b = emb.select("label", F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
     pairs = a.join(b, "label").filter(F.col("a_id") < F.col("b_id"))
@@ -145,7 +145,7 @@ def knn_ivf(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     vecs = emb.select(
         "vec_id",
         "embedding",

@@ -274,7 +274,14 @@ def lang_id_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic tie-breaks (trigram asc, lang asc) keep it
     oracle-exact.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    from ..sources.tables import spread
+
+    # spread(): per-character trigram extraction is the CPU hot spot
+    # and the harness corpus scans as one partition (see
+    # _with_shingle_array) — no-op when scan splits >= cores.
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    )
     tri_arr = F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
     # profile side: all occurrences (frequency-weighted)
     tri = docs.select("doc_id", "lang", F.explode(tri_arr).alias("tg"))
