@@ -88,3 +88,18 @@ def test_sorted_parquet_layout_gives_tight_zone_maps(spark, sf_dir, tmp_path):
         assert bmin >= amax
     # the layout round-trips losslessly
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_spread_parallelizes_small_scans_only(spark, sf_dir):
+    """spread() must repartition a single-row-group scan up to session
+    parallelism, and leave already-parallel data untouched."""
+    from real_time_big_data_analytics_spark.sources.tables import load_table, spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    assert (
+        spread(docs).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    wide = docs.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert spread(wide) is wide  # no added shuffle
