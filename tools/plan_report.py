@@ -37,7 +37,8 @@ def describe(plan: str) -> dict[str, str]:
             joins.append(f"{n}×{node.replace('Join', '')}")
     py = [n for n in PY_NODES if n in plan]
     return {
-        "exchanges": str(len(re.findall(r"Exchange (?:hash|range|single)", plan))),
+        # \bExchange won't match ReusedExchange (no word boundary mid-token)
+        "exchanges": str(len(re.findall(r"\bExchange ", plan))),
         "joins": " ".join(joins) or "—",
         "pushed": "yes" if re.search(r"PushedFilters: \[(?!\])", plan) else "—",
         "python": " ".join(py) or "—",
@@ -64,7 +65,10 @@ def main() -> None:
         "Arrow-vectorized Python nodes appear. Streaming queries are",
         "excluded (replay runners, not lazy plans). Plans are captured",
         "pre-execution: AQE may further demote a listed SortMergeJoin to a",
-        "broadcast at runtime when the build side turns out small.",
+        "broadcast at runtime when the build side turns out small. Exchange",
+        "counts include the round-robin spread() guards that fire only for",
+        "single-row-group harness files (sources/tables.py) — at production",
+        "scale those exchanges do not exist.",
         "",
         "| query | exchanges | join strategies | pushdown | python |",
         "|---|---|---|---|---|",
