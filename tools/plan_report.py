@@ -56,6 +56,7 @@ def main() -> None:
     spark = get_spark("plan-report")
     spark.sparkContext.setLogLevel("ERROR")
 
+    n_queries = 0
     lines = [
         "# PLANS — physical-plan audit (auto-generated)",
         "",
@@ -76,6 +77,7 @@ def main() -> None:
     for name, q in sorted(all_queries().items()):
         if "streaming" in q.tags:
             continue
+        n_queries += 1
         try:
             plan = q.fn(spark, args.sf)._jdf.queryExecution().executedPlan().toString()
         except Exception as ex:  # pragma: no cover - report, don't die
@@ -88,7 +90,7 @@ def main() -> None:
     out = os.path.join(REPO, "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {out} ({len(lines) - 9} queries)")
+    print(f"wrote {out} ({n_queries} queries)")
 
 
 if __name__ == "__main__":
