@@ -462,3 +462,105 @@ def late_shipment_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — customer order-count distribution: how many
+    customers placed exactly k orders (k=0 included via left outer).
+
+    Two aggregations, two shuffles: orders pre-aggregates per custkey
+    (map-side partial count, shuffle on custkey), then the left outer
+    join keeps order-less customers as count 0, and the second
+    aggregate over the tiny (c_count) domain is map-side combinable
+    down to a few hundred rows. The orders-side aggregate runs BEFORE
+    the join, so the join carries one row per customer, not one per
+    order — at 100 TB that is the difference between shuffling the
+    fact table and shuffling the customer dimension.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("c_count"))
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str, brand: str = "Brand#4") -> DataFrame:
+    """TPC-H Q17 shape — revenue from orders of less than 20% of a
+    part's average order quantity, for one brand.
+
+    The correlated scalar subquery (per-part average quantity)
+    decorrelates into ONE aggregate pass instead of a re-scan per
+    outer row. Scale layout: the brand filter cuts part to ~1/25 and
+    broadcasts; the per-part average is computed only over lineitems
+    of those parts (part determines brand, so semi-reducing lineitem
+    by the broadcast part set FIRST is semantics-preserving and
+    shrinks the aggregate's shuffle by the same ~25x). The threshold
+    table is part-cardinality — broadcast back against the same
+    reduced lineitem slice, so the fact table is scanned once and
+    never shuffled on anything but the small partkey aggregate.
+    """
+    part_b = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_b.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    small = li.join(
+        F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+        (F.col("l_partkey") == F.col("t_partkey"))
+        & (F.col("l_quantity") < F.col("qty_threshold")),
+    )
+    return small.agg(
+        round2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def product_profit_by_nation_year(
+    spark: SparkSession, sf_dir: str, token: str = "bolt"
+) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table in the harness
+    schema, so profit omits the supply-cost term) — revenue from
+    parts whose name contains a token, by supplier nation and order
+    year.
+
+    The name filter shrinks part before its broadcast, semi-reducing
+    lineitem at the scan join; supplier⋈nation folds into one small
+    broadcast map. The only shuffle left is lineitem⋈orders on
+    orderkey to fetch the year, then a tiny (nation, year) aggregate.
+    At 100 TB orders/lineitem would be bucketed by orderkey, removing
+    that shuffle too.
+    """
+    part_t = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(token)
+    )
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part_t.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(round2(F.sum(rev)).alias("sum_profit"), F.count("*").alias("n_items"))
+    )

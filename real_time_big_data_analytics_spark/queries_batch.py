@@ -664,3 +664,51 @@ register(
     """,
     tags=("join", "semi", "tpch", "subquery"),
 )
+
+register(
+    "q13_customer_distribution",
+    joins.customer_order_distribution,
+    sql="""
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+    """,
+    tags=("join", "tpch", "outer", "double-agg"),
+)
+
+register(
+    "q17_small_quantity_revenue",
+    joins.small_quantity_revenue,
+    sql="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+    """,
+    tags=("join", "tpch", "correlated-subquery"),
+)
+
+register(
+    "q9_product_profit",
+    joins.product_profit_by_nation_year,
+    sql="""
+    SELECT n_name AS nation,
+           year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+    tags=("join", "tpch",),
+)
