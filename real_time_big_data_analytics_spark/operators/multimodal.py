@@ -177,3 +177,58 @@ def frame_sample_stub(spark: SparkSession, sf_dir: str, every_n: int = 10) -> Da
         )
         .select("doc_id", "n_frames", "frame_idx")
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("out_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(spark: SparkSession, sf_dir: str, box: int = 224) -> DataFrame:
+    """L5 — image-resize plumbing: fit each (fake-decoded) image into a
+    ``box``x``box`` bounding box preserving aspect ratio, Arrow-batched
+    through ``mapInPandas``.
+
+    The geometry math (uniform scale, floor, 1-px floor clamp) is the
+    real production logic; only the pixel resample is stubbed — the
+    real version would emit the resized payload bytes from the same
+    batch loop. Metadata-only output keeps the op oracle-checkable.
+    Narrow stage, no shuffle; scales linearly with executors.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    # Closure must stay self-contained (pickled by value): only
+    # site-packages names (pd, np) may leak in. Fake-decode math kept
+    # in sync with _fake_decode / the l5_resize_images oracle SQL.
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        bx = float(box)
+        for batch in batches:
+            n = batch["payload"].str.len().to_numpy("int64")
+            w = n % 640
+            h = (n * 7) % 480
+            sc = np.minimum(
+                1.0,
+                np.minimum(bx / np.maximum(w, 1), bx / np.maximum(h, 1)),
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_width": np.maximum(1, np.floor(w * sc)).astype("int32"),
+                    "out_height": np.maximum(1, np.floor(h * sc)).astype("int32"),
+                    "out_bytes": np.floor(n * sc * sc).astype("int32"),
+                }
+            )
+
+    return with_payload.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -389,6 +389,31 @@ register(
     tags=("multimodal", "pandas-udf"),
 )
 
+register(
+    "l5_resize_images",
+    multimodal.resize_images,
+    sql="""
+    WITH d AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             octet_length(encode(text)) % 640 AS w,
+             (octet_length(encode(text)) * 7) % 480 AS h
+      FROM documents
+    ), s AS (
+      SELECT *, least(1.0, 224.0 / greatest(w, 1), 224.0 / greatest(h, 1)) AS sc
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(greatest(1, floor(w * sc)) AS INT) AS out_width,
+           CAST(greatest(1, floor(h * sc)) AS INT) AS out_height,
+           CAST(floor(n * sc * sc) AS INT) AS out_bytes
+    FROM s
+    """,
+    tags=("multimodal", "pandas-udf", "resize"),
+)
+
 # PCM feature math is numpy-side — rows-only + determinism pytest
 register("l5_audio_features", multimodal.audio_features, tags=("multimodal", "audio"))
 
