@@ -564,3 +564,37 @@ def product_profit_by_nation_year(
         )
         .agg(round2(F.sum(rev)).alias("sum_profit"), F.count("*").alias("n_items"))
     )
+
+
+PRICE_TIERS = [
+    ("small", 0.0, 1000.0),
+    ("medium", 1000.0, 5000.0),
+    ("large", 5000.0, 20000.0),
+    ("jumbo", 20000.0, 1e18),
+]
+
+
+def price_tier_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join — each order matched to the price tier whose
+    [lo, hi) interval contains its total price, then counted per tier.
+
+    Non-equi joins can't hash-partition, so Spark plans a nested-loop
+    scan of fact × bands — fine exactly when the band side is a
+    broadcast-sized dimension (here: 4 rows), which is the production
+    shape of tier/SLA/bucket classification at any fact-table scale.
+    Each fact row scans the tiny band list in the codegen'd join
+    condition; no shuffle of the fact table at all. If the band table
+    ever grew past broadcast size, the scale path is binning both
+    sides to equi-join keys (floor(price / band_width)) first.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(PRICE_TIERS, "tier string, lo double, hi double")
+    cond = (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi"))
+    return (
+        orders.join(F.broadcast(tiers), cond)
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round2(F.sum("o_totalprice")).alias("total_price"),
+        )
+    )

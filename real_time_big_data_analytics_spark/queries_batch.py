@@ -712,3 +712,20 @@ register(
     """,
     tags=("join", "tpch",),
 )
+
+register(
+    "j6_range_join_price_tiers",
+    joins.price_tier_range_join,
+    sql="""
+    SELECT tier, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    JOIN (VALUES ('small', 0.0, 1000.0),
+                 ('medium', 1000.0, 5000.0),
+                 ('large', 5000.0, 20000.0),
+                 ('jumbo', 20000.0, 1e18)) AS t(tier, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY tier
+    """,
+    tags=("join", "range-join", "nonequi"),
+)
