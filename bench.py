@@ -41,6 +41,9 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q18_large_volume_orders",
     "skew_salted_user_stats",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q16_supplier_part_segments",
     "t4_stream_windowed_analytics",
 ]
 

@@ -598,3 +598,25 @@ def price_tier_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             round2(F.sum("o_totalprice")).alias("total_price"),
         )
     )
+
+
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: no partsupp table — the
+    part-supplier relation is derived from lineitem's observed
+    (partkey, suppkey) pairs) — how many distinct suppliers serve
+    each (brand, size) part segment, excluding one brand.
+
+    distinct-aggregate discipline: the pair space is deduped BEFORE
+    the count (groupBy partkey+suppkey happens inside
+    countDistinct's expand), and the brand filter rides the broadcast
+    part side so excluded parts never leave the scan. One fact
+    shuffle (on the grouping key after row-side projection), then a
+    tiny (brand, size) result.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -377,3 +377,55 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(unix_micros(ts) - unix_micros(click_ts)) div 1000000").alias("gap_s"),
         )
     )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total,
+       count(*) AS n,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority))
+"""
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube) with
+    ``grouping()`` markers disambiguating real NULLs from subtotal
+    rows.
+
+    Spark expands the three sets into one Expand + single-shuffle
+    aggregate — the same one-pass plan family as cube/rollup; each
+    input row fans out only to the sets it belongs to, so cost is
+    O(rows × sets), never one scan per set.
+    """
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+def exact_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p50/p90/p99 of ``value`` per
+    event type) via the built-in ``percentile`` aggregate —
+    JVM-side, one shuffle on the group key.
+
+    Exact percentiles must see every value of a group (no partial
+    pre-aggregation of the distribution), so the group's values
+    gather on one reducer — fine while groups are few and fit memory
+    (event types here). For billions-of-rows-per-group at 100 TB the
+    scale path is the mergeable sketch twin
+    (``sketch_value_quantiles``, t-digest-style ``approx_percentile``
+    with partial map-side merge); keeping both pins the sketch's
+    error against exact truth.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pct = lambda p: F.expr(f"percentile(value, {p})")  # noqa: E731
+    return events.groupBy("event_type").agg(
+        round2(pct(0.5)).alias("p50"),
+        round2(pct(0.9)).alias("p90"),
+        round2(pct(0.99)).alias("p99"),
+        F.count("*").alias("n"),
+    )

@@ -729,3 +729,45 @@ register(
     """,
     tags=("join", "range-join", "nonequi"),
 )
+
+register(
+    "groupingsets_orders",
+    relational.grouping_sets_orders,
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total,
+           count(*) AS n,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    """,
+    tags=("agg", "grouping-sets", "sql-surface"),
+)
+
+register(
+    "sf_exact_percentiles",
+    relational.exact_percentiles_by_type,
+    sql="""
+    SELECT event_type,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 2) AS p50,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 2) AS p90,
+           round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 2) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+
+register(
+    "q16_supplier_part_segments",
+    joins.supplier_count_by_part_attrs,
+    sql="""
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+    GROUP BY p_brand, p_size
+    """,
+    tags=("join", "tpch", "distinct-agg"),
+)
