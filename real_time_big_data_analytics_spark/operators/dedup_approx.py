@@ -53,7 +53,21 @@ def minhash_lsh_pairs(
     # until the LSH bucket join.
     sh = _with_shingle_array(docs, 3).select("doc_id", F.col("sh_arr").alias("sh"))
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(sh).filter(F.expr("size(sh) > 0"))
+    # No non-empty filter needed: _with_shingle_array guards
+    # size(ws) >= n, so every sh array has >= 1 element (MinHashLSH
+    # requires non-empty vectors). An explicit size(sh) > 0 here gets
+    # pushed below the spread() exchange as a scan filter that
+    # re-evaluates the whole shingle transform on the single
+    # pre-shuffle partition — one core pays the corpus's CPU twice.
+    #
+    # cache(): approxSimilarityJoin internally posexplodes the hash
+    # arrays, and the inferred non-empty predicate (size over the
+    # minhash-of-TF UDF chain) otherwise sinks into the parquet scan
+    # with the same single-core cost — an InMemoryRelation is a
+    # pushdown barrier, and Spark's cache manager dedupes by
+    # canonical plan, so repeated calls share one small cached entry
+    # (corpus features; both join sides and both LSH passes reuse it).
+    feats = tf.transform(sh).cache()
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", seed=SEED, numHashTables=num_hash_tables
     )

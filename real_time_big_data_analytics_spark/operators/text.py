@@ -206,9 +206,14 @@ def _with_shingle_array(docs: DataFrame, n: int) -> DataFrame:
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
-    Shuffle-free: dedup happens row-side via ``array_distinct``."""
-    return _with_shingle_array(docs, n).select(
-        "doc_id", F.explode("sh_arr").alias("shingle")
+    Shuffle-free: dedup happens row-side via ``array_distinct``.
+    ``explode_outer`` + null guard, not ``explode`` — see
+    ``ngram_jaccard_pairs`` for why (inferred-predicate pushdown
+    serializes the shingle transform onto the pre-shuffle core)."""
+    return (
+        _with_shingle_array(docs, n)
+        .select("doc_id", F.explode_outer("sh_arr").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -232,9 +237,16 @@ def ngram_jaccard_pairs(
     # The alternative (join sizes back onto the pairs) re-scans the
     # raw text and re-computes the shingle transform once per side:
     # two extra full corpus scans at 100 TB.
+    # explode_outer, NOT explode: plain explode lets Catalyst infer a
+    # non-empty-array predicate and push it below the spread()
+    # exchange — the scan then evaluates the whole shingle transform
+    # per row (twice) on the single pre-shuffle partition, serializing
+    # the hot stage on one core (measured 1.7 s vs 0.25 s at sf0.1).
+    # explode_outer implies no such predicate; the null guard runs
+    # post-explode where it is free.
     sh = with_arr.select(
-        "doc_id", F.size("sh_arr").alias("sz"), F.explode("sh_arr").alias("shingle")
-    )
+        "doc_id", F.size("sh_arr").alias("sz"), F.explode_outer("sh_arr").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
     # SHUFFLE_HASH: the self-join key (shingle) is high-cardinality and
     # un-skewed (frequency-capped at scale), so a hash join beats
     # sort-merge — sorting hundreds of millions of shingle strings is
