@@ -418,3 +418,70 @@ def sequence_packing(
             F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
         )
     )
+
+
+SAMPLE_RATES = {"en": 30, "zh": 100, "es": 100, "de": 60, "fr": 60}  # percent
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — deterministic stratified downsampling: per-language keep
+    rates applied via md5(doc_id) bucketing (training-mix rebalancing,
+    e.g. downweighting the dominant language).
+
+    Hash-gating beats ``sampleBy`` for corpus work: membership is a
+    pure function of the key — stable across runs, engines, and
+    repartitioning (``sampleBy`` draws depend on partition layout),
+    and appending new data never resamples old rows. Narrow
+    expression, no shuffle before the tiny per-lang audit aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == lg, F.lit(r)) for lg, r in SAMPLE_RATES.items()],
+        F.lit(100),
+    )
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def contamination_flags(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    """L4 — benchmark decontamination: flag training documents that
+    share any word n-gram with the held-out set (here: every 100th
+    doc stands in for the benchmark corpus).
+
+    The real shape of eval-set decontamination at scale: the held-out
+    side's n-gram set is tiny relative to the corpus, so its distinct
+    shingles BROADCAST and the check is a left-semi broadcast join —
+    the training corpus is scanned once, never shuffled. Output is
+    the per-language contamination audit (flagged docs / total).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 100 != 0)
+    heldout = docs.filter(F.col("doc_id") % 100 == 0)
+    held_grams = (
+        shingles(heldout, n=n).select("shingle").distinct()
+    )
+    flagged = shingles(train, n=n).join(
+        F.broadcast(held_grams), "shingle", "left_semi"
+    ).select("doc_id").distinct()
+    return (
+        train.join(flagged.withColumn("contaminated", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("contaminated"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+    )

@@ -495,3 +495,51 @@ register(
     """,
     tags=("text", "packing", "training-data"),
 )
+
+register(
+    "l4_stratified_sample",
+    text.stratified_sample,
+    sql="""
+    WITH gated AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+               AS bucket,
+             CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 100 WHEN 'es' THEN 100
+                       WHEN 'de' THEN 60 WHEN 'fr' THEN 60 ELSE 100 END AS rate
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           min(doc_id) AS min_doc_id
+    FROM gated WHERE bucket < rate GROUP BY lang
+    """,
+    tags=("text", "sampling", "training-data"),
+)
+
+register(
+    "l4_contamination_flags",
+    text.contamination_flags,
+    sql="""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - 3),
+                    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))
+               AS shingle
+      FROM w WHERE len(ws) >= 5
+    ), held AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0
+    ), flagged AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN held h ON s.shingle = h.shingle
+      WHERE s.doc_id % 100 <> 0
+    )
+    SELECT d.lang, count(*) AS n_train_docs,
+           CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated
+    FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+    WHERE d.doc_id % 100 <> 0
+    GROUP BY d.lang
+    """,
+    tags=("text", "decontamination", "training-data"),
+)
