@@ -211,3 +211,39 @@ def centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_dim.groupBy("label")
         .agg(round2(F.sqrt(F.sum(F.col("mean_x") * F.col("mean_x"))), 6).alias("centroid_norm"))
     )
+
+
+def quantization_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — int8 scalar quantization audit: quantize each embedding to
+    256 levels over its own [min, max] range, dequantize, and report
+    per-label reconstruction RMSE and quantization scale.
+
+    This is the storage/IO lever for ANN at 100 TB — int8 vectors are
+    4x smaller than float32, and the decision to ship them hinges on
+    exactly this audit. All Catalyst higher-order functions
+    (``aggregate`` over the array), zero Python, narrow until the tiny
+    per-label aggregate. ``floor(r + 0.5)`` instead of ``round``:
+    identical half-up semantics in every engine, so the DuckDB oracle
+    reproduces the arithmetic bit-for-bit.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    scale = F.greatest((mx - mn) / F.lit(255.0), F.lit(1e-30))
+    sq_err = F.expr(
+        "aggregate(embedding, cast(0.0 as double), (acc, x) -> acc + "
+        "pow(cast(x as double) - (mn + floor((cast(x as double) - mn) / q_scale + 0.5d) * q_scale), 2))"
+    )
+    per_vec = emb.select(
+        "label",
+        "embedding",
+        mn.alias("mn"),
+        scale.alias("q_scale"),
+        F.size("embedding").alias("dim"),
+    ).select("label", "q_scale", F.sqrt(sq_err / F.col("dim")).alias("rmse"))
+    return per_vec.groupBy("label").agg(
+        round2(F.avg("rmse"), 6).alias("avg_rmse"),
+        round2(F.max("rmse"), 6).alias("max_rmse"),
+        round2(F.avg("q_scale"), 6).alias("avg_scale"),
+        F.count("*").alias("n"),
+    )

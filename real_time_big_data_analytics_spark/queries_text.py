@@ -543,3 +543,34 @@ register(
     """,
     tags=("text", "decontamination", "training-data"),
 )
+
+register(
+    "l5_quantization_error",
+    similarity.quantization_error_stats,
+    sql="""
+    WITH v AS (
+      SELECT label,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             greatest((CAST(list_max(embedding) AS DOUBLE)
+                       - CAST(list_min(embedding) AS DOUBLE)) / 255.0, 1e-30)
+               AS q_scale,
+             embedding,
+             len(embedding) AS dim
+      FROM embeddings
+    ), r AS (
+      SELECT label, q_scale,
+             sqrt(list_sum(list_transform(embedding, x ->
+               pow(CAST(x AS DOUBLE)
+                   - (mn + floor((CAST(x AS DOUBLE) - mn) / q_scale + 0.5) * q_scale),
+                   2))) / dim) AS rmse
+      FROM v
+    )
+    SELECT label,
+           round(avg(rmse), 6) AS avg_rmse,
+           round(max(rmse), 6) AS max_rmse,
+           round(avg(q_scale), 6) AS avg_scale,
+           count(*) AS n
+    FROM r GROUP BY label
+    """,
+    tags=("similarity", "array", "quantization"),
+)
