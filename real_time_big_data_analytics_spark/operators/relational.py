@@ -429,3 +429,54 @@ def exact_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(pct(0.99)).alias("p99"),
         F.count("*").alias("n"),
     )
+
+
+def stats_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per event type: stddev, sample
+    covariance and Pearson correlation of (value, hour-of-day).
+
+    All partial-aggregable built-ins (sum/sum-of-squares/cross-moment
+    accumulators merge map-side), so the plan is one shuffle of
+    constant-width rows per group at any scale — unlike exact
+    percentiles, moments never gather raw values.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts").cast("double")
+    return (
+        events.select("event_type", F.col("value").cast("double").alias("v"), hod.alias("h"))
+        .groupBy("event_type")
+        .agg(
+            round2(F.stddev_samp("v"), 4).alias("sd_value"),
+            round2(F.covar_samp("v", "h"), 4).alias("covar_vh"),
+            round2(F.corr("v", "h"), 4).alias("corr_vh"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def value_histogram(spark: SparkSession, sf_dir: str, n_buckets: int = 20) -> DataFrame:
+    """Fixed-width histogram of ``events.value`` — the width_bucket
+    pattern: global min/max via a 1-row broadcast, bucket index as a
+    narrow expression, then a count per bucket.
+
+    Two passes over the fact column (bounds + binning) but the first
+    reduces map-side to one row per partition; at 100 TB the bounds
+    come from table statistics or a fixed domain instead, dropping to
+    a single pass. The histogram aggregate shuffles ``n_buckets``
+    rows at most.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(n_buckets)
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        events.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )

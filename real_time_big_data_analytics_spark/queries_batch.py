@@ -771,3 +771,29 @@ register(
     """,
     tags=("join", "tpch", "distinct-agg"),
 )
+
+register(
+    "sf_stats_moments",
+    relational.stats_moments_by_type,
+    sql="""
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 4) AS covar_vh,
+           round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS corr_vh,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "statistics"),
+)
+
+register(
+    "sf_value_histogram",
+    relational.value_histogram,
+    sql="""
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+    SELECT CAST(least(floor((value - lo) / ((hi - lo) / 20)), 19) AS INT) AS bucket,
+           count(*) AS n
+    FROM events, b GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
