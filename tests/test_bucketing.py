@@ -16,6 +16,8 @@ import uuid
 import pytest
 from pyspark.sql import functions as F
 
+from real_time_big_data_analytics_spark.sources.files import write_bucketed_table
+
 N_BUCKETS = 8
 
 
@@ -30,12 +32,8 @@ def bucketed(spark, sf_dir):
     ]:
         tbl = f"b_{name}_{suffix}"
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        (
-            df.write.bucketBy(N_BUCKETS, key)
-            .sortBy(key)
-            .option("path", os.path.join(d, tbl))
-            .mode("overwrite")
-            .saveAsTable(tbl)
+        write_bucketed_table(
+            df, tbl, os.path.join(d, tbl), bucket_by=key, n_buckets=N_BUCKETS
         )
         names[name] = tbl
     yield names
