@@ -81,10 +81,12 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
     from real_time_big_data_analytics_spark.registry import all_queries
 
     # knn: query × corpus broadcast scan IS the operator;
-    # a5 / theta: 1-row scalar broadcasts (max(ts), sketch blobs);
+    # a5 / theta / histogram: 1-row scalar broadcasts (max(ts),
+    # sketch blobs, min/max bounds);
     # j6: non-equi band join against a 4-row broadcast tier table.
     NESTED_LOOP_OK = {
         "j6_range_join_price_tiers",
+        "sf_value_histogram",
         "l3_knn_bruteforce",
         "l3_knn_lsh",
         "l3_knn_ivf",
