@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.tables import load_table
 from .text import ngram_jaccard_pairs
 
 MAX_ITER = 20
@@ -91,4 +92,57 @@ def dedup_corpus(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> Da
     non_reps = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
     return exact.join(non_reps, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
+    )
+
+
+def training_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    min_tokens: int = 10,
+    size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """The end-to-end training-data deliverable in ONE declarative
+    plan: cleaned corpus (exact + near-dup dedup) → minimum-length
+    quality gate → deterministic stratified language sampling →
+    sliding-window chunking → per-language shard statistics.
+
+    Every stage is the already-tested operator composed as a
+    DataFrame transform, so Catalyst optimizes the whole pipeline
+    globally — the quality and sampling gates run against the corpus
+    scan (narrow), the dedup survivor set anti-joins in, and only the
+    tiny per-language aggregate shuffles at the end. This is the
+    corpus-to-shards path an LLM data pipeline runs nightly; at
+    100 TB each stage scales exactly as documented on its operator.
+    """
+    from .text import SAMPLE_RATES
+
+    survivors = dedup_corpus(spark, sf_dir).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.join(survivors, "doc_id", "left_semi")
+    ws = kept.select("doc_id", "lang", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= min_tokens
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == lg, F.lit(r)) for lg, r in SAMPLE_RATES.items()],
+        F.lit(100),
+    )
+    sampled = ws.filter(bucket < rate)
+    starts = F.expr(f"sequence(0, size(ws) - 1, {stride})")
+    chunked = sampled.select(
+        "doc_id", "lang", F.explode(starts).alias("st"), "ws"
+    ).select(
+        "doc_id",
+        "lang",
+        F.size(F.expr(f"slice(ws, st + 1, {size})")).cast("bigint").alias("n_tokens"),
+    )
+    return chunked.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )

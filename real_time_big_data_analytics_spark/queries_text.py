@@ -574,3 +574,58 @@ register(
     """,
     tags=("similarity", "array", "quantization"),
 )
+
+register(
+    "l6_training_pipeline",
+    clustering.training_pipeline,
+    # the full corpus-to-shards path: dedup survivors -> length gate ->
+    # stratified sample -> sliding-window chunks -> per-lang stats
+    sql=f"""
+    WITH RECURSIVE np AS (
+      SELECT a_id, b_id FROM ({_NGRAM_PAIRS_SQL}) q
+    ), edges AS (
+      SELECT a_id AS s, b_id AS d FROM np
+      UNION
+      SELECT b_id, a_id FROM np
+    ), reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), nodes AS (
+      SELECT DISTINCT s AS node FROM edges
+    ), non_reps AS (
+      SELECT n.node AS doc_id
+      FROM nodes n JOIN reach r ON r.s = n.node
+      GROUP BY n.node
+      HAVING least(n.node, min(r.d)) <> n.node
+    ), exact AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ), survivors AS (
+      SELECT e.doc_id FROM exact e
+      WHERE e.doc_id NOT IN (SELECT doc_id FROM non_reps)
+    ), kept AS (
+      SELECT d.doc_id, d.lang, string_split(d.text, ' ') AS ws
+      FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+    ), gated AS (
+      SELECT * FROM kept
+      WHERE len(ws) >= 10
+        AND CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+            < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 100 WHEN 'es' THEN 100
+                        WHEN 'de' THEN 60 WHEN 'fr' THEN 60 ELSE 100 END
+    ), chunks AS (
+      SELECT doc_id, lang,
+             len(list_slice(ws, st + 1, least(st + 50, len(ws)))) AS n_tokens
+      FROM (SELECT doc_id, lang, ws, unnest(range(0, len(ws), 40)) AS st FROM gated)
+    )
+    SELECT lang,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM chunks GROUP BY lang
+    """,
+    tags=("training-data", "pipeline", "dedup", "sampling", "chunking"),
+)
