@@ -102,20 +102,23 @@ def training_pipeline(
     size: int = 50,
     stride: int = 40,
 ) -> DataFrame:
-    """The end-to-end training-data deliverable in ONE declarative
-    plan: cleaned corpus (exact + near-dup dedup) → minimum-length
-    quality gate → deterministic stratified language sampling →
-    sliding-window chunking → per-language shard statistics.
+    """The end-to-end training-data deliverable: cleaned corpus
+    (exact + near-dup dedup) → minimum-length quality gate →
+    deterministic stratified language sampling → sliding-window
+    chunking → per-language shard statistics.
 
-    Every stage is the already-tested operator composed as a
-    DataFrame transform, so Catalyst optimizes the whole pipeline
-    globally — the quality and sampling gates run against the corpus
-    scan (narrow), the dedup survivor set anti-joins in, and only the
-    tiny per-language aggregate shuffles at the end. This is the
-    corpus-to-shards path an LLM data pipeline runs nightly; at
-    100 TB each stage scales exactly as documented on its operator.
+    Two execution phases: the dedup survivor set runs EAGERLY at
+    call time (``near_dup_clusters`` iterates with per-round
+    ``localCheckpoint``/``count`` jobs — an iterative algorithm
+    cannot be one lazy plan), and everything downstream composes
+    into a single Catalyst-optimized plan — the length and sampling
+    gates fuse into the corpus scan, the survivor set semi-joins in,
+    and only the tiny per-language aggregate shuffles at the end.
+    This is the corpus-to-shards path an LLM data pipeline runs
+    nightly; at 100 TB each stage scales exactly as documented on
+    its operator.
     """
-    from .text import SAMPLE_RATES
+    from .text import md5_bucket, sample_rate_expr
 
     survivors = dedup_corpus(spark, sf_dir).select("doc_id")
     docs = load_table(spark, sf_dir, "documents")
@@ -123,16 +126,7 @@ def training_pipeline(
     ws = kept.select("doc_id", "lang", F.split("text", " ").alias("ws")).filter(
         F.size("ws") >= min_tokens
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
-    rate = F.coalesce(
-        *[F.when(F.col("lang") == lg, F.lit(r)) for lg, r in SAMPLE_RATES.items()],
-        F.lit(100),
-    )
-    sampled = ws.filter(bucket < rate)
+    sampled = ws.filter(md5_bucket() < sample_rate_expr())
     starts = F.expr(f"sequence(0, size(ws) - 1, {stride})")
     chunked = sampled.select(
         "doc_id", "lang", F.explode(starts).alias("st"), "ws"

@@ -363,11 +363,7 @@ def hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one tiny aggregate.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = md5_bucket()
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -423,6 +419,27 @@ def sequence_packing(
 SAMPLE_RATES = {"en": 30, "zh": 100, "es": 100, "de": 60, "fr": 60}  # percent
 
 
+def md5_bucket(key_col: str = "doc_id", n: int = 100):
+    """Deterministic [0, n) bucket from the first 8 hex digits of
+    md5(key) — the shared gate for hash splits and stratified
+    sampling; any edit here must keep the SQL twin
+    (`CAST(CONCAT('0x', substr(md5(...), 1, 8)) AS BIGINT) % n`)
+    in lockstep."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % n
+    )
+
+
+def sample_rate_expr(lang_col: str = "lang"):
+    """Per-language keep rate (percent) from SAMPLE_RATES, default 100."""
+    return F.coalesce(
+        *[F.when(F.col(lang_col) == lg, F.lit(r)) for lg, r in SAMPLE_RATES.items()],
+        F.lit(100),
+    )
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 — deterministic stratified downsampling: per-language keep
     rates applied via md5(doc_id) bucketing (training-mix rebalancing,
@@ -435,15 +452,8 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression, no shuffle before the tiny per-lang audit aggregate.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
-    rate = F.coalesce(
-        *[F.when(F.col("lang") == lg, F.lit(r)) for lg, r in SAMPLE_RATES.items()],
-        F.lit(100),
-    )
+    bucket = md5_bucket()
+    rate = sample_rate_expr()
     return (
         docs.filter(bucket < rate)
         .groupBy("lang")

@@ -733,16 +733,9 @@ register(
 register(
     "groupingsets_orders",
     relational.grouping_sets_orders,
-    sql="""
-    SELECT o_orderstatus, o_orderpriority,
-           round(sum(o_totalprice), 2) AS total,
-           count(*) AS n,
-           CAST(grouping(o_orderstatus) AS INT) AS g_status,
-           CAST(grouping(o_orderpriority) AS INT) AS g_priority
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                            (o_orderstatus), (o_orderpriority))
-    """,
+    # the literal SQL the Spark side executes IS the oracle — the
+    # same-text-on-both-engines property is structural, not copied
+    sql=relational.GROUPING_SETS_SQL,
     tags=("agg", "grouping-sets", "sql-surface"),
 )
 
