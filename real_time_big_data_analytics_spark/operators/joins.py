@@ -18,7 +18,7 @@ shuffle-free; AQE handles skew splitting either way.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round2
@@ -619,4 +619,44 @@ def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no receipt/commit dates in the
+    harness schema, so "kept the order waiting" = shipped last among
+    the suppliers of a multi-supplier order) — top suppliers ranked by
+    how many such orders they delayed, with their nation.
+
+    One window pass over lineitem partitioned by orderkey computes
+    both the per-order max shipdate and the distinct-supplier count —
+    no self-join, no re-scan (the literal SQL's correlated EXISTS /
+    NOT EXISTS pair becomes two window aggregates on the same
+    shuffle). Supplier/nation broadcast onto the tiny filtered
+    result; deterministic tie-break on s_suppkey.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    marked = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.max("l_shipdate").over(w).alias("max_ship"),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+    )
+    late = (
+        marked.filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("max_ship")))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        late.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
     )

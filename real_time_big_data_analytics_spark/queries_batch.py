@@ -790,3 +790,27 @@ register(
     """,
     tags=("agg", "histogram"),
 )
+
+register(
+    "q21_waiting_suppliers",
+    joins.waiting_suppliers,
+    sql="""
+    WITH marked AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate,
+             max(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship,
+             count(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_supp
+      FROM lineitem
+    ), late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM marked WHERE n_supp > 1 AND l_shipdate = max_ship
+    )
+    SELECT s_name, n_name, numwait FROM (
+      SELECT l_suppkey, count(*) AS numwait FROM late GROUP BY l_suppkey
+    ) w
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+    tags=("join", "tpch", "window"),
+)
