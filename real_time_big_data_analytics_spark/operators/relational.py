@@ -480,3 +480,53 @@ def value_histogram(spark: SparkSession, sf_dir: str, n_buckets: int = 20) -> Da
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (view → click → purchase): users reaching
+    each stage strictly after the previous one, with mean
+    stage-to-stage latency — the product-analytics query the
+    reference's dashboard era would have pushed to Kibana.
+
+    Sequencing is inherently per-user-ordered, but no window sort is
+    needed: each stage is "min ts after the previous stage's min",
+    computed as a filtered aggregate joined to the prior stage. The
+    event_type filters push to the parquet scan (three cheap slices
+    instead of one wide sort), and every join/groupBy keys on
+    user_id, so Spark reuses one hash partitioning across all three
+    stages — at 100 TB this is three narrow passes over one shuffle
+    layout, versus a full per-user sort for the window formulation.
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    def stage(event_type, prev=None, prev_ts="t_prev"):
+        s = events.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return s.groupBy("user_id").agg(F.min("ts").alias("t_cur"))
+
+    views = stage("view").withColumnRenamed("t_cur", "t1")
+    clicks = (
+        stage("click", views.select("user_id", F.col("t1").alias("t_prev")))
+        .withColumnRenamed("t_cur", "t2")
+    )
+    purchases = (
+        stage("purchase", clicks.select("user_id", F.col("t2").alias("t_prev")))
+        .withColumnRenamed("t_cur", "t3")
+    )
+    lat = (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .agg(
+            F.count("t1").alias("n_viewed"),
+            F.count("t2").alias("n_clicked"),
+            F.count("t3").alias("n_purchased"),
+            round2(
+                F.avg((F.unix_millis("t2") - F.unix_millis("t1")) / 3600000.0), 4
+            ).alias("avg_hours_view_to_click"),
+            round2(
+                F.avg((F.unix_millis("t3") - F.unix_millis("t2")) / 3600000.0), 4
+            ).alias("avg_hours_click_to_purchase"),
+        )
+    )
+    return lat

@@ -814,3 +814,35 @@ register(
     """,
     tags=("join", "tpch", "window"),
 )
+
+register(
+    "wf_funnel_counts",
+    relational.funnel_counts,
+    sql="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT count(v.t1) AS n_viewed,
+           count(c.t2) AS n_clicked,
+           count(p.t3) AS n_purchased,
+           round(avg((epoch_ms(c.t2) - epoch_ms(v.t1)) / 3600000.0), 4)
+             AS avg_hours_view_to_click,
+           round(avg((epoch_ms(p.t3) - epoch_ms(c.t2)) / 3600000.0), 4)
+             AS avg_hours_click_to_purchase
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    tags=("agg", "funnel", "sequential"),
+)
