@@ -530,3 +530,36 @@ def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lat
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str, max_weeks: int = 8) -> DataFrame:
+    """Cohort retention matrix: users grouped by signup week, counted
+    as retained in each subsequent week they produced any event.
+
+    The signup aggregate shuffles once on user_id; the activity join
+    reuses that partitioning, and per-user-week dedup happens BEFORE
+    the cohort aggregate (distinct on the already-partitioned key
+    set), so the final matrix aggregate sees at most
+    users × max_weeks rows. Week arithmetic is epoch-millisecond
+    math, not calendar datediff — identical in every engine.
+    """
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    week_offset = F.floor(
+        (F.unix_millis("ts") - F.unix_millis("signup_ts")) / F.lit(7 * 86400000)
+    ).cast("bigint")
+    active = (
+        events.join(signups, "user_id")
+        .select(
+            F.date_trunc("week", "signup_ts").alias("cohort_week"),
+            week_offset.alias("week_offset"),
+            "user_id",
+        )
+        .filter((F.col("week_offset") >= 0) & (F.col("week_offset") < max_weeks))
+        .distinct()
+    )
+    return active.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )

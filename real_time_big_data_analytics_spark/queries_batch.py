@@ -846,3 +846,25 @@ register(
     """,
     tags=("agg", "funnel", "sequential"),
 )
+
+register(
+    "wf_retention_cohorts",
+    relational.retention_cohorts,
+    sql="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT
+             date_trunc('week', s.signup_ts) AS cohort_week,
+             CAST(floor((epoch_ms(e.ts) - epoch_ms(s.signup_ts)) / 604800000.0)
+                  AS BIGINT) AS week_offset,
+             e.user_id
+      FROM events e JOIN s ON e.user_id = s.user_id
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_active
+    FROM a WHERE week_offset >= 0 AND week_offset < 8
+    GROUP BY cohort_week, week_offset
+    """,
+    tags=("agg", "cohort", "retention"),
+)
