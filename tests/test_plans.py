@@ -112,3 +112,27 @@ def test_stream_static_join_broadcasts_static_side(spark, sf_dir):
     joined = stream.join(F.broadcast(customer), stream.user_id == customer.c_custkey)
     plan = explain_str(joined, "extended").lower()
     assert "broadcast" in plan, plan
+
+
+def test_no_heavy_exprs_in_scan_filters(spark, sf_dir):
+    """Regression guard for the inferred-explode-predicate trap
+    (SCALE.md): `explode` over an expensive computed array lets
+    Catalyst infer a non-empty-array predicate that sinks below the
+    spread() exchange, re-running the whole expression per row on the
+    single pre-shuffle scan partition. Pinned on every batch query:
+    no scan DataFilter may contain a shingle/trigram transform or
+    array_distinct.
+    """
+    import re
+
+    from real_time_big_data_analytics_spark.registry import all_queries
+
+    for name, q in sorted(all_queries().items()):
+        if "streaming" in q.tags:
+            continue
+        plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(r"FileScan parquet [^\n]*DataFilters: \[([^\]]*)\]", plan):
+            f = m.group(1)
+            assert "transform(" not in f and "array_distinct(" not in f, (
+                f"{name}: heavy expression in scan filter: {f[:160]}"
+            )
