@@ -563,3 +563,38 @@ def retention_cohorts(spark: SparkSession, sf_dir: str, max_weeks: int = 8) -> D
     return active.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_active")
     )
+
+
+def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + LOCF (the hypertable/timescale rollup
+    pattern): a dense hourly grid over the observed range, zero-filled
+    counts, and the hourly average carried forward across empty hours.
+
+    The dense grid generates from a 1-row bounds aggregate
+    (sequence + explode — rows proportional to the time range, not the
+    fact table), left-joins the hourly rollup, and the
+    carry-forward is one ordered window over the grid. The window here
+    is a single global ordering because the grid is one series; at
+    scale every series carries its id and the window partitions by it,
+    keeping state per-series-bounded.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n_raw"),
+        F.avg("value").alias("avg_raw"),
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        grid.join(hourly, "h", "left")
+        .select(
+            "h",
+            F.coalesce(F.col("n_raw"), F.lit(0)).cast("bigint").alias("n"),
+            round2(
+                F.last(F.col("avg_raw"), ignorenulls=True).over(w), 4
+            ).alias("avg_value_locf"),
+        )
+    )

@@ -868,3 +868,24 @@ register(
     """,
     tags=("agg", "cohort", "retention"),
 )
+
+register(
+    "ts_gapfill_locf_hourly",
+    relational.gapfill_locf_hourly,
+    sql="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS n_raw, avg(value) AS avg_raw
+      FROM events GROUP BY 1
+    ), b AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+    )
+    SELECT g.h,
+           CAST(coalesce(n_raw, 0) AS BIGINT) AS n,
+           round(last_value(avg_raw IGNORE NULLS)
+                 OVER (ORDER BY g.h ROWS UNBOUNDED PRECEDING), 4)
+             AS avg_value_locf
+    FROM grid g LEFT JOIN hourly ON g.h = hourly.h
+    """,
+    tags=("agg", "time-series", "gapfill"),
+)
