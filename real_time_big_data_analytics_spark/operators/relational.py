@@ -598,3 +598,31 @@ def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value_locf"),
         )
     )
+
+
+def rolling_zscore_hourly(spark: SparkSession, sf_dir: str, trailing: int = 24) -> DataFrame:
+    """Rolling anomaly score: each hour's event count standardized
+    against the trailing ``trailing``-hour mean/stddev (z-score), the
+    streaming-monitoring primitive for rate anomalies.
+
+    One shuffle for the hourly rollup, one ordered window over the
+    tiny hour-grain series. ROWS framing (not RANGE) keeps the frame
+    deterministic; hours with fewer than two trailing samples yield
+    NULL stddev and a NULL z — identical semantics in the oracle. At
+    scale the window partitions by series id exactly as in
+    ``gapfill_locf_hourly``.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    w = (
+        Window.orderBy("h").rowsBetween(-trailing, -1)
+    )
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    return hourly.select(
+        "h",
+        F.col("n").cast("bigint").alias("n"),
+        round2((F.col("n") - mu) / sd, 4).alias("zscore"),
+    )

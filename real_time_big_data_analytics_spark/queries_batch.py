@@ -889,3 +889,19 @@ register(
     """,
     tags=("agg", "time-series", "gapfill"),
 )
+
+register(
+    "ts_rolling_zscore",
+    relational.rolling_zscore_hourly,
+    sql="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT h, CAST(n AS BIGINT) AS n,
+           round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 4) AS zscore
+    FROM hourly
+    WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    """,
+    tags=("agg", "time-series", "anomaly"),
+)
