@@ -13,6 +13,8 @@ commits, re-runnable with ``mode``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -123,3 +125,38 @@ def write_bucketed_table(
     if sort:
         w = w.sortBy(bucket_by)
     w.option("path", path).mode(mode).format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    target_mb: int = 128,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files
+    sized for scan efficiency; returns the output file count.
+
+    Streaming sinks and fine-grained ingestion leave thousands of
+    KB-scale files whose open/footer cost dominates reads at scale —
+    the classic small-file problem. Sizing from the actual on-disk
+    bytes (not a row-count guess) keeps output files near the target
+    regardless of schema width; ``coalesce`` avoids a shuffle when
+    only narrowing the partition count. Run per partition directory
+    in a partitioned table so partition pruning survives compaction.
+    """
+    df = spark.read.parquet(src)
+    n_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(src)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(n_bytes / (target_mb * 1024 * 1024)))
+    if n_files < df.rdd.getNumPartitions():
+        out = df.coalesce(n_files)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode(mode).parquet(dst)
+    return n_files

@@ -103,3 +103,24 @@ def test_spread_parallelizes_small_scans_only(spark, sf_dir):
     )
     wide = docs.repartition(spark.sparkContext.defaultParallelism + 4)
     assert spread(wide) is wide  # no added shuffle
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    """Fragmented directory (64 tiny files) compacts to the byte-sized
+    target with identical contents."""
+    import os
+
+    from real_time_big_data_analytics_spark.sources.files import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events.repartition(64).write.parquet(src)
+    n_src = sum(f.endswith(".parquet") for f in os.listdir(src))
+    n_out = compact_parquet(spark, src, dst, target_mb=128)
+    n_dst = sum(f.endswith(".parquet") for f in os.listdir(dst))
+    assert n_src == 64
+    assert n_dst == n_out < 64
+    before = sorted(map(tuple, events.collect()))
+    after = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert before == after
