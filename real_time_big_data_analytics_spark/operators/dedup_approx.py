@@ -112,7 +112,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_pairs(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 8
+    spark: SparkSession, sf_dir: str, max_hamming: int = 8, max_df: int | None = None
 ) -> DataFrame:
     """L2 — SimHash near-dup pairs via banded bucketing.
 
@@ -120,7 +120,17 @@ def simhash_pairs(
     pigeonhole guarantee: hamming ≤ 3 ⇒ some band is identical;
     wider hamming trades recall, standard SimHash practice). The
     band equi-join is the only shuffle and is bucket-bounded.
+
+    ``max_df`` (default ``text.DEFAULT_MAX_DF``) drops bands shared by
+    more docs than the cap before the self-join — same hot-key guard
+    as ``ngram_jaccard_pairs``: a degenerate band (e.g. all-zeros from
+    near-empty docs) would otherwise fan out quadratically. The window
+    count shares the join's own hash(band) shuffle.
     """
+    from .text import DEFAULT_MAX_DF
+
+    if max_df is None:
+        max_df = DEFAULT_MAX_DF
     sigs = _simhash_bits(load_table(spark, sf_dir, "documents")).cache()
     banded = sigs.select(
         "doc_id",
@@ -135,6 +145,13 @@ def simhash_pairs(
                 ]
             )
         ).alias("band"),
+    )
+    from pyspark.sql import Window
+
+    banded = (
+        banded.withColumn("band_df", F.count("*").over(Window.partitionBy("band")))
+        .filter(F.col("band_df") <= max_df)
+        .drop("band_df")
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

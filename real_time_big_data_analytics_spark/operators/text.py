@@ -217,17 +217,37 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+DEFAULT_MAX_DF = 1000  # drop shingles/bands present in more docs than this
+
+
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.8, n: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_df: int = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """L2 (exact variant) — near-duplicate pairs by n-gram Jaccard.
 
     shingle → self-equi-join on shingle → per-pair intersection count
     → Jaccard via |A|+|B|-|∩|. The equi-join shuffles on the shingle
-    key; at 100 TB hot shingles are capped (drop shingles occurring in
-    > ``max_df`` docs — boilerplate n-grams carry no dedup signal),
-    which bounds the worst-case pair blowup exactly like LSH band
-    bucketing. Kept uncapped here: harness vocab is tiny.
+    key; hot shingles are capped ON BY DEFAULT: a shingle occurring in
+    more than ``max_df`` docs is dropped from the candidate join
+    (boilerplate n-grams carry no dedup signal), bounding the
+    worst-case fan-out per shingle at max_df²/2 pairs exactly like LSH
+    band bucketing — one boilerplate shingle shared by 1 M docs would
+    otherwise emit ~5·10¹¹ join rows. Semantics: candidate pruning
+    only — |A| and |B| stay the full distinct-shingle counts, so pairs
+    whose overlap survives the cap score their true Jaccard, and pairs
+    whose ONLY overlap is boilerplate are (intentionally) not emitted.
+    The DuckDB oracle applies the identical df filter, so the check is
+    exact at any scale, not just when the cap is a no-op (harness max
+    shingle df is 25 at sf0.1 — far under the default 1000).
+
+    The df count shares the join's own hash(shingle) shuffle: it is a
+    window count over ``partitionBy(shingle)``, whose output
+    partitioning the self-join reuses (one Exchange + ReusedExchange —
+    see PLANS.md), so the cap costs no extra shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
     with_arr = _with_shingle_array(docs, n)
@@ -247,11 +267,18 @@ def ngram_jaccard_pairs(
     sh = with_arr.select(
         "doc_id", F.size("sh_arr").alias("sz"), F.explode_outer("sh_arr").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
+    # Hot-shingle cap: window count partitioned by the join key itself,
+    # so the df computation and the self-join share one shuffle.
+    capped = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
     # SHUFFLE_HASH: the self-join key (shingle) is high-cardinality and
-    # un-skewed (frequency-capped at scale), so a hash join beats
+    # un-skewed (frequency-capped above), so a hash join beats
     # sort-merge — sorting hundreds of millions of shingle strings is
     # pure overhead (measured 3× slower here).
-    a, b = sh.alias("a"), sh.alias("b").hint("SHUFFLE_HASH")
+    a, b = capped.alias("a"), capped.alias("b").hint("SHUFFLE_HASH")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))

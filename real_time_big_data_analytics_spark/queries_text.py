@@ -179,8 +179,11 @@ register(
 
 # --- L2 near-dup dedup ---
 
-# shared by the pair query and the cluster oracle below
-_NGRAM_PAIRS_SQL = """
+# shared by the pair query and the cluster oracle below; mirrors the
+# Spark side's hot-shingle cap (text.DEFAULT_MAX_DF) so the comparison
+# stays exact even when the cap fires: sizes are pre-cap, candidates
+# post-cap.
+_NGRAM_PAIRS_SQL = f"""
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ), sh AS (
@@ -190,9 +193,14 @@ _NGRAM_PAIRS_SQL = """
       FROM w WHERE len(ws) >= 3
     ), sizes AS (
       SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), shc AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+      ) WHERE df <= {text.DEFAULT_MAX_DF}
     ), pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT a_id, b_id,

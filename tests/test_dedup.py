@@ -70,3 +70,50 @@ def test_near_dup_clusters_are_consistent(spark):
     pairs = text.ngram_jaccard_pairs(spark, SF_CORRECT, threshold=0.8).collect()
     for p in pairs:
         assert labels[p.a_id] == labels[p.b_id]
+
+
+def test_max_df_cap_bounds_hot_shingle_pairs(spark, tmp_path):
+    """A boilerplate shingle shared by every doc must not fan out into
+    O(n²) candidate pairs: with the df cap it is dropped from the join,
+    so only genuinely-overlapping docs pair up."""
+    boiler = "terms of service apply"
+    rows = []
+    # 40 docs sharing ONLY the boilerplate prefix + unique tails
+    for i in range(40):
+        tail = " ".join(f"tok{i}x{j}" for j in range(10))
+        rows.append((i, f"{boiler} {tail}", "en", "srcA"))
+    # one true near-dup pair with no boilerplate
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows.append((100, dup, "en", "srcB"))
+    rows.append((101, dup + " iota", "en", "srcB"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    capped = text.ngram_jaccard_pairs(
+        spark, str(tmp_path), threshold=0.05, max_df=5
+    ).collect()
+    got = {(r.a_id, r.b_id) for r in capped}
+    # the planted near-dup survives; no boilerplate-only pair does
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got), f"boilerplate pairs leaked: {got}"
+
+    # sanity: without the cap the hot shingle fans out into the
+    # quadratic pair space the cap exists to prevent (C(40,2) pairs)
+    uncapped = text.ngram_jaccard_pairs(
+        spark, str(tmp_path), threshold=0.05, max_df=10**9
+    )
+    assert uncapped.count() >= 40 * 39 // 2
+
+
+def test_max_df_default_is_noop_at_harness_scale(spark):
+    """Default cap (DEFAULT_MAX_DF) must not change results on the
+    harness corpus — max shingle df there is far below the cap."""
+    capped = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in text.ngram_jaccard_pairs(spark, SF_CORRECT).collect()
+    }
+    uncapped = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in text.ngram_jaccard_pairs(spark, SF_CORRECT, max_df=10**9).collect()
+    }
+    assert capped == uncapped and capped
