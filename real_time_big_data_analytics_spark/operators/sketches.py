@@ -11,9 +11,16 @@ at 100 TB:
 - ``percentile_approx`` — a t-digest-like quantile summary with an
   accuracy/space knob.
 
-Sketch outputs are estimator-specific, so the harness check is
-rows-only; tests/test_sketches.py pins the error bound against the
-exact answers (the meaningful notion of sketch correctness).
+Sketch outputs are estimator-specific, so a value-hash against an
+exact SQL oracle can never match. The harness-checkable form is the
+``*_checked`` bound-assertion twin of each sketch: one plan computes
+BOTH the sketch estimate and the exact answer and emits
+(keys…, exact…, within_bound) where ``within_bound`` asserts the
+estimator's documented error bound; the DuckDB oracle emits the same
+rows from the exact computation with ``within_bound = true``. The
+hash matches iff the sketch meets its bound — the meaningful notion
+of sketch correctness, and an exact comparison. tests/test_sketches.py
+additionally pins the raw estimators' error bounds.
 """
 
 from __future__ import annotations
@@ -94,3 +101,92 @@ def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("exact_both"))
     )
     return approx.crossJoin(exact)
+
+
+# Error tolerances asserted by the *_checked twins. HLL++ at default
+# rsd and theta sketches at default lgK sit well inside 5% on the
+# harness cardinalities; approx_top_k tracks far more than k items so
+# heavy-hitter counts are near-exact (2%); percentile_approx at
+# accuracy 10000 bounds rank error at n/10000.
+HLL_REL_TOL = 0.05
+# percentile_approx's guarantee is in RANK space (rank error ≤
+# n/accuracy, plus 1 rank of discretization — the sketch returns an
+# actual data value while exact percentile() interpolates). 0.02
+# covers both comfortably at any n ≥ 50.
+QUANTILE_RANK_EPS = 0.02
+TOPK_REL_TOL = 0.02
+THETA_REL_TOL = 0.05
+
+
+def distinct_users_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-assertion twin of ``distinct_user_sketch`` (see module
+    docstring): emits (event_type, exact_users, within_bound)."""
+    est = distinct_user_sketch(spark, sf_dir)
+    ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.greatest(F.col("exact_users"), F.lit(1))
+    ) <= HLL_REL_TOL
+    return est.select("event_type", "exact_users", ok.alias("within_bound"))
+
+
+def value_quantiles_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-assertion twin of ``value_quantile_sketch``: the
+    approximate p50/p95/p99 must each land inside the exact-percentile
+    bracket [percentile(q − ε), percentile(q + ε)] with
+    ε = QUANTILE_RANK_EPS — rank space is where the sketch's guarantee
+    actually lives (value-space tolerances break on heavy tails /
+    small groups). One aggregation computes sketch and exact sides
+    together — a single shuffle of pre-aggregated partials."""
+    events = load_table(spark, sf_dir, "events")
+    eps = QUANTILE_RANK_EPS
+    aggs = [
+        F.percentile_approx("value", F.lit(q), F.lit(PERCENTILE_ACCURACY)).alias(
+            f"a{int(q * 100)}"
+        )
+        for q in QUANTILES
+    ]
+    for q in QUANTILES:
+        p = int(q * 100)
+        aggs.append(F.expr(f"percentile(value, {max(q - eps, 0.0)})").alias(f"lo{p}"))
+        aggs.append(F.expr(f"percentile(value, {min(q + eps, 1.0)})").alias(f"hi{p}"))
+    df = events.groupBy("event_type").agg(*aggs, F.count("*").alias("n"))
+    oks = [
+        (
+            (F.col(f"a{p}") >= F.col(f"lo{p}")) & (F.col(f"a{p}") <= F.col(f"hi{p}"))
+        ).alias(f"ok{p}")
+        for p in (50, 95, 99)
+    ]
+    return df.select("event_type", "n", *oks)
+
+
+def frequent_words_checked(
+    spark: SparkSession, sf_dir: str, k: int = 10, sketch_k: int = 20
+) -> DataFrame:
+    """Bound-assertion twin of ``frequent_words_sketch``: every exact
+    top-``k`` word must appear in the sketch's top-``sketch_k`` with
+    its count estimated within TOPK_REL_TOL. The exact side's
+    deterministic order (n desc, word asc) makes the row set stable;
+    the 10-row × 20-row join is driver-trivial at any corpus size
+    (both sides are k-bounded aggregates)."""
+    from .text import word_topk
+
+    exact_top = word_topk(spark, sf_dir, k=k)
+    sketch = frequent_words_sketch(spark, sf_dir, k=sketch_k)
+    joined = exact_top.join(F.broadcast(sketch), "word", "left")
+    ok = F.col("est_n").isNotNull() & (
+        F.abs(F.col("est_n") - F.col("n"))
+        <= F.greatest(F.lit(1.0), F.col("n") * TOPK_REL_TOL)
+    )
+    return joined.select("word", F.col("n").alias("exact_n"), ok.alias("within_bound"))
+
+
+def theta_overlap_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-assertion twin of ``theta_user_overlap``: the sketch
+    intersection estimate must sit within THETA_REL_TOL of the exact
+    |clicks ∩ purchases| computed in the same plan."""
+    df = theta_user_overlap(spark, sf_dir)
+    ok = (
+        F.abs(F.col("approx_both") - F.col("exact_both"))
+        / F.greatest(F.col("exact_both"), F.lit(1))
+    ) <= THETA_REL_TOL
+    return df.select("exact_both", ok.alias("within_bound"))

@@ -416,9 +416,31 @@ register(
     tags=("agg", "skew", "salting"),
 )
 
-# sketch estimates are estimator-specific — rows-only + error-bound pytest
-register("sketch_distinct_users", sketches.distinct_user_sketch, tags=("sketch", "hll"))
-register("sketch_value_quantiles", sketches.value_quantile_sketch, tags=("sketch", "quantile"))
+# Sketch estimates are estimator-specific, so each registers its
+# bound-assertion twin (operators/sketches.py module docstring): the
+# Spark plan computes estimate + exact together and asserts the error
+# bound; the oracle emits the exact side with within_bound=true, so
+# the hash matches iff the sketch meets its documented bound.
+register(
+    "sketch_distinct_users",
+    sketches.distinct_users_checked,
+    sql="""
+    SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           true AS within_bound
+    FROM events GROUP BY event_type
+    """,
+    tags=("sketch", "hll"),
+)
+register(
+    "sketch_value_quantiles",
+    sketches.value_quantiles_checked,
+    sql="""
+    SELECT event_type, count(*) AS n,
+           true AS ok50, true AS ok95, true AS ok99
+    FROM events GROUP BY event_type
+    """,
+    tags=("sketch", "quantile"),
+)
 
 register(
     "q14_promo_revenue",
@@ -486,13 +508,28 @@ register(
 
 register(
     "sketch_frequent_words",
-    sketches.frequent_words_sketch,
+    sketches.frequent_words_checked,
+    sql="""
+    SELECT word, n AS exact_n, true AS within_bound FROM (
+      SELECT word, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+      GROUP BY word ORDER BY n DESC, word ASC LIMIT 10
+    )
+    """,
     tags=("sketch", "heavy-hitters"),
 )
 
 register(
     "sketch_theta_user_overlap",
-    sketches.theta_user_overlap,
+    sketches.theta_overlap_checked,
+    sql="""
+    SELECT count(*) AS exact_both, true AS within_bound FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
     tags=("sketch", "theta", "set-algebra"),
 )
 
