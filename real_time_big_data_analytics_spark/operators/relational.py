@@ -488,48 +488,53 @@ def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage-to-stage latency — the product-analytics query the
     reference's dashboard era would have pushed to Kibana.
 
-    Sequencing is inherently per-user-ordered, but no window sort is
-    needed: each stage is "min ts after the previous stage's min",
-    computed as a filtered aggregate joined to the prior stage. The
-    event_type filters push to the parquet scan (three cheap slices
-    instead of one wide sort), and every join/groupBy keys on
-    user_id, so Spark reuses one hash partitioning across all three
-    stages — at 100 TB this is three narrow passes over one shuffle
-    layout, versus a full per-user sort for the window formulation.
+    Sequencing is per-user, so the whole funnel is ONE pass over a
+    single hash(user_id) shuffle: three stacked whole-partition
+    windows derive t1 = first view, t2 = first click after t1,
+    t3 = first purchase after t2 (each ``min(when(...))`` may
+    reference the previous window's column — same window spec, so
+    Catalyst stacks the Window nodes on one exchange with no
+    re-sort), then the per-user dedup aggregate reuses that
+    partitioning and only the final 5-column global aggregate
+    shuffles again. Two exchanges total at any scale, versus the
+    join-per-stage formulation's six (PLANS.md round 1) — and the
+    scan is read once, not three times.
     """
     events = load_table(spark, sf_dir, "events")
+    ev = events.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", "ts")
 
-    def stage(event_type, prev=None, prev_ts="t_prev"):
-        s = events.filter(F.col("event_type") == event_type)
-        if prev is not None:
-            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
-        return s.groupBy("user_id").agg(F.min("ts").alias("t_cur"))
-
-    views = stage("view").withColumnRenamed("t_cur", "t1")
-    clicks = (
-        stage("click", views.select("user_id", F.col("t1").alias("t_prev")))
-        .withColumnRenamed("t_cur", "t2")
-    )
-    purchases = (
-        stage("purchase", clicks.select("user_id", F.col("t2").alias("t_prev")))
-        .withColumnRenamed("t_cur", "t3")
-    )
-    lat = (
-        views.join(clicks, "user_id", "left")
-        .join(purchases, "user_id", "left")
-        .agg(
-            F.count("t1").alias("n_viewed"),
-            F.count("t2").alias("n_clicked"),
-            F.count("t3").alias("n_purchased"),
-            round2(
-                F.avg((F.unix_millis("t2") - F.unix_millis("t1")) / 3600000.0), 4
-            ).alias("avg_hours_view_to_click"),
-            round2(
-                F.avg((F.unix_millis("t3") - F.unix_millis("t2")) / 3600000.0), 4
-            ).alias("avg_hours_click_to_purchase"),
+    wu = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(wu)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
         )
+    ).over(wu)
+    staged = staged.withColumn("t3", t3)
+
+    per_user = (
+        staged.filter(F.col("t1").isNotNull())  # funnel starts at a view
+        .groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
     )
-    return lat
+    return per_user.agg(
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked"),
+        F.count("t3").alias("n_purchased"),
+        round2(
+            F.avg((F.unix_millis("t2") - F.unix_millis("t1")) / 3600000.0), 4
+        ).alias("avg_hours_view_to_click"),
+        round2(
+            F.avg((F.unix_millis("t3") - F.unix_millis("t2")) / 3600000.0), 4
+        ).alias("avg_hours_click_to_purchase"),
+    )
 
 
 def retention_cohorts(spark: SparkSession, sf_dir: str, max_weeks: int = 8) -> DataFrame:
