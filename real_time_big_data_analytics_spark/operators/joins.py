@@ -656,7 +656,8 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFram
         .agg(F.count("*").alias("numwait"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .select("s_name", "n_name", "numwait")
-        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .select("s_name", "n_name", "numwait", "s_suppkey")
+        .orderBy(F.desc("numwait"), F.asc("s_name"), F.asc("s_suppkey"))
         .limit(k)
+        .select("s_name", "n_name", "numwait")
     )

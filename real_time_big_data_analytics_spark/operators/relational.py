@@ -379,15 +379,25 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GROUPING_SETS_SQL = """
+# Shared by both engines EXCEPT the final rounding: Spark's round()
+# and DuckDB's round() disagree on exact-tie doubles (the reason
+# functions/numeric.round2 exists), so the shared text emits the raw
+# sum and each side applies its own bit-compatible rounding.
+GROUPING_SETS_BASE_SQL = """
 SELECT o_orderstatus, o_orderpriority,
-       round(sum(o_totalprice), 2) AS total,
+       sum(o_totalprice) AS total_raw,
        count(*) AS n,
        CAST(grouping(o_orderstatus) AS INT) AS g_status,
        CAST(grouping(o_orderpriority) AS INT) AS g_priority
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                         (o_orderstatus), (o_orderpriority))
+"""
+
+GROUPING_SETS_ORACLE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, round(total_raw, 2) AS total,
+       n, g_status, g_priority
+FROM ({GROUPING_SETS_BASE_SQL})
 """
 
 
@@ -404,7 +414,13 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(GROUPING_SETS_SQL)
+    return (
+        spark.sql(GROUPING_SETS_BASE_SQL)
+        .withColumn("total", round2("total_raw"))
+        .select(
+            "o_orderstatus", "o_orderpriority", "total", "n", "g_status", "g_priority"
+        )
+    )
 
 
 def exact_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,6 +480,14 @@ def value_histogram(spark: SparkSession, sf_dir: str, n_buckets: int = 20) -> Da
     come from table statistics or a fixed domain instead, dropping to
     a single pass. The histogram aggregate shuffles ``n_buckets``
     rows at most.
+
+    The bucket width goes through nullif(width, 0): a degenerate
+    domain (min == max) would otherwise divide by zero, where Spark
+    (ANSI off) yields NULL but DuckDB yields nan — both engines
+    coalesce that edge to bucket 0. The coalesce sits INSIDE the
+    least(): DuckDB's least() ignores NULL arguments (returns 19)
+    while Spark's propagates them, so coalescing after least would
+    diverge on exactly the edge the guard exists for.
     """
     events = load_table(spark, sf_dir, "events")
     bounds = events.agg(
@@ -471,7 +495,12 @@ def value_histogram(spark: SparkSession, sf_dir: str, n_buckets: int = 20) -> Da
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(n_buckets)
     bucket = F.least(
-        F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+        F.coalesce(
+            F.floor((F.col("value") - F.col("lo")) / F.nullif(width, F.lit(0.0))).cast(
+                "int"
+            ),
+            F.lit(0),
+        ),
         F.lit(n_buckets - 1),
     )
     return (
@@ -613,9 +642,12 @@ def rolling_zscore_hourly(spark: SparkSession, sf_dir: str, trailing: int = 24) 
     One shuffle for the hourly rollup, one ordered window over the
     tiny hour-grain series. ROWS framing (not RANGE) keeps the frame
     deterministic; hours with fewer than two trailing samples yield
-    NULL stddev and a NULL z — identical semantics in the oracle. At
-    scale the window partitions by series id exactly as in
-    ``gapfill_locf_hourly``.
+    NULL stddev and a NULL z — identical semantics in the oracle. The
+    divisor goes through nullif(sd, 0): a flat trailing window (24
+    equal counts) has sd exactly 0, where Spark's ANSI-off x/0 yields
+    NULL but DuckDB's IEEE division yields inf/nan — nullif pins both
+    engines to NULL. At scale the window partitions by series id
+    exactly as in ``gapfill_locf_hourly``.
     """
     events = load_table(spark, sf_dir, "events")
     hourly = events.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
@@ -629,5 +661,5 @@ def rolling_zscore_hourly(spark: SparkSession, sf_dir: str, trailing: int = 24) 
     return hourly.select(
         "h",
         F.col("n").cast("bigint").alias("n"),
-        round2((F.col("n") - mu) / sd, 4).alias("zscore"),
+        round2((F.col("n") - mu) / F.nullif(sd, F.lit(0.0)), 4).alias("zscore"),
     )

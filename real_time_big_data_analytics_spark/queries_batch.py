@@ -770,9 +770,9 @@ register(
 register(
     "groupingsets_orders",
     relational.grouping_sets_orders,
-    # the literal SQL the Spark side executes IS the oracle — the
-    # same-text-on-both-engines property is structural, not copied
-    sql=relational.GROUPING_SETS_SQL,
+    # both engines run the same GROUPING SETS text; only the final
+    # rounding differs (round2 vs DuckDB round — tie semantics)
+    sql=relational.GROUPING_SETS_ORACLE_SQL,
     tags=("agg", "grouping-sets", "sql-surface"),
 )
 
@@ -821,7 +821,8 @@ register(
     relational.value_histogram,
     sql="""
     WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
-    SELECT CAST(least(floor((value - lo) / ((hi - lo) / 20)), 19) AS INT) AS bucket,
+    SELECT CAST(least(coalesce(floor((value - lo) / nullif((hi - lo) / 20, 0)), 0), 19)
+                AS INT) AS bucket,
            count(*) AS n
     FROM events, b GROUP BY 1
     """,
@@ -846,7 +847,7 @@ register(
     ) w
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
-    ORDER BY numwait DESC, s_name ASC
+    ORDER BY numwait DESC, s_name ASC, s_suppkey ASC
     LIMIT 20
     """,
     tags=("join", "tpch", "window"),
@@ -936,7 +937,7 @@ register(
       FROM events GROUP BY 1
     )
     SELECT h, CAST(n AS BIGINT) AS n,
-           round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 4) AS zscore
+           round((n - avg(n) OVER w) / nullif(stddev_samp(n) OVER w, 0), 4) AS zscore
     FROM hourly
     WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
     """,

@@ -145,14 +145,17 @@ def compact_parquet(
     regardless of schema width; ``coalesce`` avoids a shuffle when
     only narrowing the partition count. Run per partition directory
     in a partitioned table so partition pruning survives compaction.
+
+    Directory size comes from the Hadoop FileSystem API, so ``src``
+    may be any Spark-readable URI (hdfs://, s3a://, file:), not just
+    a bare local path — ``os.walk`` would silently report 0 bytes for
+    URIs and collapse the dataset to one file.
     """
     df = spark.read.parquet(src)
-    n_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _dirs, files in os.walk(src)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    n_bytes = fs.getContentSummary(hpath).getLength()
     n_files = max(1, round(n_bytes / (target_mb * 1024 * 1024)))
     if n_files < df.rdd.getNumPartitions():
         out = df.coalesce(n_files)
