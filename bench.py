@@ -45,7 +45,39 @@ HEADLINE = [
     "q13_customer_distribution",
     "q16_supplier_part_segments",
     "t4_stream_windowed_analytics",
+    # round-2 additions: the heaviest previously-unbenched queries,
+    # so regressions in the composed pipeline / funnel / lang-ID /
+    # q21 window families are visible round over round
+    "l6_training_pipeline",
+    "wf_funnel_counts",
+    "l4_lang_id_ngram_confusion",
+    "q21_waiting_suppliers",
 ]
+
+
+def _prev_bench() -> tuple[str, dict] | None:
+    """Latest BENCH_r{N}.json in the repo root (driver-recorded), for
+    the round-over-round regression delta."""
+    import re
+
+    best = None
+    for fn in os.listdir(REPO):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, fn)
+    if best is None:
+        return None
+    try:
+        with open(os.path.join(REPO, best[1])) as f:
+            data = json.load(f)
+        parsed = data.get("parsed", data)
+        if isinstance(parsed.get("queries"), dict):
+            return best[1], parsed["queries"]
+    except (OSError, json.JSONDecodeError):
+        pass
+    return None
 
 
 def force(df) -> None:
@@ -88,18 +120,26 @@ def main() -> None:
     stream_rps = round(n_events / timings["t4_stream_windowed_analytics"], 1)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall clock, noop sink",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "stream_events_per_sec": stream_rps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline query wall clock, noop sink",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "stream_events_per_sec": stream_rps,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Round-over-round regression signal: per-query delta vs the last
+    # driver-recorded bench (positive = slower this round).
+    prev = _prev_bench()
+    if prev is not None:
+        ref_name, ref_timings = prev
+        out["delta_vs"] = ref_name
+        out["delta_sec"] = {
+            n: round(t - ref_timings[n], 3)
+            for n, t in timings.items()
+            if n in ref_timings
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

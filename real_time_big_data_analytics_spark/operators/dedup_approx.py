@@ -124,8 +124,10 @@ def simhash_pairs(
     ``max_df`` (default ``text.DEFAULT_MAX_DF``) drops bands shared by
     more docs than the cap before the self-join — same hot-key guard
     as ``ngram_jaccard_pairs``: a degenerate band (e.g. all-zeros from
-    near-empty docs) would otherwise fan out quadratically. The window
-    count shares the join's own hash(band) shuffle.
+    near-empty docs) would otherwise fan out quadratically. The band
+    df is a map-side-combined count whose tiny hot set broadcasts
+    into an anti-join (see ``ngram_jaccard_pairs`` for why not a
+    window count).
     """
     from .text import DEFAULT_MAX_DF
 
@@ -146,13 +148,13 @@ def simhash_pairs(
             )
         ).alias("band"),
     )
-    from pyspark.sql import Window
-
-    banded = (
-        banded.withColumn("band_df", F.count("*").over(Window.partitionBy("band")))
-        .filter(F.col("band_df") <= max_df)
-        .drop("band_df")
+    hot = (
+        banded.groupBy("band")
+        .agg(F.count("*").alias("band_df"))
+        .filter(F.col("band_df") > max_df)
+        .select("band")
     )
+    banded = banded.join(F.broadcast(hot), "band", "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -244,10 +244,14 @@ def ngram_jaccard_pairs(
     exact at any scale, not just when the cap is a no-op (harness max
     shingle df is 25 at sf0.1 — far under the default 1000).
 
-    The df count shares the join's own hash(shingle) shuffle: it is a
-    window count over ``partitionBy(shingle)``, whose output
-    partitioning the self-join reuses (one Exchange + ReusedExchange —
-    see PLANS.md), so the cap costs no extra shuffle.
+    The df count is a map-side-combined ``groupBy(shingle).count()``
+    — its shuffle moves per-partition distinct-shingle partials
+    (vocab-bounded), not the full shingle stream — and the hot set it
+    yields (boilerplate only, near-empty by construction) broadcasts
+    into an anti-join ahead of the self-join. A window-count
+    formulation would share the join's shuffle but re-introduce the
+    per-partition sort of every shingle string that the SHUFFLE_HASH
+    hint below exists to avoid (measured 3× on the uncapped join).
     """
     docs = load_table(spark, sf_dir, "documents")
     with_arr = _with_shingle_array(docs, n)
@@ -267,13 +271,15 @@ def ngram_jaccard_pairs(
     sh = with_arr.select(
         "doc_id", F.size("sh_arr").alias("sz"), F.explode_outer("sh_arr").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
-    # Hot-shingle cap: window count partitioned by the join key itself,
-    # so the df computation and the self-join share one shuffle.
-    capped = (
-        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
-        .filter(F.col("df") <= max_df)
-        .drop("df")
+    # Hot-shingle cap: tiny hot set (map-side-combined count, see
+    # docstring) broadcast-anti-joined before the quadratic self-join.
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
     )
+    capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # SHUFFLE_HASH: the self-join key (shingle) is high-cardinality and
     # un-skewed (frequency-capped above), so a hash join beats
     # sort-merge — sorting hundreds of millions of shingle strings is
