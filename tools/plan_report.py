@@ -1,5 +1,8 @@
 """Generate PLANS.md: one row of physical-plan properties per batch
-query — the scale-design evidence, regenerated from the real plans.
+query — the scale-design evidence, regenerated from the real plans,
+both pre-AQE (static planning) and post-AQE (the final adaptive plan
+after execution, where runtime stats may demote/promote join
+strategies and coalesce partitions).
 
 Usage: python tools/plan_report.py [--sf DIR]
 """
@@ -29,20 +32,48 @@ PY_NODES = [
 ]
 
 
-def describe(plan: str) -> dict[str, str]:
-    joins = []
+def _joins(plan: str) -> str:
+    out = []
     for node in JOIN_NODES:
         n = plan.count(node)
         if n:
-            joins.append(f"{n}×{node.replace('Join', '')}")
-    py = [n for n in PY_NODES if n in plan]
-    return {
-        # \bExchange won't match ReusedExchange (no word boundary mid-token)
-        "exchanges": str(len(re.findall(r"\bExchange ", plan))),
-        "joins": " ".join(joins) or "—",
-        "pushed": "yes" if re.search(r"PushedFilters: \[(?!\])", plan) else "—",
+            out.append(f"{n}×{node.replace('Join', '')}")
+    return " ".join(out) or "—"
+
+
+def _exchanges(plan: str) -> int:
+    # \bExchange won't match ReusedExchange (no word boundary mid-token)
+    return len(re.findall(r"\bExchange ", plan))
+
+
+def describe(pre: str, post: str | None) -> dict[str, str]:
+    py = [n for n in PY_NODES if n in pre]
+    d = {
+        "exchanges": str(_exchanges(pre)),
+        "joins": _joins(pre),
+        "pushed": "yes" if re.search(r"PushedFilters: \[(?!\])", pre) else "—",
         "python": " ".join(py) or "—",
     }
+    if post is None:
+        d["final"] = "(not executed)"
+    else:
+        fin_joins, fin_ex = _joins(post), _exchanges(post)
+        if fin_joins == d["joins"] and str(fin_ex) == d["exchanges"]:
+            d["final"] = "same"
+        else:
+            d["final"] = f"{fin_ex} ex; {fin_joins}"
+    return d
+
+
+def final_plan(df) -> str | None:
+    """Execute the frame and return the final adaptive plan section
+    (AdaptiveSparkPlan prints final + initial once isFinalPlan=true)."""
+    try:
+        df.count()  # triggers execution of THIS QueryExecution
+        full = df._jdf.queryExecution().executedPlan().toString()
+        return full.split("Initial Plan")[0]
+    except Exception:  # pragma: no cover - report, don't die
+        return None
 
 
 def main() -> None:
@@ -61,31 +92,33 @@ def main() -> None:
         "# PLANS — physical-plan audit (auto-generated)",
         "",
         f"`python tools/plan_report.py --sf {args.sf}` regenerates this",
-        "from the executed plans: shuffle count, join strategies, whether",
-        "any filter reached the parquet scan, and which (if any) sanctioned",
-        "Arrow-vectorized Python nodes appear. Streaming queries are",
-        "excluded (replay runners, not lazy plans). Plans are captured",
-        "pre-execution: AQE may further demote a listed SortMergeJoin to a",
-        "broadcast at runtime when the build side turns out small. Exchange",
+        "from the real plans. Static columns (exchanges / join",
+        "strategies / pushdown / python) come from the pre-execution",
+        "plan; `post-AQE` re-reads the plan AFTER executing the query, so",
+        "runtime join demotions/promotions and partition coalescing are",
+        "visible — `same` means AQE kept the static strategy. Streaming",
+        "queries are excluded (replay runners, not lazy plans). Exchange",
         "counts include the round-robin spread() guards that fire only for",
         "single-row-group harness files (sources/tables.py) — at production",
         "scale those exchanges do not exist.",
         "",
-        "| query | exchanges | join strategies | pushdown | python |",
-        "|---|---|---|---|---|",
+        "| query | exchanges | join strategies | pushdown | python | post-AQE |",
+        "|---|---|---|---|---|---|",
     ]
     for name, q in sorted(all_queries().items()):
         if "streaming" in q.tags:
             continue
         n_queries += 1
         try:
-            plan = q.fn(spark, args.sf)._jdf.queryExecution().executedPlan().toString()
+            df = q.fn(spark, args.sf)
+            pre = df._jdf.queryExecution().executedPlan().toString()
         except Exception as ex:  # pragma: no cover - report, don't die
-            lines.append(f"| `{name}` | ERROR | {type(ex).__name__} | | |")
+            lines.append(f"| `{name}` | ERROR | {type(ex).__name__} | | | |")
             continue
-        d = describe(plan)
+        d = describe(pre, final_plan(df))
         lines.append(
-            f"| `{name}` | {d['exchanges']} | {d['joins']} | {d['pushed']} | {d['python']} |"
+            f"| `{name}` | {d['exchanges']} | {d['joins']} | {d['pushed']} "
+            f"| {d['python']} | {d['final']} |"
         )
     out = os.path.join(REPO, "PLANS.md")
     with open(out, "w") as f:
