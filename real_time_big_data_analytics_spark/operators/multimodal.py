@@ -101,14 +101,47 @@ def decode_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+# The contract both codecs (fake and real) must honor: one value per
+# non-key field of DECODED_SCHEMA. tests/test_multimodal.py pins the
+# fake's output AND decode_real's return shape to this, so swapping
+# the real codec in cannot silently drift from the Spark-side schema.
+DECODE_CONTRACT_FIELDS = tuple(f.name for f in DECODED_SCHEMA if f.name != "doc_id")
+
+
+def have_real_codec() -> bool:
+    """True when an image codec library is importable (not baked into
+    this container; the seam activates automatically if one appears)."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
 def decode_real(payload: bytes) -> dict:
-    """The real-codec seam — intentionally unimplemented in this
-    container (no image/audio libraries baked in)."""
-    raise NotImplementedError(
-        "real image/audio decode requires codec libraries not present "
-        "in this environment; use decode_image_metadata (deterministic "
-        "fake) for pipeline testing"
-    )
+    """The real-codec seam: decode one image payload to the
+    DECODE_CONTRACT_FIELDS dict. Uses PIL when available; otherwise
+    raises the disclosed NotImplementedError (no codec libraries in
+    this container — the deterministic fake in
+    ``decode_image_metadata`` keeps the pipeline testable)."""
+    if not have_real_codec():
+        raise NotImplementedError(
+            "real image/audio decode requires codec libraries not present "
+            "in this environment; use decode_image_metadata (deterministic "
+            "fake) for pipeline testing"
+        )
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        im.load()
+        return {
+            "n_bytes": len(payload),
+            "width": im.width,
+            "height": im.height,
+            "channels": len(im.getbands()),
+        }
 
 
 AUDIO_SCHEMA = T.StructType(

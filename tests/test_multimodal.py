@@ -29,9 +29,40 @@ def test_decode_metadata_consistent_with_payload(spark, sf_dir):
         assert r.channels == 3
 
 
-def test_real_decode_is_explicit_stub():
+def test_real_decode_is_explicit_stub_without_codec():
+    if multimodal.have_real_codec():
+        pytest.skip("codec library present; covered by the contract test")
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"\x89PNG")
+
+
+def test_decode_seam_contract_matches_fake():
+    """The real-codec seam and the deterministic fake must agree on
+    the exact field set of DECODED_SCHEMA, so wiring a real codec in
+    cannot drift from the Spark-side schema."""
+    import pandas as pd
+
+    fake_cols = list(
+        multimodal._fake_decode(
+            pd.DataFrame({"doc_id": [1], "payload": [b"xyz"]})
+        ).columns
+    )
+    schema_cols = [f.name for f in multimodal.DECODED_SCHEMA.fields]
+    assert fake_cols == schema_cols
+    assert tuple(schema_cols[1:]) == multimodal.DECODE_CONTRACT_FIELDS
+
+    if multimodal.have_real_codec():
+        # real path: a 1×1 PNG must decode to exactly the contract keys
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (1, 1)).save(buf, format="PNG")
+        out = multimodal.decode_real(buf.getvalue())
+        assert set(out) == set(multimodal.DECODE_CONTRACT_FIELDS)
+        assert out["width"] == out["height"] == 1 and out["channels"] == 3
+        assert all(isinstance(v, int) for v in out.values())
 
 
 def test_audio_features_match_numpy_reference(spark, sf_dir):
