@@ -51,13 +51,15 @@ def _load_all() -> None:
 # round (round 1 covered exactly the first 50 names, in registration
 # order). Registration order follows module layout, so without an
 # explicit order the same 50 queries would be re-verified every round
-# and the rest never. This list rotates the round-1-unverified surface
-# (the LLM-pipeline L-series, streaming T-series, ML M-series, and the
-# four sketch queries whose oracle twins are new this round) into the
-# checked prefix; everything else keeps registration order behind it.
-# Round-1 receipts for the previously-checked queries live in
-# CORRECTNESS_r01.json, and tools/check.py runs the full surface
-# locally regardless of this ordering.
+# and the rest never. ``all_queries`` therefore orders the registry
+# NEVER-DRIVER-VERIFIED-FIRST: it reads every CORRECTNESS_r*.json
+# receipt in the repo root and front-loads queries that still lack a
+# green row (hash_match for oracle-backed queries; any recorded row
+# for rows-only ones), so the checked prefix self-rotates round over
+# round with no manual edits. This tuple is the tie-break ordering
+# WITHIN the unverified tier (round-2 curation: L-series, M, T,
+# sketches); unlisted names follow in registration order. Full-surface
+# local receipts: tools/check.py --json.
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # L-series: dedup / text-analysis / similarity / multimodal / mix
     "l1_exact_dedup",
@@ -116,12 +118,42 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 )
 
 
+def _driver_verified() -> set[str]:
+    """Names with a conclusive row in any driver correctness receipt:
+    a hash-matched oracle comparison, or (for queries registered
+    without an oracle) any recorded run."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rounds = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, rec in rounds.items():
+            if not isinstance(rec, dict) or name not in QUERIES:
+                continue
+            if rec.get("hash_match") is True:
+                verified.add(name)
+            elif QUERIES[name].sql is None and rec.get("spark_rows") is not None:
+                verified.add(name)
+    return verified
+
+
 def all_queries() -> dict[str, Query]:
     _load_all()
     prio = {n: i for i, n in enumerate(DRIVER_CHECK_PRIORITY)}
     missing = [n for n in prio if n not in QUERIES]
     if missing:
         raise RuntimeError(f"DRIVER_CHECK_PRIORITY names unknown queries: {missing}")
+    verified = _driver_verified()
     reg_order = {n: i for i, n in enumerate(QUERIES)}
-    names = sorted(QUERIES, key=lambda n: (prio.get(n, len(prio)), reg_order[n]))
+    names = sorted(
+        QUERIES,
+        key=lambda n: (n in verified, prio.get(n, len(prio)), reg_order[n]),
+    )
     return {n: QUERIES[n] for n in names}

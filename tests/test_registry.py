@@ -43,3 +43,21 @@ def test_entry_contract(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_unverified_queries_lead_the_registry_order():
+    """The harness checks a bounded prefix of queries(); names without
+    a conclusive driver-receipt row (CORRECTNESS_r*.json) must sort
+    ahead of already-verified ones so coverage rotates across rounds."""
+    from real_time_big_data_analytics_spark.registry import _driver_verified
+
+    verified = _driver_verified()
+    names = list(QUERIES)
+    if not verified or len(verified) == len(names):
+        pytest.skip("rotation only observable with a partial receipt")
+    first_verified = min(i for i, n in enumerate(names) if n in verified)
+    last_unverified = max(i for i, n in enumerate(names) if n not in verified)
+    assert last_unverified < first_verified, (
+        f"unverified query at position {last_unverified} sorts after "
+        f"verified one at {first_verified}"
+    )

@@ -84,37 +84,61 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--json",
+        metavar="OUT",
+        help="also write a per-query result map in the driver's "
+        "CORRECTNESS_r{N}.json shape (the committed full-surface receipt)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     qs = all_queries()
-    names = args.names or sorted(qs)
+    names = args.names or list(qs)
     spark = get_spark("check")
     con = duck_connection(args.sf)
 
     failures = 0
+    results: dict[str, dict] = {}
     for name in names:
         q = qs[name]
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        results[name] = rec
         t0 = time.monotonic()
         try:
             sdf = q.fn(spark, args.sf).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            rec["err"] = f"spark:{type(e).__name__}"
             failures += 1
             continue
         dt = time.monotonic() - t0
+        rec["spark_rows"] = len(sdf)
         if q.sql is None:
             status = "rows-only"
             ok = len(sdf) >= 0
+            rec["err"] = "no_oracle"
             print(f"{'ok  ' if ok else 'FAIL'} {name} [{status}] rows={len(sdf)} ({dt:.1f}s)")
             continue
         try:
             odf = con.execute(q.sql).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
+            rec["err"] = f"oracle:{type(e).__name__}"
             failures += 1
             continue
+        rec["oracle_rows"] = len(odf)
         problems = compare(name, sdf, odf)
+        rec["rows_match"] = len(sdf) == len(odf)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+        rec["hash_match"] = not problems
         if problems:
             failures += 1
             print(f"FAIL {name} ({dt:.1f}s)")
@@ -123,6 +147,12 @@ def main() -> int:
         else:
             print(f"ok   {name} rows={len(sdf)} ({dt:.1f}s)")
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {args.json}")
     return 1 if failures else 0
 
 
