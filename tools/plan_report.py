@@ -67,9 +67,14 @@ def describe(pre: str, post: str | None) -> dict[str, str]:
 
 def final_plan(df) -> str | None:
     """Execute the frame and return the final adaptive plan section
-    (AdaptiveSparkPlan prints final + initial once isFinalPlan=true)."""
+    (AdaptiveSparkPlan prints final + initial once isFinalPlan=true).
+
+    Must be ``collect()``, not ``count()``: count() builds and runs a
+    DIFFERENT Dataset, leaving this frame's own QueryExecution
+    unexecuted (isFinalPlan=false → the 'final' plan would just echo
+    the static one). Result sizes are bounded at the audit SF."""
     try:
-        df.count()  # triggers execution of THIS QueryExecution
+        df.collect()  # triggers execution of THIS QueryExecution
         full = df._jdf.queryExecution().executedPlan().toString()
         return full.split("Initial Plan")[0]
     except Exception:  # pragma: no cover - report, don't die
