@@ -53,23 +53,23 @@ def near_dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # The convergence flag rides the SAME checkpointed round result,
+        # so the changed-count is a filter over the materialized rows —
+        # a separate old-vs-new join per round would double the loop's
+        # shuffle count for pure bookkeeping.
+        lbl = F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
         new_labels = (
             labels.join(neigh_min, labels.node == neigh_min.src, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+                lbl.alias("new_label"),
+                (lbl != F.col("label")).alias("changed"),
             )
+            .withColumnRenamed("new_label", "label")
             .localCheckpoint()
         )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "node")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").count()
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
 
