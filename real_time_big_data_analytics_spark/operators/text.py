@@ -104,6 +104,55 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — Gopher-style repetition quality signals, aggregated per
+    language: mean top-word fraction (most frequent word's share of
+    tokens), mean duplicate-bigram fraction (1 − distinct/total
+    bigrams), and how many documents a repetition gate would drop.
+
+    Every per-document metric is a row-side array HOF over the split
+    token array — top-word count is ``array_max`` over per-distinct-
+    word ``filter`` counts (O(distinct × len) inside the row, fine for
+    document-scale arrays), bigram stats come from
+    ``sequence → slice → array_distinct``. No shuffle touches
+    documents: the only exchange in the plan is the final
+    per-language aggregate, so the operator scales as a narrow map
+    pass — the explode→groupBy formulation would shuffle every
+    (doc, word) pair instead.
+    """
+    from ..sources.tables import spread
+
+    # spread(): the array HOFs are the CPU hot spot and the harness
+    # corpus scans as one partition (see _with_shingle_array).
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(F.size(_words()) >= 2)
+    )
+    ws = _words()
+    top_w = F.expr(
+        "array_max(transform(array_distinct(split(text, ' ')), "
+        "w -> size(filter(split(text, ' '), x -> x = w))))"
+    )
+    bg = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+    )
+    frac_top_word = top_w.cast("double") / F.size(ws)
+    frac_dup_bigram = F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / F.size(bg)
+    flagged = (frac_top_word > 0.2) | (frac_dup_bigram > 0.3)
+    per_doc = docs.select(
+        "lang",
+        frac_top_word.alias("ftw"),
+        frac_dup_bigram.alias("fdb"),
+        flagged.cast("int").alias("flagged"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        round2(F.avg("ftw"), 4).alias("avg_top_word_frac"),
+        round2(F.avg("fdb"), 4).alias("avg_dup_bigram_frac"),
+        F.sum("flagged").alias("n_flagged"),
+    )
+
+
 def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 — character-frequency language-ID heuristic.
 

@@ -177,6 +177,33 @@ register(
     tags=("text", "lang-id", "ngram"),
 )
 
+register(
+    "l4_repetition_scores",
+    text.repetition_scores,
+    sql="""
+    WITH d AS (
+      SELECT lang, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), per_doc AS (
+      SELECT lang,
+             CAST(list_max(list_transform(list_distinct(ws),
+                    w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+               / len(ws) AS ftw,
+             1.0 - CAST(len(list_distinct(list_transform(range(1, len(ws)),
+                    i -> concat_ws(' ', ws[i], ws[i+1])))) AS DOUBLE)
+               / (len(ws) - 1) AS fdb
+      FROM d
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(ftw), 4) AS avg_top_word_frac,
+           round(avg(fdb), 4) AS avg_dup_bigram_frac,
+           CAST(sum(CASE WHEN ftw > 0.2 OR fdb > 0.3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("text", "quality", "repetition"),
+)
+
 # --- L2 near-dup dedup ---
 
 # shared by the pair query and the cluster oracle below; mirrors the

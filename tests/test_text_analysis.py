@@ -93,3 +93,21 @@ def test_sequence_packing_bins_are_bounded(spark, sf_dir):
     for rows in by_source.values():
         ids = sorted(r.bin_id for r in rows)
         assert ids == list(range(len(ids)))
+
+
+def test_repetition_scores_flag_degenerate_docs(spark, tmp_path):
+    """A fully-repeated document must score ~1.0 on both repetition
+    fractions and be flagged; a varied document must not."""
+    from real_time_big_data_analytics_spark.operators.text import repetition_scores
+
+    rows = [
+        (1, " ".join(["spam"] * 20), "en", "s"),
+        (2, "each word here appears exactly once in this doc", "fr", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in repetition_scores(spark, str(tmp_path)).collect()}
+    assert out["en"].avg_top_word_frac == 1.0
+    assert out["en"].avg_dup_bigram_frac > 0.9
+    assert out["en"].n_flagged == 1
+    assert out["fr"].n_flagged == 0 and out["fr"].avg_dup_bigram_frac == 0.0
