@@ -153,6 +153,57 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deliberately simple patterns that parse identically under Java
+# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — PII detection + redaction audit, per language: match
+    counts per pattern class (email / phone / IPv4), documents
+    containing any PII, and how many characters redaction removes
+    (every match replaced by the fixed ``<PII>`` token).
+
+    Pure native regexp expressions (``regexp_count`` /
+    ``regexp_replace``) — a narrow map pass with the per-language
+    aggregate as the only shuffle, the same shape a production
+    scrubbing stage has before writing cleaned shards. The harness
+    corpus contains no PII (all counts 0 — the oracle confirms the
+    detector doesn't false-positive); detection and redaction
+    behavior is pinned on planted documents in
+    tests/test_text_analysis.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # F.lit(pattern), NOT an expr() SQL literal: Spark SQL string
+    # literals eat backslash escapes, silently turning '\.' into '.'
+    # (any char) and making the IPv4 pattern match phone numbers.
+    counts = {
+        k: F.regexp_count(F.col("text"), F.lit(p)) for k, p in PII_PATTERNS.items()
+    }
+    redacted = F.col("text")
+    for p in PII_PATTERNS.values():
+        redacted = F.regexp_replace(redacted, p, "<PII>")
+    any_pii = sum(counts.values()) > 0
+    per_doc = docs.select(
+        "lang",
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        any_pii.cast("int").alias("has_pii"),
+        (F.length("text") - F.length(redacted)).alias("chars_removed"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("n_email"),
+        F.sum("n_phone").cast("bigint").alias("n_phone"),
+        F.sum("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.sum("has_pii").cast("bigint").alias("n_docs_with_pii"),
+        F.sum("chars_removed").cast("bigint").alias("chars_removed"),
+    )
+
+
 def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 — character-frequency language-ID heuristic.
 

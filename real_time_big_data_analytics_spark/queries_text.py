@@ -204,6 +204,41 @@ register(
     tags=("text", "quality", "repetition"),
 )
 
+_EM, _PH, _IP = (
+    text.PII_PATTERNS["email"],
+    text.PII_PATTERNS["phone"],
+    text.PII_PATTERNS["ipv4"],
+)
+register(
+    "l4_pii_scrub_stats",
+    text.pii_scrub_stats,
+    # same replace order as the Spark side (email → phone → ipv4);
+    # DuckDB needs the 'g' flag where Spark replaces globally by default
+    sql=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '{_EM}')) AS n_email,
+             len(regexp_extract_all(text, '{_PH}')) AS n_phone,
+             len(regexp_extract_all(text, '{_IP}')) AS n_ipv4,
+             length(text) - length(
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_EM}', '<PII>', 'g'),
+                 '{_PH}', '<PII>', 'g'),
+                 '{_IP}', '<PII>', 'g')) AS chars_removed
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS n_email,
+           CAST(sum(n_phone) AS BIGINT) AS n_phone,
+           CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+           CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_with_pii,
+           CAST(sum(chars_removed) AS BIGINT) AS chars_removed
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("text", "pii", "redaction"),
+)
+
 # --- L2 near-dup dedup ---
 
 # shared by the pair query and the cluster oracle below; mirrors the

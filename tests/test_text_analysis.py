@@ -111,3 +111,43 @@ def test_repetition_scores_flag_degenerate_docs(spark, tmp_path):
     assert out["en"].avg_dup_bigram_frac > 0.9
     assert out["en"].n_flagged == 1
     assert out["fr"].n_flagged == 0 and out["fr"].avg_dup_bigram_frac == 0.0
+
+
+def test_pii_scrub_detects_and_redacts_planted_docs(spark, tmp_path):
+    """Planted email/phone/IP must be counted per class and the
+    redaction char accounting must equal the actual shrinkage."""
+    from real_time_big_data_analytics_spark.operators.text import pii_scrub_stats
+
+    rows = [
+        (1, "contact me at jo.doe+x@mail-host.org or 555-123-4567 ok", "en", "s"),
+        (2, "server at 192.168.1.250 rebooted", "en", "s"),
+        (3, "totally clean text with no identifiers at all", "fr", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in pii_scrub_stats(spark, str(tmp_path)).collect()}
+    en = out["en"]
+    assert (en.n_email, en.n_phone, en.n_ipv4) == (1, 1, 1)
+    assert en.n_docs_with_pii == 2
+    # doc1: email (22 ch) + phone (12 ch) -> 2 * <PII> (5 ch); doc2: ip (13 ch)
+    assert en.chars_removed == (22 - 5) + (12 - 5) + (13 - 5)
+    fr = out["fr"]
+    assert fr.n_docs_with_pii == 0 and fr.chars_removed == 0
+
+    # cross-engine parity on PII-BEARING text (the harness corpus is
+    # PII-free, so the registry oracle can't exercise the patterns)
+    import duckdb
+
+    from real_time_big_data_analytics_spark.registry import all_queries
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    odf = con.execute(all_queries()["l4_pii_scrub_stats"].sql).df()
+    oracle = {r["lang"]: r for _, r in odf.iterrows()}
+    assert int(oracle["en"]["n_email"]) == 1
+    assert int(oracle["en"]["n_phone"]) == 1
+    assert int(oracle["en"]["n_ipv4"]) == 1
+    assert int(oracle["en"]["chars_removed"]) == en.chars_removed
