@@ -100,13 +100,15 @@ def main() -> None:
         force(queries[wq].fn(spark, warm_sf))
     force(spark.read.parquet(os.path.join(SF_DIR, "region.parquet")))
 
-    # Best of two runs per query: the second run reuses nothing (noop
-    # sink, no caching) but sits past one-time plan/codegen compilation,
-    # so min() reports steady-state latency with less scheduler noise.
+    # Best of three runs per query: repeats reuse nothing (noop sink,
+    # no caching) but sit past one-time plan/codegen compilation, so
+    # min() reports steady-state latency. Three, not two — on a shared
+    # host a single contended run otherwise sets the recorded number
+    # (observed 2-7× first-run inflation after idle periods).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             force(queries[name].fn(spark, SF_DIR))
             runs.append(time.monotonic() - t0)
