@@ -179,6 +179,108 @@ def knn_ivf(
     return _ranked_topk(sims, k)
 
 
+def ivf_index_write(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_cells: int = 8,
+    seed: int = 7,
+) -> None:
+    """Persist the IVF index: corpus vectors written as parquet
+    PARTITIONED BY coarse-quantizer cell, centroids alongside.
+
+    This is the serving half of billion-vector ANN: the index is
+    built once (KMeans + one partitioned write) and every probe
+    afterwards reads only its ``n_probe`` cell directories via static
+    partition pruning — IO drops to ~n_probe/n_cells of the corpus
+    with no recluster per query, unlike ``knn_ivf`` which re-fits on
+    each call (fine for one-shot analytics, wrong for serving).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vecs = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("fv"),
+    ).cache()
+    model = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell").fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{index_dir}/vectors")
+    centers = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(centers, "cell int, center array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    vecs.unpersist()
+
+
+def knn_ivf_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    index_dir: str | None = None,
+) -> DataFrame:
+    """L3 (persisted-IVF variant) — kNN against the partitioned index
+    written by ``ivf_index_write``, building it first if absent
+    (idempotent, deterministic seed).
+
+    Probe-cell selection is driver-side metadata work (n_queries ×
+    n_cells distances on the kilobyte centroid table); the corpus scan
+    carries ``cell IN (probed)`` as a STATIC partition filter, so only
+    the probed cell directories are listed and read
+    (plan-pinned by tests/test_similarity.py). At 100 TB this is the
+    difference between touching ~n_probe/n_cells of the files and
+    touching all of them.
+    """
+    import os
+    import tempfile
+
+    import numpy as np
+
+    if index_dir is None:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        index_dir = os.path.join(
+            tempfile.gettempdir(), "rtba_ivf_index", f"{tag}_c{n_cells}"
+        )
+    if not os.path.isdir(os.path.join(index_dir, "vectors")):
+        ivf_index_write(spark, sf_dir, index_dir, n_cells=n_cells)
+
+    centers_rows = spark.read.parquet(f"{index_dir}/centroids").collect()
+    centers = np.zeros((len(centers_rows), len(centers_rows[0].center)))
+    for r in centers_rows:
+        centers[r.cell] = r.center
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_rows = []
+    for r in emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect():
+        q = np.asarray(r.embedding, dtype=float)
+        d2 = ((centers - q) ** 2).sum(axis=1)
+        for c in np.argsort(d2)[:n_probe]:
+            probe_rows.append((r.vec_id, int(c), [float(x) for x in q]))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, cell int, q array<double>"
+    )
+    probed_cells = sorted({c for _, c, _ in probe_rows})
+
+    idx = spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("cell").isin(probed_cells)  # static partition pruning
+    )
+    cands = idx.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sims = cands.select(
+        "query_id",
+        "vec_id",
+        round2(cosine_similarity("q", "embedding"), 6).alias("sim"),
+    )
+    return _ranked_topk(sims, k)
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 — multimodal array column ops: per-label L2-norm statistics."""
     emb = load_table(spark, sf_dir, "embeddings")

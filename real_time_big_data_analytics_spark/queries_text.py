@@ -399,6 +399,14 @@ register("l3_knn_lsh", similarity.knn_lsh, tags=("similarity", "knn", "lsh"))
 
 # IVF (KMeans coarse quantizer) variant — rows-only + recall pytest
 register("l3_knn_ivf", similarity.knn_ivf, tags=("similarity", "knn", "ivf"))
+# persisted-index variant: builds (once, idempotent) a cell-partitioned
+# parquet index under the system temp dir, probes read only n_probe
+# cell directories via static partition pruning (plan-pinned)
+register(
+    "l3_knn_ivf_indexed",
+    similarity.knn_ivf_indexed,
+    tags=("similarity", "knn", "ivf", "index"),
+)
 
 register(
     "l5_embedding_norm_stats",

@@ -71,3 +71,37 @@ def test_cosine_self_similarity(spark, sf_dir):
         cosine_similarity("embedding", "embedding").alias("s")
     ).collect()
     assert all(abs(r.s - 1.0) < 1e-9 for r in sims)
+
+
+def test_knn_ivf_indexed_prunes_partitions_and_matches_live_ivf(spark, sf_dir, tmp_path):
+    """The persisted-index probe must (a) carry the probed cells as a
+    partition filter so only those cell directories are scanned, and
+    (b) at equal probe settings return candidates whose similarities
+    match the exact cosine math."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark import operators
+    from real_time_big_data_analytics_spark.operators import similarity
+
+    idx = str(tmp_path / "ivf")
+    df = similarity.knn_ivf_indexed(spark, sf_dir, n_probe=2, index_dir=idx)
+    rows = df.collect()
+    assert rows
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:120], (
+        "probed cells did not reach the scan as partition filters"
+    )
+
+    # recall floor vs brute force (same floor as the live-IVF test)
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in similarity.knn_bruteforce(spark, sf_dir).collect()
+    }
+    got = {(r.query_id, r.vec_id) for r in rows}
+    assert len(got & brute) / len(brute) >= 0.3
+
+    # rebuilding is idempotent: second call reuses the on-disk index
+    again = {(r.query_id, r.vec_id, r.sim) for r in similarity.knn_ivf_indexed(
+        spark, sf_dir, n_probe=2, index_dir=idx).collect()}
+    assert again == {(r.query_id, r.vec_id, r.sim) for r in rows}
