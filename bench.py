@@ -60,23 +60,22 @@ def _prev_bench() -> tuple[str, dict] | None:
     the round-over-round regression delta."""
     import re
 
-    best = None
+    candidates = []
     for fn in os.listdir(REPO):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
         if m:
-            n = int(m.group(1))
-            if best is None or n > best[0]:
-                best = (n, fn)
-    if best is None:
-        return None
-    try:
-        with open(os.path.join(REPO, best[1])) as f:
-            data = json.load(f)
-        parsed = data.get("parsed", data)
-        if isinstance(parsed.get("queries"), dict):
-            return best[1], parsed["queries"]
-    except (OSError, json.JSONDecodeError):
-        pass
+            candidates.append((int(m.group(1)), fn))
+    # Newest first, but skip crashed rounds ("parsed": null, rc!=0) —
+    # fall back to the most recent bench that actually has timings.
+    for _, fn in sorted(candidates, reverse=True):
+        try:
+            with open(os.path.join(REPO, fn)) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = data.get("parsed") or data
+        if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+            return fn, parsed["queries"]
     return None
 
 

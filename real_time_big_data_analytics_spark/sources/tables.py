@@ -36,22 +36,49 @@ TABLE_NAMES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every timestamp-ish column to session-local TIMESTAMP.
+
+    The upstream generator has shipped the ``events.ts`` column in a
+    different physical encoding each round:
+
+    - parquet TIMESTAMP(NANOS) → Spark (with
+      ``spark.sql.legacy.parquet.nanosAsLong``) surfaces a ``bigint``
+      of epoch nanos;
+    - naive parquet ``timestamp[us]`` → Spark 4.x surfaces
+      ``TIMESTAMP_NTZ``;
+    - tz-aware ``timestamp[us, tz=UTC]`` → plain ``TIMESTAMP``.
+
+    All downstream operators (windows, watermarks, as-of joins) want
+    one type: session-zone TIMESTAMP.  The session runs in UTC
+    (session.py), so the NTZ→LTZ cast preserves wall-clock fields and
+    stays value-identical to DuckDB's naive read of the same file.
+    Every loader — batch or streaming — must route through here; no
+    query reads ``ts`` raw.
+    """
+    for f in df.schema.fields:
+        kind = f.dataType.simpleString()
+        if kind == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+        elif f.name == "ts" and kind == "bigint":
+            # epoch nanos from the legacy nanosAsLong path; integer
+            # floor-div keeps it lossless at microsecond precision.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one harness table (SURVEY.md §2.1 S10).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    rejects by default; we read it as a long and convert to a
-    microsecond timestamp with integer arithmetic (lossless for this
-    data — the generator emits microsecond precision).
+    Timestamp columns are normalized to session-zone TIMESTAMP
+    regardless of the file's physical encoding — see
+    :func:`normalize_timestamps`.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for f in df.schema.fields:
-        if name == "events" and f.name == "ts" and f.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_timestamps(df)
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -51,9 +51,14 @@ def _stream_shuffle_partitions(spark: SparkSession):
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded view of the events table via file-stream replay.
 
-    Schema comes from the batch footer (no inference on streams);
-    TIMESTAMP(NANOS) handled as in sources/tables.py.
+    Schema comes from the batch footer (no inference on streams); all
+    timestamp encodings (nanos-long / NTZ / LTZ) are normalized by the
+    shared sources.tables.normalize_timestamps helper — watermarks
+    reject TIMESTAMP_NTZ, so the cast must happen here, before any
+    event-time operator sees the column.
     """
+    from ..sources.tables import normalize_timestamps
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
@@ -62,9 +67,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="rtba_stream_src_")
     os.symlink(path, os.path.join(stage, "events.parquet"))
     stream = spark.readStream.schema(schema).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_timestamps(stream)
 
 
 def run_foreach_batch(
