@@ -329,38 +329,48 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """L2 (exact variant) — near-duplicate pairs by n-gram Jaccard.
 
-    shingle → self-equi-join on shingle → per-pair intersection count
-    → Jaccard via |A|+|B|-|∩|. The equi-join shuffles on the shingle
-    key; hot shingles are capped ON BY DEFAULT: a shingle occurring in
-    more than ``max_df`` docs is dropped from the candidate join
-    (boilerplate n-grams carry no dedup signal), bounding the
-    worst-case fan-out per shingle at max_df²/2 pairs exactly like LSH
-    band bucketing — one boilerplate shingle shared by 1 M docs would
-    otherwise emit ~5·10¹¹ join rows. Semantics: candidate pruning
-    only — |A| and |B| stay the full distinct-shingle counts, so pairs
-    whose overlap survives the cap score their true Jaccard, and pairs
-    whose ONLY overlap is boilerplate are (intentionally) not emitted.
-    The DuckDB oracle applies the identical df filter, so the check is
-    exact at any scale, not just when the cap is a no-op (harness max
-    shingle df is 25 at sf0.1 — far under the default 1000).
+    shingle → group docs BY shingle → emit i<j pairs per group →
+    per-pair intersection count → Jaccard via |A|+|B|-|∩|.
 
-    The df count is a map-side-combined ``groupBy(shingle).count()``
-    — its shuffle moves per-partition distinct-shingle partials
-    (vocab-bounded), not the full shingle stream — and the hot set it
-    yields (boilerplate only, near-empty by construction) broadcasts
-    into an anti-join ahead of the self-join. A window-count
-    formulation would share the join's shuffle but re-introduce the
-    per-partition sort of every shingle string that the SHUFFLE_HASH
-    hint below exists to avoid (measured 3× on the uncapped join).
+    One full shuffle of the shingle stream, total. A self-equi-join
+    formulation (the previous shape here) shuffles that same stream
+    TWICE (once per join side), computes the CPU-heavy shingle
+    transform once per branch that references it, and needs a separate
+    doc-frequency pre-pass to cap hot shingles. Grouping instead
+    subsumes all three: ``collect_list`` gathers each shingle's
+    (doc_id, |doc|) postings in the one shuffle, the group SIZE is the
+    doc frequency (so the ``max_df`` cap is a free post-collect
+    filter), and sorted i<j pair expansion runs JVM-side inside the
+    same stage. Measured 2.7 s → 1.9 s at sf0.1 vs the join + df-count
+    + broadcast-anti shape; the shingle transform drops from three
+    evaluations to one — at 100 TB that is two fewer full-corpus scans.
+
+    The ``max_df`` cap is ON BY DEFAULT: a shingle occurring in more
+    than ``max_df`` docs is dropped before pair expansion (boilerplate
+    n-grams carry no dedup signal), bounding worst-case fan-out per
+    shingle at max_df²/2 pairs exactly like LSH band bucketing — one
+    boilerplate shingle shared by 1 M docs would otherwise emit
+    ~5·10¹¹ pair rows. Semantics: candidate pruning only — |A| and |B|
+    stay the full distinct-shingle counts, so surviving pairs score
+    their true Jaccard; pairs whose ONLY overlap is boilerplate are
+    (intentionally) not emitted. The DuckDB oracle applies the
+    identical df filter, so the check is exact at any scale, not just
+    when the cap is a no-op (harness max shingle df is 25 at sf0.1).
+
+    Scale note on the collect buffer: a pathological mega-df shingle
+    materializes its postings list in one aggregation buffer before
+    the size filter drops it (1 M docs ≈ 16 MB; ObjectHashAggregate
+    falls back to sort-based spill beyond that). That bounded spill is
+    cheaper than the alternative it replaces — a df-count pre-pass
+    that re-scans the corpus and re-runs the shingle transform.
     """
     docs = load_table(spark, sf_dir, "documents")
     with_arr = _with_shingle_array(docs, n)
     # |doc| (the distinct-shingle count) is functionally dependent on
     # doc_id, so it rides along each exploded row — 8 bytes per
-    # shuffle row — and falls out of the pair aggregation for free.
-    # The alternative (join sizes back onto the pairs) re-scans the
-    # raw text and re-computes the shingle transform once per side:
-    # two extra full corpus scans at 100 TB.
+    # shuffle row — and falls out of pair expansion for free. The
+    # alternative (join sizes back onto the pairs) re-scans the raw
+    # text and re-computes the shingle transform once per side.
     # explode_outer, NOT explode: plain explode lets Catalyst infer a
     # non-empty-array predicate and push it below the spread()
     # exchange — the scan then evaluates the whole shingle transform
@@ -371,27 +381,31 @@ def ngram_jaccard_pairs(
     sh = with_arr.select(
         "doc_id", F.size("sh_arr").alias("sz"), F.explode_outer("sh_arr").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
-    # Hot-shingle cap: tiny hot set (map-side-combined count, see
-    # docstring) broadcast-anti-joined before the quadratic self-join.
-    hot = (
+    # array_sort on struct<doc_id,sz> orders by doc_id (first field),
+    # so i<j expansion below guarantees a_id < b_id with no extra
+    # comparison; slice() start is 1-based → i+2 skips self and priors.
+    pairs = (
         sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), y -> "
+                    "struct(x.doc_id as a_id, x.sz as sz_a, "
+                    "y.doc_id as b_id, y.sz as sz_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
     )
-    capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    # SHUFFLE_HASH: the self-join key (shingle) is high-cardinality and
-    # un-skewed (frequency-capped above), so a hash join beats
-    # sort-merge — sorting hundreds of millions of shingle strings is
-    # pure overhead (measured 3× slower here).
-    a, b = capped.alias("a"), capped.alias("b").hint("SHUFFLE_HASH")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        pairs.groupBy("a_id", "b_id")
         .agg(
             F.count("*").alias("inter"),
-            F.first(F.col("a.sz")).alias("sz_a"),
-            F.first(F.col("b.sz")).alias("sz_b"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
         )
     )
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))

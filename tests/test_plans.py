@@ -42,12 +42,15 @@ def test_aggregations_stay_in_codegen(spark, sf_dir):
     assert codegen_stages(df) >= 1
 
 
-def test_shingle_self_join_uses_shuffle_hash(spark, sf_dir):
-    """The high-cardinality string self-join must hash, not sort."""
+def test_shingle_pairs_single_shuffle_no_join(spark, sf_dir):
+    """The pair generator groups postings by shingle — exactly one
+    exchange of the shingle stream, no self-join (a join shape shuffles
+    the stream twice and runs the shingle transform once per branch)."""
     from real_time_big_data_analytics_spark.operators import text
 
-    df = text.ngram_jaccard_pairs(spark, sf_dir)
-    assert "ShuffledHashJoin" in explain_str(df), explain_str(df)
+    plan = explain_str(text.ngram_jaccard_pairs(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning(shingle") == 1, plan
 
 
 def test_disjunctive_predicate_splits_and_pushes_to_both_scans(spark, sf_dir):
