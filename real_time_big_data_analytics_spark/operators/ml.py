@@ -125,6 +125,62 @@ def holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("label", "prediction").agg(F.count("*").alias("n"))
 
 
+def train_score_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 with a bound-assertion twin (operators/sketches.py pattern):
+    per-label user counts are SQL-exact (they check the whole feature/
+    label derivation), and the training-accuracy flag rides along.
+
+    The bound is sound, not empirical: a decision tree predicts the
+    majority class at each leaf, so its TRAINING accuracy is >= the
+    root's majority-class prior for any data — if this flag ever goes
+    false, the scoring pipeline is broken (e.g. features misaligned
+    with the fitted assembler), not the data unlucky.
+    """
+    data = user_activity_features(spark, sf_dir)
+    model = train_decision_tree(data)
+    scored = model.transform(data)
+    per_label = scored.groupBy("label").agg(F.count("*").alias("n_users"))
+    p1 = F.avg(F.col("label").cast("double"))
+    flag = scored.agg(
+        (
+            F.avg((F.col("prediction") == F.col("label")).cast("double"))
+            >= F.greatest(p1, F.lit(1.0) - p1) - F.lit(1e-9)
+        ).alias("acc_ge_prior")
+    )
+    return per_label.crossJoin(F.broadcast(flag))
+
+
+def holdout_eval_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 with a bound-assertion twin: the total user count is
+    SQL-exact; the flags assert the seeded 70/30 randomSplit is a true
+    partition in sane proportions and holdout accuracy clears 0.5
+    (observed 0.80-1.0 across SFs; the label prior keeps the majority
+    class above half, so a sane tree cannot plausibly go below)."""
+    data = user_activity_features(spark, sf_dir)
+    train, test = data.randomSplit([0.7, 0.3], seed=SEED)
+    model = train_decision_tree(train)
+    scored = model.transform(test)
+    counts = (
+        train.agg(F.count("*").alias("n_train"))
+        .crossJoin(
+            scored.agg(
+                F.count("*").alias("n_test"),
+                F.avg((F.col("prediction") == F.col("label")).cast("double")).alias("acc"),
+            )
+        )
+        .crossJoin(data.agg(F.count("*").alias("n_users_total")))
+    )
+    return counts.select(
+        "n_users_total",
+        (
+            (F.col("n_train") + F.col("n_test") == F.col("n_users_total"))
+            & (F.col("n_test") >= 0.15 * F.col("n_users_total"))
+            & (F.col("n_test") <= 0.45 * F.col("n_users_total"))
+        ).alias("split_ok"),
+        (F.col("acc") >= 0.5).alias("acc_ok"),
+    )
+
+
 def label_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class distribution of the derived training fixture — the
     SQL-checkable half of the ML path (the tree itself is rows-only)."""

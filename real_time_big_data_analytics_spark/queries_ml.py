@@ -21,7 +21,38 @@ register(
     tags=("ml", "fixture"),
 )
 
-# Tree predictions aren't SQL-expressible — rows-only + pytest
-# (determinism, golden shape, accuracy floor).
-register("m1_train_score_users", ml.train_score_users, tags=("ml", "train", "score"))
-register("m3_holdout_eval", ml.holdout_eval, tags=("ml", "eval"))
+# Tree predictions aren't SQL-expressible, but the bound-assertion
+# twin pattern (operators/sketches.py) still buys a hash check: the
+# SQL-exact parts (label counts, totals — i.e. the whole feature
+# derivation) are emitted verbatim, and the prediction-dependent parts
+# collapse to asserted flags the oracle emits as `true`. The per-user
+# verdict and confusion-matrix shapes stay available as
+# ml.train_score_users / ml.holdout_eval for the golden pytests.
+_FEAT_LABEL_SQL = """
+      SELECT user_id,
+             CAST(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) > 0.25 AS INT) AS label
+      FROM events GROUP BY user_id
+"""
+
+register(
+    "m1_train_score_users",
+    ml.train_score_checked,
+    sql=f"""
+    WITH per_user AS ({_FEAT_LABEL_SQL})
+    SELECT label, count(*) AS n_users, true AS acc_ge_prior
+    FROM per_user GROUP BY label
+    """,
+    tags=("ml", "train", "score"),
+)
+register(
+    "m3_holdout_eval",
+    ml.holdout_eval_checked,
+    sql=f"""
+    WITH per_user AS ({_FEAT_LABEL_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n_users_total,
+           true AS split_ok, true AS acc_ok
+    FROM per_user
+    """,
+    tags=("ml", "eval"),
+)

