@@ -33,28 +33,29 @@ def _ranked_topk(sims: DataFrame, k: int) -> DataFrame:
     )
 
 
-def knn_bruteforce(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
-    """L3 — exact cosine top-k for each query vector.
-
-    The (tiny) query side is broadcast, so the plan is a single scan
-    of the corpus with a codegen'd dot product per (query, vector) —
-    the canonical brute-force ANN baseline that parallelizes linearly
-    on a 1000-executor cluster.
-    """
+def _all_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine of every (query, corpus vector) pair — the tiny
+    query side broadcasts, so this is one scan of the corpus with a
+    codegen'd dot product per pair."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
     corpus = emb.select("vec_id", "embedding")
-    sims = (
-        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            round2(cosine_similarity("q", "embedding"), 6).alias("sim"),
-        )
+    return corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        round2(cosine_similarity("q", "embedding"), 6).alias("sim"),
     )
-    return _ranked_topk(sims, k)
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """L3 — exact cosine top-k for each query vector.
+
+    The canonical brute-force ANN baseline: perfectly parallel, no
+    shuffle until the (k-bounded) per-query ranking.
+    """
+    return _ranked_topk(_all_sims(spark, sf_dir), k)
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str, k: int = TOP_K, n_planes: int = 8) -> DataFrame:
@@ -279,6 +280,80 @@ def knn_ivf_indexed(
         round2(cosine_similarity("q", "embedding"), 6).alias("sim"),
     )
     return _ranked_topk(sims, k)
+
+
+def _knn_invariants(
+    spark: SparkSession,
+    sf_dir: str,
+    approx: DataFrame,
+    k: int,
+    min_recall: float | None,
+) -> DataFrame:
+    """Bound-assertion twin for an ANN variant (operators/sketches.py
+    pattern): the SQL-exact part is the query-id set; the approximate
+    parts collapse to asserted invariants the oracle emits as ``true``.
+
+    Sound invariants (hold for ANY correct ANN, any data):
+    - ``sims_exact``: every returned (query, vector, sim) matches the
+      exact cosine for that pair — catches similarity-math drift
+      between the approximate and exact paths;
+    - ``within_k``: no query returns more than k results.
+    Empirical invariant (IVF variants only, same floor the recall
+    pytest pins): overall recall@k vs the true top-k >= ``min_recall``.
+
+    Cost: one extra brute-force pass over the corpus — this is a
+    verification query; the serving path is the unwrapped operator.
+    """
+    exact = _all_sims(spark, sf_dir).withColumnRenamed("sim", "exact_sim")
+    queries = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    per_q = (
+        approx.join(exact, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.every(
+                F.col("exact_sim").isNotNull()
+                & (F.abs(F.col("sim") - F.col("exact_sim")) < 1e-9)
+            ).alias("sims_exact"),
+            (F.count("*") <= F.lit(k)).alias("within_k"),
+        )
+    )
+    out = queries.join(per_q, "query_id", "left").select(
+        "query_id",
+        # a query with an empty candidate set satisfies both vacuously
+        F.coalesce("sims_exact", F.lit(True)).alias("sims_exact"),
+        F.coalesce("within_k", F.lit(True)).alias("within_k"),
+    )
+    if min_recall is not None:
+        true_k = _ranked_topk(_all_sims(spark, sf_dir), k).select("query_id", "vec_id")
+        flag = (
+            approx.join(true_k, ["query_id", "vec_id"], "inner")
+            .agg(F.count("*").alias("hits"))
+            .crossJoin(true_k.agg(F.count("*").alias("total")))
+            .select((F.col("hits") >= min_recall * F.col("total")).alias("recall_ok"))
+        )
+        out = out.crossJoin(F.broadcast(flag))
+    return out
+
+
+def knn_lsh_checked(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """L3 LSH with its invariant twin (no recall floor: same-bucket
+    candidates can legitimately be empty for a query)."""
+    return _knn_invariants(spark, sf_dir, knn_lsh(spark, sf_dir, k), k, None)
+
+
+def knn_ivf_checked(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """L3 IVF with its invariant twin (recall floor 0.3 — the same
+    empirical floor tests/test_similarity.py pins)."""
+    return _knn_invariants(spark, sf_dir, knn_ivf(spark, sf_dir, k), k, 0.3)
+
+
+def knn_ivf_indexed_checked(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """L3 persisted-IVF with its invariant twin."""
+    return _knn_invariants(spark, sf_dir, knn_ivf_indexed(spark, sf_dir, k), k, 0.3)
 
 
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

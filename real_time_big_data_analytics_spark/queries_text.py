@@ -394,17 +394,36 @@ register(
     tags=("similarity", "knn"),
 )
 
-# approximate bucketed variant — rows-only + recall pytest
-register("l3_knn_lsh", similarity.knn_lsh, tags=("similarity", "knn", "lsh"))
+# Approximate ANN variants: invariant twins (similarity._knn_invariants
+# — sims must match the exact cosine path, <=k per query, IVF recall
+# floor). The raw neighbor outputs stay available via the unwrapped
+# operators for the recall pytests.
+_ANN_QUERIES_SQL = "SELECT vec_id AS query_id, {flags} FROM embeddings WHERE vec_id < 5"
 
-# IVF (KMeans coarse quantizer) variant — rows-only + recall pytest
-register("l3_knn_ivf", similarity.knn_ivf, tags=("similarity", "knn", "ivf"))
+register(
+    "l3_knn_lsh",
+    similarity.knn_lsh_checked,
+    sql=_ANN_QUERIES_SQL.format(flags="true AS sims_exact, true AS within_k"),
+    tags=("similarity", "knn", "lsh"),
+)
+
+register(
+    "l3_knn_ivf",
+    similarity.knn_ivf_checked,
+    sql=_ANN_QUERIES_SQL.format(
+        flags="true AS sims_exact, true AS within_k, true AS recall_ok"
+    ),
+    tags=("similarity", "knn", "ivf"),
+)
 # persisted-index variant: builds (once, idempotent) a cell-partitioned
 # parquet index under the system temp dir, probes read only n_probe
 # cell directories via static partition pruning (plan-pinned)
 register(
     "l3_knn_ivf_indexed",
-    similarity.knn_ivf_indexed,
+    similarity.knn_ivf_indexed_checked,
+    sql=_ANN_QUERIES_SQL.format(
+        flags="true AS sims_exact, true AS within_k, true AS recall_ok"
+    ),
     tags=("similarity", "knn", "ivf", "index"),
 )
 
