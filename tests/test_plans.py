@@ -93,9 +93,13 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "l3_knn_bruteforce",
         "l3_knn_lsh",
         "l3_knn_ivf",
+        "l3_knn_ivf_indexed",
         "a5_recent_window_counts",
         "sketch_theta_user_overlap",
         "q22_inactive_high_balance",
+        # m1/m3: 1-row bound-assertion flag broadcast onto the counts
+        "m1_train_score_users",
+        "m3_holdout_eval",
     }
     for name, q in sorted(all_queries().items()):
         if "streaming" in q.tags:  # replay runners, not lazy plans
