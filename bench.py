@@ -52,6 +52,11 @@ HEADLINE = [
     "wf_funnel_counts",
     "l4_lang_id_ngram_confusion",
     "q21_waiting_suppliers",
+    # round-3 additions: the corpus-wide vocab join (quality-LM) and
+    # the sampled-fingerprint dedup pass — the two new shuffle-heavy
+    # text ops
+    "l4_unigram_logprob_quality",
+    "l2_winnow_overlap_pairs",
 ]
 
 

@@ -642,3 +642,166 @@ def contamination_flags(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFra
             .alias("n_contaminated"),
         )
     )
+
+
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — CCNet-style LM quality scoring without the LM: train a
+    unigram model on the corpus itself (word -> count / total), score
+    every document by its mean token log-probability, and bucket into
+    high/mid/low quality tiers. The scale shape of perplexity-based
+    quality filtering: the vocabulary is sub-linear in corpus size
+    (Heaps' law), so the trained "model" BROADCASTS and scoring is a
+    map-side join — the corpus is shuffled once (the vocab count),
+    never for scoring.
+
+    The corpus-total normalizer is attached with a single-partition
+    window OVER THE VOCAB AGGREGATE (vocab-bounded rows, KB-to-MB at
+    any corpus size), not over the token stream — the plan's only
+    single-partition exchange moves the vocab table, nothing
+    row-scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    vocab_t = vocab.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy())
+    )
+    scored = (
+        tok.join(F.broadcast(vocab_t), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.log(F.col("cnt") / F.col("total"))).alias("lp"),
+        )
+    )
+    lp4 = F.round(F.col("lp"), 4)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        lp4.alias("avg_logprob"),
+        F.when(lp4 >= -6.0, "high")
+        .when(lp4 >= -8.0, "mid")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """L4 — TF-IDF keyword extraction: top-k terms per language by
+    term-frequency-within-language x inverse-document-frequency.
+
+    Both aggregates shuffle only (word)-keyed rows: tf groups the
+    token stream by (lang, word), df groups DISTINCT (doc, word)
+    pairs by word — vocab-bounded outputs either way. The df table
+    broadcasts onto the tf table; the corpus-size scalar N rides in
+    as a 1-row broadcast (same sanctioned shape as the histogram /
+    theta-sketch scalars). Scores are exact-deterministic cross-
+    engine: cnt and df are integers, so tf*ln(N/df) has no float-
+    summation order dependence.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", "lang", F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tf = tok.groupBy("lang", "word").agg(F.count("*").alias("tf"))
+    df_tab = (
+        tok.select("doc_id", "word").distinct()
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tab), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "lang",
+            F.col("word").alias("term"),
+            "tf",
+            "df",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+def winnow_overlap_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    min_shared: int = 2,
+    max_df: int = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """L2 (fingerprint variant) — MOSS-style near-dup candidates: docs
+    sharing >= ``min_shared`` SAMPLED shingle fingerprints. Sampling
+    is 0-mod-p selection (keep a shingle iff its hash falls in 2/16 of
+    the space), the winnowing-family trick that cuts the pair-join
+    input ~8x while remaining deterministic and position-independent —
+    the same document always keeps the same fingerprints, so true
+    near-dups still collide on multiple survivors.
+
+    Identical single-shuffle group-by-fingerprint shape as
+    ``ngram_jaccard_pairs`` (postings gathered per fingerprint, i<j
+    expansion JVM-side, ``max_df`` hot-fingerprint cap) — but the
+    stream entering the shuffle is 8x thinner, which is the whole
+    point at 100 TB: fingerprint-sampled dedup trades recall you can
+    bound (P[miss | s shared shingles] = (7/8)^s) for an order of
+    magnitude less shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_arr = _with_shingle_array(docs, n)
+    sh = (
+        with_arr.select("doc_id", F.explode_outer("sh_arr").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .filter(F.substring(F.md5("shingle"), 1, 1).isin("0", "1"))
+    )
+    pairs = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) ->"
+                    " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                    " b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs
+
+
+def normalize_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — text-normalization audit: the canonicalization pass every
+    training pipeline runs before dedup (lowercase, trim, collapse
+    whitespace runs), emitted as per-doc before/after evidence with
+    the md5 of the normalized form — so the cross-engine check proves
+    the normalized BYTES match, not just the counts. Pure codegen'd
+    narrow map; no shuffle at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+        (norm != F.col("text")).alias("changed"),
+    )

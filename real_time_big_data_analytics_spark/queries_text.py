@@ -726,3 +726,114 @@ register(
     """,
     tags=("training-data", "pipeline", "dedup", "sampling", "chunking"),
 )
+
+# --- round-3 additions: quality-LM, TF-IDF, sampled-fingerprint dedup,
+# normalization audit ---
+
+register(
+    "l4_unigram_logprob_quality",
+    text.unigram_logprob_scores,
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+    ), vocab AS (
+      SELECT word, count(*) AS cnt FROM tok GROUP BY word
+    ), v2 AS (
+      SELECT word, cnt, sum(cnt) OVER () AS total FROM vocab
+    ), per_doc AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             avg(ln(CAST(v.cnt AS DOUBLE) / v.total)) AS lp
+      FROM tok t JOIN v2 v USING (word) GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, round(lp, 4) AS avg_logprob,
+           CASE WHEN round(lp, 4) >= -6.0 THEN 'high'
+                WHEN round(lp, 4) >= -8.0 THEN 'mid'
+                ELSE 'low' END AS quality_bucket
+    FROM per_doc
+    """,
+    tags=("text", "quality", "lm-score"),
+)
+
+register(
+    "l4_tfidf_top_terms",
+    text.tfidf_top_terms,
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, lang, word
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> ''
+    ), tf AS (
+      SELECT lang, word, count(*) AS tf FROM tok GROUP BY lang, word
+    ), df AS (
+      SELECT word, count(*) AS df
+      FROM (SELECT DISTINCT doc_id, word FROM tok) GROUP BY word
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.lang, tf.word, tf.tf, df.df,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT lang, word AS term, tf, df, round(tfidf, 6) AS tfidf,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY lang ORDER BY tfidf DESC, word ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+    tags=("text", "tfidf", "keywords"),
+)
+
+register(
+    "l2_winnow_overlap_pairs",
+    text.winnow_overlap_pairs,
+    sql="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle
+      FROM w WHERE len(ws) >= 3
+    ), sampled AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE substr(md5(shingle), 1, 1) IN ('0', '1')
+    ), grp AS (
+      SELECT shingle, list_sort(list(doc_id)) AS ds
+      FROM sampled GROUP BY shingle
+      HAVING count(*) >= 2 AND count(*) <= 1000
+    ), pairs AS (
+      SELECT unnest(flatten(list_transform(ds, (a, i) ->
+               list_transform(list_slice(ds, i + 1, len(ds)),
+                              b -> {'a': a, 'b': b})))) AS p
+      FROM grp
+    )
+    SELECT p.a AS a_id, p.b AS b_id, count(*) AS n_shared
+    FROM pairs GROUP BY p.a, p.b HAVING count(*) >= 2
+    """,
+    tags=("dedup", "near-dup", "fingerprint"),
+)
+
+register(
+    "l4_normalize_stats",
+    text.normalize_text_stats,
+    # DuckDB regexp_replace needs the 'g' flag; Spark replaces globally
+    sql="""
+    WITH n AS (
+      SELECT doc_id, text,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_raw,
+           CAST(length(norm) AS INT) AS n_chars_norm,
+           md5(norm) AS norm_md5,
+           norm <> text AS changed
+    FROM n
+    """,
+    tags=("text", "normalization"),
+)

@@ -97,6 +97,7 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "a5_recent_window_counts",
         "sketch_theta_user_overlap",
         "q22_inactive_high_balance",
+        "l4_tfidf_top_terms",  # 1-row corpus-size scalar broadcast
         # m1/m3: 1-row bound-assertion flag broadcast onto the counts
         "m1_train_score_users",
         "m3_holdout_eval",

