@@ -805,3 +805,79 @@ def normalize_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_md5"),
         (norm != F.col("text")).alias("changed"),
     )
+
+
+def dup_span_coverage(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    max_df: int = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """L2/L4 — cross-document duplicated-span audit (the measurement
+    half of exact substring dedup a la "Deduplicating Training Data
+    Makes Language Models Better"): for every document, the fraction
+    of its token positions covered by some word n-gram that also
+    occurs in ANOTHER document.
+
+    Shape: positional shingles (position matters, so no per-doc
+    dedup) -> ONE shuffle grouping by shingle -> groups spanning >= 2
+    docs explode their (doc_id, pos) postings back -> per-doc
+    duplicated-start sets -> merged-interval coverage computed
+    row-side from the sorted start array (sum of
+    ``min(n, next_start - start)`` + n for the last), zero extra
+    shuffle. The ``max_df`` boilerplate cap bounds any group's
+    postings buffer exactly as in ``ngram_jaccard_pairs``; unlike the
+    pair ops there is NO quadratic expansion anywhere - postings
+    explode back linearly - so this audit costs two shuffles of the
+    (thinner-than-token) shingle stream at any corpus size.
+
+    Token counts ride the postings as a functionally-dependent column
+    (doc_id -> n_tokens), so no join back to the raw text is needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from ..sources.tables import spread
+
+    base = spread(docs.select("doc_id", "text"))
+    ws = base.select("doc_id", _words().alias("ws")).filter(F.size("ws") >= n)
+    # positional (pos, shingle) pairs; pos is the 1-based token index
+    # where the n-gram starts
+    pos_sh = ws.select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        F.explode_outer(
+            F.expr(
+                "transform(sequence(1, size(ws) - {m}), "
+                "i -> struct(i AS pos, concat_ws(' ', slice(ws, i, {n})) AS shingle))".format(
+                    m=n - 1, n=n
+                )
+            )
+        ).alias("ps"),
+    ).filter(F.col("ps").isNotNull())
+    cross_doc = (
+        pos_sh.select("doc_id", "n_tokens", F.col("ps.pos").alias("pos"), F.col("ps.shingle").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n_tokens", "pos")).alias("postings"))
+        .filter(
+            (F.size(F.array_distinct(F.expr("transform(postings, p -> p.doc_id)"))) >= 2)
+            & (F.size("postings") <= max_df)
+        )
+        .select(F.explode("postings").alias("p"))
+        .select("p.doc_id", "p.n_tokens", "p.pos")
+    )
+    # per-doc sorted distinct duplicated starts -> merged-span length
+    per_doc = cross_doc.groupBy("doc_id", "n_tokens").agg(
+        F.array_sort(F.collect_set("pos")).alias("starts")
+    )
+    covered = F.expr(
+        "aggregate(transform(sequence(1, size(starts)), "
+        "i -> IF(i = size(starts), {n}, "
+        "least({n}, element_at(starts, i + 1) - element_at(starts, i)))), "
+        "0L, (acc, x) -> acc + x)".format(n=n)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.size("starts").alias("n_dup_ngrams"),
+        covered.alias("n_dup_tokens"),
+        round2(covered.cast("double") / F.col("n_tokens"), 4).alias("dup_fraction"),
+    )

@@ -837,3 +837,39 @@ register(
     """,
     tags=("text", "normalization"),
 )
+
+register(
+    "l2_dup_span_coverage",
+    text.dup_span_coverage,
+    sql="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), pos_sh AS (
+      SELECT doc_id, len(ws) AS n_tokens, i AS pos,
+             concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS shingle
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM w WHERE len(ws) >= 3)
+    ), grp AS (
+      SELECT list({'doc_id': doc_id, 'n_tokens': n_tokens, 'pos': pos}) AS postings
+      FROM pos_sh GROUP BY shingle
+      HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 1000
+    ), back AS (
+      SELECT p.doc_id AS doc_id, p.n_tokens AS n_tokens, p.pos AS pos
+      FROM (SELECT unnest(postings) AS p FROM grp)
+    ), per_doc AS (
+      SELECT doc_id, n_tokens, list_sort(list(DISTINCT pos)) AS starts
+      FROM back GROUP BY doc_id, n_tokens
+    ), cov AS (
+      SELECT doc_id, n_tokens, len(starts) AS n_dup_ngrams,
+             coalesce(list_sum(list_transform(range(1, len(starts)),
+                      i -> least(3, starts[i+1] - starts[i]))), 0) + 3 AS covered
+      FROM per_doc
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_dup_ngrams AS INT) AS n_dup_ngrams,
+           CAST(covered AS BIGINT) AS n_dup_tokens,
+           round(CAST(covered AS DOUBLE) / n_tokens, 4) AS dup_fraction
+    FROM cov
+    """,
+    tags=("dedup", "substring", "audit"),
+)

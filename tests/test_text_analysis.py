@@ -224,3 +224,26 @@ def test_normalize_stats_proves_idempotence(spark, sf_dir):
     # unchanged docs must hash to the md5 of their raw text
     unchanged = df.filter(~F.col("changed")).count()
     assert unchanged + df.filter(F.col("changed")).count() == len(rows)
+
+
+def test_dup_span_coverage_bounds_and_symmetry(spark, sf_dir):
+    """Coverage is a valid fraction; every doc in an exact-duplicate
+    pair must be fully covered (its whole text occurs elsewhere)."""
+    from real_time_big_data_analytics_spark.operators.text import (
+        dup_group_stats,
+        dup_span_coverage,
+    )
+
+    rows = dup_span_coverage(spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert 1 <= r.n_dup_tokens <= r.n_tokens
+        assert 0 < r.dup_fraction <= 1.0
+        assert r.n_dup_ngrams <= r.n_tokens - 2
+        by_doc[r.doc_id] = r
+    # exact duplicates (n_copies >= 2, >= 3 tokens) are 100% covered
+    groups = dup_group_stats(spark, sf_dir).filter("n_copies >= 2").collect()
+    full = [by_doc[g.rep_doc_id] for g in groups if g.rep_doc_id in by_doc]
+    for r in full:
+        assert r.dup_fraction == 1.0
