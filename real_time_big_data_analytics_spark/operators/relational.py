@@ -663,3 +663,55 @@ def rolling_zscore_hourly(spark: SparkSession, sf_dir: str, trailing: int = 24) 
         F.col("n").cast("bigint").alias("n"),
         round2((F.col("n") - mu) / F.nullif(sd, F.lit(0.0)), 4).alias("zscore"),
     )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family — first-order Markov transition matrix over per-user
+    event sequences: P(next event type | current event type).
+
+    One shuffle: the (user_id, ts) window sort — the SAME partitioning
+    sessionization and funnel use, so a multi-query session analysis
+    stage reuses one exchange for all three. The transition aggregate
+    is keyed on (cur, next) — at most |event_types|² rows, so the
+    second exchange moves a KB regardless of corpus size, and the
+    per-row probability normalizer is a window over that tiny
+    aggregate, not over events.
+    """
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(by_user).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    t = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy("cur"))
+    return t.select(
+        F.col("cur").alias("cur_type"),
+        F.col("nxt").alias("next_type"),
+        F.col("n").alias("n_transitions"),
+        round2(F.col("n").cast("double") / total, 4).alias("p_next"),
+    )
+
+
+def top_event_paths(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """W-family — most common 3-step event paths (cur > next > next²)
+    across user sequences; the path-mining view of the same window
+    sort ``event_transitions`` uses. Path count aggregate is bounded
+    by |event_types|³ rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(by_user).alias("e2"),
+        F.lead("event_type", 2).over(by_user).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+    ).groupBy("path").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        paths.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("path", "n", F.col("rk").cast("bigint").alias("rk"))
+    )

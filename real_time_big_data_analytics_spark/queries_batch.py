@@ -943,3 +943,47 @@ register(
     """,
     tags=("agg", "time-series", "anomaly"),
 )
+
+# --- round-3 additions: event-sequence analytics over the same
+# (user_id, ts) window sort the session/funnel family uses ---
+
+register(
+    "wf_event_transitions",
+    relational.event_transitions,
+    sql="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), t AS (
+      SELECT cur, nxt, count(*) AS n FROM seq WHERE nxt IS NOT NULL
+      GROUP BY cur, nxt
+    )
+    SELECT cur AS cur_type, nxt AS next_type, n AS n_transitions,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur), 4) AS p_next
+    FROM t
+    """,
+    tags=("window-function", "sequence", "markov"),
+)
+
+register(
+    "wf_top_event_paths",
+    relational.top_event_paths,
+    sql="""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT concat_ws(' > ', e1, e2, e3) AS path, count(*) AS n
+      FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, n, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT path, n, row_number() OVER (ORDER BY n DESC, path ASC) AS rk
+          FROM paths)
+    WHERE rk <= 10
+    """,
+    tags=("window-function", "sequence", "path-mining"),
+)

@@ -247,3 +247,20 @@ def test_dup_span_coverage_bounds_and_symmetry(spark, sf_dir):
     full = [by_doc[g.rep_doc_id] for g in groups if g.rep_doc_id in by_doc]
     for r in full:
         assert r.dup_fraction == 1.0
+
+
+def test_event_transition_probabilities_normalize(spark, sf_dir):
+    from collections import defaultdict
+
+    from real_time_big_data_analytics_spark.operators.relational import (
+        event_transitions,
+    )
+
+    rows = event_transitions(spark, sf_dir).collect()
+    assert rows
+    by_cur = defaultdict(float)
+    for r in rows:
+        assert 0 < r.p_next <= 1
+        by_cur[r.cur_type] += r.p_next
+    for cur, total in by_cur.items():
+        assert abs(total - 1.0) < 0.01  # rounding at 4 decimals
