@@ -881,3 +881,37 @@ def dup_span_coverage(
         covered.alias("n_dup_tokens"),
         round2(covered.cast("double") / F.col("n_tokens"), 4).alias("dup_fraction"),
     )
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 (incremental variant) — nightly-ingestion dedup: flag each
+    document of an incoming batch (stand-in: doc_id % 10 == 0) whose
+    exact content already exists in the standing corpus, and report
+    per-language admit/reject counts.
+
+    The standing corpus reduces to DISTINCT content hashes before the
+    join — narrow 16-byte rows — and the join is keyed on that hash,
+    so the incoming batch (small by definition) BROADCASTS against it.
+    At 100 TB the hash set lives as a bucketed table keyed by hash and
+    the nightly batch co-partitions into it without re-shuffling the
+    corpus; this operator is the query-shape of that pipeline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    existing_hashes = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    flagged = incoming.select(
+        "doc_id", "lang", F.md5("text").alias("fp")
+    ).join(
+        existing_hashes.withColumn("is_dup", F.lit(True)), "fp", "left"
+    ).select(
+        "doc_id", "lang", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_incoming"),
+        F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_rejected"),
+        F.min(F.when(F.col("is_dup"), F.col("doc_id"))).alias("first_rejected_id"),
+    )

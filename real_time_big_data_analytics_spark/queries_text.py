@@ -873,3 +873,23 @@ register(
     """,
     tags=("dedup", "substring", "audit"),
 )
+
+register(
+    "l1_incremental_dedup",
+    text.incremental_dedup,
+    sql="""
+    WITH incoming AS (
+      SELECT doc_id, lang, md5(text) AS fp FROM documents WHERE doc_id % 10 = 0
+    ), existing AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+    ), flagged AS (
+      SELECT i.doc_id, i.lang, e.fp IS NOT NULL AS is_dup
+      FROM incoming i LEFT JOIN existing e USING (fp)
+    )
+    SELECT lang, count(*) AS n_incoming,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+           min(CASE WHEN is_dup THEN doc_id END) AS first_rejected_id
+    FROM flagged GROUP BY lang
+    """,
+    tags=("dedup", "incremental", "ingestion"),
+)

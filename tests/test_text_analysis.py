@@ -264,3 +264,14 @@ def test_event_transition_probabilities_normalize(spark, sf_dir):
         by_cur[r.cur_type] += r.p_next
     for cur, total in by_cur.items():
         assert abs(total - 1.0) < 0.01  # rounding at 4 decimals
+
+
+def test_incremental_dedup_counts_are_consistent(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.text import incremental_dedup
+
+    rows = incremental_dedup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_rejected <= r.n_incoming
+        if r.n_rejected:
+            assert r.first_rejected_id % 10 == 0
