@@ -60,6 +60,12 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
         kind = f.dataType.simpleString()
         if kind == "timestamp_ntz":
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+        elif kind == "date":
+            # a parquet DATE encoding of what the queries treat as a
+            # timestamp (o_orderdate/l_shipdate style columns):
+            # midnight in the UTC session zone, value-identical to
+            # DuckDB's naive read.
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
         elif f.name == "ts" and kind == "bigint":
             # epoch nanos from the legacy nanosAsLong path; integer
             # floor-div keeps it lossless at microsecond precision.

@@ -116,3 +116,33 @@ def test_ts_query_family_runs_on_current_testdata(spark):
     ):
         n = queries[name].fn(spark, sf).count()
         assert n >= 0, name
+
+
+def test_load_table_normalizes_date_encoded_columns(spark, tmp_path):
+    """If the generator ever re-encodes a date-valued column (e.g.
+    o_orderdate) as parquet DATE, the loader must surface session-zone
+    TIMESTAMP at midnight — value-identical to DuckDB's naive read."""
+    sf_dir = str(tmp_path / "date_enc")
+    os.makedirs(sf_dir)
+    days = [datetime.date(1996, 1, 1), datetime.date(1996, 7, 4)]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([1, 2], pa.int64()),
+                "o_orderstatus": pa.array(["O", "F"], pa.string()),
+                "o_totalprice": pa.array([10.0, 20.0], pa.float64()),
+                "o_orderdate": pa.array(days, pa.date32()),
+                "o_orderpriority": pa.array(["1-URGENT", "5-LOW"], pa.string()),
+            }
+        ),
+        os.path.join(sf_dir, "orders.parquet"),
+    )
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "orders")
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+    got = sorted(r[0] for r in df.select("o_orderdate").collect())
+    assert got == [datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 4)]
+    # date-range predicates still behave (and push down) on the cast
+    assert df.filter("o_orderdate >= '1996-06-01'").count() == 1
