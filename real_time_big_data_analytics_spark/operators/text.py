@@ -915,3 +915,36 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_rejected"),
         F.min(F.when(F.col("is_dup"), F.col("doc_id"))).alias("first_rejected_id"),
     )
+
+
+def data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 — the per-language "data card": the one-table summary an LLM
+    data team publishes with a corpus release. Doc/token volume, exact
+    -duplicate rate, short-doc rate, and PII incidence, computed in a
+    SINGLE two-exchange plan: one window pass keyed on the content
+    hash (the exact-dedup partitioning), then one per-language
+    aggregate. Every metric is a codegen'd expression riding the same
+    scan — running the component queries separately would re-scan the
+    corpus four times.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_copies = F.count("*").over(Window.partitionBy(F.md5("text")))
+    n_tokens = F.size(_words())
+    pii = sum(
+        F.regexp_count(F.col("text"), F.lit(p)) for p in PII_PATTERNS.values()
+    )
+    per_doc = docs.select(
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        n_copies.alias("n_copies"),
+        pii.alias("n_pii"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        round2(F.avg("n_chars")).alias("avg_chars"),
+        F.sum((F.col("n_copies") >= 2).cast("int")).cast("bigint").alias("n_exact_dup_docs"),
+        F.sum((F.col("n_tokens") < 10).cast("int")).cast("bigint").alias("n_short_docs"),
+        F.sum("n_pii").cast("bigint").alias("n_pii_matches"),
+    )

@@ -893,3 +893,30 @@ register(
     """,
     tags=("dedup", "incremental", "ingestion"),
 )
+
+register(
+    "l6_data_card",
+    text.data_card,
+    sql=f"""
+    WITH t AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars,
+             count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+             len(regexp_extract_all(text, '{_EM}'))
+               + len(regexp_extract_all(text, '{_PH}'))
+               + len(regexp_extract_all(text, '{_IP}')) AS n_pii
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_chars), 2) AS avg_chars,
+           CAST(sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dup_docs,
+           CAST(sum(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short_docs,
+           CAST(sum(n_pii) AS BIGINT) AS n_pii_matches
+    FROM t GROUP BY lang
+    """,
+    tags=("training-data", "summary", "data-card"),
+)

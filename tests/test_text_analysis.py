@@ -275,3 +275,15 @@ def test_incremental_dedup_counts_are_consistent(spark, sf_dir):
         assert 0 <= r.n_rejected <= r.n_incoming
         if r.n_rejected:
             assert r.first_rejected_id % 10 == 0
+
+
+def test_data_card_internally_consistent(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.text import data_card
+
+    rows = data_card(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_exact_dup_docs <= r.n_docs
+        assert 0 <= r.n_short_docs <= r.n_docs
+        assert r.total_tokens >= r.n_docs  # every doc has >= 1 token
+        assert r.n_pii_matches == 0  # harness corpus plants no PII
