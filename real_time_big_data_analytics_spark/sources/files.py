@@ -163,3 +163,18 @@ def compact_parquet(
         out = df.repartition(n_files)
     out.write.mode(mode).parquet(dst)
     return n_files
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S4 (ORC) — columnar ORC scan: the second self-describing
+    columnar format besides parquet (warehouse interchange with
+    Hive/Trino-managed tables). Vectorized reader, predicate pushdown
+    and column pruning apply exactly as for parquet; no schema
+    argument because the format carries its own."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """S5 (ORC) — ORC sink via the DataFrame writer (zlib by default;
+    same atomic task-commit semantics as the parquet sink)."""
+    df.write.mode(mode).orc(path)

@@ -70,6 +70,10 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
             # epoch nanos from the legacy nanosAsLong path; integer
             # floor-div keeps it lossless at microsecond precision.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and kind == "string":
+            # ISO-8601 text encoding; cast parses it in the UTC
+            # session zone, matching DuckDB's naive parse.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

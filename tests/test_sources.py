@@ -124,3 +124,23 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     before = sorted(map(tuple, events.collect()))
     after = sorted(map(tuple, spark.read.parquet(dst).collect()))
     assert before == after
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, sf_dir, tmp_path):
+    """S4/S5 ORC — write the customer dim to ORC, read it back, and
+    check set-equality with the parquet original, plus pushdown-ready
+    typing (no string-ification through the format hop)."""
+    from real_time_big_data_analytics_spark.sources.files import read_orc, write_orc
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    orig = load_table(spark, sf_dir, "customer")
+    path = str(tmp_path / "customer_orc")
+    write_orc(orig, path)
+    back = read_orc(spark, path)
+    assert back.schema == orig.schema
+    assert back.count() == orig.count()
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0
+    # predicate reaches the ORC scan (PushedFilters in the plan)
+    plan = back.filter("c_acctbal > 0")._jdf.queryExecution().executedPlan().toString()
+    assert "c_acctbal" in plan

@@ -45,6 +45,8 @@ def _write_fixture(tmp_path, encoding: str) -> str:
     elif encoding == "ltz":
         utc = [d.replace(tzinfo=datetime.timezone.utc) for d in naive]
         ts = pa.array(utc, pa.timestamp("us", tz="UTC"))
+    elif encoding == "iso_string":
+        ts = pa.array([d.isoformat(sep=" ") for d in naive], pa.string())
     elif encoding == "nanos":
         epoch = datetime.datetime(1970, 1, 1)
         ts = pa.array(
@@ -62,7 +64,7 @@ def _write_fixture(tmp_path, encoding: str) -> str:
 EXPECTED = sorted(r[1] for r in ROWS)
 
 
-@pytest.mark.parametrize("encoding", ["ntz", "ltz", "nanos"])
+@pytest.mark.parametrize("encoding", ["ntz", "ltz", "nanos", "iso_string"])
 def test_load_table_normalizes_every_encoding(spark, tmp_path, encoding):
     from real_time_big_data_analytics_spark.sources.tables import load_table
 
@@ -72,7 +74,7 @@ def test_load_table_normalizes_every_encoding(spark, tmp_path, encoding):
     assert got == EXPECTED, f"{encoding}: wall-clock values drifted"
 
 
-@pytest.mark.parametrize("encoding", ["ntz", "nanos"])
+@pytest.mark.parametrize("encoding", ["ntz", "nanos", "iso_string"])
 def test_events_stream_normalizes_and_watermarks(spark, tmp_path, encoding):
     """Watermarks reject TIMESTAMP_NTZ — the stream loader must emit a
     watermark-compatible TIMESTAMP for every encoding."""
