@@ -807,6 +807,19 @@ def normalize_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merged_span_length_expr(n: int, col: str = "starts") -> str:
+    """SQL expression: total token positions covered by the union of
+    [s, s+n) intervals for a SORTED int array column ``col`` — the sum
+    of ``min(n, next_start - start)`` plus ``n`` for the last start.
+    Shared by ``dup_span_coverage`` and its property test."""
+    return (
+        "aggregate(transform(sequence(1, size({c})), "
+        "i -> IF(i = size({c}), {n}, "
+        "least({n}, element_at({c}, i + 1) - element_at({c}, i)))), "
+        "0L, (acc, x) -> acc + x)".format(n=n, c=col)
+    )
+
+
 def dup_span_coverage(
     spark: SparkSession,
     sf_dir: str,
@@ -868,12 +881,7 @@ def dup_span_coverage(
     per_doc = cross_doc.groupBy("doc_id", "n_tokens").agg(
         F.array_sort(F.collect_set("pos")).alias("starts")
     )
-    covered = F.expr(
-        "aggregate(transform(sequence(1, size(starts)), "
-        "i -> IF(i = size(starts), {n}, "
-        "least({n}, element_at(starts, i + 1) - element_at(starts, i)))), "
-        "0L, (acc, x) -> acc + x)".format(n=n)
-    )
+    covered = F.expr(merged_span_length_expr(n))
     return per_doc.select(
         "doc_id",
         "n_tokens",

@@ -287,3 +287,30 @@ def test_data_card_internally_consistent(spark, sf_dir):
         assert 0 <= r.n_short_docs <= r.n_docs
         assert r.total_tokens >= r.n_docs  # every doc has >= 1 token
         assert r.n_pii_matches == 0  # harness corpus plants no PII
+
+
+def test_dup_span_interval_merge_matches_bruteforce_reference(spark):
+    """Property: the row-side merged-interval expression used by
+    dup_span_coverage equals the brute-force union of [s, s+n) spans
+    for arbitrary start sets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators.text import (
+        merged_span_length_expr,
+    )
+
+    n = 3
+    covered_expr = merged_span_length_expr(n)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.sets(st.integers(min_value=1, max_value=60), min_size=1, max_size=25))
+    def check(starts):
+        expected = len({p for s in starts for p in range(s, s + n)})
+        df = spark.createDataFrame(
+            [(sorted(starts),)], "starts array<int>"
+        ).select(F.expr(covered_expr).alias("covered"))
+        assert df.collect()[0].covered == expected
+
+    check()
