@@ -125,3 +125,21 @@ register(
     """,
     tags=("streaming", "ml"),
 )
+
+register(
+    "t10_stream_ingest_dedup",
+    sq.stream_ingest_dedup,
+    # anti-join semantics: only events whose user_id is NOT in the
+    # static suppression set (even customer keys) are admitted
+    sql="""
+    SELECT event_type, count(*) AS n_admitted,
+           round(sum(value), 2) AS total_value
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = e.user_id AND c.c_custkey % 2 = 0
+    )
+    GROUP BY event_type
+    """,
+    tags=("streaming", "join", "anti", "dedup"),
+)

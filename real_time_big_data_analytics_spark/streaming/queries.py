@@ -228,3 +228,30 @@ def stream_scored_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("bigint").alias("n_scored"),
         F.every(F.col("bolt_user").isin("Bolt", "Not bolt")).alias("verdicts_ok"),
     )
+
+
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 — stream-static LEFT ANTI join: streaming ingestion dedup.
+    Incoming events whose user already exists in a static suppression
+    table (stand-in: even user_ids — e.g. an opt-out or already-
+    ingested registry) are dropped before aggregation; admitted events
+    roll up per event_type.
+
+    The anti-join's static side broadcasts (same mechanics as J4's
+    stream-static inner join): each micro-batch is a map-side filter
+    against the broadcast hash — no shuffle of the stream, no state.
+    This is the streaming twin of ``l1_incremental_dedup``: one is the
+    nightly batch admission pass, this is its continuous form.
+    """
+    stream = events_stream(spark, sf_dir)
+    suppressed = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    admitted = stream.join(F.broadcast(suppressed), "user_id", "left_anti")
+    agg = admitted.groupBy("event_type").agg(
+        F.count("*").alias("n_admitted"),
+        round2(F.sum("value")).alias("total_value"),
+    )
+    return run_to_table(spark, agg, output_mode="complete")

@@ -122,6 +122,22 @@ def test_stream_static_join_broadcasts_static_side(spark, sf_dir):
     assert "broadcast" in plan, plan
 
 
+def test_stream_anti_join_broadcasts_suppression_side(spark, sf_dir):
+    """T10's suppression table must broadcast: micro-batches filter
+    against a broadcast hash, never shuffling the stream."""
+    from real_time_big_data_analytics_spark.streaming.runner import events_stream
+
+    suppressed = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    stream = events_stream(spark, sf_dir)
+    joined = stream.join(F.broadcast(suppressed), "user_id", "left_anti")
+    plan = explain_str(joined, "extended").lower()
+    assert "broadcast" in plan, plan
+
+
 def test_no_heavy_exprs_in_scan_filters(spark, sf_dir):
     """Regression guard for the inferred-explode-predicate trap
     (SCALE.md): `explode` over an expensive computed array lets
