@@ -179,3 +179,21 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def minhash_highsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — recall-verified MinHash twin (the ANN invariant-twin
+    pattern): exact n-gram Jaccard pairs at >= 0.9, kept only if the
+    seeded LSH candidate join ALSO surfaced them. With 8 independent
+    seeded hash tables a true j >= 0.9 pair escapes candidacy with
+    probability (1-j)^8 <= 1e-8, so the semi join is the identity and
+    the result hash-matches the exact-pair oracle — any LSH recall
+    regression (banding bug, seed drift, empty-vector handling)
+    surfaces as missing rows. The raw candidate set stays available
+    as ``minhash_lsh_pairs`` (rows-only by design).
+    """
+    from .text import ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(spark, sf_dir, threshold=0.9)
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    return exact.join(cand.select("a_id", "b_id"), ["a_id", "b_id"], "left_semi")

@@ -245,7 +245,8 @@ register(
 # Spark side's hot-shingle cap (text.DEFAULT_MAX_DF) so the comparison
 # stays exact even when the cap fires: sizes are pre-cap, candidates
 # post-cap.
-_NGRAM_PAIRS_SQL = f"""
+def _ngram_pairs_sql(threshold: float = 0.8) -> str:
+    return f"""
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ), sh AS (
@@ -270,8 +271,11 @@ _NGRAM_PAIRS_SQL = f"""
     FROM pairs
     JOIN sizes sa ON a_id = sa.doc_id
     JOIN sizes sb ON b_id = sb.doc_id
-    WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8
+    WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= {threshold}
 """
+
+
+_NGRAM_PAIRS_SQL = _ngram_pairs_sql()
 
 register(
     "l2_ngram_jaccard_pairs",
@@ -919,4 +923,13 @@ register(
     FROM t GROUP BY lang
     """,
     tags=("training-data", "summary", "data-card"),
+)
+
+register(
+    "l2_minhash_highsim_recall",
+    dedup_approx.minhash_highsim_recall,
+    # oracle = the exact >= 0.9 pair set; the Spark side semi-joins it
+    # with the LSH candidates, so equality IS the recall check
+    sql=_ngram_pairs_sql(0.9),
+    tags=("dedup", "near-dup", "lsh", "recall"),
 )
