@@ -956,3 +956,54 @@ def data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n_tokens") < 10).cast("int")).cast("bigint").alias("n_short_docs"),
         F.sum("n_pii").cast("bigint").alias("n_pii_matches"),
     )
+
+
+def temperature_mix(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.3
+) -> DataFrame:
+    """L7 — temperature-scaled language mixing: the multilingual-LM
+    sampling-weight computation (w_l ∝ share_l^α, α < 1 upweights
+    low-resource languages), materialized as per-language keep rates
+    and the md5-gated doc counts those rates admit.
+
+    Every normalizer (corpus total, weight sum, max rate) is a window
+    over the per-language aggregate — a HANDFUL of rows at any corpus
+    size — so the plan shuffles the corpus exactly once (the lang
+    count) and everything after is arithmetic on a broadcast-scale
+    table joined back for the gated count. The gate uses
+    ``floor(rate × 10000)`` against a 10k md5 bucket: floor (not
+    round/cast) because Spark truncates double→bigint while DuckDB
+    rounds — floor is exact in both engines, and the max-rate language
+    hits bucket bound 10000 exactly (x/x ≡ 1.0 in IEEE), keeping 100%.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w_all = Window.partitionBy()
+    share = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    with_share = counts.withColumn("share", share)
+    weight = F.pow("share", F.lit(alpha)) / F.sum(
+        F.pow("share", F.lit(alpha))
+    ).over(w_all)
+    with_w = with_share.withColumn("weight", weight)
+    rate_raw = F.col("weight") / F.col("share")
+    with_rate = with_w.withColumn(
+        "keep_rate", rate_raw / F.max(rate_raw).over(w_all)
+    )
+    gate = F.floor(F.col("keep_rate") * 10000)
+    sampled = (
+        docs.join(F.broadcast(with_rate.select("lang", "keep_rate")), "lang")
+        .filter(md5_bucket("doc_id", 10000) < gate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        with_rate.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.round("share", 6).alias("share"),
+            F.round("weight", 6).alias("weight"),
+            F.round("keep_rate", 6).alias("keep_rate"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+    )

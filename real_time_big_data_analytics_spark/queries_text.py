@@ -933,3 +933,36 @@ register(
     sql=_ngram_pairs_sql(0.9),
     tags=("dedup", "near-dup", "lsh", "recall"),
 )
+
+register(
+    "l4_temperature_mix",
+    text.temperature_mix,
+    sql="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ), s AS (
+      SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS share
+      FROM counts
+    ), w AS (
+      SELECT *, pow(share, 0.3) / sum(pow(share, 0.3)) OVER () AS weight
+      FROM s
+    ), r AS (
+      SELECT *, (weight / share) / max(weight / share) OVER () AS keep_rate
+      FROM w
+    ), sampled AS (
+      SELECT d.lang, count(*) AS n_sampled
+      FROM documents d JOIN r ON d.lang = r.lang
+      WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10000 < floor(r.keep_rate * 10000)
+      GROUP BY d.lang
+    )
+    SELECT r.lang, r.n_docs,
+           round(r.share, 6) AS share,
+           round(r.weight, 6) AS weight,
+           round(r.keep_rate, 6) AS keep_rate,
+           coalesce(s2.n_sampled, 0) AS n_sampled
+    FROM r LEFT JOIN sampled s2 ON r.lang = s2.lang
+    """,
+    tags=("training-data", "sampling", "mixing"),
+)

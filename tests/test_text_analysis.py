@@ -314,3 +314,21 @@ def test_dup_span_interval_merge_matches_bruteforce_reference(spark):
         assert df.collect()[0].covered == expected
 
     check()
+
+
+def test_temperature_mix_upweights_low_resource_langs(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.text import temperature_mix
+
+    rows = temperature_mix(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    by_share = sorted(rows, key=lambda r: r.share)
+    # alpha < 1: rarer language never gets a LOWER keep rate
+    for a, b in zip(by_share, by_share[1:]):
+        assert a.keep_rate >= b.keep_rate - 1e-9
+    assert max(r.keep_rate for r in rows) == 1.0  # max-rate lang keeps all
+    for r in rows:
+        assert 0 <= r.n_sampled <= r.n_docs
+        if r.keep_rate == 1.0:
+            assert r.n_sampled == r.n_docs
