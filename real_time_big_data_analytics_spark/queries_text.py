@@ -966,3 +966,51 @@ register(
     """,
     tags=("training-data", "sampling", "mixing"),
 )
+
+def _python_datasource_scan(spark, sf_dir):
+    """S4 extension — scan the documents table through a Spark 4
+    Python Data Source (partitioned, Arrow-batched JSONL connector;
+    sources/pyds.py) and aggregate per language. The JSONL export is
+    built once per sf_dir under the system temp dir (idempotent, like
+    the persisted IVF index); the aggregate is order-insensitive so
+    the oracle compares connector correctness, not file order."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.text import load_table
+    from .sources.pyds import read_documents_via_python_datasource
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = os.path.join(tempfile.gettempdir(), f"rtba_pyds_{tag}")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .coalesce(4)
+            .write.mode("overwrite")
+            .json(out_dir)
+        )
+    df = read_documents_via_python_datasource(spark, out_dir)
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+register(
+    "s_python_datasource_scan",
+    _python_datasource_scan,
+    sql="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+    FROM documents GROUP BY lang
+    """,
+    tags=("source", "python-datasource", "arrow"),
+)

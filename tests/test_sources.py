@@ -144,3 +144,25 @@ def test_orc_roundtrip_preserves_schema_and_values(spark, sf_dir, tmp_path):
     # predicate reaches the ORC scan (PushedFilters in the plan)
     plan = back.filter("c_acctbal > 0")._jdf.queryExecution().executedPlan().toString()
     assert "c_acctbal" in plan
+
+
+def test_python_datasource_partitions_per_file_and_matches_native(spark, sf_dir, tmp_path):
+    """S4 extension — the custom Arrow JSONL connector must fan out one
+    task per shard file and reproduce the native scan's rows."""
+    from real_time_big_data_analytics_spark.sources.pyds import (
+        read_documents_via_python_datasource,
+    )
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    native = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = str(tmp_path / "docs_jsonl")
+    native.coalesce(3).write.mode("overwrite").json(out)
+    back = read_documents_via_python_datasource(spark, out)
+    import os
+
+    n_files = len([f for f in os.listdir(out) if f.endswith(".json")])
+    assert back.rdd.getNumPartitions() == n_files
+    assert back.exceptAll(native).count() == 0
+    assert native.exceptAll(back).count() == 0
