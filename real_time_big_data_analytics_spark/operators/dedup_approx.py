@@ -28,7 +28,7 @@ from ..sources.tables import load_table
 from .text import _with_shingle_array
 
 SEED = 42
-N_BITS = 64
+N_BITS = 60
 N_BANDS = 4
 BAND_WIDTH = N_BITS // N_BANDS
 
@@ -86,12 +86,20 @@ def minhash_lsh_pairs(
 
 
 def _simhash_bits(docs: DataFrame) -> DataFrame:
-    """64 sign-aggregated bits per doc from tf-weighted xxhash64 word
-    hashes → (doc_id, sig) with sig a 64-char '0'/'1' string."""
+    """60 sign-aggregated bits per doc from tf-weighted word hashes →
+    (doc_id, sig) with sig a 60-char '0'/'1' string.
+
+    The word hash is the low 60 bits of md5 (15 hex chars) rather than
+    xxhash64: identical hash quality for simhash purposes, and DuckDB
+    computes the SAME bits, which makes both signature and pair
+    queries exactly oracle-checkable — a bit-for-bit cross-engine
+    check of the banded LSH. (xxhash64 is the drop-in swap if raw
+    hashing throughput ever matters more than oracle coverage.)"""
     tokens = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
-    hashed = tokens.select("doc_id", F.xxhash64("word").alias("h"))
+    h = F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint")
+    hashed = tokens.select("doc_id", h.alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -106,7 +114,7 @@ def _simhash_bits(docs: DataFrame) -> DataFrame:
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 — SimHash document fingerprints (64-bit signature string)."""
+    """L2 — SimHash document fingerprints (60-bit signature string)."""
     docs = load_table(spark, sf_dir, "documents")
     return _simhash_bits(docs)
 
@@ -116,7 +124,7 @@ def simhash_pairs(
 ) -> DataFrame:
     """L2 — SimHash near-dup pairs via banded bucketing.
 
-    Candidates must collide on at least one of 4 16-bit bands (the
+    Candidates must collide on at least one of 4 15-bit bands (the
     pigeonhole guarantee: hamming ≤ 3 ⇒ some band is identical;
     wider hamming trades recall, standard SimHash practice). The
     band equi-join is the only shuffle and is bucket-bounded.

@@ -329,8 +329,120 @@ register(
 
 # approximate — no SQL oracle (rows-only check + recall pytest)
 register("l2_minhash_lsh_pairs", dedup_approx.minhash_lsh_pairs, tags=("dedup", "lsh"))
-register("l2_simhash_signatures", dedup_approx.simhash_signatures, tags=("dedup", "simhash"))
-register("l2_simhash_pairs", dedup_approx.simhash_pairs, tags=("dedup", "simhash"))
+
+# SimHash: the md5-derived 60-bit hash is computed bit-for-bit by both
+# engines, so the banded LSH is exactly oracle-checkable (generated
+# 60-vote SQL below mirrors operators/dedup_approx._simhash_bits).
+_SIMHASH_SIG_SQL = """
+    WITH tok AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ), votes AS (
+      SELECT doc_id,
+             sum(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
+             sum(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
+             sum(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
+             sum(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
+             sum(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
+             sum(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
+             sum(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
+             sum(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7,
+             sum(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8,
+             sum(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9,
+             sum(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10,
+             sum(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11,
+             sum(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12,
+             sum(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13,
+             sum(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14,
+             sum(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15,
+             sum(CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b16,
+             sum(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b17,
+             sum(CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b18,
+             sum(CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b19,
+             sum(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b20,
+             sum(CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b21,
+             sum(CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b22,
+             sum(CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b23,
+             sum(CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b24,
+             sum(CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b25,
+             sum(CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b26,
+             sum(CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b27,
+             sum(CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b28,
+             sum(CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b29,
+             sum(CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b30,
+             sum(CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b31,
+             sum(CASE WHEN (h >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS b32,
+             sum(CASE WHEN (h >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS b33,
+             sum(CASE WHEN (h >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS b34,
+             sum(CASE WHEN (h >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS b35,
+             sum(CASE WHEN (h >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS b36,
+             sum(CASE WHEN (h >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS b37,
+             sum(CASE WHEN (h >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS b38,
+             sum(CASE WHEN (h >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS b39,
+             sum(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS b40,
+             sum(CASE WHEN (h >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS b41,
+             sum(CASE WHEN (h >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS b42,
+             sum(CASE WHEN (h >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS b43,
+             sum(CASE WHEN (h >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS b44,
+             sum(CASE WHEN (h >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS b45,
+             sum(CASE WHEN (h >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS b46,
+             sum(CASE WHEN (h >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS b47,
+             sum(CASE WHEN (h >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS b48,
+             sum(CASE WHEN (h >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS b49,
+             sum(CASE WHEN (h >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS b50,
+             sum(CASE WHEN (h >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS b51,
+             sum(CASE WHEN (h >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS b52,
+             sum(CASE WHEN (h >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS b53,
+             sum(CASE WHEN (h >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS b54,
+             sum(CASE WHEN (h >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS b55,
+             sum(CASE WHEN (h >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS b56,
+             sum(CASE WHEN (h >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS b57,
+             sum(CASE WHEN (h >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS b58,
+             sum(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS b59
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, concat(CASE WHEN b0 > 0 THEN '1' ELSE '0' END, CASE WHEN b1 > 0 THEN '1' ELSE '0' END, CASE WHEN b2 > 0 THEN '1' ELSE '0' END, CASE WHEN b3 > 0 THEN '1' ELSE '0' END, CASE WHEN b4 > 0 THEN '1' ELSE '0' END, CASE WHEN b5 > 0 THEN '1' ELSE '0' END, CASE WHEN b6 > 0 THEN '1' ELSE '0' END, CASE WHEN b7 > 0 THEN '1' ELSE '0' END, CASE WHEN b8 > 0 THEN '1' ELSE '0' END, CASE WHEN b9 > 0 THEN '1' ELSE '0' END, CASE WHEN b10 > 0 THEN '1' ELSE '0' END, CASE WHEN b11 > 0 THEN '1' ELSE '0' END, CASE WHEN b12 > 0 THEN '1' ELSE '0' END, CASE WHEN b13 > 0 THEN '1' ELSE '0' END, CASE WHEN b14 > 0 THEN '1' ELSE '0' END, CASE WHEN b15 > 0 THEN '1' ELSE '0' END, CASE WHEN b16 > 0 THEN '1' ELSE '0' END, CASE WHEN b17 > 0 THEN '1' ELSE '0' END, CASE WHEN b18 > 0 THEN '1' ELSE '0' END, CASE WHEN b19 > 0 THEN '1' ELSE '0' END, CASE WHEN b20 > 0 THEN '1' ELSE '0' END, CASE WHEN b21 > 0 THEN '1' ELSE '0' END, CASE WHEN b22 > 0 THEN '1' ELSE '0' END, CASE WHEN b23 > 0 THEN '1' ELSE '0' END, CASE WHEN b24 > 0 THEN '1' ELSE '0' END, CASE WHEN b25 > 0 THEN '1' ELSE '0' END, CASE WHEN b26 > 0 THEN '1' ELSE '0' END, CASE WHEN b27 > 0 THEN '1' ELSE '0' END, CASE WHEN b28 > 0 THEN '1' ELSE '0' END, CASE WHEN b29 > 0 THEN '1' ELSE '0' END, CASE WHEN b30 > 0 THEN '1' ELSE '0' END, CASE WHEN b31 > 0 THEN '1' ELSE '0' END, CASE WHEN b32 > 0 THEN '1' ELSE '0' END, CASE WHEN b33 > 0 THEN '1' ELSE '0' END, CASE WHEN b34 > 0 THEN '1' ELSE '0' END, CASE WHEN b35 > 0 THEN '1' ELSE '0' END, CASE WHEN b36 > 0 THEN '1' ELSE '0' END, CASE WHEN b37 > 0 THEN '1' ELSE '0' END, CASE WHEN b38 > 0 THEN '1' ELSE '0' END, CASE WHEN b39 > 0 THEN '1' ELSE '0' END, CASE WHEN b40 > 0 THEN '1' ELSE '0' END, CASE WHEN b41 > 0 THEN '1' ELSE '0' END, CASE WHEN b42 > 0 THEN '1' ELSE '0' END, CASE WHEN b43 > 0 THEN '1' ELSE '0' END, CASE WHEN b44 > 0 THEN '1' ELSE '0' END, CASE WHEN b45 > 0 THEN '1' ELSE '0' END, CASE WHEN b46 > 0 THEN '1' ELSE '0' END, CASE WHEN b47 > 0 THEN '1' ELSE '0' END, CASE WHEN b48 > 0 THEN '1' ELSE '0' END, CASE WHEN b49 > 0 THEN '1' ELSE '0' END, CASE WHEN b50 > 0 THEN '1' ELSE '0' END, CASE WHEN b51 > 0 THEN '1' ELSE '0' END, CASE WHEN b52 > 0 THEN '1' ELSE '0' END, CASE WHEN b53 > 0 THEN '1' ELSE '0' END, CASE WHEN b54 > 0 THEN '1' ELSE '0' END, CASE WHEN b55 > 0 THEN '1' ELSE '0' END, CASE WHEN b56 > 0 THEN '1' ELSE '0' END, CASE WHEN b57 > 0 THEN '1' ELSE '0' END, CASE WHEN b58 > 0 THEN '1' ELSE '0' END, CASE WHEN b59 > 0 THEN '1' ELSE '0' END) AS sig FROM votes
+"""
+
+register(
+    "l2_simhash_signatures",
+    dedup_approx.simhash_signatures,
+    sql=_SIMHASH_SIG_SQL,
+    tags=("dedup", "simhash"),
+)
+
+register(
+    "l2_simhash_pairs",
+    dedup_approx.simhash_pairs,
+    sql=f"""
+    WITH sigs AS ({_SIMHASH_SIG_SQL}), banded AS (
+      SELECT doc_id, sig,
+             concat(CAST(k AS VARCHAR), ':', substr(sig, k * 15 + 1, 15)) AS band
+      FROM sigs, (SELECT unnest(range(0, 4)) AS k)
+    ), keep AS (
+      SELECT band FROM banded GROUP BY band HAVING count(*) <= 1000
+    ), fb AS (
+      SELECT b.doc_id, b.sig, b.band FROM banded b JOIN keep USING (band)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM fb a JOIN fb b ON a.band = b.band AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT a_id, b_id,
+             len(list_filter(range(1, 61),
+                 i -> substr(sig_a, i, 1) <> substr(sig_b, i, 1))) AS hamming
+      FROM cand
+    )
+    SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
+    FROM scored WHERE hamming <= 8
+    """,
+    tags=("dedup", "simhash"),
+)
 
 register(
     "l2_dedup_corpus",
