@@ -169,7 +169,15 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     docs = load_table(spark, sf_dir, "documents")
-    with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    # ASCII gate on BOTH the op and its oracle: the byte-level PCM
+    # interpretation only equals the oracle's per-char ord() math for
+    # single-byte text, so multi-byte docs are excluded symmetrically —
+    # a future corpus regen with unicode can narrow coverage but never
+    # silently diverge the comparison.
+    ascii_only = docs.filter(F.length("text") == F.octet_length("text"))
+    with_payload = ascii_only.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -185,8 +193,8 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (
                         doc_id,
                         len(pcm),
-                        float(np.sqrt(np.mean(x * x))),
-                        float(np.abs(x).max()),
+                        round(float(np.sqrt(np.mean(x * x))), 6),
+                        round(float(np.abs(x).max()), 6),
                         int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))),
                     )
                 )

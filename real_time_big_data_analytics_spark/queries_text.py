@@ -628,7 +628,46 @@ register(
 )
 
 # PCM feature math is numpy-side — rows-only + determinism pytest
-register("l5_audio_features", multimodal.audio_features, tags=("multimodal", "audio"))
+# The deterministic PCM stand-in is byte-exact math both engines can
+# run: chars are bytes under the symmetric ASCII gate, so the oracle
+# rebuilds each 16-bit little-endian sample with ord() arithmetic.
+register(
+    "l5_audio_features",
+    multimodal.audio_features,
+    sql="""
+    WITH b AS (
+      SELECT doc_id, text, strlen(text) AS nb FROM documents
+      WHERE length(text) = strlen(text)
+    ), s AS (
+      SELECT doc_id,
+             list_transform(range(0, nb // 2), i ->
+               CASE WHEN ord(substr(text, 2*i + 2, 1)) >= 128
+                    THEN ord(substr(text, 2*i + 1, 1))
+                         + 256 * ord(substr(text, 2*i + 2, 1)) - 65536
+                    ELSE ord(substr(text, 2*i + 1, 1))
+                         + 256 * ord(substr(text, 2*i + 2, 1)) END) AS pcm
+      FROM b
+    ), f AS (
+      SELECT doc_id, len(pcm) AS n_samples,
+             CASE WHEN len(pcm) = 0 THEN 0.0 ELSE
+               round(sqrt(list_sum(list_transform(pcm,
+                     v -> (v / 32768.0) * (v / 32768.0))) / len(pcm)), 6)
+             END AS rms,
+             CASE WHEN len(pcm) = 0 THEN 0.0 ELSE
+               round(list_max(list_transform(pcm, v -> abs(v / 32768.0))), 6)
+             END AS peak,
+             CASE WHEN len(pcm) = 0 THEN 0 ELSE
+               len(list_filter(range(1, len(pcm)),
+                   i -> (pcm[i] < 0) <> (pcm[i + 1] < 0)))
+             END AS zero_crossings
+      FROM s
+    )
+    SELECT doc_id, CAST(n_samples AS INT) AS n_samples, rms, peak,
+           CAST(zero_crossings AS INT) AS zero_crossings
+    FROM f
+    """,
+    tags=("multimodal", "audio"),
+)
 
 register(
     "l5_frame_sample",

@@ -81,8 +81,9 @@ def test_audio_features_match_numpy_reference(spark, sf_dir):
         pcm = np.frombuffer(buf[: len(buf) - (len(buf) % 2)], dtype="<i2")
         x = pcm.astype("float64") / 32768.0
         assert r.n_samples == len(pcm)
-        assert abs(r.rms - float(np.sqrt(np.mean(x * x)))) < 1e-12
-        assert abs(r.peak - float(np.abs(x).max())) < 1e-12
+        # the op rounds to 6 decimals for the cross-engine oracle
+        assert abs(r.rms - float(np.sqrt(np.mean(x * x)))) < 5e-7
+        assert abs(r.peak - float(np.abs(x).max())) < 5e-7
 
 
 def test_binary_digest_matches_python(spark, sf_dir):
