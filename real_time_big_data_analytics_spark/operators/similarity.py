@@ -152,8 +152,12 @@ def knn_ivf(
         "embedding",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("fv"),
     ).cache()
+    # maxIter=5: a coarse quantizer plateaus in a few Lloyd rounds —
+    # cell QUALITY barely moves after that while train time is the
+    # operator's dominant cost (measured 4.7 s -> ~2 s per call at
+    # sf0.1); recall keeps its pytest floor with margin.
     model = KMeans(
-        k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell"
+        k=n_cells, seed=seed, maxIter=5, featuresCol="fv", predictionCol="cell"
     ).fit(vecs)
     assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
 
@@ -206,7 +210,9 @@ def ivf_index_write(
         "embedding",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("fv"),
     ).cache()
-    model = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell").fit(vecs)
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=5, featuresCol="fv", predictionCol="cell"
+    ).fit(vecs)  # maxIter=5: see knn_ivf — quantizer quality plateaus
     assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{index_dir}/vectors")
     centers = [
