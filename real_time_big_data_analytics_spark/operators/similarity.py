@@ -430,3 +430,40 @@ def quantization_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(F.avg("q_scale"), 6).alias("avg_scale"),
         F.count("*").alias("n"),
     )
+
+
+def matryoshka_truncation_audit(
+    spark: SparkSession, sf_dir: str, prefix_dim: int = 16
+) -> DataFrame:
+    """L5 — Matryoshka-style truncation audit: how much cosine
+    structure survives keeping only the first ``prefix_dim`` of 64
+    dimensions. For every label-blocked pair (the same cell structure
+    as ``embedding_cosine_pairs``) compute full-dim and prefix-dim
+    cosine, then per-label distortion statistics — the measurement a
+    team runs before shipping truncated embeddings to cut ANN serving
+    cost 4x.
+
+    Same scale shape as the cosine-pair op: the label block bounds the
+    candidate set, the pair join shuffles on the cell key only, and
+    the distortion aggregate is label-cardinality rows. slice() is a
+    row-side HOF — no second scan for the truncated view.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select("label", F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = emb.select("label", F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, "label").filter(F.col("a_id") < F.col("b_id"))
+    ta = F.slice("va", 1, prefix_dim)
+    tb = F.slice("vb", 1, prefix_dim)
+    scored = pairs.select(
+        "label",
+        round2(cosine_similarity("va", "vb"), 6).alias("cos_full"),
+        round2(cosine_similarity(ta, tb), 6).alias("cos_trunc"),
+    )
+    dist = F.abs(F.col("cos_full") - F.col("cos_trunc"))
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_pairs"),
+        round2(F.avg(dist), 4).alias("avg_distortion"),
+        round2(F.max(dist), 4).alias("max_distortion"),
+        round2(F.avg("cos_full"), 4).alias("avg_cos_full"),
+        round2(F.avg("cos_trunc"), 4).alias("avg_cos_trunc"),
+    )

@@ -1165,3 +1165,31 @@ register(
     """,
     tags=("source", "python-datasource", "arrow"),
 )
+
+register(
+    "l5_matryoshka_truncation_audit",
+    similarity.matryoshka_truncation_audit,
+    sql="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             CAST(embedding[1:16] AS DOUBLE[]) AS t
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.label,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_full,
+             round(list_dot_product(a.t, b.t)
+                   / (sqrt(list_dot_product(a.t, a.t))
+                      * sqrt(list_dot_product(b.t, b.t))), 6) AS cos_trunc
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT label, count(*) AS n_pairs,
+           round(avg(abs(cos_full - cos_trunc)), 4) AS avg_distortion,
+           round(max(abs(cos_full - cos_trunc)), 4) AS max_distortion,
+           round(avg(cos_full), 4) AS avg_cos_full,
+           round(avg(cos_trunc), 4) AS avg_cos_trunc
+    FROM pairs GROUP BY label
+    """,
+    tags=("similarity", "array", "quantization"),
+)

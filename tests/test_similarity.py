@@ -105,3 +105,16 @@ def test_knn_ivf_indexed_prunes_partitions_and_matches_live_ivf(spark, sf_dir, t
     again = {(r.query_id, r.vec_id, r.sim) for r in similarity.knn_ivf_indexed(
         spark, sf_dir, n_probe=2, index_dir=idx).collect()}
     assert again == {(r.query_id, r.vec_id, r.sim) for r in rows}
+
+
+def test_matryoshka_audit_distortion_is_bounded_and_ordered(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.similarity import (
+        matryoshka_truncation_audit,
+    )
+
+    rows = matryoshka_truncation_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.avg_distortion <= r.max_distortion <= 2.0
+        assert -1.0 <= r.avg_cos_trunc <= 1.0
+        assert r.n_pairs > 0
