@@ -98,8 +98,15 @@ def _simhash_bits(docs: DataFrame) -> DataFrame:
     tokens = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
+    # Hash the VOCAB, not the token stream: md5 is the expensive step,
+    # and the distinct-word table is sub-linear in corpus size (Heaps'
+    # law), so hashing once per vocab entry and broadcast-joining onto
+    # the stream replaces a per-occurrence cryptographic hash with a
+    # JVM hash-join probe. Identical h values — the oracle (which
+    # hashes per occurrence) is unaffected.
     h = F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint")
-    hashed = tokens.select("doc_id", h.alias("h"))
+    vocab_h = tokens.select("word").distinct().withColumn("h", h)
+    hashed = tokens.join(F.broadcast(vocab_h), "word").select("doc_id", "h")
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
