@@ -250,7 +250,18 @@ def knn_ivf_indexed(
     import numpy as np
 
     if index_dir is None:
-        tag = os.path.basename(os.path.normpath(sf_dir))
+        # The cache key includes a fingerprint of the SOURCE file
+        # (mtime+size), not just the sf-dir name: the harness
+        # regenerates testdata between rounds under the same path, and
+        # an index built from the previous round's vectors would
+        # silently serve stale cells. A real deployment versions its
+        # index builds the same way.
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        st = os.stat(src)
+        tag = (
+            f"{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_{st.st_mtime_ns}_{st.st_size}"
+        )
         index_dir = os.path.join(
             tempfile.gettempdir(), "rtba_ivf_index", f"{tag}_c{n_cells}"
         )

@@ -1134,7 +1134,13 @@ def _python_datasource_scan(spark, sf_dir):
     from .operators.text import load_table
     from .sources.pyds import read_documents_via_python_datasource
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # fingerprint the source file too: the harness regenerates
+    # testdata between rounds under the same path, and a stale export
+    # would silently diverge from the oracle (see knn_ivf_indexed)
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     out_dir = os.path.join(tempfile.gettempdir(), f"rtba_pyds_{tag}")
     marker = os.path.join(out_dir, "_SUCCESS")
     if not os.path.exists(marker):
