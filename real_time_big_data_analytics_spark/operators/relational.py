@@ -715,3 +715,32 @@ def top_event_paths(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("path", "n", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+def robust_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SF-family — MAD-based robust outlier detection per event type:
+    median, median-absolute-deviation, and how many events fall
+    outside median ± 3·1.4826·MAD (the robust z-score gate that,
+    unlike mean/stddev, a few extreme values cannot drag).
+
+    Two exact-median passes over the same (event_type) grouping —
+    Spark reuses one shuffle for the window-median and the residual
+    aggregation. Same single-reducer-per-group caveat as
+    ``exact_percentiles_by_type``; the mergeable-sketch quantile twin
+    is the stated 100 TB path for the median step.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    med = F.expr("percentile(value, 0.5)").over(w)
+    with_med = events.select("event_type", "value", med.alias("med"))
+    resid = F.abs(F.col("value") - F.col("med"))
+    with_resid = with_med.withColumn("resid", resid)
+    mad = F.expr("percentile(resid, 0.5)").over(w)
+    scored = with_resid.withColumn("mad", mad)
+    cut = 3.0 * 1.4826 * F.col("mad")
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        round2(F.first("med")).alias("median"),
+        round2(F.first("mad")).alias("mad"),
+        F.sum((F.col("resid") > cut).cast("int")).cast("bigint").alias("n_outliers"),
+    )

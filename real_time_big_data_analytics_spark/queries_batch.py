@@ -987,3 +987,29 @@ register(
     """,
     tags=("window-function", "sequence", "path-mining"),
 )
+
+register(
+    "sf_robust_outlier_stats",
+    relational.robust_outlier_stats,
+    sql="""
+    WITH m AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY event_type
+    ), r AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS resid
+      FROM events e JOIN m USING (event_type)
+    ), d AS (
+      SELECT event_type, med,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY resid) AS mad
+      FROM r GROUP BY event_type, med
+    )
+    SELECT r.event_type, count(*) AS n,
+           round(d.med, 2) AS median, round(d.mad, 2) AS mad,
+           CAST(sum(CASE WHEN r.resid > 3.0 * 1.4826 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM r JOIN d USING (event_type)
+    GROUP BY r.event_type, d.med, d.mad
+    """,
+    tags=("agg", "percentile", "robust"),
+)

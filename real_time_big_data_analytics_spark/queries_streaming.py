@@ -143,3 +143,24 @@ register(
     """,
     tags=("streaming", "join", "anti", "dedup"),
 )
+
+register(
+    "t11_stream_trending_topk",
+    sq.stream_trending_topk,
+    sql="""
+    WITH c AS (
+      SELECT date_trunc('hour', ts)
+               + INTERVAL (15 * (EXTRACT(minute FROM ts)::INT // 15)) MINUTE
+               AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY window_start ORDER BY n DESC, event_type ASC) AS rk
+      FROM c
+    ) WHERE rk <= 3
+    """,
+    tags=("streaming", "window", "topk"),
+)

@@ -255,3 +255,35 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(F.sum("value")).alias("total_value"),
     )
     return run_to_table(spark, agg, output_mode="complete")
+
+
+def stream_trending_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """T11 — trending detection: per 15-min window, the top-k event
+    types by count. The unbounded half (windowed counts) is the
+    genuine streaming aggregation; the rank is applied to the
+    finalized window results — the standard split, since ranking
+    inside an open window is undefined until the window closes. In
+    production the rank runs in ``foreachBatch`` over each batch of
+    CLOSED windows; the replay applies it to the complete finite
+    result, which is the same computation.
+    """
+    stream = events_stream(spark, sf_dir)
+    agg = stream.groupBy(
+        F.window("ts", "15 minutes").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    out = run_to_table(spark, agg, output_mode="complete")
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return (
+        out.withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

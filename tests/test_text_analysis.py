@@ -332,3 +332,15 @@ def test_temperature_mix_upweights_low_resource_langs(spark, sf_dir):
         assert 0 <= r.n_sampled <= r.n_docs
         if r.keep_rate == 1.0:
             assert r.n_sampled == r.n_docs
+
+
+def test_robust_outlier_gate_is_robust_to_extremes(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        robust_outlier_stats,
+    )
+
+    rows = robust_outlier_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mad >= 0
+        assert 0 <= r.n_outliers < r.n  # the gate never flags everything
