@@ -121,3 +121,43 @@ def flagship_windowed_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family extension — market-basket association mining over
+    per-user event-type baskets: for every type pair, support,
+    directional confidence, and lift.
+
+    The basket table is DISTINCT (user, type) — at most |types| rows
+    per user — so within-user pair expansion is bounded by
+    C(|types|, 2) per user and the pair aggregate by C(|types|, 2)
+    total: every post-basket structure is bounded by the TYPE
+    vocabulary, not the event volume. One shuffle builds baskets;
+    the pair join co-partitions on user_id.
+    """
+    events = load_table(spark, sf_dir, "events")
+    baskets = events.select("user_id", "event_type").distinct()
+    n_users = baskets.select("user_id").distinct().count()  # scalar, one job
+    per_type = baskets.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a = baskets.select("user_id", F.col("event_type").alias("a"))
+    b = baskets.select("user_id", F.col("event_type").alias("b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ta = per_type.select(F.col("event_type").alias("a"), F.col("n_t").alias("n_a"))
+    tb = per_type.select(F.col("event_type").alias("b"), F.col("n_t").alias("n_b"))
+    scored = pairs.join(F.broadcast(ta), "a").join(F.broadcast(tb), "b")
+    return scored.select(
+        "a",
+        "b",
+        "n_ab",
+        F.round(F.col("n_ab") / F.lit(float(n_users)), 6).alias("support"),
+        F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_to_b"),
+        F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_to_a"),
+        F.round(
+            (F.col("n_ab") * F.lit(float(n_users))) / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("lift"),
+    )

@@ -1013,3 +1013,33 @@ register(
     """,
     tags=("agg", "percentile", "robust"),
 )
+
+register(
+    "a7_event_association_rules",
+    agg.event_association_rules,
+    sql="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), n AS (
+      SELECT count(DISTINCT user_id) AS n_users FROM baskets
+    ), t AS (
+      SELECT event_type, count(*) AS n_t FROM baskets GROUP BY event_type
+    ), p AS (
+      SELECT a.event_type AS a, b.event_type AS b, count(*) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.a, p.b, p.n_ab,
+           round(p.n_ab / CAST(n.n_users AS DOUBLE), 6) AS support,
+           round(p.n_ab / CAST(ta.n_t AS DOUBLE), 6) AS conf_a_to_b,
+           round(p.n_ab / CAST(tb.n_t AS DOUBLE), 6) AS conf_b_to_a,
+           round(p.n_ab * CAST(n.n_users AS DOUBLE)
+                 / (ta.n_t * CAST(tb.n_t AS DOUBLE)), 6) AS lift
+    FROM p
+    JOIN t ta ON p.a = ta.event_type
+    JOIN t tb ON p.b = tb.event_type
+    CROSS JOIN n
+    """,
+    tags=("agg", "association", "basket"),
+)

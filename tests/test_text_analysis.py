@@ -344,3 +344,18 @@ def test_robust_outlier_gate_is_robust_to_extremes(spark, sf_dir):
     for r in rows:
         assert r.mad >= 0
         assert 0 <= r.n_outliers < r.n  # the gate never flags everything
+
+
+def test_association_rules_probability_identities(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.aggregations import (
+        event_association_rules,
+    )
+
+    rows = event_association_rules(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.a < r.b
+        assert 0 < r.support <= 1
+        assert 0 < r.conf_a_to_b <= 1 and 0 < r.conf_b_to_a <= 1
+        # lift = conf(a->b) / P(b); all quantities agree within rounding
+        assert r.lift > 0
