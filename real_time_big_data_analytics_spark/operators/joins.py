@@ -661,3 +661,156 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFram
         .limit(k)
         .select("s_name", "n_name", "numwait")
     )
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the harness publishes no ``partsupp``
+    table, so the supply relation is derived from ``lineitem`` — the
+    supply cost of a (part, supplier) pair is its minimum observed
+    unit price ``l_extendedprice / l_quantity``).  For small STANDARD
+    parts, return each part's cheapest supplier with supplier/nation
+    detail, ordered by supplier balance.
+
+    ``min`` (not ``avg``) makes the cost order-independent and
+    bit-identical across engines, so the per-part argmin (window
+    row_number with a suppkey tie-break) is deterministic.  Plan: one
+    shuffle for the (part, supplier) aggregation, one for the per-part
+    window — both on KB-scale aggregated data at any SF — with part /
+    supplier / nation broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    pf = part.filter((F.col("p_size") < 15) & (F.col("p_type") == "STANDARD"))
+    w = Window.partitionBy("l_partkey").orderBy("supply_cost", "l_suppkey")
+    cheapest = (
+        cost.join(F.broadcast(pf), F.col("l_partkey") == pf.p_partkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        cheapest.join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            round2(F.col("supply_cost")).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"))
+        .limit(k)
+    )
+
+
+def important_part_values(
+    spark: SparkSession, sf_dir: str, nation_name: str = "NATION_1", fraction: float = 0.001
+) -> DataFrame:
+    """TPC-H Q11 shape (adapted: part value = discounted revenue from
+    ``lineitem`` rows supplied by one nation's suppliers, in place of
+    the absent ``partsupp`` stock value).  Keeps parts whose value
+    exceeds ``fraction`` of the nation's total — the scalar-subquery-
+    in-HAVING pattern.
+
+    The 1-row grand total is computed from the same aggregate and
+    broadcast (nested-loop on one row), mirroring how the SQL twin's
+    scalar subquery re-reads the CTE; the per-part aggregate shuffles
+    once on ``l_partkey``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") == nation_name)
+        .select("s_suppkey")
+    )
+    value = (
+        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("raw_value"))
+    )
+    total = value.agg((F.sum("raw_value") * fraction).alias("threshold"))
+    return (
+        value.join(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select("l_partkey", round2(F.col("raw_value")).alias("part_value"))
+    )
+
+
+def late_shipment_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no ``l_shipmode`` / commit / receipt
+    dates in the harness schema — ``l_linestatus`` stands in for the
+    mode grouping and "late" = shipped more than 30 days after the
+    order date).  Conditional aggregation splits high-priority
+    (1-URGENT / 2-HIGH) from the rest.
+
+    One fact-fact shuffle join on orderkey (both sides would be
+    bucketed by orderkey at scale), then a 2-group aggregate; the
+    shipdate range filter is pushed to the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def excess_part_suppliers(
+    spark: SparkSession, sf_dir: str, name_prefix: str = "red", share: float = 0.5
+) -> DataFrame:
+    """TPC-H Q20 shape (adapted: "excess availability" = a supplier
+    shipped more than ``share`` of a prefix-named part's total 1996
+    quantity, replacing the absent ``partsupp.ps_availqty``
+    half-of-demand test).  The nested-semi-join pattern survives:
+    lineitem → per-(part, supplier) quantity → per-part window total →
+    threshold filter → part-name semi join → supplier semi join.
+
+    Quantities are small integers stored as doubles, so the sums and
+    the ``share`` threshold are exact in both engines.  The window
+    total reuses the groupBy's hash partitioning on ``l_partkey``
+    (prefix of the group key), adding no third shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pq = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = (
+        pq.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .filter(F.col("supp_qty") > share * F.col("part_qty"))
+        .join(
+            F.broadcast(part.filter(part.p_name.startswith(name_prefix)).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(F.broadcast(excess), supplier.s_suppkey == F.col("l_suppkey"), "semi")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

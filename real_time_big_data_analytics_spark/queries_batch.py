@@ -1043,3 +1043,144 @@ register(
     """,
     tags=("agg", "association", "basket"),
 )
+
+# --- TPC-H pattern completions (adapted to the harness schema: no
+# partsupp / shipmode / commit-receipt dates — see each operator's
+# docstring for the adaptation) ---
+
+register(
+    "q2_min_cost_supplier",
+    joins.min_cost_supplier,
+    sql="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS supply_cost
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT p_partkey, p_type, l_suppkey, supply_cost,
+             row_number() OVER (PARTITION BY p_partkey
+                                ORDER BY supply_cost, l_suppkey) AS rn
+      FROM cost JOIN part ON l_partkey = p_partkey
+      WHERE p_size < 15 AND p_type = 'STANDARD'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           round(supply_cost, 2) AS supply_cost
+    FROM ranked
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE rn = 1
+    ORDER BY s_acctbal DESC, p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "tpch", "argmin", "window"),
+)
+
+register(
+    "q11_important_part_values",
+    joins.important_part_values,
+    sql="""
+    WITH supp AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1'
+    ), v AS (
+      SELECT l_partkey,
+             sum(l_extendedprice * (1 - l_discount)) AS raw_value
+      FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+      GROUP BY 1
+    )
+    SELECT l_partkey, round(raw_value, 2) AS part_value
+    FROM v
+    WHERE raw_value > (SELECT sum(raw_value) * 0.001 FROM v)
+    """,
+    tags=("join", "tpch", "subquery", "having"),
+)
+
+register(
+    "q12_late_shipment_modes",
+    joins.late_shipment_modes,
+    sql="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_linestatus
+    """,
+    tags=("join", "tpch", "conditional-agg"),
+)
+
+register(
+    "q20_excess_suppliers",
+    joins.excess_part_suppliers,
+    sql="""
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ), t AS (
+      SELECT *, sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+      FROM pq
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT DISTINCT l_suppkey
+      FROM t JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%' AND supp_qty > 0.5 * part_qty)
+    ORDER BY s_name
+    """,
+    tags=("join", "tpch", "semi", "window"),
+)
+
+# --- Incremental maintenance: CDC merge + SCD2 (operators/incremental.py) ---
+
+from .operators import incremental  # noqa: E402
+
+register(
+    "cdc_upsert_state",
+    incremental.cdc_upsert_state,
+    sql="""
+    WITH base AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '2024-01-16 00:00:00'
+    ), delta AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts > TIMESTAMP '2024-01-16 00:00:00'
+    )
+    SELECT coalesce(b.user_id, d.user_id) AS user_id,
+           coalesce(d.event_type, b.event_type) AS state_event_type,
+           coalesce(d.value, b.value) AS state_value,
+           coalesce(d.ts, b.ts) AS state_ts,
+           d.user_id IS NOT NULL AS updated
+    FROM (SELECT * FROM base WHERE rn = 1) b
+    FULL OUTER JOIN (SELECT * FROM delta WHERE rn = 1) d
+      ON b.user_id = d.user_id
+    """,
+    tags=("incremental", "merge", "cdc", "outer"),
+)
+
+register(
+    "scd2_user_history",
+    incremental.scd2_user_history,
+    sql="""
+    SELECT user_id, event_type, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    WHERE user_id % 20 = 0
+    """,
+    tags=("incremental", "scd2", "window"),
+)

@@ -1,0 +1,67 @@
+"""Semantic tests for the CDC-merge / SCD2 operators
+(operators/incremental.py) beyond the registry oracle twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_big_data_analytics_spark.operators import incremental
+from real_time_big_data_analytics_spark.sources.tables import load_table
+
+from tests.conftest import SF_CORRECT
+
+
+def test_cdc_upsert_matches_latest_overall(spark):
+    """Merging a pre-cutoff snapshot with a post-cutoff delta must
+    equal the latest-event-per-user state computed in one pass."""
+    merged = incremental.cdc_upsert_state(spark, SF_CORRECT)
+    ev = load_table(spark, SF_CORRECT, "events")
+    direct = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.event_type").alias("state_event_type"),
+            F.col("s.value").alias("state_value"),
+            F.col("s.ts").alias("state_ts"),
+        )
+    )
+    got = {r["user_id"]: r for r in merged.collect()}
+    want = {r["user_id"]: r for r in direct.collect()}
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        assert g["state_ts"] == w["state_ts"], uid
+        assert g["state_event_type"] == w["state_event_type"], uid
+        assert g["state_value"] == w["state_value"], uid
+
+
+def test_cdc_updated_flag(spark):
+    """``updated`` is exactly "user has an event after the cutoff"."""
+    merged = incremental.cdc_upsert_state(spark, SF_CORRECT)
+    ev = load_table(spark, SF_CORRECT, "events")
+    after = {
+        r["user_id"]
+        for r in ev.filter(F.col("ts") > incremental.DEFAULT_CUTOFF)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    for r in merged.collect():
+        assert r["updated"] == (r["user_id"] in after), r["user_id"]
+
+
+def test_scd2_intervals_chain_and_single_current(spark):
+    """Per user: intervals chain exactly (valid_to == next valid_from),
+    never overlap, and exactly one row is current."""
+    hist = incremental.scd2_user_history(spark, SF_CORRECT).collect()
+    by_user: dict[int, list] = {}
+    for r in hist:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user, "sample produced no users"
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in rows) == 1, uid
+        assert rows[-1]["is_current"], uid
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"], uid

@@ -19,6 +19,7 @@ MAY_BE_EMPTY = {
     "l2_simhash_pairs",
     "l3_knn_lsh",
     "q7_volume_shipping",
+    "q11_important_part_values",  # needs NATION_1 suppliers, absent at sf0.001
 }
 
 
