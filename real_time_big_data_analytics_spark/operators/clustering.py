@@ -29,12 +29,16 @@ from .text import ngram_jaccard_pairs
 MAX_ITER = 20
 
 
-def near_dup_clusters(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.8
-) -> DataFrame:
-    """(doc_id, cluster_rep) for every document in a near-dup pair;
-    cluster_rep is the component's minimum doc_id."""
-    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an (a_id, b_id) edge list via
+    iterative min-label propagation: returns (node, label) where
+    label is the component's minimum node id.
+
+    Shared by every dedup family that ends in transitive closure
+    (n-gram Jaccard, embedding-cosine semantic dedup): each round is
+    one join + min-aggregate with ``localCheckpoint`` lineage
+    truncation; rounds = component diameter (2-3 for dup cliques).
+    """
     fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -73,7 +77,43 @@ def near_dup_clusters(
         if changed == 0:
             break
 
+    return labels
+
+
+def near_dup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """(doc_id, cluster_rep) for every document in a near-dup pair;
+    cluster_rep is the component's minimum doc_id."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    labels = min_label_components(pairs)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embedding table:
+    label-blocked cosine pairs above ``threshold`` → connected
+    components → keep the minimum ``vec_id`` per semantic cluster.
+
+    Output is every vector that belongs to some semantic-dup cluster
+    with its cluster representative and a keep/drop verdict — the
+    embedding-space twin of ``near_dup_clusters``. The pair stage is
+    the blocked self-join of ``embedding_cosine_pairs`` (cells bound
+    the candidate set at any scale); the closure reuses the same
+    min-label iteration, so cost scales with dup-pair count, not
+    corpus size.
+    """
+    from .similarity import embedding_cosine_pairs
+
+    pairs = embedding_cosine_pairs(spark, sf_dir, threshold=threshold)
+    labels = min_label_components(pairs)
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("cluster_rep"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
 
 
 def dedup_corpus(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:

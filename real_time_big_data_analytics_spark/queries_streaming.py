@@ -113,6 +113,31 @@ register(
     tags=("streaming", "join", "interval"),
 )
 
+register(
+    "t12_stream_stream_left_outer",
+    sq.stream_stream_left_outer,
+    # twin applies the same watermark-finality cut (2 h before max ts)
+    # the streaming side documents — see the operator docstring
+    sql="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    p AS (
+      SELECT user_id, event_id, ts FROM events, mx
+      WHERE event_type = 'purchase' AND ts <= m - INTERVAL 2 HOUR
+    ),
+    matched AS (
+      SELECT DISTINCT p.event_id FROM p JOIN events c
+        ON c.event_type = 'click' AND c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN event_id IN (SELECT event_id FROM matched)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_unmatched
+    FROM p GROUP BY user_id
+    """,
+    tags=("streaming", "join", "interval", "outer"),
+)
+
 # Bound-assertion twin (operators/sketches.py pattern): the scored
 # total is exactly count(events) — the enrichment join is lossless by
 # construction — and the verdict vocabulary collapses to a flag.

@@ -310,10 +310,7 @@ register(
     tags=("dedup", "clustering", "iterative"),
 )
 
-register(
-    "l2_embedding_cosine_pairs",
-    similarity.embedding_cosine_pairs,
-    sql="""
+_COSINE_PAIRS_SQL = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            round(list_dot_product(a.v, b.v)
@@ -323,8 +320,41 @@ register(
     WHERE round(list_dot_product(a.v, b.v)
                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                 4) >= 0.35
-    """,
+"""
+
+register(
+    "l2_embedding_cosine_pairs",
+    similarity.embedding_cosine_pairs,
+    sql=_COSINE_PAIRS_SQL,
     tags=("dedup", "near-dup", "embedding"),
+)
+
+register(
+    "l2_semantic_dedup",
+    clustering.semantic_dedup,
+    # same recursive-CTE closure oracle as l2_dedup_clusters, over the
+    # embedding-cosine edge list instead of the n-gram one
+    sql=f"""
+    WITH RECURSIVE cp AS (
+      SELECT a_id, b_id FROM ({_COSINE_PAIRS_SQL}) q
+    ), edges AS (
+      SELECT a_id AS s, b_id AS d FROM cp
+      UNION
+      SELECT b_id, a_id FROM cp
+    ), reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), nodes AS (
+      SELECT DISTINCT s AS node FROM edges
+    )
+    SELECT n.node AS vec_id,
+           least(n.node, min(r.d)) AS cluster_rep,
+           n.node = least(n.node, min(r.d)) AS keep
+    FROM nodes n JOIN reach r ON r.s = n.node
+    GROUP BY n.node
+    """,
+    tags=("dedup", "semantic", "embedding", "iterative"),
 )
 
 # approximate — no SQL oracle (rows-only check + recall pytest)

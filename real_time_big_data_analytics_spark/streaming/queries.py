@@ -287,3 +287,57 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFr
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 — stream-stream LEFT OUTER interval join: every purchase,
+    matched to same-user clicks in the preceding hour or emitted with
+    a null click side once no match can arrive.
+
+    Outer-side rows are watermark-gated: Spark emits the null row only
+    after the watermark passes the purchase's whole match window (the
+    availableNow replay's trailing no-data micro-batch advances the
+    final watermark to max event time minus the delay, flushing
+    state).  Purchases inside the last (delay + interval) of the
+    stream are therefore watermark-INDETERMINATE by the semantics of
+    the operator itself — the comparison surface is cut to purchases
+    at least 2 h before the stream's max event time, where matched /
+    unmatched is final.  The oracle twin applies the identical cut.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("p_user", "p_id", "p_ts", "c_user")
+    out = run_to_table(spark, joined, output_mode="append")
+    # finite post-aggregation on the replay result (batch side); the
+    # 1-value max-ts collect is metadata-scale
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    return (
+        out.filter(F.col("p_ts") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.countDistinct("p_id").alias("n_purchases"),
+            F.countDistinct(F.when(F.col("c_user").isNull(), F.col("p_id"))).alias(
+                "n_unmatched"
+            ),
+        )
+    )
