@@ -744,3 +744,32 @@ def robust_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(F.first("mad")).alias("mad"),
         F.sum((F.col("resid") > cut).cast("int")).cast("bigint").alias("n_outliers"),
     )
+
+
+def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsample: per (hour, event_type) OHLC bars —
+    open/high/low/close of ``value`` plus the bar's row count — the
+    hypertable-rollup shape (continuous-aggregate materialization).
+
+    Open/close are argmin/argmax by event time with an ``event_id``
+    tie-break, expressed as ``min``/``max`` over a
+    (ts, event_id, value) struct — lexicographic struct ordering makes
+    the pick deterministic and engine-exact, and the whole bar is ONE
+    map-side-combinable aggregate (no window pass, no self-join): at
+    100 TB this partial-aggregates per file split before a single
+    (bucket × type)-cardinality shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    probe = F.struct("ts", "event_id", "value")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        )
+        .agg(
+            F.min(probe).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(probe).getField("value").alias("close"),
+            F.count("*").alias("n"),
+        )
+    )

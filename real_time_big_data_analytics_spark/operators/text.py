@@ -1007,3 +1007,28 @@ def temperature_mix(
             F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
         )
     )
+
+
+def inverted_index(spark: SparkSession, sf_dir: str, max_postings: int = 20) -> DataFrame:
+    """L4 — inverted-index build: term → document frequency + the
+    first ``max_postings`` doc_ids of the sorted posting list
+    (serialized for engine-exact comparison).
+
+    tokenize → distinct (doc_id, term) → one vocab-keyed shuffle.
+    Posting lists aggregate per term exactly like a search-engine
+    index build; the cap bounds the materialized list for stopword-
+    grade terms (a production index would shard those postings —
+    the df column keeps the true frequency either way).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(_words()).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    postings = F.array_join(
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_postings), ","
+    )
+    return tok.groupBy("term").agg(
+        F.count("*").alias("df"), postings.alias("postings")
+    )

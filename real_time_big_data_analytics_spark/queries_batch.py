@@ -1184,3 +1184,19 @@ register(
     """,
     tags=("incremental", "scd2", "window"),
 )
+
+register(
+    "ts_ohlc_hourly",
+    relational.ohlc_hourly,
+    sql="""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           (min({'ts': ts, 'eid': event_id, 'v': value})).v AS open,
+           max(value) AS high,
+           min(value) AS low,
+           (max({'ts': ts, 'eid': event_id, 'v': value})).v AS close,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "rollup", "ohlc"),
+)

@@ -1229,3 +1229,20 @@ register(
     """,
     tags=("similarity", "array", "quantization"),
 )
+
+register(
+    "l4_inverted_index",
+    text.inverted_index,
+    sql="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, word AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> ''
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
+    FROM tok GROUP BY term
+    """,
+    tags=("text", "index", "search"),
+)
