@@ -57,6 +57,11 @@ HEADLINE = [
     # text ops
     "l4_unigram_logprob_quality",
     "l2_winnow_overlap_pairs",
+    # late round-3 additions: the new TPC-H/incremental/time-series
+    # families, one representative each
+    "q2_min_cost_supplier",
+    "cdc_upsert_state",
+    "ts_ohlc_hourly",
 ]
 
 

@@ -189,3 +189,13 @@ register(
     """,
     tags=("streaming", "window", "topk"),
 )
+
+register(
+    "t13_stream_dedup_within_watermark",
+    sq.stream_dedup_within_watermark,
+    sql="""
+    SELECT event_type, count(DISTINCT event_id) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)

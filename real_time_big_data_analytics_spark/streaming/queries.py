@@ -341,3 +341,28 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 — bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until
+    the watermark passes its event time, unlike T7's unbounded
+    ``dropDuplicates`` ledger.
+
+    This is THE streaming-dedup operator for 100 TB ingest: duplicate
+    deliveries (at-least-once sources, producer retries) cluster
+    within seconds of each other, so a watermark-bounded ledger holds
+    hours of keys instead of the stream's lifetime.  The replay dups
+    every event immediately (self-union), so the bounded ledger
+    provably removes them all and the per-type counts equal the
+    batch distinct counts — an exact oracle despite the state bound.
+    """
+    s1 = events_stream(spark, sf_dir)
+    s2 = events_stream(spark, sf_dir)
+    deduped = (
+        s1.unionByName(s2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+    return run_to_table(spark, agg, output_mode="complete")

@@ -97,3 +97,31 @@ def test_processing_time_trigger_with_rate_source(spark):
         assert all(r.n > 0 for r in rows)
     finally:
         query.stop()
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir):
+    """SCALE.md documents RocksDB as the production state store; this
+    runs a stateful streaming query against the actual RocksDB
+    provider (spilling state off-heap) and checks the result is
+    byte-identical to the default HDFS-backed store."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    default = _as_set(sq.stream_dedup_counts(spark, sf_dir))
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        got = _as_set(sq.stream_dedup_counts(spark, sf_dir))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == default
+
+
+def test_dedup_within_watermark_equals_unbounded_dedup(spark, sf_dir):
+    """T13's watermark-bounded ledger removes the same duplicates as
+    T7's unbounded one on the replay (dups arrive in-batch)."""
+    bounded = _as_set(sq.stream_dedup_within_watermark(spark, sf_dir))
+    unbounded = _as_set(sq.stream_dedup_counts(spark, sf_dir))
+    assert bounded == unbounded
