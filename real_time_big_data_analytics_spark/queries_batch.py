@@ -1200,3 +1200,16 @@ register(
     """,
     tags=("timeseries", "rollup", "ohlc"),
 )
+
+register(
+    "sf_variant_props_stats",
+    relational.variant_props_stats,
+    sql="""
+    SELECT event_type,
+           CAST(CAST(props ->> '$.k' AS INT) // 10 AS BIGINT) AS k_decile,
+           count(*) AS n,
+           CAST(sum(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("scalar", "json", "variant"),
+)

@@ -1148,25 +1148,18 @@ register(
     tags=("training-data", "sampling", "mixing"),
 )
 
-def _python_datasource_scan(spark, sf_dir):
-    """S4 extension — scan the documents table through a Spark 4
-    Python Data Source (partitioned, Arrow-batched JSONL connector;
-    sources/pyds.py) and aggregate per language. The JSONL export is
-    built once per sf_dir under the system temp dir (idempotent, like
-    the persisted IVF index); the aggregate is order-insensitive so
-    the oracle compares connector correctness, not file order."""
+def _stage_docs_jsonl(spark, sf_dir) -> str:
+    """JSONL export of the documents subset, built once per sf_dir
+    under the system temp dir (idempotent, like the persisted IVF
+    index). The source file is fingerprinted too: the harness
+    regenerates testdata between rounds under the same path, and a
+    stale export would silently diverge from the oracle."""
     import hashlib
     import os
     import tempfile
 
-    from pyspark.sql import functions as F
-
     from .operators.text import load_table
-    from .sources.pyds import read_documents_via_python_datasource
 
-    # fingerprint the source file too: the harness regenerates
-    # testdata between rounds under the same path, and a stale export
-    # would silently diverge from the oracle (see knn_ivf_indexed)
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     tag = hashlib.md5(
         f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
@@ -1181,7 +1174,20 @@ def _python_datasource_scan(spark, sf_dir):
             .write.mode("overwrite")
             .json(out_dir)
         )
-    df = read_documents_via_python_datasource(spark, out_dir)
+    return out_dir
+
+
+def _python_datasource_scan(spark, sf_dir):
+    """S4 extension — scan the documents table through a Spark 4
+    Python Data Source (partitioned, Arrow-batched JSONL connector;
+    sources/pyds.py) and aggregate per language. The aggregate is
+    order-insensitive so the oracle compares connector correctness,
+    not file order."""
+    from pyspark.sql import functions as F
+
+    from .sources.pyds import read_documents_via_python_datasource
+
+    df = read_documents_via_python_datasource(spark, _stage_docs_jsonl(spark, sf_dir))
     return df.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
@@ -1200,6 +1206,59 @@ register(
     FROM documents GROUP BY lang
     """,
     tags=("source", "python-datasource", "arrow"),
+)
+
+
+def _python_datasource_stream(spark, sf_dir):
+    """S4/T-series extension — the STREAMING Python Data Source: the
+    same JSONL shards replayed one file per micro-batch through a
+    ``SimpleDataSourceStreamReader`` (offset = shard index, committed
+    like a Kafka seek position; sources/pyds.py), aggregated per
+    language in complete mode. Prefix consistency makes the drained
+    stream equal the batch aggregate — the oracle checks the custom
+    source's offset accounting end-to-end (a dropped or re-read shard
+    changes the counts)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .sources.pyds import stream_documents_via_python_datasource
+
+    stream = stream_documents_via_python_datasource(
+        spark, _stage_docs_jsonl(spark, sf_dir)
+    )
+    agg = stream.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    from .streaming.runner import _stream_shuffle_partitions
+
+    name = f"pyds_{uuid.uuid4().hex[:12]}"
+    with _stream_shuffle_partitions(spark):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="rtba_ckpt_pyds_"))
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    return spark.table(name)
+
+
+register(
+    "s_python_datasource_stream",
+    _python_datasource_stream,
+    sql="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    tags=("source", "python-datasource", "streaming"),
 )
 
 register(

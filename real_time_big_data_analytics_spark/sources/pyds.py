@@ -22,7 +22,12 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 DOCS_SUBSET_SCHEMA = "doc_id bigint, lang string, n_chars bigint"
 
@@ -73,3 +78,84 @@ def read_documents_via_python_datasource(spark, jsonl_dir: str):
     """Register (idempotent) and scan the custom source."""
     spark.dataSource.register(JsonlDocsDataSource)
     return spark.read.format("jsonl_docs").option("path", jsonl_dir).load()
+
+
+def make_jsonl_docs_stream_datasource():
+    """Build the STREAMING twin of :class:`JsonlDocsDataSource` —
+    offset-managed reads of the same JSONL shards, one file per
+    micro-batch.
+
+    The classes are defined at FUNCTION scope on purpose: Spark runs
+    streaming-source planning in a dedicated Python runner process
+    (``python_streaming_source_runner``) that unpickles the
+    DataSource; a module-level class pickles BY REFERENCE and that
+    runner — unlike executor workers — does not see the
+    addPyFile-shipped package zip, so it dies with
+    ModuleNotFoundError when the driver runs from a foreign cwd.
+    Function-scope classes are pickled BY VALUE (only pyspark/pyarrow
+    imports remain, which every worker has). Verified under the
+    vanilla-session foreign-cwd sweep.
+
+    The simple-reader API is driver-prefetched rows (right for
+    harness-sized shards and for demonstrating offset/commit
+    semantics); the partition-planned ``DataSourceStreamReader`` is
+    the fan-out path at production scale, exactly like the batch
+    ``partitions()`` above. Offsets are ``{"idx": n}`` — files are
+    the replayable log, so recovery re-reads from the committed index
+    like a Kafka offset seek.
+    """
+
+    class _JsonlDocsStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.dir = options["path"]
+
+        def _files(self):
+            import os
+
+            return [
+                os.path.join(self.dir, f)
+                for f in sorted(os.listdir(self.dir))
+                if f.endswith(".json") or f.endswith(".jsonl")
+            ]
+
+        def initialOffset(self):
+            return {"idx": 0}
+
+        def read(self, start):
+            i = start["idx"]
+            files = self._files()
+            if i >= len(files):
+                return iter([]), {"idx": i}
+            import pyarrow.json as pj
+
+            tbl = pj.read_json(files[i]).select(["doc_id", "lang", "n_chars"])
+            rows = list(
+                zip(*(tbl.column(c).to_pylist() for c in ("doc_id", "lang", "n_chars")))
+            )
+            return iter(rows), {"idx": i + 1}
+
+        def readBetweenOffsets(self, start, end):
+            rows, _ = self.read(start)
+            return rows
+
+        def commit(self, end):
+            pass
+
+    class JsonlDocsStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_docs_stream"
+
+        def schema(self) -> str:
+            return "doc_id bigint, lang string, n_chars bigint"
+
+        def simpleStreamReader(self, schema):
+            return _JsonlDocsStreamReader(self.options)
+
+    return JsonlDocsStreamDataSource
+
+
+def stream_documents_via_python_datasource(spark, jsonl_dir: str):
+    """Register (idempotent) and open the streaming scan."""
+    spark.dataSource.register(make_jsonl_docs_stream_datasource())
+    return spark.readStream.format("jsonl_docs_stream").option("path", jsonl_dir).load()
