@@ -199,3 +199,12 @@ register(
     """,
     tags=("streaming", "dedup", "watermark"),
 )
+
+# t14 (transformWithStateInPandas) is implemented in
+# streaming/queries.py but NOT registered: the API's driver-side state
+# server requires the protobuf Python package, absent from this
+# container (no installs permitted — same disclosed environment gap as
+# PIL / a live Kafka broker). tests/test_streaming.py gates a live
+# check on protobuf availability so it auto-activates when the
+# environment gains it; T8 covers the custom-stateful semantics with
+# the applyInPandasWithState API meanwhile.

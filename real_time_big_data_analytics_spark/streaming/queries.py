@@ -366,3 +366,68 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
     return run_to_table(spark, agg, output_mode="complete")
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 — the Spark 4 ``transformWithStateInPandas`` API (successor
+    to T8's ``applyInPandasWithState``): per-user running stats held in
+    a typed ``ValueState`` variable managed by a ``StatefulProcessor``.
+
+    The new API's state variables (value/list/map state, timers,
+    TTL) are the composable building blocks for production stateful
+    pipelines; this processor keeps one (count, total) tuple per user.
+    Same single-batch-replay oracle argument as T8: the final update
+    equals the batch aggregate.  Rounding happens post-replay in a
+    native Spark expression (round2), never in Python.
+
+    ENVIRONMENT GATE: the TWS driver-side state server imports
+    ``google.protobuf``, which this container does not ship (verified:
+    ``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE`` →
+    ``ImportError: google.protobuf``; installs are not permitted).
+    The operator is therefore not registered in the harness registry;
+    ``tests/test_streaming.py::test_transform_with_state_when_available``
+    runs it for real as soon as protobuf appears.  Requires the
+    RocksDB state store provider (set by the test).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle):
+            schema = StructType(
+                [StructField("n", LongType()), StructField("total", DoubleType())]
+            )
+            self._agg = handle.getValueState("agg", schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = 0, 0.0
+            if self._agg.exists():
+                n, total = self._agg.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self):
+            pass
+
+    stream = events_stream(spark, sf_dir).select("user_id", "value")
+    agg = stream.groupBy("user_id").transformWithStateInPandas(
+        RunningStats(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    out = run_to_table(spark, agg, output_mode="update")
+    return out.select(
+        "user_id", "n_events", round2("total_value").alias("total_value")
+    )

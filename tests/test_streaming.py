@@ -125,3 +125,42 @@ def test_dedup_within_watermark_equals_unbounded_dedup(spark, sf_dir):
     bounded = _as_set(sq.stream_dedup_within_watermark(spark, sf_dir))
     unbounded = _as_set(sq.stream_dedup_counts(spark, sf_dir))
     assert bounded == unbounded
+
+
+def test_transform_with_state_when_available(spark, sf_dir):
+    """T14 seam: transformWithStateInPandas needs google.protobuf for
+    its driver-side state server — absent from this container. Runs
+    the real operator (vs the batch aggregate) the moment the
+    environment gains protobuf; skips with the reason until then."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not installed — TWS state server cannot start")
+    from real_time_big_data_analytics_spark.operators import aggregations  # noqa: F401
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _as_set(sq.stream_transform_with_state(spark, sf_dir))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    ev = load_table(spark, sf_dir, "events")
+    from real_time_big_data_analytics_spark.functions.numeric import round2
+
+    want = _as_set(
+        ev.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            round2(F.sum("value")).alias("total_value"),
+        )
+    )
+    assert got == want
