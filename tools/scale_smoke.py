@@ -1,0 +1,135 @@
+"""Scale-smoke: measure how headline plans scale when the FACT tables
+grow 10x with dimensions fixed — the shape of real growth (SCALE.md's
+central claim, turned into numbers).
+
+Builds an sf1-equivalent dataset under the system temp dir by
+replicating the sf0.1 fact tables (lineitem / orders / events /
+documents) K times with key offsets that keep every join relationship
+intact — order keys shift in lockstep on both sides of the
+lineitem⋈orders join, customer/supplier/part foreign keys stay inside
+the fixed dimension ranges, doc/event ids stay unique. Dimension
+tables are copied as-is (dims grow ~log of facts in practice).
+
+Then times a representative query per family at both scales and
+prints per-query wall clock + the time ratio. A plan that does
+per-row work scales ~linear (ratio ≈ K on fixed cores); anything
+super-linear (a pair blow-up, a broadcast that stopped fitting, a
+single-reducer stage) shows up as ratio >> K. This is measurement of
+OUR plans' scaling exponent, not a driver-graded benchmark — the
+oracle gate stays on the driver's own testdata.
+
+Usage: python tools/scale_smoke.py [--k 10] [--sf /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FACTS = ("lineitem", "orders", "events", "documents")
+DIMS = ("region", "nation", "customer", "supplier", "part", "embeddings")
+
+QUERIES = (
+    "q1_pricing_summary",          # full-scan agg
+    "q9_product_profit",           # multiway broadcast join + fact shuffle
+    "flagship_windowed_analytics", # event-time windows
+    "l1_dup_group_stats",          # content-hash groupBy
+    "l2_ngram_jaccard_pairs",      # capped shingle self-pairing
+    "ts_ohlc_hourly",              # mergeable struct-argmin rollup
+    "wf_sessionize_events",        # per-user window sort
+)
+
+
+def build(spark, src: str, k: int) -> str:
+    from pyspark.sql import functions as F
+
+    st = os.stat(os.path.join(src, "lineitem.parquet"))
+    tag = hashlib.md5(f"{src}|{k}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"rtba_scale_{tag}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def rd(name):
+        return spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+
+    for name in DIMS:
+        rd(name).write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+
+    okey_span = rd("orders").agg(F.max("o_orderkey")).first()[0] + 1
+    ev_span = rd("events").agg(F.max("event_id")).first()[0] + 1
+    doc_span = rd("documents").agg(F.max("doc_id")).first()[0] + 1
+
+    def replicate(df, shifts: dict):
+        copies = []
+        for i in range(k):
+            c = df
+            for col, span in shifts.items():
+                c = c.withColumn(col, F.col(col) + F.lit(int(i * span)))
+            copies.append(c)
+        r = copies[0]
+        for c in copies[1:]:
+            r = r.unionByName(c)
+        return r
+
+    replicate(rd("orders"), {"o_orderkey": okey_span}).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    replicate(rd("lineitem"), {"l_orderkey": okey_span}).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+    replicate(rd("events"), {"event_id": ev_span}).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    replicate(rd("documents"), {"doc_id": doc_span}).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    open(os.path.join(out, "_SUCCESS"), "w").close()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from real_time_big_data_analytics_spark.registry import all_queries
+    from real_time_big_data_analytics_spark.session import get_spark
+
+    spark = get_spark("rtba-scale-smoke")
+    big = build(spark, args.sf, args.k)
+    queries = all_queries()
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    force(queries["q1_pricing_summary"].fn(spark, args.sf))  # warm-up
+
+    report = {}
+    for name in QUERIES:
+        times = {}
+        for label, sf_dir in (("base", args.sf), (f"x{args.k}", big)):
+            runs = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                force(queries[name].fn(spark, sf_dir))
+                runs.append(time.monotonic() - t0)
+            times[label] = round(min(runs), 3)
+        ratio = round(times[f"x{args.k}"] / max(times["base"], 1e-9), 2)
+        report[name] = {**times, "ratio": ratio}
+        print(f"{name:34s} base={times['base']:7.3f}s x{args.k}={times[f'x{args.k}']:7.3f}s ratio={ratio}")
+
+    print(json.dumps({"k": args.k, "queries": report}))
+
+
+if __name__ == "__main__":
+    main()
