@@ -62,3 +62,27 @@ def test_unverified_queries_lead_the_registry_order():
         f"unverified query at position {last_unverified} sorts after "
         f"verified one at {first_verified}"
     )
+
+
+REPEATABLE = (
+    # queries with session-external artifacts (staged exports, persisted
+    # index, memory sinks, checkpointed iteration) — a stale-cache or
+    # name-collision bug shows up as run-2 diverging from run-1
+    "s_python_datasource_scan",
+    "s_python_datasource_stream",
+    "l3_knn_ivf_indexed",
+    "l2_dedup_clusters",
+    "t7_stream_dedup_counts",
+    "cdc_upsert_state",
+)
+
+
+@pytest.mark.parametrize("name", REPEATABLE)
+def test_second_run_is_identical(spark, sf_dir, name):
+    """Artifact-backed queries must be idempotent within a session:
+    the second invocation reuses (or cleanly rebuilds) its staging and
+    returns the same rows."""
+    fn = QUERIES[name].fn
+    first = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    second = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    assert first == second, name
