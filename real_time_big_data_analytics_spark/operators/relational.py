@@ -794,3 +794,28 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.floor(F.col("k") / 10).alias("k_decile"))
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
     )
+
+
+def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-style month-over-month change: monthly revenue from orders,
+    with previous-month revenue and the percentage delta via ``lag``
+    over the (tiny) aggregated series.
+
+    The window runs AFTER aggregation — one fact-table shuffle to
+    ~month-count rows, then a single-partition window over dozens of
+    rows (bounded by calendar length, not data size; at any SF this
+    stage is KB-scale).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("o_year"), F.month("o_orderdate").alias("o_month")
+    ).agg(F.sum("o_totalprice").alias("raw_rev"))
+    w = Window.orderBy("o_year", "o_month")
+    prev = F.lag("raw_rev").over(w)
+    return monthly.select(
+        "o_year",
+        "o_month",
+        round2(F.col("raw_rev")).alias("revenue"),
+        round2(prev).alias("prev_revenue"),
+        round2((F.col("raw_rev") - prev) / prev * 100.0, 4).alias("pct_change"),
+    )

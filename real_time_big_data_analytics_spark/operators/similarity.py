@@ -478,3 +478,27 @@ def matryoshka_truncation_audit(
         round2(F.avg("cos_full"), 4).alias("avg_cos_full"),
         round2(F.avg("cos_trunc"), 4).alias("avg_cos_trunc"),
     )
+
+
+def range_search(
+    spark: SparkSession, sf_dir: str, radius: float = 0.3
+) -> DataFrame:
+    """L3 (range variant) — epsilon-ball search: every corpus vector
+    within cosine similarity >= ``radius`` of each query, plus the
+    per-query neighborhood size.
+
+    The top-k family bounds results by count; range search bounds by
+    similarity — the retrieval primitive for "all near-duplicates of
+    this item" and density estimation. Same broadcast-query scan as
+    the brute-force path (no shuffle until the per-query count), and
+    the radius filter is applied on the rounded similarity so the cut
+    is engine-exact.
+    """
+    sims = _all_sims(spark, sf_dir).filter(F.col("sim") >= radius)
+    w = Window.partitionBy("query_id")
+    return sims.select(
+        "query_id",
+        "vec_id",
+        "sim",
+        F.count("*").over(w).alias("n_in_ball"),
+    )

@@ -1213,3 +1213,23 @@ register(
     """,
     tags=("scalar", "json", "variant"),
 )
+
+register(
+    "wf_revenue_mom_change",
+    relational.revenue_mom_change,
+    sql="""
+    WITH m AS (
+      SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+             sum(o_totalprice) AS raw_rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_year, o_month,
+           round(raw_rev, 2) AS revenue,
+           round(lag(raw_rev) OVER (ORDER BY o_year, o_month), 2) AS prev_revenue,
+           round((raw_rev - lag(raw_rev) OVER (ORDER BY o_year, o_month))
+                 / lag(raw_rev) OVER (ORDER BY o_year, o_month) * 100.0,
+                 4) AS pct_change
+    FROM m
+    """,
+    tags=("window", "timeseries", "bi"),
+)

@@ -1305,3 +1305,29 @@ register(
     """,
     tags=("text", "index", "search"),
 )
+
+register(
+    "l3_range_search",
+    similarity.range_search,
+    sql="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ), sims AS (
+      SELECT query_id, c.vec_id,
+             round(
+               list_dot_product(qv, ev)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ev, ev))),
+               6) AS sim
+      FROM c, q WHERE c.vec_id <> q.query_id
+    ), inball AS (
+      SELECT * FROM sims WHERE sim >= 0.3
+    )
+    SELECT query_id, vec_id, sim,
+           count(*) OVER (PARTITION BY query_id) AS n_in_ball
+    FROM inball
+    """,
+    tags=("similarity", "range-search"),
+)

@@ -91,6 +91,7 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "j6_range_join_price_tiers",
         "sf_value_histogram",
         "l3_knn_bruteforce",
+        "l3_range_search",  # same broadcast-query != join as bruteforce
         "l3_knn_lsh",
         "l3_knn_ivf",
         "l3_knn_ivf_indexed",
