@@ -164,3 +164,46 @@ def test_transform_with_state_when_available(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_checkpoint_recovery_resumes_exactly_once(spark, tmp_path):
+    """S9/T3 — checkpoint recovery: stop a streaming aggregation after
+    one batch of files, add more data, restart with the SAME
+    checkpoint; the restored state must count every row exactly once
+    (a re-processed first batch would double-count, a lost state store
+    would under-count)."""
+    import uuid
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    name = f"ckpt_{uuid.uuid4().hex[:8]}"
+    schema = "id bigint, k bigint"
+
+    def add_rows(lo, hi):
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(lo, hi)], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once():
+        s = spark.readStream.schema(schema).parquet(str(src))
+        agg = s.groupBy("k").agg(F.count("*").alias("n"))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    add_rows(0, 100)
+    run_once()
+    add_rows(100, 200)
+    run_once()
+
+    got = {r["k"]: r["n"] for r in spark.table(name).collect()}
+    want = {0: 67, 1: 67, 2: 66}  # exact split of range(200) by i % 3
+    assert got == want
