@@ -28,18 +28,75 @@ from .text import ngram_jaccard_pairs
 
 MAX_ITER = 20
 
+# Below this many (directed) edges the component graph is metadata-scale
+# and the transitive closure finishes with a driver-side union-find in
+# one pass — the same two-phase strategy GraphFrames' connectedComponents
+# uses (iterate distributed until the graph shrinks, solve the remainder
+# locally). 1M edges ≈ 16 MB of longs on the driver, a bounded collect.
+# Above the threshold the distributed min-label loop runs instead, so
+# the 100 TB path (billions of candidate pairs) never collects.
+LOCAL_CC_MAX_EDGES = 1 << 20
 
-def min_label_components(pairs: DataFrame) -> DataFrame:
+
+def _local_union_find(rows) -> list[tuple[int, int]]:
+    """Union-find over collected (src, dst) edges; returns
+    (node, min-node-of-component) pairs sorted by node."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    label: dict[int, int] = {}
+    for node in parent:
+        root = find(node)
+        label[root] = min(label.get(root, node), node)
+    return sorted((node, label[find(node)]) for node in parent)
+
+
+def min_label_components(
+    pairs: DataFrame, local_max_edges: int = LOCAL_CC_MAX_EDGES
+) -> DataFrame:
     """Connected components over an (a_id, b_id) edge list via
     iterative min-label propagation: returns (node, label) where
     label is the component's minimum node id.
 
     Shared by every dedup family that ends in transitive closure
-    (n-gram Jaccard, embedding-cosine semantic dedup): each round is
+    (n-gram Jaccard, embedding-cosine semantic dedup). Two-phase
+    adaptive execution: the edge list is materialized once
+    (``localCheckpoint``), and if it is metadata-scale
+    (≤ ``local_max_edges``) the closure is solved with a single
+    driver-side union-find — one collect bounded by the threshold,
+    zero iterative Spark jobs. Otherwise each distributed round is
     one join + min-aggregate with ``localCheckpoint`` lineage
-    truncation; rounds = component diameter (2-3 for dup cliques).
+    truncation; rounds = graph diameter (2-3 for dup cliques).
     """
-    fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    # Checkpoint the FORWARD edges first so the (possibly expensive)
+    # pair-generation subplan materializes exactly once; the reversed
+    # direction is derived from the checkpointed rows, not recomputed.
+    fwd = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).localCheckpoint()
+
+    n_edges = fwd.count()
+    if n_edges <= local_max_edges:
+        spark = pairs.sparkSession
+        solved = _local_union_find(fwd.collect())
+        return spark.createDataFrame(solved, schema="node bigint, label bigint")
+
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()

@@ -72,6 +72,29 @@ def test_near_dup_clusters_are_consistent(spark):
         assert labels[p.a_id] == labels[p.b_id]
 
 
+def test_component_local_and_distributed_paths_agree(spark):
+    """The adaptive two-phase connected components must give identical
+    (node, label) assignments whether the closure finishes with the
+    driver-side union-find (edge count under LOCAL_CC_MAX_EDGES) or
+    the distributed min-label loop (forced via local_max_edges=0)."""
+    from real_time_big_data_analytics_spark.operators.clustering import (
+        min_label_components,
+    )
+
+    # chain 1-2-3, clique 10-11-12, singleton-pair 20-21: exercises
+    # diameter>1 (the chain needs >1 propagation round)
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "a_id bigint, b_id bigint")
+    local = {(r.node, r.label) for r in min_label_components(pairs).collect()}
+    dist = {
+        (r.node, r.label)
+        for r in min_label_components(pairs, local_max_edges=0).collect()
+    }
+    expect = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
+    assert local == expect
+    assert dist == expect
+
+
 def test_max_df_cap_bounds_hot_shingle_pairs(spark, tmp_path):
     """A boilerplate shingle shared by every doc must not fan out into
     O(n²) candidate pairs: with the df cap it is dropped from the join,
