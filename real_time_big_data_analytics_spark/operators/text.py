@@ -1032,3 +1032,128 @@ def inverted_index(spark: SparkSession, sf_dir: str, max_postings: int = 20) -> 
     return tok.groupBy("term").agg(
         F.count("*").alias("df"), postings.alias("postings")
     )
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
+    """L4 — one round of BPE vocabulary training: the top-k adjacent
+    character pairs by corpus frequency, the merge candidates a
+    byte-pair-encoding tokenizer trainer would fuse next.
+
+    The classic BPE-trainer trick: pair counts are computed over the
+    WORD-FREQUENCY dictionary, not the raw token stream — the corpus
+    collapses to (word, count) first (vocab-bounded shuffle), then
+    each distinct word explodes into its length-1 adjacent pairs
+    weighted by the word's count. At 100 TB the pair-count stage
+    touches only the vocabulary (millions of rows), never the
+    trillions of raw tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    word_freq = (
+        docs.select(F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = word_freq.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+def char_entropy_stats(spark: SparkSession, sf_dir: str, low: float = 2.5) -> DataFrame:
+    """L4 — character-entropy quality gate: per-language stats of the
+    per-document Shannon entropy (nats) of the character distribution.
+    Low-entropy documents are repetitive/gibberish (aaaa…, boilerplate)
+    — this is the standard cheap pre-filter before model-based quality
+    scoring.
+
+    The per-document entropy is computed ROW-SIDE with higher-order
+    array functions (distinct chars → p·ln p fold) — no explode, no
+    per-character shuffle; the only exchange is the final per-language
+    aggregate. Alphabet size bounds the inner loop (~10² per row).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ent = F.expr(
+        """
+        aggregate(
+          transform(array_distinct(split(text, '')),
+                    c -> cast(size(filter(split(text, ''), x -> x = c)) as double)
+                         / size(split(text, ''))),
+          cast(0.0 as double),
+          (acc, p) -> acc - p * ln(p))
+        """
+    )
+    per_doc = docs.select("lang", ent.alias("entropy"))
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        round2(F.avg("entropy")).alias("avg_entropy"),
+        round2(F.min("entropy")).alias("min_entropy"),
+        round2(F.max("entropy")).alias("max_entropy"),
+        F.sum((F.col("entropy") < low).cast("int")).cast("bigint").alias("n_low_entropy"),
+    )
+
+
+def length_padding_audit(spark: SparkSession, sf_dir: str, bucket: int = 64) -> DataFrame:
+    """L4 — dynamic-batching efficiency audit: bucket documents by
+    token length rounded up to a multiple of ``bucket`` (the padded
+    sequence length a length-grouped batcher would allocate) and
+    report per-bucket document count, real tokens, and padding waste.
+
+    Pure narrow map + one small agg keyed by bucket (~max_len/bucket
+    distinct keys) — the audit a training pipeline runs to choose its
+    batching buckets before burning GPU-hours on padding.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_words())
+    bucket_len = (F.ceil(n_tok.cast("double") / bucket) * bucket).cast("bigint")
+    per_doc = docs.select(
+        n_tok.alias("n_tokens"), bucket_len.alias("bucket_len")
+    )
+    return per_doc.groupBy("bucket_len").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("real_tokens"),
+        (F.sum(F.col("bucket_len") - F.col("n_tokens"))).cast("bigint").alias("padding_tokens"),
+        round2(
+            F.sum(F.col("bucket_len") - F.col("n_tokens")).cast("double")
+            / F.sum("bucket_len").cast("double")
+            * 100
+        ).alias("waste_pct"),
+    )
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """L4 (privacy family, with ``pii_scrub_stats``) — k-anonymity
+    audit over the quasi-identifier tuple (lang, source, length
+    bucket): how many identifier groups have fewer than ``k`` members,
+    and how many documents sit in such re-identifiable groups.
+
+    Two cascaded aggregations — quasi-identifier group sizes, then the
+    per-language rollup. Both shuffle only group keys; the first is
+    bounded by the quasi-identifier cross-product, the second by
+    language count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(
+        "lang", "source", (F.floor(F.col("n_chars") / 100) * 100).alias("len_bucket")
+    ).agg(F.count("*").alias("gsize"))
+    return groups.groupBy("lang").agg(
+        F.count("*").alias("n_groups"),
+        F.sum((F.col("gsize") < k).cast("int")).cast("bigint").alias("n_small_groups"),
+        F.sum(F.when(F.col("gsize") < k, F.col("gsize")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_docs_at_risk"),
+        round2(
+            F.sum(F.when(F.col("gsize") < k, F.col("gsize")).otherwise(F.lit(0))).cast("double")
+            / F.sum("gsize").cast("double")
+            * 100
+        ).alias("pct_at_risk"),
+    )

@@ -1233,3 +1233,52 @@ register(
     """,
     tags=("window", "timeseries", "bi"),
 )
+
+# --- Graph analytics: iterative PageRank with an unrolled-CTE oracle ---
+
+from .operators import graph  # noqa: E402
+
+
+def _pagerank_sql(n_iter: int = 5, d: float = 0.85) -> str:
+    """Unroll the fixed-iteration PageRank recurrence as chained CTEs —
+    the exact SQL twin of the lazy iterative plan in
+    ``operators/graph.py`` (same IEEE ops in the same order)."""
+    iters = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        iters.append(
+            f""", r{i} AS (
+      SELECT n.node,
+             (1 - {d}) / (SELECT nn FROM cnt)
+             + {d} * coalesce(m.mass, 0) AS rank
+      FROM n LEFT JOIN (
+        SELECT p.dst, sum(r.rank * p.p) AS mass
+        FROM p JOIN {prev} r ON r.node = p.src GROUP BY p.dst
+      ) m ON m.dst = n.node
+    )"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH e AS (
+      SELECT c_nationkey AS src, s_nationkey AS dst,
+             sum(l_extendedprice * (1 - l_discount)) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ), n AS (SELECT n_nationkey AS node FROM nation),
+    cnt AS (SELECT count(*) AS nn FROM n),
+    p AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM e),
+    r0 AS (SELECT node, 1.0 / (SELECT nn FROM cnt) AS rank FROM n){''.join(iters)}
+    SELECT n_name, round(rank, 6) AS rank
+    FROM {prev} JOIN nation ON node = n_nationkey
+    """
+
+
+register(
+    "graph_trade_pagerank",
+    graph.trade_pagerank,
+    sql=_pagerank_sql(),
+    tags=("graph", "iterative", "pagerank"),
+)

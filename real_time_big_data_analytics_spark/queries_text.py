@@ -1331,3 +1331,89 @@ register(
     """,
     tags=("similarity", "range-search"),
 )
+
+register(
+    "l4_bpe_merge_candidates",
+    text.bpe_merge_candidates,
+    # pair counts over the word-frequency dict (the BPE-trainer trick),
+    # not the raw token stream
+    sql="""
+    WITH wf AS (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ), pos AS (
+      SELECT word, cnt, unnest(generate_series(1, length(word) - 1)) AS i
+      FROM wf WHERE length(word) >= 2
+    )
+    SELECT substring(word, i, 2) AS pair, CAST(sum(cnt) AS BIGINT) AS n
+    FROM pos GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+
+register(
+    "l4_char_entropy_stats",
+    text.char_entropy_stats,
+    sql="""
+    WITH ch AS (
+      SELECT doc_id, lang, unnest(string_split(text, '')) AS c FROM documents
+    ), freq AS (
+      SELECT doc_id, lang, c, count(*) AS cnt FROM ch GROUP BY doc_id, lang, c
+    ), tot AS (
+      SELECT doc_id, sum(cnt) AS n FROM freq GROUP BY doc_id
+    ), ent AS (
+      SELECT f.doc_id, f.lang,
+             -sum((CAST(f.cnt AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * ln(CAST(f.cnt AS DOUBLE) / CAST(t.n AS DOUBLE))) AS entropy
+      FROM freq f JOIN tot t USING (doc_id) GROUP BY f.doc_id, f.lang
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(entropy), 2) AS avg_entropy,
+           round(min(entropy), 2) AS min_entropy,
+           round(max(entropy), 2) AS max_entropy,
+           CAST(sum(CASE WHEN entropy < 2.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
+    FROM ent GROUP BY lang
+    """,
+    tags=("text", "quality", "entropy"),
+)
+
+register(
+    "l4_length_padding_audit",
+    text.length_padding_audit,
+    sql="""
+    WITH t AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens,
+             CAST(ceil(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64) * 64 AS BIGINT)
+               AS bucket_len
+      FROM documents
+    )
+    SELECT bucket_len, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(sum(bucket_len - n_tokens) AS BIGINT) AS padding_tokens,
+           round(CAST(sum(bucket_len - n_tokens) AS DOUBLE)
+                 / CAST(sum(bucket_len) AS DOUBLE) * 100, 2) AS waste_pct
+    FROM t GROUP BY bucket_len
+    """,
+    tags=("text", "batching", "efficiency"),
+)
+
+register(
+    "l4_k_anonymity_audit",
+    text.k_anonymity_audit,
+    sql="""
+    WITH g AS (
+      SELECT lang, source,
+             CAST(floor(CAST(n_chars AS DOUBLE) / 100) * 100 AS BIGINT) AS len_bucket,
+             count(*) AS gsize
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang, count(*) AS n_groups,
+           CAST(sum(CASE WHEN gsize < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+           CAST(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT) AS n_docs_at_risk,
+           round(CAST(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(gsize) AS DOUBLE) * 100, 2) AS pct_at_risk
+    FROM g GROUP BY lang
+    """,
+    tags=("text", "privacy", "k-anonymity"),
+)

@@ -359,3 +359,59 @@ def test_association_rules_probability_identities(spark, sf_dir):
         assert 0 < r.conf_a_to_b <= 1 and 0 < r.conf_b_to_a <= 1
         # lift = conf(a->b) / P(b); all quantities agree within rounding
         assert r.lift > 0
+
+
+def test_entropy_flags_degenerate_text(spark, tmp_path):
+    """A constant-character doc has entropy 0; varied text is higher."""
+    from real_time_big_data_analytics_spark.operators.text import char_entropy_stats
+
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaa", "xx", "s"),
+        (2, "the quick brown fox jumps over the lazy dog", "yy", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in char_entropy_stats(spark, str(tmp_path)).collect()}
+    assert out["xx"].avg_entropy == 0.0
+    assert out["xx"].n_low_entropy == 1
+    assert out["yy"].avg_entropy > 2.5
+    assert out["yy"].n_low_entropy == 0
+
+
+def test_padding_audit_totals_cover_corpus(spark, sf_dir):
+    """Every document lands in exactly one bucket; waste is
+    non-negative and below one bucket width per doc."""
+    from real_time_big_data_analytics_spark.operators.text import length_padding_audit
+
+    rows = length_padding_audit(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.padding_tokens < 64 * r.n_docs
+        assert r.bucket_len % 64 == 0
+
+
+def test_bpe_candidates_counts_match_manual(spark, tmp_path):
+    """Pair counts weighted by word frequency, verified by hand."""
+    from real_time_big_data_analytics_spark.operators.text import bpe_merge_candidates
+
+    rows = [(1, "abab abab cd", "en", "s"), (2, "abab", "en", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.pair: r.n for r in bpe_merge_candidates(spark, str(tmp_path)).collect()}
+    # "abab" occurs 3 times -> pairs ab,ba,ab per occurrence
+    assert got["ab"] == 6
+    assert got["ba"] == 3
+    assert got["cd"] == 1
+
+
+def test_k_anonymity_risk_counts_are_consistent(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.text import k_anonymity_audit
+
+    rows = k_anonymity_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_small_groups <= r.n_groups
+        # each small group has at most k-1 members
+        assert r.n_docs_at_risk <= r.n_small_groups * 4
+        assert 0.0 <= r.pct_at_risk <= 100.0
