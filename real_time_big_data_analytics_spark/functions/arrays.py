@@ -40,3 +40,13 @@ def mean_pool(a: Column | str) -> Column:
     return F.aggregate(
         a, F.lit(0.0), lambda acc, v: acc + v.cast("double")
     ) / F.size(a).cast("double")
+
+
+def l2_sq_dist(a: Column | str, b: Column | str) -> Column:
+    """Squared Euclidean distance between two float arrays (double
+    accumulation) — the PQ/IVF training and ADC lookup metric."""
+    diffs = F.zip_with(
+        _c(a), _c(b), lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)

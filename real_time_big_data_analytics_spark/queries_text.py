@@ -1417,3 +1417,14 @@ register(
     """,
     tags=("text", "privacy", "k-anonymity"),
 )
+
+# PQ codes + ADC shortlist + exact rerank: the two-stage serving
+# pipeline; invariant twin asserts exact rerank distances + recall floor
+register(
+    "l3_knn_pq_rerank",
+    similarity.knn_pq_rerank_checked,
+    sql=_ANN_QUERIES_SQL.format(
+        flags="true AS within_k, true AS dists_exact, true AS recall_ok"
+    ),
+    tags=("similarity", "knn", "pq", "adc"),
+)

@@ -95,6 +95,7 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "l3_knn_lsh",
         "l3_knn_ivf",
         "l3_knn_ivf_indexed",
+        "l3_knn_pq_rerank",  # exact-twin broadcast + 1-row recall flag
         "a5_recent_window_counts",
         "sketch_theta_user_overlap",
         "q22_inactive_high_balance",

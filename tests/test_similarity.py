@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from real_time_big_data_analytics_spark.functions.arrays import cosine_similarity
 from real_time_big_data_analytics_spark.operators import similarity
+from tests.conftest import SF_CORRECT
 
 
 def test_knn_bruteforce_shape(spark, sf_dir):
@@ -118,3 +119,35 @@ def test_matryoshka_audit_distortion_is_bounded_and_ordered(spark, sf_dir):
         assert 0 <= r.avg_distortion <= r.max_distortion <= 2.0
         assert -1.0 <= r.avg_cos_trunc <= 1.0
         assert r.n_pairs > 0
+
+
+def test_pq_rerank_recall_vs_exact_l2(spark):
+    """Two-stage PQ (ADC shortlist -> exact rerank) must recover most
+    of the true L2 top-k; raw ADC ranks are allowed to be coarser but
+    must still beat random."""
+    from real_time_big_data_analytics_spark.operators import similarity as S
+
+    true = {(r.query_id, r.vec_id) for r in S.exact_l2_topk(spark, SF_CORRECT).collect()}
+    assert true
+    rerank = {
+        (r.query_id, r.vec_id) for r in S.knn_pq_rerank(spark, SF_CORRECT).collect()
+    }
+    recall = len(true & rerank) / len(true)
+    assert recall >= 0.7, f"pq rerank recall {recall:.2f} < 0.7"
+
+    adc = {(r.query_id, r.vec_id) for r in S.knn_pq_adc(spark, SF_CORRECT).collect()}
+    adc_recall = len(true & adc) / len(true)
+    assert adc_recall >= 0.15, f"raw adc recall {adc_recall:.2f}"
+
+
+def test_pq_codebook_shape_and_determinism(spark):
+    from real_time_big_data_analytics_spark.operators import similarity as S
+
+    cb = S.pq_train_codebook(spark, SF_CORRECT).collect()
+    assert len(cb) == S.PQ_N_SUB * S.PQ_N_CODES
+    for r in cb:
+        assert len(r.center) == 64 // S.PQ_N_SUB
+    again = S.pq_train_codebook(spark, SF_CORRECT).collect()
+    a = sorted((r.sub, r.code, tuple(round(x, 9) for x in r.center)) for r in cb)
+    b = sorted((r.sub, r.code, tuple(round(x, 9) for x in r.center)) for r in again)
+    assert a == b
