@@ -1157,3 +1157,38 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame
             * 100
         ).alias("pct_at_risk"),
     )
+
+
+def shard_assignment(spark: SparkSession, sf_dir: str, shard_tokens: int = 20000) -> DataFrame:
+    """L7 — token-budget shard writer: assign documents to output
+    shards of ~``shard_tokens`` tokens each, in a deterministic
+    pseudo-random order (md5 of doc_id), and report per-shard fill.
+
+    The document order inside each language partition is fixed by the
+    hash key, the running token total is a partitioned window sum,
+    and the shard id is the running total's budget quotient — so the
+    shard layout is a pure function of the corpus, reproducible
+    across runs and engines. Windows partition by language (parallel
+    across partitions); a single global sequence at 100 TB would use
+    the standard two-pass prefix-sum instead (per-partition totals →
+    broadcast offsets), same arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_words())
+    keyed = docs.select(
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+        n_tok.cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    assigned = keyed.select(
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / shard_tokens)
+        .cast("bigint")
+        .alias("shard"),
+    )
+    return assigned.groupBy("lang", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+    )

@@ -1428,3 +1428,25 @@ register(
     ),
     tags=("similarity", "knn", "pq", "adc"),
 )
+
+register(
+    "l4_shard_assignment",
+    text.shard_assignment,
+    sql="""
+    WITH t AS (
+      SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS k,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), a AS (
+      SELECT lang, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY k
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / 20000) AS BIGINT) AS shard
+      FROM t
+    )
+    SELECT lang, shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+    FROM a GROUP BY lang, shard
+    """,
+    tags=("text", "training-mix", "sharding"),
+)

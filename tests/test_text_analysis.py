@@ -415,3 +415,23 @@ def test_k_anonymity_risk_counts_are_consistent(spark, sf_dir):
         # each small group has at most k-1 members
         assert r.n_docs_at_risk <= r.n_small_groups * 4
         assert 0.0 <= r.pct_at_risk <= 100.0
+
+
+def test_shard_assignment_fills_shards_deterministically(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.text import shard_assignment
+
+    rows = shard_assignment(spark, sf_dir).collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    # all shards but each language's last must have reached the budget
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, shards in by_lang.items():
+        shards.sort(key=lambda r: r.shard)
+        assert [s.shard for s in shards] == list(range(len(shards)))
+        for s in shards[:-1]:
+            assert s.shard_tokens >= 20000 - 200  # budget minus one doc overshoot slack
+    again = sorted((r.lang, r.shard, r.n_docs) for r in shard_assignment(spark, sf_dir).collect())
+    assert again == sorted((r.lang, r.shard, r.n_docs) for r in rows)
