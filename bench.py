@@ -62,6 +62,10 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "cdc_upsert_state",
     "ts_ohlc_hourly",
+    # this session's additions: the iterative graph family and the
+    # BPE-trainer pair mining (vocab-bounded shuffle)
+    "graph_trade_pagerank",
+    "l4_bpe_merge_candidates",
 ]
 
 
