@@ -1450,3 +1450,42 @@ register(
     """,
     tags=("text", "training-mix", "sharding"),
 )
+
+register(
+    "l2_line_boilerplate_stats",
+    text.line_boilerplate_stats,
+    sql="""
+    WITH lines AS (
+      SELECT doc_id, lang, unnest(string_split(text, '. ')) AS line FROM documents
+    ), fl AS (
+      SELECT * FROM lines WHERE length(line) >= 10
+    ), dfl AS (
+      SELECT md5(line) AS lh, count(DISTINCT doc_id) AS line_df
+      FROM fl GROUP BY md5(line)
+    ), per_doc AS (
+      SELECT f.doc_id, f.lang, count(*) AS n_lines,
+             sum(CASE WHEN d.line_df > 3 THEN 1 ELSE 0 END) AS n_boiler
+      FROM fl f JOIN dfl d ON md5(f.line) = d.lh GROUP BY f.doc_id, f.lang
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_lines) AS BIGINT) AS total_lines,
+           CAST(sum(n_boiler) AS BIGINT) AS boiler_lines,
+           round(CAST(sum(n_boiler) AS DOUBLE) / CAST(sum(n_lines) AS DOUBLE) * 100, 2)
+             AS boiler_pct
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("dedup", "boilerplate", "lines"),
+)
+
+# exact n_docs column + bound-assertion flags (sketch-family pattern);
+# the ratio itself needs zlib, which SQL engines don't expose
+register(
+    "l4_compression_quality",
+    text.compression_quality_stats,
+    sql="""
+    SELECT lang, count(*) AS n_docs,
+           true AS ratio_in_bounds, true AS has_spread
+    FROM documents GROUP BY lang
+    """,
+    tags=("text", "quality", "compression"),
+)
