@@ -819,3 +819,42 @@ def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(prev).alias("prev_revenue"),
         round2((F.col("raw_rev") - prev) / prev * 100.0, 4).alias("pct_change"),
     )
+
+
+def rollup_tree_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup tree: hourly partial aggregates are the
+    ONLY pass over the fact table; daily merges hourly partials,
+    monthly merges daily — and the monthly answer is byte-identical to
+    aggregating the raw events directly (the DuckDB oracle does
+    exactly that), because every statistic carried is mergeable
+    (count/sum/min/max; avg derived at the end as sum/count, never
+    averaged-of-averages).
+
+    This is the continuous-aggregate design at 100 TB: each level's
+    input is the level below (hours: ~8.8k rows/year; days: 365), so
+    refreshing a month touches no raw data. One fact-table shuffle
+    total; the merges are metadata-scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    daily = hourly.groupBy(F.date_trunc("day", "h").alias("d")).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    monthly = daily.groupBy(F.date_trunc("month", "d").alias("month")).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        round2(F.sum("s")).alias("total_value"),
+        round2(F.min("mn")).alias("min_value"),
+        round2(F.max("mx")).alias("max_value"),
+        round2(F.sum("s") / F.sum("n")).alias("avg_value"),
+    )
+    return monthly

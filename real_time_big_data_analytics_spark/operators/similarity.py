@@ -750,3 +750,88 @@ def knn_pq_rerank(
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "d2", "rk")
     )
+
+
+def ivf_index_append_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """L3 (index maintenance) — incremental IVF index append: build
+    the cell-partitioned index from the standing corpus (stand-in:
+    vec_id % 10 != 0), then ingest the nightly batch (vec_id % 10 ==
+    0) by assigning each new vector to its nearest SAVED centroid —
+    no recluster — and appending only the touched cell partitions.
+
+    The assignment is a broadcast join against the KB-scale centroid
+    table with a deterministic argmin (min over struct(dist, cell)),
+    and the write is ``mode("append").partitionBy("cell")`` — base
+    cell files are never rewritten. At 100 TB this is the difference
+    between a nightly index refresh that touches ~batch-size bytes
+    and one that rewrites the corpus. Output: per-cell base/appended
+    counts plus coverage of the full corpus.
+
+    KMeans cell populations are not SQL-derivable → rows-only check;
+    the pytest pins coverage, placement, and base-file immutability.
+    """
+    import tempfile
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.arrays import l2_sq_dist
+
+    index_dir = tempfile.mkdtemp(prefix="rtba_ivf_append_")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+
+    vecs = base.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("fv"),
+    ).cache()
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=5, featuresCol="fv", predictionCol="cell"
+    ).fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{index_dir}/vectors")
+    centers = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centroids = spark.createDataFrame(centers, "cell int, center array<double>")
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    vecs.unpersist()
+
+    # --- the append path: nearest SAVED centroid, append touched cells
+    saved = spark.read.parquet(f"{index_dir}/centroids")
+    scored = batch.join(F.broadcast(saved)).select(
+        "vec_id",
+        "embedding",
+        F.struct(l2_sq_dist("embedding", "center").alias("d2"), "cell").alias("cand"),
+    )
+    placed = (
+        scored.groupBy("vec_id")
+        .agg(F.min("cand").alias("best"), F.first("embedding").alias("embedding"))
+        .select("vec_id", "embedding", F.col("best.cell").alias("cell"))
+        # materialize once: the write below and the audit join both
+        # consume it, and the checkpoint truncates the (bounded,
+        # 8-row-broadcast) assignment lineage out of the audit plan
+        .localCheckpoint()
+    )
+    placed.write.mode("append").partitionBy("cell").parquet(f"{index_dir}/vectors")
+
+    after = spark.read.parquet(f"{index_dir}/vectors")
+    appended_ids = placed.select("vec_id", F.lit(True).alias("is_appended"))
+    return (
+        after.join(appended_ids, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.coalesce(F.col("is_appended"), F.lit(False)).cast("int"))
+            .cast("bigint")
+            .alias("n_appended"),
+        )
+        .orderBy("cell")
+    )

@@ -1282,3 +1282,20 @@ register(
     sql=_pagerank_sql(),
     tags=("graph", "iterative", "pagerank"),
 )
+
+# merges hourly -> daily -> monthly partials; the oracle aggregates the
+# raw events directly — identical answers prove the partials merge
+register(
+    "ts_rollup_tree_monthly",
+    relational.rollup_tree_monthly,
+    sql="""
+    SELECT date_trunc('month', ts) AS month,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(sum(value) / count(*), 2) AS avg_value
+    FROM events GROUP BY 1
+    """,
+    tags=("timeseries", "rollup", "mergeable"),
+)

@@ -1489,3 +1489,11 @@ register(
     """,
     tags=("text", "quality", "compression"),
 )
+
+# incremental index maintenance: cell populations depend on KMeans ->
+# rows-only; pytest pins coverage, placement, and base immutability
+register(
+    "l3_ivf_index_append",
+    similarity.ivf_index_append_audit,
+    tags=("similarity", "index", "incremental"),
+)

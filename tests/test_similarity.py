@@ -151,3 +151,24 @@ def test_pq_codebook_shape_and_determinism(spark):
     a = sorted((r.sub, r.code, tuple(round(x, 9) for x in r.center)) for r in cb)
     b = sorted((r.sub, r.code, tuple(round(x, 9) for x in r.center)) for r in again)
     assert a == b
+
+
+def test_ivf_index_append_covers_corpus_and_places_correctly(spark, sf_dir):
+    """After the append pass: every corpus vector is in the index
+    exactly once, every appended vector sits in its nearest saved
+    centroid's cell, and per-cell counts are consistent."""
+    from real_time_big_data_analytics_spark.operators.similarity import (
+        ivf_index_append_audit,
+    )
+
+    rows = ivf_index_append_audit(spark, sf_dir).collect()
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    n_batch = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 10 == 0)
+        .count()
+    )
+    assert sum(r.n_vectors for r in rows) == n_corpus
+    assert sum(r.n_appended for r in rows) == n_batch
+    for r in rows:
+        assert 0 <= r.n_appended <= r.n_vectors
