@@ -208,3 +208,43 @@ register(
 # check on protobuf availability so it auto-activates when the
 # environment gains it; T8 covers the custom-stateful semantics with
 # the applyInPandasWithState API meanwhile.
+
+# streaming HLL sketch audited against the exact batch distinct in the
+# same plan; the oracle re-derives the exact columns and asserts the
+# error-bound flag (bound-assertion twin, sketch-family pattern)
+register(
+    "t14_stream_approx_distinct",
+    sq.stream_approx_distinct_users,
+    sql="""
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, count(*) AS n_windows,
+           CAST(sum(exact_users) AS BIGINT) AS total_exact_users,
+           true AS within_bound
+    FROM e GROUP BY event_type
+    """,
+    tags=("streaming", "sketch", "approx"),
+)
+
+# foreachBatch MERGE-upsert into a versioned parquet serving table;
+# oracle = batch latest-row-per-user (merge is commutative, so batch
+# slicing cannot change the result)
+register(
+    "t15_stream_cdc_materialize",
+    sq.stream_cdc_materialize,
+    sql="""
+    WITH latest AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM latest WHERE rn = 1 GROUP BY event_type
+    """,
+    tags=("streaming", "cdc", "foreachBatch", "serving"),
+)

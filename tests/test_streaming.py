@@ -207,3 +207,22 @@ def test_checkpoint_recovery_resumes_exactly_once(spark, tmp_path):
     got = {r["k"]: r["n"] for r in spark.table(name).collect()}
     want = {0: 67, 1: 67, 2: 66}  # exact split of range(200) by i % 3
     assert got == want
+
+
+def test_cdc_materialization_independent_of_batch_slicing(spark, sf_dir):
+    """The merged serving table must be identical whether the stream
+    arrived as one batch or four — the merge is commutative and
+    keyed, so batch boundaries cannot change latest-per-user state."""
+    from real_time_big_data_analytics_spark.streaming.queries import (
+        stream_cdc_materialize,
+    )
+
+    one = sorted(
+        (r.event_type, r.n_users, r.total_value)
+        for r in stream_cdc_materialize(spark, sf_dir, n_slices=1).collect()
+    )
+    four = sorted(
+        (r.event_type, r.n_users, r.total_value)
+        for r in stream_cdc_materialize(spark, sf_dir, n_slices=4).collect()
+    )
+    assert one == four and one
