@@ -163,3 +163,50 @@ def test_no_heavy_exprs_in_scan_filters(spark, sf_dir):
             assert "transform(" not in f and "array_distinct(" not in f, (
                 f"{name}: heavy expression in scan filter: {f[:160]}"
             )
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark's runtime row-level filtering: a selective dimension side
+    of a shuffle join injects a bloom filter (built by a mergeable
+    bloom_filter_agg) as a might_contain() predicate on the FACT scan
+    — at 100 TB this drops non-matching fact rows before the shuffle.
+    Thresholds are lowered here because the harness tables sit under
+    the production defaults; the mechanism is what's pinned."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # shuffle join: bloom applies
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys, "bloom predicate missing from fact side"
+        assert "bloom_filter_agg" in phys, "bloom build missing from dim side"
+        # and with the feature off, the predicate must disappear
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        j2 = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" not in j2._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
