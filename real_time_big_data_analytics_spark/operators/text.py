@@ -1272,3 +1272,54 @@ def compression_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.every((F.col("ratio") > 0) & (F.col("ratio") <= 1.2)).alias("ratio_in_bounds"),
         (F.stddev("ratio") >= 0).alias("has_spread"),
     )
+
+
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str, k_smooth: float = 0.5) -> DataFrame:
+    """L4 — bigram LM quality scoring (the KenLM-direction upgrade of
+    ``unigram_logprob_scores``): train add-k-smoothed bigram
+    conditionals on the corpus itself, score each document by its mean
+    bigram log-probability P(w2|w1) = (c12 + k) / (c1 + k·V).
+
+    Scale shape: bigrams extract ROW-SIDE (transform over the token
+    array — no positional self-join), the model is one vocab²-bounded
+    aggregate, context totals derive from the bigram counts (no second
+    corpus pass), and V — the context-vocabulary size — attaches via a
+    single-partition window OVER THE CONTEXT AGGREGATE (vocab-bounded
+    rows), never the token stream. Scoring joins the bigram stream to
+    the model on the bigram key: broadcast here, a key-partitioned
+    shuffle at web scale where the bigram table outgrows broadcast.
+    Trained on the scored corpus itself → no OOV path by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", _words().alias("ws")).filter(F.size("ws") >= 2)
+    bg_arr = F.expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i]))"
+    )
+    big = ws.select("doc_id", F.explode(bg_arr).alias("bg"))
+
+    bg_counts = big.groupBy("bg").agg(F.count("*").alias("c12")).withColumn(
+        "w1", F.split("bg", " ")[0]
+    )
+    ctx = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    ctx_v = ctx.withColumn("v", F.count("*").over(Window.partitionBy()))
+    model = bg_counts.join(F.broadcast(ctx_v), "w1").select("bg", "c12", "c1", "v")
+
+    lp = F.log(
+        (F.col("c12") + F.lit(k_smooth))
+        / (F.col("c1") + F.lit(k_smooth) * F.col("v"))
+    )
+    scored = (
+        big.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.avg(lp).alias("lp"))
+    )
+    lp4 = round2(F.col("lp"), 4)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        lp4.alias("avg_logprob"),
+        F.when(lp4 >= -3.38, "high")
+        .when(lp4 >= -3.5, "mid")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    )

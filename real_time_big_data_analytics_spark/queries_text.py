@@ -1497,3 +1497,36 @@ register(
     similarity.ivf_index_append_audit,
     tags=("similarity", "index", "incremental"),
 )
+
+register(
+    "l4_bigram_logprob_quality",
+    text.bigram_logprob_scores,
+    sql="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), big AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM ws)
+    ), bgc AS (
+      SELECT bg, count(*) AS c12, string_split(bg, ' ')[1] AS w1
+      FROM big GROUP BY bg
+    ), ctx AS (
+      SELECT w1, sum(c12) AS c1 FROM bgc GROUP BY w1
+    ), ctxv AS (
+      SELECT w1, c1, count(*) OVER () AS v FROM ctx
+    ), model AS (
+      SELECT bg, c12, c1, v FROM bgc JOIN ctxv USING (w1)
+    ), per_doc AS (
+      SELECT b.doc_id, count(*) AS n_bigrams,
+             avg(ln((c12 + 0.5) / (c1 + 0.5 * v))) AS lp
+      FROM big b JOIN model USING (bg) GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, round(lp, 4) AS avg_logprob,
+           CASE WHEN round(lp, 4) >= -3.38 THEN 'high'
+                WHEN round(lp, 4) >= -3.5 THEN 'mid'
+                ELSE 'low' END AS quality_bucket
+    FROM per_doc
+    """,
+    tags=("text", "quality", "lm-score", "bigram"),
+)

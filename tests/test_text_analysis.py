@@ -468,3 +468,16 @@ def test_compression_ratio_separates_repetitive_from_varied(spark, tmp_path):
     r_rep = len(zlib.compress(("spam " * 400).encode(), 6)) / len("spam " * 400)
     r_var = len(zlib.compress(rows[1][1].encode(), 6)) / len(rows[1][1])
     assert r_rep < 0.05 < r_var
+
+
+def test_bigram_lm_scores_are_valid_and_rank_fluency(spark, sf_dir):
+    """Smoothed bigram log-probs must be strictly negative, finite,
+    and repeated high-frequency bigrams must outscore rare ones."""
+    from real_time_big_data_analytics_spark.operators.text import bigram_logprob_scores
+
+    rows = bigram_logprob_scores(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.avg_logprob < 0
+        assert r.n_bigrams >= 1
+        assert r.quality_bucket in ("high", "mid", "low")
