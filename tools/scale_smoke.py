@@ -45,6 +45,10 @@ QUERIES = (
     "l2_ngram_jaccard_pairs",      # capped shingle self-pairing
     "ts_ohlc_hourly",              # mergeable struct-argmin rollup
     "wf_sessionize_events",        # per-user window sort
+    "graph_trade_pagerank",        # aggregate-then-iterate graph loop
+    "l4_bpe_merge_candidates",     # vocab-dict pair mining
+    "l2_line_boilerplate_stats",   # line-hash df + per-lang rollup
+    "l4_bigram_logprob_quality",   # bigram LM train + broadcast score
 )
 
 
