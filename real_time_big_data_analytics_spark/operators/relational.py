@@ -858,3 +858,131 @@ def rollup_tree_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(F.sum("s") / F.sum("n")).alias("avg_value"),
     )
     return monthly
+
+
+PSI_EDGES = (5.0, 10.0, 20.0, 35.0, 50.0, 75.0, 100.0, 150.0, 250.0)
+
+
+def psi_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: Population Stability Index of the
+    ``value`` distribution between the first and second half of the
+    month (day-of-month ≤ 15 vs > 15), per event type — the standard
+    production check that a feature's distribution hasn't shifted
+    between a reference window and a live window (PSI < 0.1 stable,
+    0.1-0.25 moderate, > 0.25 major shift).
+
+    Fixed bucket edges (a production monitor pins edges at reference
+    time, it does not recompute quantiles per run) keep the whole
+    query two cascaded aggregations on (type × bucket) keys — no
+    scalar subqueries, no second scan. Smoothing (+0.5 per cell)
+    guards empty buckets exactly like the textbook estimator.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.lit(0)
+    for i, e in enumerate(PSI_EDGES):
+        bucket = F.when(F.col("value") >= e, i + 1).otherwise(bucket)
+    half = F.when(F.dayofmonth("ts") <= 15, "ref").otherwise("live")
+    cells = events.select(
+        "event_type", half.alias("half"), bucket.alias("bucket")
+    ).groupBy("event_type", "half", "bucket").agg(F.count("*").alias("n"))
+
+    w = Window.partitionBy("event_type", "half")
+    frac = cells.select(
+        "event_type",
+        "half",
+        "bucket",
+        (
+            (F.col("n") + F.lit(0.5))
+            / (F.sum("n").over(w) + F.lit(0.5 * (len(PSI_EDGES) + 1)))
+        ).alias("p"),
+    )
+    ref = frac.filter(F.col("half") == "ref").select(
+        "event_type", "bucket", F.col("p").alias("p_ref")
+    )
+    live = frac.filter(F.col("half") == "live").select(
+        "event_type", "bucket", F.col("p").alias("p_live")
+    )
+    per_bucket = ref.join(live, ["event_type", "bucket"], "full").select(
+        "event_type",
+        (
+            (F.coalesce("p_live", F.lit(0.0)) - F.coalesce("p_ref", F.lit(0.0)))
+            * F.log(F.coalesce("p_live", F.lit(1e-12)) / F.coalesce("p_ref", F.lit(1e-12)))
+        ).alias("term"),
+    )
+    psi = per_bucket.groupBy("event_type").agg(round2(F.sum("term"), 6).alias("psi"))
+    return psi.select(
+        "event_type",
+        "psi",
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "moderate")
+        .otherwise("shifted")
+        .alias("verdict"),
+    )
+
+
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality suite over ``events``:
+    each constraint computes its metric and verdict in ONE shared
+    aggregation pass (completeness, uniqueness, range, set
+    membership, monotone-time sanity) — the nightly gate a pipeline
+    runs before publishing a table. One full-scan aggregate, one
+    output row per constraint; adding a constraint adds a column to
+    the same pass, not a new scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    n = F.count("*")
+    metrics = events.agg(
+        n.alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("int")).alias("null_value"),
+        F.sum(F.col("user_id").isNull().cast("int")).alias("null_user"),
+        F.count_distinct("event_id").alias("distinct_ids"),
+        F.sum(((F.col("value") < 0) | (F.col("value") > 1000)).cast("int")).alias(
+            "out_of_range"
+        ),
+        F.sum(
+            (~F.col("event_type").isin("view", "click", "signup", "purchase", "error")).cast(
+                "int"
+            )
+        ).alias("bad_type"),
+        F.sum((F.year("ts") < 2000).cast("int")).alias("bad_ts"),
+    )
+    c = metrics.select(
+        F.col("n_rows"),
+        F.array(
+            F.struct(
+                F.lit("value_complete").alias("constraint"),
+                (F.lit(1.0) - F.col("null_value") / F.col("n_rows")).alias("metric"),
+                (F.col("null_value") == 0).alias("passed"),
+            ),
+            F.struct(
+                F.lit("user_complete").alias("constraint"),
+                (F.lit(1.0) - F.col("null_user") / F.col("n_rows")).alias("metric"),
+                (F.col("null_user") == 0).alias("passed"),
+            ),
+            F.struct(
+                F.lit("event_id_unique").alias("constraint"),
+                (F.col("distinct_ids") / F.col("n_rows")).alias("metric"),
+                (F.col("distinct_ids") == F.col("n_rows")).alias("passed"),
+            ),
+            F.struct(
+                F.lit("value_in_range").alias("constraint"),
+                (F.lit(1.0) - F.col("out_of_range") / F.col("n_rows")).alias("metric"),
+                (F.col("out_of_range") == 0).alias("passed"),
+            ),
+            F.struct(
+                F.lit("type_in_set").alias("constraint"),
+                (F.lit(1.0) - F.col("bad_type") / F.col("n_rows")).alias("metric"),
+                (F.col("bad_type") == 0).alias("passed"),
+            ),
+            F.struct(
+                F.lit("ts_sane").alias("constraint"),
+                (F.lit(1.0) - F.col("bad_ts") / F.col("n_rows")).alias("metric"),
+                (F.col("bad_ts") == 0).alias("passed"),
+            ),
+        ).alias("cs"),
+    )
+    return c.select(F.explode("cs").alias("c")).select(
+        F.col("c.constraint").alias("constraint"),
+        round2(F.col("c.metric"), 6).alias("metric"),
+        F.col("c.passed").alias("passed"),
+    )

@@ -1299,3 +1299,77 @@ register(
     """,
     tags=("timeseries", "rollup", "mergeable"),
 )
+
+# Population Stability Index between the month's two halves; fixed
+# reference-time bucket edges keep it two cascaded aggs, no quantile
+# recompute (the production drift-monitor shape)
+register(
+    "sf_psi_drift",
+    relational.psi_drift_by_type,
+    sql="""
+    WITH cells AS (
+      SELECT event_type,
+             CASE WHEN day(ts) <= 15 THEN 'ref' ELSE 'live' END AS half,
+             CASE WHEN value >= 250.0 THEN 9 WHEN value >= 150.0 THEN 8
+                  WHEN value >= 100.0 THEN 7 WHEN value >= 75.0 THEN 6
+                  WHEN value >= 50.0 THEN 5 WHEN value >= 35.0 THEN 4
+                  WHEN value >= 20.0 THEN 3 WHEN value >= 10.0 THEN 2
+                  WHEN value >= 5.0 THEN 1 ELSE 0 END AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), frac AS (
+      SELECT event_type, half, bucket,
+             (n + 0.5) / (sum(n) OVER (PARTITION BY event_type, half) + 0.5 * 10) AS p
+      FROM cells
+    ), ref AS (SELECT event_type, bucket, p AS p_ref FROM frac WHERE half = 'ref'),
+    live AS (SELECT event_type, bucket, p AS p_live FROM frac WHERE half = 'live'),
+    per_bucket AS (
+      SELECT coalesce(ref.event_type, live.event_type) AS event_type,
+             (coalesce(p_live, 0) - coalesce(p_ref, 0))
+               * ln(coalesce(p_live, 1e-12) / coalesce(p_ref, 1e-12)) AS term
+      FROM ref FULL JOIN live USING (event_type, bucket)
+    ), psi AS (
+      SELECT event_type, round(sum(term), 6) AS psi FROM per_bucket GROUP BY event_type
+    )
+    SELECT event_type, psi,
+           CASE WHEN psi < 0.1 THEN 'stable'
+                WHEN psi < 0.25 THEN 'moderate'
+                ELSE 'shifted' END AS verdict
+    FROM psi
+    """,
+    tags=("drift", "monitoring", "psi"),
+)
+
+# Deequ-style constraint suite: one shared full-scan aggregate, one
+# row per constraint
+register(
+    "dq_constraint_suite",
+    relational.dq_constraint_suite,
+    sql="""
+    WITH m AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
+             count(DISTINCT event_id) AS distinct_ids,
+             sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END) AS out_of_range,
+             sum(CASE WHEN event_type NOT IN ('view','click','signup','purchase','error')
+                      THEN 1 ELSE 0 END) AS bad_type,
+             sum(CASE WHEN year(ts) < 2000 THEN 1 ELSE 0 END) AS bad_ts
+      FROM events
+    )
+    SELECT 'value_complete' AS constraint,
+           round(1.0 - CAST(null_value AS DOUBLE) / n_rows, 6) AS metric,
+           null_value = 0 AS passed FROM m
+    UNION ALL SELECT 'user_complete',
+           round(1.0 - CAST(null_user AS DOUBLE) / n_rows, 6), null_user = 0 FROM m
+    UNION ALL SELECT 'event_id_unique',
+           round(CAST(distinct_ids AS DOUBLE) / n_rows, 6), distinct_ids = n_rows FROM m
+    UNION ALL SELECT 'value_in_range',
+           round(1.0 - CAST(out_of_range AS DOUBLE) / n_rows, 6), out_of_range = 0 FROM m
+    UNION ALL SELECT 'type_in_set',
+           round(1.0 - CAST(bad_type AS DOUBLE) / n_rows, 6), bad_type = 0 FROM m
+    UNION ALL SELECT 'ts_sane',
+           round(1.0 - CAST(bad_ts AS DOUBLE) / n_rows, 6), bad_ts = 0 FROM m
+    """,
+    tags=("data-quality", "constraints"),
+)

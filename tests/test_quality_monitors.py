@@ -1,0 +1,62 @@
+"""Production monitoring ops: PSI drift + DQ constraint suite."""
+
+from __future__ import annotations
+
+from real_time_big_data_analytics_spark.operators import relational
+
+
+def test_psi_identical_halves_is_zero(spark, tmp_path):
+    """Identical ref/live distributions must give PSI ~ 0 / stable."""
+    import datetime as dt
+
+    rows = []
+    for day in (5, 20):  # one ref day, one live day — same values
+        for i in range(200):
+            rows.append(
+                (day * 1000 + i, dt.datetime(2024, 1, day, 12, 0, i % 60),
+                 i % 37, "view", float(i % 100), "{}")
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = relational.psi_drift_by_type(spark, str(tmp_path)).collect()
+    assert out and all(r.verdict == "stable" and abs(r.psi) < 1e-6 for r in out)
+
+
+def test_psi_detects_planted_shift(spark, tmp_path):
+    """Live values shifted to a different bucket range must flag."""
+    import datetime as dt
+
+    rows = []
+    for i in range(300):
+        rows.append((i, dt.datetime(2024, 1, 5, 12, 0, i % 60), i, "view", 7.0, "{}"))
+        rows.append((1000 + i, dt.datetime(2024, 1, 25, 12, 0, i % 60), i, "view", 180.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = relational.psi_drift_by_type(spark, str(tmp_path)).collect()
+    assert out[0].verdict == "shifted", out
+
+
+def test_dq_suite_passes_on_harness_and_catches_planted_violations(spark, sf_dir, tmp_path):
+    ok = {r.constraint: r for r in relational.dq_constraint_suite(spark, sf_dir).collect()}
+    assert len(ok) == 6
+    assert all(r.passed for r in ok.values()), ok
+    # planted: duplicate id, null value, out-of-range, bad type, bad ts
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "view", 10.0, "{}"),
+        (1, dt.datetime(2024, 1, 2), 2, "hack", -5.0, "{}"),
+        (2, dt.datetime(1970, 1, 1), 3, "view", None, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    bad = {r.constraint: r for r in relational.dq_constraint_suite(spark, str(tmp_path)).collect()}
+    for c in ("event_id_unique", "value_complete", "value_in_range", "type_in_set", "ts_sane"):
+        assert not bad[c].passed, c
+    assert bad["user_complete"].passed
