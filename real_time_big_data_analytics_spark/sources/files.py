@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -178,3 +179,62 @@ def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """S5 (ORC) — ORC sink via the DataFrame writer (zlib by default;
     same atomic task-commit semantics as the parquet sink)."""
     df.write.mode(mode).orc(path)
+
+
+def morton_code(a, b, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative integer
+    columns, ``bits`` bits each — a pure Catalyst bitwise expression
+    (2·bits shift/mask/or terms, codegen'd; no UDF)."""
+    from pyspark.sql import Column
+
+    a = a if isinstance(a, Column) else F.col(a)
+    b = b if isinstance(b, Column) else F.col(b)
+    a = a.cast("bigint")
+    b = b.cast("bigint")
+    code = F.lit(0).cast("bigint")
+    for i in range(bits):
+        code = code.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return code
+
+
+def write_zordered_parquet(
+    df: DataFrame, path: str, col_a: str, col_b: str, *, n_files: int = 8,
+    bits: int = 10, mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional clustering: range-partition + sort rows by
+    the Morton code of (col_a, col_b) before writing, so EVERY file
+    covers a tight range in BOTH dimensions — parquet min/max
+    (zone-map) stats then let predicates on either column skip most
+    files, where a linear sort bounds only its leading column. This
+    is the Z-ORDER layout Delta/Iceberg expose, as plain DataFrame
+    ops over plain parquet.
+
+    Both columns are min/max-normalized onto the ``bits``-bit grid
+    before interleaving (Delta's OPTIMIZE ZORDER does the same via
+    range-partition ids) — raw values would waste interleave levels
+    on constant high bits whenever the two ranges differ. The min/max
+    pair per column is a metadata-scale driver lookup from one tiny
+    aggregate.
+    """
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+
+    def norm(col, lo, hi):
+        span = max(int(hi) - int(lo), 1)
+        scaled = (F.col(col).cast("double") - float(lo)) / span * ((1 << bits) - 1)
+        return F.floor(scaled).cast("bigint")
+
+    z = morton_code(norm(col_a, lo_a, hi_a), norm(col_b, lo_b, hi_b), bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -68,3 +68,46 @@ def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed):
         .agg(F.count("*").alias("n"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files must cover tight ranges in BOTH clustered
+    columns, where a linear sort bounds only its leading column —
+    measured as the summed per-file min/max span of the SECOND
+    dimension, which parquet zone-map skipping depends on."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.sources.files import (
+        morton_code,
+        write_sorted_parquet,
+        write_zordered_parquet,
+    )
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.dayofmonth("ts").alias("day"), "value"
+    )
+    lin, zo = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    write_sorted_parquet(events, lin, ["day"], num_partitions=8)
+    write_zordered_parquet(events, zo, "user_id", "day", n_files=8)
+
+    def user_span_sum(path):
+        total = 0
+        df = spark.read.parquet(path)
+        for f in df.inputFiles():
+            s = spark.read.parquet(f).agg(
+                F.min("user_id"), F.max("user_id")
+            ).collect()[0]
+            total += s[1] - s[0]
+        return total
+
+    lin_span, zo_span = user_span_sum(lin), user_span_sum(zo)
+    # the day-sorted layout leaves user_id unconstrained per file;
+    # z-order must cut the summed span substantially
+    assert zo_span < lin_span * 0.7, (zo_span, lin_span)
+
+    # morton code sanity: interleave is monotone in each dim at fixed other
+    df = spark.createDataFrame([(1, 1), (2, 1), (1, 2)], "a long, b long")
+    codes = {(r.a, r.b): r.z for r in df.select("a", "b", morton_code("a", "b").alias("z")).collect()}
+    assert codes[(2, 1)] > codes[(1, 1)]
+    assert codes[(1, 2)] > codes[(1, 1)]
