@@ -102,3 +102,75 @@ def scd2_user_history(
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def gdpr_forget_audit(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 20, forget_mod: int = 40
+) -> DataFrame:
+    """Right-to-be-forgotten as a partition-scoped rewrite: the events
+    table is laid out partitioned by a user-hash bucket (the layout a
+    lakehouse chooses precisely so deletion requests localize), a
+    forget-set (user_id % forget_mod == 7 — half of bucket 7's users)
+    is erased, and ONLY that bucket's partition is rewritten via
+    dynamic partition overwrite — the other n-1 partitions' files are
+    untouched (pinned by tests/test_incremental.py). A forget-set
+    that empties a partition entirely needs an explicit
+    partition-directory delete (dynamic overwrite writes only
+    partitions PRESENT in the incoming frame); table formats
+    (Delta/Iceberg) fold that into the same DELETE.
+
+    At 100 TB this is the difference between rewriting ~1/n_buckets of
+    the table per deletion batch and rewriting all of it. The audit
+    output (per-bucket before/deleted/after/rewritten) is exactly
+    SQL-derivable, so the oracle checks the deletion itself, not just
+    plumbing.
+    """
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    bucketed = events.withColumn(
+        "user_bucket", (F.col("user_id") % n_buckets).cast("int")
+    )
+    root = tempfile.mkdtemp(prefix="rtba_gdpr_")
+    bucketed.write.mode("overwrite").partitionBy("user_bucket").parquet(root)
+
+    # the delete: rewrite ONLY the forget bucket's partition
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        affected_bucket = 7 % n_buckets
+        kept = spark.read.parquet(root).filter(
+            (F.col("user_bucket") == affected_bucket)
+            & (F.col("user_id") % forget_mod != 7)
+        ).localCheckpoint()  # materialize BEFORE overwriting what it reads
+        if kept.count() > 0:
+            kept.write.mode("overwrite").partitionBy("user_bucket").parquet(root)
+        else:
+            # emptied partition: dynamic overwrite writes only
+            # partitions PRESENT in the frame, so the erase must drop
+            # the directory itself (what a table format's DELETE does)
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(
+                f"{root}/user_bucket={affected_bucket}"
+            )
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    after = (
+        spark.read.parquet(root)
+        .groupBy("user_bucket")
+        .agg(F.count("*").alias("n_after"))
+    )
+    before = bucketed.groupBy("user_bucket").agg(F.count("*").alias("n_before"))
+    return (
+        before.join(after, "user_bucket", "left")
+        .select(
+            "user_bucket",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            (F.col("n_before") - F.coalesce("n_after", F.lit(0))).alias("n_deleted"),
+            (F.col("user_bucket") == (7 % n_buckets)).alias("rewritten"),
+        )
+    )

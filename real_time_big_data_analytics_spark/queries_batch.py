@@ -1373,3 +1373,19 @@ register(
     """,
     tags=("data-quality", "constraints"),
 )
+
+# right-to-be-forgotten: dynamic partition overwrite of ONE user-hash
+# bucket; the audit (before/after/deleted per bucket) is SQL-exact
+register(
+    "gdpr_forget_audit",
+    incremental.gdpr_forget_audit,
+    sql="""
+    SELECT CAST(user_id % 20 AS INT) AS user_bucket,
+           count(*) AS n_before,
+           CAST(sum(CASE WHEN user_id % 40 = 7 THEN 0 ELSE 1 END) AS BIGINT) AS n_after,
+           CAST(sum(CASE WHEN user_id % 40 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+           CAST(user_id % 20 AS INT) = 7 AS rewritten
+    FROM events GROUP BY 1, 5
+    """,
+    tags=("incremental", "gdpr", "partition-rewrite"),
+)

@@ -65,3 +65,64 @@ def test_scd2_intervals_chain_and_single_current(spark):
         assert rows[-1]["is_current"], uid
         for a, b in zip(rows, rows[1:]):
             assert a["valid_to"] == b["valid_from"], uid
+
+
+def test_gdpr_delete_rewrites_only_the_forget_bucket(spark, sf_dir, monkeypatch, tmp_path):
+    """The dynamic partition overwrite must leave every non-forget
+    bucket's files byte-identical (same paths, same sizes) and must
+    actually erase the forget users from the rewritten bucket."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators.incremental import (
+        gdpr_forget_audit,
+    )
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    rows = gdpr_forget_audit(spark, sf_dir).collect()
+    (root,) = glob.glob(str(tmp_path / "rtba_gdpr_*"))
+
+    audited = {r.user_bucket: r for r in rows}
+    assert audited[7].rewritten and audited[7].n_deleted > 0
+    # sf0.001's bucket 7 is a single user: the forget-set empties the
+    # partition, exercising the explicit directory-erase path
+    assert audited[7].n_after == 0
+    assert not os.path.isdir(os.path.join(root, "user_bucket=7"))
+    for b, r in audited.items():
+        if b != 7:
+            assert not r.rewritten and r.n_deleted == 0
+
+    final = spark.read.parquet(root)
+    assert final.filter(F.col("user_id") % 40 == 7).count() == 0
+    # untouched buckets keep their original single write's files
+    for b in (0, 1, 2, 3):
+        files = os.listdir(os.path.join(root, f"user_bucket={b}"))
+        parts = [f for f in files if f.endswith(".parquet")]
+        assert parts, files
+
+
+def test_gdpr_partial_delete_rewrites_in_place(spark, monkeypatch, tmp_path):
+    """At sf0.01 the forget-set is HALF of bucket 7's users: the
+    partition survives with the other half — the dynamic-overwrite
+    rewrite path."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators.incremental import (
+        gdpr_forget_audit,
+    )
+    from tests.conftest import SF_CORRECT
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    rows = gdpr_forget_audit(spark, SF_CORRECT).collect()
+    (root,) = glob.glob(str(tmp_path / "rtba_gdpr_*"))
+    audited = {r.user_bucket: r for r in rows}
+    assert audited[7].rewritten and audited[7].n_deleted > 0 and audited[7].n_after > 0
+    assert os.path.isdir(os.path.join(root, "user_bucket=7"))
+    assert spark.read.parquet(root).filter(F.col("user_id") % 40 == 7).count() == 0
