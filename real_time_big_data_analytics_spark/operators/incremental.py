@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round2
 from ..sources.tables import load_table
 
 # Mid-range snapshot cut: events span 2024-01-01 .. 2024-01-30.
@@ -173,4 +174,49 @@ def gdpr_forget_audit(
             (F.col("n_before") - F.coalesce("n_after", F.lit(0))).alias("n_deleted"),
             (F.col("user_bucket") == (7 % n_buckets)).alias("rewritten"),
         )
+    )
+
+
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: for every purchase
+    observation, attach the user's feature state STRICTLY BEFORE the
+    observation timestamp (running event count and mean value) — the
+    temporal-correctness pattern that prevents label leakage in
+    training-set construction.
+
+    Implemented as ONE window pass, not an interval join: the frame
+    ``rows between unbounded preceding and 1 preceding`` over the
+    (user, ts, event_id) order makes the strict-before cut structural
+    — a feature computed AT the observation row cannot leak in by
+    construction, not by a filter someone can forget. One shuffle on
+    user_id at any scale; observations and features co-partition
+    because they are the same stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # value is 2-decimal currency: accumulate EXACT integer cents so
+    # both engines divide identical integers — a float running sum's
+    # last-ulp order differences otherwise flip round() on the exact
+    # .xx5 ties that 2-decimal averages constantly produce
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    scored = ev.withColumn("cents", cents).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.count("cents").over(w).alias("feat_n_events"),
+        round2(
+            F.sum("cents").over(w).cast("double") / F.count("cents").over(w) / 100.0, 4
+        ).alias("feat_avg_value"),
+    )
+    return scored.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        round2(F.col("value")).alias("label_value"),
+        F.col("feat_n_events"),
+        "feat_avg_value",
     )

@@ -1389,3 +1389,29 @@ register(
     """,
     tags=("incremental", "gdpr", "partition-rewrite"),
 )
+
+# point-in-time join: strict-before window frame makes label leakage
+# structurally impossible; oracle uses the identical frame
+register(
+    "ptj_training_features",
+    incremental.point_in_time_features,
+    sql="""
+    WITH c AS (
+      SELECT user_id, event_id, event_type, ts, value,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, event_type,
+             round(value, 2) AS label_value,
+             count(cents) OVER w_prev AS feat_n_events,
+             round(CAST(sum(cents) OVER w_prev AS DOUBLE)
+                   / count(cents) OVER w_prev / 100.0, 4) AS feat_avg_value
+      FROM c
+      WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, label_value, feat_n_events, feat_avg_value
+    FROM s WHERE event_type = 'purchase'
+    """,
+    tags=("feature-store", "point-in-time", "window"),
+)

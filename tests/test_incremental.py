@@ -126,3 +126,25 @@ def test_gdpr_partial_delete_rewrites_in_place(spark, monkeypatch, tmp_path):
     assert audited[7].rewritten and audited[7].n_deleted > 0 and audited[7].n_after > 0
     assert os.path.isdir(os.path.join(root, "user_bucket=7"))
     assert spark.read.parquet(root).filter(F.col("user_id") % 40 == 7).count() == 0
+
+
+def test_point_in_time_features_never_leak(spark, sf_dir):
+    """For every observation, the joined feature state must be
+    computable from STRICTLY-earlier events only: recompute each
+    user's timeline manually and compare counts."""
+    from real_time_big_data_analytics_spark.operators.incremental import (
+        point_in_time_features,
+    )
+
+    out = {r.event_id: r for r in point_in_time_features(spark, sf_dir).collect()}
+    assert out
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    seen: dict = {}
+    for r in ev:
+        prior = seen.get(r.user_id, 0)
+        if r.event_type == "purchase" and r.event_id in out:
+            assert out[r.event_id].feat_n_events == prior, r.event_id
+        seen[r.user_id] = prior + 1
