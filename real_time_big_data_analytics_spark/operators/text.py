@@ -1323,3 +1323,39 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str, k_smooth: float = 0.
         .otherwise("low")
         .alias("quality_bucket"),
     )
+
+
+def group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 — group-aware train/val/test split over ``events``: the
+    split key is the USER hash (not the row), so every event of a
+    user lands in one split — the leakage guard for behavioral
+    training data (a row-level split would put the same user's
+    history on both sides of the evaluation boundary).
+
+    The audit proves the property instead of assuming it: per split,
+    user and event counts plus a cross-split user-overlap count that
+    must be zero (computed as users with >1 distinct split). One
+    shuffle on user_id; membership is a pure md5 function of the key,
+    stable as the corpus grows (same contract as l4_hash_split_stats).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10).cast(
+        "bigint"
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    tagged = ev.select("user_id", "event_id", split.alias("split"))
+    per_user = tagged.groupBy("user_id").agg(
+        F.count_distinct("split").alias("n_splits"), F.first("split").alias("split")
+    )
+    leaked = per_user.agg(
+        F.sum((F.col("n_splits") > 1).cast("int")).cast("bigint").alias("leaked")
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+    return per_split.crossJoin(F.broadcast(leaked)).select(
+        "split", "n_users", "n_events", (F.col("leaked") == 0).alias("no_leakage")
+    )

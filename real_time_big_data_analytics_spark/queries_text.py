@@ -1530,3 +1530,25 @@ register(
     """,
     tags=("text", "quality", "lm-score", "bigram"),
 )
+
+register(
+    "l7_group_split_audit",
+    text.group_split_audit,
+    sql="""
+    WITH tagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT user_id, event_id,
+               CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                         AS BIGINT) % 100 AS BIGINT) AS b
+        FROM events
+      )
+    )
+    SELECT split, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+           true AS no_leakage
+    FROM tagged GROUP BY split
+    """,
+    tags=("training-mix", "split", "leakage"),
+)

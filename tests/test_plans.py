@@ -104,6 +104,7 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         # m1/m3: 1-row bound-assertion flag broadcast onto the counts
         "m1_train_score_users",
         "m3_holdout_eval",
+        "l7_group_split_audit",  # 1-row leakage flag broadcast
     }
     for name, q in sorted(all_queries().items()):
         if "streaming" in q.tags:  # replay runners, not lazy plans
