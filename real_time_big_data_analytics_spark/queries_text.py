@@ -1552,3 +1552,18 @@ register(
     """,
     tags=("training-mix", "split", "leakage"),
 )
+
+# REAL codec roundtrip: spec-valid PNG bytes encoded and re-parsed
+# with stdlib struct/zlib; dimensions are a pure function of n_chars
+register(
+    "l5_png_roundtrip_metadata",
+    multimodal.png_roundtrip_metadata,
+    sql="""
+    SELECT doc_id,
+           CAST(n_chars % 31 + 1 AS INT) AS width,
+           CAST((n_chars * 3) % 17 + 1 AS INT) AS height,
+           CAST(3 AS INT) AS channels
+    FROM documents
+    """,
+    tags=("multimodal", "codec", "png"),
+)

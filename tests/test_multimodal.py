@@ -93,3 +93,59 @@ def test_binary_digest_matches_python(spark, sf_dir):
     out = multimodal.binary_payload_stats(spark, sf_dir).collect()
     for r in out[:20]:
         assert r.digest == hashlib.sha256(docs[r.doc_id].encode()).hexdigest()
+
+
+def test_stdlib_header_decoders_parse_real_containers():
+    """decode_header must recover metadata from genuine container
+    bytes of all four formats — built here with stdlib only."""
+    import struct
+    import zlib
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    png = M.encode_png(17, 9)
+    assert M.decode_header(png) == {
+        "n_bytes": len(png), "width": 17, "height": 9, "channels": 3
+    }
+    # PIL (if ever present) must agree with our parser on these bytes
+    assert M.decode_real(png)["width"] == 17
+
+    gif = b"GIF89a" + struct.pack("<HH", 33, 21) + b"\x00" * 20
+    assert M.decode_header(gif) == {
+        "n_bytes": len(gif), "width": 33, "height": 21, "channels": 3
+    }
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, -48) + b"\x00\x00" + struct.pack("<H", 24)
+    bmp += b"\x00" * 10
+    assert M.decode_header(bmp) == {
+        "n_bytes": len(bmp), "width": 64, "height": 48, "channels": 3
+    }
+
+    sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 48, 64) + b"\x03"
+    jpg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00" + sof + b"\x00" * 20
+    assert M.decode_header(jpg) == {
+        "n_bytes": len(jpg), "width": 64, "height": 48, "channels": 3
+    }
+
+    assert M.decode_header(b"not an image at all") is None
+    # zlib must be able to re-inflate the PNG scanlines (valid IDAT)
+    idat_start = png.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", png[png.index(b"IDAT") - 4 : png.index(b"IDAT")])[0]
+    raw = zlib.decompress(png[idat_start : idat_start + idat_len])
+    assert len(raw) == 9 * (1 + 17 * 3)
+
+
+def test_png_roundtrip_query_matches_formula(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    out = M.png_roundtrip_metadata(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    joined = out.join(docs, "doc_id")
+    bad = joined.filter(
+        (F.col("width") != F.col("n_chars") % 31 + 1)
+        | (F.col("height") != (F.col("n_chars") * 3) % 17 + 1)
+        | (F.col("channels") != 3)
+    )
+    assert bad.count() == 0
