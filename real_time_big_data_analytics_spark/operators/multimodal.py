@@ -412,3 +412,114 @@ def png_roundtrip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run, schema="doc_id long, width int, height int, channels int, n_bytes int"
     ).select("doc_id", "width", "height", "channels")
+
+
+def encode_wav(n_samples: int, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """A REAL, spec-valid 16-bit PCM WAV container (silence) —
+    stdlib struct only."""
+    import struct
+
+    data = bytes(2 * channels * n_samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav_header(payload: bytes) -> dict | None:
+    """Parse a RIFF/WAVE container's fmt + data chunks (stdlib):
+    returns sample_rate, channels, n_samples, duration_ms — walking
+    the chunk list like a real demuxer, not assuming fixed offsets."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, fmt, data_len = 12, None, None
+    while i + 8 <= len(payload):
+        tag = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", payload[i + 8 : i + 24])
+        elif tag == b"data":
+            data_len = size
+        i += 8 + size + (size % 2)
+    if fmt is None or data_len is None:
+        return None
+    _, channels, sample_rate, _, block_align, bits = fmt
+    n_samples = data_len // max(block_align, 1)
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": bits,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // max(sample_rate, 1),
+    }
+
+
+def wav_roundtrip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 (audio) — REAL container roundtrip, stdlib only: per
+    document build a spec-valid 16-bit PCM WAV whose sample count is
+    a pure function of n_chars, then recover (sample_rate, channels,
+    n_samples, duration_ms) by walking the RIFF chunk list — the real
+    demux step the PCM fake stands in for. Exact SQL oracle via the
+    same formula. One Arrow-batched mapInPandas; payload bytes stay
+    on the executor.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def wav(n_samples: int, sample_rate: int = 16000, channels: int = 1) -> bytes:
+            data = bytes(2 * channels * n_samples)
+            byte_rate = sample_rate * channels * 2
+            fmt = struct.pack(
+                "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+            )
+            return (
+                b"RIFF"
+                + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+
+        def demux(payload: bytes) -> tuple[int, int, int, int]:
+            i, fmt, data_len = 12, None, None
+            while i + 8 <= len(payload):
+                tag = payload[i : i + 4]
+                size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+                if tag == b"fmt ":
+                    fmt = struct.unpack("<HHIIHH", payload[i + 8 : i + 24])
+                elif tag == b"data":
+                    data_len = size
+                i += 8 + size + (size % 2)
+            _, channels, sample_rate, _, block_align, _ = fmt
+            n = data_len // block_align
+            return sample_rate, channels, n, n * 1000 // sample_rate
+
+        for batch in batches:
+            sr, ch, ns, ms = [], [], [], []
+            for n_chars in batch["n_chars"]:
+                n = int(n_chars) % 4000 + 100
+                r = demux(wav(n))
+                sr.append(r[0]); ch.append(r[1]); ns.append(r[2]); ms.append(r[3])
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "sample_rate": pd.Series(sr, dtype="int32"),
+                    "channels": pd.Series(ch, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "duration_ms": pd.Series(ms, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, sample_rate int, channels int, n_samples long, duration_ms long",
+    )

@@ -1567,3 +1567,19 @@ register(
     """,
     tags=("multimodal", "codec", "png"),
 )
+
+# REAL audio demux roundtrip: spec-valid RIFF/WAVE bytes walked
+# chunk-by-chunk with stdlib struct; metadata is a pure fn of n_chars
+register(
+    "l5_wav_roundtrip_metadata",
+    multimodal.wav_roundtrip_metadata,
+    sql="""
+    SELECT doc_id,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(n_chars % 4000 + 100 AS BIGINT) AS n_samples,
+           CAST((n_chars % 4000 + 100) * 1000 // 16000 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    tags=("multimodal", "codec", "audio", "wav"),
+)

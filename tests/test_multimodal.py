@@ -149,3 +149,16 @@ def test_png_roundtrip_query_matches_formula(spark, sf_dir):
         | (F.col("channels") != 3)
     )
     assert bad.count() == 0
+
+
+def test_wav_demux_walks_real_riff_chunks():
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    wav = M.encode_wav(1234, sample_rate=8000, channels=2)
+    out = M.decode_wav_header(wav)
+    assert out == {
+        "sample_rate": 8000, "channels": 2, "bits": 16,
+        "n_samples": 1234, "duration_ms": 1234 * 1000 // 8000,
+    }
+    assert M.decode_wav_header(b"RIFFxxxxNOPE") is None
+    assert M.decode_wav_header(b"junk") is None
