@@ -523,3 +523,132 @@ def wav_roundtrip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, sample_rate int, channels int, n_samples long, duration_ms long",
     )
+
+
+def encode_mp4_skeleton(duration: int, timescale: int = 1000) -> bytes:
+    """A minimal REAL ISO-BMFF (MP4) skeleton: ftyp + moov/mvhd boxes
+    with the given movie duration — stdlib struct only. Media tracks
+    are absent (this is the metadata shell a demuxer reads first)."""
+    import struct
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    # mvhd version 0: flags(3) ctime(4) mtime(4) timescale(4) duration(4) ...
+    mvhd_payload = (
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume
+        + bytes(10)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)
+        + struct.pack(">I", 2)  # next track id
+    )
+    return ftyp + box(b"moov", box(b"mvhd", mvhd_payload))
+
+
+def decode_mp4_header(payload: bytes) -> dict | None:
+    """Walk top-level ISO-BMFF boxes to moov/mvhd and return
+    (timescale, duration, duration_ms) — the first thing any MP4
+    demuxer does. Stdlib only; returns None for non-MP4 bytes."""
+    import struct
+
+    def walk(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = struct.unpack(">I", buf[i : i + 4])[0]
+            tag = buf[i + 4 : i + 8]
+            if size < 8 or i + size > end:
+                return
+            yield tag, i + 8, i + size
+            i += size
+
+    n = len(payload)
+    if n < 12 or payload[4:8] != b"ftyp":
+        return None
+    for tag, s, e in walk(payload, 0, n):
+        if tag == b"moov":
+            for t2, s2, e2 in walk(payload, s, e):
+                if t2 == b"mvhd" and e2 - s2 >= 20:
+                    version = payload[s2]
+                    if version == 0:
+                        timescale, duration = struct.unpack(
+                            ">II", payload[s2 + 12 : s2 + 20]
+                        )
+                    else:  # version 1: 64-bit times
+                        timescale = struct.unpack(">I", payload[s2 + 20 : s2 + 24])[0]
+                        duration = struct.unpack(">Q", payload[s2 + 24 : s2 + 32])[0]
+                    return {
+                        "timescale": timescale,
+                        "duration": duration,
+                        "duration_ms": duration * 1000 // max(timescale, 1),
+                    }
+    return None
+
+
+def mp4_roundtrip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 (video) — REAL container roundtrip: per document build an
+    ISO-BMFF skeleton whose movie duration derives from n_chars, then
+    recover (timescale, duration_ms) by walking the box tree —
+    completing the image/audio/video container-demux trio. Exact SQL
+    oracle via the same formula; one Arrow-batched mapInPandas.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def box(tag: bytes, payload: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+        def mp4(duration: int, timescale: int = 1000) -> bytes:
+            ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+            mvhd_payload = (
+                b"\x00\x00\x00\x00"
+                + struct.pack(">II", 0, 0)
+                + struct.pack(">II", timescale, duration)
+                + struct.pack(">I", 0x00010000)
+                + struct.pack(">H", 0x0100)
+                + bytes(10)
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + bytes(24)
+                + struct.pack(">I", 2)
+            )
+            return ftyp + box(b"moov", box(b"mvhd", mvhd_payload))
+
+        def demux(buf: bytes) -> tuple[int, int]:
+            i, n = 0, len(buf)
+            while i + 8 <= n:
+                size = struct.unpack(">I", buf[i : i + 4])[0]
+                if buf[i + 4 : i + 8] == b"moov":
+                    j, end = i + 8, i + size
+                    while j + 8 <= end:
+                        s2 = struct.unpack(">I", buf[j : j + 4])[0]
+                        if buf[j + 4 : j + 8] == b"mvhd":
+                            ts, dur = struct.unpack(">II", buf[j + 20 : j + 28])
+                            return ts, dur * 1000 // ts
+                        j += s2
+                i += size
+            raise ValueError("no mvhd")
+
+        for batch in batches:
+            ts_l, ms_l = [], []
+            for n_chars in batch["n_chars"]:
+                dur = int(n_chars) % 90000 + 500
+                ts, ms = demux(mp4(dur))
+                ts_l.append(ts)
+                ms_l.append(ms)
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "timescale": pd.Series(ts_l, dtype="int32"),
+                    "duration_ms": pd.Series(ms_l, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, timescale int, duration_ms long"
+    )

@@ -1583,3 +1583,16 @@ register(
     """,
     tags=("multimodal", "codec", "audio", "wav"),
 )
+
+# REAL video demux roundtrip: ISO-BMFF box walk to moov/mvhd
+register(
+    "l5_mp4_roundtrip_metadata",
+    multimodal.mp4_roundtrip_metadata,
+    sql="""
+    SELECT doc_id,
+           CAST(1000 AS INT) AS timescale,
+           CAST((n_chars % 90000 + 500) * 1000 // 1000 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    tags=("multimodal", "codec", "video", "mp4"),
+)

@@ -162,3 +162,16 @@ def test_wav_demux_walks_real_riff_chunks():
     }
     assert M.decode_wav_header(b"RIFFxxxxNOPE") is None
     assert M.decode_wav_header(b"junk") is None
+
+
+def test_mp4_box_walk_finds_mvhd():
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    buf = M.encode_mp4_skeleton(duration=61234, timescale=600)
+    out = M.decode_mp4_header(buf)
+    assert out == {
+        "timescale": 600, "duration": 61234,
+        "duration_ms": 61234 * 1000 // 600,
+    }
+    assert M.decode_mp4_header(b"\x00\x00\x00\x08free") is None
+    assert M.decode_mp4_header(b"junkjunkjunk") is None
