@@ -1,0 +1,129 @@
+"""Entity resolution / record linkage — blocked fuzzy matching.
+
+Classic large-scale data-integration surface the reference's domain
+(user records scored one at a time, `ConsumerESFinal.scala:60-88`)
+implies but never builds: find records that likely refer to the same
+real-world entity despite textual noise, then collapse them into
+entities.  The two-stage shape is the standard one (Christen,
+"Data Matching", 2012 — public literature):
+
+1. **Blocking** — a cheap deterministic key partitions the records so
+   candidate pairs are generated only WITHIN a block.  This turns the
+   O(n²) all-pairs comparison into Σ_b k_b², the same trick the
+   near-dup family uses (shingle buckets, LSH bands).  At 100 TB the
+   block key is the shuffle key: one hash exchange, then every block
+   compares locally.  A block-size cap (the `max_df` analog from
+   `text.py`) drops degenerate hot blocks so one skewed key can never
+   recreate the quadratic blow-up.
+2. **Pairwise scoring** — unit-cost Levenshtein edit distance on the
+   name (JVM-side `F.levenshtein`, identical semantics to DuckDB's
+   `levenshtein`, so the oracle is exact) plus an attribute-distance
+   column; a distance threshold keeps probable matches.
+
+The closure from pairs to entities reuses the engine's shared
+connected-components operator (`clustering.min_label_components`), so
+entity formation scales exactly like the dedup families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# Candidate pairs are generated only inside (nation, segment) blocks
+# whose size is at most MAX_BLOCK rows.  At harness scale every block
+# is ~n/125 rows, far below the cap; at 100 TB the cap is the skew
+# guard that bounds per-block work to MAX_BLOCK² comparisons.  The
+# oracle applies the same cap, so the semantics are part of the
+# operator's contract, not a hidden tuning knob.
+MAX_BLOCK = 10_000
+
+# Name edit-distance thresholds: pairs up to CANDIDATE_DIST are
+# reported for review; pairs up to MATCH_DIST are considered the same
+# entity and feed the closure.
+CANDIDATE_DIST = 2
+MATCH_DIST = 1
+
+
+def _blocked(df: DataFrame, max_block: int) -> DataFrame:
+    """Customers in admissible blocks: block key + hot-block cap."""
+    recs = df.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    big = (
+        recs.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") > max_block)
+        .select("c_nationkey", "c_mktsegment")
+    )
+    # tiny by construction (≤ one row per block key) → broadcast anti
+    return recs.join(
+        F.broadcast(big), ["c_nationkey", "c_mktsegment"], "left_anti"
+    )
+
+
+def candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_dist: int = CANDIDATE_DIST,
+    max_block: int = MAX_BLOCK,
+) -> DataFrame:
+    """ER stage 1+2 — blocked candidate generation with pairwise
+    scores.
+
+    One shuffle on the block key; the self-join inside a block is an
+    equi-join on (nation, segment), so Catalyst plans a plain hash
+    join — no cartesian anywhere.  Output: each unordered candidate
+    pair once (a < b) with its name edit distance and balance gap.
+    """
+    recs = _blocked(load_table(spark, sf_dir, "customer"), max_block)
+    a = recs.alias("a")
+    b = recs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("a_custkey"),
+            F.col("b.c_custkey").alias("b_custkey"),
+            F.levenshtein("a.c_name", "b.c_name").cast("bigint").alias("name_dist"),
+            F.round(F.abs(F.col("a.bal") - F.col("b.bal")), 2).alias("bal_gap"),
+        )
+        .filter(F.col("name_dist") <= max_dist)
+    )
+
+
+def entity_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    match_dist: int = MATCH_DIST,
+    max_block: int = MAX_BLOCK,
+) -> DataFrame:
+    """ER stage 3 — transitive closure of confident matches.
+
+    Match pairs (edit distance ≤ ``match_dist``) are edges; the shared
+    iterative min-label-propagation operator assigns every linked
+    record its entity representative (minimum custkey in the
+    component).  Same scaling argument as `l2_dedup_clusters`: rounds
+    = component diameter, each round one join + min-aggregate.
+    """
+    from .clustering import min_label_components
+
+    pairs = candidate_pairs(spark, sf_dir, match_dist, max_block).select(
+        F.col("a_custkey").alias("a_id"), F.col("b_custkey").alias("b_id")
+    )
+    labels = min_label_components(pairs)
+    return labels.select(
+        F.col("node").alias("c_custkey"),
+        F.col("label").alias("entity_rep"),
+        (F.col("node") == F.col("label")).alias("is_rep"),
+    )

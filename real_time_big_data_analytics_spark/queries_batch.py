@@ -1415,3 +1415,64 @@ register(
     """,
     tags=("feature-store", "point-in-time", "window"),
 )
+
+
+# --- ER-series: entity resolution / record linkage (blocked fuzzy
+# matching; operators/entity_resolution.py). Both engines implement
+# unit-cost Levenshtein, so the pair scores are exactly comparable. ---
+from .operators import entity_resolution  # noqa: E402
+
+_ER_PAIRS_SQL = """
+    WITH blocked AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer
+      QUALIFY count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) <= 10000
+    )
+    SELECT a.c_custkey AS a_custkey,
+           b.c_custkey AS b_custkey,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist,
+           round(abs(a.bal - b.bal), 2) AS bal_gap
+    FROM blocked a
+    JOIN blocked b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {max_dist}
+"""
+
+register(
+    "er_candidate_pairs",
+    entity_resolution.candidate_pairs,
+    sql=_ER_PAIRS_SQL.format(max_dist=entity_resolution.CANDIDATE_DIST),
+    tags=("entity-resolution", "blocking", "fuzzy-match"),
+)
+
+register(
+    "er_entity_clusters",
+    entity_resolution.entity_clusters,
+    # the same recursive-CTE transitive-closure oracle the dedup
+    # cluster families use, over the confident-match edge list
+    sql=f"""
+    WITH RECURSIVE mp AS (
+      SELECT a_custkey AS a_id, b_custkey AS b_id
+      FROM ({_ER_PAIRS_SQL.format(max_dist=entity_resolution.MATCH_DIST)}) q
+    ), edges AS (
+      SELECT a_id AS s, b_id AS d FROM mp
+      UNION
+      SELECT b_id, a_id FROM mp
+    ), reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), nodes AS (
+      SELECT DISTINCT s AS node FROM edges
+    )
+    SELECT n.node AS c_custkey,
+           least(n.node, min(r.d)) AS entity_rep,
+           n.node = least(n.node, min(r.d)) AS is_rep
+    FROM nodes n JOIN reach r ON r.s = n.node
+    GROUP BY n.node
+    """,
+    tags=("entity-resolution", "clustering", "iterative"),
+)
