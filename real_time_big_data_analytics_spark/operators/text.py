@@ -1359,3 +1359,82 @@ def group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_split.crossJoin(F.broadcast(leaked)).select(
         "split", "n_users", "n_events", (F.col("leaked") == 0).alias("no_leakage")
     )
+
+
+def bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 3,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_term_len: int = 4,
+) -> DataFrame:
+    """L4 — BM25 ranked retrieval (Robertson/Spärck Jones, public
+    literature): top-``k`` documents per query term under the
+    Okapi BM25 weighting, the scoring path a search engine runs over
+    the inverted index that ``inverted_index`` builds.
+
+    The query workload is derived deterministically from the corpus
+    (the ``n_queries`` most frequent terms of length ≥
+    ``min_term_len``), so the operator is self-contained and robust
+    to fixture regeneration. Execution shape: one tokenize pass feeds
+    BOTH the per-doc term frequencies (doc-bounded shuffle) and the
+    document-frequency table (vocab-bounded); the query-term table is
+    rows=``n_queries`` and broadcasts, so scoring reduces to one
+    semi-join of the tf table against the query terms — at 100 TB
+    this is postings-list traversal, never a corpus-wide join. The
+    N/avgdl scalars ride in as a 1-row broadcast (the sanctioned
+    scalar shape). Ranking uses the 6-dp-rounded score with doc_id
+    tie-break so engine last-ulp float differences cannot reorder.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_words()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df_tab = (
+        tok.select("doc_id", "term").distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    qterms = (
+        df_tab.filter(F.length("term") >= min_term_len)
+        .join(
+            tf.groupBy("term").agg(F.sum("tf").alias("cf")),
+            "term",
+        )
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(n_queries)
+        .select("term", "df")
+    )
+    scalars = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        F.broadcast(dl.agg(F.avg("dl").alias("avgdl")))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    score = idf * F.col("tf") * F.lit(k1 + 1.0) / norm
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("score", F.round(score, 6))
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "term",
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            "tf",
+            "score",
+        )
+    )

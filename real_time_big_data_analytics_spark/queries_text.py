@@ -1596,3 +1596,52 @@ register(
     """,
     tags=("multimodal", "codec", "video", "mp4"),
 )
+
+
+register(
+    "l4_bm25_search",
+    text.bm25_search,
+    # Okapi BM25 with k1=1.2, b=0.75 over the whitespace token stream;
+    # query terms are the 3 most frequent length>=4 terms. Rank on the
+    # 6-dp-rounded score + doc_id so float last-ulps cannot reorder.
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, word AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), dft AS (
+      SELECT term, count(*) AS df
+      FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+    ), qterms AS (
+      SELECT dft.term, dft.df
+      FROM dft JOIN (SELECT term, sum(tf) AS cf FROM tf GROUP BY term) c
+        USING (term)
+      WHERE length(dft.term) >= 4
+      ORDER BY c.cf DESC, dft.term ASC LIMIT 3
+    ), scalars AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT avg(dl) FROM dl) AS avgdl
+    ), scored AS (
+      SELECT q.term, tf.doc_id, tf.tf,
+             round(
+               ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+               6) AS score
+      FROM tf JOIN qterms q USING (term)
+      JOIN dl USING (doc_id) CROSS JOIN scalars s
+    )
+    SELECT term, CAST(rk AS BIGINT) AS rk, doc_id, tf, score
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY term ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+    tags=("text", "search", "bm25"),
+)

@@ -481,3 +481,20 @@ def test_bigram_lm_scores_are_valid_and_rank_fluency(spark, sf_dir):
         assert r.avg_logprob < 0
         assert r.n_bigrams >= 1
         assert r.quality_bucket in ("high", "mid", "low")
+
+
+def test_bm25_ranking_properties(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.text import bm25_search
+
+    rows = bm25_search(spark, sf_dir).collect()
+    assert rows
+    by_term = {}
+    for r in rows:
+        assert r.score > 0 and r.tf >= 1 and 1 <= r.rk <= 10
+        by_term.setdefault(r.term, []).append(r)
+    assert len(by_term) == 3
+    for term_rows in by_term.values():
+        ranked = sorted(term_rows, key=lambda r: r.rk)
+        # scores are non-increasing down the ranking
+        for hi, lo in zip(ranked, ranked[1:]):
+            assert hi.score >= lo.score
