@@ -986,3 +986,73 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(F.col("c.metric"), 6).alias("metric"),
         F.col("c.passed").alias("passed"),
     )
+
+
+def multitouch_attribution(
+    spark: SparkSession, sf_dir: str, lookback_hours: int = 24
+) -> DataFrame:
+    """Marketing-style LINEAR multi-touch attribution: each purchase's
+    value is credited equally across the user's touch events (click /
+    view / signup) in the preceding ``lookback_hours`` window; the
+    report aggregates credited revenue per touch type.
+
+    Complements the as-of join (last-touch attribution,
+    :func:`asof_purchase_attribution`) with the many-touch variant.
+    Scalable shape: ONE per-user event-time RANGE window pass computes
+    the per-type touch counts inside the lookback frame — no range
+    self-join, so cost is one shuffle on user_id at any event density.
+    Credits are materialized as exact integer millicents per purchase
+    (deterministic per-row rounding), so the final sums are
+    order-independent BIGINT math on both engines — no float-summation
+    hash risk.
+    """
+    events = load_table(spark, sf_dir, "events")
+    lookback_us = lookback_hours * 3_600_000_000
+    ev = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-lookback_us, -1)
+    )
+    touch = {
+        t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).over(w)
+        for t in ("click", "view", "signup")
+    }
+    p = (
+        ev.select(
+            "event_type",
+            "cents",
+            *[cnt.alias(f"n_{t}") for t, cnt in touch.items()],
+        )
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("n_touch", F.col("n_click") + F.col("n_view") + F.col("n_signup"))
+        .filter(F.col("n_touch") > 0)
+    )
+    credited = p.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("touch_type"),
+                        F.round(
+                            F.col("cents") * F.col(f"n_{t}") * F.lit(1000.0)
+                            / F.col("n_touch")
+                        )
+                        .cast("bigint")
+                        .alias("credit_mc"),
+                        (F.col(f"n_{t}") > 0).cast("int").alias("hit"),
+                    )
+                    for t in ("click", "view", "signup")
+                ]
+            )
+        ).alias("c")
+    ).select("c.touch_type", "c.credit_mc", "c.hit")
+    return credited.groupBy("touch_type").agg(
+        F.sum("hit").cast("bigint").alias("n_purchases_credited"),
+        F.round(F.sum("credit_mc") / 100_000.0, 2).alias("credited_revenue"),
+    )

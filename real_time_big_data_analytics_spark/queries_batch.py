@@ -1476,3 +1476,51 @@ register(
     """,
     tags=("entity-resolution", "clustering", "iterative"),
 )
+
+
+register(
+    "mta_linear_attribution",
+    relational.multitouch_attribution,
+    # identical RANGE frame over epoch-microseconds; credits become
+    # exact integer millicents per purchase before summation
+    sql="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), counted AS (
+      SELECT event_type, cents,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER w AS n_click,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER w AS n_view,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER w AS n_signup
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                   RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+    ), p AS (
+      SELECT cents,
+             COALESCE(n_click, 0) AS n_click,
+             COALESCE(n_view, 0) AS n_view,
+             COALESCE(n_signup, 0) AS n_signup,
+             COALESCE(n_click, 0) + COALESCE(n_view, 0)
+               + COALESCE(n_signup, 0) AS n_touch
+      FROM counted WHERE event_type = 'purchase'
+    ), credited AS (
+      SELECT t.touch_type,
+             CAST(round(p.cents * t.n_t * 1000.0 / p.n_touch) AS BIGINT)
+               AS credit_mc,
+             CASE WHEN t.n_t > 0 THEN 1 ELSE 0 END AS hit
+      FROM p, LATERAL (VALUES ('click', p.n_click),
+                              ('view', p.n_view),
+                              ('signup', p.n_signup)) AS t(touch_type, n_t)
+      WHERE p.n_touch > 0
+    )
+    SELECT touch_type,
+           CAST(sum(hit) AS BIGINT) AS n_purchases_credited,
+           round(sum(credit_mc) / 100000.0, 2) AS credited_revenue
+    FROM credited GROUP BY touch_type
+    """,
+    tags=("attribution", "window", "event-time"),
+)

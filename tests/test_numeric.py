@@ -62,3 +62,27 @@ def test_round2_scale_param(spark):
     for scale, expect in [(1, 0.1), (3, 0.123), (4, 0.1235)]:
         got = sdf.select(round2("x", scale).alias("r")).collect()[0].r
         assert got == expect
+
+
+def test_multitouch_credit_conservation(spark, sf_dir):
+    """Linear attribution conserves value: summed credits equal the
+    total value of credited purchases (to millicent rounding)."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators.relational import (
+        multitouch_attribution,
+    )
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rep = multitouch_attribution(spark, sf_dir)
+    total_credit = rep.agg(F.sum("credited_revenue")).collect()[0][0]
+    purchases = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    total_purchases = purchases.agg(F.sum("value")).collect()[0][0]
+    n_purch = purchases.count()
+    # credited <= all purchase revenue; close to it when most
+    # purchases have at least one prior touch in the window
+    assert 0 < total_credit <= total_purchases + 0.01
+    for r in rep.collect():
+        assert 0 < r.n_purchases_credited <= n_purch
