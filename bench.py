@@ -66,6 +66,11 @@ HEADLINE = [
     # BPE-trainer pair mining (vocab-bounded shuffle)
     "graph_trade_pagerank",
     "l4_bpe_merge_candidates",
+    # this session's additions: blocked fuzzy matching (hash-join
+    # self-pairing inside blocks) and BM25 retrieval (tf/df build +
+    # broadcast query scoring) — the two new shuffle shapes
+    "er_candidate_pairs",
+    "l4_bm25_search",
 ]
 
 

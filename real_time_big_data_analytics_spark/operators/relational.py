@@ -1056,3 +1056,48 @@ def multitouch_attribution(
         F.sum("hit").cast("bigint").alias("n_purchases_credited"),
         F.round(F.sum("credit_mc") / 100_000.0, 2).alias("credited_revenue"),
     )
+
+
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table data-quality gate: orphan-foreign-key audit over
+    every edge of the star schema (the check `dq_constraint_suite`
+    cannot do single-table). One row per FK edge with the child
+    cardinality, orphan count, and verdict.
+
+    Each edge is a LEFT ANTI join child→parent: dimension parents
+    broadcast (KB–MB scale), so the audit costs one scan per child
+    table; the one fact-fact edge (lineitem→orders) shuffles on the
+    join key exactly like the revenue joins and benefits from the
+    same AQE sizing. Adding an edge adds a row, not a new pipeline.
+    """
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey", True),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey", True),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey", True),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey", True),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ]
+    parts = []
+    for edge, child, fk, parent, pk, bcast in edges:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
+        if bcast:
+            p = F.broadcast(p)
+        orphans = c.join(p, c.fk == p.pk, "left_anti").agg(
+            F.count("*").alias("n_orphan")
+        )
+        totals = c.agg(F.count("*").alias("n_child"))
+        parts.append(
+            totals.crossJoin(orphans).select(
+                F.lit(edge).alias("edge"),
+                "n_child",
+                "n_orphan",
+                (F.col("n_orphan") == 0).alias("ok"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out

@@ -1524,3 +1524,55 @@ register(
     """,
     tags=("attribution", "window", "event-time"),
 )
+
+
+register(
+    "dq_referential_integrity",
+    relational.dq_referential_integrity,
+    sql="""
+    SELECT edge, n_child, n_orphan, n_orphan = 0 AS ok FROM (
+    SELECT 'lineitem.l_orderkey->orders' AS edge,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders x
+             WHERE NOT EXISTS (SELECT 1 FROM customer p
+                               WHERE p.c_custkey = x.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer x
+             WHERE NOT EXISTS (SELECT 1 FROM nation p
+                               WHERE p.n_nationkey = x.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier x
+             WHERE NOT EXISTS (SELECT 1 FROM nation p
+                               WHERE p.n_nationkey = x.s_nationkey))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation x
+             WHERE NOT EXISTS (SELECT 1 FROM region p
+                               WHERE p.r_regionkey = x.n_regionkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem x
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = x.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem x
+             WHERE NOT EXISTS (SELECT 1 FROM supplier p
+                               WHERE p.s_suppkey = x.l_suppkey))
+    )
+    """,
+    tags=("data-quality", "referential-integrity", "join"),
+)

@@ -60,3 +60,45 @@ def test_dq_suite_passes_on_harness_and_catches_planted_violations(spark, sf_dir
     for c in ("event_id_unique", "value_complete", "value_in_range", "type_in_set", "ts_sane"):
         assert not bad[c].passed, c
     assert bad["user_complete"].passed
+
+
+def test_referential_integrity_clean_star_schema(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        dq_referential_integrity,
+    )
+
+    rows = dq_referential_integrity(spark, sf_dir).collect()
+    assert len(rows) == 7
+    # the harness star schema is referentially clean; a synthetic
+    # orphan would flip ok to False via n_orphan > 0
+    for r in rows:
+        assert r.n_child > 0
+        assert r.n_orphan == 0 and r.ok
+
+
+def test_referential_integrity_detects_orphans(spark, sf_dir, tmp_path):
+    """Plant an orphan: copy the star schema but drop half the nation
+    rows — the customer->nation and supplier->nation edges must flag."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators.relational import (
+        dq_referential_integrity,
+    )
+
+    broken = tmp_path / "broken"
+    broken.mkdir()
+    for t in ("region", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", broken / f"{t}.parquet")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_nationkey") < 13
+    ).coalesce(1).write.mode("overwrite").parquet(str(broken / "nation.parquet"))
+    flags = {
+        r.edge: r for r in dq_referential_integrity(spark, str(broken)).collect()
+    }
+    assert not flags["customer.c_nationkey->nation"].ok
+    assert flags["customer.c_nationkey->nation"].n_orphan > 0
+    assert not flags["supplier.s_nationkey->nation"].ok
+    assert flags["lineitem.l_orderkey->orders"].ok

@@ -49,6 +49,8 @@ QUERIES = (
     "l4_bpe_merge_candidates",     # vocab-dict pair mining
     "l2_line_boilerplate_stats",   # line-hash df + per-lang rollup
     "l4_bigram_logprob_quality",   # bigram LM train + broadcast score
+    "l4_bm25_search",              # tf/df build + broadcast query scoring
+    "mta_linear_attribution",      # per-user RANGE window credit pass
 )
 
 
