@@ -1101,3 +1101,29 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out
+
+
+def value_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram per event type: `ntile(10)` buckets of
+    equal row count with per-decile bounds and mass — the quantile
+    view `sf_value_histogram` (equi-width) cannot give.
+
+    The per-group global sort is the honest cost of exact deciles,
+    same disclosure as `sf_exact_percentiles`; the mergeable-sketch
+    twin (`sketch_value_quantiles`) is the stated 100 TB path when
+    approximate bounds suffice. Ties order by event_id so both
+    engines assign identical bucket membership.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.select("event_type", "value", "event_id")
+        .withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            round2(F.min("value"), 2).alias("lo"),
+            round2(F.max("value"), 2).alias("hi"),
+            round2(F.avg("value"), 2).alias("mean_value"),
+        )
+    )

@@ -1438,3 +1438,26 @@ def bm25_search(
             "score",
         )
     )
+
+
+def fixed_k_sample(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """L4 — exact-k-per-group deterministic sample: the eval-set
+    primitive (exactly ``k`` docs per language, not a rate). Selection
+    order is md5(doc_id) — a stable pseudo-random permutation, so the
+    sample is reproducible across runs, engines, and repartitioning,
+    and appending new docs can only displace rows that hash later
+    (rate-based cousin: ``stratified_sample``).
+
+    One per-group window over a narrow (lang, hash, doc_id)
+    projection; at 100 TB exact-k selection per group is a top-k —
+    rank only within the group's hash-ordered stream, never a global
+    sort of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )

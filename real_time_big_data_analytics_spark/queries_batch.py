@@ -1576,3 +1576,24 @@ register(
     """,
     tags=("data-quality", "referential-integrity", "join"),
 )
+
+
+register(
+    "wf_value_deciles",
+    relational.value_deciles_by_type,
+    # identical ntile tie-break (value, event_id) on both engines
+    sql="""
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi,
+           round(avg(value), 2) AS mean_value
+    FROM (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events
+    ) GROUP BY event_type, decile
+    """,
+    tags=("window", "quantiles", "profiling"),
+)

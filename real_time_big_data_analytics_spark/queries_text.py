@@ -1645,3 +1645,20 @@ register(
     """,
     tags=("text", "search", "bm25"),
 )
+
+
+register(
+    "l4_fixed_k_sample",
+    text.fixed_k_sample,
+    # identical md5-permutation order on both engines
+    sql="""
+    SELECT doc_id, lang, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+    tags=("sampling", "eval-set", "deterministic"),
+)

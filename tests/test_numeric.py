@@ -86,3 +86,21 @@ def test_multitouch_credit_conservation(spark, sf_dir):
     assert 0 < total_credit <= total_purchases + 0.01
     for r in rep.collect():
         assert 0 < r.n_purchases_credited <= n_purch
+
+
+def test_value_deciles_equal_depth(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        value_deciles_by_type,
+    )
+
+    rows = value_deciles_by_type(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for trs in by_type.values():
+        assert sorted(r.decile for r in trs) == list(range(1, 11))
+        counts = [r.n for r in trs]
+        assert max(counts) - min(counts) <= 1  # ntile equi-depth
+        ordered = sorted(trs, key=lambda r: r.decile)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.hi <= b.hi + 1e-9  # buckets ascend in value

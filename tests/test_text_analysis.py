@@ -498,3 +498,15 @@ def test_bm25_ranking_properties(spark, sf_dir):
         # scores are non-increasing down the ranking
         for hi, lo in zip(ranked, ranked[1:]):
             assert hi.score >= lo.score
+
+
+def test_fixed_k_sample_exact_and_stable(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.text import fixed_k_sample
+
+    s1 = fixed_k_sample(spark, sf_dir).collect()
+    per_lang = {}
+    for r in s1:
+        per_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert all(len(v) == 20 for v in per_lang.values())
+    s2 = {(r.lang, r.doc_id) for r in fixed_k_sample(spark, sf_dir).collect()}
+    assert {(r.lang, r.doc_id) for r in s1} == s2
