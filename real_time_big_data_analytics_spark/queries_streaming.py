@@ -248,3 +248,22 @@ register(
     """,
     tags=("streaming", "cdc", "foreachBatch", "serving"),
 )
+
+
+register(
+    "t16_stream_sliding_window_rates",
+    sq.stream_sliding_window_rates,
+    # each event belongs to exactly 3 overlapping 30-min/10-min-slide
+    # windows: starts at its 10-min bucket minus k*10min, k in 0..2
+    sql="""
+    SELECT date_trunc('hour', ts)
+             + (minute(ts) // 10) * (INTERVAL 10 MINUTE)
+             - k.k * (INTERVAL 10 MINUTE) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events CROSS JOIN (VALUES (0), (1), (2)) AS k(k)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "sliding"),
+)

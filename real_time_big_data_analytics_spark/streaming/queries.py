@@ -534,3 +534,24 @@ def stream_cdc_materialize(spark: SparkSession, sf_dir: str, n_slices: int = 4) 
         F.count("*").alias("n_users"),
         round2(F.sum("value")).alias("total_value"),
     )
+
+
+def stream_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16 — SLIDING event-time windows (30-minute span, 10-minute
+    slide): each event lands in 3 overlapping windows, the moving-rate
+    view tumbling windows cannot express. Complete-mode aggregation;
+    state is bounded by (span/slide) x active-window keys, and at
+    production scale a watermark bounds it in event time exactly as in
+    T5. The oracle twin expands the 3 memberships per event
+    explicitly, checking Spark's window-assignment semantics."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), round2(F.sum("value")).alias("total_value"))
+    )
+    out = run_to_table(spark, agg, output_mode="complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    )

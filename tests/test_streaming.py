@@ -226,3 +226,18 @@ def test_cdc_materialization_independent_of_batch_slicing(spark, sf_dir):
         for r in stream_cdc_materialize(spark, sf_dir, n_slices=4).collect()
     )
     assert one == four and one
+
+
+def test_sliding_windows_triple_count_events(spark, sf_dir):
+    """30-min span / 10-min slide: every event is a member of exactly
+    3 windows, so the window counts sum to 3x the event count."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.streaming.queries import (
+        stream_sliding_window_rates,
+    )
+
+    out = stream_sliding_window_rates(spark, sf_dir)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == 3 * n_events
