@@ -835,3 +835,58 @@ def ivf_index_append_audit(
         )
         .orderBy("cell")
     )
+
+
+def embedding_cohort_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — embedding-space drift between two cohorts (vec_id parity
+    stands in for e.g. last week's snapshot vs this week's): per
+    label, the cosine between the two cohorts' centroid vectors AND
+    the L2 gap between them, plus cohort sizes. The L2 gap is the
+    robust signal (≈0 when the cohorts sample the same distribution,
+    grows with genuine shift, regardless of whether embeddings are
+    zero-centered); the cosine adds direction information when
+    centroids are far from the origin. Either flags representation
+    drift the scalar PSI monitor (`sf_psi_drift`) cannot see.
+
+    Same scalable shape as `centroid_per_label`: explode to
+    (label x cohort x dim) mean rows — never a vector collect — then
+    a label-keyed 64-term reduction for the cosine.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2).alias("cohort"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        .groupBy("label", "cohort", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+    )
+    a = per_dim.filter(F.col("cohort") == 0).select(
+        "label", "pos", F.col("m").alias("m0")
+    )
+    b = per_dim.filter(F.col("cohort") == 1).select(
+        "label", "pos", F.col("m").alias("m1")
+    )
+    cos = a.join(b, ["label", "pos"]).groupBy("label").agg(
+        round2(
+            F.sum(F.col("m0") * F.col("m1"))
+            / (
+                F.sqrt(F.sum(F.col("m0") * F.col("m0")))
+                * F.sqrt(F.sum(F.col("m1") * F.col("m1")))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+        round2(
+            F.sqrt(F.sum((F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1")))),
+            6,
+        ).alias("centroid_l2_gap"),
+    )
+    counts = (
+        emb.groupBy("label")
+        .agg(
+            F.sum(((F.col("vec_id") % 2) == 0).cast("int")).cast("bigint").alias("n_cohort0"),
+            F.sum(((F.col("vec_id") % 2) == 1).cast("int")).cast("bigint").alias("n_cohort1"),
+        )
+    )
+    return cos.join(counts, "label")

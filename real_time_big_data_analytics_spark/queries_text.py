@@ -1662,3 +1662,39 @@ register(
     """,
     tags=("sampling", "eval-set", "deterministic"),
 )
+
+
+register(
+    "l5_embedding_cohort_drift",
+    similarity.embedding_cohort_drift,
+    sql="""
+    WITH per_dim AS (
+      SELECT label, vec_id % 2 AS cohort, pos, avg(CAST(x AS DOUBLE)) AS m
+      FROM (SELECT label, vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, cohort, pos
+    ), cos AS (
+      SELECT a.label,
+             round(sum(a.m * b.m)
+                   / (sqrt(sum(a.m * a.m)) * sqrt(sum(b.m * b.m))), 6)
+               AS centroid_cosine,
+             round(sqrt(sum((a.m - b.m) * (a.m - b.m))), 6)
+               AS centroid_l2_gap
+      FROM per_dim a JOIN per_dim b
+        ON a.label = b.label AND a.pos = b.pos
+       AND a.cohort = 0 AND b.cohort = 1
+      GROUP BY a.label
+    ), counts AS (
+      SELECT label,
+             CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cohort0,
+             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cohort1
+      FROM embeddings GROUP BY label
+    )
+    SELECT label, centroid_cosine, centroid_l2_gap, n_cohort0, n_cohort1
+    FROM cos JOIN counts USING (label)
+    """,
+    tags=("embedding", "drift", "monitoring"),
+)

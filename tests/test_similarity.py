@@ -172,3 +172,50 @@ def test_ivf_index_append_covers_corpus_and_places_correctly(spark, sf_dir):
     assert sum(r.n_appended for r in rows) == n_batch
     for r in rows:
         assert 0 <= r.n_appended <= r.n_vectors
+
+
+def test_embedding_cohort_drift_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators.similarity import (
+        embedding_cohort_drift,
+    )
+
+    rows = embedding_cohort_drift(spark, sf_dir).collect()
+    assert rows
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    totals = {r.label: r.n for r in emb.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    for r in rows:
+        assert -1.0 <= r.centroid_cosine <= 1.0 + 1e-9
+        assert r.n_cohort0 + r.n_cohort1 == totals[r.label]
+    # deterministic: the split is a pure function of vec_id
+    again = {
+        r.label: r.centroid_cosine
+        for r in embedding_cohort_drift(spark, sf_dir).collect()
+    }
+    assert {r.label: r.centroid_cosine for r in rows} == again
+
+
+def test_identical_cohorts_have_zero_gap(spark, tmp_path):
+    """Two copies of the same vectors as cohorts → L2 gap 0, cosine 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_big_data_analytics_spark.operators.similarity import (
+        embedding_cohort_drift,
+    )
+
+    vecs = [[float(i + j) for j in range(4)] for i in range(6)]
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        # even/odd ids carry IDENTICAL vectors pairwise
+        "embedding": pa.array([vecs[i // 2] for i in range(6)],
+                              pa.list_(pa.float32())),
+        "label": pa.array([7] * 6, pa.int32()),
+    })
+    d = tmp_path / "ident"
+    d.mkdir()
+    pq.write_table(tbl, d / "embeddings.parquet")
+    r = embedding_cohort_drift(spark, str(d)).collect()[0]
+    assert r.centroid_l2_gap == 0.0
+    assert abs(r.centroid_cosine - 1.0) < 1e-9
