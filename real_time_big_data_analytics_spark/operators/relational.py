@@ -1127,3 +1127,37 @@ def value_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             round2(F.avg("value"), 2).alias("mean_value"),
         )
     )
+
+
+LATERAL_TOP_ORDERS_SQL = """
+SELECT c_custkey, c_mktsegment, t.o_orderkey, t.o_totalprice, t.rk
+FROM customer,
+LATERAL (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rk
+  FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 2
+) t
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated table subquery (the SQL:1999 feature Spark
+    gained in 3.2): each BUILDING customer joined to their own top-2
+    orders by price.
+
+    Catalyst's DecorrelateInnerQuery rewrites the per-row LIMIT into a
+    partitioned window filter — the plan is one shuffle on the
+    correlation key, identical to the hand-written ranked-window
+    formulation, not a per-customer subquery execution. This pins the
+    engine's third correlated-subquery shape (scalar: `subquery_*`,
+    EXISTS: `j3_*`, table-valued: here).
+    """
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(LATERAL_TOP_ORDERS_SQL)

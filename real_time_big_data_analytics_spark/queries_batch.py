@@ -1597,3 +1597,11 @@ register(
     """,
     tags=("window", "quantiles", "profiling"),
 )
+
+
+register(
+    "j7_lateral_top_orders",
+    relational.lateral_top_orders,
+    sql=relational.LATERAL_TOP_ORDERS_SQL,
+    tags=("join", "lateral", "correlated"),
+)

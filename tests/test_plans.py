@@ -211,3 +211,16 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lateral_join_decorrelates_to_window(spark, sf_dir):
+    """The per-customer LIMIT 2 LATERAL must decorrelate into a
+    ranked-window + join plan, not a per-row subquery loop."""
+    from real_time_big_data_analytics_spark.operators.relational import (
+        lateral_top_orders,
+    )
+
+    df = lateral_top_orders(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
