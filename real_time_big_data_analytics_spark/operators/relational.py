@@ -1064,11 +1064,14 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot do single-table). One row per FK edge with the child
     cardinality, orphan count, and verdict.
 
-    Each edge is a LEFT ANTI join child→parent: dimension parents
-    broadcast (KB–MB scale), so the audit costs one scan per child
-    table; the one fact-fact edge (lineitem→orders) shuffles on the
-    join key exactly like the revenue joins and benefits from the
-    same AQE sizing. Adding an edge adds a row, not a new pipeline.
+    Each edge is one LEFT OUTER join child→parent (parents
+    deduplicated, so a corrupt parent key cannot double-count
+    children) feeding a single aggregate that counts rows and
+    null-parent orphans together — one scan per child table, no
+    scalar cross-joins. Dimension parents broadcast (KB–MB scale);
+    the one fact-fact edge (lineitem→orders) shuffles on the join
+    key exactly like the revenue joins and benefits from the same
+    AQE sizing. Adding an edge adds a row, not a new pipeline.
     """
     edges = [
         ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
@@ -1082,15 +1085,16 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for edge, child, fk, parent, pk, bcast in edges:
         c = load_table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
-        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
         if bcast:
             p = F.broadcast(p)
-        orphans = c.join(p, c.fk == p.pk, "left_anti").agg(
-            F.count("*").alias("n_orphan")
-        )
-        totals = c.agg(F.count("*").alias("n_child"))
         parts.append(
-            totals.crossJoin(orphans).select(
+            c.join(p, c.fk == p.pk, "left")
+            .agg(
+                F.count("*").alias("n_child"),
+                F.sum(F.col("pk").isNull().cast("int")).cast("bigint").alias("n_orphan"),
+            )
+            .select(
                 F.lit(edge).alias("edge"),
                 "n_child",
                 "n_orphan",
