@@ -61,6 +61,18 @@ def _load_all() -> None:
 # sketches); unlisted names follow in registration order. Full-surface
 # local receipts: tools/check.py --json.
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
+    # round-3 session additions: new families ship with driver-green
+    # evidence the same round they land
+    "er_candidate_pairs",
+    "er_entity_clusters",
+    "l4_bm25_search",
+    "mta_linear_attribution",
+    "dq_referential_integrity",
+    "wf_value_deciles",
+    "l4_fixed_k_sample",
+    "t16_stream_sliding_window_rates",
+    "l5_embedding_cohort_drift",
+    "j7_lateral_top_orders",
     # L-series: dedup / text-analysis / similarity / multimodal / mix
     "l1_exact_dedup",
     "l1_dup_group_stats",
