@@ -890,3 +890,33 @@ def embedding_cohort_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cos.join(counts, "label")
+
+
+def ivf_append_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (index maintenance) — engine-checkable summary of the
+    incremental-append audit, the bound-assertion-twin pattern the
+    sketch family uses: per-cell populations depend on KMeans (not
+    SQL-derivable), but the INVARIANTS are exact — every corpus
+    vector indexed exactly once, every nightly-batch vector appended
+    exactly once, base partitions never shrink. The flags are
+    computed from the real audit output, so a broken append path
+    flips them to false and the oracle comparison fails.
+    """
+    audit = ivf_index_append_audit(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = emb.agg(
+        F.count("*").alias("n_corpus"),
+        F.sum((F.col("vec_id") % 10 == 0).cast("int")).cast("bigint").alias("n_batch"),
+    )
+    summary = audit.agg(
+        F.sum("n_vectors").cast("bigint").alias("n_indexed"),
+        F.sum("n_appended").cast("bigint").alias("n_appended"),
+        F.min(F.col("n_appended") <= F.col("n_vectors")).alias("cells_consistent"),
+    )
+    return summary.join(F.broadcast(truth), F.expr("true")).select(
+        "n_indexed",
+        "n_appended",
+        (F.col("n_indexed") == F.col("n_corpus")).alias("corpus_covered"),
+        (F.col("n_appended") == F.col("n_batch")).alias("batch_covered"),
+        "cells_consistent",
+    )

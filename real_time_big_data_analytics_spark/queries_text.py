@@ -1698,3 +1698,21 @@ register(
     """,
     tags=("embedding", "drift", "monitoring"),
 )
+
+
+register(
+    "l3_ivf_append_invariants",
+    similarity.ivf_append_invariants,
+    # exact invariant twin: counts from the raw table, flags that the
+    # real append path must reproduce (see ivf_append_invariants)
+    sql="""
+    SELECT count(*) AS n_indexed,
+           CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_appended,
+           true AS corpus_covered,
+           true AS batch_covered,
+           true AS cells_consistent
+    FROM embeddings
+    """,
+    tags=("similarity", "index", "incremental"),
+)

@@ -219,3 +219,13 @@ def test_identical_cohorts_have_zero_gap(spark, tmp_path):
     r = embedding_cohort_drift(spark, str(d)).collect()[0]
     assert r.centroid_l2_gap == 0.0
     assert abs(r.centroid_cosine - 1.0) < 1e-9
+
+
+def test_ivf_append_invariants_all_green(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.similarity import (
+        ivf_append_invariants,
+    )
+
+    r = ivf_append_invariants(spark, sf_dir).collect()[0]
+    assert r.corpus_covered and r.batch_covered and r.cells_consistent
+    assert r.n_appended < r.n_indexed
