@@ -237,3 +237,33 @@ def training_pipeline(
         F.count("*").alias("n_chunks"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """Dedup with the PRODUCTION survivor policy: within each near-dup
+    cluster keep the highest-VALUE member — here the longest document
+    (n_chars, doc_id tie-break) — instead of `dedup_corpus`'s min-id
+    representative. Real pipelines keep the best copy (longest /
+    highest quality / canonical source), not an arbitrary one; the
+    choice changes which bytes survive, so it is its own operator.
+
+    Same execution slots as `dedup_corpus`: the closure is the shared
+    connected-components pass, the policy is one ranked window over
+    cluster members (cluster-keyed shuffle of (cluster, n_chars, id)
+    triples only), and the survivor set anti-joins the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(spark, sf_dir, threshold=threshold)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    losers = ranked.filter(F.col("rk") > 1).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

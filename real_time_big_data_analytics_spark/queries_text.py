@@ -1716,3 +1716,38 @@ register(
     """,
     tags=("similarity", "index", "incremental"),
 )
+
+
+register(
+    "l2_dedup_keep_best",
+    clustering.dedup_keep_best,
+    # same recursive-CTE closure as l2_dedup_clusters, but survivors
+    # are the longest member per cluster (production keep-best policy)
+    sql=f"""
+    WITH RECURSIVE np AS (
+      SELECT a_id, b_id FROM ({_NGRAM_PAIRS_SQL}) q
+    ), edges AS (
+      SELECT a_id AS s, b_id AS d FROM np
+      UNION
+      SELECT b_id, a_id FROM np
+    ), reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), labels AS (
+      SELECT n.node AS doc_id, least(n.node, min(r.d)) AS cluster_rep
+      FROM (SELECT DISTINCT s AS node FROM edges) n
+      JOIN reach r ON r.s = n.node
+      GROUP BY n.node
+    ), ranked AS (
+      SELECT l.doc_id,
+             row_number() OVER (PARTITION BY l.cluster_rep
+                                ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk
+      FROM labels l JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+    """,
+    tags=("dedup", "clustering", "policy"),
+)

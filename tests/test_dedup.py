@@ -140,3 +140,27 @@ def test_max_df_default_is_noop_at_harness_scale(spark):
         for r in text.ngram_jaccard_pairs(spark, SF_CORRECT, max_df=10**9).collect()
     }
     assert capped == uncapped and capped
+
+
+def test_keep_best_prefers_longest_cluster_member(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators import clustering
+
+    kept = {r.doc_id for r in clustering.dedup_keep_best(spark, sf_dir).collect()}
+    clusters = clustering.near_dup_clusters(spark, sf_dir).collect()
+    chars = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_rep, []).append(r.doc_id)
+    assert by_cluster
+    for members in by_cluster.values():
+        survivors = [m for m in members if m in kept]
+        assert len(survivors) == 1
+        best = max(members, key=lambda d: (chars[d], -d))
+        assert survivors[0] == best
