@@ -1165,3 +1165,32 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(LATERAL_TOP_ORDERS_SQL)
+
+
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    calendar days (and their active-day count) — the retention metric
+    `wf_retention_cohorts` (fixed cohort grid) and
+    `wf_sessionize_events` (intra-day time gaps) cannot express.
+
+    The classic anchor trick: per user, consecutive days all share
+    `day - row_number() days`, so one per-user window pass over the
+    DISTINCT (user, day) table — day-bounded, far smaller than the
+    event stream — then two small aggregates. No self-join, no gap
+    enumeration; shuffles carry (user, day) pairs only.
+    """
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+    )

@@ -1605,3 +1605,29 @@ register(
     sql=relational.LATERAL_TOP_ORDERS_SQL,
     tags=("join", "lateral", "correlated"),
 )
+
+
+register(
+    "wf_activity_streaks",
+    relational.activity_streaks,
+    # identical anchor trick: consecutive days share day - rn
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), anchored AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INT) AS anchor
+      FROM days
+    ), streaks AS (
+      SELECT user_id, anchor, count(*) AS len
+      FROM anchored GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id
+    """,
+    tags=("window", "gaps-and-islands", "retention"),
+)

@@ -104,3 +104,33 @@ def test_value_deciles_equal_depth(spark, sf_dir):
         ordered = sorted(trs, key=lambda r: r.decile)
         for a, b in zip(ordered, ordered[1:]):
             assert a.hi <= b.hi + 1e-9  # buckets ascend in value
+
+
+def test_activity_streaks_consistent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators.relational import (
+        activity_streaks,
+    )
+
+    rows = activity_streaks(spark, sf_dir).collect()
+    assert rows
+    days = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .distinct()
+        .collect()
+    )
+    per_user = {}
+    for r in days:
+        per_user.setdefault(r.user_id, set()).add(r.d)
+    for r in rows:
+        assert r.n_active_days == len(per_user[r.user_id])
+        assert 1 <= r.longest_streak <= r.n_active_days
+        # recompute longest run directly
+        ds = sorted(per_user[r.user_id])
+        best = run = 1
+        for a, b in zip(ds, ds[1:]):
+            run = run + 1 if (b - a).days == 1 else 1
+            best = max(best, run)
+        assert r.longest_streak == best
