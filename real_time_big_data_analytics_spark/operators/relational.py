@@ -1194,3 +1194,76 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.sum("len").cast("bigint").alias("n_active_days"),
     )
+
+
+def peak_session_concurrency(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Sweep-line peak concurrency: the maximum number of user sessions
+    active at the same instant (and the earliest instant it occurs).
+
+    Sessions are the same gap-based intervals as ``sessionize_events``
+    (reference parity: the DStream pipeline's per-window user activity,
+    ``StreamingJob.scala`` equivalents, internalized). A session is
+    active on [start_ts, end_ts]; the sweep emits +1 at start and -1
+    one microsecond after end, so back-to-back touching sessions both
+    count at the boundary instant.
+
+    The running sum is computed WITHOUT a global sort: per-day local
+    prefix sums in parallel (one window per day partition), a
+    day-level offset table (one row per calendar day — KB-scale at any
+    corpus size) cumulated on a single partition, then broadcast back.
+    This is the classic distributed prefix-sum decomposition: the only
+    single-partition step scales with the number of DAYS, not events,
+    so the plan survives 100 TB.
+    """
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(by_user))
+    flagged = events.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = flagged.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    deltas = intervals.select(
+        F.col("start_ts").alias("ts"), F.lit(1).alias("d")
+    ).unionAll(
+        intervals.select(
+            (F.col("end_ts") + F.expr("INTERVAL '0.000001' SECOND")).alias("ts"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    net = deltas.groupBy("ts").agg(F.sum("d").alias("net")).withColumn(
+        "bucket", F.date_trunc("day", "ts")
+    )
+    w_local = Window.partitionBy("bucket").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = net.withColumn("local_run", F.sum("net").over(w_local))
+    # day-level offsets: one row per day; the single-partition window
+    # here is over the DAY table, bounded by calendar span, not data
+    w_days = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        net.groupBy("bucket")
+        .agg(F.sum("net").alias("day_total"))
+        .withColumn("offset", F.coalesce(F.sum("day_total").over(w_days), F.lit(0)))
+        .select("bucket", "offset")
+    )
+    run = local.join(F.broadcast(offsets), "bucket").withColumn(
+        "active", F.col("offset") + F.col("local_run")
+    )
+    return (
+        run.orderBy(F.desc("active"), F.asc("ts"))
+        .limit(1)
+        .select(
+            F.col("active").cast("bigint").alias("peak_concurrency"),
+            F.col("ts").alias("peak_at"),
+        )
+    )

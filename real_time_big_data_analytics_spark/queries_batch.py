@@ -1631,3 +1631,44 @@ register(
     """,
     tags=("window", "gaps-and-islands", "retention"),
 )
+
+
+register(
+    "wf_peak_concurrency",
+    relational.peak_session_concurrency,
+    # same sessionization, then a plain global running sum — the
+    # oracle may single-sort; the Spark side must not (see operator)
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    ), intervals AS (
+      SELECT user_id, session_id,
+             min(ts) AS start_ts, max(ts) AS end_ts
+      FROM sess GROUP BY user_id, session_id
+    ), deltas AS (
+      SELECT start_ts AS ts, 1 AS d FROM intervals
+      UNION ALL
+      SELECT end_ts + INTERVAL 1 MICROSECOND, -1 FROM intervals
+    ), net AS (
+      SELECT ts, sum(d) AS net FROM deltas GROUP BY ts
+    ), run AS (
+      SELECT ts, sum(net) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS active
+      FROM net
+    )
+    SELECT CAST(active AS BIGINT) AS peak_concurrency, min(ts) AS peak_at
+    FROM run
+    WHERE active = (SELECT max(active) FROM run)
+    GROUP BY active
+    """,
+    tags=("window", "sweep-line", "prefix-sum"),
+)

@@ -134,3 +134,48 @@ def test_activity_streaks_consistent(spark, sf_dir):
             run = run + 1 if (b - a).days == 1 else 1
             best = max(best, run)
         assert r.longest_streak == best
+
+
+def test_peak_concurrency_matches_direct_sweep(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators.relational import (
+        peak_session_concurrency,
+        sessionize_events,
+    )
+
+    row = peak_session_concurrency(spark, sf_dir).collect()[0]
+    assert row.peak_concurrency >= 1
+    # direct recomputation: single-sorted sweep on the driver
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(by_user))
+    flagged = events.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = flagged.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    ).collect()
+    import datetime
+
+    deltas = []
+    for r in intervals:
+        deltas.append((r.s, 1))
+        deltas.append((r.e + datetime.timedelta(microseconds=1), -1))
+    per_ts = {}
+    for t, d in deltas:
+        per_ts[t] = per_ts.get(t, 0) + d
+    run, best, best_t = 0, -1, None
+    for t in sorted(per_ts):
+        run += per_ts[t]
+        if run > best:
+            best, best_t = run, t
+    assert row.peak_concurrency == best
+    assert row.peak_at == best_t
