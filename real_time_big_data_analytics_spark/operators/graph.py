@@ -100,3 +100,104 @@ def trade_pagerank(
             F.col("n_name"), round2(F.col("rank"), 6).alias("rank")
         )
     )
+
+
+def _undirected_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected nation pairs (a < b) with any trade flow —
+    the simple graph underlying triangle counting."""
+    edges = trade_edges(spark, sf_dir)
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+
+
+def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation counts over the undirected
+    trade graph (SURVEY.md §2 [N] graph family, alongside PageRank and
+    the union-find components in ``clustering``).
+
+    Canonical oriented-edge enumeration: every triangle a<b<c is found
+    exactly once by joining (a,b)⋈(b,c)⋈(a,c). On the nation graph the
+    edge list is KB-scale; at billions of edges the same plan holds
+    with the standard refinement of orienting by DEGREE instead of id
+    (low-degree endpoint first) so no hub node fans out quadratically —
+    orientation changes which joins carry the skew, not the result.
+
+    Returns (n_name, n_triangles) for every nation, 0 included.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    e = _undirected_trade_pairs(spark, sf_dir).localCheckpoint()
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        F.broadcast(nation)
+        .join(per_node, nation.n_nationkey == per_node.node, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+    )
+
+
+TOP_EDGES_PER_SRC = 3
+MAX_HOPS = 6
+BFS_SOURCE = 0
+
+
+def trade_bfs_hops(
+    spark: SparkSession,
+    sf_dir: str,
+    source: int = BFS_SOURCE,
+    max_hops: int = MAX_HOPS,
+) -> DataFrame:
+    """Min-hop distances from one nation over the SPARSIFIED trade
+    graph: each nation keeps only its ``TOP_EDGES_PER_SRC`` strongest
+    outgoing trade edges (deterministic tie-break on dst), which makes
+    multi-hop structure appear in an otherwise near-complete graph.
+
+    Frontier-style BFS as ``max_hops`` fixed iterations of
+    join+min-aggregate, composed lazily over the localCheckpoint-ed
+    KB-scale edge list — the same iterative-recurrence execution shape
+    as ``trade_pagerank``. The DuckDB twin walks the identical edge
+    set with a recursive CTE, so a genuinely iterative distributed
+    algorithm gets an exact cross-engine oracle.
+
+    Returns (n_name, hops) for reachable nations; unreachable ones are
+    omitted (matching the recursive CTE's semantics).
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    edges = trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    w_rank = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    sparse = (
+        edges.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= TOP_EDGES_PER_SRC)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    dist = spark.createDataFrame([(source, 0)], "node BIGINT, hops INT")
+    for h in range(1, max_hops + 1):
+        frontier = dist.filter(F.col("hops") == h - 1)
+        expanded = (
+            frontier.join(sparse, frontier.node == sparse.src)
+            .select(F.col("dst").alias("node"), F.lit(h).alias("hops"))
+        )
+        dist = (
+            dist.unionAll(expanded)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return (
+        dist.join(F.broadcast(nation), dist.node == nation.n_nationkey)
+        .select("n_name", F.col("hops").cast("int").alias("hops"))
+    )

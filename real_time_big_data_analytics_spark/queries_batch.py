@@ -1672,3 +1672,69 @@ register(
     """,
     tags=("window", "sweep-line", "prefix-sum"),
 )
+
+
+_TRADE_EDGE_CTE = """
+    e AS (
+      SELECT c_nationkey AS src, s_nationkey AS dst,
+             sum(l_extendedprice * (1 - l_discount)) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    )"""
+
+# canonical a<b<c enumeration over the same undirected pair set
+register(
+    "graph_trade_triangles",
+    graph.trade_triangles,
+    sql=f"""
+    WITH {_TRADE_EDGE_CTE},
+    pairs AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e WHERE src <> dst
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e1.b = e2.a
+      JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), per_node AS (
+      SELECT node, count(*) AS n FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT n_name, CAST(coalesce(n, 0) AS BIGINT) AS n_triangles
+    FROM nation LEFT JOIN per_node ON n_nationkey = node
+    """,
+    tags=("graph", "triangles", "join"),
+)
+
+# recursive-CTE twin of the fixed-iteration frontier BFS
+register(
+    "graph_trade_bfs_hops",
+    graph.trade_bfs_hops,
+    sql=f"""
+    WITH RECURSIVE {_TRADE_EDGE_CTE},
+    sparse AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rk
+        FROM e WHERE src <> dst
+      ) WHERE rk <= {graph.TOP_EDGES_PER_SRC}
+    ), walk(node, hops) AS (
+      SELECT CAST({graph.BFS_SOURCE} AS BIGINT), 0
+      UNION ALL
+      SELECT sparse.dst, walk.hops + 1
+      FROM walk JOIN sparse ON walk.node = sparse.src
+      WHERE walk.hops < {graph.MAX_HOPS}
+    )
+    SELECT n_name, CAST(min(hops) AS INT) AS hops
+    FROM walk JOIN nation ON n_nationkey = node
+    GROUP BY n_name
+    """,
+    tags=("graph", "bfs", "iterative", "recursive-cte"),
+)

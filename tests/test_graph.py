@@ -32,3 +32,65 @@ def test_trade_edges_probabilities_normalized(spark, sf_dir):
     outsum = edges.groupBy("src").agg(F.sum("w").alias("tot"))
     rows = outsum.collect()
     assert rows and all(r.tot > 0 for r in rows)
+
+
+def test_triangles_match_bruteforce(spark, sf_dir):
+    from itertools import combinations
+
+    pairs = {
+        (r.a, r.b)
+        for r in graph._undirected_trade_pairs(spark, sf_dir).collect()
+    }
+    nodes = sorted({x for p in pairs for x in p})
+    per_node = dict.fromkeys(nodes, 0)
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in pairs and (b, c) in pairs and (a, c) in pairs:
+            for v in (a, b, c):
+                per_node[v] += 1
+    got = {
+        r.n_name: r.n_triangles
+        for r in graph.trade_triangles(spark, sf_dir).collect()
+    }
+    nation = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    }
+    assert len(got) == len(nation)
+    for k, name in nation.items():
+        assert got[name] == per_node.get(k, 0), name
+
+
+def test_bfs_hops_match_dijkstra_on_hops(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    edges = graph.trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    w = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    sparse = [
+        (r.src, r.dst)
+        for r in edges.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= graph.TOP_EDGES_PER_SRC)
+        .collect()
+    ]
+    adj = {}
+    for s, d in sparse:
+        adj.setdefault(s, []).append(d)
+    # plain BFS on the driver
+    dist = {graph.BFS_SOURCE: 0}
+    frontier = [graph.BFS_SOURCE]
+    for h in range(1, graph.MAX_HOPS + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    nation = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    }
+    got = {
+        r.n_name: r.hops for r in graph.trade_bfs_hops(spark, sf_dir).collect()
+    }
+    assert got == {nation[k]: h for k, h in dist.items()}
