@@ -1267,3 +1267,60 @@ def peak_session_concurrency(
             F.col("ts").alias("peak_at"),
         )
     )
+
+
+EWMA_ALPHA = 0.1
+EWMA_SPAN_ROWS = 30
+
+
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-history exponentially weighted moving average of each
+    user's daily event value (ts family, alongside
+    ``ts_rolling_zscore`` / ``ts_gapfill_locf_hourly``):
+
+        ewma_t = Σ_{j=0..min(t,29)} (1-α)^j · x_{t-j}
+                 / Σ_{j=0..min(t,29)} (1-α)^j
+
+    — pandas ``ewm(alpha, adjust=True)`` restricted to a 30-row
+    window, which makes the recurrence a FRAME computation instead of
+    an unbounded scan: one per-user window collects the trailing 30
+    daily sums as an array, and JVM-side array HOFs (transform with
+    index + aggregate) apply the decay weights. No Python, no
+    self-join, bounded per-row state — the shuffles carry one
+    (user, day) row per active day regardless of corpus size.
+
+    The DuckDB twin computes the same weights via a band self-join on
+    row offsets; both sides round at 1e-6 to absorb engine summation
+    order.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(EWMA_SPAN_ROWS - 1), 0)
+    )
+    decay = F.lit(1.0 - EWMA_ALPHA)
+    framed = daily.withColumn(
+        "arr", F.collect_list("v").over(w)  # frame order = day ascending
+    )
+    arr = F.col("arr")
+    # element i of an L-long frame is x_{t-(L-1-i)} -> weight (1-a)^(L-1-i)
+    weighted = F.transform(
+        arr, lambda x, i: x * F.pow(decay, F.size(arr) - 1 - i)
+    )
+    weights = F.transform(arr, lambda x, i: F.pow(decay, F.size(arr) - 1 - i))
+    num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    den = F.aggregate(weights, F.lit(0.0), lambda acc, x: acc + x)
+    return framed.select(
+        "user_id",
+        # timestamp, not date: the driver comparator stringifies dates
+        # engine-dependently but timestamps identically
+        F.col("day").cast("timestamp").alias("day"),
+        round2(num / den, 6).alias("ewma"),
+    )

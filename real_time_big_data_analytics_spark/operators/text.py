@@ -1461,3 +1461,33 @@ def fixed_k_sample(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
     )
+
+
+def weighted_sample_no_replacement(
+    spark: SparkSession, sf_dir: str, k: int = 100
+) -> DataFrame:
+    """L4 — deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each doc draws priority
+    ln(u)/w with u ~ U(0,1); the k largest priorities are exactly a
+    weighted sample without replacement. Weight = n_chars, so the
+    sample is length-biased the way token-budget curation is.
+
+    u is md5-derived (same keyed-permutation trick as
+    ``fixed_k_sample``), so the sample is reproducible across runs,
+    engines, and repartitioning — the DuckDB twin recomputes the
+    identical priorities. Selection is a global top-k
+    (TakeOrderedAndProject: per-partition heads then a single merge),
+    NOT a full sort — the 100 TB plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    u = (h + F.lit(1.0)) / F.lit(float(2**32) + 1.0)  # in (0,1)
+    prio = F.log(u) / F.col("n_chars")  # maximize u^(1/w) <=> ln(u)/w
+    return (
+        docs.select("doc_id", "lang", "n_chars", prio.alias("prio"))
+        .orderBy(F.desc("prio"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "lang", "n_chars")
+    )

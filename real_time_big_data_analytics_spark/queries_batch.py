@@ -1738,3 +1738,29 @@ register(
     """,
     tags=("graph", "bfs", "iterative", "recursive-cte"),
 )
+
+
+# band self-join on row offsets computes the same truncated decay
+# weights the Spark side applies via array HOFs
+register(
+    "ts_ewma_daily_value",
+    relational.ewma_daily_value,
+    sql="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ), rn AS (
+      SELECT user_id, day, v,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM daily
+    )
+    SELECT a.user_id, CAST(a.day AS TIMESTAMP) AS day,
+           round(sum(b.v * power(0.9, a.rn - b.rn))
+                 / sum(power(0.9, a.rn - b.rn)), 6) AS ewma
+    FROM rn a JOIN rn b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 29 AND a.rn
+    GROUP BY a.user_id, a.day
+    """,
+    tags=("timeseries", "ewma", "array-hof"),
+)

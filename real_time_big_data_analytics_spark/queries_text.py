@@ -1751,3 +1751,24 @@ register(
     """,
     tags=("dedup", "clustering", "policy"),
 )
+
+
+# identical A-ES priorities recomputed from the same md5-derived u;
+# top-k by (prio DESC, doc_id) is the sample, engines agree exactly
+register(
+    "l4_weighted_sample",
+    text.weighted_sample_no_replacement,
+    sql="""
+    WITH prio AS (
+      SELECT doc_id, lang, n_chars,
+             ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 1.0) / 4294967297.0) / n_chars AS p
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars
+    FROM prio
+    ORDER BY p DESC, doc_id ASC
+    LIMIT 100
+    """,
+    tags=("sampling", "weighted", "reproducible"),
+)

@@ -179,3 +179,65 @@ def test_peak_concurrency_matches_direct_sweep(spark, sf_dir):
             best, best_t = run, t
     assert row.peak_concurrency == best
     assert row.peak_at == best_t
+
+
+def test_ewma_matches_pandas_truncated(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators.relational import (
+        EWMA_ALPHA,
+        EWMA_SPAN_ROWS,
+        ewma_daily_value,
+    )
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    got = {
+        (r.user_id, r.day.date()): r.ewma
+        for r in ewma_daily_value(spark, sf_dir).collect()
+    }
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("v"))
+        .toPandas()
+    )
+    decay = 1.0 - EWMA_ALPHA
+    n_checked = 0
+    for uid, g in daily.groupby("user_id"):
+        g = g.sort_values("day")
+        vs = list(g.v)
+        for t in range(len(vs)):
+            lo = max(0, t - (EWMA_SPAN_ROWS - 1))
+            num = sum(vs[i] * decay ** (t - i) for i in range(lo, t + 1))
+            den = sum(decay ** (t - i) for i in range(lo, t + 1))
+            key = (uid, g.day.iloc[t])
+            assert abs(got[key] - num / den) < 1e-5, key
+            n_checked += 1
+        if n_checked > 500:
+            break
+    assert n_checked > 100
+
+
+def test_weighted_sample_is_length_biased_and_exact_k(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators.text import (
+        weighted_sample_no_replacement,
+    )
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    sample = weighted_sample_no_replacement(spark, sf_dir, k=100).collect()
+    assert len(sample) == 100
+    assert len({r.doc_id for r in sample}) == 100
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r.n_chars for r in sample) / len(sample)
+    # n_chars-weighted selection must skew the sample long
+    assert sample_mean > corpus_mean
+    # determinism across runs
+    again = weighted_sample_no_replacement(spark, sf_dir, k=100).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in sample)
