@@ -1491,3 +1491,81 @@ def weighted_sample_no_replacement(
         .limit(k)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+def ppjoin_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8, n: int = 3
+) -> DataFrame:
+    """L2 — EXACT Jaccard pairs via prefix filtering (PPJoin-style),
+    the lossless 100 TB alternative to ``ngram_jaccard_pairs``'s
+    ``max_df`` candidate cap.
+
+    Prefix-filter lemma: order every doc's shingles by a global total
+    order (document frequency ascending, then shingle — rarest
+    first); if J(A,B) >= t then |A∩B| >= ceil(t·|A|) and
+    ceil(t·|B|), so A and B must share a token within their first
+    |d| - ceil(t·|d|) + 1 tokens. Candidate generation therefore
+    joins only those short, RARE-token prefixes — fan-out per bucket
+    is bounded by rare-token df, so the boilerplate-shingle explosion
+    the max_df cap guards against cannot occur BY CONSTRUCTION, and
+    no qualifying pair is lost. A size filter
+    (min >= t·max, also implied by J >= t) prunes candidates before
+    verification; verification joins each side's full sorted shingle
+    array back (hash joins on doc_id) and scores the true Jaccard
+    row-side via array_intersect.
+
+    Cost shape: two shuffles of the token stream (df attach by
+    shingle, prefix rank by doc), one prefix-bucket expansion, two
+    doc-keyed joins over the candidate set. The DuckDB twin is the
+    NAIVE all-shingle self-join — algorithm vs ground truth, exact
+    match required.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_arr = _with_shingle_array(docs, n)
+    tok = with_arr.select(
+        "doc_id", F.size("sh_arr").alias("sz"), F.explode_outer("sh_arr").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    # global order key: df ASC, shingle ASC — one window per shingle
+    # (df attach), one per doc (prefix rank)
+    by_shingle = Window.partitionBy("shingle")
+    by_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        tok.withColumn("df", F.count("*").over(by_shingle))
+        .withColumn("rk", F.row_number().over(by_doc))
+        .filter(F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("doc_id", "sz", "shingle")
+    )
+    cands = (
+        prefix.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), y -> "
+                    "struct(x.doc_id as a_id, x.sz as sz_a, "
+                    "y.doc_id as b_id, y.sz as sz_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a_id", "p.sz_a", "p.b_id", "p.sz_b")
+        .filter(
+            F.least("sz_a", "sz_b")
+            >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+        )
+        .distinct()
+    )
+    arrs = with_arr.select("doc_id", F.col("sh_arr").alias("arr"))
+    a_arrs = arrs.select(F.col("doc_id").alias("a_id"), F.col("arr").alias("a_arr"))
+    b_arrs = arrs.select(F.col("doc_id").alias("b_id"), F.col("arr").alias("b_arr"))
+    inter = F.size(F.array_intersect("a_arr", "b_arr"))
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
+    return (
+        cands.join(a_arrs, "a_id")
+        .join(b_arrs, "b_id")
+        .select(
+            "a_id", "b_id", F.round(jac, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

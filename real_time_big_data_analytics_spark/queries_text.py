@@ -1772,3 +1772,34 @@ register(
     """,
     tags=("sampling", "weighted", "reproducible"),
 )
+
+
+# the oracle is the NAIVE exact all-shingle self-join (no caps, no
+# prefixes): the prefix-filtered algorithm must reproduce ground truth
+register(
+    "l2_ppjoin_jaccard_pairs",
+    text.ppjoin_jaccard_pairs,
+    sql="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle
+      FROM w WHERE len(ws) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON a_id = sa.doc_id
+    JOIN sizes sb ON b_id = sb.doc_id
+    WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8
+    """,
+    tags=("dedup", "near-dup", "prefix-filter", "exact"),
+)

@@ -164,3 +164,44 @@ def test_keep_best_prefers_longest_cluster_member(spark, sf_dir):
         assert len(survivors) == 1
         best = max(members, key=lambda d: (chars[d], -d))
         assert survivors[0] == best
+
+
+def test_ppjoin_matches_capped_jaccard_join(spark, sf_dir):
+    """At harness SFs the max_df cap is a no-op, so the prefix-filtered
+    exact algorithm and the capped group-join must emit identical
+    pair sets and scores."""
+    from real_time_big_data_analytics_spark.operators import text
+
+    pp = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in text.ppjoin_jaccard_pairs(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in text.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert pp == capped
+    assert pp  # non-degenerate at every harness SF
+
+
+def test_ppjoin_prefix_is_shorter_than_doc(spark, sf_dir):
+    """The candidate stage must join on strictly fewer tokens than the
+    full shingle stream (the whole point of prefix filtering)."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators import text
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = text.shingles(docs).count()
+    t = 0.8
+    arr = text._with_shingle_array(docs, 3)
+    pref_len = arr.select(
+        F.sum(
+            F.greatest(
+                F.size("sh_arr") - F.ceil(F.lit(t) * F.size("sh_arr")) + 1,
+                F.lit(0),
+            )
+        )
+    ).collect()[0][0]
+    assert pref_len < 0.45 * full  # ~1-t of the stream plus one token per doc
