@@ -71,6 +71,10 @@ HEADLINE = [
     # broadcast query scoring) — the two new shuffle shapes
     "er_candidate_pairs",
     "l4_bm25_search",
+    # late additions: the lossless prefix-filtered dedup join and the
+    # two-phase distributed prefix-sum sweep — both new shuffle shapes
+    "l2_ppjoin_jaccard_pairs",
+    "wf_peak_concurrency",
 ]
 
 

@@ -192,10 +192,17 @@ def trade_bfs_hops(
             frontier.join(sparse, frontier.node == sparse.src)
             .select(F.col("dst").alias("node"), F.lit(h).alias("hops"))
         )
+        # checkpoint per iteration: the recurrence references `dist`
+        # twice (union + frontier), so a fully lazy composition doubles
+        # the logical plan each hop (2^k joins by hop k). Cutting
+        # lineage keeps the plan linear in max_hops — the same
+        # bounded-lineage discipline ``clustering.min_label_components``
+        # applies, and mandatory at billion-node scale.
         dist = (
             dist.unionAll(expanded)
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
         )
     return (
         dist.join(F.broadcast(nation), dist.node == nation.n_nationkey)
