@@ -1569,3 +1569,66 @@ def ppjoin_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.9,
+    n: int = 3,
+    max_df: int = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """L2 — asymmetric CONTAINMENT near-dup pairs:
+    C(A→B) = |A∩B| / |A| >= t, i.e. doc A's shingles are mostly inside
+    doc B. Jaccard misses exactly this case when |B| >> |A| (a quoted
+    paragraph inside a long page scores near-zero Jaccard but ~1.0
+    containment), and sub-document duplication is the dominant
+    contamination mode in web corpora.
+
+    Same single-shuffle group-by-shingle pair expansion as
+    ``ngram_jaccard_pairs`` (one shingle-stream shuffle, max_df cap on
+    boilerplate, i<j expansion JVM-side); only the final score changes:
+    each unordered pair scores BOTH directions and emits the max,
+    tagged with which side is contained. The DuckDB twin applies the
+    identical cap and formula.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_arr = _with_shingle_array(docs, n)
+    sh = with_arr.select(
+        "doc_id", F.size("sh_arr").alias("sz"), F.explode_outer("sh_arr").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    pairs = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), y -> "
+                    "struct(x.doc_id as a_id, x.sz as sz_a, "
+                    "y.doc_id as b_id, y.sz as sz_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.a_id", "p.b_id")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("p.sz_a").alias("sz_a"),
+            F.first("p.sz_b").alias("sz_b"),
+        )
+    )
+    containment = F.round(
+        F.col("inter") / F.least("sz_a", "sz_b"), 4
+    )  # max over both directions = inter / min(|A|,|B|)
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            containment.alias("containment"),
+            F.when(F.col("sz_a") <= F.col("sz_b"), F.col("a_id"))
+            .otherwise(F.col("b_id"))
+            .alias("contained_id"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -1803,3 +1803,41 @@ register(
     """,
     tags=("dedup", "near-dup", "prefix-filter", "exact"),
 )
+
+
+# same df cap + group-by-shingle pair counts; containment = inter/min
+register(
+    "l2_containment_pairs",
+    text.containment_pairs,
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle
+      FROM w WHERE len(ws) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), shc AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+      ) WHERE df <= {text.DEFAULT_MAX_DF}
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT a_id, b_id,
+             round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment,
+             CASE WHEN sa.sz <= sb.sz THEN a_id ELSE b_id END AS contained_id
+      FROM pairs
+      JOIN sizes sa ON a_id = sa.doc_id
+      JOIN sizes sb ON b_id = sb.doc_id
+    )
+    SELECT a_id, b_id, containment, contained_id
+    FROM scored WHERE containment >= 0.9
+    """,
+    tags=("dedup", "near-dup", "containment"),
+)

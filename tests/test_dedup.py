@@ -205,3 +205,29 @@ def test_ppjoin_prefix_is_shorter_than_doc(spark, sf_dir):
         )
     ).collect()[0][0]
     assert pref_len < 0.45 * full  # ~1-t of the stream plus one token per doc
+
+
+def test_containment_catches_subdocument_dup(spark, tmp_path):
+    """A short doc quoted verbatim inside a much longer one: Jaccard
+    stays far below threshold, containment hits 1.0."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from real_time_big_data_analytics_spark.operators import text
+
+    quote = " ".join(f"q{i}" for i in range(20))
+    page = quote + " " + " ".join(f"p{i}" for i in range(400))
+    rows = [
+        (1, quote, "en", "a", len(quote)),
+        (2, page, "en", "b", len(page)),
+        (3, " ".join(f"z{i}" for i in range(50)), "en", "c", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    cont = text.containment_pairs(spark, str(tmp_path), threshold=0.9).collect()
+    assert [(r.a_id, r.b_id, r.contained_id) for r in cont] == [(1, 2, 1)]
+    assert cont[0].containment == 1.0
+    jac = text.ngram_jaccard_pairs(spark, str(tmp_path), threshold=0.5).collect()
+    assert jac == []  # Jaccard is blind to the quoted-subset pair
