@@ -73,6 +73,19 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "t16_stream_sliding_window_rates",
     "l5_embedding_cohort_drift",
     "j7_lateral_top_orders",
+    # round-3 late-session additions (no receipt of any kind yet):
+    # graph/window/timeseries/sampling/dedup widening
+    "wf_activity_streaks",
+    "wf_peak_concurrency",
+    "graph_trade_triangles",
+    "graph_trade_bfs_hops",
+    "ts_ewma_daily_value",
+    "l4_weighted_sample",
+    "l2_ppjoin_jaccard_pairs",
+    "l2_containment_pairs",
+    "l2_dedup_keep_best",
+    "l2_semantic_dedup",
+    "l3_ivf_append_invariants",
     # L-series: dedup / text-analysis / similarity / multimodal / mix
     "l1_exact_dedup",
     "l1_dup_group_stats",

@@ -51,6 +51,12 @@ QUERIES = (
     "l4_bigram_logprob_quality",   # bigram LM train + broadcast score
     "l4_bm25_search",              # tf/df build + broadcast query scoring
     "mta_linear_attribution",      # per-user RANGE window credit pass
+    "wf_peak_concurrency",         # two-phase distributed prefix sum
+    "l2_ppjoin_jaccard_pairs",     # prefix-filtered exact jaccard
+    "l2_containment_pairs",        # capped containment scoring
+    "ts_ewma_daily_value",         # bounded-frame array-HOF decay
+    "graph_trade_triangles",       # oriented-edge triangle join
+    "l4_weighted_sample",          # A-ES global top-k selection
 )
 
 
