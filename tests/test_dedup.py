@@ -231,3 +231,60 @@ def test_containment_catches_subdocument_dup(spark, tmp_path):
     assert cont[0].containment == 1.0
     jac = text.ngram_jaccard_pairs(spark, str(tmp_path), threshold=0.5).collect()
     assert jac == []  # Jaccard is blind to the quoted-subset pair
+
+
+def _brute_jaccard_pairs(docs, threshold=0.8, n=3):
+    """Ground truth on the driver: doc_id -> distinct word n-gram set,
+    all pairs scored, rounded at 4 like both engines."""
+    sets = {}
+    for doc_id, text_ in docs:
+        ws = text_.split(" ")
+        sh = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)} if len(ws) >= n else set()
+        if sh:
+            sets[doc_id] = sh
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            jac = round(inter / len(sets[a] | sets[b]), 4)
+            if jac >= threshold:
+                out[(a, b)] = jac
+    return out
+
+
+def test_ppjoin_property_random_corpora(spark):
+    """Prefix filtering must be lossless on adversarial corpora: tiny
+    vocab + repeated phrases force heavy shingle sharing, near-ties in
+    document frequency, and size-filter borderline pairs."""
+    import random
+
+    rng = random.Random(7)
+    from real_time_big_data_analytics_spark.operators import text
+
+    for trial in range(4):
+        vocab = [f"w{i}" for i in range(rng.randint(4, 12))]
+        docs = []
+        for d in range(rng.randint(5, 25)):
+            base = [rng.choice(vocab) for _ in range(rng.randint(3, 30))]
+            docs.append((d, " ".join(base)))
+            if rng.random() < 0.5:  # plant a near-dup with light edits
+                mut = list(base)
+                for _ in range(rng.randint(0, 2)):
+                    mut[rng.randrange(len(mut))] = rng.choice(vocab)
+                docs.append((1000 + d, " ".join(mut)))
+        df = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in docs],
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        )
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+            got = {
+                (r.a_id, r.b_id): r.jaccard
+                for r in text.ppjoin_jaccard_pairs(spark, tmp).collect()
+            }
+        want = _brute_jaccard_pairs(docs)
+        assert got == want, f"trial {trial}: {got} != {want}"
