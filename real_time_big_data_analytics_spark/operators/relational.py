@@ -1324,3 +1324,47 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("timestamp").alias("day"),
         round2(num / den, 6).alias("ewma"),
     )
+
+
+ROLLING_DISTINCT_DAYS = 7
+
+
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling distinct active users per day (ts family).
+
+    Sliding-window COUNT(DISTINCT) does not decompose: distinct sets
+    cannot be merged across overlapping windows, so the naive
+    formulations are a per-window re-scan (7x the corpus) or a giant
+    unmergeable state. The scale trick is bounded MEMBERSHIP
+    AMPLIFICATION: collapse events to distinct (user, day) — the
+    day-bounded activity table — then each activity row contributes to
+    exactly the 7 window-end days it can influence
+    (explode(sequence(day, day+6))), and one hash aggregation counts
+    distinct users per window day. Row growth is exactly 7x of the
+    ACTIVITY table (not the event stream), every stage is a plain
+    shuffle-agg, and the same shape handles any window length or
+    rolling HLL/p50 by swapping the final aggregate.
+
+    Window days with no events themselves are dropped (semi join with
+    the present-day set, broadcast — calendar-bounded KB table).
+    """
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", ROLLING_DISTINCT_DAYS - 1))
+        ).alias("win_day"),
+    )
+    present = days.select(F.col("day").alias("win_day")).distinct()
+    return (
+        contrib.join(F.broadcast(present), "win_day", "left_semi")
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("win_day").cast("timestamp").alias("win_day"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+        )
+    )

@@ -1764,3 +1764,27 @@ register(
     """,
     tags=("timeseries", "ewma", "array-hof"),
 )
+
+
+# same 7x membership amplification, window days restricted to days
+# that actually occur
+register(
+    "ts_rolling_distinct_users",
+    relational.rolling_distinct_users,
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), contrib AS (
+      SELECT user_id, day + CAST(i AS INT) AS win_day
+      FROM days, range(0, 7) r(i)
+    ), present AS (
+      SELECT DISTINCT day FROM days
+    )
+    SELECT CAST(c.win_day AS TIMESTAMP) AS win_day,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users
+    FROM contrib c JOIN present p ON c.win_day = p.day
+    GROUP BY c.win_day
+    """,
+    tags=("timeseries", "rolling-distinct", "window"),
+)

@@ -83,6 +83,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "l4_weighted_sample",
     "l2_ppjoin_jaccard_pairs",
     "l2_containment_pairs",
+    "ts_rolling_distinct_users",
     "l2_dedup_keep_best",
     "l2_semantic_dedup",
     "l3_ivf_append_invariants",

@@ -241,3 +241,37 @@ def test_weighted_sample_is_length_biased_and_exact_k(spark, sf_dir):
     # determinism across runs
     again = weighted_sample_no_replacement(spark, sf_dir, k=100).collect()
     assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in sample)
+
+
+def test_rolling_distinct_users_matches_direct(spark, sf_dir):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators.relational import (
+        ROLLING_DISTINCT_DAYS,
+        rolling_distinct_users,
+    )
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    got = {
+        r.win_day.date(): r.n_users
+        for r in rolling_distinct_users(spark, sf_dir).collect()
+    }
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    )
+    activity = {}
+    for r in days:
+        activity.setdefault(r.day, set()).add(r.user_id)
+    present = sorted(activity)
+    want = {}
+    for d in present:
+        users = set()
+        for back in range(ROLLING_DISTINCT_DAYS):
+            users |= activity.get(d - datetime.timedelta(days=back), set())
+        want[d] = len(users)
+    assert got == want
