@@ -1368,3 +1368,48 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users").cast("bigint").alias("n_users"),
         )
     )
+
+
+PROFILE_COLUMNS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile of ``orders``: per-column null count
+    and EXACT distinct cardinality, computed in ONE aggregation over
+    one scan (companion to ``dq_constraint_suite``; the stats a
+    cost-based optimizer or a data catalog ingests).
+
+    Spark plans the six simultaneous count_distincts with a single
+    Expand (one scan, x7 row expansion, partial aggs before the
+    shuffle) — the multi-distinct strategy ANALYZE itself uses. At
+    100 TB swap count_distinct for approx_count_distinct per column
+    and the plan loses the expansion entirely; the exact form here is
+    what the DuckDB twin can verify.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in PROFILE_COLUMNS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    one = load_table(spark, sf_dir, "orders").agg(*aggs)
+    cols = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"nn_{c}").cast("bigint").alias("n_nulls"),
+                F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+            )
+            for c in PROFILE_COLUMNS
+        ]
+    )
+    return (
+        one.select(F.col("n_rows").cast("bigint").alias("n_rows"), F.explode(cols).alias("p"))
+        .select("n_rows", "p.column_name", "p.n_nulls", "p.n_distinct")
+    )

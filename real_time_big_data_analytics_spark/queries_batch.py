@@ -1788,3 +1788,37 @@ register(
     """,
     tags=("timeseries", "rolling-distinct", "window"),
 )
+
+
+# per-column UNION ALL in the oracle; the Spark side is one scan with
+# a multi-distinct Expand
+register(
+    "dq_table_profile",
+    relational.dq_table_profile,
+    sql="""
+    WITH n AS (SELECT count(*) AS n_rows FROM orders)
+    SELECT n.n_rows, p.column_name, p.n_nulls, p.n_distinct
+    FROM n, (
+      SELECT 'o_orderkey' AS column_name,
+             CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+             CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
+             CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', CAST(count(*) - count(o_orderdate) AS BIGINT),
+             CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+    ) p
+    """,
+    tags=("data-quality", "profile", "multi-distinct"),
+)

@@ -84,6 +84,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "l2_ppjoin_jaccard_pairs",
     "l2_containment_pairs",
     "ts_rolling_distinct_users",
+    "dq_table_profile",
     "l2_dedup_keep_best",
     "l2_semantic_dedup",
     "l3_ivf_append_invariants",

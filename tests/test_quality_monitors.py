@@ -102,3 +102,24 @@ def test_referential_integrity_detects_orphans(spark, sf_dir, tmp_path):
     assert flags["customer.c_nationkey->nation"].n_orphan > 0
     assert not flags["supplier.s_nationkey->nation"].ok
     assert flags["lineitem.l_orderkey->orders"].ok
+
+
+def test_table_profile_exact_stats(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        PROFILE_COLUMNS,
+        dq_table_profile,
+    )
+
+    rows = dq_table_profile(spark, sf_dir).collect()
+    assert {r.column_name for r in rows} == set(PROFILE_COLUMNS)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    for r in rows:
+        assert r.n_rows == n
+        direct_nulls = orders.filter(orders[r.column_name].isNull()).count()
+        direct_ndv = orders.select(r.column_name).distinct().count()
+        assert r.n_nulls == direct_nulls, r.column_name
+        assert r.n_distinct == direct_ndv, r.column_name
+    ndv = {r.column_name: r.n_distinct for r in rows}
+    assert ndv["o_orderkey"] == n  # primary key
+    assert ndv["o_orderstatus"] <= 5  # low-cardinality enum
