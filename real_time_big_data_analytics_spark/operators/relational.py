@@ -1413,3 +1413,94 @@ def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         one.select(F.col("n_rows").cast("bigint").alias("n_rows"), F.explode(cols).alias("p"))
         .select("n_rows", "p.column_name", "p.n_nulls", "p.n_distinct")
     )
+
+
+def dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation (double-entry audit): for
+    every order, compare the header total ``o_totalprice`` against the
+    sum of its line items' discounted+taxed extended prices, and
+    report per-status drift stats. The synthetic harness data does NOT
+    guarantee consistency — the point of the audit is to MEASURE the
+    gap deterministically, the nightly finance-pipeline gate.
+
+    One fact-side aggregation (lineitem collapses to one row per
+    order BEFORE the join — aggregate-then-join, so the join carries
+    order-grain rows, not line grain), then a broadcast-size rollup
+    by status. Gap stats are rounded at 1e-2 on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    line_total = F.sum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).alias("li_total")
+    per_order = li.groupBy("l_orderkey").agg(line_total)
+    joined = orders.join(
+        per_order, orders.o_orderkey == per_order.l_orderkey, "left"
+    ).select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.coalesce("li_total", F.lit(0.0)).alias("li_total"),
+    )
+    gap = F.col("o_totalprice") - F.col("li_total")
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum((F.abs(gap) > 0.01).cast("long")).alias("n_mismatched"),
+            round2(F.sum(gap), 2).alias("total_gap"),
+            round2(F.max(F.abs(gap)), 2).alias("max_abs_gap"),
+        )
+    )
+
+
+def snapshot_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two table snapshots (the lakehouse
+    time-travel primitive): full outer join on the key, null-safe
+    column compare, per-change-kind counts.
+
+    Snapshot B derives deterministically from snapshot A (orders):
+    keys hashing 0 mod 97 are deleted, 0 mod 31 get a status change,
+    and a shifted key range is inserted — so the diff has all three
+    change kinds with exactly known membership, and both engines can
+    rebuild the identical snapshots. The plan is ONE full outer join
+    on the key with the change classification computed row-side; at
+    100 TB both sides shuffle once on the key (or zero times if both
+    snapshots are bucketed by key — sources/files.py bucketed writer).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # inserted rows: a deterministic slice re-keyed above the A range
+    inserted = orders.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    snap_b = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 31 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .unionAll(inserted)
+    )
+    a = orders.alias("a")
+    b = snap_b.alias("b")
+    d = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    kind = (
+        F.when(F.col("b.o_orderkey").isNull(), F.lit("deleted"))
+        .when(F.col("a.o_orderkey").isNull(), F.lit("inserted"))
+        .when(
+            ~F.col("a.o_orderstatus").eqNullSafe(F.col("b.o_orderstatus"))
+            | ~F.col("a.o_totalprice").eqNullSafe(F.col("b.o_totalprice")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        d.select(kind.alias("change_kind"))
+        .groupBy("change_kind")
+        .agg(F.count("*").alias("n_rows"))
+    )

@@ -1822,3 +1822,63 @@ register(
     """,
     tags=("data-quality", "profile", "multi-distinct"),
 )
+
+
+# aggregate-then-join: lineitem collapses to order grain before the
+# header join; both engines round the drift stats at 1e-2
+register(
+    "dq_order_reconciliation",
+    relational.dq_order_reconciliation,
+    sql="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS li_total
+      FROM lineitem GROUP BY l_orderkey
+    ), joined AS (
+      SELECT o_orderstatus, o_totalprice,
+             coalesce(li_total, 0.0) AS li_total
+      FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN abs(o_totalprice - li_total) > 0.01
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           round(sum(o_totalprice - li_total), 2) AS total_gap,
+           round(max(abs(o_totalprice - li_total)), 2) AS max_abs_gap
+    FROM joined GROUP BY o_orderstatus
+    """,
+    tags=("data-quality", "reconciliation", "join"),
+)
+
+# both engines rebuild the identical derived snapshot, so the diff
+# classification is exactly reproducible
+register(
+    "dq_snapshot_diff",
+    relational.snapshot_diff_stats,
+    sql="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 31 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+    ), d AS (
+      SELECT CASE
+               WHEN b.o_orderkey IS NULL THEN 'deleted'
+               WHEN a.o_orderkey IS NULL THEN 'inserted'
+               WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                 OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                 THEN 'changed'
+               ELSE 'unchanged'
+             END AS change_kind
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change_kind, count(*) AS n_rows FROM d GROUP BY change_kind
+    """,
+    tags=("data-quality", "snapshot-diff", "full-outer"),
+)

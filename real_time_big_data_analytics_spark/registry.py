@@ -85,6 +85,8 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "l2_containment_pairs",
     "ts_rolling_distinct_users",
     "dq_table_profile",
+    "dq_order_reconciliation",
+    "dq_snapshot_diff",
     "l2_dedup_keep_best",
     "l2_semantic_dedup",
     "l3_ivf_append_invariants",

@@ -123,3 +123,34 @@ def test_table_profile_exact_stats(spark, sf_dir):
     ndv = {r.column_name: r.n_distinct for r in rows}
     assert ndv["o_orderkey"] == n  # primary key
     assert ndv["o_orderstatus"] <= 5  # low-cardinality enum
+
+
+def test_snapshot_diff_known_membership(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        snapshot_diff_stats,
+    )
+
+    got = {r.change_kind: r.n_rows for r in snapshot_diff_stats(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = [r.o_orderkey for r in orders.select("o_orderkey").collect()]
+    n_del = sum(1 for k in keys if k % 97 == 0)
+    n_ins = sum(1 for k in keys if k % 101 == 0)
+    n_chg = sum(1 for k in keys if k % 97 != 0 and k % 31 == 0)
+    assert got.get("deleted", 0) == n_del
+    assert got.get("inserted", 0) == n_ins
+    assert got.get("changed", 0) == n_chg
+    assert got.get("unchanged", 0) == len(keys) - n_del - n_chg
+    assert sum(got.values()) == len(keys) + n_ins
+
+
+def test_order_reconciliation_totals(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        dq_order_reconciliation,
+    )
+
+    rows = dq_order_reconciliation(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == n
+    for r in rows:
+        assert 0 <= r.n_mismatched <= r.n_orders
+        assert r.max_abs_gap >= 0
