@@ -1504,3 +1504,60 @@ def snapshot_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_kind")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization audit: clip ``value`` at its exact
+    per-event-type [p01, p99] and report how much the tails moved —
+    the feature-preprocessing step that protects downstream training
+    from heavy tails, with the evidence a reviewer asks for (clip
+    counts, mean before/after).
+
+    Two passes by construction (clipping needs the quantiles): the
+    exact-percentile aggregate collapses to one KB-scale row per
+    event type, broadcasts back onto the stream, and the clip +
+    moment rollup rides a second scan. At 100 TB swap the exact
+    percentile for the mergeable sketch twin and the threshold table
+    stays KB-scale — the join shape is unchanged.
+    """
+    events = load_table(spark, sf_dir, "events")
+    thresholds = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    j = events.join(F.broadcast(thresholds), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_clipped_lo"),
+        F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_clipped_hi"),
+        round2(F.avg("value"), 4).alias("mean_before"),
+        round2(F.avg(clipped), 4).alias("mean_after"),
+        round2(F.min("lo"), 4).alias("p01"),
+        round2(F.min("hi"), 4).alias("p99"),
+    )
+
+
+def dq_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion guard: compute the EXACT output cardinality of
+    orders ⋈ lineitem on the order key WITHOUT executing the join,
+    plus each side's worst key multiplicity — the pre-flight check a
+    pipeline runs before an expensive join (and the quantity a
+    cost-based optimizer estimates; here it is exact).
+
+    Σ_k |A_k|·|B_k| over per-key grouped counts: two partial-agg
+    shuffles of (key, count) rows and a key-equi join of the two
+    count tables — never the fact-grain join itself. A key present on
+    one side only contributes zero (inner-join semantics).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = orders.groupBy(F.col("o_orderkey").alias("k")).agg(F.count("*").alias("ca"))
+    b = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("cb"))
+    joined = a.join(b, "k")
+    return joined.agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("join_rows"),
+        F.max("ca").cast("bigint").alias("max_mult_orders"),
+        F.max("cb").cast("bigint").alias("max_mult_lineitem"),
+        F.count("*").cast("bigint").alias("n_matching_keys"),
+    )

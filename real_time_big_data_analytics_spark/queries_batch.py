@@ -1882,3 +1882,48 @@ register(
     """,
     tags=("data-quality", "snapshot-diff", "full-outer"),
 )
+
+
+register(
+    "sf_winsorize_values",
+    relational.winsorize_values,
+    sql="""
+    WITH th AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN e.value < th.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(sum(CASE WHEN e.value > th.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           round(avg(e.value), 4) AS mean_before,
+           round(avg(least(greatest(e.value, th.lo), th.hi)), 4) AS mean_after,
+           round(min(th.lo), 4) AS p01,
+           round(min(th.hi), 4) AS p99
+    FROM events e JOIN th ON e.event_type = th.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("scalar", "winsorize", "preprocessing"),
+)
+
+register(
+    "dq_join_fanout_audit",
+    relational.dq_join_fanout_audit,
+    sql="""
+    WITH a AS (
+      SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY o_orderkey
+    ), b AS (
+      SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(sum(ca * cb) AS BIGINT) AS join_rows,
+           CAST(max(ca) AS BIGINT) AS max_mult_orders,
+           CAST(max(cb) AS BIGINT) AS max_mult_lineitem,
+           CAST(count(*) AS BIGINT) AS n_matching_keys
+    FROM a JOIN b ON a.k = b.k
+    """,
+    tags=("data-quality", "join-guard", "cardinality"),
+)

@@ -87,6 +87,8 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "dq_table_profile",
     "dq_order_reconciliation",
     "dq_snapshot_diff",
+    "sf_winsorize_values",
+    "dq_join_fanout_audit",
     "l2_dedup_keep_best",
     "l2_semantic_dedup",
     "l3_ivf_append_invariants",

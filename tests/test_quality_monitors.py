@@ -154,3 +154,33 @@ def test_order_reconciliation_totals(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_mismatched <= r.n_orders
         assert r.max_abs_gap >= 0
+
+
+def test_join_fanout_audit_matches_actual_join(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        dq_join_fanout_audit,
+    )
+
+    row = dq_join_fanout_audit(spark, sf_dir).collect()[0]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    actual = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    assert row.join_rows == actual
+    assert row.max_mult_orders == 1  # o_orderkey is a key
+    assert row.max_mult_lineitem >= 1
+
+
+def test_winsorize_bounds_and_clip_counts(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        winsorize_values,
+    )
+
+    for r in winsorize_values(spark, sf_dir).collect():
+        assert r.p01 <= r.p99
+        # ~1% clipped per tail, with slack for small groups and ties
+        assert r.n_clipped_lo <= 0.02 * r.n + 2
+        assert r.n_clipped_hi <= 0.02 * r.n + 2
+        # clipping the tails moves the mean toward the center boundedly
+        assert abs(r.mean_after - r.mean_before) <= max(
+            abs(r.mean_before) * 0.2, 1.0
+        )
