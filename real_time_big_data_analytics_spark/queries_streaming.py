@@ -267,3 +267,27 @@ register(
     """,
     tags=("streaming", "window", "sliding"),
 )
+
+
+# the recurrence's closed form as one windowed sum — sequential Python
+# arithmetic checked against an algebraic SQL identity
+register(
+    "t17_stream_stateful_ewma",
+    sq.stream_stateful_ewma,
+    sql="""
+    WITH o AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           round(sum(CASE WHEN rn = 1 THEN power(0.9, n - 1) * value
+                          ELSE 0.1 * power(0.9, n - rn) * value END), 6)
+             AS ewma
+    FROM o GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "ewma"),
+)

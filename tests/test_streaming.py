@@ -241,3 +241,31 @@ def test_sliding_windows_triple_count_events(spark, sf_dir):
     total = out.agg(F.sum("n")).collect()[0][0]
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert total == 3 * n_events
+
+
+def test_stateful_ewma_matches_driver_recurrence(spark, sf_dir):
+    from real_time_big_data_analytics_spark.streaming.queries import (
+        EWMA_STREAM_ALPHA,
+        stream_stateful_ewma,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in stream_stateful_ewma(spark, sf_dir).collect()
+    }
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    per_user = {}
+    for r in events:
+        per_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    assert set(got) == set(per_user)
+    for uid, rows in per_user.items():
+        ew = None
+        for _, _, x in sorted(rows):
+            ew = x if ew is None else EWMA_STREAM_ALPHA * x + (1 - EWMA_STREAM_ALPHA) * ew
+        n, ewma = got[uid]
+        assert n == len(rows)
+        assert abs(ewma - ew) < 1e-5, uid
