@@ -226,3 +226,37 @@ def test_lateral_join_decorrelates_to_window(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_new_family_plan_contracts(spark, sf_dir):
+    """Pin the physical shapes the late-session operators claim."""
+    from real_time_big_data_analytics_spark.operators import relational, text
+
+    # weighted sampling: global top-k, never a full sort
+    plan = explain_str(text.weighted_sample_no_replacement(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+    # table profile: simultaneous exact NDVs via ONE Expand over one scan
+    # (executedPlan, not formatted explain — the latter lists each scan
+    # node twice, once in the tree and once in the detail section)
+    exec_plan = (
+        relational.dq_table_profile(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exec_plan, exec_plan
+    assert exec_plan.count("FileScan parquet") == 1, exec_plan
+
+    # peak concurrency: the one unpartitioned window runs over the
+    # day-offset table, AFTER day-level aggregation — never the stream
+    plan = explain_str(relational.peak_session_concurrency(spark, sf_dir))
+    assert "Window" in plan, plan
+
+    # rolling distinct: present-day restriction is a broadcast semi join
+    plan = explain_str(relational.rolling_distinct_users(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+    # winsorize: threshold table broadcasts back onto the stream
+    plan = explain_str(relational.winsorize_values(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
