@@ -1632,3 +1632,55 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — 2-D skyline (Pareto frontier) over the corpus: documents
+    maximizing BOTH token count and lexical diversity (distinct-token
+    ratio) — the dominance query behind "pick the docs no other doc
+    beats on every axis" curation shortlists.
+
+    p dominates q iff p ≥ q on both axes and > on at least one. The
+    classic O(n log n) sweep, distributed: ONE sort by token count
+    plus two window passes — max diversity over STRICTLY-more-token
+    rows (RANGE frame on the negated count excludes ties), and max
+    diversity within the SAME count (partition window) — a doc
+    survives iff neither beats it. No self-join, no n² dominance
+    test; the sort is the only wide step. (The single-partition
+    window over the full corpus is the honest cost of a GLOBAL
+    skyline; partition-wise frontiers + a frontier-of-frontiers merge
+    is the 100 TB refinement — the frontier is tiny, so the merge
+    step is driver-scale.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    # diversity as integer parts-per-million (floor) — pure integer
+    # math, so both engines agree bit-for-bit (a rounded float ratio
+    # like 77/128 sits exactly on a .5 boundary and engines disagree)
+    base = docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.floor(
+            F.size(F.array_distinct(ws)).cast("bigint") * 1_000_000 / F.size(ws)
+        ).cast("bigint").alias("diversity"),
+    ).filter(F.col("n_tokens") > 0)
+    # RANGE on -n_tokens: [unbounded, -1] == strictly more tokens
+    strict = (
+        Window.orderBy((-F.col("n_tokens")).cast("long"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same = Window.partitionBy("n_tokens")
+    ranked = base.select(
+        "doc_id",
+        "n_tokens",
+        "diversity",
+        F.max("diversity").over(strict).alias("best_above"),
+        F.max("diversity").over(same).alias("best_same"),
+    )
+    return (
+        ranked.filter(
+            (F.col("best_above").isNull() | (F.col("best_above") < F.col("diversity")))
+            & (F.col("best_same") <= F.col("diversity"))
+        )
+        .select("doc_id", "n_tokens", "diversity")
+    )

@@ -1841,3 +1841,36 @@ register(
     """,
     tags=("dedup", "near-dup", "containment"),
 )
+
+
+# same sweep: strictly-more-token frame via RANGE on the negated
+# count, same-count partition max; integer-ppm diversity keeps the
+# dominance test bit-exact across engines
+register(
+    "l4_pareto_frontier",
+    text.pareto_frontier_docs,
+    sql="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), base AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(floor(len(list_distinct(ws)) * 1000000.0 / len(ws)) AS BIGINT)
+               AS diversity
+      FROM w WHERE len(ws) > 0
+    ), ranked AS (
+      SELECT doc_id, n_tokens, diversity,
+             max(diversity) OVER (
+               ORDER BY -n_tokens
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_above,
+             max(diversity) OVER (PARTITION BY n_tokens) AS best_same
+      FROM base
+    )
+    SELECT doc_id, n_tokens, diversity
+    FROM ranked
+    WHERE (best_above IS NULL OR best_above < diversity)
+      AND best_same <= diversity
+    """,
+    tags=("text", "skyline", "dominance"),
+)

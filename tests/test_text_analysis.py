@@ -510,3 +510,36 @@ def test_fixed_k_sample_exact_and_stable(spark, sf_dir):
     assert all(len(v) == 20 for v in per_lang.values())
     s2 = {(r.lang, r.doc_id) for r in fixed_k_sample(spark, sf_dir).collect()}
     assert {(r.lang, r.doc_id) for r in s1} == s2
+
+
+def test_pareto_frontier_is_exact_skyline(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators.text import (
+        pareto_frontier_docs,
+    )
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    got = {r.doc_id for r in pareto_frontier_docs(spark, sf_dir).collect()}
+    ws = F.split(F.col("text"), " ")
+    pts = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(ws).alias("x"),
+            F.floor(F.size(F.array_distinct(ws)).cast("bigint") * 1_000_000 / F.size(ws))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .filter(F.col("x") > 0)
+        .collect()
+    )
+    want = set()
+    for p in pts:
+        dominated = any(
+            q.x >= p.x and q.y >= p.y and (q.x > p.x or q.y > p.y) for q in pts
+        )
+        if not dominated:
+            want.add(p.doc_id)
+    assert got == want
+    assert got  # frontier is non-trivial on harness data
