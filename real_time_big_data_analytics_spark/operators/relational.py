@@ -1561,3 +1561,66 @@ def dq_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cb").cast("bigint").alias("max_mult_lineitem"),
         F.count("*").cast("bigint").alias("n_matching_keys"),
     )
+
+
+LATENESS_BUCKET = 10_000  # event_id range per local prefix-max bucket
+
+
+def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit: how late do events arrive relative to
+    the maximum event time already seen at their arrival point? The
+    distribution of that lateness is exactly what sizes a watermark
+    delay (`withWatermark`): p95 lateness ≈ the delay that finalizes
+    windows while dropping <5% of stragglers.
+
+    Arrival order = event_id (the producer's monotone sequence).
+    lateness(e) = max(ts of events arriving before e) - ts(e), floored
+    at 0. The running MAX uses the same two-phase decomposition as
+    ``peak_session_concurrency``'s running sum — max is a monoid too:
+    per-bucket local prefix max in parallel (event_id ranges), a
+    KB-scale bucket-offset table (max of all PRIOR buckets) cumulated
+    on one partition and broadcast back. One row out: lateness
+    quantiles in seconds plus the implied watermark recommendation.
+    """
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        F.floor(F.col("event_id") / LATENESS_BUCKET).alias("bucket"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = e.withColumn("local_max", F.max("tus").over(w_local))
+    w_prior = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        e.groupBy("bucket")
+        .agg(F.max("tus").alias("bucket_max"))
+        .withColumn("prior_max", F.max("bucket_max").over(w_prior))
+        .select("bucket", "prior_max")
+    )
+    # greatest() skips nulls; the very first event (both maxes null)
+    # has seen nothing earlier -> lateness 0 via coalesce to its own ts
+    run = local.join(F.broadcast(offsets), "bucket").withColumn(
+        "seen_max",
+        F.coalesce(F.greatest("local_max", "prior_max"), F.col("tus")),
+    )
+    lateness_s = F.greatest(
+        (F.col("seen_max") - F.col("tus")) / 1_000_000.0, F.lit(0.0)
+    )
+    return run.agg(
+        F.count("*").alias("n_events"),
+        F.sum((lateness_s > 0).cast("long")).alias("n_late"),
+        round2(F.expr(
+            "percentile(greatest((seen_max - tus) / 1000000.0, 0.0), 0.5)"
+        ), 3).alias("p50_lateness_s"),
+        round2(F.expr(
+            "percentile(greatest((seen_max - tus) / 1000000.0, 0.0), 0.95)"
+        ), 3).alias("p95_lateness_s"),
+        round2(F.max(lateness_s), 3).alias("max_lateness_s"),
+        F.ceil(F.expr(
+            "percentile(greatest((seen_max - tus) / 1000000.0, 0.0), 0.95)"
+        )).cast("bigint").alias("recommended_delay_s"),
+    )

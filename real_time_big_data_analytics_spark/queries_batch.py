@@ -1927,3 +1927,35 @@ register(
     """,
     tags=("data-quality", "join-guard", "cardinality"),
 )
+
+
+# plain single-sorted running max in the oracle; quantile_cont matches
+# Spark's interpolating percentile
+register(
+    "ts_watermark_lateness_profile",
+    relational.watermark_lateness_profile,
+    sql="""
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS tus FROM events
+    ), run AS (
+      SELECT tus,
+             coalesce(max(tus) OVER (ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), tus) AS seen_max
+      FROM e
+    ), lat AS (
+      SELECT greatest((seen_max - tus) / 1000000.0, 0.0) AS lateness_s
+      FROM run
+    )
+    SELECT count(*) AS n_events,
+           CAST(sum(CASE WHEN lateness_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           round(quantile_cont(lateness_s, 0.5), 3) AS p50_lateness_s,
+           round(quantile_cont(lateness_s, 0.95), 3) AS p95_lateness_s,
+           round(max(lateness_s), 3) AS max_lateness_s,
+           CAST(ceil(quantile_cont(lateness_s, 0.95)) AS BIGINT)
+             AS recommended_delay_s
+    FROM lat
+    """,
+    tags=("timeseries", "watermark", "prefix-max"),
+)

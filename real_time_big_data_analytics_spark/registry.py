@@ -91,6 +91,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "dq_join_fanout_audit",
     "t17_stream_stateful_ewma",
     "l4_pareto_frontier",
+    "ts_watermark_lateness_profile",
     "l2_dedup_keep_best",
     "l2_semantic_dedup",
     "l3_ivf_append_invariants",

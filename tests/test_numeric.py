@@ -275,3 +275,31 @@ def test_rolling_distinct_users_matches_direct(spark, sf_dir):
             users |= activity.get(d - datetime.timedelta(days=back), set())
         want[d] = len(users)
     assert got == want
+
+
+def test_lateness_profile_matches_single_sort(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        watermark_lateness_profile,
+    )
+
+    row = watermark_lateness_profile(spark, sf_dir).collect()[0]
+    events = sorted(
+        (r.event_id, r.ts)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts")
+        .collect()
+    )
+    seen, n_late, mx = None, 0, 0.0
+    lats = []
+    for _, ts in events:
+        lat = max((seen - ts).total_seconds(), 0.0) if seen else 0.0
+        lats.append(lat)
+        if lat > 0:
+            n_late += 1
+        mx = max(mx, lat)
+        seen = ts if seen is None else max(seen, ts)
+    assert row.n_events == len(events)
+    assert row.n_late == n_late
+    assert abs(row.max_lateness_s - round(mx, 3)) < 1e-9
+    assert 0 <= row.p50_lateness_s <= row.p95_lateness_s <= row.max_lateness_s
+    assert row.recommended_delay_s >= 0
