@@ -96,3 +96,36 @@ def test_dynamic_partition_pruning_on_hive_layout(spark, sf_dir):
         rows = joined.collect()
     assert "dynamicpruning" in plan.lower(), plan
     assert len(rows) == 1 and rows[0]["event_type"] == "click"
+
+
+def test_results_invariant_to_shuffle_partitioning(spark, sf_dir):
+    """Partitioning must never change answers: every tie-break-sensitive
+    family (windows, top-k, sampling, sweep-line, dedup pairs) returns
+    identical rows at 5 and 32 shuffle partitions."""
+    from real_time_big_data_analytics_spark.registry import all_queries
+
+    names = [
+        "wf_peak_concurrency",
+        "l4_weighted_sample",
+        "l4_fixed_k_sample",
+        "ts_ewma_daily_value",
+        "l2_ppjoin_jaccard_pairs",
+        "l4_pareto_frontier",
+        "ts_watermark_lateness_profile",
+        "wf_topk_events_per_type",
+    ]
+    qs = all_queries()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                rows = sorted(map(str, qs[n].fn(spark, sf_dir).collect()))
+                assert rows, n
+                if n in results:
+                    assert results[n] == rows, f"{n}: differs at {parts} partitions"
+                else:
+                    results[n] = rows
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
