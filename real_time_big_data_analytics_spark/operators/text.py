@@ -1684,3 +1684,44 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "diversity")
     )
+
+
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """L4 — per-document NOVELTY: the share of a doc's distinct word
+    n-grams that appear nowhere else in the corpus (df == 1), plus the
+    corpus-level rollup per language. The inter-document complement of
+    the intra-document repetition gates (`l4_repetition_scores`):
+    low novelty + not-a-near-dup flags templated/boilerplate-heavy
+    sources that pair-level dedup under-counts.
+
+    Shape: one shingle-stream shuffle attaches df via a per-shingle
+    window (count over partition), then a per-doc rollup — the same
+    two-shuffle posture as the prefix-filter build, no joins. Emits
+    integer ppm (floor) so the score is bit-exact across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_arr = _with_shingle_array(docs, n)  # (doc_id, sh_arr) only
+    sh = with_arr.select(
+        "doc_id", F.explode_outer("sh_arr").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    df_w = Window.partitionBy("shingle")
+    flagged = sh.withColumn("df", F.count("*").over(df_w))
+    # lang rejoins at DOC grain (one row per doc), not shingle grain
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_shingles").cast("bigint").alias("n_shingles"),
+            F.sum("n_unique").cast("bigint").alias("n_unique"),
+            F.floor(
+                F.sum("n_unique") * 1_000_000 / F.sum("n_shingles")
+            ).cast("bigint").alias("novelty_ppm"),
+            F.sum(
+                (F.col("n_unique") * 10 < F.col("n_shingles")).cast("long")
+            ).alias("n_low_novelty_docs"),
+        )
+    )

@@ -1874,3 +1874,38 @@ register(
     """,
     tags=("text", "skyline", "dominance"),
 )
+
+
+# df==1 shingles per doc, rolled up per language; integer ppm novelty
+register(
+    "l4_ngram_novelty",
+    text.ngram_novelty_scores,
+    sql="""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, lang,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle
+      FROM w WHERE len(ws) >= 3
+    ), flagged AS (
+      SELECT doc_id, lang,
+             count(*) OVER (PARTITION BY shingle) AS df
+      FROM sh
+    ), per_doc AS (
+      SELECT doc_id, lang, count(*) AS n_shingles,
+             sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+      FROM flagged GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_shingles) AS BIGINT) AS n_shingles,
+           CAST(sum(n_unique) AS BIGINT) AS n_unique,
+           CAST(floor(sum(n_unique) * 1000000.0 / sum(n_shingles)) AS BIGINT)
+             AS novelty_ppm,
+           CAST(sum(CASE WHEN n_unique * 10 < n_shingles THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_novelty_docs
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("text", "novelty", "quality"),
+)

@@ -92,6 +92,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "t17_stream_stateful_ewma",
     "l4_pareto_frontier",
     "ts_watermark_lateness_profile",
+    "l4_ngram_novelty",
     "l2_dedup_keep_best",
     "l2_semantic_dedup",
     "l3_ivf_append_invariants",

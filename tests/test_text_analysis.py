@@ -543,3 +543,26 @@ def test_pareto_frontier_is_exact_skyline(spark, sf_dir):
             want.add(p.doc_id)
     assert got == want
     assert got  # frontier is non-trivial on harness data
+
+
+def test_novelty_bounds_and_planted_template(spark, tmp_path):
+    """Docs sharing a template score low novelty; a unique doc scores
+    1.0 (all df==1 shingles)."""
+    from real_time_big_data_analytics_spark.operators.text import (
+        ngram_novelty_scores,
+    )
+
+    template = " ".join(f"t{i}" for i in range(30))
+    rows = [
+        (1, template + " a b", "en", "s", 1),
+        (2, template + " c d", "en", "s", 1),
+        (3, " ".join(f"u{i}" for i in range(30)), "de", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.lang: r for r in ngram_novelty_scores(spark, str(tmp_path)).collect()}
+    assert got["de"].novelty_ppm == 1_000_000  # fully unique
+    assert got["en"].novelty_ppm < 300_000  # template dominates
+    assert got["en"].n_low_novelty_docs == 2
