@@ -920,3 +920,32 @@ def ivf_append_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_appended") == F.col("n_batch")).alias("batch_covered"),
         "cells_consistent",
     )
+
+
+def knn_graph(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """L3 — the k-NN GRAPH: every vector's top-k most similar
+    neighbors (cosine, label-blocked), not just a handful of query
+    points. The batch primitive under semantic dedup, curriculum
+    ordering, and graph-based coreset selection.
+
+    Label blocks bound the candidate set exactly as
+    ``embedding_cosine_pairs``; the per-vector top-k is a window
+    rank WITHIN the source vector's partition, so after the blocked
+    self-join nothing is global: shuffle on the cell key, shuffle on
+    the source id, emit k rows per vector. Directed edges — a's
+    neighbor list is independent of b's. Similarity rounds at 1e-4
+    before ranking with a vec_id tie-break, so ranks are engine-exact.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select("label", F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    b = emb.select("label", F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, "label").filter(F.col("src") != F.col("dst"))
+    sims = pairs.select(
+        "src", "dst", round2(cosine_similarity("va", "vb"), 4).alias("cos_sim")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("src", "rk", "dst", "cos_sim")
+    )

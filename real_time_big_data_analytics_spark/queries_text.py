@@ -1909,3 +1909,30 @@ register(
     """,
     tags=("text", "novelty", "quality"),
 )
+
+
+# same label-blocked self-join; DuckDB ranks with the identical
+# rounded-sim + dst tie-break
+register(
+    "l3_knn_graph",
+    similarity.knn_graph,
+    sql="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT src, dst, cos_sim,
+             CAST(row_number() OVER (PARTITION BY src
+                                     ORDER BY cos_sim DESC, dst ASC)
+                  AS BIGINT) AS rk
+      FROM sims
+    )
+    SELECT src, rk, dst, cos_sim FROM ranked WHERE rk <= 3
+    """,
+    tags=("similarity", "knn-graph", "blocked"),
+)

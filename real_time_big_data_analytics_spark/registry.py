@@ -93,6 +93,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "l4_pareto_frontier",
     "ts_watermark_lateness_profile",
     "l4_ngram_novelty",
+    "l3_knn_graph",
     "l2_dedup_keep_best",
     "l2_semantic_dedup",
     "l3_ivf_append_invariants",

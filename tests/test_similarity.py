@@ -229,3 +229,42 @@ def test_ivf_append_invariants_all_green(spark, sf_dir):
     r = ivf_append_invariants(spark, sf_dir).collect()[0]
     assert r.corpus_covered and r.batch_covered and r.cells_consistent
     assert r.n_appended < r.n_indexed
+
+
+def test_knn_graph_structure_and_brute_agreement(spark, sf_dir):
+    import math
+
+    from real_time_big_data_analytics_spark.operators.similarity import knn_graph
+
+    rows = knn_graph(spark, sf_dir, k=3).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.src, []).append((r.rk, r.dst, r.cos_sim))
+    emb = {
+        r.vec_id: (r.label, r.embedding)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    # every source has <= 3 neighbors, ranks dense from 1, sims descending
+    for src, lst in per_src.items():
+        lst.sort()
+        assert [e[0] for e in lst] == list(range(1, len(lst) + 1))
+        sims = [e[2] for e in lst]
+        assert sims == sorted(sims, reverse=True)
+    # spot-check 5 sources against brute force within the label block
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    for src in sorted(per_src)[:5]:
+        lab, v = emb[src]
+        cands = sorted(
+            (
+                (round(cos(v, w), 4), -other)  # desc sim, asc id via neg
+                for other, (l2, w) in emb.items()
+                if l2 == lab and other != src
+            ),
+            key=lambda t: (-t[0], -t[1]),
+        )[:3]
+        want = [(-i, s) for s, i in [(c[0], c[1]) for c in cands]]
+        got = [(e[1], e[2]) for e in per_src[src]]
+        assert got == [(int(w[0]), w[1]) for w in want], src
