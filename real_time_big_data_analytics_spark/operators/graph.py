@@ -178,7 +178,14 @@ def trade_bfs_hops(
     """
     nation = load_table(spark, sf_dir, "nation")
     edges = trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    w_rank = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    # rank on the ROUNDED weight: the raw float sum depends on
+    # summation order (Spark partial aggs vs DuckDB scan order), and
+    # an unrounded near-tie could pick different top-3 edge sets per
+    # engine; cementing at 1e-2 makes the sparsification engine-exact
+    # (same guard knn_graph applies before its rank)
+    w_rank = Window.partitionBy("src").orderBy(
+        F.desc(round2(F.col("w"), 2)), F.asc("dst")
+    )
     sparse = (
         edges.withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= TOP_EDGES_PER_SRC)

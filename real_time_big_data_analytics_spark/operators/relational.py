@@ -1398,7 +1398,7 @@ def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in PROFILE_COLUMNS:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
         aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
-    one = load_table(spark, sf_dir, "orders").agg(*aggs)
+    one = orders.agg(*aggs)
     cols = F.array(
         *[
             F.struct(
@@ -1470,9 +1470,11 @@ def snapshot_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    # inserted rows: a deterministic slice re-keyed above the A range
+    # inserted rows: re-keyed OUTSIDE the A key space by negation —
+    # o_orderkey is positive at every SF, so -k - 1 can never collide
+    # with a real key (a fixed +10M shift would at TPC-H SF >= 2)
     inserted = orders.filter(F.col("o_orderkey") % 101 == 0).select(
-        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
         F.lit("N").alias("o_orderstatus"),
         F.col("o_totalprice"),
     )
@@ -1610,17 +1612,19 @@ def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     lateness_s = F.greatest(
         (F.col("seen_max") - F.col("tus")) / 1_000_000.0, F.lit(0.0)
     )
-    return run.agg(
+    lat = run.select(lateness_s.alias("lateness_s"))
+    raw = lat.agg(
         F.count("*").alias("n_events"),
-        F.sum((lateness_s > 0).cast("long")).alias("n_late"),
-        round2(F.expr(
-            "percentile(greatest((seen_max - tus) / 1000000.0, 0.0), 0.5)"
-        ), 3).alias("p50_lateness_s"),
-        round2(F.expr(
-            "percentile(greatest((seen_max - tus) / 1000000.0, 0.0), 0.95)"
-        ), 3).alias("p95_lateness_s"),
-        round2(F.max(lateness_s), 3).alias("max_lateness_s"),
-        F.ceil(F.expr(
-            "percentile(greatest((seen_max - tus) / 1000000.0, 0.0), 0.95)"
-        )).cast("bigint").alias("recommended_delay_s"),
+        F.sum((F.col("lateness_s") > 0).cast("long")).alias("n_late"),
+        F.expr("percentile(lateness_s, 0.5)").alias("raw_p50"),
+        F.expr("percentile(lateness_s, 0.95)").alias("raw_p95"),
+        F.max("lateness_s").alias("raw_max"),
+    )
+    return raw.select(
+        "n_events",
+        "n_late",
+        round2(F.col("raw_p50"), 3).alias("p50_lateness_s"),
+        round2(F.col("raw_p95"), 3).alias("p95_lateness_s"),
+        round2(F.col("raw_max"), 3).alias("max_lateness_s"),
+        F.ceil(F.col("raw_p95")).cast("bigint").alias("recommended_delay_s"),
     )

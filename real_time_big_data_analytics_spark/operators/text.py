@@ -1564,9 +1564,10 @@ def ppjoin_jaccard_pairs(
     return (
         cands.join(a_arrs, "a_id")
         .join(b_arrs, "b_id")
-        .select(
-            "a_id", "b_id", F.round(jac, 4).alias("jaccard")
-        )
+        # round2, not F.round: Spark HALF_UP on the shortest decimal
+        # repr disagrees with DuckDB's binary half-away on exact ties
+        # (57/800 = 0.07125 -> 0.0713 vs 0.0712)
+        .select("a_id", "b_id", round2(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -1618,9 +1619,10 @@ def containment_pairs(
             F.first("p.sz_b").alias("sz_b"),
         )
     )
-    containment = F.round(
+    containment = round2(
         F.col("inter") / F.least("sz_a", "sz_b"), 4
-    )  # max over both directions = inter / min(|A|,|B|)
+    )  # max over both directions = inter / min(|A|,|B|); round2 for
+    # cross-engine tie behavior (see ppjoin_jaccard_pairs)
     return (
         pairs.select(
             "a_id",

@@ -1722,7 +1722,7 @@ register(
       SELECT src, dst FROM (
         SELECT src, dst,
                row_number() OVER (PARTITION BY src
-                                  ORDER BY w DESC, dst) AS rk
+                                  ORDER BY round(w, 2) DESC, dst) AS rk
         FROM e WHERE src <> dst
       ) WHERE rk <= {graph.TOP_EDGES_PER_SRC}
     ), walk(node, hops) AS (
@@ -1745,7 +1745,9 @@ register(
 register(
     "ts_ewma_daily_value",
     relational.ewma_daily_value,
-    sql="""
+    # decay/band interpolated from the module constants so the twin
+    # cannot silently desynchronize from the Spark side
+    sql=f"""
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
              sum(value) AS v
@@ -1756,10 +1758,12 @@ register(
       FROM daily
     )
     SELECT a.user_id, CAST(a.day AS TIMESTAMP) AS day,
-           round(sum(b.v * power(0.9, a.rn - b.rn))
-                 / sum(power(0.9, a.rn - b.rn)), 6) AS ewma
+           round(sum(b.v * power({1.0 - relational.EWMA_ALPHA}, a.rn - b.rn))
+                 / sum(power({1.0 - relational.EWMA_ALPHA}, a.rn - b.rn)), 6)
+             AS ewma
     FROM rn a JOIN rn b
-      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 29 AND a.rn
+      ON a.user_id = b.user_id
+     AND b.rn BETWEEN a.rn - {relational.EWMA_SPAN_ROWS - 1} AND a.rn
     GROUP BY a.user_id, a.day
     """,
     tags=("timeseries", "ewma", "array-hof"),
@@ -1865,7 +1869,7 @@ register(
              o_totalprice
       FROM orders WHERE o_orderkey % 97 <> 0
       UNION ALL
-      SELECT o_orderkey + 10000000, 'N', o_totalprice
+      SELECT -o_orderkey - 1, 'N', o_totalprice
       FROM orders WHERE o_orderkey % 101 = 0
     ), d AS (
       SELECT CASE

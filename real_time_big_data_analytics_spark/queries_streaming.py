@@ -274,7 +274,7 @@ register(
 register(
     "t17_stream_stateful_ewma",
     sq.stream_stateful_ewma,
-    sql="""
+    sql=f"""
     WITH o AS (
       SELECT user_id, value,
              row_number() OVER (PARTITION BY user_id
@@ -284,9 +284,12 @@ register(
     )
     SELECT user_id,
            CAST(max(n) AS BIGINT) AS n_events,
-           round(sum(CASE WHEN rn = 1 THEN power(0.9, n - 1) * value
-                          ELSE 0.1 * power(0.9, n - rn) * value END), 6)
-             AS ewma
+           round(sum(CASE
+                   WHEN rn = 1
+                     THEN power({1.0 - sq.EWMA_STREAM_ALPHA}, n - 1) * value
+                   ELSE {sq.EWMA_STREAM_ALPHA}
+                        * power({1.0 - sq.EWMA_STREAM_ALPHA}, n - rn) * value
+                 END), 6) AS ewma
     FROM o GROUP BY user_id
     """,
     tags=("streaming", "stateful", "ewma"),
