@@ -1628,3 +1628,102 @@ def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(F.col("raw_max"), 3).alias("max_lateness_s"),
         F.ceil(F.col("raw_p95")).cast("bigint").alias("recommended_delay_s"),
     )
+
+
+TREND_ORIGIN = "2024-01-01"
+
+
+def ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend: regress each event
+    type's DAILY total value on the day index (days since a fixed
+    origin) with the built-in regression aggregates — slope/intercept/
+    r² per group in ONE shuffle, no matrix math, no Python.
+
+    regr_slope/intercept/r2 are partial-aggregable (sum, sum-of-
+    squares, cross-moment accumulators merge map-side), so the plan
+    is the moments plan: constant-width state per group at any scale.
+    Rounded at 1e-4 on both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("y"))
+    x = F.datediff(F.col("day"), F.lit(TREND_ORIGIN)).cast("double")
+    return (
+        daily.select("event_type", x.alias("x"), "y")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            round2(F.expr("regr_slope(y, x)"), 4).alias("slope"),
+            round2(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+            round2(F.expr("regr_r2(y, x)"), 4).alias("r2"),
+        )
+    )
+
+
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of the (lang × source) contingency
+    table over documents: χ² = Σ (obs − exp)²/exp with
+    exp = row_total·col_total/n, plus the degrees of freedom — the
+    "are these two categorical columns independent?" screen a feature
+    audit runs.
+
+    Shape: one grouped count to cell grain, two window margins over
+    the (tiny) cell table, one scalar rollup. All the heavy lifting is
+    the first count; everything after is KB-scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("obs"))
+    rows = cells.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
+    cols = cells.groupBy("source").agg(F.sum("obs").alias("col_tot"))
+    # full margin-product grid (tiny: |langs| x |sources|) so EMPTY
+    # cells contribute their (0 - exp)^2/exp = exp term — dropping
+    # them understates the statistic
+    grid = rows.crossJoin(cols).join(cells, ["lang", "source"], "left")
+    m = grid.select(
+        "lang",
+        "source",
+        F.coalesce("obs", F.lit(0)).alias("obs"),
+        "row_tot",
+        "col_tot",
+        F.sum(F.coalesce("obs", F.lit(0))).over(Window.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    term = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    return m.agg(
+        round2(F.sum(term), 6).alias("chi2"),
+        (
+            (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
+        ).cast("bigint").alias("dof"),
+        F.sum("obs").cast("bigint").alias("n_obs"),
+    )
+
+
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of ``o_totalprice`` — the
+    classic fabricated-numbers screen: naturally occurring monetary
+    amounts follow P(d) = log10(1 + 1/d); per digit we report the
+    observed share and its deviation, both as integer ppm (floor) so
+    the comparison is bit-exact cross-engine.
+
+    First digit via floor(p / 10^floor(log10 p)) — pure math, no
+    double→string formatting (engines format doubles differently).
+    One scan, a 9-row aggregate, a window total.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    per_digit = orders.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    obs_ppm = F.floor(F.col("n") * 1_000_000 / total).cast("bigint")
+    exp_ppm = F.floor(
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")) * 1_000_000
+    ).cast("bigint")
+    return per_digit.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        obs_ppm.alias("observed_ppm"),
+        exp_ppm.alias("expected_ppm"),
+        (obs_ppm - exp_ppm).alias("deviation_ppm"),
+    )

@@ -1963,3 +1963,78 @@ register(
     """,
     tags=("timeseries", "watermark", "prefix-max"),
 )
+
+
+register(
+    "sf_ols_trend_by_type",
+    relational.ols_trend_by_type,
+    sql=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           count(*) AS n_days,
+           round(regr_slope(y, date_diff('day',
+                 DATE '{relational.TREND_ORIGIN}', day)), 4) AS slope,
+           round(regr_intercept(y, date_diff('day',
+                 DATE '{relational.TREND_ORIGIN}', day)), 4) AS intercept,
+           round(regr_r2(y, date_diff('day',
+                 DATE '{relational.TREND_ORIGIN}', day)), 4) AS r2
+    FROM daily GROUP BY event_type
+    """,
+    tags=("stats", "regression", "trend"),
+)
+
+# full margin-product grid: empty cells contribute exp
+register(
+    "sf_chi2_lang_source",
+    relational.chi2_lang_source,
+    sql="""
+    WITH cells AS (
+      SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2
+    ), rows_ AS (
+      SELECT lang, sum(obs) AS row_tot FROM cells GROUP BY lang
+    ), cols_ AS (
+      SELECT source, sum(obs) AS col_tot FROM cells GROUP BY source
+    ), grid AS (
+      SELECT r.lang, c.source, r.row_tot, c.col_tot,
+             coalesce(cl.obs, 0) AS obs
+      FROM rows_ r CROSS JOIN cols_ c
+      LEFT JOIN cells cl ON cl.lang = r.lang AND cl.source = c.source
+    ), tot AS (SELECT sum(obs) AS n FROM grid)
+    SELECT round(sum(pow(obs - row_tot * col_tot / n, 2)
+                     / (row_tot * col_tot / n)), 6) AS chi2,
+           CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+                AS BIGINT) AS dof,
+           CAST(sum(obs) AS BIGINT) AS n_obs
+    FROM grid, tot
+    """,
+    tags=("stats", "chi-square", "independence"),
+)
+
+register(
+    "dq_benford_price_audit",
+    relational.benford_price_audit,
+    sql="""
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice
+                        / power(10, floor(log10(o_totalprice)))) AS INT)
+               AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), per_digit AS (
+      SELECT digit, count(*) AS n FROM d GROUP BY digit
+    ), tot AS (SELECT sum(n) AS t FROM per_digit)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(floor(n * 1000000 / t) AS BIGINT) AS observed_ppm,
+           CAST(floor(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+             AS expected_ppm,
+           CAST(floor(n * 1000000 / t) AS BIGINT)
+             - CAST(floor(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+             AS deviation_ppm
+    FROM per_digit, tot
+    """,
+    tags=("data-quality", "benford", "audit"),
+)

@@ -94,6 +94,9 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "ts_watermark_lateness_profile",
     "l4_ngram_novelty",
     "l3_knn_graph",
+    "sf_ols_trend_by_type",
+    "sf_chi2_lang_source",
+    "dq_benford_price_audit",
     "l2_dedup_keep_best",
     "l2_semantic_dedup",
     "l3_ivf_append_invariants",

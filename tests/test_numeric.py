@@ -303,3 +303,66 @@ def test_lateness_profile_matches_single_sort(spark, sf_dir):
     assert abs(row.max_lateness_s - round(mx, 3)) < 1e-9
     assert 0 <= row.p50_lateness_s <= row.p95_lateness_s <= row.max_lateness_s
     assert row.recommended_delay_s >= 0
+
+
+def test_ols_trend_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators.relational import (
+        TREND_ORIGIN,
+        ols_trend_by_type,
+    )
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    got = {r.event_type: r for r in ols_trend_by_type(spark, sf_dir).collect()}
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("y"))
+        .withColumn("x", F.datediff("day", F.lit(TREND_ORIGIN)).cast("double"))
+        .toPandas()
+    )
+    for et, g in daily.groupby("event_type"):
+        slope, intercept = np.polyfit(g.x, g.y, 1)
+        assert abs(got[et].slope - slope) < 1e-3, et
+        assert abs(got[et].intercept - intercept) < 1e-2, et
+        assert 0 <= got[et].r2 <= 1
+
+
+def test_chi2_matches_brute_force(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        chi2_lang_source,
+    )
+
+    row = chi2_lang_source(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    from collections import Counter
+
+    cells = Counter((d.lang, d.source) for d in docs)
+    langs = sorted({d.lang for d in docs})
+    sources = sorted({d.source for d in docs})
+    n = len(docs)
+    rt = {l: sum(v for (l2, _), v in cells.items() if l2 == l) for l in langs}
+    ct = {s: sum(v for (_, s2), v in cells.items() if s2 == s) for s in sources}
+    chi2 = sum(
+        (cells.get((l, s), 0) - rt[l] * ct[s] / n) ** 2 / (rt[l] * ct[s] / n)
+        for l in langs
+        for s in sources
+    )
+    assert abs(row.chi2 - chi2) < 1e-4
+    assert row.dof == (len(langs) - 1) * (len(sources) - 1)
+    assert row.n_obs == n
+
+
+def test_benford_digits_partition_the_orders(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        benford_price_audit,
+    )
+
+    rows = benford_price_audit(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n for r in rows) == n
+    total_ppm = sum(r.observed_ppm for r in rows)
+    assert 999_990 <= total_ppm <= 1_000_000  # floor loses < 1 ppm per digit
