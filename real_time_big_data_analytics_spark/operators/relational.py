@@ -1727,3 +1727,82 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp_ppm.alias("expected_ppm"),
         (obs_ppm - exp_ppm).alias("deviation_ppm"),
     )
+
+
+KS_BUCKET = 1_000  # n_chars range per local prefix-sum bucket
+
+
+def ks_test_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: are English and German
+    document lengths drawn from the same distribution? D = max over
+    values v of |ECDF_en(v) − ECDF_de(v)| — the nonparametric
+    distribution-shift screen (PSI's exact cousin; no binning choices).
+
+    The ECDFs are running sums over the sorted value axis, so this is
+    the third application of the two-phase prefix-sum decomposition
+    (after the concurrency sweep and the lateness running max):
+    per-value conditional counts, per-bucket local prefix sums in
+    parallel, KB-scale bucket offsets broadcast back. The statistic
+    stays ALL-INTEGER until the final division — D is maximized as
+    |c_en·n_de − c_de·n_en| (exact bigint), then floored to ppm — so
+    both engines agree bit-for-bit. (At counts beyond ~3·10⁹ per
+    sample the cross-product needs decimal(38) instead of bigint.)
+
+    Returns one row: (n_en, n_de, d_ppm, at_value) with at_value the
+    smallest length achieving the maximum.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de")
+    )
+    per_value = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("c_en"),
+        F.sum((F.col("lang") == "de").cast("long")).alias("c_de"),
+    ).withColumn("bucket", F.floor(F.col("v") / KS_BUCKET))
+    w_local = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = per_value.select(
+        "bucket",
+        "v",
+        F.sum("c_en").over(w_local).alias("le"),
+        F.sum("c_de").over(w_local).alias("ld"),
+    )
+    w_prior = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        per_value.groupBy("bucket")
+        .agg(F.sum("c_en").alias("be"), F.sum("c_de").alias("bd"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("be").over(w_prior), F.lit(0)).alias("oe"),
+            F.coalesce(F.sum("bd").over(w_prior), F.lit(0)).alias("od"),
+        )
+    )
+    totals = docs.groupBy().agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+        F.sum((F.col("lang") == "de").cast("long")).alias("n_de"),
+    )
+    run = (
+        local.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "v",
+            "n_en",
+            "n_de",
+            F.abs(
+                (F.col("oe") + F.col("le")) * F.col("n_de")
+                - (F.col("od") + F.col("ld")) * F.col("n_en")
+            ).alias("d_num"),
+        )
+    )
+    return (
+        run.orderBy(F.desc("d_num"), F.asc("v"))
+        .limit(1)
+        .select(
+            F.col("n_en").cast("bigint").alias("n_en"),
+            F.col("n_de").cast("bigint").alias("n_de"),
+            F.floor(F.col("d_num") * 1_000_000 / (F.col("n_en") * F.col("n_de")))
+            .cast("bigint")
+            .alias("d_ppm"),
+            F.col("v").cast("bigint").alias("at_value"),
+        )
+    )

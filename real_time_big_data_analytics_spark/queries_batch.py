@@ -2038,3 +2038,37 @@ register(
     """,
     tags=("data-quality", "benford", "audit"),
 )
+
+
+# plain single-sorted ECDFs in the oracle; the statistic is integer
+# cross-products until the final ppm floor on both sides
+register(
+    "sf_ks_test_chars",
+    relational.ks_test_chars,
+    sql="""
+    WITH d AS (
+      SELECT n_chars AS v, lang FROM documents WHERE lang IN ('en', 'de')
+    ), per_value AS (
+      SELECT v,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+             sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS c_de
+      FROM d GROUP BY v
+    ), tot AS (
+      SELECT sum(c_en) AS n_en, sum(c_de) AS n_de FROM per_value
+    ), run AS (
+      SELECT v,
+             sum(c_en) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ce,
+             sum(c_de) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cd
+      FROM per_value
+    )
+    SELECT CAST(n_en AS BIGINT) AS n_en,
+           CAST(n_de AS BIGINT) AS n_de,
+           CAST(floor(abs(ce * n_de - cd * n_en) * 1000000.0
+                      / (n_en * n_de)) AS BIGINT) AS d_ppm,
+           CAST(v AS BIGINT) AS at_value
+    FROM run, tot
+    ORDER BY abs(ce * n_de - cd * n_en) DESC, v ASC
+    LIMIT 1
+    """,
+    tags=("stats", "ks-test", "prefix-sum"),
+)

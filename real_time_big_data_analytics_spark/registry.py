@@ -97,6 +97,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "sf_ols_trend_by_type",
     "sf_chi2_lang_source",
     "dq_benford_price_audit",
+    "sf_ks_test_chars",
     "l2_dedup_keep_best",
     "l2_semantic_dedup",
     "l3_ivf_append_invariants",

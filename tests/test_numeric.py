@@ -366,3 +366,27 @@ def test_benford_digits_partition_the_orders(spark, sf_dir):
     assert sum(r.n for r in rows) == n
     total_ppm = sum(r.observed_ppm for r in rows)
     assert 999_990 <= total_ppm <= 1_000_000  # floor loses < 1 ppm per digit
+
+
+def test_ks_statistic_matches_brute_force(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        ks_test_chars,
+    )
+
+    row = ks_test_chars(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    en = sorted(d.n_chars for d in docs if d.lang == "en")
+    de = sorted(d.n_chars for d in docs if d.lang == "de")
+    assert (row.n_en, row.n_de) == (len(en), len(de))
+    import bisect
+
+    best, best_v = -1, None
+    for v in sorted(set(en) | set(de)):
+        num = abs(
+            bisect.bisect_right(en, v) * len(de)
+            - bisect.bisect_right(de, v) * len(en)
+        )
+        if num > best:
+            best, best_v = num, v
+    assert row.at_value == best_v
+    assert row.d_ppm == best * 1_000_000 // (len(en) * len(de))
