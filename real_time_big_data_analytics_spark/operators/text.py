@@ -1727,3 +1727,59 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFr
             ).alias("n_low_novelty_docs"),
         )
     )
+
+
+def incremental_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_df: int = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """L2 — INCREMENTAL ingestion near-dup: score only NEW-batch docs
+    (doc_id % 10 == 0, the deterministic batch stand-in) against the
+    EXISTING corpus — the daily-ingest shape, where re-running the
+    full corpus self-join every day is the classic cost blowup.
+
+    Same single-shuffle group-by-shingle machinery as
+    ``ngram_jaccard_pairs``, but pair expansion emits ONLY cross-tag
+    (new × old) pairs: per shingle group the postings split row-side
+    into new/old sublists and a nested transform crosses them —
+    old×old pairs (the already-deduped corpus) and new×new pairs
+    (handled by the intra-batch pass) are never materialized. With a
+    daily batch b and corpus N, emitted candidates scale with
+    b·df-bound, not N², and the same max_df cap bounds hot shingles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_arr = _with_shingle_array(docs, n)
+    sh = with_arr.select(
+        "doc_id",
+        F.size("sh_arr").alias("sz"),
+        (F.col("doc_id") % 10 == 0).alias("is_new"),
+        F.explode_outer("sh_arr").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    pairs = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "sz", "is_new")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(filter(ds, x -> x.is_new), nx -> "
+                    "transform(filter(ds, y -> NOT y.is_new), oy -> "
+                    "struct(nx.doc_id as new_id, nx.sz as sz_new, "
+                    "oy.doc_id as old_id, oy.sz as sz_old))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.new_id", "p.old_id")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("p.sz_new").alias("sz_new"),
+            F.first("p.sz_old").alias("sz_old"),
+        )
+    )
+    jac = F.col("inter") / (F.col("sz_new") + F.col("sz_old") - F.col("inter"))
+    return pairs.select(
+        "new_id", "old_id", round2(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

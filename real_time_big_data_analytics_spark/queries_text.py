@@ -1936,3 +1936,41 @@ register(
     """,
     tags=("similarity", "knn-graph", "blocked"),
 )
+
+
+# cross-tag-only expansion: the oracle joins new-side to old-side
+# shingles under the same df cap
+register(
+    "l2_incremental_jaccard",
+    text.incremental_jaccard_pairs,
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle
+      FROM w WHERE len(ws) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), shc AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+      ) WHERE df <= {text.DEFAULT_MAX_DF}
+    ), pairs AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS inter
+      FROM shc a JOIN shc b
+        ON a.shingle = b.shingle
+       AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      GROUP BY 1, 2
+    )
+    SELECT new_id, old_id,
+           round(CAST(inter AS DOUBLE) / (sn.sz + so.sz - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sn ON new_id = sn.doc_id
+    JOIN sizes so ON old_id = so.doc_id
+    WHERE round(CAST(inter AS DOUBLE) / (sn.sz + so.sz - inter), 4) >= 0.8
+    """,
+    tags=("dedup", "incremental", "near-dup"),
+)

@@ -98,6 +98,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "sf_chi2_lang_source",
     "dq_benford_price_audit",
     "sf_ks_test_chars",
+    "l2_incremental_jaccard",
     "l2_dedup_keep_best",
     "l2_semantic_dedup",
     "l3_ivf_append_invariants",

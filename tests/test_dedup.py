@@ -288,3 +288,25 @@ def test_ppjoin_property_random_corpora(spark):
             }
         want = _brute_jaccard_pairs(docs)
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_incremental_jaccard_is_cross_batch_slice_of_full(spark, sf_dir):
+    """The incremental pass must equal the cross-tag slice of the full
+    pair set — no pair lost, none invented, scores identical."""
+    from real_time_big_data_analytics_spark.operators import text
+
+    full = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in text.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    want = {}
+    for (a, b), j in full.items():
+        if (a % 10 == 0) != (b % 10 == 0):
+            new, old = (a, b) if a % 10 == 0 else (b, a)
+            want[(new, old)] = j
+    got = {
+        (r.new_id, r.old_id): r.jaccard
+        for r in text.incremental_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got  # non-degenerate on harness data
