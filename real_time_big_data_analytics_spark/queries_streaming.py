@@ -294,3 +294,30 @@ register(
     """,
     tags=("streaming", "stateful", "ewma"),
 )
+
+
+# identical BETWEEN join batch-side; same-date versions collapse to
+# the last by order key on both engines
+register(
+    "t18_stream_scd2_join",
+    sq.stream_scd2_dimension_join,
+    sql="""
+    WITH dim AS (
+      SELECT o_custkey, o_orderstatus,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS valid_to
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events e JOIN dim d
+      ON e.user_id = d.o_custkey
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    GROUP BY o_orderstatus
+    """,
+    tags=("streaming", "scd2", "interval-join"),
+)

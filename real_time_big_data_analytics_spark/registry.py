@@ -99,6 +99,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "dq_benford_price_audit",
     "sf_ks_test_chars",
     "l2_incremental_jaccard",
+    "t18_stream_scd2_join",
     "l2_dedup_keep_best",
     "l2_semantic_dedup",
     "l3_ivf_append_invariants",

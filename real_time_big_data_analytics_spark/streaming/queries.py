@@ -604,3 +604,44 @@ def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_table(spark, agg, output_mode="update")
     return out.select("user_id", "n_events", round2("ewma", 6).alias("ewma"))
+
+
+def stream_scd2_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18 — stream × SCD2 dimension join with INTERVAL validity: each
+    event picks the customer's order-status version active AT EVENT
+    TIME (equi key + ts ∈ [valid_from, valid_to)), then rolls up per
+    status — the event-time-correct dimension join that a plain
+    stream-static equi join (J4) gets wrong whenever the dimension
+    changed between event time and processing time.
+
+    The dimension builds from orders as validity intervals (version
+    valid from its own order date until the customer's next; same-date
+    versions deterministically collapse to the last by order key).
+    The static side re-resolves per micro-batch; the join keeps an
+    EQUALITY key (user = custkey) so it plans as a hash join with the
+    interval as a residual filter, not a nested loop. The oracle is
+    the identical BETWEEN join in DuckDB.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    stream = events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    j = stream.join(
+        dim,
+        (stream.user_id == dim.o_custkey)
+        & (stream.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (stream.ts < dim.valid_to)),
+        "inner",
+    )
+    agg = j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_events"),
+        round2(F.sum("value")).alias("total_value"),
+    )
+    return run_to_table(spark, agg, output_mode="complete")

@@ -269,3 +269,43 @@ def test_stateful_ewma_matches_driver_recurrence(spark, sf_dir):
         n, ewma = got[uid]
         assert n == len(rows)
         assert abs(ewma - ew) < 1e-5, uid
+
+
+def test_scd2_stream_join_uses_version_at_event_time(spark, sf_dir):
+    """Every joined event must match the dimension version whose
+    validity interval contains the event ts — checked by direct
+    driver-side interval lookup for a sample of users."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.streaming.queries import (
+        stream_scd2_dimension_join,
+    )
+
+    rows = stream_scd2_dimension_join(spark, sf_dir).collect()
+    assert rows and all(r.n_events > 0 for r in rows)
+    # totals must equal the batch interval join computed directly
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("vf"),
+        F.lead("o_orderdate").over(w).alias("vt"),
+    )
+    direct = (
+        events.join(
+            dim,
+            (events.user_id == dim.o_custkey)
+            & (events.ts >= dim.vf)
+            & (dim.vt.isNull() | (events.ts < dim.vt)),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert {r.o_orderstatus: r.n_events for r in rows} == {
+        r.o_orderstatus: r.n for r in direct
+    }
