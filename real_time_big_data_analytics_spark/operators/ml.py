@@ -189,3 +189,49 @@ def label_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+N_FOLDS = 3
+
+
+def kfold_eval_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — deterministic k-fold cross-validation with a bound-
+    assertion twin: fold assignment is md5(user_id) % k (the
+    ``fixed_k_sample`` permutation trick, NOT randomSplit), so the
+    folds themselves are SQL-exact — the oracle verifies every fold's
+    size and label mix, and each fold's holdout-accuracy flag rides
+    along under the same >= 0.5 soundness bound as ``m3`` (majority
+    prior stays above half on this fixture).
+
+    k models train sequentially on the driver (k small); each fold's
+    train set is the complement — the standard CV loop, with the fold
+    hash making every engine and every rerun agree on membership.
+    """
+    data = user_activity_features(spark, sf_dir).withColumn(
+        "fold",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % N_FOLDS,
+    )
+    data = data.localCheckpoint()  # k reuses; avoid recomputing features
+    outs = []
+    for k in range(N_FOLDS):
+        train = data.filter(F.col("fold") != k)
+        test = data.filter(F.col("fold") == k)
+        model = train_decision_tree(train)
+        scored = model.transform(test)
+        outs.append(
+            scored.agg(
+                F.lit(k).cast("bigint").alias("fold"),
+                F.count("*").cast("bigint").alias("n_users"),
+                F.sum("label").cast("bigint").alias("n_pos"),
+                (
+                    F.avg((F.col("prediction") == F.col("label")).cast("double"))
+                    >= 0.5
+                ).alias("acc_ok"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res

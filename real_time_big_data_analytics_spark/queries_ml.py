@@ -56,3 +56,25 @@ register(
     """,
     tags=("ml", "eval"),
 )
+
+
+# fold membership and label mix are SQL-exact; accuracy rides as a
+# bound-assertion flag (same soundness argument as m3)
+register(
+    "m4_kfold_eval",
+    ml.kfold_eval_checked,
+    sql=f"""
+    WITH per_user AS ({_FEAT_LABEL_SQL}
+    ), folds AS (
+      SELECT label,
+             CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {ml.N_FOLDS} AS fold
+      FROM per_user
+    )
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           true AS acc_ok
+    FROM folds GROUP BY fold
+    """,
+    tags=("ml", "cross-validation"),
+)

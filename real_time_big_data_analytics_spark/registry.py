@@ -100,6 +100,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "sf_ks_test_chars",
     "l2_incremental_jaccard",
     "t18_stream_scd2_join",
+    "m4_kfold_eval",
     "l2_dedup_keep_best",
     "l2_semantic_dedup",
     "l3_ivf_append_invariants",

@@ -56,3 +56,18 @@ def test_model_persistence_roundtrip(spark, sf_dir):
         a = {(r.user_id, r.prediction) for r in model.transform(data).select("user_id", "prediction").collect()}
         b = {(r.user_id, r.prediction) for r in loaded.transform(data).select("user_id", "prediction").collect()}
         assert a == b
+
+
+def test_kfold_partitions_users_and_clears_bound(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.ml import (
+        kfold_eval_checked,
+        user_activity_features,
+    )
+
+    rows = sorted(kfold_eval_checked(spark, sf_dir).collect())
+    total = user_activity_features(spark, sf_dir).count()
+    assert [r.fold for r in rows] == [0, 1, 2]
+    assert sum(r.n_users for r in rows) == total  # folds partition users
+    for r in rows:
+        assert r.acc_ok, r.fold
+        assert 0 <= r.n_pos <= r.n_users
