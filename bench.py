@@ -75,6 +75,10 @@ HEADLINE = [
     # two-phase distributed prefix-sum sweep — both new shuffle shapes
     "l2_ppjoin_jaccard_pairs",
     "wf_peak_concurrency",
+    # closing additions: integer-ECDF KS test (third prefix-sum
+    # application) and the blocked k-NN graph build
+    "sf_ks_test_chars",
+    "l3_knn_graph",
 ]
 
 

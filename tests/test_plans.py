@@ -100,6 +100,8 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "sketch_theta_user_overlap",
         "q22_inactive_high_balance",
         "l4_tfidf_top_terms",  # 1-row corpus-size scalar broadcast
+        "sf_chi2_lang_source",  # margin-product grid: |langs|x|sources| cross join
+        "sf_ks_test_chars",  # 1-row sample-totals broadcast cross join
         "l4_bm25_search",  # 1-row N/avgdl scalar broadcast
         "l3_ivf_append_invariants",  # 1-row truth-counts broadcast
         "q11_important_part_values",  # 1-row grand-total threshold broadcast
