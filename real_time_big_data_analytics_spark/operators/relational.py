@@ -1806,3 +1806,188 @@ def ks_test_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("bigint").alias("at_value"),
         )
     )
+
+
+def mann_whitney_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) test: do English
+    and German document lengths have the same location? The rank-based
+    sibling of the KS test — sensitive to median shift where KS is
+    sensitive to any CDF gap.
+
+    Stays ALL-INTEGER via doubled midranks: ties at value v share
+    midrank cum_before + (ties+1)/2, so 2·midrank = 2·cum_before +
+    ties + 1 is exact bigint arithmetic; U is recovered as
+    U2 = 2·R_en − n_en(n_en+1) (doubled), and the common-language
+    effect size (P(en draw > de draw), ties counted half) is floored
+    to ppm. Bit-exact cross-engine, no floating ranks anywhere.
+
+    Same two-phase prefix-sum shape as ``ks_test_chars``: per-value
+    counts, bucket-local running sums in parallel, KB-scale bucket
+    offsets broadcast back. One shuffle to value grain; the rank pass
+    never materializes per-row ranks.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de")
+    )
+    per_value = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.sum((F.col("lang") == "en").cast("long")).alias("c_en"),
+            F.sum((F.col("lang") == "de").cast("long")).alias("c_de"),
+        )
+        .withColumn("cnt", F.col("c_en") + F.col("c_de"))
+        .withColumn("bucket", F.floor(F.col("v") / KS_BUCKET))
+    )
+    w_local = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = per_value.select(
+        "bucket",
+        "v",
+        "c_en",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_local), F.lit(0)).alias("lcum"),
+    )
+    w_prior = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        per_value.groupBy("bucket")
+        .agg(F.sum("cnt").alias("bc"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bc").over(w_prior), F.lit(0)).alias("ocum"),
+        )
+    )
+    # doubled midrank of value v = 2*(rows strictly below v) + ties + 1
+    r2_en = (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            (
+                F.col("c_en")
+                * (2 * (F.col("ocum") + F.col("lcum")) + F.col("cnt") + 1)
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("r2_en"))
+    )
+    totals = docs.groupBy().agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+        F.sum((F.col("lang") == "de").cast("long")).alias("n_de"),
+    )
+    u2 = F.col("r2_en") - F.col("n_en") * (F.col("n_en") + 1)
+    return (
+        r2_en.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("n_en").cast("bigint").alias("n_en"),
+            F.col("n_de").cast("bigint").alias("n_de"),
+            u2.cast("bigint").alias("u2_en"),
+            # common-language effect size = U / (n_en * n_de), in ppm
+            F.floor(u2 * 500_000 / (F.col("n_en") * F.col("n_de")))
+            .cast("bigint")
+            .alias("auc_ppm"),
+        )
+    )
+
+
+def welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing mean ``value`` between
+    click and purchase events — the A/B-metric significance screen.
+    t = (m̄₁ − m̄₂)/√(s₁²/n₁ + s₂²/n₂), dof via Welch–Satterthwaite.
+
+    One grouped-aggregate pass (count/avg/var_samp are all partial-
+    aggregable: constant-width state per group map-side); the test
+    statistic itself is a 2-row driver-free pivot. Rounded at 1e-4 —
+    the only floating work is the final scalar formula over six
+    aggregates.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("s2"),
+    )
+    a = F.col("event_type") == "click"
+    p = g.agg(
+        F.max(F.when(a, F.col("n"))).alias("n1"),
+        F.max(F.when(a, F.col("m"))).alias("m1"),
+        F.max(F.when(a, F.col("s2"))).alias("s21"),
+        F.max(F.when(~a, F.col("n"))).alias("n2"),
+        F.max(F.when(~a, F.col("m"))).alias("m2"),
+        F.max(F.when(~a, F.col("s2"))).alias("s22"),
+    )
+    va, vb = F.col("s21") / F.col("n1"), F.col("s22") / F.col("n2")
+    se2 = va + vb
+    dof = se2 * se2 / (
+        va * va / (F.col("n1") - 1) + vb * vb / (F.col("n2") - 1)
+    )
+    return p.select(
+        F.col("n1").cast("bigint").alias("n_click"),
+        F.col("n2").cast("bigint").alias("n_purchase"),
+        round2(F.col("m1") - F.col("m2"), 4).alias("mean_diff"),
+        round2((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4).alias("t_stat"),
+        round2(dof, 2).alias("dof"),
+    )
+
+
+def km_survival_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve over user lifetimes — the churn/
+    retention estimator that handles censoring correctly (users still
+    active at the end of the observation window are censored, not
+    counted as churned).
+
+    Lifetime = days between a user's first and last event; a user
+    whose last event falls on the corpus's final day is censored.
+    S(t) = Π_{s≤t, d_s>0} (1 − d_s/n_s) with n_s = users whose
+    lifetime ≥ s, computed as N − cumsum(exits before s) — a prefix
+    sum over the per-lifetime exit counts, NOT a per-user window.
+
+    The heavy pass is the per-user min/max aggregation (one shuffle by
+    user_id, partial-aggregable). Everything after operates on the
+    distinct-lifetime table, bounded by the observation span in days
+    (30 here, ≤ a few thousand for any real corpus) — the unpartitioned
+    windows below run on that KB-scale table only. The product is
+    exp(Σ ln(1−d/n)) rounded at 1e-6; each factor is a ratio of exact
+    bigints.
+    """
+    events = load_table(spark, sf_dir, "events")
+    horizon = events.agg(
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("last_day")
+    )
+    users = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(F.date_trunc("day", "ts").cast("date")).alias("first_day"),
+            F.max(F.date_trunc("day", "ts").cast("date")).alias("user_last"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("user_last", "first_day").alias("t"),
+            (F.col("user_last") < F.col("last_day")).cast("long").alias("event"),
+        )
+    )
+    per_t = users.groupBy("t").agg(
+        F.sum("event").alias("d"),
+        F.count("*").alias("x"),  # exits (death or censor) at t
+    )
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    n_total = F.sum("x").over(Window.partitionBy())
+    at_risk = per_t.select(
+        "t",
+        "d",
+        (n_total - F.coalesce(F.sum("x").over(w_prior), F.lit(0))).alias("n_risk"),
+    )
+    # d == n_risk (everyone left dies at t) would be log(0): Spark
+    # yields NULL, DuckDB -inf. Keep that factor out of the log-sum
+    # and force survival to exactly 0 from that row on instead.
+    extinct = F.sum((F.col("d") == F.col("n_risk")).cast("long")).over(w_run)
+    factor = F.when(F.col("d") < F.col("n_risk"), 1 - F.col("d") / F.col("n_risk")).otherwise(F.lit(1.0))
+    surv = F.when(extinct > 0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log(factor)).over(w_run))
+    )
+    return at_risk.filter(F.col("d") > 0).select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        round2(surv, 6).alias("survival"),
+    )

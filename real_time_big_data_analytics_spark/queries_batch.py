@@ -2072,3 +2072,109 @@ register(
     """,
     tags=("stats", "ks-test", "prefix-sum"),
 )
+
+
+# doubled midranks keep the rank sums exact bigints on both engines
+register(
+    "sf_mann_whitney_chars",
+    relational.mann_whitney_chars,
+    sql="""
+    WITH d AS (
+      SELECT n_chars AS v, lang FROM documents WHERE lang IN ('en', 'de')
+    ), per_value AS (
+      SELECT v,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+             count(*) AS cnt
+      FROM d GROUP BY v
+    ), run AS (
+      SELECT c_en, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cum
+      FROM per_value
+    ), tot AS (
+      SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+             sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n_de
+      FROM d
+    ), r AS (
+      SELECT sum(c_en * (2 * cum + cnt + 1)) AS r2_en FROM run
+    )
+    SELECT CAST(n_en AS BIGINT) AS n_en,
+           CAST(n_de AS BIGINT) AS n_de,
+           CAST(r2_en - n_en * (n_en + 1) AS BIGINT) AS u2_en,
+           CAST(floor((r2_en - n_en * (n_en + 1)) * 500000
+                      / (n_en * n_de)) AS BIGINT) AS auc_ppm
+    FROM r, tot
+    """,
+    tags=("stats", "rank-sum", "prefix-sum"),
+)
+
+register(
+    "sf_welch_ttest_value",
+    relational.welch_ttest_value,
+    sql="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n, avg(value) AS m,
+             var_samp(value) AS s2
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type
+    ), p AS (
+      SELECT max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+             max(CASE WHEN event_type = 'click' THEN m END) AS m1,
+             max(CASE WHEN event_type = 'click' THEN s2 END) AS s21,
+             max(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+             max(CASE WHEN event_type = 'purchase' THEN m END) AS m2,
+             max(CASE WHEN event_type = 'purchase' THEN s2 END) AS s22
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_click,
+           CAST(n2 AS BIGINT) AS n_purchase,
+           round(m1 - m2, 4) AS mean_diff,
+           round((m1 - m2) / sqrt(s21 / n1 + s22 / n2), 4) AS t_stat,
+           round(pow(s21 / n1 + s22 / n2, 2)
+                 / (pow(s21 / n1, 2) / (n1 - 1)
+                    + pow(s22 / n2, 2) / (n2 - 1)), 2) AS dof
+    FROM p
+    """,
+    tags=("stats", "t-test", "ab-metric"),
+)
+
+register(
+    "wf_km_survival",
+    relational.km_survival_users,
+    sql="""
+    WITH horizon AS (
+      SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS last_day
+      FROM events
+    ), users AS (
+      SELECT date_diff('day', min(CAST(date_trunc('day', ts) AS DATE)),
+                       max(CAST(date_trunc('day', ts) AS DATE))) AS t,
+             CASE WHEN max(CAST(date_trunc('day', ts) AS DATE))
+                       < (SELECT last_day FROM horizon)
+                  THEN 1 ELSE 0 END AS event
+      FROM events GROUP BY user_id
+    ), per_t AS (
+      SELECT t, sum(event) AS d, count(*) AS x FROM users GROUP BY t
+    ), risk AS (
+      SELECT t, d,
+             sum(x) OVER () - coalesce(sum(x) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(CASE WHEN sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) > 0
+                      THEN 0.0
+                      ELSE exp(sum(ln(CASE WHEN d < n_risk
+                                      THEN 1 - CAST(d AS DOUBLE) / n_risk
+                                      ELSE 1.0 END))
+                               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+                 END, 6) AS survival
+    FROM risk
+    QUALIFY d > 0
+    """,
+    tags=("stats", "survival", "censoring"),
+)

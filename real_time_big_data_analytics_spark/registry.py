@@ -63,6 +63,9 @@ def _load_all() -> None:
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # round-3 session additions: new families ship with driver-green
     # evidence the same round they land
+    "sf_mann_whitney_chars",
+    "sf_welch_ttest_value",
+    "wf_km_survival",
     "er_candidate_pairs",
     "er_entity_clusters",
     "l4_bm25_search",

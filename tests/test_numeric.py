@@ -390,3 +390,88 @@ def test_ks_statistic_matches_brute_force(spark, sf_dir):
             best, best_v = num, v
     assert row.at_value == best_v
     assert row.d_ppm == best * 1_000_000 // (len(en) * len(de))
+
+def test_mann_whitney_matches_brute_force(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        mann_whitney_chars,
+    )
+
+    row = mann_whitney_chars(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    en = sorted(d.n_chars for d in docs if d.lang == "en")
+    de = sorted(d.n_chars for d in docs if d.lang == "de")
+    pooled = sorted(en + de)
+    # doubled midrank of each value: 2*(# strictly below) + ties + 1
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    below, rank2 = 0, {}
+    for v in sorted(cnt):
+        rank2[v] = 2 * below + cnt[v] + 1
+        below += cnt[v]
+    r2_en = sum(rank2[v] for v in en)
+    u2 = r2_en - len(en) * (len(en) + 1)
+    assert row.n_en == len(en) and row.n_de == len(de)
+    assert row.u2_en == u2
+    # AUC ppm == floor((U/2) / (n1*n2) * 1e6); U/(n1*n2) in [0, 1]
+    assert 0 <= row.auc_ppm <= 1_000_000
+    assert row.auc_ppm == u2 * 500_000 // (len(en) * len(de))
+
+
+def test_welch_ttest_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators.relational import (
+        welch_ttest_value,
+    )
+
+    row = welch_ttest_value(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    a = np.array([e.value for e in ev if e.event_type == "click"])
+    b = np.array([e.value for e in ev if e.event_type == "purchase"])
+    va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(va + vb)
+    dof = (va + vb) ** 2 / (va**2 / (len(a) - 1) + vb**2 / (len(b) - 1))
+    assert row.n_click == len(a) and row.n_purchase == len(b)
+    assert abs(row.t_stat - t) < 1e-3
+    assert abs(row.dof - dof) < 0.05
+    assert abs(row.mean_diff - (a.mean() - b.mean())) < 1e-3
+
+
+def test_km_survival_matches_brute_force(spark, sf_dir):
+    from collections import Counter
+
+    from real_time_big_data_analytics_spark.operators.relational import (
+        km_survival_users,
+    )
+
+    rows = km_survival_users(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    per_user = {}
+    for e in ev:
+        d = e.ts.date()
+        lo, hi = per_user.get(e.user_id, (d, d))
+        per_user[e.user_id] = (min(lo, d), max(hi, d))
+    last_day = max(hi for _, hi in per_user.values())
+    exits = Counter()
+    deaths = Counter()
+    for lo, hi in per_user.values():
+        t = (hi - lo).days
+        exits[t] += 1
+        if hi < last_day:
+            deaths[t] += 1
+    n_risk, s, expect = len(per_user), 1.0, {}
+    for t in sorted(exits):
+        if deaths[t] > 0:
+            s *= 1 - deaths[t] / n_risk
+            expect[t] = (n_risk, deaths[t], s)
+        n_risk -= exits[t]
+    assert {r.t_days for r in rows} == set(expect)
+    for r in rows:
+        n, d, s = expect[r.t_days]
+        assert r.n_risk == n and r.n_events == d
+        assert abs(r.survival - s) < 1e-5
+        assert 0.0 <= r.survival <= 1.0
+    # survival is non-increasing in t
+    surv = [r.survival for r in sorted(rows, key=lambda r: r.t_days)]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))

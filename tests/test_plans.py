@@ -102,6 +102,8 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "l4_tfidf_top_terms",  # 1-row corpus-size scalar broadcast
         "sf_chi2_lang_source",  # margin-product grid: |langs|x|sources| cross join
         "sf_ks_test_chars",  # 1-row sample-totals broadcast cross join
+        "sf_mann_whitney_chars",  # same 1-row sample-totals broadcast
+        "wf_km_survival",  # 1-row horizon (max day) broadcast
         "l4_bm25_search",  # 1-row N/avgdl scalar broadcast
         "l3_ivf_append_invariants",  # 1-row truth-counts broadcast
         "q11_important_part_values",  # 1-row grand-total threshold broadcast
