@@ -235,3 +235,87 @@ def kfold_eval_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionAll(o)
     return res
+
+
+LOGREG_LR = 0.5
+LOGREG_ITERS = 3
+
+
+def logreg_gd_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (x1, x2, y) for the SQL-exact logistic regression:
+    engagement features from view/click events ONLY, label = the
+    m-family's bot definition (error ratio > LABEL_ERROR_RATIO) —
+    features never see the error events the label is built from."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.log1p(
+            F.sum(F.col("event_type").isin("view", "click").cast("long"))
+        ).alias("x1"),
+        F.log1p(
+            F.sum(
+                F.when(
+                    F.col("event_type").isin("view", "click"), F.col("value")
+                ).otherwise(0.0)
+            )
+        ).alias("x2"),
+        (
+            F.sum((F.col("event_type") == "error").cast("long"))
+            / F.count("*")
+            > LABEL_ERROR_RATIO
+        ).cast("double").alias("y"),
+    )
+
+
+def logreg_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — logistic regression trained by THREE unrolled batch
+    gradient-descent steps, entirely in Catalyst: w starts at 0, each
+    step aggregates the full gradient ∇ = Σ x·(y − σ(w·x))/n in one
+    partial-aggregable pass and broadcasts the 1-row updated weights
+    onto the next pass. The whole recurrence composes LAZILY into a
+    single plan — three sequential scans of the user-grain feature
+    table, zero driver-side loops (same shape as ``trade_pagerank``;
+    cache the feature table when it doesn't fit the scan budget).
+
+    Unlike the MLlib tree (``m1``, rows-only), every arithmetic step
+    here is plain SQL, so the DuckDB twin replays the identical
+    unrolled recurrence and the final weights hash-match — an
+    ITERATIVE ML TRAINER under the exact-correctness gate. Output:
+    weights (rounded 1e-4), n, and integer train-set confusion counts
+    at the 0.5 threshold.
+    """
+    u = logreg_gd_features(spark, sf_dir)
+    lr = F.lit(LOGREG_LR)
+
+    def sigmoid(z):
+        return 1.0 / (1.0 + F.exp(-z))
+
+    # w = (bias, w1, w2) as a 1-row DataFrame, updated per unrolled step
+    w = spark.range(1).select(
+        F.lit(0.0).alias("wb"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    )
+    for _ in range(LOGREG_ITERS):
+        z = F.col("wb") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+        resid = F.col("y") - sigmoid(z)
+        w = (
+            u.crossJoin(F.broadcast(w))
+            .agg(
+                (F.first("wb") + lr * F.avg(resid)).alias("wb"),
+                (F.first("w1") + lr * F.avg(resid * F.col("x1"))).alias("w1"),
+                (F.first("w2") + lr * F.avg(resid * F.col("x2"))).alias("w2"),
+            )
+        )
+    z = F.col("wb") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    pred = (sigmoid(z) >= 0.5).cast("long")
+    return (
+        u.crossJoin(F.broadcast(w))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            round2(F.first("wb"), 4).alias("w_bias"),
+            round2(F.first("w1"), 4).alias("w_x1"),
+            round2(F.first("w2"), 4).alias("w_x2"),
+            F.sum((pred * F.col("y")).cast("long")).cast("bigint").alias("tp"),
+            F.sum((pred * (1 - F.col("y"))).cast("long")).cast("bigint").alias("fp"),
+            F.sum(((1 - pred) * F.col("y")).cast("long")).cast("bigint").alias("fn"),
+            F.sum(((1 - pred) * (1 - F.col("y"))).cast("long")).cast("bigint").alias("tn"),
+        )
+    )

@@ -1991,3 +1991,362 @@ def km_survival_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("bigint").alias("n_events"),
         round2(surv, 6).alias("survival"),
     )
+
+
+BOOT_B = 32
+# Poisson(1) CDF thresholds in integer ppm (floor): a hash-uniform
+# u_ppm in [0, 1e6) maps to weight = #{thresholds <= u_ppm}. Integer
+# compares only — replicate membership is bit-exact cross-engine.
+BOOT_CDF_PPM = (
+    367879, 735758, 919698, 981011, 996340,
+    999405, 999916, 999989, 999997,
+)
+
+
+def bootstrap_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap standard error of mean(o_totalprice) — the
+    resampling-free bootstrap for distributed data (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012):
+    instead of drawing N rows with replacement (which needs global
+    coordination), each row enters replicate b with an independent
+    Poisson(1) weight, here derived DETERMINISTICALLY from
+    md5(orderkey, b) so both engines agree on every weight.
+
+    Shape: one narrow scan, explode ×B=32, and a 32-group partial
+    aggregate — map-side combine collapses each input partition to 32
+    rows before the shuffle, so the only real cost is the 32× widened
+    expression evaluation (no extra I/O, no resample shuffle). The
+    replicate means then reduce to one row: point mean, bootstrap SE,
+    and the replicate-mean range.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    u_ppm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    w = sum(
+        [(u_ppm >= F.lit(c)).cast("long") for c in BOOT_CDF_PPM],
+        F.lit(0),
+    )
+    rep = (
+        orders.select(F.col("o_orderkey"), F.col("o_totalprice"), b)
+        .select("b", (w * F.col("o_totalprice")).alias("wx"), w.alias("w"))
+        .groupBy("b")
+        .agg((F.sum("wx") / F.sum("w")).alias("mean_b"))
+    )
+    point = load_table(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n"), F.avg("o_totalprice").alias("mean_all")
+    )
+    return rep.crossJoin(F.broadcast(point)).agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_replicates"),
+        round2(F.first("mean_all"), 3).alias("point_mean"),
+        round2(F.stddev_samp("mean_b"), 3).alias("se_boot"),
+        round2(F.min("mean_b"), 3).alias("rep_min"),
+        round2(F.max("mean_b"), 3).alias("rep_max"),
+    )
+
+
+CUPED_SPLIT_DAY = "2024-01-16"  # pre-period: days before; post: from
+
+
+def cuped_adjusted_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B metric (Deng et al., WSDM 2013): assign
+    users to arms by md5 parity, metric = per-user POST-period total
+    value, covariate = the same user's PRE-period total. The adjusted
+    metric Y' = Y − θ(X − X̄) with θ = cov(Y,X)/var(X) removes the
+    variance explained by pre-experiment behavior — the standard
+    trick that makes small lifts detectable without more traffic.
+
+    One shuffle to user grain (partial-aggregable sums), then scalar
+    covariance aggregates over the user table and a 2×-broadcast
+    combine. Reports raw and adjusted lift plus the variance-reduction
+    share in ppm (floored on an integer-scaled ratio of rounded
+    variances so both engines agree).
+    """
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") >= F.lit(CUPED_SPLIT_DAY), F.col("value")).otherwise(0.0)
+        ).alias("y"),
+        F.sum(
+            F.when(F.col("ts") < F.lit(CUPED_SPLIT_DAY), F.col("value")).otherwise(0.0)
+        ).alias("x"),
+        (md5_parity("user_id")).alias("arm"),
+    )
+    g = users.groupBy().agg(
+        F.covar_samp("y", "x").alias("cyx"),
+        F.var_samp("x").alias("vx"),
+        F.avg("x").alias("mx"),
+        F.var_samp("y").alias("vy"),
+    )
+    theta = F.col("cyx") / F.col("vx")
+    adj = users.crossJoin(F.broadcast(g)).select(
+        "arm",
+        "y",
+        (F.col("y") - theta * (F.col("x") - F.col("mx"))).alias("y_adj"),
+        (F.col("vy") - F.col("cyx") * F.col("cyx") / F.col("vx")).alias("v_adj"),
+        "vy",
+    )
+    a = F.col("arm") == 1
+    return adj.agg(
+        F.sum(a.cast("long")).cast("bigint").alias("n_treat"),
+        F.sum((~a).cast("long")).cast("bigint").alias("n_control"),
+        round2(
+            F.avg(F.when(a, F.col("y"))) - F.avg(F.when(~a, F.col("y"))), 4
+        ).alias("raw_diff"),
+        round2(
+            F.avg(F.when(a, F.col("y_adj"))) - F.avg(F.when(~a, F.col("y_adj"))), 4
+        ).alias("cuped_diff"),
+        round2(1 - F.first("v_adj") / F.first("vy"), 4).alias("var_reduction"),
+    )
+
+
+def md5_parity(key_col: str):
+    """Deterministic 0/1 arm assignment — md5-bucket mod 2, the
+    cross-engine twin of `md5_bucket(key, 2)`."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+def acf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily total event value — the
+    seasonality screen run before choosing a forecasting window.
+    ACF(k) = corr(y_t, y_{t−k}) over the aligned day pairs.
+
+    The heavy pass is the daily aggregate (one shuffle, partial agg);
+    the series itself is bounded by the observation span in days, so
+    the per-lag self-join runs on a KB-scale table (broadcast, day+lag
+    equi-key). Pearson corr is partial-aggregable on both engines;
+    rounded at 1e-4.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("y"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    shifted = daily.crossJoin(F.broadcast(lags)).select(
+        F.date_add("day", F.col("lag")).alias("day"), "lag", F.col("y").alias("y_prev")
+    )
+    return (
+        daily.join(F.broadcast(shifted), "day")
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            round2(F.corr("y", "y_prev"), 4).alias("acf"),
+        )
+    )
+
+
+Z_BITS = 16  # per-dimension rank resolution
+Z_FILES = 64  # simulated file count (top 6 bits of the layout key)
+# the audited 2-D query box: one order-year x a mid price band
+ZQ_DATE_LO, ZQ_DATE_HI = "1997-01-01", "1997-12-31"
+ZQ_PRICE_LO, ZQ_PRICE_HI = 100_000.0, 200_000.0
+
+
+def _interleave_bits(x, y):
+    """32-bit Morton code from two 16-bit ints — pure shift/and/or
+    expressions, kept in lockstep with the SQL twin builder
+    (queries_batch._morton_sql)."""
+    z = F.lit(0).cast("bigint")
+    for i in range(Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ/layout — measures what Z-ORDERING buys on a 2-D filter:
+    lay orders out into 64 simulated files two ways — Morton
+    (bit-interleaved orderdate×totalprice rank) vs. the naive
+    insertion order (orderkey ranges) — then replay file-level
+    min/max (zone-map) pruning for a date-band × price-band query
+    and report how many files and rows each layout actually scans.
+
+    This is the planning arithmetic behind Delta/Iceberg Z-ORDER BY
+    and Spark's own parquet min/max skipping, run AS A QUERY so the
+    layout decision is evidence-backed instead of folklore: the
+    Morton layout's files are 2-D tiles, so a 2-D box touches
+    O(perimeter) files; the key layout correlates with nothing and
+    scans ~everything. All-integer outputs (counts, file tallies) —
+    hash-exact cross-engine; the rank normalization divides identical
+    doubles on both sides.
+
+    Shape: one scan + 1-row bounds broadcast, explode ×2 (one row per
+    candidate layout), one (layout, file) aggregate, one per-layout
+    rollup. No shuffle exceeds 2×64 rows after partial aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d_lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d_hi"),
+        F.min("o_totalprice").alias("p_lo"),
+        F.max("o_totalprice").alias("p_hi"),
+        F.max("o_orderkey").alias("k_hi"),
+    )
+    scale = (1 << Z_BITS) - 1
+    xr = F.floor(
+        F.datediff(F.col("o_orderdate").cast("date"), F.col("d_lo"))
+        * F.lit(float(scale))
+        / F.datediff(F.col("d_hi"), F.col("d_lo"))
+    ).cast("bigint")
+    yr = F.floor(
+        (F.col("o_totalprice") - F.col("p_lo"))
+        * F.lit(float(scale))
+        / (F.col("p_hi") - F.col("p_lo"))
+    ).cast("bigint")
+    zfile = F.shiftright(_interleave_bits(xr, yr), 2 * Z_BITS - 6)
+    kfile = F.least(
+        F.floor(F.col("o_orderkey") * Z_FILES / (F.col("k_hi") + 1)).cast("bigint"),
+        F.lit(Z_FILES - 1),
+    )
+    in_box = (
+        (F.col("o_orderdate").cast("date") >= F.lit(ZQ_DATE_LO))
+        & (F.col("o_orderdate").cast("date") <= F.lit(ZQ_DATE_HI))
+        & (F.col("o_totalprice") >= ZQ_PRICE_LO)
+        & (F.col("o_totalprice") <= ZQ_PRICE_HI)
+    ).cast("long")
+    tagged = (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.col("o_totalprice").alias("p"),
+            in_box.alias("hit"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("zorder").alias("layout"), zfile.alias("f")),
+                    F.struct(F.lit("keyorder").alias("layout"), kfile.alias("f")),
+                )
+            ).alias("lf"),
+        )
+        .select("d", "p", "hit", "lf.layout", "lf.f")
+    )
+    files = tagged.groupBy("layout", "f").agg(
+        F.count("*").alias("rows"),
+        F.sum("hit").alias("hits"),
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.min("p").alias("pmin"),
+        F.max("p").alias("pmax"),
+    )
+    scanned = (
+        (F.col("dmin") <= F.lit(ZQ_DATE_HI))
+        & (F.col("dmax") >= F.lit(ZQ_DATE_LO))
+        & (F.col("pmin") <= ZQ_PRICE_HI)
+        & (F.col("pmax") >= ZQ_PRICE_LO)
+    ).cast("long")
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum(scanned).cast("bigint").alias("files_scanned"),
+            F.sum(F.col("rows")).cast("bigint").alias("rows_total"),
+            F.sum("hits").cast("bigint").alias("rows_matched"),
+            F.sum(scanned * F.col("rows")).cast("bigint").alias("rows_scanned"),
+        )
+    )
+
+
+MTA_HALF_LIFE_US = 6 * 3_600_000_000  # decay half-life: 6 h
+MTA_BUCKETS = 4  # 4 half-lives cover the 24 h lookback
+
+
+def multitouch_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY multi-touch attribution — recency-weighted credit:
+    a touch j half-lives before the purchase earns weight 2^-j.
+    Completes the attribution family (last-touch ``asof``, equal-split
+    ``mta_linear_attribution``).
+
+    The decisive trick for both scale and exactness: the continuous
+    exp(−Δt/τ) decay is DISCRETIZED to half-life buckets, so per-type
+    weighted touch counts become 4 RANGE-frame window counts per type
+    — bucket j counts touches with Δt ∈ ((j)·hl, (j+1)·hl] — combined
+    as Σ (8>>j)·n_tj. One sort per user serves all 12 frames (same
+    single-pass shape as the linear variant: no range self-join), and
+    every weight is an exact integer, so credits are deterministic
+    integer millicents and the final sums carry no float-summation
+    hash risk.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hl = MTA_HALF_LIFE_US
+    ev = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).alias("cents"),
+    )
+    types = ("click", "view", "signup")
+    weighted = {}
+    for t in types:
+        acc = F.lit(0)
+        for j in range(MTA_BUCKETS):
+            w = (
+                Window.partitionBy("user_id")
+                .orderBy("tus")
+                .rangeBetween(-(j + 1) * hl, -j * hl - 1)
+            )
+            # narrow bucket frames are often EMPTY, where sum() is
+            # NULL (not 0) — coalesce or the weight poisons to null
+            acc = acc + (8 >> j) * F.coalesce(
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).over(w),
+                F.lit(0),
+            )
+        weighted[t] = acc
+    p = (
+        ev.select(
+            "event_type",
+            "cents",
+            *[wt.alias(f"w_{t}") for t, wt in weighted.items()],
+        )
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("w_touch", F.col("w_click") + F.col("w_view") + F.col("w_signup"))
+        .filter(F.col("w_touch") > 0)
+    )
+    credited = p.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("touch_type"),
+                        F.round(
+                            F.col("cents") * F.col(f"w_{t}") * F.lit(1000.0)
+                            / F.col("w_touch")
+                        )
+                        .cast("bigint")
+                        .alias("credit_mc"),
+                        (F.col(f"w_{t}") > 0).cast("int").alias("hit"),
+                    )
+                    for t in types
+                ]
+            )
+        ).alias("c")
+    ).select("c.touch_type", "c.credit_mc", "c.hit")
+    return credited.groupBy("touch_type").agg(
+        F.sum("hit").cast("bigint").alias("n_purchases_credited"),
+        F.round(F.sum("credit_mc") / 100_000.0, 2).alias("credited_revenue"),
+    )

@@ -949,3 +949,84 @@ def knn_graph(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("src", "rk", "dst", "cos_sim")
     )
+
+
+RRF_K = 60  # standard RRF dampening constant (Cormack et al., 2009)
+
+
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """L4/L3 — HYBRID retrieval via reciprocal-rank fusion: the
+    lexical ranking (Okapi BM25, ``text.bm25_search``) fused with a
+    semantic ranking (exact cosine against a pseudo-relevance seed:
+    each query's top BM25 hit's embedding — the classic
+    "more-like-the-best-lexical-hit" feedback loop), scored
+    RRF(d) = Σ_r 1/(60 + rank_r(d)) (Cormack/Clarke/Büttcher 2009).
+    This is the retrieval shape RAG/dedup pipelines actually run:
+    inverted index for precision, embeddings for recall, rank fusion
+    so neither scale dominates.
+
+    Hash-exact despite floats: both ranks are integers from
+    rounded-score windows, the fused score is a sum of two dyadic-
+    identical divisions, and ties break on doc_id. Execution: BM25's
+    postings-traversal plan feeds a 3-row seed broadcast; the cosine
+    side is one corpus scan against broadcast seeds (same shape as
+    ``knn_bruteforce``); fusion is a k-bounded full outer join.
+    """
+    from .text import bm25_search
+
+    lex = bm25_search(spark, sf_dir).select(
+        "term", F.col("doc_id").alias("l_id"), F.col("rk").alias("rk_lex")
+    )
+    seeds = lex.filter(F.col("rk_lex") == 1).select(
+        "term", F.col("l_id").alias("seed_id")
+    )
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = emb.join(
+        F.broadcast(seeds), emb.vec_id == F.col("seed_id")
+    ).select("term", F.col("embedding").alias("q"))
+    w_sem = Window.partitionBy("term").orderBy(F.desc("sim"), F.asc("vec_id"))
+    sem = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(qv))
+        .select(
+            "term",
+            "vec_id",
+            round2(cosine_similarity("q", "embedding"), 6).alias("sim"),
+        )
+        .withColumn("rk_sem", F.row_number().over(w_sem))
+        .filter(F.col("rk_sem") <= k)
+        # sem's lineage includes lex (via the seed docs), so rename its
+        # key columns before the full outer join to avoid self-join
+        # ambiguity
+        .select(
+            F.col("term").alias("s_term"), F.col("vec_id").alias("s_id"), "rk_sem"
+        )
+    )
+    fused = lex.join(
+        sem,
+        (lex.term == F.col("s_term")) & (F.col("l_id") == F.col("s_id")),
+        "full_outer",
+    ).select(
+        F.coalesce(lex.term, F.col("s_term")).alias("term"),
+        F.coalesce("l_id", "s_id").alias("doc_id"),
+        "rk_lex",
+        "rk_sem",
+        round2(
+            F.coalesce(1.0 / (RRF_K + F.col("rk_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rk_sem")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w_f = Window.partitionBy("term").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w_f).cast("bigint"))
+        .filter(F.col("rrf_rank") <= k)
+        .select(
+            "term",
+            "rrf_rank",
+            "doc_id",
+            "rrf_score",
+            F.col("rk_lex").cast("bigint").alias("rk_lex"),
+            F.col("rk_sem").cast("bigint").alias("rk_sem"),
+        )
+    )

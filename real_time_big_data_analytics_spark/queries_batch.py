@@ -2178,3 +2178,233 @@ register(
     """,
     tags=("stats", "survival", "censoring"),
 )
+
+
+# Poisson(1) weights from integer-ppm CDF thresholds: replicate
+# membership is bit-exact cross-engine; only the final moments round
+_BOOT_W = " + ".join(
+    f"(CASE WHEN u_ppm >= {c} THEN 1 ELSE 0 END)"
+    for c in relational.BOOT_CDF_PPM
+)
+
+register(
+    "sf_bootstrap_mean_orders",
+    relational.bootstrap_mean_orders,
+    sql=f"""
+    WITH r AS (
+      SELECT o.o_totalprice,
+             CAST(CONCAT('0x', substr(md5(CONCAT(CAST(o.o_orderkey AS VARCHAR),
+                         '|', CAST(b.b AS VARCHAR))), 1, 8)) AS BIGINT)
+               % 1000000 AS u_ppm,
+             b.b
+      FROM orders o
+      CROSS JOIN (SELECT unnest(range(0, {relational.BOOT_B})) AS b) b
+    ), rep AS (
+      SELECT b,
+             sum(({_BOOT_W}) * o_totalprice)
+               / sum({_BOOT_W}) AS mean_b
+      FROM r GROUP BY b
+    ), point AS (
+      SELECT count(*) AS n, avg(o_totalprice) AS mean_all FROM orders
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_replicates,
+           round(mean_all, 3) AS point_mean,
+           round(stddev_samp(mean_b), 3) AS se_boot,
+           round(min(mean_b), 3) AS rep_min,
+           round(max(mean_b), 3) AS rep_max
+    FROM rep, point
+    GROUP BY n, mean_all
+    """,
+    tags=("stats", "bootstrap", "resampling-free"),
+)
+
+register(
+    "sf_cuped_adjusted_diff",
+    relational.cuped_adjusted_diff,
+    sql=f"""
+    WITH users AS (
+      SELECT user_id,
+             sum(CASE WHEN ts >= TIMESTAMP '{relational.CUPED_SPLIT_DAY}'
+                      THEN value ELSE 0 END) AS y,
+             sum(CASE WHEN ts < TIMESTAMP '{relational.CUPED_SPLIT_DAY}'
+                      THEN value ELSE 0 END) AS x,
+             CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS arm
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT covar_samp(y, x) AS cyx, var_samp(x) AS vx,
+             avg(x) AS mx, var_samp(y) AS vy
+      FROM users
+    ), adj AS (
+      SELECT arm, y,
+             y - (cyx / vx) * (x - mx) AS y_adj,
+             vy - cyx * cyx / vx AS v_adj, vy
+      FROM users, g
+    )
+    SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_treat,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_control,
+           round(avg(CASE WHEN arm = 1 THEN y END)
+                 - avg(CASE WHEN arm = 0 THEN y END), 4) AS raw_diff,
+           round(avg(CASE WHEN arm = 1 THEN y_adj END)
+                 - avg(CASE WHEN arm = 0 THEN y_adj END), 4) AS cuped_diff,
+           round(1 - any_value(v_adj) / any_value(vy), 4) AS var_reduction
+    FROM adj
+    """,
+    tags=("stats", "cuped", "experimentation"),
+)
+
+register(
+    "ts_acf_daily_value",
+    relational.acf_daily_value,
+    sql=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, sum(value) AS y
+      FROM events GROUP BY 1
+    ), lags AS (
+      SELECT unnest(range(1, {relational.ACF_MAX_LAG} + 1)) AS lag
+    )
+    SELECT CAST(l.lag AS INT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(d.y, p.y), 4) AS acf
+    FROM daily d
+    CROSS JOIN lags l
+    JOIN daily p ON p.day = d.day - CAST(l.lag AS INT)
+    GROUP BY l.lag
+    """,
+    tags=("timeseries", "autocorrelation", "stats"),
+)
+
+
+def _morton_sql(x: str, y: str) -> str:
+    """SQL Morton-code expression — same bit algebra as
+    relational._interleave_bits, kept in lockstep."""
+    terms = []
+    for i in range(relational.Z_BITS):
+        # DuckDB/Postgres precedence: + binds TIGHTER than <<, so each
+        # shift term needs its own parens or the sum chain re-parses
+        # as nested shifts
+        terms.append(f"(((({x}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZXR = (
+    "CAST(floor(date_diff('day', d_lo, CAST(o_orderdate AS DATE)) * 65535.0 "
+    "/ date_diff('day', d_lo, d_hi)) AS BIGINT)"
+)
+_ZYR = "CAST(floor((o_totalprice - p_lo) * 65535.0 / (p_hi - p_lo)) AS BIGINT)"
+
+register(
+    "dq_zorder_pruning_audit",
+    relational.zorder_pruning_audit,
+    sql=f"""
+    WITH bounds AS (
+      SELECT min(CAST(o_orderdate AS DATE)) AS d_lo,
+             max(CAST(o_orderdate AS DATE)) AS d_hi,
+             min(o_totalprice) AS p_lo, max(o_totalprice) AS p_hi,
+             max(o_orderkey) AS k_hi
+      FROM orders
+    ), tagged AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice AS p,
+             CASE WHEN CAST(o_orderdate AS DATE)
+                        BETWEEN DATE '{relational.ZQ_DATE_LO}'
+                        AND DATE '{relational.ZQ_DATE_HI}'
+                   AND o_totalprice BETWEEN {relational.ZQ_PRICE_LO}
+                        AND {relational.ZQ_PRICE_HI}
+                  THEN 1 ELSE 0 END AS hit,
+             {_morton_sql(_ZXR, _ZYR)} >> {2 * relational.Z_BITS - 6} AS zf,
+             least(CAST(floor(o_orderkey * {relational.Z_FILES}
+                              / (k_hi + 1.0)) AS BIGINT),
+                   {relational.Z_FILES - 1}) AS kf
+      FROM orders, bounds
+    ), exploded AS (
+      SELECT d, p, hit, 'zorder' AS layout, zf AS f FROM tagged
+      UNION ALL
+      SELECT d, p, hit, 'keyorder' AS layout, kf AS f FROM tagged
+    ), files AS (
+      SELECT layout, f, count(*) AS rows_, sum(hit) AS hits,
+             min(d) AS dmin, max(d) AS dmax,
+             min(p) AS pmin, max(p) AS pmax
+      FROM exploded GROUP BY layout, f
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN dmin <= DATE '{relational.ZQ_DATE_HI}'
+                          AND dmax >= DATE '{relational.ZQ_DATE_LO}'
+                          AND pmin <= {relational.ZQ_PRICE_HI}
+                          AND pmax >= {relational.ZQ_PRICE_LO}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(sum(rows_) AS BIGINT) AS rows_total,
+           CAST(sum(hits) AS BIGINT) AS rows_matched,
+           CAST(sum(CASE WHEN dmin <= DATE '{relational.ZQ_DATE_HI}'
+                          AND dmax >= DATE '{relational.ZQ_DATE_LO}'
+                          AND pmin <= {relational.ZQ_PRICE_HI}
+                          AND pmax >= {relational.ZQ_PRICE_LO}
+                     THEN rows_ ELSE 0 END) AS BIGINT) AS rows_scanned
+    FROM files GROUP BY layout
+    """,
+    tags=("data-quality", "layout", "zorder", "pruning"),
+)
+
+
+_MTA_DECAY_FRAMES = "\n".join(
+    f"""             sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tus
+                     RANGE BETWEEN {(j + 1) * relational.MTA_HALF_LIFE_US}
+                     PRECEDING AND {j * relational.MTA_HALF_LIFE_US + 1}
+                     PRECEDING) AS n_{t}_{j},"""
+    for t in ("click", "view", "signup")
+    for j in range(relational.MTA_BUCKETS)
+).rstrip(",")
+
+_MTA_W = {
+    t: " + ".join(
+        f"{8 >> j} * COALESCE(n_{t}_{j}, 0)" for j in range(relational.MTA_BUCKETS)
+    )
+    for t in ("click", "view", "signup")
+}
+
+register(
+    "mta_time_decay_attribution",
+    relational.multitouch_time_decay,
+    # half-life-bucketed decay: 12 RANGE frames over one per-user sort,
+    # integer weights 8>>j, exact millicent credits (see the linear twin)
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), counted AS (
+      SELECT event_type, cents,
+{_MTA_DECAY_FRAMES}
+      FROM ev
+    ), p AS (
+      SELECT cents,
+             {_MTA_W['click']} AS w_click,
+             {_MTA_W['view']} AS w_view,
+             {_MTA_W['signup']} AS w_signup
+      FROM counted WHERE event_type = 'purchase'
+    ), q AS (
+      SELECT cents, w_click, w_view, w_signup,
+             w_click + w_view + w_signup AS w_touch
+      FROM p
+    ), credited AS (
+      SELECT t.touch_type,
+             CAST(round(q.cents * t.w_t * 1000.0 / q.w_touch) AS BIGINT)
+               AS credit_mc,
+             CASE WHEN t.w_t > 0 THEN 1 ELSE 0 END AS hit
+      FROM q, LATERAL (VALUES ('click', q.w_click),
+                              ('view', q.w_view),
+                              ('signup', q.w_signup)) AS t(touch_type, w_t)
+      WHERE q.w_touch > 0
+    )
+    SELECT touch_type,
+           CAST(sum(hit) AS BIGINT) AS n_purchases_credited,
+           round(sum(credit_mc) / 100000.0, 2) AS credited_revenue
+    FROM credited GROUP BY touch_type
+    """,
+    tags=("attribution", "window", "time-decay"),
+)

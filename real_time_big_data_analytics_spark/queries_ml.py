@@ -78,3 +78,66 @@ register(
     """,
     tags=("ml", "cross-validation"),
 )
+
+
+# the gradient recurrence is plain SQL, so the trained weights — not
+# just the fixture — are hash-checked; three unrolled steps mirror
+# ml.LOGREG_ITERS exactly, constants interpolated from the module
+_LOGREG_U = """
+      SELECT ln(1.0 + sum(CASE WHEN event_type IN ('view', 'click')
+                          THEN 1 ELSE 0 END)) AS x1,
+             ln(1.0 + sum(CASE WHEN event_type IN ('view', 'click')
+                          THEN value ELSE 0 END)) AS x2,
+             CAST(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*) > 0.25 AS DOUBLE) AS y
+      FROM events GROUP BY user_id
+"""
+
+register(
+    "m5_logreg_gd",
+    ml.logreg_gd_train,
+    sql=f"""
+    WITH u AS ({_LOGREG_U}),
+    i1 AS (
+      SELECT {ml.LOGREG_LR} * avg(y - 0.5) AS wb,
+             {ml.LOGREG_LR} * avg((y - 0.5) * x1) AS w1,
+             {ml.LOGREG_LR} * avg((y - 0.5) * x2) AS w2
+      FROM u
+    ),
+    i2 AS (
+      SELECT any_value(wb) + {ml.LOGREG_LR} * avg(
+               y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) AS wb,
+             any_value(w1) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x1) AS w1,
+             any_value(w2) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x2) AS w2
+      FROM u, i1
+    ),
+    i3 AS (
+      SELECT any_value(wb) + {ml.LOGREG_LR} * avg(
+               y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) AS wb,
+             any_value(w1) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x1) AS w1,
+             any_value(w2) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x2) AS w2
+      FROM u, i2
+    ),
+    scored AS (
+      SELECT y,
+             CASE WHEN 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2))) >= 0.5
+                  THEN 1 ELSE 0 END AS pred,
+             wb, w1, w2
+      FROM u, i3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(any_value(wb), 4) AS w_bias,
+           round(any_value(w1), 4) AS w_x1,
+           round(any_value(w2), 4) AS w_x2,
+           CAST(sum(pred * y) AS BIGINT) AS tp,
+           CAST(sum(pred * (1 - y)) AS BIGINT) AS fp,
+           CAST(sum((1 - pred) * y) AS BIGINT) AS fn,
+           CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn
+    FROM scored
+    """,
+    tags=("ml", "logistic-regression", "iterative", "gradient-descent"),
+)

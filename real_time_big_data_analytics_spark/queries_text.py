@@ -1974,3 +1974,88 @@ register(
     """,
     tags=("dedup", "incremental", "near-dup"),
 )
+
+
+# RRF fusion of the BM25 ranking (same CTEs as l4_bm25_search) with a
+# cosine ranking against each query's top BM25 hit's embedding. Both
+# ranks are integers from rounded-score windows; the fused score sums
+# two identically-computed divisions -> hash-exact.
+register(
+    "l4_rrf_hybrid_search",
+    similarity.rrf_hybrid_search,
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, word AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), dft AS (
+      SELECT term, count(*) AS df
+      FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+    ), qterms AS (
+      SELECT dft.term, dft.df
+      FROM dft JOIN (SELECT term, sum(tf) AS cf FROM tf GROUP BY term) c
+        USING (term)
+      WHERE length(dft.term) >= 4
+      ORDER BY c.cf DESC, dft.term ASC LIMIT 3
+    ), scalars AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT avg(dl) FROM dl) AS avgdl
+    ), scored AS (
+      SELECT q.term, tf.doc_id,
+             round(
+               ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+               6) AS score
+      FROM tf JOIN qterms q USING (term)
+      JOIN dl USING (doc_id) CROSS JOIN scalars s
+    ), lex AS (
+      SELECT term, doc_id, rk_lex FROM (
+        SELECT term, doc_id, row_number() OVER (
+                 PARTITION BY term ORDER BY score DESC, doc_id ASC) AS rk_lex
+        FROM scored
+      ) WHERE rk_lex <= 10
+    ), seeds AS (
+      SELECT term, doc_id AS seed_id FROM lex WHERE rk_lex = 1
+    ), qv AS (
+      SELECT s.term, CAST(e.embedding AS DOUBLE[]) AS q
+      FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_id
+    ), sem AS (
+      SELECT term, vec_id, rk_sem FROM (
+        SELECT qv.term, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY qv.term
+                 ORDER BY round(
+                   list_dot_product(qv.q, CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(qv.q, qv.q))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))),
+                   6) DESC, e.vec_id ASC) AS rk_sem
+        FROM embeddings e CROSS JOIN qv
+      ) WHERE rk_sem <= 10
+    ), fused AS (
+      SELECT coalesce(l.term, s.term) AS term,
+             coalesce(l.doc_id, s.vec_id) AS doc_id,
+             l.rk_lex, s.rk_sem,
+             round(coalesce(1.0 / (60 + l.rk_lex), 0.0)
+                   + coalesce(1.0 / (60 + s.rk_sem), 0.0), 6) AS rrf_score
+      FROM lex l FULL OUTER JOIN sem s
+        ON l.term = s.term AND l.doc_id = s.vec_id
+    )
+    SELECT term, CAST(rrf_rank AS BIGINT) AS rrf_rank, doc_id, rrf_score,
+           CAST(rk_lex AS BIGINT) AS rk_lex,
+           CAST(rk_sem AS BIGINT) AS rk_sem
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY term ORDER BY rrf_score DESC, doc_id ASC)
+               AS rrf_rank
+      FROM fused
+    ) WHERE rrf_rank <= 10
+    """,
+    tags=("text", "search", "hybrid", "rrf"),
+)

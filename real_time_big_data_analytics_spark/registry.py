@@ -66,6 +66,13 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "sf_mann_whitney_chars",
     "sf_welch_ttest_value",
     "wf_km_survival",
+    "sf_bootstrap_mean_orders",
+    "sf_cuped_adjusted_diff",
+    "ts_acf_daily_value",
+    "m5_logreg_gd",
+    "dq_zorder_pruning_audit",
+    "l4_rrf_hybrid_search",
+    "mta_time_decay_attribution",
     "er_candidate_pairs",
     "er_entity_clusters",
     "l4_bm25_search",

@@ -71,3 +71,36 @@ def test_kfold_partitions_users_and_clears_bound(spark, sf_dir):
     for r in rows:
         assert r.acc_ok, r.fold
         assert 0 <= r.n_pos <= r.n_users
+
+
+def test_logreg_gd_matches_numpy(spark, sf_dir):
+    """Replay the exact unrolled recurrence in numpy and require the
+    rounded weights to agree — catches any drift between the Spark
+    plan and the documented algorithm."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators.ml import (
+        LOGREG_ITERS,
+        LOGREG_LR,
+        logreg_gd_features,
+        logreg_gd_train,
+    )
+
+    row = logreg_gd_train(spark, sf_dir).collect()[0]
+    feats = logreg_gd_features(spark, sf_dir).toPandas()
+    X = np.column_stack(
+        [np.ones(len(feats)), feats.x1.to_numpy(), feats.x2.to_numpy()]
+    )
+    y = feats.y.to_numpy()
+    w = np.zeros(3)
+    for _ in range(LOGREG_ITERS):
+        p = 1.0 / (1.0 + np.exp(-X @ w))
+        w = w + LOGREG_LR * X.T @ (y - p) / len(y)
+    assert abs(row.w_bias - w[0]) < 1e-3
+    assert abs(row.w_x1 - w[1]) < 1e-3
+    assert abs(row.w_x2 - w[2]) < 1e-3
+    # confusion matrix partitions the users
+    assert row.tp + row.fp + row.fn + row.tn == row.n_users == len(feats)
+    p = 1.0 / (1.0 + np.exp(-X @ w))
+    assert row.tp + row.fn == int(y.sum())
+    assert row.tp + row.fp == int((p >= 0.5).sum())

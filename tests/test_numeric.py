@@ -475,3 +475,114 @@ def test_km_survival_matches_brute_force(spark, sf_dir):
     # survival is non-increasing in t
     surv = [r.survival for r in sorted(rows, key=lambda r: r.t_days)]
     assert all(a >= b for a, b in zip(surv, surv[1:]))
+
+def test_bootstrap_weights_are_poisson_like(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        BOOT_B,
+        bootstrap_mean_orders,
+    )
+
+    row = bootstrap_mean_orders(spark, sf_dir).collect()[0]
+    assert row.n_replicates == BOOT_B
+    assert row.rep_min <= row.point_mean <= row.rep_max
+    # bootstrap SE should be in the ballpark of sd/sqrt(n)
+    import numpy as np
+
+    prices = np.array(
+        [r.o_totalprice for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()]
+    )
+    se_classic = prices.std(ddof=1) / np.sqrt(len(prices))
+    assert 0.4 * se_classic < row.se_boot < 2.5 * se_classic
+    assert row.n == len(prices)
+
+
+def test_bootstrap_weight_mean_is_one(spark, sf_dir):
+    """The deterministic ppm-CDF weights must average ~Poisson(1)."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators.relational import BOOT_CDF_PPM
+
+    u = np.arange(0, 1_000_000, 7)  # uniform grid over ppm space
+    w = sum((u >= c).astype(int) for c in BOOT_CDF_PPM)
+    assert abs(w.mean() - 1.0) < 0.01
+    assert abs((w == 0).mean() - np.exp(-1)) < 0.01
+
+
+def test_cuped_reduces_variance(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        cuped_adjusted_diff,
+    )
+
+    row = cuped_adjusted_diff(spark, sf_dir).collect()[0]
+    assert row.n_treat > 0 and row.n_control > 0
+    # pre-period behavior predicts post-period in this synthetic data
+    # weakly at worst; theta-adjustment must never INCREASE variance
+    assert 0.0 <= row.var_reduction <= 1.0
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert row.n_treat + row.n_control <= ev
+
+
+def test_acf_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from real_time_big_data_analytics_spark.operators.relational import (
+        acf_daily_value,
+    )
+
+    got = {r.lag: r for r in acf_daily_value(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    daily = (
+        ev.assign(day=ev.ts.dt.floor("D"))
+        .groupby("day")["value"]
+        .sum()
+        .sort_index()
+    )
+    # contiguous daily series in the synthetic data: verify lag-1
+    y = daily.to_numpy()
+    r1 = np.corrcoef(y[1:], y[:-1])[0, 1]
+    assert abs(got[1].acf - r1) < 1e-3
+    assert got[1].n_pairs == len(y) - 1
+    assert set(got) == set(range(1, 8))
+
+def test_time_decay_mta_brute_force(spark, sf_dir):
+    """Replay the half-life-bucketed decay credit in plain Python."""
+    from collections import defaultdict
+
+    from real_time_big_data_analytics_spark.operators.relational import (
+        MTA_BUCKETS,
+        MTA_HALF_LIFE_US,
+        multitouch_time_decay,
+    )
+
+    got = {r.touch_type: r for r in multitouch_time_decay(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for e in ev:
+        us = e.ts.timestamp() * 1_000_000
+        by_user[e.user_id].append((int(round(us)), e.event_type, e.value))
+    credits = defaultdict(float)
+    hits = defaultdict(int)
+    types = ("click", "view", "signup")
+    for evs in by_user.values():
+        evs.sort()
+        for t_us, et, val in evs:
+            if et != "purchase":
+                continue
+            cents = int(val * 100 + 0.5)
+            w = dict.fromkeys(types, 0)
+            for s_us, s_et, _ in evs:
+                if s_et not in w:
+                    continue
+                dt = t_us - s_us
+                if 1 <= dt <= MTA_BUCKETS * MTA_HALF_LIFE_US:
+                    w[s_et] += 8 >> ((dt - 1) // MTA_HALF_LIFE_US)
+            tot = sum(w.values())
+            if tot == 0:
+                continue
+            for t in types:
+                credits[t] += round(cents * w[t] * 1000.0 / tot)
+                hits[t] += 1 if w[t] > 0 else 0
+    for t in types:
+        assert got[t].n_purchases_credited == hits[t], t
+        assert abs(got[t].credited_revenue - round(credits[t] / 100_000.0, 2)) < 0.011, t

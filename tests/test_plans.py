@@ -104,6 +104,12 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "sf_ks_test_chars",  # 1-row sample-totals broadcast cross join
         "sf_mann_whitney_chars",  # same 1-row sample-totals broadcast
         "wf_km_survival",  # 1-row horizon (max day) broadcast
+        "sf_bootstrap_mean_orders",  # 1-row point-estimate broadcast
+        "sf_cuped_adjusted_diff",  # 1-row theta/moments broadcast
+        "ts_acf_daily_value",  # 7-row lag table onto the daily series
+        "m5_logreg_gd",  # 1-row weight vector broadcast per GD step
+        "dq_zorder_pruning_audit",  # 1-row dimension-bounds broadcast
+        "l4_rrf_hybrid_search",  # 3-row seed-vector broadcast (knn shape)
         "l4_bm25_search",  # 1-row N/avgdl scalar broadcast
         "l3_ivf_append_invariants",  # 1-row truth-counts broadcast
         "q11_important_part_values",  # 1-row grand-total threshold broadcast

@@ -184,3 +184,22 @@ def test_winsorize_bounds_and_clip_counts(spark, sf_dir):
         assert abs(r.mean_after - r.mean_before) <= max(
             abs(r.mean_before) * 0.2, 1.0
         )
+
+
+def test_zorder_layout_prunes_but_keyorder_does_not(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        Z_FILES,
+        zorder_pruning_audit,
+    )
+
+    rows = {r.layout: r for r in zorder_pruning_audit(spark, sf_dir).collect()}
+    z, k = rows["zorder"], rows["keyorder"]
+    assert z.n_files == k.n_files == Z_FILES
+    assert z.rows_total == k.rows_total
+    assert z.rows_matched == k.rows_matched  # layout never changes answers
+    # every matched row lives in a scanned file
+    assert z.rows_scanned >= z.rows_matched
+    assert k.rows_scanned >= k.rows_matched
+    # the point of z-ordering: a 2-D box touches O(perimeter) tiles
+    assert z.files_scanned < k.files_scanned
+    assert z.rows_scanned * 4 < k.rows_scanned

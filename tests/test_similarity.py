@@ -268,3 +268,40 @@ def test_knn_graph_structure_and_brute_agreement(spark, sf_dir):
         want = [(-i, s) for s, i in [(c[0], c[1]) for c in cands]]
         got = [(e[1], e[2]) for e in per_src[src]]
         assert got == [(int(w[0]), w[1]) for w in want], src
+
+
+def test_rrf_fuses_both_rankers(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.similarity import (
+        RRF_K,
+        rrf_hybrid_search,
+    )
+
+    rows = rrf_hybrid_search(spark, sf_dir).collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r.term, []).append(r)
+    assert len(by_term) == 3
+    for term, rs in by_term.items():
+        assert [r.rrf_rank for r in sorted(rs, key=lambda r: r.rrf_rank)] == list(
+            range(1, len(rs) + 1)
+        )
+        # the seed doc is rank 1 in BOTH rankings -> it must win fusion
+        top = min(rs, key=lambda r: r.rrf_rank)
+        assert top.rk_lex == 1 and top.rk_sem == 1
+        assert abs(top.rrf_score - 2 / (RRF_K + 1)) < 1e-6
+        # docs present in both lists outrank same-rank singletons
+        for r in rs:
+            assert r.rk_lex is not None or r.rk_sem is not None
+
+
+def test_rrf_scores_match_rank_formula(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.similarity import (
+        RRF_K,
+        rrf_hybrid_search,
+    )
+
+    for r in rrf_hybrid_search(spark, sf_dir).collect():
+        want = (1 / (RRF_K + r.rk_lex) if r.rk_lex else 0) + (
+            1 / (RRF_K + r.rk_sem) if r.rk_sem else 0
+        )
+        assert abs(r.rrf_score - want) < 1e-6
