@@ -79,6 +79,16 @@ HEADLINE = [
     # application) and the blocked k-NN graph build
     "sf_ks_test_chars",
     "l3_knn_graph",
+    # final-session additions: the lazily-composed iterative GD
+    # trainer, the Morton-layout pruning replay (explode x2 +
+    # bounds broadcast), and hybrid rank fusion (BM25 + cosine).
+    # sf_bootstrap_mean_orders is deliberately NOT headlined: its
+    # honest cost is the 32x-widened md5 projection (~8 s at sf0.1),
+    # measured once in its docstring, and benching it would swamp the
+    # regression signal of everything else.
+    "m5_logreg_gd",
+    "dq_zorder_pruning_audit",
+    "l4_rrf_hybrid_search",
 ]
 
 

@@ -2408,3 +2408,34 @@ register(
     """,
     tags=("attribution", "window", "time-decay"),
 )
+
+
+register(
+    "wf_rfm_segments",
+    relational.rfm_segments,
+    sql="""
+    WITH horizon AS (
+      SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS last_day
+      FROM events
+    ), users AS (
+      SELECT user_id,
+             date_diff('day', max(CAST(date_trunc('day', ts) AS DATE)),
+                       (SELECT last_day FROM horizon)) AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), q AS (
+      SELECT user_id, frequency, cents,
+             6 - ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS r,
+             ntile(5) OVER (ORDER BY frequency ASC, user_id ASC) AS f,
+             ntile(5) OVER (ORDER BY cents ASC, user_id ASC) AS m
+      FROM users
+    )
+    SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(frequency) AS BIGINT) AS n_purchases,
+           round(sum(cents) / 100.0, 2) AS revenue
+    FROM q GROUP BY 1
+    """,
+    tags=("window", "rfm", "segmentation"),
+)

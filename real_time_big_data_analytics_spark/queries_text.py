@@ -2059,3 +2059,69 @@ register(
     """,
     tags=("text", "search", "hybrid", "rrf"),
 )
+
+
+def _stage_docs_orc(spark, sf_dir: str) -> str:
+    """Idempotent ORC staging of the documents table (same mtime-keyed
+    temp-dir discipline as _stage_docs_jsonl)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.text import load_table
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"rtba_orc_{tag}")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "source", "n_chars")
+            .coalesce(4)
+            .write.mode("overwrite")
+            .orc(out_dir)
+        )
+    return out_dir
+
+
+def _orc_roundtrip_stats(spark, sf_dir):
+    """S5 extension — ORC sink + source roundtrip: the second columnar
+    format Spark ships natively (the Hive-ecosystem counterpart to
+    parquet). Write documents as ORC, read back WITH a pushed filter
+    and aggregate per language — the oracle computes the same slice
+    from the original parquet, so any loss, duplication, type
+    coercion, or mis-pushed predicate in the ORC path breaks the
+    hash. ORC carries its own min/max stripe statistics, so the
+    n_chars predicate prunes stripes exactly like parquet row groups
+    at scale."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.orc(_stage_docs_orc(spark, sf_dir))
+    return (
+        df.filter(F.col("n_chars") >= 200)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+
+
+register(
+    "s_orc_roundtrip_stats",
+    _orc_roundtrip_stats,
+    sql="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents WHERE n_chars >= 200 GROUP BY lang
+    """,
+    tags=("source", "sink", "orc", "roundtrip"),
+)

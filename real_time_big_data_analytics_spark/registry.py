@@ -73,6 +73,8 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "dq_zorder_pruning_audit",
     "l4_rrf_hybrid_search",
     "mta_time_decay_attribution",
+    "s_orc_roundtrip_stats",
+    "wf_rfm_segments",
     "er_candidate_pairs",
     "er_entity_clusters",
     "l4_bm25_search",

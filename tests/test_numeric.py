@@ -586,3 +586,30 @@ def test_time_decay_mta_brute_force(spark, sf_dir):
     for t in types:
         assert got[t].n_purchases_credited == hits[t], t
         assert abs(got[t].credited_revenue - round(credits[t] / 100_000.0, 2)) < 0.011, t
+
+def test_rfm_segments_partition_users(spark, sf_dir):
+    from real_time_big_data_analytics_spark.operators.relational import (
+        rfm_segments,
+    )
+
+    rows = rfm_segments(spark, sf_dir).collect()
+    buyers = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type = 'purchase'")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == buyers
+    for r in rows:
+        digits = [r.segment // 100, r.segment // 10 % 10, r.segment % 10]
+        assert all(1 <= d <= 5 for d in digits), r.segment
+    # each quintile of each dimension holds ~1/5 of the users
+    from collections import Counter
+
+    for place in (100, 10, 1):
+        per_q = Counter()
+        for r in rows:
+            per_q[r.segment // place % 10] += r.n_users
+        assert set(per_q) == {1, 2, 3, 4, 5}
+        assert max(per_q.values()) - min(per_q.values()) <= buyers // 5 + 1

@@ -166,3 +166,22 @@ def test_python_datasource_partitions_per_file_and_matches_native(spark, sf_dir,
     assert back.rdd.getNumPartitions() == n_files
     assert back.exceptAll(native).count() == 0
     assert native.exceptAll(back).count() == 0
+
+
+def test_orc_roundtrip_pushes_filter_to_scan(spark, sf_dir):
+    from real_time_big_data_analytics_spark.queries_text import (
+        _stage_docs_orc,
+    )
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.orc(_stage_docs_orc(spark, sf_dir))
+        .filter(F.col("n_chars") >= 200)
+        .select("lang", "n_chars")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_chars" in plan, plan
+    # roundtrip preserves every row
+    n_orc = spark.read.orc(_stage_docs_orc(spark, sf_dir)).count()
+    n_pq = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert n_orc == n_pq
