@@ -26,6 +26,18 @@ _PKG = "real_time_big_data_analytics_spark"
 _shipped_contexts: set[str] = set()
 
 
+def _pin_session_tz(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC on any caller-provided session.
+
+    The oracle (DuckDB over naive parquet timestamps) computes
+    date_trunc/day arithmetic in the timestamps' own frame; a Spark
+    session inheriting a non-UTC machine TZ would shift day/window
+    boundaries and break the comparison even though both engines are
+    'right'. The factory session (session.py) already pins this; the
+    driver hands us ITS session, so pin here too."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make the package importable on executors regardless of the
     driver's working directory: Python-UDF closures (mapInPandas /
@@ -53,6 +65,7 @@ def _ship_package(spark: SparkSession) -> None:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ship_package(spark)
+    _pin_session_tz(spark)
     return all_queries()[_FLAGSHIP].fn(spark, "/root/testdata/sf0.001")
 
 
@@ -60,6 +73,7 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ship_package(spark)
+        _pin_session_tz(spark)
         return fn(spark, sf_dir)
 
     return wrapped
