@@ -86,3 +86,18 @@ def test_second_run_is_identical(spark, sf_dir, name):
     first = {tuple(r) for r in fn(spark, sf_dir).collect()}
     second = {tuple(r) for r in fn(spark, sf_dir).collect()}
     assert first == second, name
+
+
+def test_entry_shim_pins_utc_session_tz(spark, sf_dir):
+    """The driver passes its own session; a non-UTC session TZ would
+    shift day/window boundaries vs the naive-timestamp oracle. The
+    __spark_entry__ wrappers must repin UTC on every call."""
+    import __spark_entry__ as e
+
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        df = e.queries()["a6_counts_over_time"](spark, sf_dir)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        df.limit(1).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
