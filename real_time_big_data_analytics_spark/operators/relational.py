@@ -2402,3 +2402,111 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("frequency").cast("bigint").alias("n_purchases"),
         round2(F.sum("cents") / 100.0, 2).alias("revenue"),
     )
+
+
+def _key_skew(df: DataFrame, key: str, label: str) -> DataFrame:
+    """One key's skew profile: count per key, then integer-exact
+    Gini / top-share statistics over the (already aggregated,
+    rows << input) key-count table."""
+    counts = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+    w_rank = Window.orderBy(F.asc("c"), F.asc("k"))
+    w_top = Window.orderBy(F.desc("c"), F.asc("k"))
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w_rank).alias("i"),
+        F.row_number().over(w_top).alias("top_i"),
+    )
+    return ranked.agg(
+        F.lit(label).alias("key"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.floor(F.max("c") * 1_000_000 / F.sum("c")).cast("bigint").alias(
+            "top1_share_ppm"
+        ),
+        F.floor(
+            F.sum(F.when(F.col("top_i") <= 10, F.col("c")).otherwise(0))
+            * 1_000_000
+            / F.sum("c")
+        )
+        .cast("bigint")
+        .alias("top10_share_ppm"),
+        # Gini over sorted-ascending counts: G = (2·Σ i·c_i − (n+1)·Σc)
+        # / (n·Σc) — exact bigint numerator, floored to ppm
+        F.floor(
+            (2 * F.sum(F.col("i") * F.col("c")) - (F.count("*") + 1) * F.sum("c"))
+            * 1_000_000
+            / (F.count("*") * F.sum("c"))
+        )
+        .cast("bigint")
+        .alias("gini_ppm"),
+    )
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ/layout — join-key skew profile: per candidate shuffle key,
+    the distinct-key count, top-1/top-10 key shares, and the Gini
+    coefficient of the key-frequency distribution — the measurement
+    behind every salting / AQE-skew-join decision (pairs with
+    ``skew_salted_user_stats``, which is the FIX; this is the
+    detector you run first).
+
+    Shape: one count-aggregate per key (rows collapse to distinct
+    keys — the dimension, not the fact, cardinality), then rank
+    windows over the key-count table. All statistics stay exact
+    bigints until a final ppm floor. The rank sort is single-pass
+    over the aggregated key table; at billions of keys the same
+    two-phase bucketed prefix-sum used by the KS/Mann-Whitney pair
+    applies (bucket by count), and the quantile-sketch family is the
+    approximate fallback.
+    """
+    events = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    return _key_skew(events, "user_id", "events.user_id").unionByName(
+        _key_skew(li, "l_orderkey", "lineitem.l_orderkey")
+    )
+
+
+POWER_Z_ALPHA = 1.959964  # two-sided 5%
+POWER_Z_BETA = 0.841621  # 80% power
+POWER_MDE_PCT = (2, 5, 10)  # minimum detectable effects, % of mean
+
+
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation — sample-size / power analysis from observed
+    variance: for each candidate minimum-detectable-effect (as % of
+    the mean per-user value), the users-per-arm needed for 80% power
+    at two-sided α=5%: n = 2·(z_α/2+z_β)²·σ²/Δ². The planning query
+    an experimentation platform runs BEFORE launching the A/B test
+    that ``sf_cuped_adjusted_diff`` later reads out.
+
+    One user-grain aggregate (the same pass CUPED makes), a 1-row
+    moments reduce, and a 3-row MDE grid broadcast. ceil() on the
+    final count; everything before it is identical double arithmetic
+    on both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(F.sum("value").alias("y"))
+    m = users.agg(
+        F.count("*").alias("n_users"),
+        F.avg("y").alias("mean_y"),
+        F.var_samp("y").alias("var_y"),
+    )
+    grid = spark.range(len(POWER_MDE_PCT)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in POWER_MDE_PCT]), (F.col("id") + 1).cast("int")
+        ).alias("mde_pct")
+    )
+    z2 = (POWER_Z_ALPHA + POWER_Z_BETA) ** 2
+    delta = F.col("mean_y") * F.col("mde_pct") / 100.0
+    n_arm = F.ceil(2 * F.lit(z2) * F.col("var_y") / (delta * delta))
+    return (
+        m.crossJoin(F.broadcast(grid))
+        .select(
+            F.col("mde_pct").cast("bigint").alias("mde_pct"),
+            F.col("n_users").cast("bigint").alias("n_users_observed"),
+            round2(F.col("mean_y"), 4).alias("mean_y"),
+            round2(F.sqrt("var_y"), 4).alias("sd_y"),
+            n_arm.cast("bigint").alias("n_per_arm_needed"),
+            (n_arm * 2 <= F.col("n_users")).alias("feasible_now"),
+        )
+    )

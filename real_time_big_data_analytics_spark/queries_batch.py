@@ -2439,3 +2439,65 @@ register(
     """,
     tags=("window", "rfm", "segmentation"),
 )
+
+
+def _skew_sql(table: str, key: str, label: str) -> str:
+    return f"""
+      SELECT '{label}' AS key,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(floor(max(c) * 1000000.0 / sum(c)) AS BIGINT)
+               AS top1_share_ppm,
+             CAST(floor(sum(CASE WHEN top_i <= 10 THEN c ELSE 0 END)
+                        * 1000000.0 / sum(c)) AS BIGINT) AS top10_share_ppm,
+             CAST(floor((2 * sum(i * c) - (count(*) + 1) * sum(c))
+                        * 1000000.0 / (count(*) * sum(c))) AS BIGINT)
+               AS gini_ppm
+      FROM (
+        SELECT c,
+               row_number() OVER (ORDER BY c ASC, k ASC) AS i,
+               row_number() OVER (ORDER BY c DESC, k ASC) AS top_i
+        FROM (SELECT {key} AS k, count(*) AS c FROM {table} GROUP BY 1)
+      )
+    """
+
+
+register(
+    "dq_key_skew_profile",
+    relational.key_skew_profile,
+    sql=f"""
+    {_skew_sql("events", "user_id", "events.user_id")}
+    UNION ALL
+    {_skew_sql("lineitem", "l_orderkey", "lineitem.l_orderkey")}
+    """,
+    tags=("data-quality", "skew", "gini", "shuffle-planning"),
+)
+
+register(
+    "sf_ab_power_analysis",
+    relational.ab_power_analysis,
+    sql=f"""
+    WITH users AS (
+      SELECT user_id, sum(value) AS y FROM events GROUP BY user_id
+    ), m AS (
+      SELECT count(*) AS n_users, avg(y) AS mean_y, var_samp(y) AS var_y
+      FROM users
+    ), grid AS (
+      SELECT unnest(ARRAY{list(relational.POWER_MDE_PCT)}) AS mde_pct
+    )
+    SELECT CAST(mde_pct AS BIGINT) AS mde_pct,
+           CAST(n_users AS BIGINT) AS n_users_observed,
+           round(mean_y, 4) AS mean_y,
+           round(sqrt(var_y), 4) AS sd_y,
+           CAST(ceil(2 * {(relational.POWER_Z_ALPHA + relational.POWER_Z_BETA) ** 2}
+                     * var_y / ((mean_y * mde_pct / 100.0)
+                        * (mean_y * mde_pct / 100.0))) AS BIGINT)
+             AS n_per_arm_needed,
+           CAST(ceil(2 * {(relational.POWER_Z_ALPHA + relational.POWER_Z_BETA) ** 2}
+                     * var_y / ((mean_y * mde_pct / 100.0)
+                        * (mean_y * mde_pct / 100.0))) * 2 <= n_users
+             AS BOOLEAN) AS feasible_now
+    FROM m, grid
+    """,
+    tags=("stats", "power-analysis", "experimentation"),
+)

@@ -75,6 +75,8 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "mta_time_decay_attribution",
     "s_orc_roundtrip_stats",
     "wf_rfm_segments",
+    "dq_key_skew_profile",
+    "sf_ab_power_analysis",
     "er_candidate_pairs",
     "er_entity_clusters",
     "l4_bm25_search",

@@ -111,6 +111,7 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "dq_zorder_pruning_audit",  # 1-row dimension-bounds broadcast
         "l4_rrf_hybrid_search",  # 3-row seed-vector broadcast (knn shape)
         "wf_rfm_segments",  # 1-row horizon (max day) broadcast
+        "sf_ab_power_analysis",  # 3-row MDE grid onto 1-row moments
         "l4_bm25_search",  # 1-row N/avgdl scalar broadcast
         "l3_ivf_append_invariants",  # 1-row truth-counts broadcast
         "q11_important_part_values",  # 1-row grand-total threshold broadcast

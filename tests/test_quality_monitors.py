@@ -203,3 +203,51 @@ def test_zorder_layout_prunes_but_keyorder_does_not(spark, sf_dir):
     # the point of z-ordering: a 2-D box touches O(perimeter) tiles
     assert z.files_scanned < k.files_scanned
     assert z.rows_scanned * 4 < k.rows_scanned
+
+
+def test_key_skew_profile_brute_force(spark, sf_dir):
+    from collections import Counter
+
+    from real_time_big_data_analytics_spark.operators.relational import (
+        key_skew_profile,
+    )
+
+    rows = {r.key: r for r in key_skew_profile(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    c = Counter(e.user_id for e in ev)
+    got = rows["events.user_id"]
+    assert got.n_keys == len(c) and got.n_rows == len(ev)
+    assert got.top1_share_ppm == max(c.values()) * 1_000_000 // len(ev)
+    top10 = sum(v for v in sorted(c.values(), reverse=True)[:10])
+    assert got.top10_share_ppm == top10 * 1_000_000 // len(ev)
+    cs = sorted(c.values())
+    n, tot = len(cs), sum(cs)
+    gini = (2 * sum((i + 1) * v for i, v in enumerate(cs)) - (n + 1) * tot) * 1_000_000 // (n * tot)
+    assert got.gini_ppm == gini
+    assert 0 <= got.gini_ppm < 1_000_000
+
+
+def test_ab_power_analysis_formula(spark, sf_dir):
+    import math
+
+    from real_time_big_data_analytics_spark.operators.relational import (
+        POWER_MDE_PCT,
+        POWER_Z_ALPHA,
+        POWER_Z_BETA,
+        ab_power_analysis,
+    )
+
+    rows = {r.mde_pct: r for r in ab_power_analysis(spark, sf_dir).collect()}
+    assert set(rows) == set(POWER_MDE_PCT)
+    # larger detectable effects need fewer users, ~quadratically
+    ns = [rows[p].n_per_arm_needed for p in sorted(POWER_MDE_PCT)]
+    assert ns[0] > ns[1] > ns[2] > 0
+    for p in POWER_MDE_PCT:
+        r = rows[p]
+        delta = r.mean_y * p / 100.0
+        want = math.ceil(
+            2 * (POWER_Z_ALPHA + POWER_Z_BETA) ** 2 * r.sd_y**2 / (delta * delta)
+        )
+        # sd_y is rounded in the output; allow 1% slack on the replay
+        assert abs(r.n_per_arm_needed - want) <= max(1, want * 0.01)
+        assert r.feasible_now == (r.n_per_arm_needed * 2 <= r.n_users_observed)
