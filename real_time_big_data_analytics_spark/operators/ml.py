@@ -319,3 +319,78 @@ def logreg_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(((1 - pred) * (1 - F.col("y"))).cast("long")).cast("bigint").alias("tn"),
         )
     )
+
+
+NB_VAR_EPS = 1e-6
+
+
+def gaussian_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 — Gaussian Naive Bayes on the same leak-free feature pair
+    as ``m5_logreg_gd``: per-class feature means/variances + class
+    priors from ONE grouped aggregate, then a broadcast scoring pass
+    computing the class log-posteriors row-side. The second trainer
+    under the exact-correctness gate — unlike GD there is no
+    iteration at all: training IS a partial-aggregable aggregate, the
+    canonical "ML as a GROUP BY" shape that needs no driver loop at
+    any scale.
+
+    Scoring compares ln P(c) − Σ_f [ln σ_cf + (x_f−μ_cf)²/(2σ_cf²)]
+    across the two classes (shared constants dropped). Output: per
+    class the learned parameters (rounded 1e-4) and integer confusion
+    counts at the argmax decision — both hash-checked against the
+    replayed SQL.
+    """
+    u = logreg_gd_features(spark, sf_dir)
+    # variance smoothing (sklearn's var_smoothing idea, fixed eps):
+    # a singleton class has var_samp = NULL and a constant feature has
+    # 0 — both poison the log-likelihood; floor at NB_VAR_EPS on BOTH
+    # engines
+    smooth = lambda c: F.greatest(F.coalesce(c, F.lit(0.0)), F.lit(NB_VAR_EPS))
+    params = u.groupBy("y").agg(
+        F.count("*").alias("n"),
+        F.avg("x1").alias("m1"),
+        smooth(F.var_samp("x1")).alias("v1"),
+        F.avg("x2").alias("m2"),
+        smooth(F.var_samp("x2")).alias("v2"),
+    )
+    pos = F.col("y") == 1.0
+    p = params.agg(
+        F.sum("n").alias("n_all"),
+        F.max(F.when(pos, F.col("n"))).alias("n_p"),
+        F.max(F.when(pos, F.col("m1"))).alias("m1_p"),
+        F.max(F.when(pos, F.col("v1"))).alias("v1_p"),
+        F.max(F.when(pos, F.col("m2"))).alias("m2_p"),
+        F.max(F.when(pos, F.col("v2"))).alias("v2_p"),
+        F.max(F.when(~pos, F.col("n"))).alias("n_n"),
+        F.max(F.when(~pos, F.col("m1"))).alias("m1_n"),
+        F.max(F.when(~pos, F.col("v1"))).alias("v1_n"),
+        F.max(F.when(~pos, F.col("m2"))).alias("m2_n"),
+        F.max(F.when(~pos, F.col("v2"))).alias("v2_n"),
+    )
+
+    def loglik(prior_n, m1, v1, m2, v2):
+        return (
+            F.log(F.col(prior_n) / F.col("n_all"))
+            - 0.5 * F.log(F.col(v1))
+            - (F.col("x1") - F.col(m1)) * (F.col("x1") - F.col(m1))
+            / (2 * F.col(v1))
+            - 0.5 * F.log(F.col(v2))
+            - (F.col("x2") - F.col(m2)) * (F.col("x2") - F.col(m2))
+            / (2 * F.col(v2))
+        )
+
+    ll_p = loglik("n_p", "m1_p", "v1_p", "m2_p", "v2_p")
+    ll_n = loglik("n_n", "m1_n", "v1_n", "m2_n", "v2_n")
+    pred = (ll_p > ll_n).cast("long")
+    scored = u.crossJoin(F.broadcast(p))
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        round2(F.first("m1_p"), 4).alias("mean_x1_bot"),
+        round2(F.first("v1_p"), 4).alias("var_x1_bot"),
+        round2(F.first("m1_n"), 4).alias("mean_x1_ok"),
+        round2(F.first("v1_n"), 4).alias("var_x1_ok"),
+        F.sum((pred * F.col("y")).cast("long")).cast("bigint").alias("tp"),
+        F.sum((pred * (1 - F.col("y"))).cast("long")).cast("bigint").alias("fp"),
+        F.sum(((1 - pred) * F.col("y")).cast("long")).cast("bigint").alias("fn"),
+        F.sum(((1 - pred) * (1 - F.col("y"))).cast("long")).cast("bigint").alias("tn"),
+    )

@@ -141,3 +141,61 @@ register(
     """,
     tags=("ml", "logistic-regression", "iterative", "gradient-descent"),
 )
+
+
+# training IS one grouped aggregate; scoring replays the identical
+# log-posterior comparison — parameters AND confusion counts hash-match
+register(
+    "m6_gaussian_nb",
+    ml.gaussian_nb_train_score,
+    sql=f"""
+    WITH u AS ({_LOGREG_U}),
+    params AS (
+      SELECT y, count(*) AS n,
+             avg(x1) AS m1,
+             greatest(coalesce(var_samp(x1), 0.0), {ml.NB_VAR_EPS}) AS v1,
+             avg(x2) AS m2,
+             greatest(coalesce(var_samp(x2), 0.0), {ml.NB_VAR_EPS}) AS v2
+      FROM u GROUP BY y
+    ), p AS (
+      SELECT sum(n) AS n_all,
+             max(CASE WHEN y = 1 THEN n END) AS n_p,
+             max(CASE WHEN y = 1 THEN m1 END) AS m1_p,
+             max(CASE WHEN y = 1 THEN v1 END) AS v1_p,
+             max(CASE WHEN y = 1 THEN m2 END) AS m2_p,
+             max(CASE WHEN y = 1 THEN v2 END) AS v2_p,
+             max(CASE WHEN y = 0 THEN n END) AS n_n,
+             max(CASE WHEN y = 0 THEN m1 END) AS m1_n,
+             max(CASE WHEN y = 0 THEN v1 END) AS v1_n,
+             max(CASE WHEN y = 0 THEN m2 END) AS m2_n,
+             max(CASE WHEN y = 0 THEN v2 END) AS v2_n
+      FROM params
+    ), scored AS (
+      SELECT y,
+             CASE WHEN
+               ln(n_p / n_all) - 0.5 * ln(v1_p)
+                 - (x1 - m1_p) * (x1 - m1_p) / (2 * v1_p)
+                 - 0.5 * ln(v2_p)
+                 - (x2 - m2_p) * (x2 - m2_p) / (2 * v2_p)
+               >
+               ln(n_n / n_all) - 0.5 * ln(v1_n)
+                 - (x1 - m1_n) * (x1 - m1_n) / (2 * v1_n)
+                 - 0.5 * ln(v2_n)
+                 - (x2 - m2_n) * (x2 - m2_n) / (2 * v2_n)
+             THEN 1 ELSE 0 END AS pred,
+             m1_p, v1_p, m1_n, v1_n
+      FROM u, p
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(any_value(m1_p), 4) AS mean_x1_bot,
+           round(any_value(v1_p), 4) AS var_x1_bot,
+           round(any_value(m1_n), 4) AS mean_x1_ok,
+           round(any_value(v1_n), 4) AS var_x1_ok,
+           CAST(sum(pred * y) AS BIGINT) AS tp,
+           CAST(sum(pred * (1 - y)) AS BIGINT) AS fp,
+           CAST(sum((1 - pred) * y) AS BIGINT) AS fn,
+           CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn
+    FROM scored
+    """,
+    tags=("ml", "naive-bayes", "train", "score"),
+)

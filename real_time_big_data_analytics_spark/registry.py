@@ -112,6 +112,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "wf_rfm_segments",
     "dq_key_skew_profile",
     "sf_ab_power_analysis",
+    "m6_gaussian_nb",
     "er_candidate_pairs",
     "er_entity_clusters",
     "l4_bm25_search",

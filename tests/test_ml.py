@@ -104,3 +104,44 @@ def test_logreg_gd_matches_numpy(spark, sf_dir):
     p = 1.0 / (1.0 + np.exp(-X @ w))
     assert row.tp + row.fn == int(y.sum())
     assert row.tp + row.fp == int((p >= 0.5).sum())
+
+
+def test_gaussian_nb_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators.ml import (
+        gaussian_nb_train_score,
+        logreg_gd_features,
+    )
+
+    row = gaussian_nb_train_score(spark, sf_dir).collect()[0]
+    feats = logreg_gd_features(spark, sf_dir).toPandas()
+    X = feats[["x1", "x2"]].to_numpy()
+    y = feats.y.to_numpy()
+    preds = []
+    lls = {}
+    from real_time_big_data_analytics_spark.operators.ml import NB_VAR_EPS
+
+    for cls in (0.0, 1.0):
+        Xc = X[y == cls]
+        prior = len(Xc) / len(X)
+        mu = Xc.mean(0)
+        var = np.maximum(np.nan_to_num(Xc.var(0, ddof=1)), NB_VAR_EPS)
+        lls[cls] = (
+            np.log(prior)
+            - 0.5 * np.log(var).sum()
+            - ((X - mu) ** 2 / (2 * var)).sum(1)
+        )
+    pred = (lls[1.0] > lls[0.0]).astype(int)
+    tp = int(((pred == 1) & (y == 1)).sum())
+    fp = int(((pred == 1) & (y == 0)).sum())
+    fn = int(((pred == 0) & (y == 1)).sum())
+    tn = int(((pred == 0) & (y == 0)).sum())
+    assert (row.tp, row.fp, row.fn, row.tn) == (tp, fp, fn, tn)
+    assert row.n_users == len(X)
+    mu1 = X[y == 1].mean(0)
+    var1 = np.maximum(np.nan_to_num(X[y == 1].var(0, ddof=1)), NB_VAR_EPS)
+    assert abs(row.mean_x1_bot - mu1[0]) < 1e-3
+    assert abs(row.var_x1_bot - var1[0]) < 1e-3
+    # NB should beat the all-negative trivial classifier's recall
+    assert row.tp + row.fn > 0

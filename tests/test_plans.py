@@ -112,6 +112,7 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "l4_rrf_hybrid_search",  # 3-row seed-vector broadcast (knn shape)
         "wf_rfm_segments",  # 1-row horizon (max day) broadcast
         "sf_ab_power_analysis",  # 3-row MDE grid onto 1-row moments
+        "m6_gaussian_nb",  # 1-row class-parameters broadcast
         "l4_bm25_search",  # 1-row N/avgdl scalar broadcast
         "l3_ivf_append_invariants",  # 1-row truth-counts broadcast
         "q11_important_part_values",  # 1-row grand-total threshold broadcast
