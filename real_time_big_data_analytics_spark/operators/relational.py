@@ -1039,12 +1039,12 @@ def multitouch_attribution(
                 *[
                     F.struct(
                         F.lit(t).alias("touch_type"),
-                        F.round(
-                            F.col("cents") * F.col(f"n_{t}") * F.lit(1000.0)
-                            / F.col("n_touch")
-                        )
-                        .cast("bigint")
-                        .alias("credit_mc"),
+                        # exact integer half-up, same discipline as
+                        # the time-decay twin: no float round at ties
+                        F.expr(
+                            f"CAST((2 * cents * n_{t} * 1000 + n_touch)"
+                            " DIV (2 * n_touch) AS BIGINT)"
+                        ).alias("credit_mc"),
                         (F.col(f"n_{t}") > 0).cast("int").alias("hit"),
                     )
                     for t in ("click", "view", "signup")
@@ -1054,7 +1054,7 @@ def multitouch_attribution(
     ).select("c.touch_type", "c.credit_mc", "c.hit")
     return credited.groupBy("touch_type").agg(
         F.sum("hit").cast("bigint").alias("n_purchases_credited"),
-        F.round(F.sum("credit_mc") / 100_000.0, 2).alias("credited_revenue"),
+        round2(F.sum("credit_mc") / F.lit(100_000.0), 2).alias("credited_revenue"),
     )
 
 
@@ -2334,12 +2334,16 @@ def multitouch_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(t).alias("touch_type"),
-                        F.round(
-                            F.col("cents") * F.col(f"w_{t}") * F.lit(1000.0)
-                            / F.col("w_touch")
-                        )
-                        .cast("bigint")
-                        .alias("credit_mc"),
+                        # exact integer half-up: round(n/d) =
+                        # (2n + d) DIV 2d for n >= 0, d > 0 — no
+                        # F.round (Spark HALF_UP on shortest-decimal
+                        # repr diverges from DuckDB's binary
+                        # half-away at exact ties, see round2), no
+                        # float at all: cents/weights are bigints
+                        F.expr(
+                            f"CAST((2 * cents * w_{t} * 1000 + w_touch)"
+                            " DIV (2 * w_touch) AS BIGINT)"
+                        ).alias("credit_mc"),
                         (F.col(f"w_{t}") > 0).cast("int").alias("hit"),
                     )
                     for t in types
@@ -2349,7 +2353,7 @@ def multitouch_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c.touch_type", "c.credit_mc", "c.hit")
     return credited.groupBy("touch_type").agg(
         F.sum("hit").cast("bigint").alias("n_purchases_credited"),
-        F.round(F.sum("credit_mc") / 100_000.0, 2).alias("credited_revenue"),
+        round2(F.sum("credit_mc") / F.lit(100_000.0), 2).alias("credited_revenue"),
     )
 
 

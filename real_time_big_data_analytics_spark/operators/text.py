@@ -11,6 +11,8 @@ bound band-bucket sizes.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1524,6 +1526,18 @@ def ppjoin_jaccard_pairs(
     """
     docs = load_table(spark, sf_dir, "documents")
     with_arr = _with_shingle_array(docs, n)
+    # EXACT rational threshold p/q: every lossless bound below must be
+    # computed without float error. A pre-rounded float constant like
+    # threshold/(1+threshold) rounds 0.8/1.8 UP to 0.4444444444444445,
+    # so ceil() can exceed the true rational bound ceil(4(a+b)/9) and
+    # PRUNE a pair sitting exactly at J = t (e.g. a 28-shingle doc
+    # contained in a 35-shingle doc: overlap 28, exact alpha 28, float
+    # alpha 29). Same hazard hits ceil(t·|d|) (prefix one token short
+    # for |d| a multiple of 5 at t=0.8) and min >= t·max (prunes the
+    # tight 4/5-sized pair). All three now use bigint arithmetic on
+    # p/q, where integer-ceil(a/b) = (a + b - 1) DIV b.
+    frac = Fraction(threshold).limit_denominator(10**6)
+    tp, tq = frac.numerator, frac.denominator
     tok = with_arr.select(
         "doc_id", F.size("sh_arr").alias("sz"), F.explode_outer("sh_arr").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
@@ -1531,20 +1545,23 @@ def ppjoin_jaccard_pairs(
     # (df attach), one per doc (prefix rank)
     by_shingle = Window.partitionBy("shingle")
     by_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # prefix length |d| - ceil(t·|d|) + 1, exact: ceil(p·sz/q)
+    ceil_t_sz = F.expr(f"CAST(({tp} * sz + {tq} - 1) DIV {tq} AS BIGINT)")
     prefix = (
         tok.withColumn("df", F.count("*").over(by_shingle))
         .withColumn("rk", F.row_number().over(by_doc))
-        .filter(F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .filter(F.col("rk") <= F.col("sz") - ceil_t_sz + 1)
         .select("doc_id", "sz", "rk", "shingle")
     )
     # PPJoin positional filter (lossless, Xiao et al. 2008): a shared
     # prefix token at 1-based ranks (ra, rb) bounds the overlap by
     # 1 + min(|a|-ra, |b|-rb); J >= t needs overlap >=
-    # ceil(t/(1+t)·(|a|+|b|)), so instances below the bound can't
-    # qualify. A pair survives if ANY shared instance passes —
-    # filtering BEFORE distinct cuts verification fan-in ~10x.
-    alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
+    # ceil(t/(1+t)·(|a|+|b|)) = ceil(p·(a+b)/(p+q)), so instances
+    # below the bound can't qualify. A pair survives if ANY shared
+    # instance passes — filtering BEFORE distinct cuts verification
+    # fan-in ~10x.
+    alpha = F.expr(
+        f"CAST(({tp} * (sz_a + sz_b) + {tp} + {tq} - 1) DIV ({tp} + {tq}) AS BIGINT)"
     )
     ubound = 1 + F.least(
         F.col("sz_a") - F.col("rk_a"), F.col("sz_b") - F.col("rk_b")
@@ -1564,9 +1581,10 @@ def ppjoin_jaccard_pairs(
             ).alias("p")
         )
         .select("p.a_id", "p.sz_a", "p.rk_a", "p.b_id", "p.sz_b", "p.rk_b")
+        # size filter min >= t·max, exact: q·min >= p·max in bigints
         .filter(
-            F.least("sz_a", "sz_b")
-            >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+            F.lit(tq) * F.least("sz_a", "sz_b")
+            >= F.lit(tp) * F.greatest("sz_a", "sz_b")
         )
         .filter(ubound >= alpha)
         .select("a_id", "sz_a", "b_id", "sz_b")

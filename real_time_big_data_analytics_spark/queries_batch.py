@@ -1509,7 +1509,10 @@ register(
       FROM counted WHERE event_type = 'purchase'
     ), credited AS (
       SELECT t.touch_type,
-             CAST(round(p.cents * t.n_t * 1000.0 / p.n_touch) AS BIGINT)
+             -- integer half-up (2n + d) // 2d, mirroring the Spark
+             -- side's DIV — no float round at exact ties
+             CAST((2 * p.cents * t.n_t * 1000 + p.n_touch)
+                  // (2 * p.n_touch) AS BIGINT)
                AS credit_mc,
              CASE WHEN t.n_t > 0 THEN 1 ELSE 0 END AS hit
       FROM p, LATERAL (VALUES ('click', p.n_click),
@@ -2393,7 +2396,10 @@ register(
       FROM p
     ), credited AS (
       SELECT t.touch_type,
-             CAST(round(q.cents * t.w_t * 1000.0 / q.w_touch) AS BIGINT)
+             -- integer half-up (2n + d) // 2d, mirroring the Spark
+             -- side's DIV — no float round at exact ties
+             CAST((2 * q.cents * t.w_t * 1000 + q.w_touch)
+                  // (2 * q.w_touch) AS BIGINT)
                AS credit_mc,
              CASE WHEN t.w_t > 0 THEN 1 ELSE 0 END AS hit
       FROM q, LATERAL (VALUES ('click', q.w_click),

@@ -9,11 +9,11 @@ from .registry import register
 register(
     "m0_label_distribution",
     ml.label_distribution,
-    sql="""
+    sql=f"""
     WITH per_user AS (
       SELECT user_id,
              CAST(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
-                  / count(*) > 0.25 AS INT) AS label
+                  / count(*) > {ml.LABEL_ERROR_RATIO} AS INT) AS label
       FROM events GROUP BY user_id
     )
     SELECT label, count(*) AS n_users FROM per_user GROUP BY label
@@ -28,10 +28,10 @@ register(
 # collapse to asserted flags the oracle emits as `true`. The per-user
 # verdict and confusion-matrix shapes stay available as
 # ml.train_score_users / ml.holdout_eval for the golden pytests.
-_FEAT_LABEL_SQL = """
+_FEAT_LABEL_SQL = f"""
       SELECT user_id,
              CAST(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
-                  / count(*) > 0.25 AS INT) AS label
+                  / count(*) > {ml.LABEL_ERROR_RATIO} AS INT) AS label
       FROM events GROUP BY user_id
 """
 
@@ -83,13 +83,13 @@ register(
 # the gradient recurrence is plain SQL, so the trained weights — not
 # just the fixture — are hash-checked; three unrolled steps mirror
 # ml.LOGREG_ITERS exactly, constants interpolated from the module
-_LOGREG_U = """
+_LOGREG_U = f"""
       SELECT ln(1.0 + sum(CASE WHEN event_type IN ('view', 'click')
                           THEN 1 ELSE 0 END)) AS x1,
              ln(1.0 + sum(CASE WHEN event_type IN ('view', 'click')
                           THEN value ELSE 0 END)) AS x2,
              CAST(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                       AS DOUBLE) / count(*) > 0.25 AS DOUBLE) AS y
+                       AS DOUBLE) / count(*) > {ml.LABEL_ERROR_RATIO} AS DOUBLE) AS y
       FROM events GROUP BY user_id
 """
 

@@ -584,13 +584,29 @@ def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
 
     def update(key, pdfs, state):
-        ewma, n = state.get if state.exists else (None, 0)
+        ewma, n, last_us = state.get if state.exists else (None, 0, None)
         pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        # The order-sensitive recurrence is only correct if batches
+        # arrive in event-time order across micro-batches (today the
+        # availableNow replay stages ONE file, so each user's history
+        # lands in a single batch). If the source ever becomes
+        # multi-file or maxFilesPerTrigger is set, a later batch with
+        # an earlier event would fold out of order — fail loudly
+        # instead of silently emitting a wrong EWMA.
+        batch_min_us = int(pdf["ts"].min().value) // 1000
+        if last_us is not None and batch_min_us < last_us:
+            raise ValueError(
+                f"stream_stateful_ewma: out-of-order micro-batch for "
+                f"user {key[0]} (batch min ts {batch_min_us} us < state "
+                f"last ts {last_us} us); the single-batch-per-user "
+                f"assumption no longer holds — buffer/merge by event "
+                f"time before folding"
+            )
         for x in pdf["value"]:
             x = float(x)
             ewma = x if ewma is None else alpha * x + (1.0 - alpha) * ewma
             n += 1
-        state.update((ewma, n))
+        state.update((ewma, n, int(pdf["ts"].max().value) // 1000))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "ewma": [ewma]}
         )
@@ -598,7 +614,7 @@ def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id bigint, n_events bigint, ewma double",
-        stateStructType="ewma double, n bigint",
+        stateStructType="ewma double, n bigint, last_us bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -290,6 +290,43 @@ def test_ppjoin_property_random_corpora(spark):
         assert got == want, f"trial {trial}: {got} != {want}"
 
 
+def test_ppjoin_exact_tie_at_threshold(spark):
+    """Pairs sitting EXACTLY at J = t must survive every lossless
+    filter. Float-rounded constants break this: 0.8/1.8 rounds UP to
+    0.4444444444444445 so the positional-filter alpha overshoots the
+    exact ceil(4(a+b)/9) for sz_a+sz_b in {63, 117, ...}; float
+    0.8·sz overshoots ceil(t·|d|) for |d| a multiple of 5 (prefix one
+    token short); and min >= float(0.8)·max prunes the tight 4/5 pair.
+    Fixtures: a 28-shingle doc contained in a 35-shingle doc
+    (overlap 28, J = 28/35 = 0.8, sz_a+sz_b = 63 — the ADVICE case)
+    and a 4-in-5 containment (J = 4/5, the size-filter tie)."""
+    import os
+    import tempfile
+
+    from real_time_big_data_analytics_spark.operators import text
+
+    w = [f"t{i:02d}" for i in range(40)]
+    a30 = " ".join(w[:30])          # 28 distinct 3-shingles
+    b37 = " ".join(w[:37])          # 35 shingles, first 28 shared
+    c6 = " ".join(w[:6])            # 4 shingles
+    d7 = " ".join(w[:7])            # 5 shingles, first 4 shared
+    docs = [(1, a30), (2, b37), (3, c6), (4, d7)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in text.ppjoin_jaccard_pairs(spark, tmp, threshold=0.8).collect()
+        }
+    want = _brute_jaccard_pairs(docs, threshold=0.8)
+    assert (1, 2) in want and want[(1, 2)] == 0.8  # fixture sanity
+    assert (3, 4) in want and want[(3, 4)] == 0.8
+    assert got == want, f"{got} != {want}"
+
+
 def test_incremental_jaccard_is_cross_batch_slice_of_full(spark, sf_dir):
     """The incremental pass must equal the cross-tag slice of the full
     pair set — no pair lost, none invented, scores identical."""
