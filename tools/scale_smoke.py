@@ -57,6 +57,11 @@ QUERIES = (
     "ts_ewma_daily_value",         # bounded-frame array-HOF decay
     "graph_trade_triangles",       # oriented-edge triangle join
     "l4_weighted_sample",          # A-ES global top-k selection
+    # round-4 additions (r3 verdict ask #4): the round-3 heavyweights
+    "l4_rrf_hybrid_search",        # BM25 traversal + cosine scan + RRF fusion
+    "l6_training_pipeline",        # composed dedup→quality→pack pipeline
+    "dq_zorder_pruning_audit",     # Morton-layout pruning replay
+    "m5_logreg_gd",                # unrolled-GD trainer (broadcast weights)
 )
 
 
@@ -112,6 +117,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("names", nargs="*", help="subset of QUERIES to time")
     args = ap.parse_args()
 
     from real_time_big_data_analytics_spark.registry import all_queries
@@ -127,7 +133,7 @@ def main() -> None:
     force(queries["q1_pricing_summary"].fn(spark, args.sf))  # warm-up
 
     report = {}
-    for name in QUERIES:
+    for name in (args.names or QUERIES):
         times = {}
         for label, sf_dir in (("base", args.sf), (f"x{args.k}", big)):
             runs = []
