@@ -196,6 +196,72 @@ def simhash_pairs(
     )
 
 
+def minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — bound-assertion form of the MinHash-LSH pair join (the
+    m1/m3 checked pattern, round-3 verdict ask #5): the SQL-exact
+    parts — the capped exact n-gram pair COUNTS at J >= 0.9 and
+    J >= 0.8 — are emitted verbatim for the hash gate, and the
+    LSH-dependent parts collapse to asserted invariants the oracle
+    emits as ``true``:
+
+    - ``recall_hi_ok``: every exact pair at J >= 0.9 is surfaced by
+      the seeded 8-table candidate join (a true pair escapes all 8
+      independent minhash tables with prob (1-j)^8 <= 1e-8, so
+      EQUALITY is asserted, not a soft bound);
+    - ``recall_mid_ok``: >= 90% of exact pairs at J >= 0.8 are
+      surfaced (miss prob <= 0.2^8 per pair; 0.9 leaves margin for
+      the HashingTF-bucket approximation);
+    - ``pairs_sane_ok``: every emitted pair is ordered (a_id < b_id)
+      with distance-derived jaccard in [threshold − rounding, 1].
+
+    The raw candidate set stays available as
+    :func:`minhash_lsh_pairs` (exercised by the recall pytest); this
+    wrapper is what registers, so the LSH join is hash-gated instead
+    of rows-only. All four probe aggregates are 1-row broadcasts over
+    the bounded pair/exact sets — scalar-broadcast pattern, no
+    driver collect.
+    """
+    from .text import ngram_jaccard_pairs
+
+    cand = minhash_lsh_pairs(spark, sf_dir).cache()
+    cand_ids = cand.select("a_id", "b_id")
+    hi = ngram_jaccard_pairs(spark, sf_dir, threshold=0.9).select("a_id", "b_id")
+    mid = ngram_jaccard_pairs(spark, sf_dir, threshold=0.8).select("a_id", "b_id")
+    n_hi = hi.agg(F.count("*").cast("bigint").alias("n_exact_hi"))
+    hi_found = hi.join(cand_ids, ["a_id", "b_id"], "left_semi").agg(
+        F.count("*").alias("n_hi_found")
+    )
+    n_mid = mid.agg(F.count("*").cast("bigint").alias("n_exact_mid"))
+    mid_found = mid.join(cand_ids, ["a_id", "b_id"], "left_semi").agg(
+        F.count("*").alias("n_mid_found")
+    )
+    sane = cand.agg(
+        F.coalesce(
+            F.min(
+                (F.col("a_id") < F.col("b_id"))
+                & (F.col("jaccard") >= 0.6999)  # 0.7 − 4-dp rounding slack
+                & (F.col("jaccard") <= 1.0)
+            ),
+            F.lit(True),
+        ).alias("sane")
+    )
+    return (
+        n_hi.crossJoin(F.broadcast(hi_found))
+        .crossJoin(F.broadcast(n_mid))
+        .crossJoin(F.broadcast(mid_found))
+        .crossJoin(F.broadcast(sane))
+        .select(
+            "n_exact_hi",
+            "n_exact_mid",
+            (F.col("n_hi_found") == F.col("n_exact_hi")).alias("recall_hi_ok"),
+            (F.col("n_mid_found") * 10 >= F.col("n_exact_mid") * 9).alias(
+                "recall_mid_ok"
+            ),
+            F.col("sane").alias("pairs_sane_ok"),
+        )
+    )
+
+
 def minhash_highsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 — recall-verified MinHash twin (the ANN invariant-twin
     pattern): exact n-gram Jaccard pairs at >= 0.9, kept only if the
@@ -205,7 +271,8 @@ def minhash_highsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result hash-matches the exact-pair oracle — any LSH recall
     regression (banding bug, seed drift, empty-vector handling)
     surfaces as missing rows. The raw candidate set stays available
-    as ``minhash_lsh_pairs`` (rows-only by design).
+    as ``minhash_lsh_pairs``; its registered form is the
+    bound-assertion :func:`minhash_lsh_checked`.
     """
     from .text import ngram_jaccard_pairs
 

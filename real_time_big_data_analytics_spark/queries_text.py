@@ -358,7 +358,24 @@ register(
 )
 
 # approximate — no SQL oracle (rows-only check + recall pytest)
-register("l2_minhash_lsh_pairs", dedup_approx.minhash_lsh_pairs, tags=("dedup", "lsh"))
+# checked form (r3 verdict ask #5): SQL-exact pair counts verbatim +
+# asserted recall/sanity flags the oracle emits as true — upgrades the
+# LSH join from rows-only to hash-gated; raw pairs stay available as
+# dedup_approx.minhash_lsh_pairs for the recall pytest
+register(
+    "l2_minhash_lsh_pairs",
+    dedup_approx.minhash_lsh_checked,
+    sql=f"""
+    SELECT (SELECT CAST(count(*) AS BIGINT)
+            FROM ({_ngram_pairs_sql(0.9)})) AS n_exact_hi,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM ({_ngram_pairs_sql(0.8)})) AS n_exact_mid,
+           true AS recall_hi_ok,
+           true AS recall_mid_ok,
+           true AS pairs_sane_ok
+    """,
+    tags=("dedup", "lsh"),
+)
 
 # SimHash: the md5-derived 60-bit hash is computed bit-for-bit by both
 # engines, so the banded LSH is exactly oracle-checkable (generated

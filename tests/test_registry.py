@@ -14,7 +14,6 @@ QUERIES = all_queries()
 # co-occurrence in the ~100-supplier sf0.001 sample; rows appear at
 # sf0.01 where the oracle validates it)
 MAY_BE_EMPTY = {
-    "l2_minhash_lsh_pairs",
     "l2_ngram_jaccard_pairs",
     "l2_simhash_pairs",
     "l3_knn_lsh",
