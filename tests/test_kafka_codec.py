@@ -40,6 +40,59 @@ def test_encode_key_partitions_by_entity(spark, sf_dir):
     assert len(keys) > 1  # not the reference's constant key (§1.4.2)
 
 
+# The exact DataFrame schema Spark's kafka source produces (Structured
+# Streaming + Kafka Integration Guide, "Each row in the source has the
+# following schema"). A live broker is unavailable in this sandbox, so
+# the contract is pinned from the other side: a literal DataFrame with
+# these columns must decode through the same decode_payload call a real
+# topic would flow through.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp timestamp, timestampType int"
+)
+
+
+def test_decode_from_kafka_wire_schema(spark, sf_dir):
+    """encode → wrap in the kafka-source wire schema (binary key/value
+    + transport metadata, exactly what `.format("kafka").load()`
+    yields) → decode recovers every typed field. Pins that
+    decode_payload's value-cast works on BINARY (the real source type,
+    not the string the pure-codec test uses) and that the wire column
+    names/types match the integration-guide contract, so pointing
+    kafka_stream at a live topic exercises no untested column path."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(50)
+    )
+    enc = kafka.encode_payload(events, key_col="user_id")
+    wire = spark.createDataFrame(
+        [
+            (
+                r.key.encode(),
+                r.value.encode(),
+                "events",
+                int(r.key) % 4,   # entity-keyed partition, not constant
+                i,
+                None,
+                0,
+            )
+            for i, r in enumerate(enc.collect())
+        ],
+        KAFKA_WIRE_SCHEMA,
+    )
+    # the wire frame is what a real source hands decode_payload
+    assert wire.schema.simpleString() == (
+        "struct<key:binary,value:binary,topic:string,partition:int,"
+        "offset:bigint,timestamp:timestamp,timestampType:int>"
+    )
+    back = kafka.decode_payload(wire, SCHEMA)
+    assert sorted(back.collect()) == sorted(events.collect())
+    # keys survive the binary roundtrip and stay entity-distributed
+    n_parts = wire.select("partition").distinct().count()
+    assert n_parts > 1
+
+
 def test_foreach_batch_index_sink(spark, sf_dir):
     """availableNow replay through foreachBatch appends every event to
     the parquet 'index' exactly once (S7 stand-in)."""
