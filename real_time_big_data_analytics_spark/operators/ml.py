@@ -321,6 +321,114 @@ def logreg_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 3
+KMEANS_ITERS = 3
+
+
+def kmeans_lloyd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — k-means (Lloyd) over the leak-free (x1, x2) engagement
+    features: KMEANS_ITERS unrolled assign→update rounds, entirely in
+    Catalyst, the third trainer under the exact-correctness gate
+    (after m5 GD and m6 NB). Initialization is deterministic — the
+    feature vectors of the KMEANS_K smallest user_ids — so both
+    engines start identically; each round cross-joins the broadcast
+    1-row centroid state onto the user-grain table, assigns by
+    explicit least-index argmin (ties to the lowest cluster, the same
+    CASE structure the oracle replays), and re-averages per cluster
+    with a conditional aggregate that stays ONE row wide (empty
+    cluster keeps its previous centroid via coalesce). The whole
+    recurrence composes lazily into one plan: K·ITERS conditional
+    aggregates over KMEANS_ITERS + 1 scans of the user-grain table,
+    zero driver loops — the same aggregate-then-iterate shape as
+    ``trade_pagerank``/``m5`` (reference has no clustering at all;
+    the analytics mandate is SURVEY.md §2.10's "beyond reference"
+    family).
+
+    Output: n_users, per-cluster sizes, final centroids (rounded
+    1e-4), and total inertia (rounded 1e-2) — all hash-checked
+    against the DuckDB replay of the identical unrolled recurrence.
+    """
+    from pyspark.sql import Window
+
+    k = KMEANS_K
+    u = logreg_gd_features(spark, sf_dir).select("user_id", "x1", "x2")
+    # deterministic init: k smallest user_ids, pivoted to one row
+    # (k-row sort + window — bounded, not a corpus sort: limit(k)
+    # plans as TakeOrderedAndProject)
+    seeds = (
+        u.orderBy("user_id")
+        .limit(k)
+        .withColumn("rn", F.row_number().over(Window.orderBy("user_id")))
+    )
+    c = seeds.agg(
+        *[
+            F.max(F.when(F.col("rn") == i + 1, F.col(f))).alias(
+                f"c{'x' if f == 'x1' else 'y'}{i}"
+            )
+            for i in range(k)
+            for f in ("x1", "x2")
+        ]
+    )
+
+    def dists():
+        return [
+            (F.col("x1") - F.col(f"cx{i}")) * (F.col("x1") - F.col(f"cx{i}"))
+            + (F.col("x2") - F.col(f"cy{i}")) * (F.col("x2") - F.col(f"cy{i}"))
+            for i in range(k)
+        ]
+
+    def assign(d):
+        # least-index argmin, k=3: ties go to the lowest cluster —
+        # mirrors the oracle's CASE verbatim
+        return (
+            F.when((d[0] <= d[1]) & (d[0] <= d[2]), 0)
+            .when(d[1] <= d[2], 1)
+            .otherwise(2)
+        )
+
+    for _ in range(KMEANS_ITERS):
+        d = dists()
+        joined = u.crossJoin(F.broadcast(c)).withColumn("cl", assign(d))
+        c = joined.agg(
+            *[
+                expr
+                for i in range(k)
+                for expr in (
+                    F.coalesce(
+                        F.avg(F.when(F.col("cl") == i, F.col("x1"))),
+                        F.first(f"cx{i}"),
+                    ).alias(f"cx{i}"),
+                    F.coalesce(
+                        F.avg(F.when(F.col("cl") == i, F.col("x2"))),
+                        F.first(f"cy{i}"),
+                    ).alias(f"cy{i}"),
+                )
+            ]
+        )
+    d = dists()
+    final = (
+        u.crossJoin(F.broadcast(c))
+        .withColumn("cl", assign(d))
+        .withColumn("best", F.least(*d))
+    )
+    return final.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        *[
+            F.sum((F.col("cl") == i).cast("long")).cast("bigint").alias(f"n_c{i}")
+            for i in range(k)
+        ],
+        *[
+            expr
+            for i in range(k)
+            for expr in (
+                round2(F.first(f"cx{i}"), 4).alias(f"cx{i}"),
+                round2(F.first(f"cy{i}"), 4).alias(f"cy{i}"),
+            )
+        ],
+        round2(F.sum("best"), 2).alias("inertia"),
+    )
+
+
 NB_VAR_EPS = 1e-6
 
 

@@ -199,3 +199,76 @@ register(
     """,
     tags=("ml", "naive-bayes", "train", "score"),
 )
+
+
+# --- M7: k-means (Lloyd), the third hash-exact trainer -------------
+# The oracle replays the IDENTICAL unrolled recurrence: deterministic
+# min-user_id init, least-index-argmin assignment (same CASE text as
+# the Spark side's when-chain), conditional-avg centroid update with
+# empty-cluster carry-over. Three a/c CTE rounds mirror
+# ml.KMEANS_ITERS exactly.
+_KM_U = """
+      SELECT user_id,
+             ln(1.0 + sum(CASE WHEN event_type IN ('view', 'click')
+                          THEN 1 ELSE 0 END)) AS x1,
+             ln(1.0 + sum(CASE WHEN event_type IN ('view', 'click')
+                          THEN value ELSE 0 END)) AS x2
+      FROM events GROUP BY user_id
+"""
+
+
+def _km_d(i: int) -> str:
+    return f"((x1 - cx{i}) * (x1 - cx{i}) + (x2 - cy{i}) * (x2 - cy{i}))"
+
+
+_KM_ASSIGN = (
+    f"CASE WHEN {_km_d(0)} <= {_km_d(1)} AND {_km_d(0)} <= {_km_d(2)} THEN 0 "
+    f"WHEN {_km_d(1)} <= {_km_d(2)} THEN 1 ELSE 2 END"
+)
+
+_KM_STEP = ",\n             ".join(
+    f"coalesce(avg(CASE WHEN cl = {i} THEN x1 END), any_value(cx{i})) AS cx{i},\n"
+    f"             coalesce(avg(CASE WHEN cl = {i} THEN x2 END),"
+    f" any_value(cy{i})) AS cy{i}"
+    for i in range(ml.KMEANS_K)
+)
+
+_KM_INIT = ",\n             ".join(
+    f"max(CASE WHEN rn = {i + 1} THEN x1 END) AS cx{i},\n"
+    f"             max(CASE WHEN rn = {i + 1} THEN x2 END) AS cy{i}"
+    for i in range(ml.KMEANS_K)
+)
+
+register(
+    "m7_kmeans_lloyd",
+    ml.kmeans_lloyd_train,
+    sql=f"""
+    WITH u AS ({_KM_U}),
+    c0 AS (
+      SELECT {_KM_INIT}
+      FROM (SELECT x1, x2, row_number() OVER (ORDER BY user_id) AS rn
+            FROM u ORDER BY user_id LIMIT {ml.KMEANS_K})
+    ),
+    a1 AS (SELECT u.*, c0.*, {_KM_ASSIGN} AS cl FROM u, c0),
+    c1 AS (SELECT {_KM_STEP} FROM a1),
+    a2 AS (SELECT u.*, c1.*, {_KM_ASSIGN} AS cl FROM u, c1),
+    c2 AS (SELECT {_KM_STEP} FROM a2),
+    a3 AS (SELECT u.*, c2.*, {_KM_ASSIGN} AS cl FROM u, c2),
+    c3 AS (SELECT {_KM_STEP} FROM a3),
+    scored AS (
+      SELECT u.*, c3.*, {_KM_ASSIGN} AS cl,
+             least({_km_d(0)}, {_km_d(1)}, {_km_d(2)}) AS best
+      FROM u, c3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN cl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+           CAST(sum(CASE WHEN cl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+           CAST(sum(CASE WHEN cl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_c2,
+           round(any_value(cx0), 4) AS cx0, round(any_value(cy0), 4) AS cy0,
+           round(any_value(cx1), 4) AS cx1, round(any_value(cy1), 4) AS cy1,
+           round(any_value(cx2), 4) AS cx2, round(any_value(cy2), 4) AS cy2,
+           round(sum(best), 2) AS inertia
+    FROM scored
+    """,
+    tags=("ml", "kmeans", "clustering", "iterative"),
+)

@@ -145,3 +145,44 @@ def test_gaussian_nb_matches_numpy(spark, sf_dir):
     assert abs(row.var_x1_bot - var1[0]) < 1e-3
     # NB should beat the all-negative trivial classifier's recall
     assert row.tp + row.fn > 0
+
+
+def test_kmeans_lloyd_matches_numpy(spark, sf_dir):
+    """m7's unrolled Lloyd recurrence must equal an independent numpy
+    replay: same min-user_id init, least-index argmin, empty-cluster
+    carry-over — pins the ALGORITHM (the oracle pins cross-engine
+    arithmetic)."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators.ml import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        kmeans_lloyd_train,
+        logreg_gd_features,
+    )
+
+    row = kmeans_lloyd_train(spark, sf_dir).collect()[0]
+    feats = (
+        logreg_gd_features(spark, sf_dir)
+        .select("user_id", "x1", "x2")
+        .toPandas()
+        .sort_values("user_id")
+    )
+    X = feats[["x1", "x2"]].to_numpy()
+    C = X[:KMEANS_K].copy()
+    for _ in range(KMEANS_ITERS):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        cl = d.argmin(1)  # numpy argmin ties to lowest index, like the CASE
+        for i in range(KMEANS_K):
+            if (cl == i).any():
+                C[i] = X[cl == i].mean(0)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+    cl = d.argmin(1)
+    sizes = [int((cl == i).sum()) for i in range(KMEANS_K)]
+    assert row.n_users == len(X)
+    assert [row.n_c0, row.n_c1, row.n_c2] == sizes
+    for i in range(KMEANS_K):
+        assert abs(row[f"cx{i}"] - C[i][0]) < 1e-3
+        assert abs(row[f"cy{i}"] - C[i][1]) < 1e-3
+    assert abs(row.inertia - d.min(1).sum()) < 0.05
+    assert len({row.n_c0, row.n_c1, row.n_c2} - {0}) >= 2  # non-degenerate
