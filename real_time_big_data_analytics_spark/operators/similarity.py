@@ -1030,3 +1030,106 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataF
             F.col("rk_sem").cast("bigint").alias("rk_sem"),
         )
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_K = 5
+MMR_POOL = 20
+
+
+def mmr_diversified_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = MMR_K,
+    pool_m: int = MMR_POOL,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """L3 — Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily select k results per query maximizing
+    ``λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`` — relevance minus
+    redundancy vs the already-selected set. The standard re-ranker for
+    dedup-aware retrieval (and for picking DIVERSE few-shot/eval
+    examples from an embedding corpus, where plain top-k returns k
+    near-copies of the same document).
+
+    Scale shape: one brute-force corpus scan builds the per-query
+    top-``pool_m`` candidate pool (the only data-scale stage — same
+    plan as ``knn_bruteforce``); everything after operates on the
+    5×20-row pool: candidate↔candidate cosines are a broadcast
+    self-join of the pool against the embedding table (≤ pool²·queries
+    rows), and the k greedy steps unroll into anti-join + max-penalty
+    + 1-row-per-query window picks over that metadata — the iterative
+    selection never touches the corpus again. Both sims round at 1e-6
+    before ranking (vec_id tiebreak) so engine last-ulp differences
+    can't flip a pick; the oracle replays the identical unrolled
+    greedy recurrence.
+    """
+    # cache(): the greedy unroll references pool/csims in every step's
+    # lineage — uncached, each of the k picks would re-run the corpus
+    # scan. Both are k-bounded metadata (queries×pool and its pair
+    # square), not data: ≤100 / ≤2k rows at any corpus size.
+    pool = (
+        _ranked_topk(_all_sims(spark, sf_dir), pool_m)
+        .select("query_id", "vec_id", "sim")
+        .cache()
+    )
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    a = pool.select("query_id", F.col("vec_id").alias("a_id"))
+    b = pool.select(F.col("query_id").alias("qb"), F.col("vec_id").alias("b_id"))
+    pairs = a.join(
+        b, (a.query_id == b.qb) & (a.a_id != b.b_id)
+    ).select("query_id", "a_id", "b_id")
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    csims = (
+        ea.join(F.broadcast(pairs), "a_id")
+        .join(F.broadcast(eb.join(F.broadcast(pairs.select("b_id").distinct()), "b_id")), "b_id")
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            round2(cosine_similarity("ea", "eb"), 6).alias("csim"),
+        )
+        .cache()
+    )
+    lam2 = 1.0 - lam  # one IEEE subtract, mirrored verbatim in the oracle
+    sel: DataFrame | None = None
+    for t in range(1, k + 1):
+        if sel is None:
+            cand = pool.withColumn("pen", F.lit(0.0))
+        else:
+            sel_ids = sel.select("query_id", F.col("vec_id").alias("b_id"))
+            remaining = pool.join(
+                sel.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+            )
+            pen = (
+                csims.join(F.broadcast(sel_ids), ["query_id", "b_id"], "left_semi")
+                .groupBy("query_id", "a_id")
+                .agg(F.max("csim").alias("pen"))
+                .withColumnRenamed("a_id", "vec_id")
+            )
+            cand = remaining.join(
+                F.broadcast(pen), ["query_id", "vec_id"], "left"
+            ).withColumn("pen", F.coalesce("pen", F.lit(0.0)))
+        scored = cand.withColumn(
+            "score", F.lit(lam) * F.col("sim") - F.lit(lam2) * F.col("pen")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                "sim",
+                F.lit(t).cast("bigint").alias("step"),
+                round2("score", 6).alias("mmr_score"),
+            )
+            # lineage truncation per greedy step (the clustering-loop
+            # pattern): without it each step's plan nests all prior
+            # steps' windows/anti-joins and Catalyst re-optimization
+            # dominates wall clock; pick is ≤ one row per query
+            .localCheckpoint()
+        )
+        sel = pick if sel is None else sel.unionByName(pick)
+    return sel

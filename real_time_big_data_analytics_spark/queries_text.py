@@ -590,6 +590,73 @@ register(
     tags=("similarity", "knn", "ivf", "index"),
 )
 
+def _mmr_sql() -> str:
+    """DuckDB replay of the unrolled MMR greedy recurrence — the CTE
+    chain mirrors the Spark loop step for step (pool → candidate
+    cosines → per-step penalty/anti-join/argmax)."""
+    lam = repr(similarity.MMR_LAMBDA)
+    lam2 = repr(1.0 - similarity.MMR_LAMBDA)  # same IEEE subtract as Spark
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    ctes = [
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        f"FROM embeddings WHERE vec_id < {similarity.N_QUERIES})",
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)",
+        "sims AS (SELECT query_id, c.vec_id, "
+        + cos.format(a="qv", b="ev")
+        + " AS sim FROM c, q WHERE c.vec_id <> q.query_id)",
+        "pool AS (SELECT query_id, vec_id, sim FROM "
+        "(SELECT sims.*, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY sim DESC, vec_id) AS rn FROM sims) "
+        f"WHERE rn <= {similarity.MMR_POOL})",
+        "cs AS (SELECT p1.query_id, p1.vec_id AS a_id, p2.vec_id AS b_id, "
+        + cos.format(a="e1.ev", b="e2.ev")
+        + " AS csim FROM pool p1 "
+        "JOIN pool p2 ON p1.query_id = p2.query_id AND p1.vec_id <> p2.vec_id "
+        "JOIN c e1 ON e1.vec_id = p1.vec_id JOIN c e2 ON e2.vec_id = p2.vec_id)",
+        f"s1 AS (SELECT query_id, vec_id, sim, CAST(1 AS BIGINT) AS step, "
+        f"round({lam} * sim - {lam2} * 0.0, 6) AS mmr_score FROM "
+        f"(SELECT pool.*, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY {lam} * sim - {lam2} * 0.0 DESC, vec_id) AS rn FROM pool) "
+        "WHERE rn = 1)",
+        "sel1 AS (SELECT * FROM s1)",
+    ]
+    for t in range(2, similarity.MMR_K + 1):
+        p = t - 1
+        ctes += [
+            f"pen{t} AS (SELECT cs.query_id, cs.a_id, max(cs.csim) AS pen "
+            f"FROM cs JOIN sel{p} s ON s.query_id = cs.query_id "
+            f"AND s.vec_id = cs.b_id GROUP BY cs.query_id, cs.a_id)",
+            f"c{t} AS (SELECT p.query_id, p.vec_id, p.sim, "
+            f"coalesce(pn.pen, 0.0) AS pen FROM pool p "
+            f"LEFT JOIN pen{t} pn ON pn.query_id = p.query_id "
+            f"AND pn.a_id = p.vec_id "
+            f"LEFT JOIN sel{p} sx ON sx.query_id = p.query_id "
+            f"AND sx.vec_id = p.vec_id WHERE sx.vec_id IS NULL)",
+            f"s{t} AS (SELECT query_id, vec_id, sim, "
+            f"CAST({t} AS BIGINT) AS step, round(score, 6) AS mmr_score FROM "
+            f"(SELECT c{t}.*, {lam} * sim - {lam2} * pen AS score, "
+            f"row_number() OVER (PARTITION BY query_id "
+            f"ORDER BY {lam} * sim - {lam2} * pen DESC, vec_id) AS rn "
+            f"FROM c{t}) WHERE rn = 1)",
+            f"sel{t} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM s{t})",
+        ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT query_id, vec_id, sim, step, mmr_score FROM sel{similarity.MMR_K}"
+    )
+
+
+register(
+    "l3_mmr_diversified_topk",
+    similarity.mmr_diversified_topk,
+    sql=_mmr_sql(),
+    tags=("similarity", "mmr", "diversified-retrieval"),
+)
+
 register(
     "l5_embedding_norm_stats",
     similarity.embedding_norm_stats,

@@ -305,3 +305,30 @@ def test_rrf_scores_match_rank_formula(spark, sf_dir):
             1 / (RRF_K + r.rk_sem) if r.rk_sem else 0
         )
         assert abs(r.rrf_score - want) < 1e-6
+
+
+def test_mmr_greedy_invariants(spark, sf_dir):
+    """MMR: k distinct picks per query; step 1 equals brute-force
+    top-1; greedy scores are non-increasing (candidate pool shrinks
+    and penalties only grow, so each step's max cannot rise)."""
+    from real_time_big_data_analytics_spark.operators.similarity import (
+        MMR_K,
+        knn_bruteforce,
+        mmr_diversified_topk,
+    )
+
+    rows = mmr_diversified_topk(spark, sf_dir).collect()
+    top1 = {
+        r.query_id: r.vec_id for r in knn_bruteforce(spark, sf_dir).collect() if r.rk == 1
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) > 0
+    for q, picks in by_q.items():
+        picks.sort(key=lambda r: r.step)
+        assert [r.step for r in picks] == list(range(1, MMR_K + 1))
+        assert len({r.vec_id for r in picks}) == MMR_K  # no repeats
+        assert picks[0].vec_id == top1[q]  # relevance-first seed
+        scores = [r.mmr_score for r in picks]
+        assert all(a >= b - 1e-9 for a, b in zip(scores, scores[1:]))
