@@ -1071,6 +1071,106 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str, k: int = 30) -> DataF
     )
 
 
+# The shipped tokenizer: a fixed, ordered merge table (the artifact a
+# BPE TRAINER like ``bpe_merge_candidates`` produces once; encoding
+# then applies it everywhere — production tokenizers ship frozen merge
+# lists precisely so results are reproducible). Rules cascade: later
+# merges consume earlier merge outputs ("t"+"h" → "th", then
+# "th"+"e" → "the").
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("an", "d"),
+    ("e", "n"),
+    ("o", "r"),
+)
+
+
+def _bpe_tokens_expr(src: str = "split(word, '')") -> str:
+    """SQL expression applying BPE_MERGES in order to a char/token
+    array — one ``aggregate`` fold per rule, each a greedy
+    left-to-right adjacent-pair merge (the exact BPE apply semantics:
+    consecutive chains merge leftmost-first; a plain string replace
+    cannot do this without missing overlapping occurrences). Entirely
+    JVM-side codegen — no UDF."""
+    e = src
+    for a, b in BPE_MERGES:
+        e = (
+            "aggregate({e}, cast(array() as array<string>), (acc, x) -> "
+            "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}' "
+            "AND x = '{b}' "
+            "THEN concat(slice(acc, 1, size(acc) - 1), array('{ab}')) "
+            "ELSE concat(acc, array(x)) END)"
+        ).format(e=e, a=a, b=b, ab=a + b)
+    return e
+
+
+def _bpe_vocab(docs: DataFrame) -> DataFrame:
+    """(lang, word, cnt, toks): the BPE-trainer trick again — encode
+    each DISTINCT letter-run word once (vocab-bounded, Heaps' law) and
+    carry its corpus frequency, never encoding the raw token stream.
+    At 100 TB the fold runs over millions of vocab rows, not trillions
+    of tokens."""
+    words = docs.select(
+        "lang",
+        F.explode(F.expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).alias("word"),
+    )
+    return (
+        words.groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("toks", F.expr(_bpe_tokens_expr()))
+    )
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — apply the shipped BPE merge table to the corpus and report
+    per-language tokenization stats: words, characters, resulting BPE
+    tokens, and chars-per-token compression — the number that decides
+    a tokenizer's effective context budget.
+
+    Cost shape: one vocab shuffle (lang, word) + the per-vocab-row
+    fold; the final aggregate is lang-bounded. The DuckDB twin replays
+    the identical per-rule greedy fold via ``list_reduce``, so the
+    encoding itself — not just the counts — is cross-engine exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    v = _bpe_vocab(docs)
+    return v.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.col("cnt") * F.length("word")).cast("bigint").alias("n_chars"),
+        F.sum(F.col("cnt") * F.size("toks")).cast("bigint").alias("n_tokens"),
+        round2(
+            F.sum(F.col("cnt") * F.length("word"))
+            / F.sum(F.col("cnt") * F.size("toks")),
+            4,
+        ).alias("chars_per_token"),
+    )
+
+
+def bpe_vocab_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """L4 — the corpus's top-k BPE tokens by weighted frequency after
+    applying the shipped merge table: the effective vocabulary the
+    encoder actually emits (merged units like 'the'/'and' should
+    dominate if the merge table fits the corpus). Same vocab-bounded
+    fold as ``bpe_encode_stats``; the top-k is a TakeOrderedAndProject
+    merge of per-partition heads, deterministic via the (n, token)
+    order."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = _bpe_vocab(docs)
+    return (
+        v.select(F.explode("toks").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def char_entropy_stats(spark: SparkSession, sf_dir: str, low: float = 2.5) -> DataFrame:
     """L4 — character-entropy quality gate: per-language stats of the
     per-document Shannon entropy (nats) of the character distribution.

@@ -1436,6 +1436,63 @@ register(
     tags=("text", "tokenizer", "bpe"),
 )
 
+def _bpe_duck_tokens() -> str:
+    """DuckDB replay of text.BPE_MERGES application: per rule, a
+    ``list_reduce`` greedy fold accumulating a space-joined token
+    string (letter-run tokens contain no spaces, so the space frames
+    units unambiguously), then re-split for the next rule — the exact
+    adjacent-merge semantics the Spark ``aggregate`` fold computes."""
+    e = "regexp_extract_all(word, '.')"
+    for i, (a, b) in enumerate(text.BPE_MERGES):
+        la = len(a) + 1
+        e = (
+            f"string_split(substr(list_reduce(list_prepend('', {e}), "
+            f"(a{i}, x{i}) -> CASE WHEN ends_with(a{i}, ' {a}') AND x{i} = '{b}' "
+            f"THEN substr(a{i}, 1, len(a{i}) - {la}) || ' {a}{b}' "
+            f"ELSE a{i} || ' ' || x{i} END), 2), ' ')"
+        )
+    return e
+
+
+_BPE_VOCAB_SQL = f"""
+    WITH w AS (
+      SELECT lang, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS word
+      FROM documents
+    ), v AS (
+      SELECT lang, word, count(*) AS cnt FROM w GROUP BY lang, word
+    ), enc AS (
+      SELECT lang, word, cnt, {_bpe_duck_tokens()} AS toks FROM v
+    )
+"""
+
+register(
+    "l4_bpe_encode_stats",
+    text.bpe_encode_stats,
+    sql=_BPE_VOCAB_SQL
+    + """
+    SELECT lang,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * len(word)) AS BIGINT) AS n_chars,
+           CAST(sum(cnt * len(toks)) AS BIGINT) AS n_tokens,
+           round(CAST(sum(cnt * len(word)) AS DOUBLE)
+                 / sum(cnt * len(toks)), 4) AS chars_per_token
+    FROM enc GROUP BY lang
+    """,
+    tags=("text", "tokenizer", "bpe", "encode"),
+)
+
+register(
+    "l4_bpe_vocab_topk",
+    text.bpe_vocab_topk,
+    sql=_BPE_VOCAB_SQL
+    + """
+    SELECT token, CAST(sum(cnt) AS BIGINT) AS n
+    FROM (SELECT unnest(toks) AS token, cnt FROM enc)
+    GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+    """,
+    tags=("text", "tokenizer", "bpe", "vocab"),
+)
+
 register(
     "l4_char_entropy_stats",
     text.char_entropy_stats,

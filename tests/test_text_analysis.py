@@ -566,3 +566,40 @@ def test_novelty_bounds_and_planted_template(spark, tmp_path):
     assert got["de"].novelty_ppm == 1_000_000  # fully unique
     assert got["en"].novelty_ppm < 300_000  # template dominates
     assert got["en"].n_low_novelty_docs == 2
+
+
+def test_bpe_fold_matches_reference_apply(spark):
+    """The aggregate-fold encoder must equal a reference Python BPE
+    apply (greedy leftmost adjacent merge per rule, rules in order) on
+    adversarial words: consecutive chains, cascading merges, rules
+    that only fire after earlier rules created their inputs."""
+    from real_time_big_data_analytics_spark.operators.text import (
+        BPE_MERGES,
+        _bpe_tokens_expr,
+    )
+    from pyspark.sql import functions as F
+
+    def ref_apply(word):
+        toks = list(word)
+        for a, b in BPE_MERGES:
+            out = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            toks = out
+        return toks
+
+    words = [
+        "the", "thethe", "ththth", "and", "andand", "ander",
+        "internet", "reorder", "x", "thhhe", "annnd", "rethink",
+        "on", "onon", "thenthen", "banana",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string").withColumn(
+        "toks", F.expr(_bpe_tokens_expr())
+    )
+    got = {r.word: r.toks for r in df.collect()}
+    for w in words:
+        assert got[w] == ref_apply(w), (w, got[w], ref_apply(w))
+        assert "".join(got[w]) == w  # lossless reconstruction
