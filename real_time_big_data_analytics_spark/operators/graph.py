@@ -215,3 +215,83 @@ def trade_bfs_hops(
         dist.join(F.broadcast(nation), dist.node == nation.n_nationkey)
         .select("n_name", F.col("hops").cast("int").alias("hops"))
     )
+
+
+LPA_ITER = 4
+
+
+def trade_label_propagation(
+    spark: SparkSession, sf_dir: str, n_iter: int = LPA_ITER
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan 2007) over the
+    undirected nation trade graph — community detection, the fourth
+    distinct algorithm in the graph family (rank / triangles / BFS /
+    communities). Each round every nation adopts the label carrying
+    the highest total incident edge weight among its neighbors (tie →
+    smallest label); labels start as node ids.
+
+    Determinism across engines is load-bearing: label masses are sums
+    of floats in engine-specific order, so edge weights are built as
+    EXACT INTEGER CENTS from the per-lineitem revenue (floor at the
+    row, integer sum — the attribution-family discipline), making
+    every mass comparison bit-identical and the argmax unflippable.
+    Execution shape: one fact-table pass builds the ≤625-row edge
+    list (localCheckpoint-ed), then ``n_iter`` join+argmax rounds over
+    that KB-scale metadata with per-round lineage cuts — the
+    ``trade_bfs_hops`` posture. Returns (n_name, community).
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    directed = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.sum(cents).alias("w"))
+    )
+    edges = (
+        directed.select("src", "dst", "w")
+        .unionAll(
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node")).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(n_iter):
+        nb = labels.select(F.col("node").alias("dst"), "label")
+        mass = (
+            edges.join(nb, "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.sum("w").alias("m"))
+        )
+        w_pick = Window.partitionBy("node").orderBy(F.desc("m"), F.asc("label"))
+        picked = (
+            mass.withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(picked, "node", "left")
+            .select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
+            .localCheckpoint()
+        )
+    return (
+        labels.join(F.broadcast(nation), labels.node == nation.n_nationkey)
+        .select("n_name", F.col("label").cast("bigint").alias("community"))
+    )

@@ -1743,6 +1743,53 @@ register(
 )
 
 
+def _lpa_sql() -> str:
+    """CTE-chain replay of the synchronous weighted label propagation
+    (one m/p/l trio per iteration, mirroring the Spark loop): integer
+    cent weights make every mass comparison engine-exact."""
+    ctes = [
+        "ed AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, "
+        "sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) "
+        "AS BIGINT)) AS w "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2)",
+        "edges AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM "
+        "(SELECT src, dst, w FROM ed "
+        "UNION ALL SELECT dst, src, w FROM ed) GROUP BY src, dst)",
+        "l0 AS (SELECT n_nationkey AS node, "
+        "CAST(n_nationkey AS BIGINT) AS label FROM nation)",
+    ]
+    for t in range(1, graph.LPA_ITER + 1):
+        p = t - 1
+        ctes += [
+            f"m{t} AS (SELECT e.src AS node, l.label, sum(e.w) AS m "
+            f"FROM edges e JOIN l{p} l ON l.node = e.dst GROUP BY 1, 2)",
+            f"p{t} AS (SELECT node, label AS new_label FROM "
+            f"(SELECT m{t}.*, row_number() OVER (PARTITION BY node "
+            f"ORDER BY m DESC, label) AS rn FROM m{t}) WHERE rn = 1)",
+            f"l{t} AS (SELECT l.node, coalesce(p.new_label, l.label) AS label "
+            f"FROM l{p} l LEFT JOIN p{t} p ON p.node = l.node)",
+        ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT n_name, CAST(label AS BIGINT) AS community
+    FROM l{graph.LPA_ITER} JOIN nation ON node = n_nationkey
+    """
+    )
+
+
+register(
+    "graph_trade_communities",
+    graph.trade_label_propagation,
+    sql=_lpa_sql(),
+    tags=("graph", "communities", "label-propagation", "iterative"),
+)
+
+
 # band self-join on row offsets computes the same truncated decay
 # weights the Spark side applies via array HOFs
 register(

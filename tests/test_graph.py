@@ -94,3 +94,24 @@ def test_bfs_hops_match_dijkstra_on_hops(spark, sf_dir):
         r.n_name: r.hops for r in graph.trade_bfs_hops(spark, sf_dir).collect()
     }
     assert got == {nation[k]: h for k, h in dist.items()}
+
+
+def test_label_propagation_invariants(spark, sf_dir):
+    """LPA: one row per nation; every community id is some nation's
+    node id; propagation is a fixpoint-seeking contraction, so the
+    number of distinct communities can only be <= the node count and
+    >= 1; re-running is deterministic."""
+    from real_time_big_data_analytics_spark.operators.graph import (
+        trade_label_propagation,
+    )
+
+    rows = trade_label_propagation(spark, sf_dir).collect()
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = nation.count()
+    assert len(rows) == n
+    keys = {r.n_nationkey for r in nation.collect()}
+    comms = {r.community for r in rows}
+    assert comms <= keys
+    assert 1 <= len(comms) <= n
+    again = {(r.n_name, r.community) for r in trade_label_propagation(spark, sf_dir).collect()}
+    assert again == {(r.n_name, r.community) for r in rows}
