@@ -103,6 +103,14 @@ HEADLINE = [
     "m5_logreg_gd",
     "dq_zorder_pruning_audit",
     "l4_rrf_hybrid_search",
+    # round-4 additions: the four new operator families — iterative
+    # k-means (scalar-broadcast recurrence), BPE vocab-fold encoding,
+    # LPA communities (integer-weight iterative argmax), and the MMR
+    # greedy re-ranker (pool scan + k checkpointed picks)
+    "m7_kmeans_lloyd",
+    "l4_bpe_encode_stats",
+    "graph_trade_communities",
+    "l3_mmr_diversified_topk",
 ]
 
 
