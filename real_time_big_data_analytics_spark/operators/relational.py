@@ -1661,6 +1661,53 @@ def ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def theilsen_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes of each event type's daily total — the outlier-resistant
+    companion to ``ols_trend_by_type`` (a single corrupted day moves
+    OLS arbitrarily; Theil–Sen has a 29% breakdown point), the
+    standard robust-trend screen for metric drift.
+
+    Exactness across engines is arranged the attribution way: daily
+    totals are exact integer CENTS (floor per event, integer sum), so
+    every pairwise slope is the same double division on identical
+    integers, and the median — exact interpolated percentile over an
+    identical multiset — matches bit-for-bit. Scale: the pair join is
+    over the DAILY aggregate (days², not events² — ~10⁵ pairs per
+    type per year), metadata after the one fact-table pass; the
+    per-type median sorts that bounded pair list.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).alias("cents")
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("cents").alias("c1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("d2"),
+        F.col("cents").alias("c2"),
+    )
+    pairs = a.join(
+        b, (a.event_type == b.et) & (a.d1 < b.d2)
+    ).select(
+        "event_type",
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / F.datediff("d2", "d1")
+        ).alias("slope"),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        round2(F.expr("percentile(slope, 0.5)") / F.lit(100.0), 4).alias(
+            "trend_per_day"
+        ),
+    )
+
+
 def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test of the (lang × source) contingency
     table over documents: χ² = Σ (obs − exp)²/exp with

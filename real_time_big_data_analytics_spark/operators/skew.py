@@ -60,3 +60,39 @@ SELECT user_id, count(*) AS n_events,
        round(max(value), 2) AS max_value
 FROM events GROUP BY user_id
 """
+
+
+def salted_replicated_join(
+    spark: SparkSession, sf_dir: str, n_salts: int = N_SALTS
+) -> DataFrame:
+    """Manual hot-key JOIN mitigation (the pre-AQE classic, still the
+    tool when a key is too hot for AQE's split granularity or the
+    build side must stay a shuffle join): salt the BIG side with a
+    deterministic row-hash, REPLICATE the dimension side once per
+    salt, and equi-join on (key, salt) — a hot key's probe rows land
+    on ``n_salts`` reducers instead of one. Join multiplicity is
+    unchanged (each big-side row matches exactly its own salt's
+    replica), so the result is bit-equal to the plain join — which is
+    exactly what the DuckDB twin (the UNSALTED join) checks.
+
+    Cost: dimension shuffle volume × n_salts (dimension-sized, cheap);
+    big-side volume unchanged. Demonstrated on events ⋈ customer with
+    a per-segment rollup; the AQE automatic path stays documented in
+    the module header.
+    """
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    big = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts))
+    )
+    dim = customer.select("c_custkey", "c_mktsegment").withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    joined = big.join(
+        dim,
+        (big.user_id == dim.c_custkey) & (big.salt == dim.salt),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        round2(F.sum("value")).alias("total_value"),
+    )

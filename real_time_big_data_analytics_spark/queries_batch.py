@@ -416,6 +416,21 @@ register(
     tags=("agg", "skew", "salting"),
 )
 
+register(
+    "skew_salted_replicated_join",
+    skew.salted_replicated_join,
+    # oracle = the plain UNSALTED join: hash match proves the
+    # salt-and-replicate join preserves multiplicity exactly
+    sql="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "skew", "salting"),
+)
+
 # Sketch estimates are estimator-specific, so each registers its
 # bound-assertion twin (operators/sketches.py module docstring): the
 # Spark plan computes estimate + exact together and asserts the error
@@ -2035,6 +2050,31 @@ register(
     FROM daily GROUP BY event_type
     """,
     tags=("stats", "regression", "trend"),
+)
+
+# robust twin of the OLS trend: integer-cent daily totals make every
+# pairwise slope and the interpolated median engine-exact
+register(
+    "sf_theilsen_trend",
+    relational.theilsen_trend_by_type,
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             CAST(b.cents - a.cents AS DOUBLE)
+               / date_diff('day', a.day, b.day) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5) / 100.0, 4) AS trend_per_day
+    FROM pairs GROUP BY event_type
+    """,
+    tags=("stats", "robust", "trend", "theil-sen"),
 )
 
 # full margin-product grid: empty cells contribute exp
