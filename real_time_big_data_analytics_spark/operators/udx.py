@@ -66,6 +66,53 @@ def median_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def arrow_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — ``mapInArrow``: the third (and lowest-level) sanctioned
+    vectorized surface, completing the UDF family alongside the U1
+    grouped-agg pandas UDAF and U2 Arrow UDTF. Batches arrive as raw
+    ``pyarrow.RecordBatch`` and are transformed entirely with Arrow
+    COMPUTE KERNELS (C++ SIMD, no pandas conversion, no Python loop):
+    per-document codepoint count, UTF-8 byte count, and an
+    'e'-occurrence count — the char-vs-byte profile a tokenizer-budget
+    audit needs on multilingual text, where len(chars) != len(bytes).
+
+    Plans as ``MapInArrow`` (narrow, no shuffle); the tiny per-lang
+    rollup after it is JVM-side. DuckDB replays with
+    length/octet_length/replace arithmetic — hash-exact, so the Arrow
+    kernel semantics themselves (codepoints vs bytes) are pinned.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    def profile(batches):
+        # imports + defs inside the closure: pickled by value (module
+        # refs would break on foreign-cwd executors)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            t = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    b.column("lang"),
+                    pc.cast(pc.utf8_length(t), pa.int64()),
+                    pc.cast(pc.binary_length(pc.cast(t, pa.binary())), pa.int64()),
+                    pc.cast(pc.count_substring(t, "e"), pa.int64()),
+                ],
+                names=["doc_id", "lang", "n_chars", "n_bytes", "n_e"],
+            )
+
+    prof = docs.mapInArrow(
+        profile, "doc_id bigint, lang string, n_chars bigint, n_bytes bigint, n_e bigint"
+    )
+    return prof.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum("n_e").cast("bigint").alias("total_e"),
+    )
+
+
 def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 — Arrow Python UDTF in a LATERAL join: tokenize
     ``documents.text`` (one output row per token) and histogram the

@@ -559,6 +559,23 @@ register(
 )
 
 register(
+    "u3_maparrow_byte_profile",
+    udx.arrow_byte_profile,
+    # length() counts codepoints, octet_length(encode()) counts UTF-8
+    # bytes — the same chars-vs-bytes split the Arrow kernels compute
+    sql="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(sum(length(text) - length(replace(text, 'e', ''))) AS BIGINT)
+             AS total_e
+    FROM documents GROUP BY lang
+    """,
+    tags=("udf", "arrow", "map-in-arrow"),
+)
+
+register(
     "q7_volume_shipping",
     joins.volume_shipping,
     sql="""
