@@ -3,11 +3,13 @@
 The reference's only user code run per record is the closure-captured
 model predict and tuple mappers (reference ConsumerESFinal.scala:70-83);
 the rebuild keeps hot paths on built-in Catalyst expressions and
-reserves Python for the three sanctioned vectorized surfaces:
+reserves Python for the four sanctioned vectorized surfaces:
 
 - ``mapInPandas``            — operators/multimodal.py (decode stages)
 - ``applyInPandasWithState`` — streaming/queries.py (T8)
-- grouped-agg ``pandas_udf`` + Arrow Python UDTF — here.
+- grouped-agg ``pandas_udf`` + Arrow Python UDTF — here (U1/U2)
+- raw-RecordBatch ``mapInArrow`` — here (U3, Arrow compute kernels
+  with no pandas conversion at all).
 
 Both operators below are Arrow-batched end to end: the UDAF plans as
 ``ArrowAggregatePython`` (vectorized partial-less aggregation after a

@@ -1293,6 +1293,59 @@ register(
 )
 
 
+def _python_datasource_write_roundtrip(spark, sf_dir):
+    """S4 extension, WRITE path — push the documents subset through
+    the custom Python Data Source SINK (temp-file/rename task-commit,
+    sources/pyds.py), then read it back through the matching reader
+    and aggregate: the oracle recomputes from the original parquet, so
+    a row lost or duplicated anywhere in the write→commit→read cycle
+    breaks the hash. Write lands in a per-sf temp dir (mode=overwrite
+    keeps the query idempotent)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .sources.pyds import (
+        read_documents_via_python_datasource,
+        write_documents_via_python_datasource,
+    )
+    from .operators.text import load_table
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"pydsw|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"rtba_pydsw_{tag}")
+    df = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .repartition(4)
+    )
+    write_documents_via_python_datasource(spark, df, out_dir)
+    back = read_documents_via_python_datasource(spark, out_dir)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+register(
+    "s_python_datasource_write_roundtrip",
+    _python_datasource_write_roundtrip,
+    sql="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+    FROM documents GROUP BY lang
+    """,
+    tags=("source", "sink", "python-datasource", "write"),
+)
+
+
 def _python_datasource_stream(spark, sf_dir):
     """S4/T-series extension — the STREAMING Python Data Source: the
     same JSONL shards replayed one file per micro-batch through a

@@ -25,11 +25,19 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 DOCS_SUBSET_SCHEMA = "doc_id bigint, lang string, n_chars bigint"
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
 
 
 class _JsonlPartition(InputPartition):
@@ -59,9 +67,68 @@ class _JsonlDocsReader(DataSourceReader):
             yield batch
 
 
+class _JsonlDocsWriter(DataSourceWriter):
+    """Batch write path: each task writes its partition to a TEMP
+    file and returns a commit message; only the driver-side
+    ``commit()`` publishes (atomic rename) — so failed or speculative
+    task attempts never leave partial output visible, the same
+    task-commit protocol native file sinks use. Local-fs paths match
+    the reader's harness assumption; at production scale the same
+    protocol targets shared storage."""
+
+    def __init__(self, options):
+        self.dir = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(self.dir, f"_tmp_part-{pid:05d}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(
+                    json.dumps(
+                        {
+                            "doc_id": row.doc_id,
+                            "lang": row.lang,
+                            "n_chars": row.n_chars,
+                        }
+                    )
+                    + "\n"
+                )
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            os.replace(
+                m.path,
+                m.path.replace("_tmp_part-", "part-"),
+            )
+        with open(os.path.join(self.dir, "_SUCCESS"), "w") as f:
+            f.write(str(sum(m.n for m in messages)))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
 class JsonlDocsDataSource(DataSource):
     """``spark.read.format("jsonl_docs").option("path", dir)`` — a
-    partitioned, Arrow-batched JSONL reader for the documents table."""
+    partitioned, Arrow-batched JSONL reader for the documents table,
+    plus the matching batch WRITER (``df.write.format("jsonl_docs")``)
+    with temp-file/rename task-commit semantics."""
 
     @classmethod
     def name(cls) -> str:
@@ -72,6 +139,17 @@ class JsonlDocsDataSource(DataSource):
 
     def reader(self, schema):
         return _JsonlDocsReader(self.options)
+
+    def writer(self, schema, overwrite):
+        import os
+
+        d = self.options["path"]
+        os.makedirs(d, exist_ok=True)
+        if overwrite:
+            for f in os.listdir(d):
+                if f.endswith(".jsonl") or f == "_SUCCESS":
+                    os.remove(os.path.join(d, f))
+        return _JsonlDocsWriter(self.options)
 
 
 def read_documents_via_python_datasource(spark, jsonl_dir: str):
@@ -159,3 +237,14 @@ def stream_documents_via_python_datasource(spark, jsonl_dir: str):
     """Register (idempotent) and open the streaming scan."""
     spark.dataSource.register(make_jsonl_docs_stream_datasource())
     return spark.readStream.format("jsonl_docs_stream").option("path", jsonl_dir).load()
+
+
+def write_documents_via_python_datasource(spark, df, out_dir: str):
+    """Register (idempotent) and write through the custom sink."""
+    spark.dataSource.register(JsonlDocsDataSource)
+    (
+        df.write.format("jsonl_docs")
+        .mode("overwrite")
+        .option("path", out_dir)
+        .save()
+    )

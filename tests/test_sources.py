@@ -185,3 +185,41 @@ def test_orc_roundtrip_pushes_filter_to_scan(spark, sf_dir):
     n_orc = spark.read.orc(_stage_docs_orc(spark, sf_dir)).count()
     n_pq = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert n_orc == n_pq
+
+
+def test_python_datasource_writer_commit_protocol(spark, sf_dir):
+    """The custom sink must publish atomically: after save() the dir
+    holds only part-*.jsonl plus a _SUCCESS marker recording the row
+    total, no _tmp_ leftovers; overwrite replaces prior output."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.sources.pyds import (
+        read_documents_via_python_datasource,
+        write_documents_via_python_datasource,
+    )
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    n = docs.count()
+    with tempfile.TemporaryDirectory(prefix="rtba_pydsw_t_") as d:
+        write_documents_via_python_datasource(spark, docs.repartition(3), d)
+        names = sorted(os.listdir(d))
+        assert not any(f.startswith("_tmp_") for f in names)
+        parts = [f for f in names if f.startswith("part-") and f.endswith(".jsonl")]
+        assert parts and "_SUCCESS" in names
+        with open(os.path.join(d, "_SUCCESS")) as f:
+            assert int(f.read()) == n
+        # overwrite: fewer partitions must not leave stale part files
+        write_documents_via_python_datasource(spark, docs.repartition(1), d)
+        parts2 = [
+            f for f in os.listdir(d) if f.startswith("part-") and f.endswith(".jsonl")
+        ]
+        assert len(parts2) == 1
+        back = read_documents_via_python_datasource(spark, d)
+        assert back.count() == n
+        assert back.agg(F.sum("n_chars")).first()[0] == docs.agg(F.sum("n_chars")).first()[0]
