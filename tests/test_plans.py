@@ -96,6 +96,7 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "l3_knn_ivf",
         "l3_knn_ivf_indexed",
         "l3_knn_pq_rerank",  # exact-twin broadcast + 1-row recall flag
+        "l2_minhash_lsh_pairs",  # checked form: five 1-row assertion-scalar broadcasts
         "a5_recent_window_counts",
         "sketch_theta_user_overlap",
         "q22_inactive_high_balance",
@@ -108,6 +109,7 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "sf_cuped_adjusted_diff",  # 1-row theta/moments broadcast
         "ts_acf_daily_value",  # 7-row lag table onto the daily series
         "m5_logreg_gd",  # 1-row weight vector broadcast per GD step
+        "m7_kmeans_lloyd",  # 1-row centroid vector broadcast per Lloyd step
         "dq_zorder_pruning_audit",  # 1-row dimension-bounds broadcast
         "l4_rrf_hybrid_search",  # 3-row seed-vector broadcast (knn shape)
         "wf_rfm_segments",  # 1-row horizon (max day) broadcast
