@@ -1509,6 +1509,15 @@ register(
     tags=("entity-resolution", "clustering", "iterative"),
 )
 
+register(
+    "er_lossless_fuzzy_names",
+    entity_resolution.lossless_fuzzy_name_pairs,
+    # the oracle is the NAIVE all-pairs levenshtein join — hash match
+    # certifies the length-band replication blocking is lossless
+    sql=entity_resolution.LOSSLESS_FUZZY_SQL,
+    tags=("entity-resolution", "fuzzy-match", "lossless-blocking"),
+)
+
 
 register(
     "mta_linear_attribution",
@@ -2581,6 +2590,18 @@ register(
     {_skew_sql("lineitem", "l_orderkey", "lineitem.l_orderkey")}
     """,
     tags=("data-quality", "skew", "gini", "shuffle-planning"),
+)
+
+from .operators import bloom  # noqa: E402
+
+register(
+    "dq_bloom_semijoin_prune",
+    bloom.bloom_semijoin_prune_audit,
+    # exact semi-join counts verbatim; the Bloom-dependent parts
+    # collapse to the two asserted filter guarantees (zero false
+    # negatives, observed fpp <= FPP_BOUND) the oracle emits as true
+    sql=bloom.BLOOM_SEMIJOIN_SQL,
+    tags=("data-quality", "bloom", "runtime-filter", "semi-join"),
 )
 
 register(

@@ -45,6 +45,42 @@ def test_hot_block_cap_drops_oversized_blocks(spark, sf_dir):
     assert er.candidate_pairs(spark, sf_dir, max_block=1).count() == 0
 
 
+def test_lossless_band_join_equals_naive_all_pairs(spark, sf_dir):
+    """The length-band replication join must produce EXACTLY the naive
+    all-pairs result — the losslessness contract, checked in-engine
+    (the registered oracle re-checks it against DuckDB)."""
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in er.lossless_fuzzy_name_pairs(spark, sf_dir).collect()
+    }
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .count()
+    )
+    a, b = names.alias("a"), names.alias("b")
+    naive = {
+        (r.name_a, r.name_b, r.dist)
+        for r in a.join(b, F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein("a.name", "b.name").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= er.CANDIDATE_DIST)
+        .collect()
+    }
+    assert got == naive
+    assert got, "fixture should contain near-duplicate part names"
+
+
+def test_lossless_pairs_canonical(spark, sf_dir):
+    for r in er.lossless_fuzzy_name_pairs(spark, sf_dir).collect():
+        assert r.name_a < r.name_b
+        assert 0 <= r.dist <= er.CANDIDATE_DIST
+        assert r.n_parts_a >= 1 and r.n_parts_b >= 1
+
+
 def test_clusters_are_closed_over_match_pairs(spark, sf_dir):
     """Both endpoints of every confident match pair carry the same
     entity label, and every representative labels itself."""
