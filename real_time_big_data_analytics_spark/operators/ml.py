@@ -502,3 +502,88 @@ def gaussian_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((1 - pred) * F.col("y")).cast("long")).cast("bigint").alias("fn"),
         F.sum(((1 - pred) * (1 - F.col("y"))).cast("long")).cast("bigint").alias("tn"),
     )
+
+
+# --- M8: ridge regression by closed-form normal equations ------------
+
+RIDGE_LAMBDA = 0.001
+RIDGE_PROBE_QTY = 25.0
+RIDGE_PROBE_DISC = 0.05
+
+# Cramer's rule on the symmetric 3x3 normal matrix A = X'X/n + λI over
+# (1, x1, x2) with right side b = X'y/n. The SAME formula strings are
+# evaluated by Spark (F.expr) and interpolated into the DuckDB oracle
+# (queries_ml.py), so there is no hand-transcription seam between the
+# two engines — both compute bit-identical arithmetic from their own
+# (summation-order-differing) averages, and the final 1e-4 rounding
+# absorbs the ulp-level divergence exactly as in m5/m6/m7.
+_L = f"{RIDGE_LAMBDA!r}"
+RIDGE_DET = (
+    f"(1+{_L})*((s11+{_L})*(s22+{_L}) - s12*s12)"
+    f" - m1*(m1*(s22+{_L}) - s12*m2) + m2*(m1*s12 - (s11+{_L})*m2)"
+)
+RIDGE_DET0 = (
+    f"my*((s11+{_L})*(s22+{_L}) - s12*s12)"
+    f" - m1*(s1y*(s22+{_L}) - s12*s2y) + m2*(s1y*s12 - (s11+{_L})*s2y)"
+)
+RIDGE_DET1 = (
+    f"(1+{_L})*(s1y*(s22+{_L}) - s12*s2y)"
+    f" - my*(m1*(s22+{_L}) - s12*m2) + m2*(m1*s2y - s1y*m2)"
+)
+RIDGE_DET2 = (
+    f"(1+{_L})*((s11+{_L})*s2y - s1y*s12)"
+    f" - m1*(m1*s2y - s1y*m2) + my*(m1*s12 - (s11+{_L})*m2)"
+)
+
+
+def ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 — ridge linear regression fit in ONE aggregate pass: the
+    normal matrix needs only nine algebraic moments of
+    (l_quantity, l_discount, l_extendedprice), all partial-aggregable
+    map-side, then Cramer's rule solves the regularized 3x3 system in
+    1-row column arithmetic. The whole trainer is a single scan with
+    one partial-agg combine — no iteration, no shuffle of data rows,
+    no driver math — the canonical "ML as an aggregate" shape that
+    survives any scale the scan survives.
+
+    λ is added to the full diagonal (intercept included) — a
+    simplification over the don't-penalize-intercept convention,
+    stated here because the oracle replays the identical system.
+    Output: n_rows, coefficients (rounded 1e-4), and the predicted
+    price at a fixed probe point (rounded 1e-2), all hash-checked
+    against the DuckDB twin that interpolates the same formula
+    strings (reference scope note: the reference's only model is the
+    MLlib decision tree, ConsumerESFinal.scala:61-67; regression is
+    north-star surface).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q, d, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.avg(q).alias("m1"),
+        F.avg(d).alias("m2"),
+        F.avg(y).alias("my"),
+        F.avg(q * q).alias("s11"),
+        F.avg(q * d).alias("s12"),
+        F.avg(d * d).alias("s22"),
+        F.avg(q * y).alias("s1y"),
+        F.avg(d * y).alias("s2y"),
+    )
+    solved = m.select(
+        "n_rows",
+        (F.expr(RIDGE_DET0) / F.expr(RIDGE_DET)).alias("b0"),
+        (F.expr(RIDGE_DET1) / F.expr(RIDGE_DET)).alias("b1"),
+        (F.expr(RIDGE_DET2) / F.expr(RIDGE_DET)).alias("b2"),
+    )
+    return solved.select(
+        "n_rows",
+        round2("b0", 4).alias("b_intercept"),
+        round2("b1", 4).alias("b_quantity"),
+        round2("b2", 4).alias("b_discount"),
+        round2(
+            F.col("b0")
+            + F.col("b1") * F.lit(RIDGE_PROBE_QTY)
+            + F.col("b2") * F.lit(RIDGE_PROBE_DISC),
+            2,
+        ).alias("pred_probe_price"),
+    )

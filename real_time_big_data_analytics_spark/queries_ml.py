@@ -272,3 +272,40 @@ register(
     """,
     tags=("ml", "kmeans", "clustering", "iterative"),
 )
+
+
+# the normal-equation solve is pure arithmetic over nine moments; the
+# Cramer formula STRINGS are shared with the Spark side (ml.RIDGE_DET*)
+# so both engines evaluate the identical expression tree
+register(
+    "m8_ridge_normal_eq",
+    ml.ridge_normal_eq,
+    sql=f"""
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             avg(l_quantity) AS m1,
+             avg(l_discount) AS m2,
+             avg(l_extendedprice) AS my,
+             avg(l_quantity * l_quantity) AS s11,
+             avg(l_quantity * l_discount) AS s12,
+             avg(l_discount * l_discount) AS s22,
+             avg(l_quantity * l_extendedprice) AS s1y,
+             avg(l_discount * l_extendedprice) AS s2y
+      FROM lineitem
+    ), s AS (
+      SELECT n_rows,
+             ({ml.RIDGE_DET0}) / ({ml.RIDGE_DET}) AS b0,
+             ({ml.RIDGE_DET1}) / ({ml.RIDGE_DET}) AS b1,
+             ({ml.RIDGE_DET2}) / ({ml.RIDGE_DET}) AS b2
+      FROM m
+    )
+    SELECT n_rows,
+           round(b0, 4) AS b_intercept,
+           round(b1, 4) AS b_quantity,
+           round(b2, 4) AS b_discount,
+           round(b0 + b1 * {ml.RIDGE_PROBE_QTY!r} + b2 * {ml.RIDGE_PROBE_DISC!r}, 2)
+             AS pred_probe_price
+    FROM s
+    """,
+    tags=("ml", "regression", "closed-form"),
+)

@@ -186,3 +186,35 @@ def test_kmeans_lloyd_matches_numpy(spark, sf_dir):
         assert abs(row[f"cy{i}"] - C[i][1]) < 1e-3
     assert abs(row.inertia - d.min(1).sum()) < 0.05
     assert len({row.n_c0, row.n_c1, row.n_c2} - {0}) >= 2  # non-degenerate
+
+
+def test_ridge_normal_eq_matches_numpy(spark, sf_dir):
+    """m8's Cramer solve must equal numpy's lstsq on the regularized
+    normal system built from the same raw rows — an independent
+    implementation of the algorithm, not a replay of the formulas."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    X = np.column_stack(
+        [np.ones(len(rows)), rows.l_quantity.to_numpy(), rows.l_discount.to_numpy()]
+    ).astype(float)
+    y = rows.l_extendedprice.to_numpy().astype(float)
+    n = len(rows)
+    A = X.T @ X / n + ml.RIDGE_LAMBDA * np.eye(3)
+    b = X.T @ y / n
+    expect = np.linalg.solve(A, b)
+
+    got = ml.ridge_normal_eq(spark, sf_dir).first()
+    assert got.n_rows == n
+    for val, exp in zip(
+        (got.b_intercept, got.b_quantity, got.b_discount), expect
+    ):
+        assert abs(val - exp) < 5e-4
+    probe = expect[0] + expect[1] * ml.RIDGE_PROBE_QTY + expect[2] * ml.RIDGE_PROBE_DISC
+    assert abs(got.pred_probe_price - probe) < 0.05
