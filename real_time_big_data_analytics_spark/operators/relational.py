@@ -2561,3 +2561,72 @@ def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_arm * 2 <= F.col("n_users")).alias("feasible_now"),
         )
     )
+
+
+# --- multiple-testing control: Benjamini-Hochberg FDR ----------------
+
+FDR_Q = 0.05
+
+# Two-sided normal p-value p = erfc(|z|/sqrt(2)) via Abramowitz-Stegun
+# 7.1.26 (max abs error 1.5e-7 — far inside the 1e-6 output rounding).
+# The polynomial is evaluated from the SAME string by Spark (F.expr)
+# and the DuckDB oracle (queries_batch.py interpolation), over the
+# named columns az = |z|/sqrt(2) and tt = 1/(1 + 0.3275911*az), so the
+# special function has no hand-transcription seam between engines.
+PVAL_TT_EXPR = "1.0 / (1.0 + 0.3275911 * az)"
+PVAL_EXPR = (
+    "((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt"
+    " - 0.284496736) * tt + 0.254829592) * tt * exp(-az * az)"
+)
+
+
+def fdr_bh_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sf — Benjamini-Hochberg FDR control over a family of per-group
+    hypothesis tests: for every nation, a two-sided z-test of whether
+    its customers' mean account balance differs from the global mean,
+    then the BH step-up adjustment at q = FDR_Q. This is the missing
+    piece after per-test statistics (``sf_welch_ttest_value``,
+    ``sf_mann_whitney_chars``): any platform that screens hundreds of
+    segment metrics per day needs multiplicity control, not raw
+    p-values.
+
+    Plan shape: one grouped-aggregate pass (n, mean per nation) + a
+    1-row global-moments broadcast; the BH machinery — ascending
+    p-rank, step-up reverse running minimum of m*p/i — runs on m rows
+    (one per group), metadata-scale regardless of fact-table size.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"), F.avg("c_acctbal").alias("m")
+    )
+    tot = cust.agg(
+        F.avg("c_acctbal").alias("ma"), F.stddev_samp("c_acctbal").alias("sa")
+    )
+    z = g.crossJoin(F.broadcast(tot)).withColumn(
+        "zstat", (F.col("m") - F.col("ma")) / (F.col("sa") / F.sqrt("n"))
+    )
+    pv = (
+        z.withColumn("az", F.abs(F.col("zstat")) / F.sqrt(F.lit(2.0)))
+        .withColumn("tt", F.expr(PVAL_TT_EXPR))
+        .withColumn("p", F.expr(PVAL_EXPR))
+    )
+    w_rank = Window.orderBy(F.asc("p"), F.asc("c_nationkey"))
+    ranked = pv.withColumn("i", F.row_number().over(w_rank)).withColumn(
+        "mt", F.count("*").over(Window.partitionBy())
+    )
+    w_tail = Window.orderBy("i").rowsBetween(0, Window.unboundedFollowing)
+    adj = ranked.withColumn(
+        "p_bh",
+        F.min(F.least(F.lit(1.0), F.col("mt") * F.col("p") / F.col("i"))).over(
+            w_tail
+        ),
+    )
+    return adj.select(
+        "c_nationkey",
+        F.col("n").cast("bigint").alias("n_customers"),
+        round2("m", 2).alias("mean_bal"),
+        round2("zstat", 4).alias("z_stat"),
+        round2("p", 6).alias("p_value"),
+        round2("p_bh", 6).alias("p_bh"),
+        (F.col("p_bh") <= FDR_Q).alias("reject_fdr"),
+    )

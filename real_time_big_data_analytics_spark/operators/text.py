@@ -1917,3 +1917,57 @@ def incremental_jaccard_pairs(
     return pairs.select(
         "new_id", "old_id", round2(jac, 4).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+ZIPF_FIT_TOP = 100
+
+
+def zipf_ols_fit(spark: SparkSession, sf_dir: str, top_n: int = ZIPF_FIT_TOP) -> DataFrame:
+    """L4 — Zipf's-law fit over the corpus word-frequency curve: OLS
+    of ln(frequency) on ln(rank) for the top ``top_n`` words. The
+    slope is the (negative) Zipf exponent — a standard corpus-health
+    diagnostic: natural text sits near −1; templated/synthetic or
+    boilerplate-heavy crawls bend the curve, so a drifting exponent
+    between ingestion snapshots is a cheap red flag long before a
+    model sees the data.
+
+    Scale shape: the count groupBy shuffles distinct words only
+    (vocab-bounded); ``limit(top_n)`` plans TakeOrderedAndProject
+    (per-partition top-k + driver merge of top_n·partitions rows, no
+    global sort); the rank window then orders only top_n rows. Ties
+    at the cutoff break on the word itself so both engines select the
+    identical fit set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(top_n)
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("word")))
+        .alias("rank"),
+        "n",
+    )
+    xy = ranked.select(F.log("rank").alias("x"), F.log("n").alias("y"))
+    m = xy.agg(
+        F.count("*").cast("bigint").alias("n_fit"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("x")).alias("sxx"),
+        F.avg(F.col("x") * F.col("y")).alias("sxy"),
+        F.avg(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("mx") * F.col("my")
+    varx = F.col("sxx") - F.col("mx") * F.col("mx")
+    vary = F.col("syy") - F.col("my") * F.col("my")
+    slope = cov / varx
+    return m.select(
+        "n_fit",
+        round2(slope, 4).alias("zipf_slope"),
+        round2(F.col("my") - slope * F.col("mx"), 4).alias("intercept"),
+        round2(cov * cov / (varx * vary), 4).alias("r2"),
+    )

@@ -2632,3 +2632,43 @@ register(
     """,
     tags=("stats", "power-analysis", "experimentation"),
 )
+
+
+register(
+    "sf_fdr_bh_nations",
+    relational.fdr_bh_nations,
+    # the A&S erfc polynomial is interpolated from the SAME module
+    # strings the Spark plan evaluates (relational.PVAL_*_EXPR)
+    sql=f"""
+    WITH g AS (
+      SELECT c_nationkey, count(*) AS n, avg(c_acctbal) AS m
+      FROM customer GROUP BY c_nationkey
+    ), tot AS (
+      SELECT avg(c_acctbal) AS ma, stddev_samp(c_acctbal) AS sa FROM customer
+    ), z AS (
+      SELECT c_nationkey, n, m, (m - ma) / (sa / sqrt(n)) AS zstat
+      FROM g, tot
+    ), pt AS (
+      SELECT *, abs(zstat) / sqrt(2.0) AS az FROM z
+    ), pt2 AS (
+      SELECT *, {relational.PVAL_TT_EXPR} AS tt FROM pt
+    ), pv AS (
+      SELECT c_nationkey, n, m, zstat, {relational.PVAL_EXPR} AS p FROM pt2
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY p ASC, c_nationkey ASC) AS i,
+             count(*) OVER () AS mt
+      FROM pv
+    ), adj AS (
+      SELECT *, min(least(1.0, mt * p / i)) OVER (
+               ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS p_bh
+      FROM ranked
+    )
+    SELECT c_nationkey, CAST(n AS BIGINT) AS n_customers,
+           round(m, 2) AS mean_bal, round(zstat, 4) AS z_stat,
+           round(p, 6) AS p_value, round(p_bh, 6) AS p_bh,
+           p_bh <= {relational.FDR_Q} AS reject_fdr
+    FROM adj
+    """,
+    tags=("stats", "fdr", "multiple-testing"),
+)

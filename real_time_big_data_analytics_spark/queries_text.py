@@ -2319,3 +2319,33 @@ register(
     """,
     tags=("source", "sink", "orc", "roundtrip"),
 )
+
+
+register(
+    "l4_zipf_ols_fit",
+    text.zipf_ols_fit,
+    sql=f"""
+    WITH counts AS (
+      SELECT word, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ), top AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, word ASC) AS rank
+      FROM counts ORDER BY n DESC, word ASC LIMIT {text.ZIPF_FIT_TOP}
+    ), xy AS (
+      SELECT ln(rank) AS x, ln(n) AS y FROM top
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_fit,
+             avg(x) AS mx, avg(y) AS my,
+             avg(x * x) AS sxx, avg(x * y) AS sxy, avg(y * y) AS syy
+      FROM xy
+    )
+    SELECT n_fit,
+           round((sxy - mx * my) / (sxx - mx * mx), 4) AS zipf_slope,
+           round(my - (sxy - mx * my) / (sxx - mx * mx) * mx, 4) AS intercept,
+           round((sxy - mx * my) * (sxy - mx * my)
+                 / ((sxx - mx * mx) * (syy - my * my)), 4) AS r2
+    FROM m
+    """,
+    tags=("text", "corpus-stats", "ols"),
+)

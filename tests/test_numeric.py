@@ -613,3 +613,47 @@ def test_rfm_segments_partition_users(spark, sf_dir):
             per_q[r.segment // place % 10] += r.n_users
         assert set(per_q) == {1, 2, 3, 4, 5}
         assert max(per_q.values()) - min(per_q.values()) <= buyers // 5 + 1
+
+
+def test_fdr_bh_matches_stdlib_reference(spark, sf_dir):
+    """p-values must agree with the stdlib's exact normal CDF within
+    the A&S 7.1.26 error bound, and the BH step-up adjustment must
+    equal an independent pure-Python reimplementation."""
+    from statistics import NormalDist
+
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = sorted(
+        relational.fdr_bh_nations(spark, sf_dir).collect(),
+        key=lambda r: (r.p_value, r.c_nationkey),
+    )
+    assert rows
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_acctbal")
+        .toPandas()
+    )
+    ma, sa = cust.c_acctbal.mean(), cust.c_acctbal.std(ddof=1)
+    nd = NormalDist()
+    raw = []
+    for r in rows:
+        grp = cust[cust.c_nationkey == r.c_nationkey].c_acctbal
+        z = (grp.mean() - ma) / (sa / len(grp) ** 0.5)
+        p_exact = 2 * (1 - nd.cdf(abs(z)))
+        assert abs(r.z_stat - z) < 1e-3
+        assert abs(r.p_value - p_exact) < 2e-6  # 1.5e-7 approx + 1e-6 rounding
+        raw.append(r.p_value)
+
+    # independent BH: step-up reverse running min of m*p/i, capped at 1
+    m = len(raw)
+    adj = [min(1.0, m * p / (i + 1)) for i, p in enumerate(raw)]
+    for i in range(m - 2, -1, -1):
+        adj[i] = min(adj[i], adj[i + 1])
+    for r, a in zip(rows, adj):
+        assert abs(r.p_bh - a) < 5e-6
+        assert r.reject_fdr == (r.p_bh <= relational.FDR_Q)
+
+    # monotone in rank by construction
+    assert all(x.p_bh <= y.p_bh for x, y in zip(rows, rows[1:]))

@@ -603,3 +603,30 @@ def test_bpe_fold_matches_reference_apply(spark):
     for w in words:
         assert got[w] == ref_apply(w), (w, got[w], ref_apply(w))
         assert "".join(got[w]) == w  # lossless reconstruction
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark, sf_dir):
+    """The in-engine OLS over (ln rank, ln freq) must match numpy's
+    polyfit on the identically-selected top-N word counts."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import text as t
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    got = t.zipf_ols_fit(spark, sf_dir).first()
+
+    docs = load_table(spark, sf_dir, "documents").select("text").toPandas()
+    from collections import Counter
+
+    c = Counter(w for s in docs.text for w in s.split(" ") if w)
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: t.ZIPF_FIT_TOP]
+    y = np.log([n for _, n in top])
+    x = np.log(np.arange(1, len(top) + 1))
+    slope, intercept = np.polyfit(x, y, 1)
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+
+    assert got.n_fit == len(top)
+    assert abs(got.zipf_slope - slope) < 1e-3
+    assert abs(got.intercept - intercept) < 1e-3
+    assert abs(got.r2 - r2) < 1e-3
+    assert got.zipf_slope < 0  # frequency falls with rank
