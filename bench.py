@@ -111,6 +111,14 @@ HEADLINE = [
     "l4_bpe_encode_stats",
     "graph_trade_communities",
     "l3_mmr_diversified_topk",
+    # late round-4 additions: the broadcast runtime-filter probe (bit
+    # arithmetic over every fact row) and the lossless length-band
+    # fuzzy join (replicated band shuffle + bounded levenshtein) —
+    # the two new per-row-cost shapes. Ridge/Zipf/FDR are deliberately
+    # NOT headlined: each is one aggregate pass over already-benched
+    # scan shapes (q1/l4_word_topk cover their cost envelope).
+    "dq_bloom_semijoin_prune",
+    "er_lossless_fuzzy_names",
 ]
 
 

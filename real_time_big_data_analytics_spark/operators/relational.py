@@ -2630,3 +2630,95 @@ def fdr_bh_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2("p_bh", 6).alias("p_bh"),
         (F.col("p_bh") <= FDR_Q).alias("reject_fdr"),
     )
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts — CUSUM change-point detection over the daily total event
+    value: S_t = Σ_{i≤t}(x_i − x̄); the day maximizing |S_t| is the
+    most likely level-shift point (Page 1954, public literature), and
+    the before/after means quantify the shift. The drift companion to
+    `ts_rolling_zscore` (local spikes) and `sf_psi_drift`
+    (distributional): CUSUM finds WHEN a persistent level change
+    happened, which is the first question an on-call data engineer
+    asks about a metric regression.
+
+    Scale shape: the fact scan collapses to one row per calendar day
+    before any window runs, so the global-ordering prefix sum and the
+    top-1 pick operate on a calendar-bounded series (the same
+    argument as `ts_ewma_daily_value`); the chosen change-point is a
+    1-row broadcast back onto the daily series for the split means.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    dev = daily.withColumn("mx", F.avg("x").over(Window.partitionBy()))
+    cus = dev.withColumn(
+        "s",
+        F.sum(F.col("x") - F.col("mx")).over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    top = (
+        cus.orderBy(F.abs(F.col("s")).desc(), F.asc("day"))
+        .limit(1)
+        .select(F.col("day").alias("cp_day"), F.abs(F.col("s")).alias("cmax"))
+    )
+    joined = daily.crossJoin(F.broadcast(top))
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        # timestamp, not date: the driver comparator stringifies dates
+        # engine-dependently but timestamps identically (ewma precedent)
+        F.first(F.col("cp_day").cast("timestamp")).alias("changepoint_day"),
+        round2(F.first("cmax"), 2).alias("cusum_max"),
+        round2(
+            F.avg(F.when(F.col("day") <= F.col("cp_day"), F.col("x"))), 2
+        ).alias("mean_before"),
+        round2(
+            F.avg(F.when(F.col("day") > F.col("cp_day"), F.col("x"))), 2
+        ).alias("mean_after"),
+    )
+
+
+def seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts — classical additive seasonal decomposition of the daily
+    event value with day-of-week seasonality: trend = centered 7-day
+    moving average, detrended = x − trend, seasonal index = per-dow
+    mean of the detrended series re-centered to sum to zero. The
+    calendar twin of `ts_cusum_changepoint`: CUSUM finds level
+    shifts, this separates the weekly rhythm from them so alerts
+    compare like weekdays with like.
+
+    Day-of-week comes from anchor-date arithmetic
+    (``datediff(day, 1970-01-05) % 7``, 0 = Monday) instead of each
+    engine's dayofweek() — Spark counts Sunday=1 and DuckDB Sunday=0,
+    and the modulo form removes that convention seam entirely.
+
+    Scale shape: identical to the other ts ops — the fact scan
+    collapses to one row per day before any window, the 7-wide MA and
+    the 7-row seasonal centering are calendar-bounded.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    det = daily.withColumn("trend", F.avg("x").over(w7)).withColumn(
+        "det", F.col("x") - F.col("trend")
+    )
+    dow = det.withColumn(
+        "dow_idx",
+        F.pmod(F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")), F.lit(7))
+        .cast("bigint"),
+    )
+    per = dow.groupBy("dow_idx").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.avg("det").alias("md"),
+    )
+    centered = per.withColumn("grand", F.avg("md").over(Window.partitionBy()))
+    return centered.select(
+        "dow_idx",
+        "n_days",
+        round2("md", 4).alias("seasonal_raw"),
+        round2(F.col("md") - F.col("grand"), 4).alias("seasonal_idx"),
+    )

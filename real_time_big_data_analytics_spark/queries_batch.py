@@ -2672,3 +2672,63 @@ register(
     """,
     tags=("stats", "fdr", "multiple-testing"),
 )
+
+
+register(
+    "ts_cusum_changepoint",
+    relational.cusum_changepoint,
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, sum(value) AS x
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT day, x, avg(x) OVER () AS mx FROM daily
+    ), cus AS (
+      SELECT day, x,
+             sum(x - mx) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
+      FROM dev
+    ), cp AS (
+      SELECT day AS cp_day, abs(s) AS cmax
+      FROM cus ORDER BY abs(s) DESC, day ASC LIMIT 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           cp_day AS changepoint_day,
+           round(cmax, 2) AS cusum_max,
+           round((SELECT avg(x) FROM daily d WHERE d.day <= cp.cp_day), 2)
+             AS mean_before,
+           round((SELECT avg(x) FROM daily d WHERE d.day > cp.cp_day), 2)
+             AS mean_after
+    FROM cp
+    """,
+    tags=("ts", "changepoint", "drift"),
+)
+
+
+register(
+    "ts_seasonal_decompose_dow",
+    relational.seasonal_decompose_dow,
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, sum(value) AS x
+      FROM events GROUP BY 1
+    ), det AS (
+      SELECT day, x,
+             x - avg(x) OVER (ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS det
+      FROM daily
+    ), dow AS (
+      SELECT CAST(datediff('day', DATE '1970-01-05', day) % 7 AS BIGINT)
+               AS dow_idx,
+             det
+      FROM det
+    ), per AS (
+      SELECT dow_idx, CAST(count(*) AS BIGINT) AS n_days, avg(det) AS md
+      FROM dow GROUP BY dow_idx
+    )
+    SELECT dow_idx, n_days,
+           round(md, 4) AS seasonal_raw,
+           round(md - avg(md) OVER (), 4) AS seasonal_idx
+    FROM per
+    """,
+    tags=("ts", "seasonality", "decomposition"),
+)

@@ -657,3 +657,50 @@ def test_fdr_bh_matches_stdlib_reference(spark, sf_dir):
 
     # monotone in rank by construction
     assert all(x.p_bh <= y.p_bh for x, y in zip(rows, rows[1:]))
+
+
+def test_cusum_changepoint_matches_pandas_replay(spark, sf_dir):
+    """The in-engine CUSUM argmax and split means must equal a direct
+    pandas replay of S_t = cumsum(x - mean)."""
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    got = relational.cusum_changepoint(spark, sf_dir).first()
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = ev.groupby(ev.ts.dt.floor("D"))["value"].sum().sort_index()
+    s = (daily - daily.mean()).cumsum()
+    cp = s.abs().idxmax()  # pandas idxmax ties to first occurrence
+    assert got.n_days == len(daily)
+    assert got.changepoint_day == cp.to_pydatetime()
+    assert abs(got.cusum_max - abs(s[cp])) < 0.01
+    before = daily[daily.index <= cp].mean()
+    after = daily[daily.index > cp]
+    assert abs(got.mean_before - before) < 0.01
+    if len(after):
+        assert abs(got.mean_after - after.mean()) < 0.01
+
+
+def test_seasonal_decompose_matches_pandas_replay(spark, sf_dir):
+    """Seasonal indices must equal a direct pandas replay (7-day
+    centered MA, per-dow detrended means, zero-sum centering)."""
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    got = {
+        r.dow_idx: r
+        for r in relational.seasonal_decompose_dow(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = ev.groupby(ev.ts.dt.floor("D"))["value"].sum().sort_index()
+    trend = daily.rolling(7, center=True, min_periods=1).mean()
+    det = daily - trend
+    dow = (daily.index - __import__("pandas").Timestamp("1970-01-05")).days % 7
+    md = det.groupby(dow).mean()
+    centered = md - md.mean()
+    assert set(got) == set(md.index)
+    assert abs(sum(r.seasonal_idx for r in got.values())) < 1e-3  # zero-sum
+    for k in md.index:
+        assert abs(got[k].seasonal_raw - md[k]) < 0.01
+        assert abs(got[k].seasonal_idx - centered[k]) < 0.01
