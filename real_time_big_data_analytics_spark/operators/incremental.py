@@ -220,3 +220,76 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feat_n_events"),
         "feat_avg_value",
     )
+
+
+ROLLUP_CUTOFF = "2024-01-16 12:00:00"  # mid-day: the boundary day's
+# groups receive contributions from BOTH sides, so the algebraic
+# merge path (not just insert) is exercised and oracle-checked
+
+
+def incremental_rollup_maintenance(
+    spark: SparkSession, sf_dir: str, cutoff: str = ROLLUP_CUTOFF
+) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance for an algebraic
+    rollup: the daily (day × event_type) aggregate is first computed
+    from the pre-cutoff corpus (the persisted view), then the
+    post-cutoff arrivals are aggregated ALONE and merged in with a
+    full-outer join + algebraic combine (count/sum add, max takes
+    greatest). The DuckDB oracle recomputes the rollup from scratch
+    over all rows — the hash match proves the incremental path is
+    exactly equivalent to recomputation.
+
+    This is the batch skeleton of what `t15_stream_cdc_materialize`
+    does per micro-batch, isolated as its own operator because it is
+    THE scale pattern for 100 TB fact tables: each maintenance cycle
+    scans only the delta (new partitions), and the merge join touches
+    one rollup row per active group — the corpus is never rescanned.
+    Only algebraic aggregates (count/sum/min/max/avg-as-sum÷count)
+    merge this way; holistic ones (exact distinct, exact percentile)
+    need sketch state instead (`sketch_distinct_users`'s HLL is the
+    mergeable stand-in).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(day, "event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("v"),
+            F.max("value").alias("mx"),
+        )
+
+    base = rollup(ev.filter(F.col("ts") <= cutoff)).select(
+        F.col("day").alias("b_day"), F.col("event_type").alias("b_type"),
+        F.col("n").alias("b_n"), F.col("v").alias("b_v"), F.col("mx").alias("b_mx"),
+    )
+    delta = rollup(ev.filter(F.col("ts") > cutoff)).select(
+        F.col("day").alias("d_day"), F.col("event_type").alias("d_type"),
+        F.col("n").alias("d_n"), F.col("v").alias("d_v"), F.col("mx").alias("d_mx"),
+    )
+    merged = base.join(
+        delta,
+        (base.b_day == delta.d_day) & (base.b_type == delta.d_type),
+        "full_outer",
+    )
+    from ..functions.numeric import round2
+
+    return merged.select(
+        F.coalesce("b_day", "d_day").cast("timestamp").alias("day"),
+        F.coalesce("b_type", "d_type").alias("event_type"),
+        (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+        .cast("bigint")
+        .alias("n_events"),
+        round2(
+            F.coalesce("b_v", F.lit(0.0)) + F.coalesce("d_v", F.lit(0.0)), 2
+        ).alias("total_value"),
+        round2(
+            F.greatest(
+                F.coalesce("b_mx", "d_mx"), F.coalesce("d_mx", "b_mx")
+            ),
+            2,
+        ).alias("max_value"),
+        (F.col("b_day").isNotNull() & F.col("d_day").isNotNull()).alias(
+            "was_merged"
+        ),
+    )

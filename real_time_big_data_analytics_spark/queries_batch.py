@@ -2732,3 +2732,23 @@ register(
     """,
     tags=("ts", "seasonality", "decomposition"),
 )
+
+
+register(
+    "inc_rollup_maintenance",
+    incremental.incremental_rollup_maintenance,
+    # the oracle RECOMPUTES the rollup from scratch over all rows —
+    # the hash match proves base+delta algebraic merge == recompute
+    sql=f"""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(max(value), 2) AS max_value,
+           sum(CASE WHEN ts <= TIMESTAMP '{incremental.ROLLUP_CUTOFF}'
+                    THEN 1 ELSE 0 END) > 0
+           AND sum(CASE WHEN ts > TIMESTAMP '{incremental.ROLLUP_CUTOFF}'
+                        THEN 1 ELSE 0 END) > 0 AS was_merged
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("incremental", "materialized-view", "rollup"),
+)

@@ -148,3 +148,36 @@ def test_point_in_time_features_never_leak(spark, sf_dir):
         if r.event_type == "purchase" and r.event_id in out:
             assert out[r.event_id].feat_n_events == prior, r.event_id
         seen[r.user_id] = prior + 1
+
+
+def test_rollup_maintenance_merge_path_exercised(spark, sf_dir):
+    """The mid-day cutoff must produce at least one group merged from
+    both sides, pure-base groups, and pure-delta groups — so the
+    full-outer merge exercises all three MERGE branches; and the
+    incremental result must equal a direct recompute."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators import incremental
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    inc = incremental.incremental_rollup_maintenance(spark, sf_dir)
+    rows = inc.collect()
+    merged = [r for r in rows if r.was_merged]
+    assert merged, "boundary day should merge base+delta contributions"
+    assert len(merged) < len(rows), "non-boundary groups should be single-side"
+
+    direct = {
+        (r.day, r.event_type): (r.n, round(r.v, 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert len(rows) == len(direct)
+    for r in rows:
+        n, v = direct[(r.day, r.event_type)]
+        assert r.n_events == n
+        assert abs(r.total_value - v) < 0.011
