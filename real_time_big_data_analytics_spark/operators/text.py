@@ -1971,3 +1971,46 @@ def zipf_ols_fit(spark: SparkSession, sf_dir: str, top_n: int = ZIPF_FIT_TOP) ->
         round2(F.col("my") - slope * F.col("mx"), 4).alias("intercept"),
         round2(cov * cov / (varx * vary), 4).alias("r2"),
     )
+
+
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — dedup-threshold tuning curve: for each candidate Jaccard
+    threshold, how many near-duplicate pairs fire and how many
+    distinct documents they touch. This is the query a pipeline owner
+    runs BEFORE choosing the dedup cutoff — the elbow in n_docs vs
+    threshold is the operating point — and it reuses the exact pair
+    engine once at the loosest threshold, so the sweep costs one pair
+    join + a 5x metadata amplification, not five pair joins.
+
+    The pair set is computed at min(SWEEP_THRESHOLDS) and replicated
+    per threshold with explode (pairs x |grid| rows — pair-bounded,
+    not corpus-bounded); both aggregates (pair count, distinct
+    affected docs) group on the threshold key.
+    """
+    lo = min(SWEEP_THRESHOLDS)
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=lo).select(
+        "a_id", "b_id", "jaccard"
+    )
+    amp = pairs.select(
+        "a_id",
+        "b_id",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
+        ).alias("threshold"),
+        "jaccard",
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    n_pairs = amp.groupBy("threshold").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    n_docs = (
+        amp.select(
+            "threshold", F.explode(F.array("a_id", "b_id")).alias("doc")
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    return n_pairs.join(F.broadcast(n_docs), "threshold")

@@ -2349,3 +2349,31 @@ register(
     """,
     tags=("text", "corpus-stats", "ols"),
 )
+
+
+register(
+    "l2_threshold_sweep",
+    text.dedup_threshold_sweep,
+    sql=f"""
+    WITH pairs AS ({_ngram_pairs_sql(min(text.SWEEP_THRESHOLDS))}),
+    thr AS (
+      SELECT unnest(ARRAY{list(map(float, text.SWEEP_THRESHOLDS))}) AS threshold
+    ), amp AS (
+      SELECT t.threshold, p.a_id, p.b_id
+      FROM pairs p JOIN thr t ON p.jaccard >= t.threshold
+    )
+    SELECT a.threshold, a.n_pairs, d.n_docs
+    FROM (
+      SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM amp GROUP BY threshold
+    ) a JOIN (
+      SELECT threshold, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+      FROM (
+        SELECT threshold, a_id AS doc FROM amp
+        UNION ALL
+        SELECT threshold, b_id FROM amp
+      ) GROUP BY threshold
+    ) d USING (threshold)
+    """,
+    tags=("dedup", "tuning", "sweep"),
+)

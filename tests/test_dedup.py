@@ -347,3 +347,28 @@ def test_incremental_jaccard_is_cross_batch_slice_of_full(spark, sf_dir):
     }
     assert got == want
     assert got  # non-degenerate on harness data
+
+
+def test_threshold_sweep_monotone_and_consistent(spark, sf_dir):
+    """Cumulative sweep counts must be monotone non-increasing in the
+    threshold and agree with direct per-threshold pair queries."""
+    from real_time_big_data_analytics_spark.operators import text as t
+
+    rows = sorted(
+        t.dedup_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == sorted(
+        th for th in t.SWEEP_THRESHOLDS
+        if any(abs(x.threshold - th) < 1e-9 for x in rows)
+    )
+    assert all(
+        a.n_pairs >= b.n_pairs and a.n_docs >= b.n_docs
+        for a, b in zip(rows, rows[1:])
+    )
+    # spot-check one interior threshold against the direct pair query
+    direct = t.ngram_jaccard_pairs(spark, sf_dir, threshold=0.8).count()
+    by_thr = {round(r.threshold, 1): r.n_pairs for r in rows}
+    if 0.8 in by_thr:
+        assert by_thr[0.8] == direct
+    assert rows and rows[0].n_pairs >= rows[0].n_docs // 2
