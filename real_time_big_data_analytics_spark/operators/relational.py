@@ -2722,3 +2722,114 @@ def seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2("md", 4).alias("seasonal_raw"),
         round2(F.col("md") - F.col("grand"), 4).alias("seasonal_idx"),
     )
+
+
+SPEARMAN_X_BUCKET = 8
+SPEARMAN_Y_BUCKET = 100.0
+
+
+def _midranks2(df: DataFrame, value_col: str, bucket_width) -> DataFrame:
+    """Value-grain DOUBLED midranks (2·midrank = 2·rows-strictly-below
+    + ties + 1 — always an exact integer, whatever the value type)
+    via the same two-phase bucketed prefix sum as ``mann_whitney``:
+    bucket-local running sums in parallel, KB-scale bucket offsets
+    broadcast back. Returns (v, mr2); per-row ranks are never
+    materialized — callers join their row grain to this value grain.
+    """
+    per_value = (
+        df.groupBy(F.col(value_col).alias("v"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("bucket", F.floor(F.col("v") / bucket_width))
+    )
+    w_local = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = per_value.select(
+        "bucket",
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_local), F.lit(0)).alias("lcum"),
+    )
+    w_prior = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        per_value.groupBy("bucket")
+        .agg(F.sum("cnt").alias("bc"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bc").over(w_prior), F.lit(0)).alias("ocum"),
+        )
+    )
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "v",
+        (2 * (F.col("ocum") + F.col("lcum")) + F.col("cnt") + 1)
+        .cast("bigint")
+        .alias("mr2"),
+    )
+
+
+def spearman_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sf — Spearman rank correlation between each user's event count
+    and total value, next to raw Pearson: the monotone-association
+    screen that survives the heavy-tailed spend distributions Pearson
+    is wrecked by.
+
+    Exactness design: the per-user y is rounded to cents BEFORE
+    ranking so both engines rank identical values; doubled midranks
+    are exact integers (the ``mann_whitney`` trick), so every rank
+    SUM is a bigint both engines agree on bit-for-bit, and the final
+    rho formula is one double expression over nine integer scalars —
+    zero summation-order exposure. (Integer moment sums bound: with
+    doubled ranks ≤ 2n, Σmr² < 4n³ stays inside bigint below n ≈ 1.3e6
+    users per the n·Σ product in the formula; beyond that, move the
+    moment accumulators to DECIMAL(38,0) — the shape is unchanged.)
+
+    Scale shape: one shuffle to user grain, one to each value grain
+    (distinct-value-bounded), two value-grain joins back — per-row
+    global ranks are never materialized, so there is no
+    single-partition window over the user table.
+    """
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("x"),
+        round2(F.sum("value"), 2).alias("y"),
+    )
+    rx = _midranks2(u, "x", SPEARMAN_X_BUCKET).withColumnRenamed("mr2", "rx2")
+    ry = _midranks2(u, "y", SPEARMAN_Y_BUCKET).withColumnRenamed("mr2", "ry2")
+    ranked = (
+        u.join(rx, u.x == rx.v)
+        .drop("v")
+        .join(ry, u.y == ry.v)
+        .drop("v")
+    )
+    m = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx2").cast("bigint").alias("sx"),
+        F.sum("ry2").cast("bigint").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+        # raw Pearson moments for contrast (doubles, rounded at the end)
+        F.avg("x").alias("pmx"),
+        F.avg("y").alias("pmy"),
+        F.avg(F.col("x") * F.col("x")).alias("pxx"),
+        F.avg(F.col("y") * F.col("y")).alias("pyy"),
+        F.avg(F.col("x") * F.col("y")).alias("pxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    rho = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    pear = (F.col("pxy") - F.col("pmx") * F.col("pmy")) / F.sqrt(
+        (F.col("pxx") - F.col("pmx") * F.col("pmx"))
+        * (F.col("pyy") - F.col("pmy") * F.col("pmy"))
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        round2(rho, 4).alias("spearman_rho"),
+        round2(pear, 4).alias("pearson_r"),
+    )

@@ -2752,3 +2752,46 @@ register(
     """,
     tags=("incremental", "materialized-view", "rollup"),
 )
+
+
+register(
+    "sf_spearman_user_activity",
+    relational.spearman_user_activity,
+    # the oracle computes the same doubled midranks via plain rank()
+    # windows — same semantics, different plan by design; the rank
+    # SUMS are exact integers on both sides, so rho has zero
+    # summation-order exposure
+    sql="""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+             round(sum(value), 2) AS y
+      FROM events GROUP BY user_id
+    ), r AS (
+      SELECT x, y,
+             2 * (rank() OVER (ORDER BY x) - 1)
+               + count(*) OVER (PARTITION BY x) + 1 AS rx2,
+             2 * (rank() OVER (ORDER BY y) - 1)
+               + count(*) OVER (PARTITION BY y) + 1 AS ry2
+      FROM u
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx2) AS BIGINT) AS sx,
+             CAST(sum(ry2) AS BIGINT) AS sy,
+             CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+             CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+             CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
+             avg(x) AS pmx, avg(y) AS pmy,
+             avg(x * x) AS pxx, avg(y * y) AS pyy, avg(x * y) AS pxy
+      FROM r
+    )
+    SELECT n AS n_users,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 4) AS spearman_rho,
+           round((pxy - pmx * pmy)
+                 / sqrt((pxx - pmx * pmx) * (pyy - pmy * pmy)), 4) AS pearson_r
+    FROM m
+    """,
+    tags=("stats", "rank-correlation", "prefix-sum"),
+)

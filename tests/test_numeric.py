@@ -704,3 +704,23 @@ def test_seasonal_decompose_matches_pandas_replay(spark, sf_dir):
     for k in md.index:
         assert abs(got[k].seasonal_raw - md[k]) < 0.01
         assert abs(got[k].seasonal_idx - centered[k]) < 0.01
+
+
+def test_spearman_matches_pandas(spark, sf_dir):
+    """The two-phase midrank Spearman must equal pandas' spearman corr
+    (average-rank ties) on the same per-user table."""
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    got = relational.spearman_user_activity(spark, sf_dir).first()
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value").toPandas()
+    per = ev.groupby("user_id")["value"].agg(["count", "sum"])
+    per["sum"] = per["sum"].round(2)
+    assert got.n_users == len(per)
+    # spearman = pearson of average ranks (pandas' spearman path needs
+    # scipy, absent here — rank manually, same tie convention)
+    rx = per["count"].rank(method="average")
+    ry = per["sum"].rank(method="average")
+    assert abs(got.spearman_rho - rx.corr(ry, method="pearson")) < 1e-3
+    assert abs(got.pearson_r - per["count"].corr(per["sum"], method="pearson")) < 1e-3
