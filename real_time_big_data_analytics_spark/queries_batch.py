@@ -2795,3 +2795,52 @@ register(
     """,
     tags=("stats", "rank-correlation", "prefix-sum"),
 )
+
+
+register(
+    "graph_trade_kcore",
+    graph.trade_kcore,
+    # unrolled synchronous peel as chained CTEs — integer-cent weights
+    # and the exact median threshold make the edge set bit-identical
+    sql=f"""
+    WITH pairs AS (
+      SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+             greatest(c.c_nationkey, s.s_nationkey) AS b,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ), kept AS (
+      SELECT a, b FROM pairs WHERE w > (SELECT median(w) FROM pairs)
+    ), e AS (
+      SELECT a AS x, b AS y FROM kept UNION ALL SELECT b, a FROM kept
+    ), d0 AS (
+      SELECT x AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY x
+    ), a1 AS (
+      SELECT node FROM d0 WHERE d >= {graph.KCORE_K}
+    ), d2 AS (
+      SELECT e.x AS node, count(*) AS d
+      FROM e JOIN a1 nx ON e.x = nx.node JOIN a1 ny ON e.y = ny.node
+      GROUP BY e.x
+    ), a2 AS (
+      SELECT node FROM d2 WHERE d >= {graph.KCORE_K}
+    ), d3 AS (
+      SELECT e.x AS node, count(*) AS d
+      FROM e JOIN a2 nx ON e.x = nx.node JOIN a2 ny ON e.y = ny.node
+      GROUP BY e.x
+    ), a3 AS (
+      SELECT node FROM d3 WHERE d >= {graph.KCORE_K}
+    )
+    SELECT n.n_name,
+           coalesce(d0.d, 0) AS degree_strong,
+           a3.node IS NOT NULL AS in_kcore
+    FROM nation n
+    LEFT JOIN d0 ON n.n_nationkey = d0.node
+    LEFT JOIN a3 ON n.n_nationkey = a3.node
+    """,
+    tags=("graph", "kcore", "iterative"),
+)

@@ -115,3 +115,21 @@ def test_label_propagation_invariants(spark, sf_dir):
     assert 1 <= len(comms) <= n
     again = {(r.n_name, r.community) for r in trade_label_propagation(spark, sf_dir).collect()}
     assert again == {(r.n_name, r.community) for r in rows}
+
+
+def test_kcore_fixpoint_and_invariants(spark, sf_dir):
+    """Round KCORE_ROUNDS must already be a fixed point (one more peel
+    round changes nothing), every core member must keep >= k strong
+    partners INSIDE the core, and the core must be non-trivial."""
+    from real_time_big_data_analytics_spark.operators import graph as g
+
+    rows = g.trade_kcore(spark, sf_dir).collect()
+    extra = g.trade_kcore(spark, sf_dir, rounds=g.KCORE_ROUNDS + 1).collect()
+    assert {(r.n_name, r.in_kcore) for r in rows} == {
+        (r.n_name, r.in_kcore) for r in extra
+    }
+    core = {r.n_name for r in rows if r.in_kcore}
+    assert core and len(core) < len(rows)  # non-trivial at harness SFs
+    for r in rows:
+        if r.in_kcore:
+            assert r.degree_strong >= g.KCORE_K  # necessary condition
