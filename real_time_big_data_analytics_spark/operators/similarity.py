@@ -1133,3 +1133,78 @@ def mmr_diversified_topk(
         )
         sel = pick if sel is None else sel.unionByName(pick)
     return sel
+
+
+PCA_ITERS = 3
+EMB_DIM = 64  # harness embedding width; the Spark side discovers the
+# width dynamically (max size) — the constant exists only so the
+# DuckDB twin's position range can be interpolated
+
+
+def embedding_pca_power(
+    spark: SparkSession, sf_dir: str, iters: int = PCA_ITERS
+) -> DataFrame:
+    """L5 — top principal component of the embedding cloud by MATRIX-
+    FREE power iteration: C·v is computed as Σ_r x_r(x_r·v) in one
+    corpus pass per iteration — the d×d second-moment matrix is never
+    materialized, so the cost is O(n·d) per step and the only state
+    between steps is the d-wide direction vector (a 1-row broadcast).
+    That is the formulation that survives d in the thousands and n in
+    the billions, where the n·d² materialize-the-covariance plan dies.
+
+    The top PC is the standard embedding-health lens: drift of the
+    dominant direction between snapshots flags collapsed or rotated
+    encoders (the cohort companion to ``l5_embedding_cohort_drift``),
+    and its eigenvalue share bounds how much variance whitening would
+    remove. Scaling by 1/n is deferred to the end (power iteration is
+    scale-invariant; each step renormalizes), so no count scalar
+    enters the loop.
+
+    Determinism: v₀ is the exact constant 1/√d; each step's direction
+    is renormalized from engine-identical structure (the only float
+    divergence is summation order inside the per-step aggregates,
+    absorbed by the 1e-4 output rounding); the sign is pinned by v₀.
+    The DuckDB twin replays the identical unrolled recurrence with the
+    same scalar-subquery norms. Output: one row per dimension with
+    its loading, plus the covariance eigenvalue (λ/n) repeated.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    v = emb.agg(F.max(F.size("embedding")).alias("d")).select(
+        F.expr(
+            "transform(sequence(1, d), i -> 1.0 / sqrt(CAST(d AS DOUBLE)))"
+        ).alias("v")
+    )
+    s = None
+    for _ in range(iters):
+        dots = emb.crossJoin(F.broadcast(v)).select(
+            "embedding",
+            F.expr(
+                "aggregate(zip_with(embedding, v, (x, y) -> CAST(x AS DOUBLE) * y),"
+                " 0D, (a, b) -> a + b)"
+            ).alias("dot"),
+        )
+        s = dots.select(
+            F.posexplode("embedding").alias("pos", "e"), "dot"
+        ).groupBy("pos").agg(
+            F.sum(F.col("e").cast("double") * F.col("dot")).alias("s")
+        )
+        nrm = s.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
+        v = (
+            s.crossJoin(F.broadcast(nrm))
+            .select("pos", (F.col("s") / F.col("nrm")).alias("vi"))
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "vi"))).alias("pv"))
+            .select(F.expr("transform(pv, x -> x.vi)").alias("v"))
+        )
+    lam = s.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("lam"))
+    n = emb.agg(F.count("*").cast("double").alias("n"))
+    return (
+        s.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("pos").cast("bigint").alias("pos"),
+            round2(F.col("s") / F.col("lam"), 4).alias("loading"),
+            round2(F.col("lam") / F.col("n"), 4).alias("eigval_cov"),
+        )
+    )

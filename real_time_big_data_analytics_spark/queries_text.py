@@ -2377,3 +2377,46 @@ register(
     """,
     tags=("dedup", "tuning", "sweep"),
 )
+
+
+register(
+    "l5_embedding_pca_power",
+    similarity.embedding_pca_power,
+    # identical unrolled matrix-free recurrence; norms via scalar
+    # subqueries; positions 0-based to match posexplode
+    sql=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(i AS BIGINT) - 1 AS pos,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      FROM embeddings, range(1, {similarity.EMB_DIM + 1}) r(i)
+    ), d0 AS (
+      SELECT vec_id, sum(x * (1.0 / sqrt({similarity.EMB_DIM}.0))) AS dot
+      FROM e GROUP BY vec_id
+    ), s1 AS (
+      SELECT pos, sum(x * dot) AS s
+      FROM e JOIN d0 USING (vec_id) GROUP BY pos
+    ), v1 AS (
+      SELECT pos, s / (SELECT sqrt(sum(s * s)) FROM s1) AS v FROM s1
+    ), d1 AS (
+      SELECT vec_id, sum(e.x * v1.v) AS dot
+      FROM e JOIN v1 USING (pos) GROUP BY vec_id
+    ), s2 AS (
+      SELECT pos, sum(x * dot) AS s
+      FROM e JOIN d1 USING (vec_id) GROUP BY pos
+    ), v2 AS (
+      SELECT pos, s / (SELECT sqrt(sum(s * s)) FROM s2) AS v FROM s2
+    ), d2 AS (
+      SELECT vec_id, sum(e.x * v2.v) AS dot
+      FROM e JOIN v2 USING (pos) GROUP BY vec_id
+    ), s3 AS (
+      SELECT pos, sum(x * dot) AS s
+      FROM e JOIN d2 USING (vec_id) GROUP BY pos
+    ), l AS (
+      SELECT sqrt(sum(s * s)) AS lam FROM s3
+    )
+    SELECT s3.pos, round(s3.s / l.lam, 4) AS loading,
+           round(l.lam / (SELECT count(*) FROM embeddings), 4) AS eigval_cov
+    FROM s3, l
+    """,
+    tags=("embedding", "pca", "iterative", "matrix-free"),
+)
