@@ -2833,3 +2833,84 @@ def spearman_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(rho, 4).alias("spearman_rho"),
         round2(pear, 4).alias("pearson_r"),
     )
+
+
+# --- Holt linear-trend double exponential smoothing -------------------
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts — Holt's linear-trend (double) exponential smoothing of the
+    daily event value: level l_t = alpha*x_t + (1-alpha)*(l+b), trend
+    b_t = beta*(l_t-l) + (1-beta)*b, one-step forecast x_hat_t = l+b,
+    initialized l_2 = x_2, b_2 = x_2-x_1. The trend companion to
+    ``ewma_daily_value`` (level-only smoothing): Holt's forecast keeps
+    up with a drifting series, so its residuals are the right anomaly
+    signal when traffic grows — a plain EWMA flags the growth itself.
+
+    Scale shape: the fact scan collapses to one row per day (a
+    calendar-bounded series) BEFORE anything sequential happens; the
+    order-sensitive recurrence then runs as an ``aggregate``
+    higher-order function over the array-packed series inside a 1-row
+    aggregate — JVM-side, O(days), no Python, no driver collect. Only
+    the daily-rollup shuffle ever sees fact-table data, so the plan is
+    identical at sf0.01 and at 100 TB.
+
+    Determinism: the daily input is round2-ed to cents on both engines
+    first, so the recurrence consumes engine-identical doubles and
+    both sides evaluate the identical arithmetic sequence; alpha/beta
+    are interpolated into the DuckDB twin from these module constants
+    (the twin replays the recurrence with a recursive CTE). Output
+    rounded at 1e-4.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(round2(F.sum("value"), 2).alias("x"))
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("arr")
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    rows_t = (
+        "array<struct<day:date,x:double,level:double,trend:double,"
+        "fitted:double>>"
+    )
+    # l_new appears three times textually; all are the same IEEE
+    # expression over the same operands, so the value is identical —
+    # no cross-engine seam from the duplication.
+    rec = arr.select(
+        F.expr(
+            f"""
+            aggregate(
+              slice(arr, 3, greatest(size(arr) - 2, 0)),
+              named_struct(
+                'l', arr[1].x,
+                'b', arr[1].x - arr[0].x,
+                'rows', CAST(array() AS {rows_t})),
+              (acc, e) -> named_struct(
+                'l', {a} * e.x + {1 - a} * (acc.l + acc.b),
+                'b', {b} * (({a} * e.x + {1 - a} * (acc.l + acc.b)) - acc.l)
+                     + {1 - b} * acc.b,
+                'rows', array_append(acc.rows, named_struct(
+                  'day', e.day, 'x', e.x,
+                  'level', {a} * e.x + {1 - a} * (acc.l + acc.b),
+                  'trend', {b} * (({a} * e.x + {1 - a} * (acc.l + acc.b))
+                                  - acc.l) + {1 - b} * acc.b,
+                  'fitted', acc.l + acc.b)))
+            ).rows AS rows
+            """
+        )
+    )
+    return rec.select(F.explode("rows").alias("r")).select(
+        # timestamp, not date: DuckDB dates arrive in pandas as
+        # datetime64, so the comparable type is timestamp (same as
+        # ewma_daily_value)
+        F.col("r.day").cast("timestamp").alias("day"),
+        F.col("r.x").alias("x"),
+        round2("r.level", 4).alias("level"),
+        round2("r.trend", 4).alias("trend"),
+        round2("r.fitted", 4).alias("fitted"),
+        round2(F.col("r.x") - F.col("r.fitted"), 4).alias("resid"),
+    )

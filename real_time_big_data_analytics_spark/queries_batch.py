@@ -2844,3 +2844,41 @@ register(
     """,
     tags=("graph", "kcore", "iterative"),
 )
+
+
+# recursive-CTE replay of the identical Holt recurrence; daily input
+# rounded to cents on both engines BEFORE the recurrence so the
+# order-sensitive fold consumes engine-identical doubles; alpha/beta
+# interpolated from the module constants so the twin cannot
+# desynchronize from the Spark side
+register(
+    "ts_holt_linear_daily",
+    relational.holt_linear_daily,
+    sql=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS x
+      FROM events GROUP BY 1
+    ), rn AS (
+      SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ), rec AS (
+      SELECT CAST(2 AS BIGINT) AS rn, b.day, b.x,
+             b.x AS l, b.x - a.x AS tr, CAST(NULL AS DOUBLE) AS fitted
+      FROM rn a JOIN rn b ON a.rn = 1 AND b.rn = 2
+      UNION ALL
+      SELECT n.rn, n.day, n.x,
+             {relational.HOLT_ALPHA} * n.x
+               + {1 - relational.HOLT_ALPHA} * (r.l + r.tr) AS l,
+             {relational.HOLT_BETA}
+               * (({relational.HOLT_ALPHA} * n.x
+                   + {1 - relational.HOLT_ALPHA} * (r.l + r.tr)) - r.l)
+               + {1 - relational.HOLT_BETA} * r.tr AS tr,
+             r.l + r.tr AS fitted
+      FROM rec r JOIN rn n ON n.rn = r.rn + 1
+    )
+    SELECT day, x, round(l, 4) AS level, round(tr, 4) AS trend,
+           round(fitted, 4) AS fitted, round(x - fitted, 4) AS resid
+    FROM rec WHERE rn >= 3
+    """,
+    tags=("timeseries", "holt", "recurrence", "iterative"),
+)

@@ -724,3 +724,39 @@ def test_spearman_matches_pandas(spark, sf_dir):
     ry = per["sum"].rank(method="average")
     assert abs(got.spearman_rho - rx.corr(ry, method="pearson")) < 1e-3
     assert abs(got.pearson_r - per["count"].corr(per["sum"], method="pearson")) < 1e-3
+
+
+def test_holt_linear_matches_pandas_replay(spark, sf_dir):
+    """The in-engine Holt recurrence must equal a direct pandas replay
+    (same init, same update, cents-rounded daily input), and each
+    one-step forecast must equal the prior level + trend."""
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = sorted(
+        relational.holt_linear_daily(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = ev.groupby(ev.ts.dt.floor("D"))["value"].sum().round(2).sort_index()
+    a, b = relational.HOLT_ALPHA, relational.HOLT_BETA
+    x = daily.to_list()
+    l, tr = x[1], x[1] - x[0]
+    expect = []
+    for t in range(2, len(x)):
+        fitted = l + tr
+        l_new = a * x[t] + (1 - a) * (l + tr)
+        tr = b * (l_new - l) + (1 - b) * tr
+        l = l_new
+        expect.append((daily.index[t], x[t], l, tr, fitted))
+    assert len(rows) == len(expect) == len(x) - 2
+    for r, (day, xv, lv, tv, fv) in zip(rows, expect):
+        assert r.day == day.to_pydatetime()
+        assert abs(r.x - xv) < 1e-9
+        assert abs(r.level - lv) < 1e-3
+        assert abs(r.trend - tv) < 1e-3
+        assert abs(r.fitted - fv) < 1e-3
+        assert abs(r.resid - (xv - fv)) < 2e-3
+    # forecast chaining: fitted_t == level_{t-1} + trend_{t-1}
+    for prev, cur in zip(rows, rows[1:]):
+        assert abs(cur.fitted - (prev.level + prev.trend)) < 2e-4
