@@ -2914,3 +2914,59 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2("r.fitted", 4).alias("fitted"),
         round2(F.col("r.x") - F.col("r.fitted"), 4).alias("resid"),
     )
+
+
+# --- weight-of-evidence / information value ---------------------------
+
+
+def woe_iv_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sf — weight of evidence and information value of the customer
+    market segment against an "urgent order" outcome (o_orderpriority
+    in 1-URGENT/2-HIGH). WOE_i = ln(event-share_i / nonevent-share_i);
+    IV = sum_i (event-share_i - nonevent-share_i) * WOE_i — the
+    standard credit-scoring screen for how much a categorical feature
+    separates a binary label, here repurposed as a training-data
+    feature audit.
+
+    Scale shape: one fact-dim equi-join (orders->customer on custkey,
+    shuffle-partitioned on the key; AQE broadcasts the build side when
+    it fits) collapsing directly into a 5-row grouped aggregate; the
+    WOE/IV arithmetic runs over those 5 rows via an unpartitioned
+    window — metadata scale, no second pass over facts, no crossJoin.
+
+    Determinism: counts are exact integers; the only float ops are
+    ln() and division evaluated from identical integers on both
+    engines (same libm), absorbed by 1e-6 output rounding.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "inner"
+    ).select(
+        "c_mktsegment",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("ev"),
+    )
+    g = j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("ev").cast("bigint")).alias("n_events"),
+        F.sum((~F.col("ev")).cast("bigint")).alias("n_nonevents"),
+    )
+    w = Window.partitionBy()
+    tot = g.withColumn("te", F.sum("n_events").over(w)).withColumn(
+        "tn", F.sum("n_nonevents").over(w)
+    )
+    es = F.col("n_events") / F.col("te")
+    ns = F.col("n_nonevents") / F.col("tn")
+    woe = F.log(es / ns)
+    scored = tot.withColumn("woe_raw", woe).withColumn(
+        "iv_raw", (es - ns) * woe
+    )
+    return scored.select(
+        "segment",
+        "n_orders",
+        "n_events",
+        "n_nonevents",
+        round2("woe_raw", 6).alias("woe"),
+        round2("iv_raw", 6).alias("iv_term"),
+        round2(F.sum("iv_raw").over(w), 6).alias("iv_total"),
+    )

@@ -2882,3 +2882,36 @@ register(
     """,
     tags=("timeseries", "holt", "recurrence", "iterative"),
 )
+
+
+register(
+    "sf_woe_iv_segment",
+    relational.woe_iv_segment,
+    sql="""
+    WITH j AS (
+      SELECT c_mktsegment AS segment,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS ev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), g AS (
+      SELECT segment,
+             count(*) AS n_orders,
+             CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS n_nonevents
+      FROM j GROUP BY 1
+    ), t AS (
+      SELECT *, sum(n_events) OVER () AS te, sum(n_nonevents) OVER () AS tn
+      FROM g
+    ), s AS (
+      SELECT *,
+             ln((n_events * 1.0 / te) / (n_nonevents * 1.0 / tn)) AS woe_raw,
+             (n_events * 1.0 / te - n_nonevents * 1.0 / tn)
+               * ln((n_events * 1.0 / te) / (n_nonevents * 1.0 / tn)) AS iv_raw
+      FROM t
+    )
+    SELECT segment, n_orders, n_events, n_nonevents,
+           round(woe_raw, 6) AS woe, round(iv_raw, 6) AS iv_term,
+           round(sum(iv_raw) OVER (), 6) AS iv_total
+    FROM s
+    """,
+    tags=("statistics", "woe", "information-value", "feature-audit"),
+)

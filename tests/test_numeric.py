@@ -760,3 +760,38 @@ def test_holt_linear_matches_pandas_replay(spark, sf_dir):
     # forecast chaining: fitted_t == level_{t-1} + trend_{t-1}
     for prev, cur in zip(rows, rows[1:]):
         assert abs(cur.fitted - (prev.level + prev.trend)) < 2e-4
+
+
+def test_woe_iv_matches_pandas_replay(spark, sf_dir):
+    """WOE/IV must equal an independent pandas replay, and the IV
+    identity sum(iv_term) == iv_total must hold on the output."""
+    import math
+
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = relational.woe_iv_segment(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).toPandas()
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).toPandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["ev"] = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    te, tn = int(j.ev.sum()), int((~j.ev).sum())
+    iv_total = 0.0
+    by_seg = {}
+    for seg, grp in j.groupby("c_mktsegment"):
+        e, n = int(grp.ev.sum()), int((~grp.ev).sum())
+        woe = math.log((e / te) / (n / tn))
+        by_seg[seg] = (len(grp), e, n, woe, (e / te - n / tn) * woe)
+        iv_total += by_seg[seg][4]
+    assert len(rows) == len(by_seg)
+    for r in rows:
+        n_orders, e, n, woe, iv = by_seg[r.segment]
+        assert (r.n_orders, r.n_events, r.n_nonevents) == (n_orders, e, n)
+        assert abs(r.woe - woe) < 1e-5
+        assert abs(r.iv_term - iv) < 1e-5
+        assert abs(r.iv_total - iv_total) < 1e-5
+    assert abs(sum(r.iv_term for r in rows) - rows[0].iv_total) < 1e-4
