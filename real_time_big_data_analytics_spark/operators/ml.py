@@ -587,3 +587,82 @@ def ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("pred_probe_price"),
     )
+
+
+# --- K-fold target encoding -------------------------------------------
+
+TE_FOLDS = 5
+TE_SMOOTH = 10.0
+
+
+def target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m9 — leakage-safe K-fold target encoding of the customer market
+    segment against a binary "above-mean order value" label: each
+    row's encoding uses the label mean of its category computed on the
+    OTHER folds only, smoothed toward the out-of-fold global prior
+    (enc = (S_out + m*prior) / (N_out + m), m = TE_SMOOTH). The
+    standard trick for feeding high-cardinality categoricals to
+    gradient models without target leakage — a first-class
+    training-data-prep operator.
+
+    Fold assignment is the shared deterministic md5 bucket
+    (``text.md5_bucket``), so membership is stable across runs and
+    engines — no randomSplit reshuffle, same property as the corpus
+    hash split.
+
+    Scale shape: one fact-dim equi-join, one 1-row global-mean
+    broadcast to define the label, then ONE grouped aggregate to
+    (segment, fold) grain; all K-fold complement arithmetic
+    (S_all - S_fold, N_all - N_fold, the global prior) runs on that
+    segments*K-row frame via windows — metadata scale. The naive
+    per-fold union-of-K-trainings plan (K passes over facts) is
+    exactly what this shape avoids.
+
+    Determinism: counts/sums of integer labels are exact; the only
+    float math is the final smoothed ratio, rounded at 1e-6.
+    """
+    from .text import md5_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    gm = j.agg(F.avg("o_totalprice").alias("gm"))
+    lab = j.crossJoin(F.broadcast(gm)).select(
+        "segment",
+        (F.col("o_totalprice") > F.col("gm")).cast("bigint").alias("y"),
+        md5_bucket("o_orderkey", TE_FOLDS).alias("fold"),
+    )
+    per = lab.groupBy("segment", "fold").agg(
+        F.count("*").alias("n_fold"), F.sum("y").alias("s_fold")
+    )
+    from pyspark.sql import Window
+
+    w_seg = Window.partitionBy("segment")
+    w_fld = Window.partitionBy("fold")
+    w_all = Window.partitionBy()
+    t = (
+        per.withColumn("n_seg", F.sum("n_fold").over(w_seg))
+        .withColumn("s_seg", F.sum("s_fold").over(w_seg))
+        .withColumn("n_f", F.sum("n_fold").over(w_fld))
+        .withColumn("s_f", F.sum("s_fold").over(w_fld))
+        .withColumn("n_tot", F.sum("n_fold").over(w_all))
+        .withColumn("s_tot", F.sum("s_fold").over(w_all))
+    )
+    # prior excludes the ENTIRE fold (all segments' rows in it), not
+    # just this segment's slice — the leakage-free definition
+    prior = (F.col("s_tot") - F.col("s_f")) / (F.col("n_tot") - F.col("n_f"))
+    enc = (
+        (F.col("s_seg") - F.col("s_fold")) + F.lit(TE_SMOOTH) * prior
+    ) / ((F.col("n_seg") - F.col("n_fold")) + F.lit(TE_SMOOTH))
+    return t.select(
+        "segment",
+        "fold",
+        F.col("n_fold").alias("n_in_fold"),
+        (F.col("n_seg") - F.col("n_fold")).alias("n_out_fold"),
+        round2(prior, 6).alias("prior_oof"),
+        round2(enc, 6).alias("enc"),
+    )

@@ -309,3 +309,45 @@ register(
     """,
     tags=("ml", "regression", "closed-form"),
 )
+
+
+# folds/smoothing interpolated from the module constants; the md5
+# fold gate is the same shared expression as the corpus hash split
+register(
+    "m9_target_encode_kfold",
+    ml.target_encode_kfold,
+    sql=f"""
+    WITH j AS (
+      SELECT c_mktsegment AS segment, o_orderkey, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), lab AS (
+      SELECT segment,
+             CAST(o_totalprice > (SELECT avg(o_totalprice) FROM j) AS BIGINT)
+               AS y,
+             CAST(CONCAT('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {ml.TE_FOLDS} AS fold
+      FROM j
+    ), per AS (
+      SELECT segment, fold, count(*) AS n_fold,
+             CAST(sum(y) AS BIGINT) AS s_fold
+      FROM lab GROUP BY 1, 2
+    ), t AS (
+      SELECT *,
+             sum(n_fold) OVER (PARTITION BY segment) AS n_seg,
+             sum(s_fold) OVER (PARTITION BY segment) AS s_seg,
+             sum(n_fold) OVER (PARTITION BY fold) AS n_f,
+             sum(s_fold) OVER (PARTITION BY fold) AS s_f,
+             sum(n_fold) OVER () AS n_tot,
+             sum(s_fold) OVER () AS s_tot
+      FROM per
+    )
+    SELECT segment, fold, n_fold AS n_in_fold,
+           CAST(n_seg - n_fold AS BIGINT) AS n_out_fold,
+           round((s_tot - s_f) * 1.0 / (n_tot - n_f), 6) AS prior_oof,
+           round(((s_seg - s_fold) + {ml.TE_SMOOTH}
+                    * ((s_tot - s_f) * 1.0 / (n_tot - n_f)))
+                 / ((n_seg - n_fold) + {ml.TE_SMOOTH}), 6) AS enc
+    FROM t
+    """,
+    tags=("ml", "target-encoding", "kfold", "training-data"),
+)

@@ -218,3 +218,61 @@ def test_ridge_normal_eq_matches_numpy(spark, sf_dir):
         assert abs(val - exp) < 5e-4
     probe = expect[0] + expect[1] * ml.RIDGE_PROBE_QTY + expect[2] * ml.RIDGE_PROBE_DISC
     assert abs(got.pred_probe_price - probe) < 0.05
+
+
+def test_target_encode_kfold_is_leakage_free(spark, sf_dir):
+    """Each (segment, fold) encoding must equal a pandas replay built
+    ONLY from the complement folds — the leakage-safety property — and
+    fold sizes must partition each segment."""
+    from real_time_big_data_analytics_spark.operators import ml
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = ml.target_encode_kfold(spark, sf_dir).collect()
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).toPandas()
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).toPandas()
+    import hashlib
+
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    # threshold from the engine: pandas' pairwise-summed mean differs
+    # in last ulps and can flip a boundary row's label; the property
+    # under test is the K-fold complement arithmetic, not summation
+    # order (that is the oracle check's job)
+    import pyspark.sql.functions as F
+
+    so = load_table(spark, sf_dir, "orders")
+    sc = load_table(spark, sf_dir, "customer")
+    gm = (
+        so.join(sc, so.o_custkey == sc.c_custkey)
+        .agg(F.avg("o_totalprice"))
+        .first()[0]
+    )
+    j["y"] = (j.o_totalprice > gm).astype(int)
+    j["fold"] = [
+        int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % ml.TE_FOLDS
+        for k in j.o_orderkey
+    ]
+    m = ml.TE_SMOOTH
+    for r in rows:
+        seg = j[j.c_mktsegment == r.segment]
+        infold = seg[seg.fold == r.fold]
+        out = seg[seg.fold != r.fold]
+        oof_global = j[j.fold != r.fold]
+        prior = oof_global.y.mean()
+        enc = (out.y.sum() + m * prior) / (len(out) + m)
+        assert r.n_in_fold == len(infold)
+        assert r.n_out_fold == len(out)
+        assert abs(r.prior_oof - prior) < 1e-5
+        assert abs(r.enc - enc) < 1e-5
+    # folds partition each segment
+    import collections
+
+    per_seg = collections.defaultdict(int)
+    for r in rows:
+        per_seg[r.segment] += r.n_in_fold
+    for seg, tot in per_seg.items():
+        assert tot == (j.c_mktsegment == seg).sum()
