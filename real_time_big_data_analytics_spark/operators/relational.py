@@ -2970,3 +2970,63 @@ def woe_iv_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2("iv_raw", 6).alias("iv_term"),
         round2(F.sum("iv_raw").over(w), 6).alias("iv_total"),
     )
+
+
+# --- A/B assignment health: sample-ratio mismatch ----------------------
+
+SRM_ARMS = 2
+SRM_ALPHA = 0.001  # the conventional SRM alert threshold
+
+
+def ab_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sf — sample-ratio-mismatch audit of a deterministic 50/50 A/B
+    assignment: users are bucketed by the shared md5 hash gate
+    (``text.md5_bucket`` — the same engine-portable expression as the
+    corpus splits), then a chi-square goodness-of-fit test against the
+    designed equal split. SRM is THE standard validity gate run before
+    reading any experiment metric — a significant mismatch means the
+    assignment (or logging) is broken and every downstream readout is
+    suspect. Complements ``ab_power_analysis`` (design) and
+    ``welch_ttest_value`` (readout).
+
+    p-value: df = arms-1 = 1, so P(X > x) = erfc(sqrt(x)/sqrt(2)) —
+    the SAME A&S 7.1.26 polynomial string (PVAL_EXPR) the BH-FDR
+    query shares with its oracle, with az = sqrt(chi2)/sqrt(2).
+
+    Scale shape: one distinct-users aggregate (the only fact-scale
+    exchange), then a 2-row grouped count; the chi-square arithmetic
+    runs over those 2 rows via unpartitioned windows — metadata scale.
+
+    Determinism: counts are exact integers; chi2/p are single float
+    expressions from identical integers, rounded at 1e-6.
+    """
+    from .text import md5_bucket
+
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    arms = users.select(
+        F.when(md5_bucket("user_id", SRM_ARMS) == 0, "A")
+        .otherwise("B")
+        .alias("arm")
+    )
+    g = arms.groupBy("arm").agg(F.count("*").alias("n_users"))
+    w = Window.partitionBy()
+    t = g.withColumn("n_total", F.sum("n_users").over(w)).withColumn(
+        "expected", F.col("n_total") / F.lit(float(SRM_ARMS))
+    )
+    dev2 = (F.col("n_users") - F.col("expected")) ** 2 / F.col("expected")
+    c = t.withColumn("chi2_raw", F.sum(dev2).over(w))
+    p = (
+        c.withColumn("az", F.sqrt(F.col("chi2_raw")) / F.sqrt(F.lit(2.0)))
+        .withColumn("tt", F.expr(PVAL_TT_EXPR))
+        .withColumn("p_raw", F.expr(PVAL_EXPR))
+    )
+    return p.select(
+        "arm",
+        "n_users",
+        "n_total",
+        round2("expected", 2).alias("expected"),
+        round2("chi2_raw", 6).alias("chi2"),
+        round2("p_raw", 6).alias("p_value"),
+        (F.col("p_raw") < F.lit(SRM_ALPHA)).alias("srm_detected"),
+    )

@@ -2915,3 +2915,43 @@ register(
     """,
     tags=("statistics", "woe", "information-value", "feature-audit"),
 )
+
+
+# same md5 arm gate and the SAME shared A&S erfc polynomial string as
+# the Spark side (relational.PVAL_TT_EXPR / PVAL_EXPR over az/tt)
+register(
+    "sf_ab_srm_audit",
+    relational.ab_srm_audit,
+    sql=f"""
+    WITH users AS (
+      SELECT DISTINCT user_id FROM events
+    ), arms AS (
+      SELECT CASE WHEN CAST(CONCAT('0x',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % {relational.SRM_ARMS} = 0
+             THEN 'A' ELSE 'B' END AS arm
+      FROM users
+    ), g AS (
+      SELECT arm, count(*) AS n_users FROM arms GROUP BY arm
+    ), t AS (
+      SELECT *, sum(n_users) OVER () AS n_total,
+             sum(n_users) OVER () / {float(relational.SRM_ARMS)} AS expected
+      FROM g
+    ), c AS (
+      SELECT *,
+             sum(pow(n_users - expected, 2) / expected) OVER () AS chi2_raw
+      FROM t
+    ), z AS (
+      SELECT *, sqrt(chi2_raw) / sqrt(2.0) AS az FROM c
+    ), z2 AS (
+      SELECT *, {relational.PVAL_TT_EXPR} AS tt FROM z
+    )
+    SELECT arm, n_users, CAST(n_total AS BIGINT) AS n_total,
+           round(expected, 2) AS expected,
+           round(chi2_raw, 6) AS chi2,
+           round({relational.PVAL_EXPR}, 6) AS p_value,
+           {relational.PVAL_EXPR} < {relational.SRM_ALPHA} AS srm_detected
+    FROM z2
+    """,
+    tags=("statistics", "ab-testing", "srm", "chi-square"),
+)

@@ -795,3 +795,37 @@ def test_woe_iv_matches_pandas_replay(spark, sf_dir):
         assert abs(r.iv_term - iv) < 1e-5
         assert abs(r.iv_total - iv_total) < 1e-5
     assert abs(sum(r.iv_term for r in rows) - rows[0].iv_total) < 1e-4
+
+
+def test_ab_srm_audit_matches_scipy_free_replay(spark, sf_dir):
+    """Arm counts must equal a hashlib replay; chi2/p must match exact
+    math.erfc within the A&S polynomial's 1.5e-7 error + rounding."""
+    import hashlib
+    import math
+
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = relational.ab_srm_audit(spark, sf_dir).collect()
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .toPandas()["user_id"]
+    )
+    n = {"A": 0, "B": 0}
+    for u in users:
+        b = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        n["A" if b == 0 else "B"] += 1
+    total = n["A"] + n["B"]
+    exp = total / 2
+    chi2 = sum((n[a] - exp) ** 2 / exp for a in n)
+    p = math.erfc(math.sqrt(chi2) / math.sqrt(2))
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n_users == n[r.arm]
+        assert r.n_total == total
+        assert abs(r.expected - exp) < 1e-6
+        assert abs(r.chi2 - chi2) < 1e-4
+        assert abs(r.p_value - p) < 2e-6
+        assert r.srm_detected == (r.p_value < relational.SRM_ALPHA)
