@@ -2014,3 +2014,95 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
     return n_pairs.join(F.broadcast(n_docs), "threshold")
+
+
+# --- TextRank keyword extraction ---------------------------------------
+
+TEXTRANK_D = 0.85
+TEXTRANK_ITER = 3
+TEXTRANK_MIN_LEN = 3
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — TextRank keyword scores over the corpus co-occurrence
+    graph (Mihalcea & Tarau 2004): nodes are words of length >=
+    TEXTRANK_MIN_LEN, edges are adjacent-token co-occurrences
+    (undirected, weight = corpus count), scored by TEXTRANK_ITER
+    unrolled iterations of weighted PageRank with damping TEXTRANK_D.
+    The graph-centrality complement to frequency-based
+    ``word_topk``/TF-IDF: a word ranks high when it co-occurs with
+    other high-ranking words, not merely when it is common.
+
+    Scale shape: the ONLY fact-scale work is one pass extracting
+    adjacent pairs via JVM array HOFs (zip_with over two slices — no
+    posexplode self-join) followed by a grouped count; everything
+    after runs on the vocabulary-bounded edge list (Heaps' law: vocab
+    grows ~sqrt of corpus, and the word-length filter caps it
+    further), so the iteration never touches the corpus again. The
+    teleport constant 1/N comes from an unpartitioned window over the
+    vocab-size node frame, not a fact-table scalar.
+
+    Determinism: per-node in-sums span at most vocab-size terms;
+    engine summation-order noise is ~1 ulp and the output is rounded
+    at 1e-8 — boundary ties need the true value within ~1e-16 of a
+    rounding edge. The DuckDB twin replays the identical unrolled
+    iterations (generated CTE chain, constants interpolated).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), " ").alias("ws"))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, size(ws) - 1),"
+                    " slice(ws, 2, size(ws) - 1),"
+                    " (x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(
+            (F.length("a") >= TEXTRANK_MIN_LEN)
+            & (F.length("b") >= TEXTRANK_MIN_LEN)
+            & (F.col("a") != F.col("b"))
+        )
+    )
+    und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    e = und.groupBy("src", "dst").agg(F.count("*").cast("double").alias("w"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew = e.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("share"), "w"
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+    )
+    d = TEXTRANK_D
+    pr = nodes.select("node", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
+    for _ in range(TEXTRANK_ITER):
+        m = (
+            ew.join(pr, ew.src == pr.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("share") * F.col("pr")).alias("s"))
+        )
+        pr = nodes.join(m, nodes.node == m.dst, "left").select(
+            "node",
+            "n",
+            (
+                F.lit(1.0 - d) / F.col("n")
+                + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    deg = e.groupBy("src").agg(
+        F.count("*").alias("n_neighbors"),
+        F.sum("w").cast("bigint").alias("adj_weight"),
+    )
+    return pr.join(deg, pr.node == deg.src).select(
+        F.col("node").alias("word"),
+        "n_neighbors",
+        "adj_weight",
+        round2("pr", 8).alias("score"),
+    )

@@ -2420,3 +2420,59 @@ register(
     """,
     tags=("embedding", "pca", "iterative", "matrix-free"),
 )
+
+
+def _textrank_sql() -> str:
+    """Unrolled TextRank twin: identical edge extraction (1-based
+    adjacent pairs), identical damped update, constants interpolated
+    from the module so the twin cannot desynchronize."""
+    d, it, ml = text.TEXTRANK_D, text.TEXTRANK_ITER, text.TEXTRANK_MIN_LEN
+    ctes = [
+        "w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents)",
+        "adj AS (SELECT ws[CAST(i AS INT)] AS a, ws[CAST(i AS INT) + 1] AS b "
+        "FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w))",
+        f"flt AS (SELECT a, b FROM adj WHERE length(a) >= {ml} "
+        f"AND length(b) >= {ml} AND a <> b)",
+        "und AS (SELECT a AS src, b AS dst FROM flt "
+        "UNION ALL SELECT b, a FROM flt)",
+        "e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w "
+        "FROM und GROUP BY 1, 2)",
+        "outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1)",
+        "ew AS (SELECT e.src, e.dst, e.w / o.ow AS share "
+        "FROM e JOIN outw o ON e.src = o.src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)",
+    ]
+    for t in range(1, it + 1):
+        p = t - 1
+        ctes += [
+            f"m{t} AS (SELECT ew.dst AS node, sum(ew.share * p.pr) AS s "
+            f"FROM ew JOIN p{p} p ON p.node = ew.src GROUP BY 1)",
+            f"p{t} AS (SELECT nodes.node, {1.0 - d} / (SELECT n FROM nn) "
+            f"+ {d} * coalesce(m{t}.s, 0.0) AS pr "
+            f"FROM nodes LEFT JOIN m{t} ON nodes.node = m{t}.node)",
+        ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT p.node AS word,
+           deg.n_neighbors,
+           deg.adj_weight,
+           round(p.pr, 8) AS score
+    FROM p{it} p JOIN (
+      SELECT src, count(*) AS n_neighbors,
+             CAST(sum(w) AS BIGINT) AS adj_weight
+      FROM e GROUP BY src
+    ) deg ON p.node = deg.src
+    """
+    )
+
+
+register(
+    "l4_textrank_keywords",
+    text.textrank_keywords,
+    sql=_textrank_sql(),
+    tags=("text", "keywords", "graph", "pagerank", "iterative"),
+)

@@ -630,3 +630,46 @@ def test_zipf_fit_matches_numpy_polyfit(spark, sf_dir):
     assert abs(got.intercept - intercept) < 1e-3
     assert abs(got.r2 - r2) < 1e-3
     assert got.zipf_slope < 0  # frequency falls with rank
+
+
+def test_textrank_matches_python_replay(spark, sf_dir):
+    """TextRank scores must equal a pure-python replay of the same
+    unrolled weighted-pagerank iterations, and total score must be
+    conserved at 1 (no dangling nodes in an undirected graph)."""
+    from collections import Counter, defaultdict
+
+    from real_time_big_data_analytics_spark.operators import text
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = text.textrank_keywords(spark, sf_dir).collect()
+
+    docs = load_table(spark, sf_dir, "documents").select("text").toPandas()
+    edges = Counter()
+    for t in docs.text:
+        ws = t.lower().split(" ")
+        for x, y in zip(ws, ws[1:]):
+            if (
+                len(x) >= text.TEXTRANK_MIN_LEN
+                and len(y) >= text.TEXTRANK_MIN_LEN
+                and x != y
+            ):
+                edges[(x, y)] += 1
+                edges[(y, x)] += 1
+    ow = defaultdict(float)
+    for (s, _), w in edges.items():
+        ow[s] += w
+    nodes = sorted(ow)
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    d = text.TEXTRANK_D
+    for _ in range(text.TEXTRANK_ITER):
+        s = defaultdict(float)
+        for (u, v), w in edges.items():
+            s[v] += w / ow[u] * pr[u]
+        pr = {v: (1 - d) / n + d * s[v] for v in nodes}
+    assert len(rows) == n
+    for r in rows:
+        assert abs(r.score - pr[r.word]) < 1e-6
+        assert r.n_neighbors == sum(1 for (u, _) in edges if u == r.word)
+        assert r.adj_weight == int(ow[r.word])
+    assert abs(sum(r.score for r in rows) - 1.0) < 1e-6
