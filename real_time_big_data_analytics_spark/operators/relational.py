@@ -3030,3 +3030,60 @@ def ab_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2("p_raw", 6).alias("p_value"),
         (F.col("p_raw") < F.lit(SRM_ALPHA)).alias("srm_detected"),
     )
+
+
+# --- differential-privacy release: Laplace-noised counts ---------------
+
+DP_EPSILON = 1.0
+DP_SENSITIVITY = 1.0  # event-level DP: one event moves one count by 1
+DP_SEED_BUCKETS = 1 << 20
+
+
+def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dp — a differential-privacy release mechanism for the
+    per-event-type counts: Laplace(sensitivity/epsilon) noise via
+    inverse-CDF transform, noise = -(s/eps)*sign(u-0.5)*ln(1-2|u-0.5|)
+    with u in (0,1). The release shape every privacy-reviewed
+    analytics export needs; epsilon/sensitivity are module constants
+    interpolated into the oracle.
+
+    The uniform u is drawn DETERMINISTICALLY from the shared md5 hash
+    gate over a salted group key ((bucket + 0.5) / 2^20 — never
+    exactly 0, 0.5 or 1, so the log never sees 0 and sign never sees a
+    tie). That makes the mechanism replayable and hash-checkable
+    across engines — a DISCLOSED stand-in: a production release would
+    draw fresh randomness per release (deterministic noise re-used
+    across releases leaks the true count by averaging); everything
+    else — the calibration, the inverse CDF, the release schema — is
+    the real mechanism.
+
+    Scale shape: one grouped count over facts (partial-agg friendly),
+    then per-row scalar math on the handful of group rows.
+    """
+    from .text import md5_bucket
+
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy("event_type").agg(F.count("*").alias("n_true"))
+    keyed = g.withColumn(
+        "u",
+        (
+            md5_bucket("event_type", DP_SEED_BUCKETS).cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(float(DP_SEED_BUCKETS)),
+    )
+    c = F.col("u") - F.lit(0.5)
+    scale = DP_SENSITIVITY / DP_EPSILON
+    noise = (
+        -F.lit(scale)
+        * F.signum(c)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    )
+    noised = keyed.withColumn("noise_raw", noise)
+    return noised.select(
+        "event_type",
+        "n_true",
+        round2("noise_raw", 6).alias("noise"),
+        round2(F.col("n_true") + F.col("noise_raw"), 6).alias("n_noisy"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )

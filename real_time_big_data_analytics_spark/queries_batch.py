@@ -2955,3 +2955,34 @@ register(
     """,
     tags=("statistics", "ab-testing", "srm", "chi-square"),
 )
+
+
+# identical inverse-CDF Laplace transform from the identical md5-seeded
+# uniform; epsilon/sensitivity interpolated from the module constants
+register(
+    "dp_noisy_event_counts",
+    relational.dp_noisy_event_counts,
+    sql=f"""
+    WITH g AS (
+      SELECT event_type, count(*) AS n_true FROM events GROUP BY 1
+    ), k AS (
+      SELECT *,
+             (CAST(CAST(CONCAT('0x', substr(md5(CAST(event_type AS VARCHAR)),
+                                       1, 8)) AS BIGINT)
+                   % {relational.DP_SEED_BUCKETS} AS DOUBLE) + 0.5)
+               / {float(relational.DP_SEED_BUCKETS)} AS u
+      FROM g
+    ), n AS (
+      SELECT *,
+             -{relational.DP_SENSITIVITY / relational.DP_EPSILON}
+               * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise_raw
+      FROM k
+    )
+    SELECT event_type, n_true,
+           round(noise_raw, 6) AS noise,
+           round(n_true + noise_raw, 6) AS n_noisy,
+           {relational.DP_EPSILON} AS epsilon
+    FROM n
+    """,
+    tags=("privacy", "differential-privacy", "laplace"),
+)

