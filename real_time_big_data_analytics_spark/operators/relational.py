@@ -3087,3 +3087,84 @@ def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(F.col("n_true") + F.col("noise_raw"), 6).alias("n_noisy"),
         F.lit(DP_EPSILON).alias("epsilon"),
     )
+
+
+# --- HBOS: histogram-based outlier score --------------------------------
+
+HBOS_BINS = 20
+HBOS_TOPK = 20
+
+
+def hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq — HBOS (Goldstein & Dengel 2012) over two order features
+    (total price, item count): equal-width histograms per feature,
+    score = sum_f [ln(max-bin count) - ln(own-bin count)] — zero for a
+    row in the densest bins, large where any feature is rare. The
+    standard O(n) unsupervised outlier screen: no pairwise distances,
+    no iterations, so it is the anomaly detector that actually runs at
+    100 TB (kNN/LOF-style detectors need a similarity join).
+
+    Scale shape: one fact-fact equi-join (orders x per-order lineitem
+    counts, both shuffle-partitioned on orderkey), ONE 1-row min/max
+    broadcast to fix bin edges, two BINS-row histogram aggregates
+    broadcast back onto the fact frame, and a TakeOrdered top-k — no
+    global sort, no second fact pass.
+
+    Determinism: bin ids come from identical float arithmetic on both
+    engines; scores are ln() of exact integer counts, so equal scores
+    are bit-equal and the (score desc, orderkey) top-k is total.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").cast("double").alias("n_items"))
+    )
+    f = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", F.col("o_totalprice").alias("price"), "n_items"
+    )
+    mm = f.agg(
+        F.min("price").alias("p0"),
+        F.max("price").alias("p1"),
+        F.min("n_items").alias("i0"),
+        F.max("n_items").alias("i1"),
+    )
+    nb = F.lit(float(HBOS_BINS))
+
+    def bin_of(x, lo, hi):
+        return F.least(
+            F.floor((F.col(x) - F.col(lo)) / (F.col(hi) - F.col(lo)) * nb),
+            F.lit(HBOS_BINS - 1),
+        ).cast("bigint")
+
+    b = f.crossJoin(F.broadcast(mm)).select(
+        "o_orderkey",
+        bin_of("price", "p0", "p1").alias("bin_price"),
+        bin_of("n_items", "i0", "i1").alias("bin_items"),
+    )
+    w = Window.partitionBy()
+    hp = (
+        b.groupBy("bin_price")
+        .agg(F.count("*").alias("np"))
+        .withColumn("mp", F.max("np").over(w))
+    )
+    hi = (
+        b.groupBy("bin_items")
+        .agg(F.count("*").alias("ni"))
+        .withColumn("mi", F.max("ni").over(w))
+    )
+    scored = (
+        b.join(F.broadcast(hp), "bin_price")
+        .join(F.broadcast(hi), "bin_items")
+        .select(
+            "o_orderkey",
+            "bin_price",
+            "bin_items",
+            round2(
+                (F.log("mp") - F.log("np")) + (F.log("mi") - F.log("ni")), 6
+            ).alias("hbos_score"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("hbos_score"), F.asc("o_orderkey")
+    ).limit(HBOS_TOPK)

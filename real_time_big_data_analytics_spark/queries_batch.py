@@ -2986,3 +2986,46 @@ register(
     """,
     tags=("privacy", "differential-privacy", "laplace"),
 )
+
+
+# identical equal-width binning from scalar-subquery min/max; ln() of
+# exact integer counts so the top-k ordering is engine-total
+register(
+    "dq_hbos_outliers",
+    relational.hbos_outliers,
+    sql=f"""
+    WITH f AS (
+      SELECT o_orderkey, o_totalprice AS price,
+             CAST(n_items AS DOUBLE) AS n_items
+      FROM orders JOIN (
+        SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1
+      ) li ON o_orderkey = l_orderkey
+    ), mm AS (
+      SELECT min(price) AS p0, max(price) AS p1,
+             min(n_items) AS i0, max(n_items) AS i1
+      FROM f
+    ), b AS (
+      SELECT o_orderkey,
+             CAST(least(floor((price - mm.p0) / (mm.p1 - mm.p0)
+                              * {float(relational.HBOS_BINS)}),
+                        {relational.HBOS_BINS - 1}) AS BIGINT) AS bin_price,
+             CAST(least(floor((n_items - mm.i0) / (mm.i1 - mm.i0)
+                              * {float(relational.HBOS_BINS)}),
+                        {relational.HBOS_BINS - 1}) AS BIGINT) AS bin_items
+      FROM f, mm
+    ), hp AS (
+      SELECT bin_price, count(*) AS np, max(count(*)) OVER () AS mp
+      FROM b GROUP BY 1
+    ), hi AS (
+      SELECT bin_items, count(*) AS ni, max(count(*)) OVER () AS mi
+      FROM b GROUP BY 1
+    )
+    SELECT b.o_orderkey, b.bin_price, b.bin_items,
+           round((ln(hp.mp) - ln(hp.np)) + (ln(hi.mi) - ln(hi.ni)), 6)
+             AS hbos_score
+    FROM b JOIN hp USING (bin_price) JOIN hi USING (bin_items)
+    ORDER BY hbos_score DESC, b.o_orderkey ASC
+    LIMIT {relational.HBOS_TOPK}
+    """,
+    tags=("data-quality", "outliers", "hbos", "histogram"),
+)

@@ -251,3 +251,51 @@ def test_ab_power_analysis_formula(spark, sf_dir):
         # sd_y is rounded in the output; allow 1% slack on the replay
         assert abs(r.n_per_arm_needed - want) <= max(1, want * 0.01)
         assert r.feasible_now == (r.n_per_arm_needed * 2 <= r.n_users_observed)
+
+
+def test_hbos_outliers_matches_numpy_replay(spark, sf_dir):
+    """Top-k HBOS rows must equal a numpy replay (same binning, same
+    ln-count scoring, same total order), and scores must be
+    non-negative with the max score first."""
+    import math
+
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = relational.hbos_outliers(spark, sf_dir).collect()
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).toPandas()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .count()
+        .toPandas()
+    )
+    f = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    B = relational.HBOS_BINS
+
+    def bins(x):
+        x = x.astype(float).to_numpy()
+        lo, hi = x.min(), x.max()
+        return np.minimum(((x - lo) / (hi - lo) * B).astype(int), B - 1)
+
+    bp, bi = bins(f.o_totalprice), bins(f["count"])
+    cp = np.bincount(bp, minlength=B)
+    ci = np.bincount(bi, minlength=B)
+    score = (np.log(cp.max()) - np.log(cp[bp])) + (
+        np.log(ci.max()) - np.log(ci[bi])
+    )
+    order = sorted(
+        zip(f.o_orderkey, bp, bi, score), key=lambda t: (-t[3], t[0])
+    )[: relational.HBOS_TOPK]
+    assert len(rows) == len(order)
+    for r, (k, p, i, s) in zip(rows, order):
+        assert r.o_orderkey == k
+        assert (r.bin_price, r.bin_items) == (p, i)
+        assert abs(r.hbos_score - s) < 1e-5
+        assert r.hbos_score >= -1e-9
+    assert rows[0].hbos_score == max(r.hbos_score for r in rows)
