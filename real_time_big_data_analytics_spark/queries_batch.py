@@ -3029,3 +3029,52 @@ register(
     """,
     tags=("data-quality", "outliers", "hbos", "histogram"),
 )
+
+
+# identical strong-pair construction as the kcore twin; wedge join +
+# known-edge anti-join; AA/Jaccard from exact integer degrees
+register(
+    "graph_trade_link_prediction",
+    graph.trade_link_prediction,
+    sql="""
+    WITH pairs AS (
+      SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+             greatest(c.c_nationkey, s.s_nationkey) AS b,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ), kept AS (
+      SELECT a, b FROM pairs WHERE w > (SELECT median(w) FROM pairs)
+    ), e AS (
+      SELECT a AS x, b AS y FROM kept UNION ALL SELECT b, a FROM kept
+    ), deg AS (
+      SELECT x, count(*) AS d FROM e GROUP BY x
+    ), cand AS (
+      SELECT e1.y AS u, e2.y AS v,
+             count(*) AS cn,
+             sum(1.0 / ln(dz.d)) AS aa_raw
+      FROM e e1 JOIN e e2 ON e1.x = e2.x AND e1.y < e2.y
+      JOIN deg dz ON dz.x = e1.x
+      GROUP BY 1, 2
+    ), non_edges AS (
+      SELECT cand.* FROM cand
+      LEFT JOIN kept ON cand.u = kept.a AND cand.v = kept.b
+      WHERE kept.a IS NULL
+    )
+    SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+           CAST(ne.cn AS BIGINT) AS common_neighbors,
+           round(ne.cn * 1.0 / (du.d + dv.d - ne.cn), 6) AS jaccard,
+           round(ne.aa_raw, 6) AS adamic_adar
+    FROM non_edges ne
+    JOIN deg du ON du.x = ne.u
+    JOIN deg dv ON dv.x = ne.v
+    JOIN nation na ON na.n_nationkey = ne.u
+    JOIN nation nb ON nb.n_nationkey = ne.v
+    """,
+    tags=("graph", "link-prediction", "adamic-adar"),
+)

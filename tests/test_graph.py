@@ -133,3 +133,48 @@ def test_kcore_fixpoint_and_invariants(spark, sf_dir):
     for r in rows:
         if r.in_kcore:
             assert r.degree_strong >= g.KCORE_K  # necessary condition
+
+
+def test_link_prediction_matches_python_replay(spark, sf_dir):
+    """Candidate non-edge pairs and all three scores must equal a
+    pure-python replay over the same strong-trade graph, and every
+    candidate must genuinely be a non-edge with >= 1 common
+    neighbor."""
+    import math
+    from collections import defaultdict
+
+    from real_time_big_data_analytics_spark.operators import graph
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = graph.trade_link_prediction(spark, sf_dir).collect()
+    kept = {
+        (r.a, r.b)
+        for r in graph._strong_trade_pairs(spark, sf_dir).collect()
+    }
+    name = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    nbr = defaultdict(set)
+    for a, b in kept:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    expect = {}
+    nodes = sorted(nbr)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) in kept:
+                continue
+            cn = nbr[u] & nbr[v]
+            if not cn:
+                continue
+            aa = sum(1.0 / math.log(len(nbr[z])) for z in cn)
+            jac = len(cn) / (len(nbr[u]) + len(nbr[v]) - len(cn))
+            expect[(name[u], name[v])] = (len(cn), jac, aa)
+    got = {(r.nation_a, r.nation_b): r for r in rows}
+    assert set(got) == set(expect)
+    for k, (cn, jac, aa) in expect.items():
+        r = got[k]
+        assert r.common_neighbors == cn
+        assert abs(r.jaccard - jac) < 1e-5
+        assert abs(r.adamic_adar - aa) < 1e-5
