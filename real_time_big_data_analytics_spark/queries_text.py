@@ -2476,3 +2476,14 @@ register(
     sql=_textrank_sql(),
     tags=("text", "keywords", "graph", "pagerank", "iterative"),
 )
+
+
+# the BLAS-path twin of l3_knn_bruteforce: identical output contract,
+# identical oracle — what changes is the physical strategy (one Arrow
+# batch matmul per partition instead of per-pair HOF dots)
+register(
+    "l3_knn_blockmatmul",
+    similarity.knn_blockmatmul,
+    sql=_KNN_SQL,
+    tags=("similarity", "knn", "arrow", "matmul"),
+)

@@ -378,3 +378,26 @@ def test_pca_power_matches_numpy(spark, sf_dir):
     rayleigh = got @ (X.T @ (X @ got)) / (got @ got)
     assert rayleigh > w.mean()
     assert rows[0].eigval_cov <= w[-1] / len(X) + 1e-3
+
+
+def test_blockmatmul_equals_bruteforce_exactly(spark, sf_dir):
+    """The BLAS path must reproduce the HOF brute-force path row for
+    row (same rounding, same ranking), and must plan as an
+    Arrow-batched MapInPandas — never row-wise Python."""
+    from real_time_big_data_analytics_spark.operators import similarity as sim
+
+    brute = {
+        (r.query_id, r.rk): (r.vec_id, r.sim)
+        for r in sim.knn_bruteforce(spark, sf_dir).collect()
+    }
+    block = {
+        (r.query_id, r.rk): (r.vec_id, r.sim)
+        for r in sim.knn_blockmatmul(spark, sf_dir).collect()
+    }
+    assert block == brute
+
+    from real_time_big_data_analytics_spark.plans.inspect import explain_str
+
+    plan = explain_str(sim.knn_blockmatmul(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
