@@ -119,6 +119,16 @@ HEADLINE = [
     # scan shapes (q1/l4_word_topk cover their cost envelope).
     "dq_bloom_semijoin_prune",
     "er_lossless_fuzzy_names",
+    # second-wave round-4 additions: the Arrow block-matmul scoring
+    # path (first MapInPandas in the bench — measures the Arrow
+    # transfer + BLAS batch shape against l3_knn_bruteforce's HOF
+    # twin), the corpus adjacent-pair extraction feeding TextRank
+    # (zip_with explode + vocab-bounded iteration), and the HBOS
+    # double-histogram score join. Holt/WOE/SRM/DP/target-encode ride
+    # already-benched aggregate shapes and stay unheadlined.
+    "l3_knn_blockmatmul",
+    "l4_textrank_keywords",
+    "dq_hbos_outliers",
 ]
 
 

@@ -3168,3 +3168,122 @@ def hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("hbos_score"), F.asc("o_orderkey")
     ).limit(HBOS_TOPK)
+
+
+# --- revenue concentration: exact Gini + top-p% shares ------------------
+
+GINI_BUCKET = 100000.0
+GINI_SHARES = (1, 10, 50)  # top-p% rows reported
+
+
+def gini_topshare_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sf — exact Gini coefficient of per-customer order revenue plus
+    the revenue share of the top 1% / 10% / 50% of customers — the
+    concentration readout behind "whales" dashboards and the
+    training-data analog of corpus-source dominance auditing.
+
+    Gini uses the tie-corrected midrank identity
+    G = 2*sum(x_i*r_i)/(n*X) - (n+1)/n; top-p%% shares cut the
+    descending distribution at k = ceil(p*n/100) customers EXACTLY,
+    splitting the boundary tie group pro-rata (share = (cum_above -
+    overshoot*v)/X), so the result is the true k-richest share, not a
+    bucket approximation.
+
+    Scale shape: NO single-partition window anywhere. Per-customer
+    revenue is one grouped aggregate; ranks and cumulative sums come
+    from the same two-phase bucketed prefix sum as ``mann_whitney`` /
+    ``spearman`` (bucket-local running sums in parallel, KB-scale
+    bucket offsets broadcast back); totals are a 1-row broadcast; the
+    p-grid is a 3-row broadcast joined by the boundary predicate.
+
+    Determinism: per-customer revenue is round2-ed to cents BEFORE the
+    value-grain groupBy, so counts per distinct value are engine-exact
+    integers; everything after is integer/cent arithmetic until the
+    final 1e-6-rounded ratios.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        round2(F.sum("o_totalprice"), 2).alias("v")
+    )
+    per_value = per_cust.groupBy("v").agg(F.count("*").alias("cnt"))
+    pv = per_value.withColumn("bucket", F.floor(F.col("v") / GINI_BUCKET))
+    w_local = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = pv.select(
+        "bucket",
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_local), F.lit(0)).alias("lc_n"),
+        F.coalesce(F.sum(F.col("cnt") * F.col("v")).over(w_local), F.lit(0.0)).alias(
+            "lc_x"
+        ),
+    )
+    w_prior = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        pv.groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("bn"),
+            F.sum(F.col("cnt") * F.col("v")).alias("bx"),
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bn").over(w_prior), F.lit(0)).alias("oc_n"),
+            F.coalesce(F.sum("bx").over(w_prior), F.lit(0.0)).alias("oc_x"),
+        )
+    )
+    cum = local.join(F.broadcast(offsets), "bucket").select(
+        "v",
+        "cnt",
+        (F.col("lc_n") + F.col("oc_n")).alias("cn_excl"),
+        (F.col("lc_x") + F.col("oc_x")).alias("cx_excl"),
+    )
+    tot = per_value.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("v")).alias("X"),
+    )
+    # tie-corrected midrank: mr = cn_excl + (cnt + 1)/2
+    gini_parts = cum.crossJoin(F.broadcast(tot)).select(
+        (
+            F.col("cnt")
+            * F.col("v")
+            * (F.col("cn_excl") + (F.col("cnt") + 1) / F.lit(2.0))
+        ).alias("xr"),
+        "n",
+        "X",
+    )
+    gini = gini_parts.groupBy("n", "X").agg(F.sum("xr").alias("sxr")).select(
+        "n",
+        "X",
+        (
+            F.lit(2.0) * F.col("sxr") / (F.col("n") * F.col("X"))
+            - (F.col("n") + 1) / F.col("n")
+        ).alias("gini_raw"),
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in GINI_SHARES])).alias("p")
+    )
+    cuts = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ps))
+        .withColumn("k", F.ceil(F.col("p") * F.col("n") / F.lit(100.0)))
+        .filter(
+            ((F.col("n") - F.col("cn_excl")) >= F.col("k"))
+            & ((F.col("n") - F.col("cn_excl") - F.col("cnt")) < F.col("k"))
+        )
+        .withColumn(
+            "share_raw",
+            (
+                (F.col("X") - F.col("cx_excl"))
+                - (F.col("n") - F.col("cn_excl") - F.col("k")) * F.col("v")
+            )
+            / F.col("X"),
+        )
+    )
+    return cuts.crossJoin(F.broadcast(gini.select("gini_raw"))).select(
+        F.col("p").cast("bigint").alias("top_pct"),
+        F.col("k").cast("bigint").alias("n_customers"),
+        round2("v", 2).alias("cutoff_revenue"),
+        round2("share_raw", 6).alias("revenue_share"),
+        round2("gini_raw", 6).alias("gini"),
+    )

@@ -3078,3 +3078,50 @@ register(
     """,
     tags=("graph", "link-prediction", "adamic-adar"),
 )
+
+
+# identical cents-rounded value grain, tie-corrected midrank Gini, and
+# exact pro-rata boundary split; DuckDB's windows replay the
+# distributed two-phase prefix sums
+register(
+    "sf_gini_topshare_revenue",
+    relational.gini_topshare_revenue,
+    sql=f"""
+    WITH per_cust AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS v
+      FROM orders GROUP BY 1
+    ), per_value AS (
+      SELECT v, count(*) AS cnt FROM per_cust GROUP BY 1
+    ), cum AS (
+      SELECT v, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn_excl,
+             coalesce(sum(cnt * v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cx_excl
+      FROM per_value
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n, sum(cnt * v) AS X FROM per_value
+    ), gini AS (
+      SELECT 2.0 * sum(cnt * v * (cn_excl + (cnt + 1) / 2.0))
+               / (tot.n * tot.X)
+             - (tot.n + 1.0) / tot.n AS gini_raw
+      FROM cum, tot GROUP BY tot.n, tot.X
+    ), ps AS (
+      SELECT unnest(ARRAY{list(relational.GINI_SHARES)}) AS p
+    ), cuts AS (
+      SELECT ps.p, cum.v, cum.cnt, cum.cn_excl, cum.cx_excl, tot.n, tot.X,
+             CAST(ceil(ps.p * tot.n / 100.0) AS BIGINT) AS k
+      FROM cum, tot, ps
+      WHERE (tot.n - cum.cn_excl) >= ceil(ps.p * tot.n / 100.0)
+        AND (tot.n - cum.cn_excl - cum.cnt) < ceil(ps.p * tot.n / 100.0)
+    )
+    SELECT CAST(p AS BIGINT) AS top_pct,
+           k AS n_customers,
+           round(v, 2) AS cutoff_revenue,
+           round(((X - cx_excl) - (n - cn_excl - k) * v) / X, 6)
+             AS revenue_share,
+           round(gini.gini_raw, 6) AS gini
+    FROM cuts, gini
+    """,
+    tags=("statistics", "gini", "concentration", "prefix-sum"),
+)

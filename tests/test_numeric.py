@@ -865,3 +865,44 @@ def test_dp_noisy_counts_mechanism_properties(spark, sf_dir):
         # median absolute noise of Laplace(b) is b*ln(2)
         assert abs(r.noise) == abs(r.noise)  # not NaN
         assert not math.isinf(r.noise)
+
+
+def test_gini_topshare_matches_numpy_replay(spark, sf_dir):
+    """Gini and top-p% shares must equal a direct numpy replay on the
+    sorted per-customer revenues (exact k-richest cut), and obey the
+    structural bounds 0 <= G < 1, share monotone in p."""
+    import math
+
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = {
+        r.top_pct: r
+        for r in relational.gini_topshare_revenue(spark, sf_dir).collect()
+    }
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .sum("o_totalprice")
+        .toPandas()["sum(o_totalprice)"]
+        .round(2)
+        .to_numpy()
+    )
+    x = np.sort(rev)
+    n, X = len(x), x.sum()
+    gini = 2 * np.sum(x * np.arange(1, n + 1)) / (n * X) - (n + 1) / n
+    assert set(rows) == set(relational.GINI_SHARES)
+    prev_share = 0.0
+    for p in sorted(rows):
+        r = rows[p]
+        k = math.ceil(p * n / 100)
+        share = x[n - k:].sum() / X
+        assert r.n_customers == k
+        assert abs(r.cutoff_revenue - x[n - k]) < 0.015
+        assert abs(r.revenue_share - share) < 1e-5
+        assert abs(r.gini - gini) < 1e-5
+        assert 0.0 <= r.gini < 1.0
+        assert r.revenue_share >= prev_share
+        prev_share = r.revenue_share
