@@ -2106,3 +2106,88 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adj_weight",
         round2("pr", 8).alias("score"),
     )
+
+
+# --- PMI collocations ---------------------------------------------------
+
+PMI_MIN_PAIR = 5
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — pointwise mutual information of adjacent word pairs:
+    PMI(a,b) = ln( p(a,b) / (p(a)p(b)) ) with p(a,b) from the ordered
+    bigram stream and p(.) from the unigram stream (both restricted to
+    words of length >= TEXTRANK_MIN_LEN, the TextRank vocabulary).
+    The classic collocation detector (Church & Hanks 1990): high PMI
+    = the pair co-occurs far above chance — phrase candidates for
+    tokenizer/vocab curation; near-zero/negative = independence.
+    Pairs below PMI_MIN_PAIR occurrences are dropped (PMI of rare
+    pairs is noise — the standard guard).
+
+    Scale shape: the same single fact pass as ``textrank_keywords``
+    (zip_with over two slices, no posexplode self-join) feeding a
+    grouped bigram count; unigram counts join back broadcast
+    (vocab-bounded); the two totals are a 1-row broadcast. Nothing
+    after the first aggregation touches the corpus.
+
+    Determinism: all counts are exact integers; PMI is one ln() of a
+    rational from those integers, rounded at 1e-6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), " ").alias("ws"))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, size(ws) - 1),"
+                    " slice(ws, 2, size(ws) - 1),"
+                    " (x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(
+            (F.length("a") >= TEXTRANK_MIN_LEN)
+            & (F.length("b") >= TEXTRANK_MIN_LEN)
+        )
+    )
+    bi = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    uni = (
+        toks.select(F.explode("ws").alias("t"))
+        .filter(F.length("t") >= TEXTRANK_MIN_LEN)
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = bi.agg(F.sum("c_ab").alias("t_bi")).crossJoin(
+        uni.agg(F.sum("c").alias("t_uni"))
+    )
+    scored = (
+        bi.filter(F.col("c_ab") >= PMI_MIN_PAIR)
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("a"), F.col("c").alias("c_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("b"), F.col("c").alias("c_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pmi_raw",
+            F.log(
+                (F.col("c_ab") / F.col("t_bi"))
+                / (
+                    (F.col("c_a") / F.col("t_uni"))
+                    * (F.col("c_b") / F.col("t_uni"))
+                )
+            ),
+        )
+    )
+    return scored.select(
+        F.col("a").alias("word_a"),
+        F.col("b").alias("word_b"),
+        "c_ab",
+        "c_a",
+        "c_b",
+        round2("pmi_raw", 6).alias("pmi"),
+    )

@@ -2487,3 +2487,41 @@ register(
     sql=_KNN_SQL,
     tags=("similarity", "knn", "arrow", "matmul"),
 )
+
+
+register(
+    "l4_pmi_collocations",
+    text.pmi_collocations,
+    sql=f"""
+    WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+    adj AS (
+      SELECT ws[CAST(i AS INT)] AS a, ws[CAST(i AS INT) + 1] AS b
+      FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)
+    ), flt AS (
+      SELECT a, b FROM adj
+      WHERE length(a) >= {text.TEXTRANK_MIN_LEN}
+        AND length(b) >= {text.TEXTRANK_MIN_LEN}
+    ), bi AS (
+      SELECT a, b, count(*) AS c_ab FROM flt GROUP BY 1, 2
+    ), uni AS (
+      SELECT t, count(*) AS c FROM (
+        SELECT unnest(ws) AS t FROM w
+      ) WHERE length(t) >= {text.TEXTRANK_MIN_LEN}
+      GROUP BY 1
+    ), tot AS (
+      SELECT (SELECT sum(c_ab) FROM bi) AS t_bi,
+             (SELECT sum(c) FROM uni) AS t_uni
+    )
+    SELECT bi.a AS word_a, bi.b AS word_b,
+           bi.c_ab, ua.c AS c_a, ub.c AS c_b,
+           round(ln((bi.c_ab * 1.0 / tot.t_bi)
+                    / ((ua.c * 1.0 / tot.t_uni) * (ub.c * 1.0 / tot.t_uni))), 6)
+             AS pmi
+    FROM bi
+    JOIN uni ua ON ua.t = bi.a
+    JOIN uni ub ON ub.t = bi.b
+    CROSS JOIN tot
+    WHERE bi.c_ab >= {text.PMI_MIN_PAIR}
+    """,
+    tags=("text", "pmi", "collocations"),
+)

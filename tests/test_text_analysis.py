@@ -673,3 +673,39 @@ def test_textrank_matches_python_replay(spark, sf_dir):
         assert r.n_neighbors == sum(1 for (u, _) in edges if u == r.word)
         assert r.adj_weight == int(ow[r.word])
     assert abs(sum(r.score for r in rows) - 1.0) < 1e-6
+
+
+def test_pmi_collocations_matches_python_replay(spark, sf_dir):
+    """PMI scores must equal a pure-python replay (same vocabulary
+    filter, same ordered-bigram counting, same min-count guard)."""
+    import math
+    from collections import Counter
+
+    from real_time_big_data_analytics_spark.operators import text
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = text.pmi_collocations(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("text").toPandas()
+    ml = text.TEXTRANK_MIN_LEN
+    bi, uni = Counter(), Counter()
+    for t in docs.text:
+        ws = t.lower().split(" ")
+        for x in ws:
+            if len(x) >= ml:
+                uni[x] += 1
+        for x, y in zip(ws, ws[1:]):
+            if len(x) >= ml and len(y) >= ml:
+                bi[(x, y)] += 1
+    t_bi, t_uni = sum(bi.values()), sum(uni.values())
+    expect = {
+        k: math.log((c / t_bi) / ((uni[k[0]] / t_uni) * (uni[k[1]] / t_uni)))
+        for k, c in bi.items()
+        if c >= text.PMI_MIN_PAIR
+    }
+    got = {(r.word_a, r.word_b): r for r in rows}
+    assert set(got) == set(expect)
+    for k, pmi in expect.items():
+        r = got[k]
+        assert r.c_ab == bi[k]
+        assert (r.c_a, r.c_b) == (uni[k[0]], uni[k[1]])
+        assert abs(r.pmi - pmi) < 1e-5
