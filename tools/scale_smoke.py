@@ -62,6 +62,15 @@ QUERIES = (
     "l6_training_pipeline",        # composed dedup→quality→pack pipeline
     "dq_zorder_pruning_audit",     # Morton-layout pruning replay
     "m5_logreg_gd",                # unrolled-GD trainer (broadcast weights)
+    # second-wave round-4 additions: the new fact-scale shapes
+    # (l3_knn_blockmatmul is NOT here: its input, embeddings, is a
+    # dimension table in this harness so the ratio would measure
+    # nothing — its scan scales like the corpus by construction)
+    "l4_textrank_keywords",        # adjacent-pair extract + vocab iteration
+    "l4_pmi_collocations",         # bigram/unigram counts + ln ratio
+    "dq_hbos_outliers",            # double-histogram score join + top-k
+    "sf_gini_topshare_revenue",    # two-phase prefix sums + boundary cut
+    "ts_holt_linear_daily",        # daily rollup + 1-row array recurrence
 )
 
 
