@@ -3287,3 +3287,80 @@ def gini_topshare_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2("share_raw", 6).alias("revenue_share"),
         round2("gini_raw", 6).alias("gini"),
     )
+
+
+# --- item-item co-purchase recommender ----------------------------------
+
+REC_TOPK = 3
+
+
+def copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rec — item-item collaborative filtering over order baskets: for
+    every part, the REC_TOPK most-associated parts by co-purchase
+    cosine c_ab / sqrt(n_a * n_b) (n_x = orders containing x). The
+    classic "customers also bought" primitive — the same math as a
+    sparse item-item similarity matrix, expressed relationally.
+
+    Scale shape: the basket self-join shuffles ONCE on the order key
+    and pairs only within an order, so fanout is bounded by basket
+    size squared (~4² here), not the catalog; co-occurrence then
+    collapses to item-pair grain (vocabulary-scale), where the
+    per-item counts join back and the top-k is a k-bounded window
+    partitioned BY ITEM — no global sort, no single-partition stage.
+    At catalog scale the standard refinement caps pathological basket
+    sizes (a B-item basket emits B² pairs); harness baskets are tiny.
+
+    Determinism: counts are exact integers; cosine is ONE float
+    expression of those integers (bit-identical across engines), so
+    the (cosine desc, part_b) ranking is total — rounded only at
+    output.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").alias("n_ord")
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "o").filter(F.col("pa") < F.col("pb"))
+    cnt = pairs.groupBy("pa", "pb").agg(F.count("*").alias("c_ab"))
+    sym = cnt.select(
+        F.col("pa").alias("part_a"), F.col("pb").alias("part_b"), "c_ab"
+    ).unionAll(
+        cnt.select(
+            F.col("pb").alias("part_a"), F.col("pa").alias("part_b"), "c_ab"
+        )
+    )
+    scored = (
+        sym.join(
+            n.select(F.col("p").alias("part_a"), F.col("n_ord").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            n.select(F.col("p").alias("part_b"), F.col("n_ord").alias("n_b")),
+            "part_b",
+        )
+        .withColumn(
+            "cos_raw",
+            F.col("c_ab") / F.sqrt(F.col("n_a") * F.col("n_b")),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(
+        F.desc("cos_raw"), F.asc("part_b")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= REC_TOPK)
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            "n_a",
+            "n_b",
+            round2("cos_raw", 6).alias("cosine"),
+            "rk",
+        )
+    )

@@ -3125,3 +3125,38 @@ register(
     """,
     tags=("statistics", "gini", "concentration", "prefix-sum"),
 )
+
+
+register(
+    "rec_copurchase_topk",
+    relational.copurchase_topk,
+    sql=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n AS (
+      SELECT p, count(*) AS n_ord FROM li GROUP BY 1
+    ), cnt AS (
+      SELECT a.p AS pa, b.p AS pb, count(*) AS c_ab
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ), sym AS (
+      SELECT pa AS part_a, pb AS part_b, c_ab FROM cnt
+      UNION ALL
+      SELECT pb, pa, c_ab FROM cnt
+    ), scored AS (
+      SELECT s.part_a, s.part_b, s.c_ab, na.n_ord AS n_a, nb.n_ord AS n_b,
+             s.c_ab / sqrt(na.n_ord * nb.n_ord) AS cos_raw
+      FROM sym s
+      JOIN n na ON na.p = s.part_a
+      JOIN n nb ON nb.p = s.part_b
+    )
+    SELECT part_a, part_b, c_ab, n_a, n_b,
+           round(cos_raw, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY part_a
+                 ORDER BY cos_raw DESC, part_b ASC) AS rk
+      FROM scored
+    ) WHERE rk <= {relational.REC_TOPK}
+    """,
+    tags=("recommender", "collaborative-filtering", "cosine"),
+)

@@ -906,3 +906,49 @@ def test_gini_topshare_matches_numpy_replay(spark, sf_dir):
         assert 0.0 <= r.gini < 1.0
         assert r.revenue_share >= prev_share
         prev_share = r.revenue_share
+
+
+def test_copurchase_topk_matches_pandas_replay(spark, sf_dir):
+    """Top-k co-purchase recommendations must equal a pandas replay
+    (same distinct-basket pairing, same cosine, same total order)."""
+    from collections import Counter, defaultdict
+
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = relational.copurchase_topk(spark, sf_dir).collect()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    baskets = defaultdict(set)
+    for o, p in zip(li.l_orderkey, li.l_partkey):
+        baskets[o].add(p)
+    n = Counter()
+    co = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for p in ps:
+            n[p] += 1
+        for i, x in enumerate(ps):
+            for y in ps[i + 1:]:
+                co[(x, y)] += 1
+    sym = defaultdict(list)
+    for (x, y), c in co.items():
+        cos = c / (n[x] * n[y]) ** 0.5
+        sym[x].append((-cos, y, c))
+        sym[y].append((-cos, x, c))
+    expect = {}
+    for p, cands in sym.items():
+        for rk, (negcos, q, c) in enumerate(sorted(cands)[: relational.REC_TOPK], 1):
+            expect[(p, rk)] = (q, c, -negcos)
+    got = {(r.part_a, r.rk): r for r in rows}
+    assert set(got) == set(expect)
+    for k, (q, c, cos) in expect.items():
+        r = got[k]
+        assert r.part_b == q
+        assert r.c_ab == c
+        assert (r.n_a, r.n_b) == (n[r.part_a], n[q])
+        assert abs(r.cosine - cos) < 1e-5
