@@ -24,7 +24,7 @@ the reference's ``cache()`` ahead of iterative training
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round2
@@ -665,4 +665,145 @@ def target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_seg") - F.col("n_fold")).alias("n_out_fold"),
         round2(prior, 6).alias("prior_oof"),
         round2(enc, 6).alias("enc"),
+    )
+
+
+# --- split-conformal prediction intervals -------------------------------
+
+CONF_ALPHA = 0.1
+CONF_TRAIN_PCT = 70  # md5 bucket < 70 -> train
+CONF_CAL_PCT = 85  # 70..84 -> calibration, >= 85 -> test
+CONF_RES_BUCKET = 1000.0  # cents-rounded |residual| prefix-sum bucket
+
+
+def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m10 — split-conformal prediction intervals (Papadopoulos 2002 /
+    Vovk) around the m8 ridge price model: rows hash-split into
+    train / calibration / test; the ridge fit (SAME Cramer formula
+    strings as ``ridge_normal_eq``, trained on the train split only)
+    predicts price; q_hat is the ceil((n_cal+1)(1-alpha))-th smallest
+    calibration |residual|; the released interval pred ± q_hat then
+    carries the distribution-free >= 1-alpha finite-sample coverage
+    guarantee, audited here on the held-out test split. THE
+    model-agnostic uncertainty wrapper — the operator any prediction
+    service needs before shipping intervals.
+
+    Scale shape: the trainer is one partial-aggregable moment pass
+    over train rows; the calibration order statistic is EXACT without
+    any global sort — the same two-phase bucketed prefix sum as
+    ``gini_topshare_revenue`` over cents-rounded residual values; the
+    coverage audit is one aggregate over test rows with the 1-row
+    (coefficients, q_hat) broadcast. Three fact passes total, no
+    single-partition stage.
+
+    Determinism: the splits are the shared md5 gate; residuals are
+    round2-ed to cents BEFORE the order statistic, so ulp noise in the
+    fitted coefficients cannot reorder the calibration ranking; the
+    selected q_hat is a cents-exact value on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q, d, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 100
+    )
+    rows = li.select(
+        q.alias("x1"), d.alias("x2"), y.alias("y"), bucket.alias("bkt")
+    )
+    m = rows.filter(F.col("bkt") < CONF_TRAIN_PCT).agg(
+        F.count("*").cast("bigint").alias("n_train"),
+        F.avg("x1").alias("m1"),
+        F.avg("x2").alias("m2"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x1") * F.col("x1")).alias("s11"),
+        F.avg(F.col("x1") * F.col("x2")).alias("s12"),
+        F.avg(F.col("x2") * F.col("x2")).alias("s22"),
+        F.avg(F.col("x1") * F.col("y")).alias("s1y"),
+        F.avg(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    coef = m.select(
+        "n_train",
+        (F.expr(RIDGE_DET0) / F.expr(RIDGE_DET)).alias("b0"),
+        (F.expr(RIDGE_DET1) / F.expr(RIDGE_DET)).alias("b1"),
+        (F.expr(RIDGE_DET2) / F.expr(RIDGE_DET)).alias("b2"),
+    )
+    resid = round2(
+        F.abs(
+            F.col("y")
+            - (
+                F.col("b0")
+                + F.col("b1") * F.col("x1")
+                + F.col("b2") * F.col("x2")
+            )
+        ),
+        2,
+    )
+    cal = (
+        rows.filter(
+            (F.col("bkt") >= CONF_TRAIN_PCT) & (F.col("bkt") < CONF_CAL_PCT)
+        )
+        .crossJoin(F.broadcast(coef))
+        .select(resid.alias("r"))
+    )
+    per_value = cal.groupBy("r").agg(F.count("*").alias("cnt"))
+    pv = per_value.withColumn("bu", F.floor(F.col("r") / CONF_RES_BUCKET))
+    w_local = Window.partitionBy("bu").orderBy("r").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = pv.select(
+        "bu",
+        "r",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_local), F.lit(0)).alias("lc"),
+    )
+    w_prior = Window.orderBy("bu").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        pv.groupBy("bu")
+        .agg(F.sum("cnt").alias("bn"))
+        .select(
+            "bu",
+            F.coalesce(F.sum("bn").over(w_prior), F.lit(0)).alias("oc"),
+        )
+    )
+    cum = local.join(F.broadcast(offsets), "bu").select(
+        "r", "cnt", (F.col("lc") + F.col("oc")).alias("cn_excl")
+    )
+    ncal = per_value.agg(F.sum("cnt").cast("bigint").alias("n_cal"))
+    qhat = (
+        cum.crossJoin(F.broadcast(ncal))
+        .withColumn(
+            "k",
+            F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - CONF_ALPHA)).cast(
+                "bigint"
+            ),
+        )
+        .filter(
+            (F.col("cn_excl") < F.col("k"))
+            & (F.col("cn_excl") + F.col("cnt") >= F.col("k"))
+        )
+        .select("n_cal", "k", F.col("r").alias("q_hat"))
+    )
+    test = (
+        rows.filter(F.col("bkt") >= CONF_CAL_PCT)
+        .crossJoin(F.broadcast(coef))
+        .crossJoin(F.broadcast(qhat))
+        .select(
+            "n_train",
+            "n_cal",
+            "k",
+            "q_hat",
+            (resid <= F.col("q_hat")).cast("bigint").alias("cov"),
+        )
+    )
+    return test.groupBy("n_train", "n_cal", "k", "q_hat").agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        round2(F.avg("cov"), 6).alias("coverage"),
+    ).select(
+        "n_train",
+        "n_cal",
+        "n_test",
+        "k",
+        round2("q_hat", 2).alias("q_hat"),
+        "coverage",
+        F.lit(CONF_ALPHA).alias("alpha"),
     )

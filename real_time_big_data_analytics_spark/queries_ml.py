@@ -351,3 +351,60 @@ register(
     """,
     tags=("ml", "target-encoding", "kfold", "training-data"),
 )
+
+
+# same md5 row gate, the SAME Cramer formula strings as m8, cents-
+# rounded residuals before the order statistic; DuckDB's row_number
+# replays the distributed two-phase k-th smallest
+register(
+    "m10_conformal_interval",
+    ml.conformal_interval,
+    sql=f"""
+    WITH r0 AS (
+      SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y,
+             CAST(CONCAT('0x', substr(md5(CONCAT(l_orderkey, '-',
+                                               l_linenumber)), 1, 8))
+                  AS BIGINT) % 100 AS bkt
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_train,
+             avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my,
+             avg(x1 * x1) AS s11, avg(x1 * x2) AS s12,
+             avg(x2 * x2) AS s22, avg(x1 * y) AS s1y, avg(x2 * y) AS s2y
+      FROM r0 WHERE bkt < {ml.CONF_TRAIN_PCT}
+    ), coef AS (
+      SELECT n_train,
+             ({ml.RIDGE_DET0}) / ({ml.RIDGE_DET}) AS b0,
+             ({ml.RIDGE_DET1}) / ({ml.RIDGE_DET}) AS b1,
+             ({ml.RIDGE_DET2}) / ({ml.RIDGE_DET}) AS b2
+      FROM m
+    ), cal AS (
+      SELECT round(abs(y - (b0 + b1 * x1 + b2 * x2)), 2) AS r
+      FROM r0, coef
+      WHERE bkt >= {ml.CONF_TRAIN_PCT} AND bkt < {ml.CONF_CAL_PCT}
+    ), nc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal
+    ), ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal
+    ), qh AS (
+      SELECT nc.n_cal,
+             CAST(ceil((nc.n_cal + 1) * {1.0 - ml.CONF_ALPHA}) AS BIGINT) AS k,
+             ranked.r AS q_hat
+      FROM ranked, nc
+      WHERE ranked.rn = CAST(ceil((nc.n_cal + 1) * {1.0 - ml.CONF_ALPHA})
+                             AS BIGINT)
+    ), test AS (
+      SELECT coef.n_train, qh.n_cal, qh.k, qh.q_hat,
+             CAST(round(abs(y - (b0 + b1 * x1 + b2 * x2)), 2) <= qh.q_hat
+                  AS INT) AS cov
+      FROM r0, coef, qh
+      WHERE bkt >= {ml.CONF_CAL_PCT}
+    )
+    SELECT n_train, n_cal, CAST(count(*) AS BIGINT) AS n_test, k,
+           round(q_hat, 2) AS q_hat,
+           round(avg(cov), 6) AS coverage,
+           {ml.CONF_ALPHA} AS alpha
+    FROM test GROUP BY n_train, n_cal, k, q_hat
+    """,
+    tags=("ml", "conformal", "uncertainty", "prefix-sum"),
+)

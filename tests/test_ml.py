@@ -276,3 +276,52 @@ def test_target_encode_kfold_is_leakage_free(spark, sf_dir):
         per_seg[r.segment] += r.n_in_fold
     for seg, tot in per_seg.items():
         assert tot == (j.c_mktsegment == seg).sum()
+
+
+def test_conformal_interval_guarantee_and_replay(spark, sf_dir):
+    """q_hat and coverage must equal a numpy replay of the same
+    split-fit-calibrate-audit pipeline, and the finite-sample
+    conformal property must hold: empirical calibration coverage of
+    pred +/- q_hat is >= 1 - alpha by construction."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import ml
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    r = ml.conformal_interval(spark, sf_dir).first()
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_extendedprice",
+    ).toPandas()
+    bkt = np.array(
+        [
+            int(hashlib.md5(f"{o}-{ln}".encode()).hexdigest()[:8], 16) % 100
+            for o, ln in zip(li.l_orderkey, li.l_linenumber)
+        ]
+    )
+    X = li[["l_quantity", "l_discount"]].to_numpy(dtype=float)
+    y = li.l_extendedprice.to_numpy(dtype=float)
+    tr = bkt < ml.CONF_TRAIN_PCT
+    ca = (bkt >= ml.CONF_TRAIN_PCT) & (bkt < ml.CONF_CAL_PCT)
+    te = bkt >= ml.CONF_CAL_PCT
+    A = np.hstack([np.ones((tr.sum(), 1)), X[tr]])
+    n = tr.sum()
+    G = A.T @ A / n + ml.RIDGE_LAMBDA * np.eye(3)
+    b = np.linalg.solve(G, A.T @ y[tr] / n)
+    pred = lambda m: b[0] + X[m] @ b[1:]
+    r_cal = np.sort(np.round(np.abs(y[ca] - pred(ca)), 2))
+    k = math.ceil((ca.sum() + 1) * (1 - ml.CONF_ALPHA))
+    q = r_cal[k - 1]
+    cov = float(np.mean(np.round(np.abs(y[te] - pred(te)), 2) <= q))
+    assert (r.n_train, r.n_cal, r.n_test) == (tr.sum(), ca.sum(), te.sum())
+    assert r.k == k
+    assert abs(r.q_hat - q) < 0.02
+    assert abs(r.coverage - cov) < 1e-4
+    # conformal guarantee on the calibration set by construction
+    assert np.mean(r_cal <= r.q_hat) >= 1 - ml.CONF_ALPHA - 1e-9
+    # and the audited test coverage should be near 1 - alpha
+    assert r.coverage > 1 - ml.CONF_ALPHA - 0.05
