@@ -2191,3 +2191,56 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_b",
         round2("pmi_raw", 6).alias("pmi"),
     )
+
+
+# --- hashing-trick featurization audit ----------------------------------
+
+FEATHASH_DIM = 1024
+
+
+def feature_hashing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — collision audit of hashing-trick featurization: every
+    corpus token maps to one of FEATHASH_DIM buckets via the shared
+    md5 gate (what a streaming featurizer would do instead of
+    maintaining a vocabulary), and the output is the collision
+    histogram — for each k, how many buckets hold exactly k DISTINCT
+    tokens, with the token-occurrence mass they carry. The audit that
+    sizes the hash dimension: if heavy buckets carry real mass, the
+    dimension is too small for the vocabulary.
+
+    Scale shape: one fact pass to token grain (vocab-bounded grouped
+    count), the bucket map is a projection on that grain, and the
+    histogram is two nested KB-scale aggregates. The vocabulary side
+    is Heaps-law bounded; nothing downstream of the first aggregate
+    sees corpus rows.
+
+    Determinism: everything is exact integer counting on the shared
+    md5 bucket — no floats anywhere until the final share ratio.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("occ"))
+    )
+    bucketed = toks.withColumn("bucket", md5_bucket("t", FEATHASH_DIM))
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("k_tokens"),
+        F.sum("occ").alias("occ_mass"),
+    )
+    tot = Window.partitionBy()
+    hist = per_bucket.groupBy("k_tokens").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("occ_mass").cast("bigint").alias("occurrence_mass"),
+    )
+    return hist.select(
+        "k_tokens",
+        "n_buckets",
+        "occurrence_mass",
+        round2(
+            F.col("occurrence_mass")
+            / F.sum("occurrence_mass").over(tot),
+            6,
+        ).alias("mass_share"),
+    )

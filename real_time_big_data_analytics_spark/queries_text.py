@@ -2525,3 +2525,33 @@ register(
     """,
     tags=("text", "pmi", "collocations"),
 )
+
+
+register(
+    "l4_feature_hashing_stats",
+    text.feature_hashing_stats,
+    sql=f"""
+    WITH toks AS (
+      SELECT t, count(*) AS occ FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+      ) WHERE t <> '' GROUP BY t
+    ), b AS (
+      SELECT CAST(CONCAT('0x', substr(md5(t), 1, 8)) AS BIGINT)
+               % {text.FEATHASH_DIM} AS bucket,
+             occ
+      FROM toks
+    ), per_bucket AS (
+      SELECT bucket, count(*) AS k_tokens, sum(occ) AS occ_mass
+      FROM b GROUP BY bucket
+    ), hist AS (
+      SELECT k_tokens, count(*) AS n_buckets,
+             CAST(sum(occ_mass) AS BIGINT) AS occurrence_mass
+      FROM per_bucket GROUP BY k_tokens
+    )
+    SELECT k_tokens, n_buckets, occurrence_mass,
+           round(occurrence_mass * 1.0 / sum(occurrence_mass) OVER (), 6)
+             AS mass_share
+    FROM hist
+    """,
+    tags=("text", "feature-hashing", "training-data"),
+)

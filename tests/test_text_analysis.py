@@ -709,3 +709,40 @@ def test_pmi_collocations_matches_python_replay(spark, sf_dir):
         assert r.c_ab == bi[k]
         assert (r.c_a, r.c_b) == (uni[k[0]], uni[k[1]])
         assert abs(r.pmi - pmi) < 1e-5
+
+
+def test_feature_hashing_stats_matches_python_replay(spark, sf_dir):
+    """The collision histogram must equal a hashlib replay, and its
+    marginals must reconstruct the vocabulary and corpus token mass."""
+    import hashlib
+    from collections import Counter
+
+    from real_time_big_data_analytics_spark.operators import text
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = text.feature_hashing_stats(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("text").toPandas()
+    occ = Counter()
+    for t in docs.text:
+        for w in t.lower().split(" "):
+            if w:
+                occ[w] += 1
+    per_bucket = Counter()
+    mass = Counter()
+    for w, c in occ.items():
+        b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % text.FEATHASH_DIM
+        per_bucket[b] += 1
+        mass[b] += c
+    hist_n, hist_m = Counter(), Counter()
+    for b, k in per_bucket.items():
+        hist_n[k] += 1
+        hist_m[k] += mass[b]
+    total_mass = sum(occ.values())
+    got = {r.k_tokens: r for r in rows}
+    assert set(got) == set(hist_n)
+    for k, r in got.items():
+        assert r.n_buckets == hist_n[k]
+        assert r.occurrence_mass == hist_m[k]
+        assert abs(r.mass_share - hist_m[k] / total_mass) < 1e-5
+    assert sum(r.k_tokens * r.n_buckets for r in rows) == len(occ)
+    assert sum(r.occurrence_mass for r in rows) == total_mass
