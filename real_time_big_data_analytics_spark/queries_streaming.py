@@ -321,3 +321,43 @@ register(
     """,
     tags=("streaming", "scd2", "interval-join"),
 )
+
+
+# exact streaming counts (availableNow == batch), same md5 arm gate
+# and the SAME shared erfc polynomial as the batch SRM twin
+from .operators import relational as _rel  # noqa: E402
+
+register(
+    "t19_stream_srm_monitor",
+    sq.stream_srm_monitor,
+    sql=f"""
+    WITH arms AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             CASE WHEN CAST(CONCAT('0x',
+                      substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events
+    ), wide AS (
+      SELECT window_start,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM arms GROUP BY 1
+    ), c AS (
+      SELECT *,
+             pow(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+             + pow(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0) AS chi2_raw
+      FROM wide
+    ), z AS (
+      SELECT *, sqrt(chi2_raw) / sqrt(2.0) AS az FROM c
+    ), z2 AS (
+      SELECT *, {_rel.PVAL_TT_EXPR} AS tt FROM z
+    )
+    SELECT window_start, n_a, n_b,
+           round(chi2_raw, 6) AS chi2,
+           round({_rel.PVAL_EXPR}, 6) AS p_value,
+           {_rel.PVAL_EXPR} < {_rel.SRM_ALPHA} AS srm_detected
+    FROM z2
+    """,
+    tags=("streaming", "srm", "chi-square", "experimentation"),
+)

@@ -661,3 +661,52 @@ def stream_scd2_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(F.sum("value")).alias("total_value"),
     )
     return run_to_table(spark, agg, output_mode="complete")
+
+
+def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19 — in-flight experiment-assignment health: the event stream
+    is bucketed into A/B arms by the shared md5 user gate, counted per
+    hourly event-time window (streaming state = two counters per
+    window), and each window gets the chi-square sample-ratio-mismatch
+    test the batch ``sf_ab_srm_audit`` runs corpus-wide — the monitor
+    that catches a broken assignment DURING the experiment instead of
+    at readout. Counts are exact (availableNow replay == batch), so
+    unlike the HLL audit (t14) every column here is hash-checked.
+
+    p-value: df=1 chi-square via the SAME shared A&S erfc polynomial
+    string as the batch twin. The chi-square arithmetic runs on the
+    window-grain result table (calendar-bounded), not in the stream.
+    """
+    from ..operators.relational import PVAL_EXPR, PVAL_TT_EXPR, SRM_ALPHA
+    from ..operators.text import md5_bucket
+
+    stream = events_stream(spark, sf_dir).withColumn(
+        "arm",
+        F.when(md5_bucket("user_id", 2) == 0, "A").otherwise("B"),
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w"), "arm").agg(
+        F.count("*").alias("n")
+    )
+    counts = run_to_table(spark, agg, output_mode="complete").select(
+        F.col("w.start").alias("window_start"), "arm", "n"
+    )
+    wide = counts.groupBy("window_start").agg(
+        F.sum(F.when(F.col("arm") == "A", F.col("n")).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("n")).otherwise(0)).alias("n_b"),
+    )
+    exp = (F.col("n_a") + F.col("n_b")) / F.lit(2.0)
+    chi2 = (F.col("n_a") - exp) ** 2 / exp + (F.col("n_b") - exp) ** 2 / exp
+    scored = (
+        wide.withColumn("chi2_raw", chi2)
+        .withColumn("az", F.sqrt(F.col("chi2_raw")) / F.sqrt(F.lit(2.0)))
+        .withColumn("tt", F.expr(PVAL_TT_EXPR))
+        .withColumn("p_raw", F.expr(PVAL_EXPR))
+    )
+    return scored.select(
+        "window_start",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        round2("chi2_raw", 6).alias("chi2"),
+        round2("p_raw", 6).alias("p_value"),
+        (F.col("p_raw") < F.lit(SRM_ALPHA)).alias("srm_detected"),
+    )

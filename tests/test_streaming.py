@@ -309,3 +309,35 @@ def test_scd2_stream_join_uses_version_at_event_time(spark, sf_dir):
     assert {r.o_orderstatus: r.n_events for r in rows} == {
         r.o_orderstatus: r.n for r in direct
     }
+
+
+def test_stream_srm_monitor_equals_batch_replay(spark, sf_dir):
+    """Streaming windowed arm counts (availableNow replay) must equal
+    the direct batch computation, and the chi-square must match a
+    math.erfc scalar check on every window."""
+    import hashlib
+    import math
+
+    from real_time_big_data_analytics_spark.streaming import queries as sq
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = sq.stream_srm_monitor(spark, sf_dir).collect()
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id").toPandas()
+    ev["w"] = ev.ts.dt.floor("h")
+    ev["arm"] = [
+        "A" if int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2 == 0
+        else "B"
+        for u in ev.user_id
+    ]
+    g = ev.groupby(["w", "arm"]).size().unstack(fill_value=0)
+    assert len(rows) == len(g)
+    for r in rows:
+        n_a = int(g.loc[r.window_start].get("A", 0))
+        n_b = int(g.loc[r.window_start].get("B", 0))
+        assert (r.n_a, r.n_b) == (n_a, n_b)
+        exp = (n_a + n_b) / 2
+        chi2 = (n_a - exp) ** 2 / exp + (n_b - exp) ** 2 / exp
+        p = math.erfc(math.sqrt(chi2) / math.sqrt(2))
+        assert abs(r.chi2 - chi2) < 1e-4
+        assert abs(r.p_value - p) < 2e-6
