@@ -2244,3 +2244,87 @@ def feature_hashing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mass_share"),
     )
+
+
+# --- retrieval quality metrics ------------------------------------------
+
+REL_MIN_TF = 2  # binary relevance: term appears at least twice
+REL_CAP = 3  # graded relevance: tf capped (log-ish gain saturation)
+
+
+def retrieval_metrics(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """L4 — IR evaluation of the BM25 ranking: NDCG@k, MRR, and
+    precision@k per query term, against a deterministic
+    term-frequency relevance (graded rel = min(tf, REL_CAP), binary
+    rel = tf >= REL_MIN_TF). The missing third leg of a search stack
+    — index (``inverted_index``), ranking (``bm25_search``), and now
+    the metric harness that tells you whether a ranking change helped.
+
+    DCG@k = sum (2^rel - 1)/log2(rank+1) over the retrieved list;
+    IDCG@k from the corpus-wide ideal ordering (rel desc) among ALL
+    docs containing the term, so NDCG is properly normalized even
+    when BM25 misses a high-tf doc.
+
+    Scale shape: the ranked list is k-bounded per term; the ideal
+    list is a per-term top-k window over that term's postings (the
+    same partitioned-rank shape as the BM25 ranking itself); corpus
+    relevance counts are one postings aggregate. Everything joins at
+    (term, doc) grain, no corpus-wide sort.
+
+    Determinism: rel/gain/rank are exact integers; DCG is a <=k-term
+    sum of exact-integer functions, rounded at 1e-6.
+    """
+    ranked = bm25_search(spark, sf_dir, k=k)
+    gain = (F.pow(F.lit(2.0), F.least(F.col("tf"), F.lit(REL_CAP))) - 1) / F.log2(
+        F.col("rk") + 1
+    )
+    per_ranked = ranked.groupBy("term").agg(
+        F.sum(gain).alias("dcg_raw"),
+        F.max(
+            F.when(F.col("tf") >= REL_MIN_TF, F.lit(1.0) / F.col("rk")).otherwise(
+                0.0
+            )
+        ).alias("mrr_raw"),
+        (
+            F.sum((F.col("tf") >= REL_MIN_TF).cast("bigint")) / F.lit(float(k))
+        ).alias("p_at_k_raw"),
+    )
+    # corpus-wide relevance per query term (postings of the same 3
+    # query terms the BM25 operator selects)
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_words()).alias("term")
+    ).filter(F.col("term") != "")
+    tf_all = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    postings = tf_all.join(
+        F.broadcast(ranked.select("term").distinct()), "term"
+    )
+    w_ideal = Window.partitionBy("term").orderBy(
+        F.desc(F.least(F.col("tf"), F.lit(REL_CAP))), F.asc("doc_id")
+    )
+    ideal = (
+        postings.withColumn("irk", F.row_number().over(w_ideal))
+        .filter(F.col("irk") <= k)
+        .groupBy("term")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.least(F.col("tf"), F.lit(REL_CAP))) - 1)
+                / F.log2(F.col("irk") + 1)
+            ).alias("idcg_raw")
+        )
+    )
+    n_rel = postings.filter(F.col("tf") >= REL_MIN_TF).groupBy("term").agg(
+        F.count("*").alias("n_relevant")
+    )
+    return (
+        per_ranked.join(ideal, "term")
+        .join(n_rel, "term")
+        .select(
+            "term",
+            "n_relevant",
+            round2("p_at_k_raw", 6).alias("p_at_k"),
+            round2("mrr_raw", 6).alias("mrr"),
+            round2("dcg_raw", 6).alias("dcg"),
+            round2("idcg_raw", 6).alias("idcg"),
+            round2(F.col("dcg_raw") / F.col("idcg_raw"), 6).alias("ndcg"),
+        )
+    )

@@ -2555,3 +2555,84 @@ register(
     """,
     tags=("text", "feature-hashing", "training-data"),
 )
+
+
+# the BM25 ranking CTEs verbatim from l4_bm25_search, extended with
+# the graded-gain DCG, the corpus-wide ideal list, and binary MRR/P@k
+register(
+    "l4_retrieval_metrics",
+    text.retrieval_metrics,
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, word AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), dft AS (
+      SELECT term, count(*) AS df
+      FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+    ), qterms AS (
+      SELECT dft.term, dft.df
+      FROM dft JOIN (SELECT term, sum(tf) AS cf FROM tf GROUP BY term) c
+        USING (term)
+      WHERE length(dft.term) >= 4
+      ORDER BY c.cf DESC, dft.term ASC LIMIT 3
+    ), scalars AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT avg(dl) FROM dl) AS avgdl
+    ), scored AS (
+      SELECT q.term, tf.doc_id, tf.tf,
+             round(
+               ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+               6) AS score
+      FROM tf JOIN qterms q USING (term)
+      JOIN dl USING (doc_id) CROSS JOIN scalars s
+    ), ranked AS (
+      SELECT term, doc_id, tf, rk FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY term ORDER BY score DESC, doc_id ASC) AS rk
+        FROM scored
+      ) WHERE rk <= 10
+    ), per_ranked AS (
+      SELECT term,
+             sum((pow(2.0, least(tf, {text.REL_CAP})) - 1) / log2(rk + 1))
+               AS dcg_raw,
+             max(CASE WHEN tf >= {text.REL_MIN_TF} THEN 1.0 / rk
+                      ELSE 0.0 END) AS mrr_raw,
+             sum(CASE WHEN tf >= {text.REL_MIN_TF} THEN 1 ELSE 0 END) / 10.0
+               AS p_at_k_raw
+      FROM ranked GROUP BY term
+    ), postings AS (
+      SELECT tf.term, tf.doc_id, tf.tf
+      FROM tf JOIN qterms USING (term)
+    ), ideal AS (
+      SELECT term,
+             sum((pow(2.0, least(tf, {text.REL_CAP})) - 1) / log2(irk + 1))
+               AS idcg_raw
+      FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY term
+                 ORDER BY least(tf, {text.REL_CAP}) DESC, doc_id ASC) AS irk
+        FROM postings
+      ) WHERE irk <= 10
+      GROUP BY term
+    ), n_rel AS (
+      SELECT term, count(*) AS n_relevant
+      FROM postings WHERE tf >= {text.REL_MIN_TF} GROUP BY term
+    )
+    SELECT p.term, n_rel.n_relevant,
+           round(p.p_at_k_raw, 6) AS p_at_k,
+           round(p.mrr_raw, 6) AS mrr,
+           round(p.dcg_raw, 6) AS dcg,
+           round(i.idcg_raw, 6) AS idcg,
+           round(p.dcg_raw / i.idcg_raw, 6) AS ndcg
+    FROM per_ranked p JOIN ideal i USING (term) JOIN n_rel USING (term)
+    """,
+    tags=("text", "search", "ndcg", "evaluation"),
+)

@@ -746,3 +746,54 @@ def test_feature_hashing_stats_matches_python_replay(spark, sf_dir):
         assert abs(r.mass_share - hist_m[k] / total_mass) < 1e-5
     assert sum(r.k_tokens * r.n_buckets for r in rows) == len(occ)
     assert sum(r.occurrence_mass for r in rows) == total_mass
+
+
+def test_retrieval_metrics_matches_python_replay(spark, sf_dir):
+    """NDCG/MRR/P@k must equal a pure-python replay computed from the
+    engine's own BM25 ranking plus a corpus recount, and obey the
+    structural bounds 0 <= ndcg <= 1, dcg <= idcg."""
+    import math
+    from collections import Counter, defaultdict
+
+    from real_time_big_data_analytics_spark.operators import text
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = {r.term: r for r in text.retrieval_metrics(spark, sf_dir).collect()}
+    ranked = defaultdict(list)
+    for r in text.bm25_search(spark, sf_dir).collect():
+        ranked[r.term].append((r.rk, r.doc_id, r.tf))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).toPandas()
+    tf_all = defaultdict(Counter)
+    for did, t in zip(docs.doc_id, docs.text):
+        for w in t.split(" "):
+            if w:
+                tf_all[w][did] += 1
+    cap, mt = text.REL_CAP, text.REL_MIN_TF
+    assert set(rows) == set(ranked)
+    for term, lst in ranked.items():
+        lst.sort()
+        dcg = sum(
+            (2 ** min(tf, cap) - 1) / math.log2(rk + 1) for rk, _, tf in lst
+        )
+        mrr = max(
+            ((1.0 / rk) for rk, _, tf in lst if tf >= mt), default=0.0
+        )
+        p = sum(1 for _, _, tf in lst if tf >= mt) / 10.0
+        rels = sorted(
+            (min(tf, cap) for tf in tf_all[term].values()), reverse=True
+        )[:10]
+        idcg = sum(
+            (2 ** rel - 1) / math.log2(i + 2) for i, rel in enumerate(rels)
+        )
+        n_relevant = sum(1 for tf in tf_all[term].values() if tf >= mt)
+        r = rows[term]
+        assert r.n_relevant == n_relevant
+        assert abs(r.dcg - dcg) < 1e-5
+        assert abs(r.idcg - idcg) < 1e-5
+        assert abs(r.ndcg - dcg / idcg) < 1e-5
+        assert abs(r.mrr - mrr) < 1e-9
+        assert abs(r.p_at_k - p) < 1e-9
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-9
+        assert r.dcg <= r.idcg + 1e-9
