@@ -3364,3 +3364,44 @@ def copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts — backtest scorecard for the Holt one-step forecasts: MAE,
+    sMAPE, and MASE (MAE relative to the naive last-value forecast,
+    Hyndman & Koehler 2006) over the evaluation days, plus the share
+    of days Holt beats naive. The eval harness for the forecasting
+    family — the ts analog of ``retrieval_metrics``: a forecaster
+    without a backtest scorecard is a guess. MASE < 1 means the model
+    genuinely beats persistence.
+
+    Scale shape: everything runs on ``holt_linear_daily``'s
+    calendar-bounded output (one row per day), so the lag window and
+    the final 1-row aggregate are metadata-scale; the only fact-scale
+    work is the daily rollup inside the Holt operator itself.
+
+    Determinism: inherits the cents-rounded recurrence; metric sums
+    span <= days terms, rounded at 1e-6.
+    """
+    h = holt_linear_daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    ev = h.withColumn("x_prev", F.lag("x").over(w)).filter(
+        F.col("x_prev").isNotNull()
+    )
+    e_holt = F.abs(F.col("x") - F.col("fitted"))
+    e_naive = F.abs(F.col("x") - F.col("x_prev"))
+    smape = (
+        F.lit(2.0)
+        * F.abs(F.col("x") - F.col("fitted"))
+        / (F.abs(F.col("x")) + F.abs(F.col("fitted")))
+    )
+    return ev.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        round2(F.avg(e_holt), 6).alias("mae_holt"),
+        round2(F.avg(e_naive), 6).alias("mae_naive"),
+        round2(F.avg(e_holt) / F.avg(e_naive), 6).alias("mase"),
+        round2(F.avg(smape), 6).alias("smape_holt"),
+        round2(
+            F.avg((e_holt < e_naive).cast("double")), 6
+        ).alias("share_beats_naive"),
+    )

@@ -3160,3 +3160,51 @@ register(
     """,
     tags=("recommender", "collaborative-filtering", "cosine"),
 )
+
+
+# the Holt recursive CTE verbatim, then the naive lag from the rn
+# table and the same metric aggregate
+register(
+    "ts_forecast_backtest",
+    relational.forecast_backtest,
+    sql=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS x
+      FROM events GROUP BY 1
+    ), rn AS (
+      SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ), rec AS (
+      SELECT CAST(2 AS BIGINT) AS rn, b.day, b.x,
+             b.x AS l, b.x - a.x AS tr, CAST(NULL AS DOUBLE) AS fitted
+      FROM rn a JOIN rn b ON a.rn = 1 AND b.rn = 2
+      UNION ALL
+      SELECT n.rn, n.day, n.x,
+             {relational.HOLT_ALPHA} * n.x
+               + {1 - relational.HOLT_ALPHA} * (r.l + r.tr) AS l,
+             {relational.HOLT_BETA}
+               * (({relational.HOLT_ALPHA} * n.x
+                   + {1 - relational.HOLT_ALPHA} * (r.l + r.tr)) - r.l)
+               + {1 - relational.HOLT_BETA} * r.tr AS tr,
+             r.l + r.tr AS fitted
+      FROM rec r JOIN rn n ON n.rn = r.rn + 1
+    ), rounded AS (
+      SELECT rec.rn, rec.x, round(rec.fitted, 4) AS fitted
+      FROM rec WHERE rec.rn >= 3
+    ), ev AS (
+      SELECT r.x, r.fitted, p.x AS x_prev
+      FROM rounded r JOIN rn p ON p.rn = r.rn - 1
+      WHERE r.rn >= 4
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(abs(x - fitted)), 6) AS mae_holt,
+           round(avg(abs(x - x_prev)), 6) AS mae_naive,
+           round(avg(abs(x - fitted)) / avg(abs(x - x_prev)), 6) AS mase,
+           round(avg(2.0 * abs(x - fitted) / (abs(x) + abs(fitted))), 6)
+             AS smape_holt,
+           round(avg(CASE WHEN abs(x - fitted) < abs(x - x_prev)
+                          THEN 1.0 ELSE 0.0 END), 6) AS share_beats_naive
+    FROM ev
+    """,
+    tags=("timeseries", "forecast", "backtest", "evaluation"),
+)

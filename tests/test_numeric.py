@@ -952,3 +952,31 @@ def test_copurchase_topk_matches_pandas_replay(spark, sf_dir):
         assert r.c_ab == c
         assert (r.n_a, r.n_b) == (n[r.part_a], n[q])
         assert abs(r.cosine - cos) < 1e-5
+
+
+def test_forecast_backtest_matches_replay(spark, sf_dir):
+    """Backtest metrics must equal a direct replay over the engine's
+    own Holt output, and satisfy the metric identities."""
+    from real_time_big_data_analytics_spark.operators import relational
+
+    r = relational.forecast_backtest(spark, sf_dir).first()
+    rows = sorted(
+        relational.holt_linear_daily(spark, sf_dir).collect(),
+        key=lambda x: x.day,
+    )
+    ev = [
+        (cur.x, cur.fitted, prev.x) for prev, cur in zip(rows, rows[1:])
+    ]
+    n = len(ev)
+    mae_h = sum(abs(x - f) for x, f, _ in ev) / n
+    mae_n = sum(abs(x - p) for x, _, p in ev) / n
+    smape = sum(2 * abs(x - f) / (abs(x) + abs(f)) for x, f, _ in ev) / n
+    beats = sum(1 for x, f, p in ev if abs(x - f) < abs(x - p)) / n
+    assert r.n_days == n == len(rows) - 1
+    assert abs(r.mae_holt - mae_h) < 1e-4
+    assert abs(r.mae_naive - mae_n) < 1e-4
+    assert abs(r.mase - mae_h / mae_n) < 1e-5
+    assert abs(r.smape_holt - smape) < 1e-5
+    assert abs(r.share_beats_naive - beats) < 1e-5
+    assert 0.0 <= r.share_beats_naive <= 1.0
+    assert 0.0 <= r.smape_holt <= 2.0
