@@ -3405,3 +3405,64 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg((e_holt < e_naive).cast("double")), 6
         ).alias("share_beats_naive"),
     )
+
+
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sf — mutual information (and normalized MI) between the
+    customer market segment and the order priority, from the exact
+    contingency table: I = sum p(a,b) ln(p(a,b)/(p(a)p(b))), H(.) the
+    marginal entropies, NMI = I/sqrt(H_a H_b). The dependence audit
+    chi-square can't give you: MI is in nats, comparable across
+    feature pairs, the screen for redundant categorical features
+    before training. Companion to ``woe_iv_segment`` (binary label)
+    and ``chi2_lang_source`` (significance).
+
+    Scale shape: ONE fact-dim join collapsing into a |A|x|B|
+    contingency aggregate; marginals/entropies run on those ~35 rows
+    via windows — metadata scale after the first aggregate.
+
+    Determinism: all probabilities are ratios of exact integers; the
+    ln() sums span the contingency grid only, rounded at 1e-6.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("a"),
+        F.col("o_orderpriority").alias("b"),
+    )
+    g = j.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    w = Window.partitionBy()
+    t = (
+        g.withColumn("n", F.sum("n_ab").over(w))
+        .withColumn("n_a", F.sum("n_ab").over(Window.partitionBy("a")))
+        .withColumn("n_b", F.sum("n_ab").over(Window.partitionBy("b")))
+    )
+    p_ab = F.col("n_ab") / F.col("n")
+    lift = F.col("n_ab") * F.col("n") / (F.col("n_a") * F.col("n_b"))
+    mi_term = p_ab * F.log(lift)
+    scored = t.withColumn("mi_term_raw", mi_term)
+    # marginal entropies as GRID sums (sum_b n_ab = n_a, so
+    # H_a = -sum_{a,b} p(a,b) ln(p(a))) — same windowed frame, no
+    # separate aggregate branches to cross-join back
+    return (
+        scored.withColumn("mi_raw", F.sum("mi_term_raw").over(w))
+        .withColumn(
+            "h_a",
+            F.sum(-p_ab * F.log(F.col("n_a") / F.col("n"))).over(w),
+        )
+        .withColumn(
+            "h_b",
+            F.sum(-p_ab * F.log(F.col("n_b") / F.col("n"))).over(w),
+        )
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            round2(lift, 6).alias("lift"),
+            round2("mi_term_raw", 6).alias("mi_term"),
+            round2("mi_raw", 6).alias("mi_total"),
+            round2(
+                F.col("mi_raw") / F.sqrt(F.col("h_a") * F.col("h_b")), 6
+            ).alias("nmi"),
+        )
+    )

@@ -3208,3 +3208,41 @@ register(
     """,
     tags=("timeseries", "forecast", "backtest", "evaluation"),
 )
+
+
+register(
+    "sf_mutual_information",
+    relational.mutual_information,
+    sql="""
+    WITH j AS (
+      SELECT c_mktsegment AS a, o_orderpriority AS b
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), g AS (
+      SELECT a, b, count(*) AS n_ab FROM j GROUP BY 1, 2
+    ), t AS (
+      SELECT *,
+             sum(n_ab) OVER () AS n,
+             sum(n_ab) OVER (PARTITION BY a) AS n_a,
+             sum(n_ab) OVER (PARTITION BY b) AS n_b
+      FROM g
+    ), s AS (
+      SELECT *,
+             (n_ab * 1.0 / n) * ln(n_ab * 1.0 * n / (n_a * 1.0 * n_b))
+               AS mi_term_raw
+      FROM t
+    ), m AS (
+      SELECT *,
+             sum(mi_term_raw) OVER () AS mi_raw,
+             sum(-(n_ab * 1.0 / n) * ln(n_a * 1.0 / n)) OVER () AS h_a,
+             sum(-(n_ab * 1.0 / n) * ln(n_b * 1.0 / n)) OVER () AS h_b
+      FROM s
+    )
+    SELECT a, b, n_ab,
+           round(n_ab * 1.0 * n / (n_a * 1.0 * n_b), 6) AS lift,
+           round(mi_term_raw, 6) AS mi_term,
+           round(mi_raw, 6) AS mi_total,
+           round(mi_raw / sqrt(h_a * h_b), 6) AS nmi
+    FROM m
+    """,
+    tags=("statistics", "mutual-information", "dependence"),
+)

@@ -980,3 +980,45 @@ def test_forecast_backtest_matches_replay(spark, sf_dir):
     assert abs(r.share_beats_naive - beats) < 1e-5
     assert 0.0 <= r.share_beats_naive <= 1.0
     assert 0.0 <= r.smape_holt <= 2.0
+
+
+def test_mutual_information_matches_python_replay(spark, sf_dir):
+    """MI / NMI must equal a direct contingency-table replay, and obey
+    the information inequalities 0 <= MI <= min(H_a, H_b), NMI in
+    [0, 1]."""
+    import math
+    from collections import Counter
+
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = relational.mutual_information(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).toPandas()
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).toPandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    n_ab = Counter(zip(j.c_mktsegment, j.o_orderpriority))
+    n = sum(n_ab.values())
+    n_a, n_b = Counter(), Counter()
+    for (a, b), c in n_ab.items():
+        n_a[a] += c
+        n_b[b] += c
+    mi = sum(
+        (c / n) * math.log(c * n / (n_a[a] * n_b[b]))
+        for (a, b), c in n_ab.items()
+    )
+    h_a = -sum((c / n) * math.log(c / n) for c in n_a.values())
+    h_b = -sum((c / n) * math.log(c / n) for c in n_b.values())
+    nmi = mi / math.sqrt(h_a * h_b)
+    assert len(rows) == len(n_ab)
+    for r in rows:
+        c = n_ab[(r.a, r.b)]
+        assert r.n_ab == c
+        assert abs(r.lift - c * n / (n_a[r.a] * n_b[r.b])) < 1e-5
+        assert abs(r.mi_total - mi) < 1e-5
+        assert abs(r.nmi - nmi) < 1e-5
+    assert -1e-9 <= mi <= min(h_a, h_b) + 1e-9
+    assert 0.0 <= rows[0].nmi <= 1.0
