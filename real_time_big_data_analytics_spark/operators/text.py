@@ -2328,3 +2328,94 @@ def retrieval_metrics(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
             round2(F.col("dcg_raw") / F.col("idcg_raw"), 6).alias("ndcg"),
         )
     )
+
+
+# --- per-source quantile alignment --------------------------------------
+
+QALIGN_QS = (10, 25, 50, 75, 90)  # percent points audited
+QALIGN_BUCKET = 64.0  # n_chars prefix-sum bucket width
+
+
+def quantile_align_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — distribution-alignment audit: for each corpus source and
+    each percent point in QALIGN_QS, the EXACT k-th smallest doc
+    length (k = ceil(q*n/100) — a true order statistic, no
+    interpolation) next to the pooled corpus's exact order statistic
+    at the same point, and their gap. The mixing-audit companion to
+    ``temperature_mix``/``shard_assignment``: when one source's whole
+    length profile sits far from the pool, packing efficiency and
+    loss weighting drift — this is the table that shows it before
+    training does.
+
+    Scale shape: per-source order statistics use a window partitioned
+    BY SOURCE (each source ranks independently in parallel); the
+    pooled statistics use the two-phase bucketed prefix sum at the
+    distinct-length grain (integer lengths — the grain is
+    value-bounded), never a global row sort. The q-grid is a 5-row
+    broadcast; the pool totals a 1-row broadcast.
+
+    Determinism: lengths and ranks are exact integers end to end —
+    the only float op is the ceil(q*n/100) cut, identical arithmetic
+    on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in QALIGN_QS])).alias("pct")
+    )
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w_src))
+    cnts = docs.groupBy(F.col("source").alias("src_g")).agg(
+        F.count("*").alias("n_docs")
+    )
+    tgt = cnts.crossJoin(F.broadcast(qs)).withColumn(
+        "k", F.ceil(F.col("pct") * F.col("n_docs") / F.lit(100.0)).cast("bigint")
+    )
+    src_val = ranked.join(
+        tgt, (ranked.source == tgt.src_g) & (ranked.rn == tgt.k)
+    ).select("source", "pct", "n_docs", F.col("n_chars").alias("src_value"))
+    per_value = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    pv = per_value.withColumn("bu", F.floor(F.col("n_chars") / QALIGN_BUCKET))
+    w_local = Window.partitionBy("bu").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = pv.select(
+        "bu",
+        "n_chars",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_local), F.lit(0)).alias("lc"),
+    )
+    w_prior = Window.orderBy("bu").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        pv.groupBy("bu")
+        .agg(F.sum("cnt").alias("bn"))
+        .select(
+            "bu", F.coalesce(F.sum("bn").over(w_prior), F.lit(0)).alias("oc")
+        )
+    )
+    cum = local.join(F.broadcast(offsets), "bu").select(
+        "n_chars", "cnt", (F.col("lc") + F.col("oc")).alias("cn_excl")
+    )
+    tot = per_value.agg(F.sum("cnt").cast("bigint").alias("n_all"))
+    pool = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qs))
+        .withColumn(
+            "k",
+            F.ceil(F.col("pct") * F.col("n_all") / F.lit(100.0)).cast("bigint"),
+        )
+        .filter(
+            (F.col("cn_excl") < F.col("k"))
+            & (F.col("cn_excl") + F.col("cnt") >= F.col("k"))
+        )
+        .select("pct", F.col("n_chars").alias("pooled_value"))
+    )
+    return src_val.join(pool, "pct").select(
+        "source",
+        F.col("pct").cast("bigint").alias("pct"),
+        "n_docs",
+        "src_value",
+        "pooled_value",
+        (F.col("src_value") - F.col("pooled_value")).alias("shift"),
+    )

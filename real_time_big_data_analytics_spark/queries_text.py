@@ -2636,3 +2636,39 @@ register(
     """,
     tags=("text", "search", "ndcg", "evaluation"),
 )
+
+
+register(
+    "l4_quantile_align_audit",
+    text.quantile_align_audit,
+    sql=f"""
+    WITH qs AS (
+      SELECT unnest(ARRAY{list(text.QALIGN_QS)}) AS pct
+    ), ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n_docs
+      FROM documents
+    ), src_val AS (
+      SELECT r.source, q.pct, r.n_docs, r.n_chars AS src_value
+      FROM ranked r JOIN qs q
+        ON r.rn = CAST(ceil(q.pct * r.n_docs / 100.0) AS BIGINT)
+    ), pooled AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER () AS n_all
+      FROM documents
+    ), pool AS (
+      SELECT q.pct, p.n_chars AS pooled_value
+      FROM pooled p JOIN qs q
+        ON p.rn = CAST(ceil(q.pct * p.n_all / 100.0) AS BIGINT)
+    )
+    SELECT s.source, CAST(s.pct AS BIGINT) AS pct,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           s.src_value, pool.pooled_value,
+           s.src_value - pool.pooled_value AS shift
+    FROM src_val s JOIN pool ON s.pct = pool.pct
+    """,
+    tags=("text", "quantiles", "mixing-audit", "prefix-sum"),
+)

@@ -797,3 +797,34 @@ def test_retrieval_metrics_matches_python_replay(spark, sf_dir):
         assert abs(r.p_at_k - p) < 1e-9
         assert 0.0 <= r.ndcg <= 1.0 + 1e-9
         assert r.dcg <= r.idcg + 1e-9
+
+
+def test_quantile_align_audit_matches_numpy_replay(spark, sf_dir):
+    """Per-source and pooled order statistics must equal a numpy
+    replay (exact k-th smallest, k = ceil(q*n/100)), and quantiles
+    must be monotone in q within each source."""
+    import math
+
+    from real_time_big_data_analytics_spark.operators import text
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = text.quantile_align_audit(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    ).toPandas()
+    pooled = sorted(docs.n_chars)
+    n_all = len(pooled)
+    by_src = {s: sorted(g.n_chars) for s, g in docs.groupby("source")}
+    got = {(r.source, r.pct): r for r in rows}
+    assert len(got) == len(by_src) * len(text.QALIGN_QS)
+    for (s, q), r in got.items():
+        xs = by_src[s]
+        k = math.ceil(q * len(xs) / 100)
+        kp = math.ceil(q * n_all / 100)
+        assert r.n_docs == len(xs)
+        assert r.src_value == xs[k - 1]
+        assert r.pooled_value == pooled[kp - 1]
+        assert r.shift == r.src_value - r.pooled_value
+    for s in by_src:
+        vals = [got[(s, q)].src_value for q in sorted(text.QALIGN_QS)]
+        assert vals == sorted(vals)
