@@ -1279,3 +1279,61 @@ def knn_blockmatmul(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFra
         .select("query_id", "vec_id", round2("sim_raw", 6).alias("sim"))
     )
     return _ranked_topk(sims, k)
+
+
+MAHA_TOPK = 20
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str, k: int = MAHA_TOPK) -> DataFrame:
+    """L5 — embedding-cloud outliers by diagonal Mahalanobis distance:
+    per-dimension mean/variance in ONE corpus pass, then
+    d²(x) = sum_pos (x_pos - mu_pos)² / var_pos and the top-k most
+    distant vectors. The embedding-health screen between norm stats
+    (``embedding_norm_stats``) and the top-PC lens
+    (``embedding_pca_power``): encoder glitches, mis-batched rows and
+    truncated vectors land far from the cloud under the per-dimension
+    scaling even when their L2 norm looks normal.
+
+    Scale shape: stats are a d-row grouped aggregate (posexplode,
+    partial-agg combine); the d-row stats table broadcasts back onto
+    the posexploded corpus and regroups to vec grain — two corpus
+    passes, no similarity join, no collect. Variance uses explicit
+    moments ((sum(x²) - n·mu²)/(n-1)) so both engines evaluate the
+    same formula rather than their own variance kernels.
+
+    Determinism: the 64-term d² sums are rounded at 1e-4 BEFORE the
+    top-k rank (vec_id tiebreak) — the `_ranked_topk` discipline.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", "pos", F.col("x").cast("double").alias("x"))
+    stats = emb.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mu"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        "pos",
+        "mu",
+        (
+            (F.col("sxx") - F.col("n") * F.col("mu") * F.col("mu"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    d2 = (
+        emb.join(F.broadcast(stats), "pos")
+        .groupBy("vec_id")
+        .agg(
+            round2(
+                F.sum(
+                    (F.col("x") - F.col("mu")) ** 2 / F.col("var")
+                ),
+                4,
+            ).alias("maha_d2")
+        )
+    )
+    w = Window.orderBy(F.desc("maha_d2"), F.asc("vec_id"))
+    return (
+        d2.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("rk", "vec_id", "maha_d2")
+    )

@@ -2672,3 +2672,33 @@ register(
     """,
     tags=("text", "quantiles", "mixing-audit", "prefix-sum"),
 )
+
+
+# identical explicit-moment variance and the identical rounded-then-
+# ranked top-k; positions 0-based to match posexplode
+register(
+    "l5_embedding_outliers",
+    similarity.embedding_outliers,
+    sql=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(i AS BIGINT) - 1 AS pos,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      FROM embeddings, range(1, {similarity.EMB_DIM + 1}) r(i)
+    ), stats AS (
+      SELECT pos, avg(x) AS mu,
+             (sum(x * x) - count(*) * avg(x) * avg(x)) / (count(*) - 1)
+               AS var
+      FROM e GROUP BY pos
+    ), d2 AS (
+      SELECT e.vec_id,
+             round(sum(pow(e.x - s.mu, 2) / s.var), 4) AS maha_d2
+      FROM e JOIN stats s USING (pos)
+      GROUP BY e.vec_id
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, vec_id, maha_d2 FROM (
+      SELECT *, row_number() OVER (ORDER BY maha_d2 DESC, vec_id ASC) AS rk
+      FROM d2
+    ) WHERE rk <= {similarity.MAHA_TOPK}
+    """,
+    tags=("embedding", "outliers", "mahalanobis"),
+)

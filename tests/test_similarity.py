@@ -401,3 +401,34 @@ def test_blockmatmul_equals_bruteforce_exactly(spark, sf_dir):
     plan = explain_str(sim.knn_blockmatmul(spark, sf_dir))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_embedding_outliers_matches_numpy(spark, sf_dir):
+    """Top-k Mahalanobis outliers must equal a numpy replay (same
+    explicit-moment variance, same rounded ranking), and d2 must be
+    on the chi-square(d) scale."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import similarity as sim
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = sim.embedding_outliers(spark, sf_dir).collect()
+    pdf = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    X = np.array(pdf.embedding.tolist(), dtype=float)
+    mu = X.mean(0)
+    var = (np.sum(X * X, 0) - len(X) * mu * mu) / (len(X) - 1)
+    d2 = np.round(((X - mu) ** 2 / var).sum(1), 4)
+    order = sorted(zip(-d2, pdf.vec_id))[: sim.MAHA_TOPK]
+    assert len(rows) == sim.MAHA_TOPK
+    for r, (nd2, vid) in zip(rows, order):
+        assert r.vec_id == vid
+        assert abs(r.maha_d2 - (-nd2)) < 2e-3
+    d = X.shape[1]
+    # E[d2] = d for in-cloud points; outliers must exceed the mean
+    assert all(r.maha_d2 > d for r in rows)
+    assert rows[0].maha_d2 == max(r.maha_d2 for r in rows)
