@@ -3466,3 +3466,64 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wf — time-to-convert distribution: per user, the lag from
+    first signup to the first purchase at-or-after it, bucketed into
+    whole days, with the unconverted remainder and the conversion
+    rate carried on every row. The funnel-depth readout
+    ``wf_funnel_counts`` doesn't give: not just WHETHER users
+    convert, but HOW LONG they take — the curve retention/payback
+    models are fit to.
+
+    Scale shape: two user-grain min-aggregates (signups, purchases
+    after the user's first signup) joined on user, then a
+    day-bucket-grain count; totals ride as unpartitioned-window sums
+    over the calendar-bounded bucket rows. No fact-scale window, no
+    self-join at event grain.
+
+    Determinism: lags are exact integer seconds (both engines
+    subtract timestamps exactly); day bucketing is integer floor
+    division; the only float is the final rate, rounded 1e-6.
+    """
+    events = load_table(spark, sf_dir, "events")
+    signup = events.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("s_ts"))
+    purch = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        # min, not first: s_ts is constant per user after the join,
+        # but min() is deterministic by contract
+        .agg(F.min("ts").alias("p_ts"), F.min("s_ts").alias("s_ts2"))
+    )
+    lag = purch.select(
+        "user_id",
+        F.floor(
+            (
+                F.col("p_ts").cast("double") - F.col("s_ts2").cast("double")
+            )
+            / F.lit(86400.0)
+        ).cast("bigint").alias("lag_days"),
+    )
+    buckets = lag.groupBy("lag_days").agg(F.count("*").alias("n_converted"))
+    w = Window.partitionBy()
+    tot_sign = signup.agg(F.count("*").cast("bigint").alias("n_signups"))
+    return (
+        buckets.withColumn(
+            "total_converted", F.sum("n_converted").over(w).cast("bigint")
+        )
+        .crossJoin(F.broadcast(tot_sign))
+        .select(
+            "lag_days",
+            "n_converted",
+            "total_converted",
+            "n_signups",
+            round2(
+                F.col("total_converted") / F.col("n_signups"), 6
+            ).alias("conversion_rate"),
+        )
+    )

@@ -3246,3 +3246,37 @@ register(
     """,
     tags=("statistics", "mutual-information", "dependence"),
 )
+
+
+# exact integer-second lags; purchases strictly at-or-after the
+# user's FIRST signup; groupBy(first) collapses to the same s_ts
+register(
+    "wf_conversion_lag",
+    relational.conversion_lag,
+    sql="""
+    WITH signup AS (
+      SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), purch AS (
+      SELECT e.user_id, min(e.ts) AS p_ts, min(s.s_ts) AS s_ts2
+      FROM events e JOIN signup s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+      GROUP BY e.user_id
+    ), lag AS (
+      SELECT user_id,
+             CAST(floor(date_diff('second', s_ts2, p_ts) / 86400.0)
+                  AS BIGINT) AS lag_days
+      FROM purch
+    ), buckets AS (
+      SELECT lag_days, count(*) AS n_converted FROM lag GROUP BY 1
+    ), t AS (
+      SELECT *, CAST(sum(n_converted) OVER () AS BIGINT) AS total_converted,
+             (SELECT CAST(count(*) AS BIGINT) FROM signup) AS n_signups
+      FROM buckets
+    )
+    SELECT lag_days, n_converted, total_converted, n_signups,
+           round(total_converted * 1.0 / n_signups, 6) AS conversion_rate
+    FROM t
+    """,
+    tags=("window", "funnel", "conversion-lag"),
+)

@@ -1022,3 +1022,35 @@ def test_mutual_information_matches_python_replay(spark, sf_dir):
         assert abs(r.nmi - nmi) < 1e-5
     assert -1e-9 <= mi <= min(h_a, h_b) + 1e-9
     assert 0.0 <= rows[0].nmi <= 1.0
+
+
+def test_conversion_lag_matches_pandas_replay(spark, sf_dir):
+    """Lag buckets must equal a pandas replay (first signup, first
+    purchase at-or-after it), with consistent totals."""
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = relational.conversion_lag(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).toPandas()
+    s = ev[ev.event_type == "signup"].groupby("user_id").ts.min()
+    lags = {}
+    for uid, s_ts in s.items():
+        p = ev[
+            (ev.event_type == "purchase")
+            & (ev.user_id == uid)
+            & (ev.ts >= s_ts)
+        ].ts.min()
+        if p is not None and p == p:  # not NaT
+            lags[uid] = int((p - s_ts).total_seconds() // 86400)
+    from collections import Counter
+
+    hist = Counter(lags.values())
+    got = {r.lag_days: r for r in rows}
+    assert set(got) == set(hist)
+    for d, r in got.items():
+        assert r.n_converted == hist[d]
+        assert r.total_converted == len(lags)
+        assert r.n_signups == len(s)
+        assert abs(r.conversion_rate - len(lags) / len(s)) < 1e-5
