@@ -71,6 +71,14 @@ QUERIES = (
     "dq_hbos_outliers",            # double-histogram score join + top-k
     "sf_gini_topshare_revenue",    # two-phase prefix sums + boundary cut
     "ts_holt_linear_daily",        # daily rollup + 1-row array recurrence
+    # fourth-wave round-4 additions
+    "rec_copurchase_topk",         # basket self-join + item-pair grain
+    "m10_conformal_interval",      # moment fit + order-stat + coverage pass
+    "l4_retrieval_metrics",        # postings metrics over the bm25 ranking
+    "sf_mutual_information",       # contingency-grid windows
+    "l4_feature_hashing_stats",    # vocab-grain bucket histogram
+    "l4_quantile_align_audit",     # per-source windows + pooled prefix sum
+    "wf_conversion_lag",           # two user-grain min-aggs + bucket grain
 )
 
 
