@@ -3527,3 +3527,64 @@ def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion_rate"),
         )
     )
+
+
+# --- period-over-period delta attribution -------------------------------
+
+ATTR_CUT = "1998-01-01"  # period boundary (orders span 1995..2001)
+
+
+def delta_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq — "why did the metric move": period-over-period revenue
+    delta per customer segment, decomposed exactly into a VOLUME
+    effect ((n2-n1)*avg1) and a RATE effect (n2*(avg2-avg1)) that sum
+    to the segment's delta, with each segment's share of the total
+    move. The root-cause slice every metrics review starts from —
+    chi-square says the mix changed, this says which slice moved the
+    number and whether by traffic or by ticket size.
+
+    Scale shape: ONE fact-dim join into a (segment, period) grouped
+    aggregate (10 rows); the decomposition pivots periods and the
+    total rides an unpartitioned window over the 5 segment rows.
+
+    Determinism: counts exact; sums round2-ed to cents before the
+    decomposition arithmetic so both engines difference identical
+    doubles; shares rounded 1e-6.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_orderdate") >= F.lit(ATTR_CUT).cast("timestamp")).alias(
+            "p2"
+        ),
+        "o_totalprice",
+    )
+    g = j.groupBy("segment", "p2").agg(
+        F.count("*").alias("n"), round2(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    wide = g.groupBy("segment").agg(
+        F.sum(F.when(~F.col("p2"), F.col("n")).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("p2"), F.col("rev")).otherwise(0.0)).alias("rev1"),
+        F.sum(F.when(F.col("p2"), F.col("n")).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("p2"), F.col("rev")).otherwise(0.0)).alias("rev2"),
+    )
+    avg1 = F.col("rev1") / F.col("n1")
+    avg2 = F.col("rev2") / F.col("n2")
+    delta = F.col("rev2") - F.col("rev1")
+    vol = (F.col("n2") - F.col("n1")) * avg1
+    rate = F.col("n2") * (avg2 - avg1)
+    w = Window.partitionBy()
+    return wide.withColumn("delta_raw", delta).select(
+        "segment",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        round2("rev1", 2).alias("rev1"),
+        round2("rev2", 2).alias("rev2"),
+        round2("delta_raw", 2).alias("delta"),
+        round2(vol, 2).alias("volume_effect"),
+        round2(rate, 2).alias("rate_effect"),
+        round2(
+            F.col("delta_raw") / F.sum("delta_raw").over(w), 6
+        ).alias("share_of_total_delta"),
+    )

@@ -3280,3 +3280,38 @@ register(
     """,
     tags=("window", "funnel", "conversion-lag"),
 )
+
+
+register(
+    "dq_delta_attribution",
+    relational.delta_attribution,
+    sql=f"""
+    WITH j AS (
+      SELECT c_mktsegment AS segment,
+             o_orderdate >= TIMESTAMP '{relational.ATTR_CUT}' AS p2,
+             o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), g AS (
+      SELECT segment, p2, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      FROM j GROUP BY 1, 2
+    ), wide AS (
+      SELECT segment,
+             CAST(sum(CASE WHEN NOT p2 THEN n ELSE 0 END) AS BIGINT) AS n1,
+             sum(CASE WHEN NOT p2 THEN rev ELSE 0.0 END) AS rev1,
+             CAST(sum(CASE WHEN p2 THEN n ELSE 0 END) AS BIGINT) AS n2,
+             sum(CASE WHEN p2 THEN rev ELSE 0.0 END) AS rev2
+      FROM g GROUP BY segment
+    ), d AS (
+      SELECT *, rev2 - rev1 AS delta_raw FROM wide
+    )
+    SELECT segment, n1, n2,
+           round(rev1, 2) AS rev1, round(rev2, 2) AS rev2,
+           round(delta_raw, 2) AS delta,
+           round((n2 - n1) * (rev1 / n1), 2) AS volume_effect,
+           round(n2 * (rev2 / n2 - rev1 / n1), 2) AS rate_effect,
+           round(delta_raw / sum(delta_raw) OVER (), 6)
+             AS share_of_total_delta
+    FROM d
+    """,
+    tags=("data-quality", "attribution", "decomposition"),
+)

@@ -299,3 +299,41 @@ def test_hbos_outliers_matches_numpy_replay(spark, sf_dir):
         assert abs(r.hbos_score - s) < 1e-5
         assert r.hbos_score >= -1e-9
     assert rows[0].hbos_score == max(r.hbos_score for r in rows)
+
+
+def test_delta_attribution_decomposition_is_exact(spark, sf_dir):
+    """volume_effect + rate_effect must reconstruct each segment's
+    delta (the decomposition identity), shares must sum to 1, and the
+    numbers must match a pandas replay."""
+    import pandas as pd
+
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = relational.delta_attribution(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).toPandas()
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).toPandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["p2"] = j.o_orderdate >= pd.Timestamp(relational.ATTR_CUT)
+    total_delta = 0.0
+    expect = {}
+    for seg, grp in j.groupby("c_mktsegment"):
+        a, b = grp[~grp.p2], grp[grp.p2]
+        n1, n2 = len(a), len(b)
+        r1 = round(a.o_totalprice.sum(), 2)
+        r2 = round(b.o_totalprice.sum(), 2)
+        expect[seg] = (n1, n2, r1, r2)
+        total_delta += r2 - r1
+    for r in rows:
+        n1, n2, r1, r2 = expect[r.segment]
+        assert (r.n1, r.n2) == (n1, n2)
+        assert abs(r.rev1 - r1) < 0.02 and abs(r.rev2 - r2) < 0.02
+        assert abs(r.delta - (r2 - r1)) < 0.03
+        # decomposition identity (on the unrounded identity, 1-cent slack)
+        assert abs((r.volume_effect + r.rate_effect) - r.delta) < 0.03
+        assert abs(r.share_of_total_delta - (r2 - r1) / total_delta) < 1e-4
+    assert abs(sum(r.share_of_total_delta for r in rows) - 1.0) < 1e-4
