@@ -3315,3 +3315,43 @@ register(
     """,
     tags=("data-quality", "attribution", "decomposition"),
 )
+
+
+# same sparsified edge set as the BFS twin; the recursive CTE's UNION
+# dedups (v,u,d) tuples so the walk table stays |V|^2 x hops bounded;
+# min(d) per pair == first-arrival layering
+register(
+    "graph_trade_harmonic",
+    graph.trade_harmonic_centrality,
+    sql=f"""
+    WITH RECURSIVE {_TRADE_EDGE_CTE},
+    sparse AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY round(w, 2) DESC, dst) AS rk
+        FROM e WHERE src <> dst
+      ) WHERE rk <= {graph.TOP_EDGES_PER_SRC}
+    ), walk(v, u, d) AS (
+      SELECT n_nationkey, n_nationkey, 0 FROM nation
+      UNION
+      SELECT walk.v, sparse.dst, walk.d + 1
+      FROM walk JOIN sparse ON walk.u = sparse.src
+      WHERE walk.d < {graph.HARMONIC_HOPS}
+    ), md AS (
+      SELECT v, u, min(d) AS d FROM walk GROUP BY 1, 2
+    ), harm AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS n_reachable,
+             sum(1.0 / d) AS h_raw
+      FROM md WHERE d > 0 GROUP BY v
+    )
+    SELECT n_name,
+           coalesce(harm.n_reachable, 0) AS n_reachable,
+           round(coalesce(harm.h_raw, 0.0), 6) AS harmonic,
+           round(coalesce(harm.h_raw, 0.0)
+                 / (SELECT count(*) - 1.0 FROM nation), 6)
+             AS harmonic_normalized
+    FROM nation LEFT JOIN harm ON n_nationkey = harm.v
+    """,
+    tags=("graph", "centrality", "bfs", "iterative", "recursive-cte"),
+)

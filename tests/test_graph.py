@@ -178,3 +178,55 @@ def test_link_prediction_matches_python_replay(spark, sf_dir):
         assert r.common_neighbors == cn
         assert abs(r.jaccard - jac) < 1e-5
         assert abs(r.adamic_adar - aa) < 1e-5
+
+
+def test_harmonic_centrality_matches_python_bfs(spark, sf_dir):
+    """Harmonic scores must equal a pure-python BFS replay over the
+    same sparsified edge set, with 0 <= normalized <= 1."""
+    from collections import deque
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.functions.numeric import round2
+    from real_time_big_data_analytics_spark.operators import graph
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = {r.n_name: r for r in graph.trade_harmonic_centrality(spark, sf_dir).collect()}
+
+    edges = graph.trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    w_rank = Window.partitionBy("src").orderBy(
+        F.desc(round2(F.col("w"), 2)), F.asc("dst")
+    )
+    sparse = [
+        (r.src, r.dst)
+        for r in edges.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= graph.TOP_EDGES_PER_SRC)
+        .select("src", "dst")
+        .collect()
+    ]
+    adj = {}
+    for s, d in sparse:
+        adj.setdefault(s, []).append(d)
+    names = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    n = len(names)
+    for v in names:
+        dist = {v: 0}
+        q = deque([v])
+        while q:
+            x = q.popleft()
+            if dist[x] >= graph.HARMONIC_HOPS:
+                continue
+            for y in adj.get(x, []):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        h = sum(1.0 / d for u, d in dist.items() if d > 0)
+        r = rows[names[v]]
+        assert r.n_reachable == len(dist) - 1
+        assert abs(r.harmonic - h) < 1e-5
+        assert abs(r.harmonic_normalized - h / (n - 1)) < 1e-5
+        assert 0.0 <= r.harmonic_normalized <= 1.0
