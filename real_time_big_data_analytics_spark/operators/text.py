@@ -2419,3 +2419,77 @@ def quantile_align_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pooled_value",
         (F.col("src_value") - F.col("pooled_value")).alias("shift"),
     )
+
+
+# --- importance-sampling weights toward a target slice -------------------
+
+DSIR_TARGET_LANG = "en"
+DSIR_BUCKET = 0.05  # log-ratio histogram bucket width
+
+
+def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — DSIR-style importance weights (Xie et al. 2023, public
+    literature): per-document average unigram log-likelihood ratio
+    between a TARGET slice's language model (docs with lang =
+    DSIR_TARGET_LANG, add-1 smoothed) and the overall corpus model;
+    documents whose token mix resembles the target score high and get
+    upsampled when building a domain-targeted training mix. Output is
+    the per-lang histogram of the ratio (bucket width DSIR_BUCKET) —
+    the distribution view that sets the resampling temperature.
+
+    Scale shape: one tokenize pass to (doc, term) grain; BOTH language
+    models are vocab-grain aggregates of that same grain; the per-term
+    log-ratio table is vocab-bounded and broadcast back; per-doc
+    scores are one grouped sum. Scalars (token totals, vocab size)
+    ride as a 1-row broadcast.
+
+    Determinism: counts exact; the per-doc ratio is rounded at 1e-6
+    BEFORE bucketing so engine summation-order ulps cannot flip a
+    histogram bucket.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(_words()).alias("t")
+    ).filter(F.col("t") != "")
+    tf = tok.groupBy("doc_id", "lang", "t").agg(F.count("*").alias("tf"))
+    c_b = tok.groupBy("t").agg(F.count("*").alias("cb"))
+    c_t = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("t")
+        .agg(F.count("*").alias("ct"))
+    )
+    scal = tok.agg(
+        F.count("*").alias("nb"),
+        F.sum(
+            (F.col("lang") == DSIR_TARGET_LANG).cast("bigint")
+        ).alias("nt"),
+        F.countDistinct("t").alias("v"),
+    )
+    lr_tab = (
+        c_b.join(c_t, "t", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "t",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    / (F.col("nt") + F.col("v"))
+                )
+                - F.log((F.col("cb") + 1) / (F.col("nb") + F.col("v")))
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        tf.join(F.broadcast(lr_tab), "t")
+        .groupBy("doc_id", "lang")
+        .agg(
+            round2(
+                F.sum(F.col("tf") * F.col("lr")) / F.sum("tf"), 6
+            ).alias("lr_doc")
+        )
+    )
+    bucket = F.floor(F.col("lr_doc") / F.lit(DSIR_BUCKET)).cast("bigint")
+    return per_doc.groupBy("lang", bucket.alias("lr_bucket")).agg(
+        F.count("*").alias("n_docs"),
+        round2(F.avg("lr_doc"), 6).alias("avg_lr"),
+    )

@@ -2702,3 +2702,46 @@ register(
     """,
     tags=("embedding", "outliers", "mahalanobis"),
 )
+
+
+register(
+    "l4_importance_weights",
+    text.importance_weights,
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, t FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ), tf AS (
+      SELECT doc_id, lang, t, count(*) AS tf FROM tok GROUP BY 1, 2, 3
+    ), cb AS (
+      SELECT t, count(*) AS cb FROM tok GROUP BY t
+    ), ct AS (
+      SELECT t, count(*) AS ct FROM tok
+      WHERE lang = '{text.DSIR_TARGET_LANG}' GROUP BY t
+    ), scal AS (
+      SELECT count(*) AS nb,
+             sum(CASE WHEN lang = '{text.DSIR_TARGET_LANG}'
+                      THEN 1 ELSE 0 END) AS nt,
+             count(DISTINCT t) AS v
+      FROM tok
+    ), lr_tab AS (
+      SELECT cb.t,
+             ln((coalesce(ct.ct, 0) + 1) * 1.0 / (scal.nt + scal.v))
+             - ln((cb.cb + 1) * 1.0 / (scal.nb + scal.v)) AS lr
+      FROM cb LEFT JOIN ct ON cb.t = ct.t CROSS JOIN scal
+    ), per_doc AS (
+      SELECT tf.doc_id, tf.lang,
+             round(sum(tf.tf * l.lr) / sum(tf.tf), 6) AS lr_doc
+      FROM tf JOIN lr_tab l ON tf.t = l.t
+      GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(floor(lr_doc / {text.DSIR_BUCKET}) AS BIGINT) AS lr_bucket,
+           count(*) AS n_docs,
+           round(avg(lr_doc), 6) AS avg_lr
+    FROM per_doc GROUP BY 1, 2
+    """,
+    tags=("text", "importance-sampling", "dsir", "training-data"),
+)

@@ -828,3 +828,53 @@ def test_quantile_align_audit_matches_numpy_replay(spark, sf_dir):
     for s in by_src:
         vals = [got[(s, q)].src_value for q in sorted(text.QALIGN_QS)]
         assert vals == sorted(vals)
+
+
+def test_importance_weights_matches_python_replay(spark, sf_dir):
+    """Per-doc log-ratios and histogram must equal a pure-python
+    replay of the add-1-smoothed unigram models, and target-lang docs
+    must score higher on average than the rest (the DSIR property)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from real_time_big_data_analytics_spark.operators import text
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = text.importance_weights(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).toPandas()
+    cb, ct = Counter(), Counter()
+    per_doc_tf = {}
+    for did, lang, t in zip(docs.doc_id, docs.lang, docs.text):
+        ws = [w for w in t.split(" ") if w]
+        per_doc_tf[did] = (lang, Counter(ws))
+        cb.update(ws)
+        if lang == text.DSIR_TARGET_LANG:
+            ct.update(ws)
+    nb, nt, v = sum(cb.values()), sum(ct.values()), len(cb)
+    lr = {
+        w: math.log((ct.get(w, 0) + 1) / (nt + v))
+        - math.log((c + 1) / (nb + v))
+        for w, c in cb.items()
+    }
+    hist = defaultdict(lambda: [0, 0.0])
+    by_lang_scores = defaultdict(list)
+    for did, (lang, tfs) in per_doc_tf.items():
+        n = sum(tfs.values())
+        s = round(sum(c * lr[w] for w, c in tfs.items()) / n, 6)
+        b = math.floor(s / text.DSIR_BUCKET)
+        hist[(lang, b)][0] += 1
+        hist[(lang, b)][1] += s
+        by_lang_scores[lang].append(s)
+    got = {(r.lang, r.lr_bucket): r for r in rows}
+    assert set(got) == set(hist)
+    for k, (n, tot) in hist.items():
+        assert got[k].n_docs == n
+        assert abs(got[k].avg_lr - tot / n) < 2e-6
+    tgt = by_lang_scores[text.DSIR_TARGET_LANG]
+    others = [
+        s for l, ss in by_lang_scores.items()
+        if l != text.DSIR_TARGET_LANG for s in ss
+    ]
+    assert sum(tgt) / len(tgt) > sum(others) / len(others)
