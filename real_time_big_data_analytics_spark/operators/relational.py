@@ -3588,3 +3588,72 @@ def delta_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("delta_raw") / F.sum("delta_raw").over(w), 6
         ).alias("share_of_total_delta"),
     )
+
+
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wf — the cohort LTV triangle: users grouped by signup week,
+    purchase value accumulated by weeks-since-signup, reported as
+    per-cohort cumulative revenue per user. THE payback/LTV readout —
+    each row answers "after w weeks, how much has the week-c cohort
+    spent per member", and diagonal comparisons expose cohort quality
+    drift that aggregate revenue hides. Completes the lifecycle
+    family: retention (`wf_retention_cohorts`) tracks WHO returns,
+    this tracks what they are WORTH.
+
+    Scale shape: one user-grain min-aggregate (first signup), one
+    fact-scale join of purchases onto it (user-keyed shuffle), one
+    (cohort, week) grouped aggregate; the cumulative sum runs per
+    cohort over calendar-bounded week offsets. Anchor-epoch integer
+    week arithmetic — no engine week-convention seam.
+
+    Determinism: week indices are integer floor divisions of exact
+    second diffs; revenue is round2-ed at the (cohort, week) grain
+    before the cumulative window so both engines accumulate identical
+    cents.
+    """
+    events = load_table(spark, sf_dir, "events")
+    signup = events.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("s_ts"))
+    cohort_week = F.floor(
+        F.col("s_ts").cast("double") / F.lit(604800.0)
+    ).cast("bigint")
+    cohorts = signup.select(
+        "user_id", "s_ts", cohort_week.alias("cohort_week")
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").alias("n_users")
+    )
+    purch = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .select(
+            "cohort_week",
+            F.floor(
+                (F.col("ts").cast("double") - F.col("s_ts").cast("double"))
+                / F.lit(604800.0)
+            ).cast("bigint").alias("weeks_since"),
+            "value",
+        )
+    )
+    cell = purch.groupBy("cohort_week", "weeks_since").agg(
+        round2(F.sum("value"), 2).alias("rev")
+    )
+    w_cum = Window.partitionBy("cohort_week").orderBy("weeks_since").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cell.withColumn("cum_rev", F.sum("rev").over(w_cum))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "n_users",
+            round2("rev", 2).alias("week_revenue"),
+            round2("cum_rev", 2).alias("cum_revenue"),
+            round2(F.col("cum_rev") / F.col("n_users"), 6).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+    )

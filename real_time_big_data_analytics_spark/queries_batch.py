@@ -3355,3 +3355,41 @@ register(
     """,
     tags=("graph", "centrality", "bfs", "iterative", "recursive-cte"),
 )
+
+
+# epoch-anchored integer weeks; per-cell cents rounding BEFORE the
+# cumulative sum so both engines accumulate identical values
+register(
+    "wf_cohort_ltv_triangle",
+    relational.cohort_ltv_triangle,
+    sql="""
+    WITH signup AS (
+      SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), cohorts AS (
+      SELECT user_id, s_ts,
+             CAST(floor(epoch(s_ts) / 604800.0) AS BIGINT) AS cohort_week
+      FROM signup
+    ), sizes AS (
+      SELECT cohort_week, count(*) AS n_users FROM cohorts GROUP BY 1
+    ), cell AS (
+      SELECT c.cohort_week,
+             CAST(floor(date_diff('second', c.s_ts, e.ts) / 604800.0)
+                  AS BIGINT) AS weeks_since,
+             round(sum(e.value), 2) AS rev
+      FROM events e JOIN cohorts c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.s_ts
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT *, sum(rev) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      FROM cell
+    )
+    SELECT c.cohort_week, c.weeks_since, s.n_users,
+           round(c.rev, 2) AS week_revenue,
+           round(c.cum_rev, 2) AS cum_revenue,
+           round(c.cum_rev / s.n_users, 6) AS cum_ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort_week)
+    """,
+    tags=("window", "cohort", "ltv"),
+)

@@ -1054,3 +1054,41 @@ def test_conversion_lag_matches_pandas_replay(spark, sf_dir):
         assert r.total_converted == len(lags)
         assert r.n_signups == len(s)
         assert abs(r.conversion_rate - len(lags) / len(s)) < 1e-5
+
+
+def test_cohort_ltv_triangle_matches_pandas_replay(spark, sf_dir):
+    """LTV cells must equal a pandas replay, and cumulative revenue
+    must be non-decreasing within each cohort."""
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = relational.cohort_ltv_triangle(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    ).toPandas()
+    s = ev[ev.event_type == "signup"].groupby("user_id").ts.min()
+    cohort = (s.astype("int64") // 10**9 // 604800).rename("cw")
+    p = ev[ev.event_type == "purchase"].merge(
+        s.rename("s_ts"), left_on="user_id", right_index=True
+    )
+    p = p[p.ts >= p.s_ts]
+    p["cw"] = (p.s_ts.astype("int64") // 10**9 // 604800)
+    p["ws"] = (
+        (p.ts.astype("int64") - p.s_ts.astype("int64")) // 10**9 // 604800
+    )
+    cells = p.groupby(["cw", "ws"]).value.sum().round(2)
+    sizes = cohort.value_counts()
+    got = {(r.cohort_week, r.weeks_since): r for r in rows}
+    assert set(got) == set(cells.index)
+    by_cohort = {}
+    for (cw, ws), rev in sorted(cells.items()):
+        r = got[(cw, ws)]
+        assert abs(r.week_revenue - rev) < 0.02
+        assert r.n_users == sizes[cw]
+        by_cohort.setdefault(cw, []).append((ws, r.cum_revenue, r.cum_ltv_per_user))
+    for cw, seq in by_cohort.items():
+        seq.sort()
+        cums = [c for _, c, _ in seq]
+        assert cums == sorted(cums)  # non-decreasing
+        for ws, c, ltv in seq:
+            assert abs(ltv - c / sizes[cw]) < 1e-4
