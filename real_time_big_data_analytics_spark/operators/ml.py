@@ -807,3 +807,98 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coverage",
         F.lit(CONF_ALPHA).alias("alpha"),
     )
+
+
+# --- ROC-AUC for the logistic classifier --------------------------------
+
+AUC_Z_BUCKET = 0.25  # rounded-score prefix-sum bucket width
+
+
+def logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m11 — exact ROC-AUC of the m5 logistic scores via the
+    Mann-Whitney rank-sum identity AUC = (R_pos - n1(n1+1)/2)/(n1*n0)
+    with tie-corrected midranks. The threshold-free companion to m5's
+    0.5-threshold confusion counts — the metric that actually ranks
+    classifiers — plus the accuracy-equivalent Gini index 2*AUC-1.
+
+    AUC is invariant under monotone transforms, so ranking happens on
+    the LINEAR score z = wb + w1*x1 + w2*x2 (no sigmoid), rounded at
+    1e-6 on both engines BEFORE ranking so float ulps cannot reorder
+    near-ties. Midranks come from the same two-phase bucketed prefix
+    sum as ``mann_whitney``/``spearman`` — value-grain, no
+    single-partition window over users.
+
+    The weight recurrence is m5's exact unrolled plan (same 1-row
+    broadcasts); the DuckDB twin replays it with the identical i1-i3
+    CTEs and the identical rank arithmetic.
+    """
+    u = logreg_gd_features(spark, sf_dir)
+    lr = F.lit(LOGREG_LR)
+
+    def sigmoid(z):
+        return 1.0 / (1.0 + F.exp(-z))
+
+    w = spark.range(1).select(
+        F.lit(0.0).alias("wb"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    )
+    for _ in range(LOGREG_ITERS):
+        z = F.col("wb") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+        resid = F.col("y") - sigmoid(z)
+        w = u.crossJoin(F.broadcast(w)).agg(
+            (F.first("wb") + lr * F.avg(resid)).alias("wb"),
+            (F.first("w1") + lr * F.avg(resid * F.col("x1"))).alias("w1"),
+            (F.first("w2") + lr * F.avg(resid * F.col("x2"))).alias("w2"),
+        )
+    z = F.col("wb") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    scored = u.crossJoin(F.broadcast(w)).select(
+        round2(z, 6).alias("z"), F.col("y").cast("double").alias("y")
+    )
+    per_value = scored.groupBy("z").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    pv = per_value.withColumn("bu", F.floor(F.col("z") / AUC_Z_BUCKET))
+    w_local = Window.partitionBy("bu").orderBy("z").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = pv.select(
+        "bu",
+        "z",
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w_local), F.lit(0)).alias("lc"),
+    )
+    w_prior = Window.orderBy("bu").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        pv.groupBy("bu")
+        .agg(F.sum("cnt").alias("bn"))
+        .select(
+            "bu", F.coalesce(F.sum("bn").over(w_prior), F.lit(0)).alias("oc")
+        )
+    )
+    cum = local.join(F.broadcast(offsets), "bu").select(
+        "cnt", "pos", (F.col("lc") + F.col("oc")).alias("below")
+    )
+    # sum over positives of midrank = below + (cnt + 1)/2
+    agg = cum.agg(
+        F.sum(
+            F.col("pos") * (F.col("below") + (F.col("cnt") + 1) / F.lit(2.0))
+        ).alias("rankpos"),
+        F.sum("pos").alias("n1"),
+        F.sum("cnt").alias("n"),
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_pos"),
+        (F.col("n") - F.col("n1")).cast("bigint").alias("n_neg"),
+        round2(
+            (F.col("rankpos") - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0))
+            / (F.col("n1") * (F.col("n") - F.col("n1"))),
+            6,
+        ).alias("auc"),
+        round2(
+            F.lit(2.0)
+            * (F.col("rankpos") - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0))
+            / (F.col("n1") * (F.col("n") - F.col("n1")))
+            - F.lit(1.0),
+            6,
+        ).alias("gini_index"),
+    )

@@ -408,3 +408,61 @@ register(
     """,
     tags=("ml", "conformal", "uncertainty", "prefix-sum"),
 )
+
+
+# m5's identical i1-i3 weight recurrence, then the tie-corrected
+# rank-sum AUC on the 1e-6-rounded linear score
+register(
+    "m11_auc_logreg",
+    ml.logreg_auc,
+    sql=f"""
+    WITH u AS ({_LOGREG_U}),
+    i1 AS (
+      SELECT {ml.LOGREG_LR} * avg(y - 0.5) AS wb,
+             {ml.LOGREG_LR} * avg((y - 0.5) * x1) AS w1,
+             {ml.LOGREG_LR} * avg((y - 0.5) * x2) AS w2
+      FROM u
+    ),
+    i2 AS (
+      SELECT any_value(wb) + {ml.LOGREG_LR} * avg(
+               y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) AS wb,
+             any_value(w1) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x1) AS w1,
+             any_value(w2) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x2) AS w2
+      FROM u, i1
+    ),
+    i3 AS (
+      SELECT any_value(wb) + {ml.LOGREG_LR} * avg(
+               y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) AS wb,
+             any_value(w1) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x1) AS w1,
+             any_value(w2) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x2) AS w2
+      FROM u, i2
+    ),
+    scored AS (
+      SELECT round(wb + w1 * x1 + w2 * x2, 6) AS z, y
+      FROM u, i3
+    ), per_value AS (
+      SELECT z, count(*) AS cnt, sum(y) AS pos FROM scored GROUP BY z
+    ), cum AS (
+      SELECT cnt, pos,
+             coalesce(sum(cnt) OVER (ORDER BY z
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM per_value
+    ), agg AS (
+      SELECT sum(pos * (below + (cnt + 1) / 2.0)) AS rankpos,
+             sum(pos) AS n1, sum(cnt) AS n
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos,
+           CAST(n - n1 AS BIGINT) AS n_neg,
+           round((rankpos - n1 * (n1 + 1) / 2.0) / (n1 * (n - n1)), 6)
+             AS auc,
+           round(2.0 * (rankpos - n1 * (n1 + 1) / 2.0) / (n1 * (n - n1))
+                 - 1.0, 6) AS gini_index
+    FROM agg
+    """,
+    tags=("ml", "auc", "evaluation", "prefix-sum"),
+)

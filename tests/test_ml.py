@@ -325,3 +325,39 @@ def test_conformal_interval_guarantee_and_replay(spark, sf_dir):
     assert np.mean(r_cal <= r.q_hat) >= 1 - ml.CONF_ALPHA - 1e-9
     # and the audited test coverage should be near 1 - alpha
     assert r.coverage > 1 - ml.CONF_ALPHA - 0.05
+
+
+def test_logreg_auc_matches_sklearn_free_replay(spark, sf_dir):
+    """AUC must equal a numpy rank-based replay on the same rounded
+    scores, sit in [0, 1], and beat 0.5 (the features carry signal)."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import ml
+
+    r = ml.logreg_auc(spark, sf_dir).first()
+    feats = ml.logreg_gd_features(spark, sf_dir).toPandas()
+    X = np.column_stack([np.ones(len(feats)), feats.x1, feats.x2])
+    y = feats.y.to_numpy(dtype=float)
+    w = np.zeros(3)
+    for _ in range(ml.LOGREG_ITERS):
+        p = 1.0 / (1.0 + np.exp(-X @ w))
+        w = w + ml.LOGREG_LR * X.T @ (y - p) / len(y)
+    z = np.round(X @ w, 6)
+    # midranks via argsort + tie averaging
+    order = np.argsort(z, kind="mergesort")
+    ranks = np.empty(len(z))
+    i = 0
+    zs = z[order]
+    while i < len(zs):
+        j = i
+        while j < len(zs) and zs[j] == zs[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    n1 = int(y.sum())
+    n0 = len(y) - n1
+    auc = (ranks[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+    assert (r.n_pos, r.n_neg) == (n1, n0)
+    assert abs(r.auc - auc) < 1e-5
+    assert abs(r.gini_index - (2 * auc - 1)) < 2e-5
+    assert 0.5 < r.auc <= 1.0

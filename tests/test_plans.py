@@ -121,6 +121,7 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "l4_quantile_align_audit",  # 5-row q-grid + 1-row pool-total broadcasts
         "wf_conversion_lag",  # 1-row signup-total broadcast
         "l4_importance_weights",  # 1-row token-totals/vocab-size broadcast
+        "m11_auc_logreg",  # m5's 1-row weight broadcasts per GD step
         "ts_acf_daily_value",  # 7-row lag table onto the daily series
         "m5_logreg_gd",  # 1-row weight vector broadcast per GD step
         "m7_kmeans_lloyd",  # 1-row centroid vector broadcast per Lloyd step
