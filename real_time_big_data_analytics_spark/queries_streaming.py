@@ -361,3 +361,21 @@ register(
     """,
     tags=("streaming", "srm", "chi-square", "experimentation"),
 )
+
+
+# exact counts hash-checked; the sketch rank bound is asserted true
+# (t14 pattern: the oracle re-emits the documented guarantee)
+register(
+    "t20_stream_value_quantiles",
+    sq.stream_value_quantiles,
+    sql="""
+    SELECT event_type,
+           CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+             AS n_windows,
+           CAST(count(*) AS BIGINT) AS total_events,
+           true AS within_rank_bound
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "sketch", "quantiles"),
+)

