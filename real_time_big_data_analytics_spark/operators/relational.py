@@ -3657,3 +3657,47 @@ def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+ANOM_K_MAD = 3.0  # flag |resid| > k * MAD (consistency-scaled)
+MAD_SIGMA = 1.4826  # 1/Phi^-1(0.75): MAD -> sigma for normal data
+
+
+def holt_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts — applied anomaly detection: days whose Holt one-step
+    forecast residual exceeds ANOM_K_MAD robust sigmas, where sigma =
+    MAD_SIGMA * median(|resid - median(resid)|). The composition the
+    forecasting family exists for — Holt absorbs trend, the MAD gate
+    is outlier-proof (a huge anomaly can't inflate its own threshold
+    the way a stddev gate does). Returns ALL days with their robust
+    z so the flag is auditable, not just the alarms.
+
+    Scale shape: runs entirely on the calendar-bounded Holt output
+    (one row per day); the two medians are exact order statistics on
+    that tiny frame (percentile()); threshold is a 1-row broadcast.
+
+    Determinism: residuals are already 1e-4-rounded by the Holt
+    operator on both engines; medians of identical value sets are
+    engine-exact (both interpolate the middle pair identically for
+    even counts — asserted by the hash gate); robust z rounded 1e-4.
+    """
+    h = holt_linear_daily(spark, sf_dir)
+    med = h.agg(F.expr("percentile(resid, 0.5)").alias("med"))
+    dev = h.crossJoin(F.broadcast(med)).select(
+        "day",
+        "x",
+        "fitted",
+        "resid",
+        F.abs(F.col("resid") - F.col("med")).alias("adev"),
+    )
+    mad = dev.agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    scored = dev.crossJoin(F.broadcast(mad)).crossJoin(F.broadcast(med))
+    rz = (F.col("resid") - F.col("med")) / (F.lit(MAD_SIGMA) * F.col("mad"))
+    return scored.select(
+        "day",
+        "x",
+        "fitted",
+        "resid",
+        round2(rz, 4).alias("robust_z"),
+        (F.abs(rz) > ANOM_K_MAD).alias("is_anomaly"),
+    )

@@ -3393,3 +3393,50 @@ register(
     """,
     tags=("window", "cohort", "ltv"),
 )
+
+
+# Holt recursive CTE + the same two exact medians; duckdb's median()
+# interpolates the middle pair exactly like Spark's percentile(0.5)
+register(
+    "ts_holt_anomaly_days",
+    relational.holt_anomaly_days,
+    sql=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS x
+      FROM events GROUP BY 1
+    ), rn AS (
+      SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ), rec AS (
+      SELECT CAST(2 AS BIGINT) AS rn, b.day, b.x,
+             b.x AS l, b.x - a.x AS tr, CAST(NULL AS DOUBLE) AS fitted
+      FROM rn a JOIN rn b ON a.rn = 1 AND b.rn = 2
+      UNION ALL
+      SELECT n.rn, n.day, n.x,
+             {relational.HOLT_ALPHA} * n.x
+               + {1 - relational.HOLT_ALPHA} * (r.l + r.tr) AS l,
+             {relational.HOLT_BETA}
+               * (({relational.HOLT_ALPHA} * n.x
+                   + {1 - relational.HOLT_ALPHA} * (r.l + r.tr)) - r.l)
+               + {1 - relational.HOLT_BETA} * r.tr AS tr,
+             r.l + r.tr AS fitted
+      FROM rec r JOIN rn n ON n.rn = r.rn + 1
+    ), h AS (
+      SELECT CAST(day AS TIMESTAMP) AS day, x,
+             round(fitted, 4) AS fitted,
+             round(x - fitted, 4) AS resid
+      FROM rec WHERE rn >= 3
+    ), med AS (
+      SELECT median(resid) AS med FROM h
+    ), mad AS (
+      SELECT median(abs(resid - med.med)) AS mad FROM h, med
+    )
+    SELECT h.day, h.x, h.fitted, h.resid,
+           round((h.resid - med.med)
+                 / ({relational.MAD_SIGMA} * mad.mad), 4) AS robust_z,
+           abs((h.resid - med.med) / ({relational.MAD_SIGMA} * mad.mad))
+             > {relational.ANOM_K_MAD} AS is_anomaly
+    FROM h, med, mad
+    """,
+    tags=("timeseries", "anomaly", "robust", "holt"),
+)

@@ -1092,3 +1092,29 @@ def test_cohort_ltv_triangle_matches_pandas_replay(spark, sf_dir):
         assert cums == sorted(cums)  # non-decreasing
         for ws, c, ltv in seq:
             assert abs(ltv - c / sizes[cw]) < 1e-4
+
+
+def test_holt_anomaly_days_matches_replay(spark, sf_dir):
+    """Robust z must equal a numpy replay over the engine's own Holt
+    residuals (same MAD scaling), with flags consistent."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import relational
+
+    rows = sorted(
+        relational.holt_anomaly_days(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    resid = np.array([r.resid for r in rows])
+    med = np.median(resid)
+    mad = np.median(np.abs(resid - med))
+    for r in rows:
+        z = (r.resid - med) / (relational.MAD_SIGMA * mad)
+        assert abs(r.robust_z - z) < 1e-3
+        assert r.is_anomaly == (abs(z) > relational.ANOM_K_MAD) or abs(
+            abs(z) - relational.ANOM_K_MAD
+        ) < 1e-3
+    # robust gate: the flagged fraction must be small (it is a gate,
+    # not a majority classifier)
+    frac = sum(r.is_anomaly for r in rows) / len(rows)
+    assert frac <= 0.2
