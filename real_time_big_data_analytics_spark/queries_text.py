@@ -2745,3 +2745,90 @@ register(
     """,
     tags=("text", "importance-sampling", "dsir", "training-data"),
 )
+
+
+def _stage_docs_evolving(spark, sf_dir: str) -> str:
+    """Idempotent two-batch parquet staging with an EVOLVED schema:
+    batch 1 (even doc_id) writes (doc_id, lang, n_chars); batch 2
+    (odd doc_id) adds the quality_tier column — the
+    append-with-new-column shape every long-lived lake table hits."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.text import load_table
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"{sf_dir}|evolve|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"rtba_evolve_{tag}")
+    marker = os.path.join(out_dir, "b2", "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "lang", "n_chars")
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "b1"))
+        )
+        (
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .select(
+                "doc_id",
+                "lang",
+                "n_chars",
+                (F.col("n_chars") % 3).cast("bigint").alias("quality_tier"),
+            )
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "b2"))
+        )
+    return out_dir
+
+
+def _schema_evolution_scan(spark, sf_dir):
+    """S4/S5 extension — schema-evolution read: two parquet batches
+    whose schemas differ by one appended column, unioned by a single
+    ``mergeSchema`` scan; rows from the pre-evolution batch surface
+    the new column as NULL (no rewrite, no backfill job). The oracle
+    recomputes the same slice from the original table, so a dropped
+    batch, a mis-merged schema, or wrong null backfill breaks the
+    hash. At 100 TB this is the only affordable evolution strategy —
+    additive columns + merge-on-read — and the scan still prunes and
+    pushes down per file."""
+    from pyspark.sql import functions as F
+
+    base = _stage_docs_evolving(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/b1", f"{base}/b2"
+    )
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("quality_tier").isNull().cast("bigint")).alias(
+            "n_pre_evolution"
+        ),
+        F.sum(F.coalesce(F.col("quality_tier"), F.lit(0))).cast(
+            "bigint"
+        ).alias("tier_sum"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+register(
+    "s_schema_evolution_scan",
+    _schema_evolution_scan,
+    sql="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pre_evolution,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 3 ELSE 0 END)
+                AS BIGINT) AS tier_sum,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    tags=("source", "schema-evolution", "parquet"),
+)

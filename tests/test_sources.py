@@ -223,3 +223,29 @@ def test_python_datasource_writer_commit_protocol(spark, sf_dir):
         back = read_documents_via_python_datasource(spark, d)
         assert back.count() == n
         assert back.agg(F.sum("n_chars")).first()[0] == docs.agg(F.sum("n_chars")).first()[0]
+
+
+def test_schema_evolution_merge_nulls_and_schema(spark, sf_dir):
+    """The merged scan must carry the evolved column, null exactly on
+    pre-evolution rows, and match per-batch direct reads."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.queries_text import (
+        _stage_docs_evolving,
+    )
+
+    base = _stage_docs_evolving(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/b1", f"{base}/b2"
+    )
+    assert "quality_tier" in merged.columns
+    b1 = spark.read.parquet(f"{base}/b1")
+    assert "quality_tier" not in b1.columns
+    n1 = b1.count()
+    assert merged.filter(F.col("quality_tier").isNull()).count() == n1
+    assert (
+        merged.filter(F.col("doc_id") % 2 == 1)
+        .filter(F.col("quality_tier") != F.col("n_chars") % 3)
+        .count()
+        == 0
+    )
