@@ -79,6 +79,15 @@ QUERIES = (
     "l4_feature_hashing_stats",    # vocab-grain bucket histogram
     "l4_quantile_align_audit",     # per-source windows + pooled prefix sum
     "wf_conversion_lag",           # two user-grain min-aggs + bucket grain
+    # fifth-wave round-4 additions
+    "wf_cohort_ltv_triangle",      # signup join + (cohort, week) grain
+    "m11_auc_logreg",              # GD passes + score-grain rank sums
+    "ts_holt_anomaly_days",        # daily Holt + metadata-scale MAD gate
+    "l4_importance_weights",       # two unigram LMs + per-doc score
+    "dq_delta_attribution",        # fact-dim join + 10-row decomposition
+    "graph_trade_harmonic",        # edge build + |V|^2 frontier BFS
+    "ts_forecast_backtest",        # Holt output + 1-row metric aggregate
+    "s_schema_evolution_scan",     # two-batch staged write + merge scan
 )
 
 
