@@ -129,6 +129,12 @@ HEADLINE = [
     "l3_knn_blockmatmul",
     "l4_textrank_keywords",
     "dq_hbos_outliers",
+    # fifth-wave round-4 additions: the basket self-join (pairs within
+    # an order — a genuinely new fanout shape) and the DSIR weight
+    # build (tokenize + two vocab-grain LMs + per-doc score join).
+    # AUC/LTV/anomaly/backtest ride already-benched shapes.
+    "rec_copurchase_topk",
+    "l4_importance_weights",
 ]
 
 

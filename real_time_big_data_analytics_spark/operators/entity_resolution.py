@@ -215,3 +215,94 @@ def entity_clusters(
         F.col("label").alias("entity_rep"),
         (F.col("node") == F.col("label")).alias("is_rep"),
     )
+
+
+BQ_BAND_WIDTH = 8
+
+
+def blocking_quality(
+    spark: SparkSession,
+    sf_dir: str,
+    max_dist: int = CANDIDATE_DIST,
+    max_block: int = MAX_BLOCK,
+    band_width: int = BQ_BAND_WIDTH,
+) -> DataFrame:
+    """ER stage 0 — the blocking-scheme scorecard (Christen 2012):
+    REDUCTION RATIO (fraction of the all-pairs comparison space the
+    (nation, segment) blocking avoids, computed from block sizes —
+    never by enumerating pairs) and PAIR COMPLETENESS (fraction of
+    TRUE fuzzy matches the blocking still compares). The two numbers
+    every blocking design trades against each other; deploying a
+    blocking key without them is guessing.
+
+    The truth side does NOT use a cartesian: true matches come from
+    the LOSSLESS length-band replication join (edit distance <= d
+    forces |len diff| <= d, the `lossless_fuzzy_name_pairs` guarantee)
+    applied at customer grain, so the scorecard itself scales like
+    the ER operators it audits. The DuckDB twin computes truth
+    naively all-pairs, so the hash match also re-certifies the band
+    join's losslessness on this table.
+    """
+    full = spread(load_table(spark, sf_dir, "customer")).select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    tot = full.agg(F.count("*").cast("bigint").alias("n_records"))
+    blocked_cnt = (
+        _blocked(load_table(spark, sf_dir, "customer"), max_block)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("bn"))
+        .agg(
+            F.sum(F.col("bn") * (F.col("bn") - 1) / 2)
+            .cast("bigint")
+            .alias("blocked_compared")
+        )
+    )
+    found = candidate_pairs(spark, sf_dir, max_dist, max_block).agg(
+        F.count("*").cast("bigint").alias("found_matches")
+    )
+    named = full.withColumn("len", F.length("c_name"))
+    a = named.select(
+        F.col("c_custkey").alias("ak"),
+        F.col("c_name").alias("an"),
+        F.floor(F.col("len") / band_width).alias("band"),
+    )
+    b = named.select(
+        F.col("c_custkey").alias("bk"),
+        F.col("c_name").alias("bn"),
+        F.explode(
+            F.sequence(
+                F.floor((F.col("len") - max_dist) / band_width),
+                F.floor((F.col("len") + max_dist) / band_width),
+            )
+        ).alias("band"),
+    )
+    truth = (
+        a.join(b, "band")
+        .filter(F.col("ak") < F.col("bk"))
+        .withColumn("dist", F.levenshtein("an", "bn", max_dist).cast("bigint"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .agg(F.count("*").cast("bigint").alias("truth_matches"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(blocked_cnt))
+        .crossJoin(F.broadcast(found))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "n_records",
+            "blocked_compared",
+            (F.col("n_records") * (F.col("n_records") - 1) / 2)
+            .cast("bigint")
+            .alias("all_pairs"),
+            F.round(
+                1.0
+                - F.col("blocked_compared")
+                / (F.col("n_records") * (F.col("n_records") - 1) / 2.0),
+                6,
+            ).alias("reduction_ratio"),
+            "truth_matches",
+            "found_matches",
+            F.round(
+                F.col("found_matches") / F.col("truth_matches"), 6
+            ).alias("pair_completeness"),
+        )
+    )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from .operators import clustering, dedup_approx, multimodal, similarity, text, udx
+from .operators import entity_resolution as er
 from .registry import register
 
 # --- L1 exact dedup + fingerprints ---
@@ -2831,4 +2832,51 @@ register(
     FROM documents GROUP BY lang
     """,
     tags=("source", "schema-evolution", "parquet"),
+)
+
+
+# naive all-pairs truth (the oracle side re-certifies the band join's
+# losslessness); blocked counts from block sizes, never pair rows
+register(
+    "er_blocking_quality",
+    er.blocking_quality,
+    sql=f"""
+    WITH recs AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_records FROM recs
+    ), big AS (
+      SELECT c_nationkey, c_mktsegment FROM recs
+      GROUP BY 1, 2 HAVING count(*) > {er.MAX_BLOCK}
+    ), adm AS (
+      SELECT r.* FROM recs r
+      LEFT JOIN big USING (c_nationkey, c_mktsegment)
+      WHERE big.c_nationkey IS NULL
+    ), bc AS (
+      SELECT CAST(sum(bn * (bn - 1) / 2) AS BIGINT) AS blocked_compared
+      FROM (SELECT count(*) AS bn FROM adm GROUP BY c_nationkey, c_mktsegment)
+    ), found AS (
+      SELECT CAST(count(*) AS BIGINT) AS found_matches
+      FROM adm a JOIN adm b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= {er.CANDIDATE_DIST}
+    ), truth AS (
+      SELECT CAST(count(*) AS BIGINT) AS truth_matches
+      FROM recs a JOIN recs b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= {er.CANDIDATE_DIST}
+    )
+    SELECT tot.n_records, bc.blocked_compared,
+           CAST(tot.n_records * (tot.n_records - 1) / 2 AS BIGINT)
+             AS all_pairs,
+           round(1.0 - bc.blocked_compared
+                 / (tot.n_records * (tot.n_records - 1) / 2.0), 6)
+             AS reduction_ratio,
+           truth.truth_matches, found.found_matches,
+           round(found.found_matches * 1.0 / truth.truth_matches, 6)
+             AS pair_completeness
+    FROM tot, bc, found, truth
+    """,
+    tags=("entity-resolution", "blocking", "evaluation"),
 )

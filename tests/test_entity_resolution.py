@@ -103,3 +103,33 @@ def test_no_cartesian_in_pair_plan(spark, sf_dir):
     plan = er.candidate_pairs(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_blocking_quality_bounds_and_consistency(spark, sf_dir):
+    """Scorecard invariants: found is a subset of truth (completeness
+    <= 1), blocked_compared matches the direct per-block C(k,2) sum,
+    and reduction ratio reflects the ~1/B block fanout."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators import (
+        entity_resolution as er,
+    )
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    r = er.blocking_quality(spark, sf_dir).first()
+    sizes = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("bn"))
+        .collect()
+    )
+    blocked = sum(s.bn * (s.bn - 1) // 2 for s in sizes if s.bn <= er.MAX_BLOCK)
+    n = sum(s.bn for s in sizes)
+    assert r.n_records == n
+    assert r.blocked_compared == blocked
+    assert r.all_pairs == n * (n - 1) // 2
+    assert 0.0 <= r.pair_completeness <= 1.0
+    assert r.found_matches <= r.truth_matches
+    assert abs(r.reduction_ratio - (1 - blocked / r.all_pairs)) < 1e-5
+    # 125 block keys -> reduction should be >= 0.9
+    assert r.reduction_ratio > 0.9
