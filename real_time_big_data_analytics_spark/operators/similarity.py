@@ -1337,3 +1337,69 @@ def embedding_outliers(spark: SparkSession, sf_dir: str, k: int = MAHA_TOPK) -> 
         .filter(F.col("rk") <= k)
         .select("rk", "vec_id", "maha_d2")
     )
+
+
+LSH_SWEEP_PLANES = (4, 6, 8)
+
+
+def lsh_plane_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 — LSH tuning curve: bucket structure of the sign-random-
+    projection index at each candidate hyperplane count. More planes
+    = finer buckets = smaller candidate fraction but lower recall —
+    this sweep is how n_planes gets CHOSEN instead of guessed (the
+    ANN analog of the dedup `l2_threshold_sweep`). Emits, per plane
+    count: bucket count, max/avg bucket size, within-bucket candidate
+    pairs, and the fraction of the all-pairs comparison space a
+    bucketed query would scan.
+
+    The hyperplanes are the same corpus-derived rows `knn_lsh` uses
+    (collected once, bounded metadata, inlined as literals). Sign
+    bits are taken on the 1e-6-ROUNDED dot so the two engines' dot
+    summation orders cannot flip a knife-edge sign — this makes the
+    whole bucket structure hash-exact, unlike the recall-flag-only
+    check on `l3_knn_lsh` itself.
+
+    Scale shape: per plane count, one projection pass over the corpus
+    and a sig-grain aggregate; the sweep unions three such plans.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    out = None
+    for p in LSH_SWEEP_PLANES:
+        rows = (
+            emb.filter(F.col("vec_id") < p)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+        sig_bits = [
+            (
+                round2(
+                    dot(
+                        "embedding",
+                        F.array(*[F.lit(float(x)) for x in r.embedding]),
+                    ),
+                    6,
+                )
+                > 0
+            )
+            .cast("int")
+            .cast("string")
+            for r in rows
+        ]
+        buckets = (
+            emb.select(F.concat_ws("", *sig_bits).alias("sig"))
+            .groupBy("sig")
+            .agg(F.count("*").alias("bn"))
+        )
+        cand = F.sum(F.col("bn") * (F.col("bn") - 1) / 2)
+        n = F.sum("bn")
+        stats = buckets.agg(
+            F.lit(p).cast("bigint").alias("n_planes"),
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.max("bn").cast("bigint").alias("max_bucket"),
+            round2(F.avg("bn"), 6).alias("avg_bucket"),
+            cand.cast("bigint").alias("candidate_pairs"),
+            round2(cand * 2 / (n * (n - 1)), 6).alias("scan_fraction"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out

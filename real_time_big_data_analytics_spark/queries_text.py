@@ -2880,3 +2880,40 @@ register(
     """,
     tags=("entity-resolution", "blocking", "evaluation"),
 )
+
+
+def _lsh_sweep_sql() -> str:
+    """Per plane count: the identical rounded-sign signature and
+    bucket-structure aggregate, unioned."""
+    parts = []
+    for p in similarity.LSH_SWEEP_PLANES:
+        parts.append(f"""
+    SELECT CAST({p} AS BIGINT) AS n_planes,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(bn) AS BIGINT) AS max_bucket,
+           round(avg(bn), 6) AS avg_bucket,
+           CAST(sum(bn * (bn - 1) / 2) AS BIGINT) AS candidate_pairs,
+           round(sum(bn * (bn - 1) / 2) * 2.0
+                 / (sum(bn) * (sum(bn) - 1)), 6) AS scan_fraction
+    FROM (
+      SELECT sig, count(*) AS bn FROM (
+        SELECT e.vec_id,
+               string_agg(CASE WHEN round(list_dot_product(
+                            CAST(e.embedding AS DOUBLE[]), p.pv), 6) > 0
+                          THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS sig
+        FROM embeddings e, (
+          SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+          FROM embeddings WHERE vec_id < {p}
+        ) p
+        GROUP BY e.vec_id
+      ) GROUP BY sig
+    )""")
+    return " UNION ALL ".join(parts)
+
+
+register(
+    "l3_lsh_plane_sweep",
+    similarity.lsh_plane_sweep,
+    sql=_lsh_sweep_sql(),
+    tags=("similarity", "lsh", "tuning", "sweep"),
+)

@@ -432,3 +432,26 @@ def test_embedding_outliers_matches_numpy(spark, sf_dir):
     # E[d2] = d for in-cloud points; outliers must exceed the mean
     assert all(r.maha_d2 > d for r in rows)
     assert rows[0].maha_d2 == max(r.maha_d2 for r in rows)
+
+
+def test_lsh_plane_sweep_monotone_structure(spark, sf_dir):
+    """More planes must never coarsen the index: bucket count is
+    non-decreasing, candidate pairs and scan fraction non-increasing;
+    marginals must reconstruct the corpus size."""
+    from real_time_big_data_analytics_spark.operators import similarity as sim
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = sorted(
+        sim.lsh_plane_sweep(spark, sf_dir).collect(), key=lambda r: r.n_planes
+    )
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert [r.n_planes for r in rows] == sorted(sim.LSH_SWEEP_PLANES)
+    for r in rows:
+        # avg_bucket * n_buckets == corpus size
+        assert abs(r.avg_bucket * r.n_buckets - n) < 0.01
+        assert r.max_bucket <= n
+        assert 0.0 < r.scan_fraction <= 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_buckets <= b.n_buckets
+        assert a.candidate_pairs >= b.candidate_pairs
+        assert a.scan_fraction >= b.scan_fraction
