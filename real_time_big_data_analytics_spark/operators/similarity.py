@@ -1403,3 +1403,54 @@ def lsh_plane_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = stats if out is None else out.unionByName(stats)
     return out
+
+
+SEM_SWEEP_THRESHOLDS = (0.35, 0.45, 0.55, 0.65, 0.75)
+
+
+def semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — tuning curve for SEMANTIC (embedding-cosine) dedup: pair
+    counts and affected-vector counts at each candidate cosine cutoff,
+    all derived from ONE label-blocked pair join at the loosest
+    threshold (the `l2_threshold_sweep` discipline applied to the
+    embedding variant). Picking the semantic-dedup cutoff without
+    this curve is guessing how much corpus each step removes.
+
+    Scale shape: one blocked cosine pair join (the
+    `embedding_cosine_pairs` plan) at min(thresholds); each sweep row
+    is then a filtered aggregate over the pair-grain frame — the
+    threshold grid multiplies a pair-bounded frame by 5, never
+    re-joining the corpus.
+
+    Determinism: cosine is rounded at 1e-4 BEFORE thresholding (the
+    cut is part of the operator contract); counts are exact.
+    """
+    base = embedding_cosine_pairs(
+        spark, sf_dir, threshold=min(SEM_SWEEP_THRESHOLDS)
+    )
+    # threshold grid as an explode on the pair frame — a projection,
+    # not a join (the l2_threshold_sweep shape)
+    hit = base.select(
+        "a_id",
+        "b_id",
+        "cos_sim",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in SEM_SWEEP_THRESHOLDS])
+        ).alias("threshold"),
+    ).filter(F.col("cos_sim") >= F.col("threshold"))
+    per = hit.groupBy("threshold").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct(
+            F.least("a_id", "b_id"), F.greatest("a_id", "b_id")
+        ).alias("n_distinct_pairs"),
+    )
+    affected = (
+        hit.select("threshold", F.explode(F.array("a_id", "b_id")).alias("v"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("v").alias("n_affected_vectors"))
+    )
+    return per.join(affected, "threshold").select(
+        round2("threshold", 2).alias("threshold"),
+        "n_pairs",
+        "n_affected_vectors",
+    )

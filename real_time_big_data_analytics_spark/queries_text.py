@@ -2917,3 +2917,36 @@ register(
     sql=_lsh_sweep_sql(),
     tags=("similarity", "lsh", "tuning", "sweep"),
 )
+
+
+register(
+    "l2_semantic_threshold_sweep",
+    similarity.semantic_threshold_sweep,
+    sql=f"""
+    WITH e AS (
+      SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ), ths AS (
+      SELECT unnest(ARRAY{list(similarity.SEM_SWEEP_THRESHOLDS)}) AS threshold
+    ), hit AS (
+      SELECT t.threshold, p.a_id, p.b_id
+      FROM pairs p JOIN ths t ON p.cos_sim >= t.threshold
+    )
+    SELECT round(p.threshold, 2) AS threshold, p.n_pairs,
+           a.n_affected_vectors
+    FROM (
+      SELECT threshold, count(*) AS n_pairs FROM hit GROUP BY threshold
+    ) p JOIN (
+      SELECT threshold,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_affected_vectors
+      FROM (SELECT threshold, unnest(ARRAY[a_id, b_id]) AS v FROM hit)
+      GROUP BY threshold
+    ) a USING (threshold)
+    """,
+    tags=("dedup", "semantic", "tuning", "sweep"),
+)

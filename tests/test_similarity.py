@@ -455,3 +455,35 @@ def test_lsh_plane_sweep_monotone_structure(spark, sf_dir):
         assert a.n_buckets <= b.n_buckets
         assert a.candidate_pairs >= b.candidate_pairs
         assert a.scan_fraction >= b.scan_fraction
+
+
+def test_semantic_threshold_sweep_monotone(spark, sf_dir):
+    """Counts must be non-increasing in the threshold, consistent
+    with the base pair set at each cutoff."""
+    from real_time_big_data_analytics_spark.operators import similarity as sim
+
+    rows = sorted(
+        sim.semantic_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    base = sim.embedding_cosine_pairs(
+        spark, sf_dir, threshold=min(sim.SEM_SWEEP_THRESHOLDS)
+    ).collect()
+    # thresholds with zero surviving pairs drop out of the grouped
+    # result (identically on both engines) — expect exactly the
+    # populated ones
+    expected = [
+        round(t, 2)
+        for t in sorted(sim.SEM_SWEEP_THRESHOLDS)
+        if any(p.cos_sim >= t - 1e-9 for p in base)
+    ]
+    assert [r.threshold for r in rows] == expected
+    for r in rows:
+        hits = [p for p in base if p.cos_sim >= r.threshold - 1e-9]
+        assert r.n_pairs == len(hits)
+        assert r.n_affected_vectors == len(
+            {p.a_id for p in hits} | {p.b_id for p in hits}
+        )
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_affected_vectors >= b.n_affected_vectors
