@@ -902,3 +902,147 @@ def logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini_index"),
     )
+
+
+# --- AdaBoost with decision stumps ---------------------------------------
+
+ADA_THRESHOLDS = tuple(x / 2.0 for x in range(1, 16))  # 0.5 .. 7.5
+ADA_EPS = 1e-6  # error clamp inside the alpha log
+
+
+def _ada_cands(spark: SparkSession) -> DataFrame:
+    """The 60-candidate stump grid (feature x threshold x polarity)
+    with a deterministic candidate id — bounded metadata, broadcast."""
+    rows = []
+    cid = 0
+    for f in (1, 2):
+        for t in ADA_THRESHOLDS:
+            for p in (1, -1):
+                cid += 1
+                rows.append((cid, f, float(t), p))
+    return spark.createDataFrame(
+        rows, "cand_id INT, f INT, t DOUBLE, p INT"
+    )
+
+
+def adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m12 — AdaBoost.M1 (Freund & Schapire 1997) with TWO decision
+    stumps over the leak-free engagement features, entirely in
+    Catalyst and hash-exact against the DuckDB replay — the boosting
+    member of the exact-trainer family (m5 GD, m6 NB, m7 k-means,
+    m8 ridge). Round 1 scores every stump in the fixed
+    feature x threshold x polarity grid under uniform weights
+    (error = plain mismatch rate — exact rationals); round 2
+    reweights by exp(-alpha*y*h1), renormalizes, rescores the grid,
+    and the output row carries both chosen stumps, their alphas, and
+    the 2-stump ensemble's training accuracy.
+
+    Execution shape: each round is ONE pass over the user-grain
+    feature table exploded by the 60-candidate broadcast grid
+    (per-candidate partial aggregation — the level-wise histogram
+    trick tree learners use), then a 1-row argmin broadcast into the
+    next round. No driver loops; the recurrence composes lazily like
+    m5/m7.
+
+    Determinism: round-1 errors are exact counts/n; round-2 errors
+    are rounded at 1e-9 BEFORE the (error, cand_id) argmin; the alpha
+    log is clamped identically on both engines; the final ensemble
+    vote uses >= 0 so a zero margin breaks identically.
+    """
+    u = logreg_gd_features(spark, sf_dir).select(
+        "x1", "x2", (2 * F.col("y") - 1).cast("double").alias("s")
+    )
+    cands = F.broadcast(_ada_cands(spark))
+
+    def h(f, t, p, x1="x1", x2="x2"):
+        fv = F.when(F.col(f) == 1, F.col(x1)).otherwise(F.col(x2))
+        return F.when(fv > F.col(t), F.col(p).cast("double")).otherwise(
+            -F.col(p).cast("double")
+        )
+
+    def clamp(e):
+        return F.greatest(F.least(e, F.lit(1 - ADA_EPS)), F.lit(ADA_EPS))
+
+    def alpha(e):
+        return 0.5 * F.log((1 - clamp(e)) / clamp(e))
+
+    r1 = (
+        u.crossJoin(cands)
+        .groupBy("cand_id", "f", "t", "p")
+        .agg(
+            F.avg(
+                (h("f", "t", "p") != F.col("s")).cast("double")
+            ).alias("err")
+        )
+    )
+    best1 = (
+        r1.orderBy(F.round("err", 9), F.asc("cand_id"))
+        .limit(1)
+        .select(
+            F.col("cand_id").alias("c1"),
+            F.col("f").alias("f1"),
+            F.col("t").alias("t1"),
+            F.col("p").alias("p1"),
+            F.col("err").alias("e1"),
+            alpha(F.col("err")).alias("a1"),
+        )
+    )
+    wts = u.crossJoin(F.broadcast(best1)).withColumn(
+        "uw",
+        F.exp(-F.col("a1") * F.col("s") * h("f1", "t1", "p1")),
+    )
+    z = wts.agg(F.sum("uw").alias("z"))
+    w2 = wts.crossJoin(F.broadcast(z)).withColumn(
+        "w", F.col("uw") / F.col("z")
+    )
+    r2 = (
+        w2.crossJoin(cands)
+        .groupBy("cand_id", "f", "t", "p")
+        .agg(
+            F.sum(
+                F.col("w") * (h("f", "t", "p") != F.col("s")).cast("double")
+            ).alias("err")
+        )
+    )
+    best2 = (
+        r2.orderBy(F.round("err", 9), F.asc("cand_id"))
+        .limit(1)
+        .select(
+            F.col("cand_id").alias("c2"),
+            F.col("f").alias("f2"),
+            F.col("t").alias("t2"),
+            F.col("p").alias("p2"),
+            F.col("err").alias("e2"),
+            alpha(F.col("err")).alias("a2"),
+        )
+    )
+    scored = u.crossJoin(F.broadcast(best1)).crossJoin(F.broadcast(best2))
+    margin = F.col("a1") * h("f1", "t1", "p1") + F.col("a2") * h(
+        "f2", "t2", "p2"
+    )
+    vote = F.when(margin >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return scored.groupBy(
+        "f1", "t1", "p1", "f2", "t2", "p2"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        round2(F.first("e1"), 6).alias("err1"),
+        round2(F.first("a1"), 6).alias("alpha1"),
+        round2(F.first("e2"), 6).alias("err2"),
+        round2(F.first("a2"), 6).alias("alpha2"),
+        round2(F.avg((vote == F.col("s")).cast("double")), 6).alias(
+            "train_acc"
+        ),
+    ).select(
+        "n_users",
+        F.col("f1").cast("bigint").alias("f1"),
+        round2("t1", 2).alias("t1"),
+        F.col("p1").cast("bigint").alias("p1"),
+        "err1",
+        "alpha1",
+        F.col("f2").cast("bigint").alias("f2"),
+        round2("t2", 2).alias("t2"),
+        F.col("p2").cast("bigint").alias("p2"),
+        "err2",
+        "alpha2",
+        "train_acc",
+    )

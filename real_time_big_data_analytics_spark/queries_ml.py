@@ -466,3 +466,93 @@ register(
     """,
     tags=("ml", "auc", "evaluation", "prefix-sum"),
 )
+
+
+_ADA_T = "[" + ", ".join(str(t) for t in ml.ADA_THRESHOLDS) + "]"
+_ADA_CLAMP = f"greatest(least({{e}}, 1 - {ml.ADA_EPS}), {ml.ADA_EPS})"
+
+
+def _ada_sql() -> str:
+    """DuckDB replay of the identical two-round AdaBoost recurrence:
+    same candidate grid and ids, same rounded argmin, same clamp."""
+    c1 = _ADA_CLAMP.format(e="b1.err")
+    c2 = _ADA_CLAMP.format(e="b2.err")
+    return f"""
+    WITH u AS (
+      SELECT x1, x2, CAST(2 * y - 1 AS DOUBLE) AS s FROM ({_LOGREG_U})
+    ), cands AS (
+      SELECT row_number() OVER (ORDER BY f, t, p DESC) AS cand_id, f, t, p
+      FROM (SELECT unnest([1, 2]) AS f),
+           (SELECT unnest({_ADA_T}) AS t),
+           (SELECT unnest([1, -1]) AS p)
+    ), r1 AS (
+      SELECT c.cand_id, c.f, c.t, c.p,
+             avg(CASE WHEN (CASE WHEN (CASE WHEN c.f = 1 THEN u.x1
+                                       ELSE u.x2 END) > c.t
+                            THEN CAST(c.p AS DOUBLE)
+                            ELSE -CAST(c.p AS DOUBLE) END) <> u.s
+                      THEN 1.0 ELSE 0.0 END) AS err
+      FROM u, cands c GROUP BY 1, 2, 3, 4
+    ), b1 AS (
+      SELECT * FROM r1 ORDER BY round(err, 9), cand_id LIMIT 1
+    ), a1 AS (
+      SELECT b1.*, 0.5 * ln((1 - {c1}) / {c1}) AS alpha FROM b1
+    ), wts AS (
+      SELECT u.*,
+             exp(-a1.alpha * u.s
+                 * (CASE WHEN (CASE WHEN a1.f = 1 THEN u.x1
+                               ELSE u.x2 END) > a1.t
+                    THEN CAST(a1.p AS DOUBLE)
+                    ELSE -CAST(a1.p AS DOUBLE) END)) AS uw
+      FROM u, a1
+    ), z AS (
+      SELECT sum(uw) AS z FROM wts
+    ), r2 AS (
+      SELECT c.cand_id, c.f, c.t, c.p,
+             sum(w.uw / z.z
+                 * CASE WHEN (CASE WHEN (CASE WHEN c.f = 1 THEN w.x1
+                                         ELSE w.x2 END) > c.t
+                              THEN CAST(c.p AS DOUBLE)
+                              ELSE -CAST(c.p AS DOUBLE) END) <> w.s
+                        THEN 1.0 ELSE 0.0 END) AS err
+      FROM wts w, z, cands c GROUP BY 1, 2, 3, 4
+    ), b2 AS (
+      SELECT * FROM r2 ORDER BY round(err, 9), cand_id LIMIT 1
+    ), a2 AS (
+      SELECT b2.*, 0.5 * ln((1 - {c2}) / {c2}) AS alpha FROM b2
+    ), scored AS (
+      SELECT u.s,
+             a1.alpha * (CASE WHEN (CASE WHEN a1.f = 1 THEN u.x1
+                                    ELSE u.x2 END) > a1.t
+                         THEN CAST(a1.p AS DOUBLE)
+                         ELSE -CAST(a1.p AS DOUBLE) END)
+             + a2.alpha * (CASE WHEN (CASE WHEN a2.f = 1 THEN u.x1
+                                      ELSE u.x2 END) > a2.t
+                           THEN CAST(a2.p AS DOUBLE)
+                           ELSE -CAST(a2.p AS DOUBLE) END) AS margin
+      FROM u, a1, a2
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_users,
+           (SELECT CAST(f AS BIGINT) FROM a1) AS f1,
+           (SELECT round(t, 2) FROM a1) AS t1,
+           (SELECT CAST(p AS BIGINT) FROM a1) AS p1,
+           (SELECT round(err, 6) FROM a1) AS err1,
+           (SELECT round(alpha, 6) FROM a1) AS alpha1,
+           (SELECT CAST(f AS BIGINT) FROM a2) AS f2,
+           (SELECT round(t, 2) FROM a2) AS t2,
+           (SELECT CAST(p AS BIGINT) FROM a2) AS p2,
+           (SELECT round(err, 6) FROM a2) AS err2,
+           (SELECT round(alpha, 6) FROM a2) AS alpha2,
+           round(avg(CASE WHEN (CASE WHEN margin >= 0 THEN 1.0
+                               ELSE -1.0 END) = s
+                     THEN 1.0 ELSE 0.0 END), 6) AS train_acc
+    FROM scored
+    """
+
+
+register(
+    "m12_adaboost_stumps",
+    ml.adaboost_stumps,
+    sql=_ada_sql(),
+    tags=("ml", "boosting", "iterative", "exact-trainer"),
+)

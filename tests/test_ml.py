@@ -361,3 +361,51 @@ def test_logreg_auc_matches_sklearn_free_replay(spark, sf_dir):
     assert abs(r.auc - auc) < 1e-5
     assert abs(r.gini_index - (2 * auc - 1)) < 2e-5
     assert 0.5 < r.auc <= 1.0
+
+
+def test_adaboost_stumps_matches_numpy_replay(spark, sf_dir):
+    """Both chosen stumps, alphas, and ensemble accuracy must equal a
+    numpy AdaBoost replay over the same candidate grid; round-2 error
+    must improve on chance and alphas must be positive."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import ml
+
+    r = ml.adaboost_stumps(spark, sf_dir).first()
+    feats = ml.logreg_gd_features(spark, sf_dir).toPandas()
+    X = feats[["x1", "x2"]].to_numpy(dtype=float)
+    s = (2 * feats.y.to_numpy(dtype=float) - 1)
+    cands = []
+    cid = 0
+    for f in (1, 2):
+        for t in ml.ADA_THRESHOLDS:
+            for p in (1, -1):
+                cid += 1
+                cands.append((cid, f, t, p))
+
+    def h(f, t, p):
+        return np.where(X[:, f - 1] > t, float(p), -float(p))
+
+    w = np.full(len(s), 1.0 / len(s))
+    chosen = []
+    for _ in range(2):
+        best = min(
+            cands,
+            key=lambda c: (round(float(w @ (h(c[1], c[2], c[3]) != s)), 9), c[0]),
+        )
+        e = float(w @ (h(best[1], best[2], best[3]) != s))
+        e_c = min(max(e, ml.ADA_EPS), 1 - ml.ADA_EPS)
+        a = 0.5 * np.log((1 - e_c) / e_c)
+        chosen.append((best, e, a))
+        w = w * np.exp(-a * s * h(best[1], best[2], best[3]))
+        w = w / w.sum()
+    (b1, e1, a1), (b2, e2, a2) = chosen
+    assert (r.f1, r.p1) == (b1[1], b1[3]) and abs(r.t1 - b1[2]) < 1e-9
+    assert (r.f2, r.p2) == (b2[1], b2[3]) and abs(r.t2 - b2[2]) < 1e-9
+    assert abs(r.err1 - e1) < 1e-5 and abs(r.err2 - e2) < 1e-5
+    assert abs(r.alpha1 - a1) < 1e-4 and abs(r.alpha2 - a2) < 1e-4
+    margin = a1 * h(b1[1], b1[2], b1[3]) + a2 * h(b2[1], b2[2], b2[3])
+    acc = float(np.mean(np.where(margin >= 0, 1.0, -1.0) == s))
+    assert abs(r.train_acc - acc) < 1e-5
+    assert r.err1 < 0.5 and r.err2 < 0.5  # weak learners beat chance
+    assert r.alpha1 > 0 and r.alpha2 > 0
