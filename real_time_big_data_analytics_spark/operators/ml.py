@@ -1046,3 +1046,76 @@ def adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alpha2",
         "train_acc",
     )
+
+
+# --- probability calibration ---------------------------------------------
+
+CALIB_BINS = 10
+
+
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m13 — reliability diagram + expected calibration error for the
+    m5 logistic scores: predictions bucketed into CALIB_BINS
+    equal-width probability bins, each bin reporting mean predicted
+    probability vs observed positive rate, with the |gap|-weighted
+    ECE repeated on every row. The third leg of the classifier eval
+    suite (confusion m5, ranking m11, calibration here): a model can
+    have great AUC and still lie about its confidence — ECE is what
+    says whether 0.8 means 80%.
+
+    Scale shape: one scoring pass (m5's exact unrolled weights via
+    the same 1-row broadcasts), a CALIB_BINS-row grouped aggregate,
+    and windows over those rows for the ECE — metadata scale after
+    the scan.
+
+    Determinism: the predicted probability is rounded at 1e-6 BEFORE
+    binning (the importance-weights discipline) so summation-order
+    ulps cannot flip a bin; everything after is exact counts and
+    <=10-term sums rounded at output.
+    """
+    u = logreg_gd_features(spark, sf_dir)
+    lr = F.lit(LOGREG_LR)
+
+    def sigmoid(z):
+        return 1.0 / (1.0 + F.exp(-z))
+
+    w = spark.range(1).select(
+        F.lit(0.0).alias("wb"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    )
+    for _ in range(LOGREG_ITERS):
+        z = F.col("wb") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+        resid = F.col("y") - sigmoid(z)
+        w = u.crossJoin(F.broadcast(w)).agg(
+            (F.first("wb") + lr * F.avg(resid)).alias("wb"),
+            (F.first("w1") + lr * F.avg(resid * F.col("x1"))).alias("w1"),
+            (F.first("w2") + lr * F.avg(resid * F.col("x2"))).alias("w2"),
+        )
+    z = F.col("wb") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    scored = u.crossJoin(F.broadcast(w)).select(
+        round2(sigmoid(z), 6).alias("prob"),
+        F.col("y").cast("double").alias("y"),
+    )
+    binned = scored.withColumn(
+        "bin",
+        F.least(
+            F.floor(F.col("prob") * CALIB_BINS),
+            F.lit(CALIB_BINS - 1),
+        ).cast("bigint"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.avg("prob").alias("mean_prob_raw"),
+        F.avg("y").alias("pos_rate_raw"),
+    )
+    win = Window.partitionBy()
+    gap = F.abs(F.col("mean_prob_raw") - F.col("pos_rate_raw"))
+    return g.withColumn("n_total", F.sum("n").over(win)).select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        round2("mean_prob_raw", 6).alias("mean_prob"),
+        round2("pos_rate_raw", 6).alias("pos_rate"),
+        round2(gap, 6).alias("calib_gap"),
+        round2(
+            F.sum(gap * F.col("n") / F.col("n_total")).over(win), 6
+        ).alias("ece"),
+    )

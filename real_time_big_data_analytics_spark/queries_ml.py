@@ -556,3 +556,62 @@ register(
     sql=_ada_sql(),
     tags=("ml", "boosting", "iterative", "exact-trainer"),
 )
+
+
+# the identical i1-i3 weight replay, probabilities rounded before
+# binning; ECE as the n-weighted |gap| sum over the bin rows
+register(
+    "m13_calibration_bins",
+    ml.calibration_bins,
+    sql=f"""
+    WITH u AS ({_LOGREG_U}),
+    i1 AS (
+      SELECT {ml.LOGREG_LR} * avg(y - 0.5) AS wb,
+             {ml.LOGREG_LR} * avg((y - 0.5) * x1) AS w1,
+             {ml.LOGREG_LR} * avg((y - 0.5) * x2) AS w2
+      FROM u
+    ),
+    i2 AS (
+      SELECT any_value(wb) + {ml.LOGREG_LR} * avg(
+               y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) AS wb,
+             any_value(w1) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x1) AS w1,
+             any_value(w2) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x2) AS w2
+      FROM u, i1
+    ),
+    i3 AS (
+      SELECT any_value(wb) + {ml.LOGREG_LR} * avg(
+               y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) AS wb,
+             any_value(w1) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x1) AS w1,
+             any_value(w2) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x2) AS w2
+      FROM u, i2
+    ),
+    scored AS (
+      SELECT round(1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2))), 6) AS prob,
+             y
+      FROM u, i3
+    ), binned AS (
+      SELECT least(CAST(floor(prob * {ml.CALIB_BINS}) AS BIGINT),
+                   {ml.CALIB_BINS - 1}) AS bin,
+             prob, y
+      FROM scored
+    ), g AS (
+      SELECT bin, count(*) AS n, avg(prob) AS mean_prob_raw,
+             avg(y) AS pos_rate_raw
+      FROM binned GROUP BY bin
+    ), t AS (
+      SELECT *, sum(n) OVER () AS n_total FROM g
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           round(mean_prob_raw, 6) AS mean_prob,
+           round(pos_rate_raw, 6) AS pos_rate,
+           round(abs(mean_prob_raw - pos_rate_raw), 6) AS calib_gap,
+           round(sum(abs(mean_prob_raw - pos_rate_raw) * n / n_total)
+                 OVER (), 6) AS ece
+    FROM t
+    """,
+    tags=("ml", "calibration", "evaluation"),
+)

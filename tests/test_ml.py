@@ -409,3 +409,41 @@ def test_adaboost_stumps_matches_numpy_replay(spark, sf_dir):
     assert abs(r.train_acc - acc) < 1e-5
     assert r.err1 < 0.5 and r.err2 < 0.5  # weak learners beat chance
     assert r.alpha1 > 0 and r.alpha2 > 0
+
+
+def test_calibration_bins_matches_numpy_replay(spark, sf_dir):
+    """Bin stats and ECE must equal a numpy replay; ECE must satisfy
+    its definition as the n-weighted mean |gap|."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import ml
+
+    rows = {r.bin: r for r in ml.calibration_bins(spark, sf_dir).collect()}
+    feats = ml.logreg_gd_features(spark, sf_dir).toPandas()
+    X = np.column_stack([np.ones(len(feats)), feats.x1, feats.x2])
+    y = feats.y.to_numpy(dtype=float)
+    w = np.zeros(3)
+    for _ in range(ml.LOGREG_ITERS):
+        p = 1.0 / (1.0 + np.exp(-X @ w))
+        w = w + ml.LOGREG_LR * X.T @ (y - p) / len(y)
+    prob = np.round(1.0 / (1.0 + np.exp(-X @ w)), 6)
+    bins = np.minimum(
+        (prob * ml.CALIB_BINS).astype(int), ml.CALIB_BINS - 1
+    )
+    ece = 0.0
+    seen = set()
+    for b in sorted(set(bins)):
+        m = bins == b
+        gap = abs(prob[m].mean() - y[m].mean())
+        ece += gap * m.sum() / len(y)
+        seen.add(b)
+    assert set(rows) == seen
+    for b in seen:
+        m = bins == b
+        r = rows[b]
+        assert r.n == m.sum()
+        assert abs(r.mean_prob - prob[m].mean()) < 1e-5
+        assert abs(r.pos_rate - y[m].mean()) < 1e-5
+        assert abs(r.calib_gap - abs(prob[m].mean() - y[m].mean())) < 2e-5
+        assert abs(r.ece - ece) < 1e-4
+    assert 0.0 <= list(rows.values())[0].ece <= 1.0
