@@ -3701,3 +3701,55 @@ def holt_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(rz, 4).alias("robust_z"),
         (F.abs(rz) > ANOM_K_MAD).alias("is_anomaly"),
     )
+
+
+MAU_WINDOW_DAYS = 28
+
+
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wf — DAU/MAU stickiness: per day, distinct daily actives,
+    distinct trailing-MAU_WINDOW_DAYS actives, and their ratio — the
+    canonical engagement-health metric (how much of the monthly base
+    shows up on a given day). Rolling DISTINCT cannot ride a window
+    frame (distinct doesn't decompose), so this uses the same
+    membership-amplification shape as ``rolling_distinct_users``:
+    each (user, active-day) row replicates to the MAU_WINDOW_DAYS
+    window days it supports, then one exact count-distinct per window
+    day. At 100 TB the replication factor is the window length — a
+    constant — and the count-distinct shuffles on (day, user), the
+    same key order the ingest already clusters by.
+
+    Determinism: pure integer counting on exact calendar arithmetic;
+    the only float is the final ratio, rounded 1e-6.
+    """
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    dau = days.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), MAU_WINDOW_DAYS - 1),
+            )
+        ).alias("win_day"),
+    )
+    mau = (
+        contrib.join(
+            F.broadcast(dau.select(F.col("day").alias("win_day"))),
+            "win_day",
+        )
+        .groupBy("win_day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau.day == mau.win_day)
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "mau",
+            round2(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )

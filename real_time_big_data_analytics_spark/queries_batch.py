@@ -3440,3 +3440,30 @@ register(
     """,
     tags=("timeseries", "anomaly", "robust", "holt"),
 )
+
+
+# same membership amplification as ts_rolling_distinct_users, with
+# the 28-day window and the dau/mau ratio
+register(
+    "wf_dau_mau_stickiness",
+    relational.dau_mau_stickiness,
+    sql=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM days GROUP BY day
+    ), contrib AS (
+      SELECT user_id, day + CAST(i AS INT) AS win_day
+      FROM days, range(0, {relational.MAU_WINDOW_DAYS}) r(i)
+    ), mau AS (
+      SELECT c.win_day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
+      FROM contrib c JOIN dau p ON c.win_day = p.day
+      GROUP BY c.win_day
+    )
+    SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, mau.mau,
+           round(dau.dau * 1.0 / mau.mau, 6) AS stickiness
+    FROM dau JOIN mau ON dau.day = mau.win_day
+    """,
+    tags=("window", "engagement", "rolling-distinct"),
+)

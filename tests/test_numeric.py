@@ -1118,3 +1118,30 @@ def test_holt_anomaly_days_matches_replay(spark, sf_dir):
     # not a majority classifier)
     frac = sum(r.is_anomaly for r in rows) / len(rows)
     assert frac <= 0.2
+
+
+def test_dau_mau_stickiness_matches_pandas_replay(spark, sf_dir):
+    """DAU/MAU per day must equal a direct pandas replay of the
+    trailing-28-day distinct count, with stickiness in (0, 1]."""
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = {
+        r.day.date(): r
+        for r in relational.dau_mau_stickiness(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").toPandas()
+    ev["day"] = ev.ts.dt.floor("D").dt.date
+    pairs = ev[["user_id", "day"]].drop_duplicates()
+    import datetime
+
+    present = sorted(pairs.day.unique())
+    assert set(rows) == set(present)
+    for d in present:
+        dau = pairs[pairs.day == d].user_id.nunique()
+        lo = d - datetime.timedelta(days=relational.MAU_WINDOW_DAYS - 1)
+        mau = pairs[(pairs.day >= lo) & (pairs.day <= d)].user_id.nunique()
+        r = rows[d]
+        assert (r.dau, r.mau) == (dau, mau)
+        assert abs(r.stickiness - dau / mau) < 1e-5
+        assert 0.0 < r.stickiness <= 1.0
