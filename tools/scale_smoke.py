@@ -88,6 +88,14 @@ QUERIES = (
     "graph_trade_harmonic",        # edge build + |V|^2 frontier BFS
     "ts_forecast_backtest",        # Holt output + 1-row metric aggregate
     "s_schema_evolution_scan",     # two-batch staged write + merge scan
+    # sixth/seventh-wave round-4 additions
+    "m12_adaboost_stumps",         # grid-exploded stump scoring x2 rounds
+    "m13_calibration_bins",        # scoring pass + 10-bin reliability agg
+    "wf_dau_mau_stickiness",       # 28x membership-amplified distinct
+    "er_blocking_quality",         # dim-bound scorecard (facts don't touch it)
+    "l3_lsh_plane_sweep",          # 3x corpus projection + sig-grain aggs
+    "l2_semantic_threshold_sweep", # label-blocked cosine pairs + explode grid
+    "ts_holt_anomaly_days",        # daily Holt + metadata-scale MAD gate
 )
 
 
