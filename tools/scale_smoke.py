@@ -95,7 +95,6 @@ QUERIES = (
     "er_blocking_quality",         # dim-bound scorecard (facts don't touch it)
     "l3_lsh_plane_sweep",          # 3x corpus projection + sig-grain aggs
     "l2_semantic_threshold_sweep", # label-blocked cosine pairs + explode grid
-    "ts_holt_anomaly_days",        # daily Holt + metadata-scale MAD gate
 )
 
 
