@@ -190,3 +190,79 @@ def theta_overlap_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.greatest(F.col("exact_both"), F.lit(1))
     ) <= THETA_REL_TOL
     return df.select("exact_both", ok.alias("within_bound"))
+
+
+# --- Count-Min sketch ----------------------------------------------------
+
+CM_DEPTH = 4  # hash rows
+CM_WIDTH = 256  # buckets per row
+CM_TOPK = 20  # audited words
+
+
+def countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    word stream, built RELATIONALLY: CM_DEPTH salted md5 hash rows x
+    CM_WIDTH buckets, each cell one grouped sum — a single
+    vocab-grain pass, mergeable map-side like every other sketch
+    here. The point-query estimate for a word is min over rows of its
+    cell, audited for the CM_TOPK most frequent words against their
+    exact counts: the sketch NEVER underestimates (structural), and
+    the overestimate is the collision mass the output makes visible.
+
+    Unlike the HLL/quantile sketches (estimator-specific internals,
+    bound-assertion twins), a relational CM sketch is DETERMINISTIC
+    given the hash salts — so every column here, including the
+    estimates themselves, is hash-checked against the DuckDB replay.
+
+    Scale shape: cell building is one grouped sum at vocab grain;
+    the audit joins the CM_TOPK true top words (TakeOrdered) to their
+    DEPTH cells — k*depth rows of broadcast-scale lookup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+
+    def bucket(row: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cm{row}|"), F.col("w"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % CM_WIDTH
+        )
+
+    cells = None
+    for r in range(CM_DEPTH):
+        part = words.select(
+            F.lit(r).alias("row"), bucket(r).alias("bucket"), "c"
+        )
+        cells = part if cells is None else cells.unionByName(part)
+    cm = cells.groupBy("row", "bucket").agg(F.sum("c").alias("cell"))
+    top = (
+        words.orderBy(F.desc("c"), F.asc("w"))
+        .limit(CM_TOPK)
+        .select("w", F.col("c").alias("true_count"))
+    )
+    lookups = None
+    for r in range(CM_DEPTH):
+        part = top.select(
+            "w", "true_count", F.lit(r).alias("row"), bucket(r).alias("bucket")
+        )
+        lookups = part if lookups is None else lookups.unionByName(part)
+    est = (
+        lookups.join(F.broadcast(cm), ["row", "bucket"])
+        .groupBy("w", "true_count")
+        .agg(F.min("cell").cast("bigint").alias("cm_estimate"))
+    )
+    return est.select(
+        "w",
+        F.col("true_count").cast("bigint").alias("true_count"),
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("true_count")).alias("overestimate"),
+        (F.col("cm_estimate") >= F.col("true_count")).alias("never_under"),
+    )

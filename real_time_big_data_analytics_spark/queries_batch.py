@@ -3467,3 +3467,49 @@ register(
     """,
     tags=("window", "engagement", "rolling-distinct"),
 )
+
+
+def _cm_sql() -> str:
+    """Identical salted-md5 cells and min-over-rows estimates."""
+    from .operators import sketches as sk
+
+    rows_cells = " UNION ALL ".join(
+        f"SELECT {r} AS row, CAST(CONCAT('0x', substr(md5(CONCAT('cm{r}|', w)),"
+        f" 1, 8)) AS BIGINT) % {sk.CM_WIDTH} AS bucket, c FROM words"
+        for r in range(sk.CM_DEPTH)
+    )
+    rows_lkp = " UNION ALL ".join(
+        f"SELECT w, true_count, {r} AS row, CAST(CONCAT('0x',"
+        f" substr(md5(CONCAT('cm{r}|', w)), 1, 8)) AS BIGINT)"
+        f" % {sk.CM_WIDTH} AS bucket FROM top"
+        for r in range(sk.CM_DEPTH)
+    )
+    return f"""
+    WITH words AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ), cells AS ({rows_cells}),
+    cm AS (
+      SELECT row, bucket, sum(c) AS cell FROM cells GROUP BY 1, 2
+    ), top AS (
+      SELECT w, c AS true_count FROM words
+      ORDER BY c DESC, w ASC LIMIT {sk.CM_TOPK}
+    ), lkp AS ({rows_lkp})
+    SELECT l.w, CAST(l.true_count AS BIGINT) AS true_count,
+           CAST(min(cm.cell) AS BIGINT) AS cm_estimate,
+           CAST(min(cm.cell) - l.true_count AS BIGINT) AS overestimate,
+           min(cm.cell) >= l.true_count AS never_under
+    FROM lkp l JOIN cm USING (row, bucket)
+    GROUP BY l.w, l.true_count
+    """
+
+
+from .operators import sketches as _sk  # noqa: E402
+
+register(
+    "sketch_countmin_words",
+    _sk.countmin_words,
+    sql=_cm_sql(),
+    tags=("sketch", "count-min", "frequency"),
+)

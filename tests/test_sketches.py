@@ -72,3 +72,44 @@ def test_theta_intersection_within_error(spark, sf_dir):
     r = sketches.theta_user_overlap(spark, sf_dir).collect()[0]
     assert r.exact_both > 0
     assert abs(r.approx_both - r.exact_both) / r.exact_both <= 0.05
+
+
+def test_countmin_words_matches_hashlib_replay(spark, sf_dir):
+    """CM estimates must equal a hashlib/dict replay (same salted
+    hashes, same min-over-rows), and the structural guarantee must
+    hold: estimate >= true count for every audited word."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from real_time_big_data_analytics_spark.operators import sketches as sk
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = {r.w: r for r in sk.countmin_words(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("text").toPandas()
+    counts = Counter(
+        w for t in docs.text for w in t.lower().split(" ") if w
+    )
+    cm = defaultdict(int)
+    for w, c in counts.items():
+        for r in range(sk.CM_DEPTH):
+            b = (
+                int(hashlib.md5(f"cm{r}|{w}".encode()).hexdigest()[:8], 16)
+                % sk.CM_WIDTH
+            )
+            cm[(r, b)] += c
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: sk.CM_TOPK]
+    assert set(rows) == {w for w, _ in top}
+    for w, c in top:
+        est = min(
+            cm[(
+                r,
+                int(hashlib.md5(f"cm{r}|{w}".encode()).hexdigest()[:8], 16)
+                % sk.CM_WIDTH,
+            )]
+            for r in range(sk.CM_DEPTH)
+        )
+        r_ = rows[w]
+        assert r_.true_count == c
+        assert r_.cm_estimate == est
+        assert r_.never_under and est >= c
+        assert r_.overestimate == est - c
