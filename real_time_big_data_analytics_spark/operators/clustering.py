@@ -20,9 +20,10 @@ exact cross-paradigm check of an iterative distributed algorithm.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round2
 from ..sources.tables import load_table
 from .text import ngram_jaccard_pairs
 
@@ -266,4 +267,72 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str, threshold: float = 0.8) ->
     losers = ranked.filter(F.col("rk") > 1).select("doc_id")
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+PACK_BIN_TOKENS = 2048
+
+
+def training_mix_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 v2 — the domain-TARGETED corpus build, composing this
+    round's mixers end-to-end: near+exact dedup survivors → DSIR
+    importance gate (keep documents whose unigram log-likelihood
+    ratio toward the target slice is >= 0, i.e. at least as
+    target-like as the corpus average) → greedy sequence packing into
+    PACK_BIN_TOKENS-token bins per language → per-language mix
+    report (docs, bins, fill efficiency, token share). v1
+    (``training_pipeline``) builds a BALANCED corpus via stratified
+    rates; v2 builds a TARGETED one via learned importance weights —
+    the two mixing strategies a data team actually chooses between.
+
+    Execution phases mirror v1: the dedup survivor set runs eagerly
+    (iterative closure), then everything downstream — the DSIR score
+    join, the >= 0 gate, the per-lang packing cumsum, the final
+    aggregate — composes into one lazy plan. The DSIR gate compares
+    the 1e-6-rounded score, so the cut is engine-exact.
+    """
+    from .text import dsir_doc_scores
+
+    survivors = dedup_corpus(spark, sf_dir).select("doc_id")
+    scores = dsir_doc_scores(spark, sf_dir)
+    kept = scores.join(survivors, "doc_id", "left_semi").filter(
+        F.col("lr_doc") >= 0
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    sized = kept.join(docs, "doc_id")
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.withColumn(
+        "bin_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w_off), F.lit(0))
+            / F.lit(float(PACK_BIN_TOKENS))
+        ).cast("bigint"),
+    )
+    g = packed.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("bin_id").cast("bigint").alias("n_bins"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.avg("lr_doc").alias("avg_lr_raw"),
+    )
+    w_all = Window.partitionBy()
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_bins",
+        "total_tokens",
+        round2("avg_lr_raw", 6).alias("avg_lr"),
+        round2(
+            F.col("total_tokens")
+            / (F.col("n_bins") * F.lit(float(PACK_BIN_TOKENS))),
+            6,
+        ).alias("bin_fill"),
+        round2(
+            F.col("total_tokens") / F.sum("total_tokens").over(w_all), 6
+        ).alias("token_share"),
     )

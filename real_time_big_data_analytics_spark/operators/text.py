@@ -2427,7 +2427,7 @@ DSIR_TARGET_LANG = "en"
 DSIR_BUCKET = 0.05  # log-ratio histogram bucket width
 
 
-def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 — DSIR-style importance weights (Xie et al. 2023, public
     literature): per-document average unigram log-likelihood ratio
     between a TARGET slice's language model (docs with lang =
@@ -2488,6 +2488,13 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lr_doc")
         )
     )
+    return per_doc
+
+
+def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — the per-lang histogram view of ``dsir_doc_scores`` (see
+    that function for the model and determinism contract)."""
+    per_doc = dsir_doc_scores(spark, sf_dir)
     bucket = F.floor(F.col("lr_doc") / F.lit(DSIR_BUCKET)).cast("bigint")
     return per_doc.groupBy("lang", bucket.alias("lr_bucket")).agg(
         F.count("*").alias("n_docs"),

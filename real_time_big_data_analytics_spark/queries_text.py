@@ -2950,3 +2950,100 @@ register(
     """,
     tags=("dedup", "semantic", "tuning", "sweep"),
 )
+
+
+# v1's dedup-survivor CTEs + l4_importance_weights' DSIR CTEs + the
+# sequence-packing cumsum, composed; the >= 0 gate compares the same
+# rounded score on both engines
+register(
+    "l6_training_mix_v2",
+    clustering.training_mix_v2,
+    sql=f"""
+    WITH RECURSIVE np AS (
+      SELECT a_id, b_id FROM ({_NGRAM_PAIRS_SQL}) q
+    ), edges AS (
+      SELECT a_id AS s, b_id AS d FROM np
+      UNION
+      SELECT b_id, a_id FROM np
+    ), reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), nodes AS (
+      SELECT DISTINCT s AS node FROM edges
+    ), non_reps AS (
+      SELECT n.node AS doc_id
+      FROM nodes n JOIN reach r ON r.s = n.node
+      GROUP BY n.node
+      HAVING least(n.node, min(r.d)) <> n.node
+    ), exact AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ), survivors AS (
+      SELECT e.doc_id FROM exact e
+      WHERE e.doc_id NOT IN (SELECT doc_id FROM non_reps)
+    ), tok AS (
+      SELECT doc_id, lang, t FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ), tf AS (
+      SELECT doc_id, lang, t, count(*) AS tf FROM tok GROUP BY 1, 2, 3
+    ), cb AS (
+      SELECT t, count(*) AS cb FROM tok GROUP BY t
+    ), ct AS (
+      SELECT t, count(*) AS ct FROM tok
+      WHERE lang = '{text.DSIR_TARGET_LANG}' GROUP BY t
+    ), scal AS (
+      SELECT count(*) AS nb,
+             sum(CASE WHEN lang = '{text.DSIR_TARGET_LANG}'
+                      THEN 1 ELSE 0 END) AS nt,
+             count(DISTINCT t) AS v
+      FROM tok
+    ), lr_tab AS (
+      SELECT cb.t,
+             ln((coalesce(ct.ct, 0) + 1) * 1.0 / (scal.nt + scal.v))
+             - ln((cb.cb + 1) * 1.0 / (scal.nb + scal.v)) AS lr
+      FROM cb LEFT JOIN ct ON cb.t = ct.t CROSS JOIN scal
+    ), per_doc AS (
+      SELECT tf.doc_id, tf.lang,
+             round(sum(tf.tf * l.lr) / sum(tf.tf), 6) AS lr_doc
+      FROM tf JOIN lr_tab l ON tf.t = l.t
+      GROUP BY 1, 2
+    ), kept AS (
+      SELECT p.doc_id, p.lang, p.lr_doc
+      FROM per_doc p JOIN survivors s ON p.doc_id = s.doc_id
+      WHERE p.lr_doc >= 0
+    ), sized AS (
+      SELECT k.doc_id, k.lang, k.lr_doc,
+             len(string_split(d.text, ' ')) AS n_tokens
+      FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+    ), packed AS (
+      SELECT *,
+             CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / {float(clustering.PACK_BIN_TOKENS)}) AS BIGINT) AS bin_id
+      FROM sized
+    ), g AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             avg(lr_doc) AS avg_lr_raw
+      FROM packed GROUP BY lang
+    )
+    SELECT lang, n_docs, n_bins, total_tokens,
+           round(avg_lr_raw, 6) AS avg_lr,
+           round(total_tokens * 1.0
+                 / (n_bins * {float(clustering.PACK_BIN_TOKENS)}), 6)
+             AS bin_fill,
+           round(total_tokens * 1.0 / sum(total_tokens) OVER (), 6)
+             AS token_share
+    FROM g
+    """,
+    tags=("training-data", "pipeline", "dsir", "packing", "dedup"),
+)

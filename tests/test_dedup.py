@@ -372,3 +372,57 @@ def test_threshold_sweep_monotone_and_consistent(spark, sf_dir):
     if 0.8 in by_thr:
         assert by_thr[0.8] == direct
     assert rows and rows[0].n_pairs >= rows[0].n_docs // 2
+
+
+def test_training_mix_v2_matches_python_replay(spark, sf_dir):
+    """The targeted-mix pipeline must equal a python replay composed
+    from the engine's own survivor set and DSIR scores, and its
+    structural invariants must hold (fill <= 1, shares sum to 1,
+    only lr >= 0 docs kept)."""
+    from collections import defaultdict
+
+    from real_time_big_data_analytics_spark.operators import clustering
+    from real_time_big_data_analytics_spark.operators.text import (
+        dsir_doc_scores,
+    )
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = {r.lang: r for r in clustering.training_mix_v2(spark, sf_dir).collect()}
+    surv = {
+        r.doc_id for r in clustering.dedup_corpus(spark, sf_dir).collect()
+    }
+    scores = dsir_doc_scores(spark, sf_dir).collect()
+    ntok = {
+        r.doc_id: len(r.text.split(" "))
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    kept = sorted(
+        (r.lang, r.doc_id, r.lr_doc)
+        for r in scores
+        if r.doc_id in surv and r.lr_doc >= 0
+    )
+    by_lang = defaultdict(list)
+    for lang, did, lr in kept:
+        by_lang[lang].append((did, lr))
+    total_tokens = sum(ntok[d] for _, d, _ in kept)
+    B = clustering.PACK_BIN_TOKENS
+    assert set(rows) == set(by_lang)
+    for lang, docs in by_lang.items():
+        docs.sort()
+        toks = [ntok[d] for d, _ in docs]
+        offs, bins = 0, set()
+        for t in toks:
+            bins.add(offs // B)
+            offs += t
+        r = rows[lang]
+        assert r.n_docs == len(docs)
+        assert r.n_bins == len(bins)
+        assert r.total_tokens == sum(toks)
+        assert abs(r.avg_lr - sum(lr for _, lr in docs) / len(docs)) < 1e-5
+        assert abs(r.bin_fill - sum(toks) / (len(bins) * B)) < 1e-5
+        assert 0.0 < r.bin_fill <= 1.0 + 1e-9
+        assert abs(r.token_share - sum(toks) / total_tokens) < 1e-5
+        assert r.avg_lr >= 0
+    assert abs(sum(r.token_share for r in rows.values()) - 1.0) < 1e-4
