@@ -135,6 +135,9 @@ HEADLINE = [
     # AUC/LTV/anomaly/backtest ride already-benched shapes.
     "rec_copurchase_topk",
     "l4_importance_weights",
+    # the composed targeted-mix pipeline (dedup closure + DSIR gate +
+    # per-lang packing) — the v2 counterpart of l6_training_pipeline
+    "l6_training_mix_v2",
 ]
 
 

@@ -95,6 +95,8 @@ QUERIES = (
     "er_blocking_quality",         # dim-bound scorecard (facts don't touch it)
     "l3_lsh_plane_sweep",          # 3x corpus projection + sig-grain aggs
     "l2_semantic_threshold_sweep", # label-blocked cosine pairs + explode grid
+    "l6_training_mix_v2",          # dedup closure + DSIR gate + packing
+    "sketch_countmin_words",       # vocab-grain salted-cell sums
 )
 
 
