@@ -3047,3 +3047,97 @@ register(
     """,
     tags=("training-data", "pipeline", "dsir", "packing", "dedup"),
 )
+
+
+CORRUPT_EVERY = 50  # every 50th exported line is mangled
+
+
+def _stage_docs_jsonl_corrupt(spark, sf_dir) -> str:
+    """Idempotent JSONL staging with INJECTED corruption: every
+    CORRUPT_EVERY-th line (by doc_id) is truncated mid-record — the
+    malformed-input shape every real ingestion eventually meets."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from .operators.text import load_table
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"{sf_dir}|corrupt|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"rtba_corrupt_{tag}")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .orderBy("doc_id")
+            .collect()
+        )
+        with open(os.path.join(out_dir, "part-00000.jsonl"), "w") as f:
+            for r in rows:
+                line = _json.dumps(
+                    {"doc_id": r.doc_id, "lang": r.lang, "n_chars": r.n_chars}
+                )
+                if r.doc_id % CORRUPT_EVERY == 0:
+                    line = line[: len(line) // 2]  # truncated mid-record
+                f.write(line + "\n")
+        open(marker, "w").close()
+    return out_dir
+
+
+def _corrupt_record_audit(spark, sf_dir):
+    """S4 robustness — PERMISSIVE JSONL ingestion with corrupt-record
+    capture: a schema'd read where malformed lines land in
+    ``_corrupt_record`` instead of failing the job (the only sane
+    default at 100 TB — one bad upstream line must not kill a
+    million-file load). Output: per-lang good-row stats plus the
+    quarantined-line count under lang='_corrupt'; the oracle
+    recomputes both sides from the original table and the injection
+    rule, so a swallowed or double-counted bad line breaks the hash.
+
+    NOTE: the staging collect is the FIXTURE builder (bounded test
+    corpus written line-by-line to inject corruption), not the
+    operator's data path — the read under test is a plain schema'd
+    spark.read.json scan.
+    """
+    from pyspark.sql import functions as F
+
+    path = _stage_docs_jsonl_corrupt(spark, sf_dir)
+    df = spark.read.schema(
+        "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+    df = df.cache()  # one materialization serves both branches
+    good = df.filter(F.col("_corrupt_record").isNull()).groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).agg(
+        F.lit("_corrupt").alias("lang"),
+        F.count("*").alias("n_rows"),
+        F.lit(0).cast("bigint").alias("total_chars"),
+    )
+    return good.unionByName(bad)
+
+
+register(
+    "p_corrupt_record_audit",
+    _corrupt_record_audit,
+    sql=f"""
+    SELECT lang, count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % {CORRUPT_EVERY} <> 0
+    GROUP BY lang
+    UNION ALL
+    SELECT '_corrupt' AS lang,
+           count(*) AS n_rows,
+           CAST(0 AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % {CORRUPT_EVERY} = 0
+    """,
+    tags=("source", "robustness", "corrupt-record"),
+)

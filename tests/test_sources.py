@@ -249,3 +249,41 @@ def test_schema_evolution_merge_nulls_and_schema(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_corrupt_record_capture_quarantines_exact_lines(spark, sf_dir):
+    """PERMISSIVE ingestion must quarantine exactly the injected
+    lines (doc_id % CORRUPT_EVERY == 0), keep every other row intact,
+    and never silently drop a line."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.queries_text import (
+        CORRUPT_EVERY,
+        _stage_docs_jsonl_corrupt,
+    )
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    path = _stage_docs_jsonl_corrupt(spark, sf_dir)
+    df = spark.read.schema(
+        "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+    # Spark disallows querying ONLY the corrupt column from a raw
+    # scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # cache first, exactly like the operator does
+    df = df.cache()
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    n_bad_expected = docs.filter(F.col("doc_id") % CORRUPT_EVERY == 0).count()
+    assert df.count() == n_total  # nothing dropped
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == n_bad_expected
+    good_ids = {
+        r.doc_id for r in df.filter(F.col("_corrupt_record").isNull()).collect()
+    }
+    expect_good = {
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % CORRUPT_EVERY != 0).collect()
+    }
+    assert good_ids == expect_good
