@@ -3753,3 +3753,66 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             round2(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
         )
     )
+
+
+def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sf — Theil-T inequality index of per-customer revenue with the
+    EXACT within/between decomposition by market segment:
+    T = sum_i (x_i/X) ln(x_i / mu); T = T_between + sum_g s_g * T_g
+    where s_g is group g's revenue share and T_g its internal Theil.
+    The decomposability Gini lacks (`gini_topshare_revenue` reports
+    concentration; this says how much of it lives INSIDE segments vs
+    BETWEEN them) — the standard additive inequality audit.
+
+    Scale shape: one per-customer aggregate, one (segment) grouped
+    pass accumulating n_g / X_g / sum(x ln x)_g (all map-side
+    combinable; per-row ln runs in the scan), then all decomposition
+    arithmetic on the 5 segment rows via windows. The identity
+    T_within + T_between == T_total is emitted as columns and pinned
+    by test, not assumed.
+
+    Determinism: revenue is cents-rounded before ln; the ln sums are
+    the only float accumulation, absorbed by 1e-6 output rounding.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(round2(F.sum("o_totalprice"), 2).alias("x"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), "x")
+    )
+    g = per.groupBy("segment").agg(
+        F.count("*").alias("n_g"),
+        F.sum("x").alias("x_g"),
+        F.sum(F.col("x") * F.log("x")).alias("sxlx_g"),
+    )
+    w = Window.partitionBy()
+    t = (
+        g.withColumn("n", F.sum("n_g").over(w))
+        .withColumn("X", F.sum("x_g").over(w))
+    )
+    mu = F.col("X") / F.col("n")
+    mu_g = F.col("x_g") / F.col("n_g")
+    # T_g = (1/x_g) * sum(x ln x)_g - ln(mu_g)
+    t_g = F.col("sxlx_g") / F.col("x_g") - F.log(mu_g)
+    s_g = F.col("x_g") / F.col("X")
+    between_term = s_g * F.log(mu_g / mu)
+    scored = t.withColumn("t_g_raw", t_g).withColumn(
+        "within_term_raw", s_g * t_g
+    ).withColumn("between_term_raw", between_term)
+    return scored.select(
+        "segment",
+        F.col("n_g").cast("bigint").alias("n_customers"),
+        round2(s_g, 6).alias("revenue_share"),
+        round2("t_g_raw", 6).alias("theil_within_group"),
+        round2("within_term_raw", 6).alias("within_contribution"),
+        round2("between_term_raw", 6).alias("between_contribution"),
+        round2(F.sum("within_term_raw").over(w), 6).alias("t_within"),
+        round2(F.sum("between_term_raw").over(w), 6).alias("t_between"),
+        round2(
+            F.sum("within_term_raw").over(w)
+            + F.sum("between_term_raw").over(w),
+            6,
+        ).alias("t_total"),
+    )

@@ -3513,3 +3513,40 @@ register(
     sql=_cm_sql(),
     tags=("sketch", "count-min", "frequency"),
 )
+
+
+register(
+    "sf_theil_decomposition",
+    relational.theil_decomposition,
+    sql="""
+    WITH per AS (
+      SELECT c_mktsegment AS segment, round(sum(o_totalprice), 2) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_custkey
+    ), g AS (
+      SELECT segment, count(*) AS n_g, sum(x) AS x_g,
+             sum(x * ln(x)) AS sxlx_g
+      FROM per GROUP BY segment
+    ), t AS (
+      SELECT *, sum(n_g) OVER () AS n, sum(x_g) OVER () AS X FROM g
+    ), s AS (
+      SELECT *,
+             x_g / X AS s_g,
+             sxlx_g / x_g - ln(x_g / n_g) AS t_g,
+             (x_g / X) * ln((x_g / n_g) / (X / n)) AS between_term
+      FROM t
+    )
+    SELECT segment,
+           CAST(n_g AS BIGINT) AS n_customers,
+           round(s_g, 6) AS revenue_share,
+           round(t_g, 6) AS theil_within_group,
+           round(s_g * t_g, 6) AS within_contribution,
+           round(between_term, 6) AS between_contribution,
+           round(sum(s_g * t_g) OVER (), 6) AS t_within,
+           round(sum(between_term) OVER (), 6) AS t_between,
+           round(sum(s_g * t_g) OVER () + sum(between_term) OVER (), 6)
+             AS t_total
+    FROM s
+    """,
+    tags=("statistics", "theil", "inequality", "decomposition"),
+)

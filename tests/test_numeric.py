@@ -1145,3 +1145,49 @@ def test_dau_mau_stickiness_matches_pandas_replay(spark, sf_dir):
         assert (r.dau, r.mau) == (dau, mau)
         assert abs(r.stickiness - dau / mau) < 1e-5
         assert 0.0 < r.stickiness <= 1.0
+
+
+def test_theil_decomposition_identity_and_replay(spark, sf_dir):
+    """Theil contributions must equal a numpy replay and the additive
+    identity must hold: T_within + T_between == direct total Theil."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = {
+        r.segment: r
+        for r in relational.theil_decomposition(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).toPandas()
+    per = (
+        orders.groupby("o_custkey").o_totalprice.sum().round(2).rename("x")
+    ).reset_index().merge(cust, left_on="o_custkey", right_on="c_custkey")
+    x = per.x.to_numpy()
+    X, n = x.sum(), len(x)
+    mu = X / n
+    t_total_direct = float(np.sum((x / X) * np.log(x / mu)))
+    t_w = t_b = 0.0
+    for seg, grp in per.groupby("c_mktsegment"):
+        xg = grp.x.to_numpy()
+        mug = xg.mean()
+        tg = float(np.sum((xg / xg.sum()) * np.log(xg / mug)))
+        sg = xg.sum() / X
+        r = rows[seg]
+        assert r.n_customers == len(xg)
+        assert abs(r.revenue_share - sg) < 1e-5
+        assert abs(r.theil_within_group - tg) < 1e-5
+        assert abs(r.within_contribution - sg * tg) < 1e-5
+        assert abs(r.between_contribution - sg * np.log(mug / mu)) < 1e-5
+        t_w += sg * tg
+        t_b += sg * np.log(mug / mu)
+    any_r = next(iter(rows.values()))
+    assert abs(any_r.t_within - t_w) < 1e-5
+    assert abs(any_r.t_between - t_b) < 1e-5
+    assert abs(any_r.t_total - t_total_direct) < 1e-5  # additivity
+    assert any_r.t_total >= 0
