@@ -3816,3 +3816,119 @@ def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_total"),
     )
+
+
+BF_BUCKET = 100.0  # per-group value-grain prefix-sum bucket width
+
+
+def brown_forsythe_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sf — Brown-Forsythe test for equality of variances of the
+    event value across event types: one-way ANOVA on the absolute
+    deviations from each group's MEDIAN (the robust Levene variant —
+    a mean-centered Levene is wrecked by the same outliers it is
+    meant to detect). The missing prerequisite check for the
+    equal-variance assumptions other tests quietly make; pairs with
+    ``welch_ttest_value`` (which avoids the assumption) and
+    ``robust_outlier_stats``.
+
+    Group medians are the LOWER median (k = ceil(n/2)-th smallest —
+    a documented choice, replayed identically by the twin) computed
+    by the per-group two-phase bucketed prefix sum — windows
+    partitioned by (group, bucket), so every group ranks in parallel
+    and nothing is single-partition. The W statistic's moments are
+    two grouped aggregates over the deviations.
+
+    p-value: with df2 in the tens of thousands, df1*W -> chi2(df1);
+    for even df1 the chi-square survival has the closed form
+    exp(-y/2) * sum_{{j<df1/2}} (y/2)^j / j!, evaluated identically
+    on both engines (df1 = groups-1 = 4 here). The approximation
+    (not an erfc polynomial) is part of the operator contract.
+
+    Determinism: values cents-rounded before the value grain; medians
+    and counts exact integers/cents; the deviation moments are the
+    only float sums, absorbed by 1e-6 rounding.
+    """
+    events = load_table(spark, sf_dir, "events")
+    x = events.select(
+        F.col("event_type").alias("g"), round2("value", 2).alias("v")
+    )
+    per_value = x.groupBy("g", "v").agg(F.count("*").alias("cnt"))
+    pv = per_value.withColumn("bu", F.floor(F.col("v") / BF_BUCKET))
+    w_local = Window.partitionBy("g", "bu").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = pv.select(
+        "g",
+        "bu",
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_local), F.lit(0)).alias("lc"),
+    )
+    w_prior = Window.partitionBy("g").orderBy("bu").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        pv.groupBy("g", "bu")
+        .agg(F.sum("cnt").alias("bn"))
+        .select(
+            "g",
+            "bu",
+            F.coalesce(F.sum("bn").over(w_prior), F.lit(0)).alias("oc"),
+        )
+    )
+    cum = local.join(offsets, ["g", "bu"]).select(
+        "g", "v", "cnt", (F.col("lc") + F.col("oc")).alias("cn_excl")
+    )
+    sizes = per_value.groupBy("g").agg(F.sum("cnt").alias("n_g"))
+    med = (
+        cum.join(F.broadcast(sizes), "g")
+        .withColumn("k", F.ceil(F.col("n_g") / 2).cast("bigint"))
+        .filter(
+            (F.col("cn_excl") < F.col("k"))
+            & (F.col("cn_excl") + F.col("cnt") >= F.col("k"))
+        )
+        .select("g", F.col("v").alias("med"))
+    )
+    z = x.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    gm = z.groupBy("g").agg(
+        F.count("*").alias("n_g"),
+        F.avg("z").alias("zbar_g"),
+        F.sum(F.col("z") * F.col("z")).alias("szz_g"),
+    )
+    w = Window.partitionBy()
+    t = (
+        gm.withColumn("N", F.sum("n_g").over(w))
+        .withColumn("k_groups", F.count("*").over(w))
+        .withColumn(
+            "zbar",
+            F.sum(F.col("zbar_g") * F.col("n_g")).over(w) / F.col("N"),
+        )
+    )
+    between = F.sum(
+        F.col("n_g") * (F.col("zbar_g") - F.col("zbar")) ** 2
+    ).over(w)
+    within = F.sum(
+        F.col("szz_g") - F.col("n_g") * F.col("zbar_g") ** 2
+    ).over(w)
+    W = (
+        (F.col("N") - F.col("k_groups"))
+        / (F.col("k_groups") - 1)
+        * between
+        / within
+    )
+    scored = t.withColumn("W_raw", W).withColumn(
+        "y", (F.col("k_groups") - 1) * F.col("W_raw")
+    )
+    # chi2(4) survival: exp(-y/2) * (1 + y/2)  [df1 = 4 for 5 groups]
+    p = F.exp(-F.col("y") / 2) * (1 + F.col("y") / 2)
+    return scored.select(
+        F.col("g").alias("event_type"),
+        F.col("n_g").cast("bigint").alias("n"),
+        round2("zbar_g", 6).alias("mean_abs_dev"),
+        round2("W_raw", 6).alias("bf_statistic"),
+        (F.col("k_groups") - 1).cast("bigint").alias("df1"),
+        (F.col("N") - F.col("k_groups")).cast("bigint").alias("df2"),
+        round2(p, 6).alias("p_approx"),
+    )

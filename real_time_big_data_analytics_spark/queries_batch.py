@@ -3550,3 +3550,51 @@ register(
     """,
     tags=("statistics", "theil", "inequality", "decomposition"),
 )
+
+
+# identical lower-median, identical deviation moments, and the same
+# closed-form chi2(4) survival for the large-df2 approximation
+register(
+    "sf_brown_forsythe_value",
+    relational.brown_forsythe_value,
+    sql=f"""
+    WITH x AS (
+      SELECT event_type AS g, round(value, 2) AS v FROM events
+    ), ranked AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY g) AS n_g
+      FROM x
+    ), med AS (
+      SELECT g, v AS med FROM ranked
+      WHERE rn = CAST(ceil(n_g / 2.0) AS BIGINT)
+    ), z AS (
+      SELECT x.g, abs(x.v - med.med) AS z
+      FROM x JOIN med ON x.g = med.g
+    ), gm AS (
+      SELECT g, count(*) AS n_g, avg(z) AS zbar_g, sum(z * z) AS szz_g
+      FROM z GROUP BY g
+    ), t AS (
+      SELECT *,
+             sum(n_g) OVER () AS N,
+             count(*) OVER () AS k_groups,
+             sum(zbar_g * n_g) OVER () / sum(n_g) OVER () AS zbar
+      FROM gm
+    ), s AS (
+      SELECT *,
+             (N - k_groups) * 1.0 / (k_groups - 1)
+               * sum(n_g * pow(zbar_g - zbar, 2)) OVER ()
+               / sum(szz_g - n_g * zbar_g * zbar_g) OVER () AS W_raw
+      FROM t
+    )
+    SELECT g AS event_type, CAST(n_g AS BIGINT) AS n,
+           round(zbar_g, 6) AS mean_abs_dev,
+           round(W_raw, 6) AS bf_statistic,
+           CAST(k_groups - 1 AS BIGINT) AS df1,
+           CAST(N - k_groups AS BIGINT) AS df2,
+           round(exp(-((k_groups - 1) * W_raw) / 2)
+                 * (1 + ((k_groups - 1) * W_raw) / 2), 6) AS p_approx
+    FROM s
+    """,
+    tags=("statistics", "variance-test", "brown-forsythe", "prefix-sum"),
+)

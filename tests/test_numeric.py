@@ -1191,3 +1191,45 @@ def test_theil_decomposition_identity_and_replay(spark, sf_dir):
     assert abs(any_r.t_between - t_b) < 1e-5
     assert abs(any_r.t_total - t_total_direct) < 1e-5  # additivity
     assert any_r.t_total >= 0
+
+
+def test_brown_forsythe_matches_scipy_free_replay(spark, sf_dir):
+    """The W statistic must equal a numpy replay of the median-based
+    Levene ANOVA (same lower-median convention), and the chi-square
+    approximation must satisfy its closed form."""
+    import math
+
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = {
+        r.event_type: r
+        for r in relational.brown_forsythe_value(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).toPandas()
+    ev["v"] = ev.value.round(2)
+    groups = {}
+    for g, grp in ev.groupby("event_type"):
+        xs = np.sort(grp.v.to_numpy())
+        med = xs[math.ceil(len(xs) / 2) - 1]  # lower median
+        groups[g] = np.abs(grp.v.to_numpy() - med)
+    N = sum(len(z) for z in groups.values())
+    k = len(groups)
+    zbar = sum(z.sum() for z in groups.values()) / N
+    between = sum(len(z) * (z.mean() - zbar) ** 2 for z in groups.values())
+    within = sum(((z - z.mean()) ** 2).sum() for z in groups.values())
+    W = (N - k) / (k - 1) * between / within
+    y = (k - 1) * W
+    p = math.exp(-y / 2) * (1 + y / 2)
+    for g, z in groups.items():
+        r = rows[g]
+        assert r.n == len(z)
+        assert abs(r.mean_abs_dev - z.mean()) < 1e-5
+        assert abs(r.bf_statistic - W) < 1e-4
+        assert (r.df1, r.df2) == (k - 1, N - k)
+        assert abs(r.p_approx - p) < 1e-5
+        assert 0.0 <= r.p_approx <= 1.0
