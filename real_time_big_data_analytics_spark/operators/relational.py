@@ -3932,3 +3932,46 @@ def brown_forsythe_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("N") - F.col("k_groups")).cast("bigint").alias("df2"),
         round2(p, 6).alias("p_approx"),
     )
+
+
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wf — daily actives split into NEW (first-ever activity that
+    day) vs RETURNING, plus the running total of acquired users — the
+    growth-accounting view (every DAU change decomposes into
+    acquisition vs retention, which this makes visible). Completes
+    the engagement family: stickiness (`wf_dau_mau_stickiness`) says
+    how often the base shows up, this says where the base comes from.
+
+    Scale shape: one user-grain min-aggregate (first day), broadcast
+    back onto the distinct (user, day) frame for the new/returning
+    tag, then a day-grain aggregate; the cumulative acquired count is
+    a window over calendar-bounded day rows.
+
+    Determinism: pure integer counting on exact calendar arithmetic;
+    the share is the only float, rounded 1e-6.
+    """
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    tagged = days.join(F.broadcast(first), "user_id").select(
+        "day", (F.col("day") == F.col("first_day")).alias("is_new")
+    )
+    g = tagged.groupBy("day").agg(
+        F.sum(F.col("is_new").cast("bigint")).alias("new_users"),
+        F.sum((~F.col("is_new")).cast("bigint")).alias("returning_users"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "new_users",
+        "returning_users",
+        (F.col("new_users") + F.col("returning_users")).alias("dau"),
+        F.sum("new_users").over(w_cum).cast("bigint").alias("acquired_to_date"),
+        round2(
+            F.col("new_users")
+            / (F.col("new_users") + F.col("returning_users")),
+            6,
+        ).alias("new_share"),
+    )

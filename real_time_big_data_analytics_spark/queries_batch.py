@@ -3598,3 +3598,36 @@ register(
     """,
     tags=("statistics", "variance-test", "brown-forsythe", "prefix-sum"),
 )
+
+
+register(
+    "wf_new_vs_returning",
+    relational.new_vs_returning,
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), first AS (
+      SELECT user_id, min(day) AS first_day FROM days GROUP BY 1
+    ), tagged AS (
+      SELECT d.day, d.day = f.first_day AS is_new
+      FROM days d JOIN first f ON d.user_id = f.user_id
+    ), g AS (
+      SELECT day,
+             CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+             CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+               AS returning_users
+      FROM tagged GROUP BY day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, new_users, returning_users,
+           new_users + returning_users AS dau,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS acquired_to_date,
+           round(new_users * 1.0 / (new_users + returning_users), 6)
+             AS new_share
+    FROM g
+    """,
+    tags=("window", "engagement", "growth-accounting"),
+)

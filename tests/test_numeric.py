@@ -1233,3 +1233,31 @@ def test_brown_forsythe_matches_scipy_free_replay(spark, sf_dir):
         assert (r.df1, r.df2) == (k - 1, N - k)
         assert abs(r.p_approx - p) < 1e-5
         assert 0.0 <= r.p_approx <= 1.0
+
+
+def test_new_vs_returning_matches_pandas_replay(spark, sf_dir):
+    """Daily new/returning splits must equal a pandas replay; total
+    acquired must converge to the distinct user count."""
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = sorted(
+        relational.new_vs_returning(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").toPandas()
+    ev["day"] = ev.ts.dt.floor("D")
+    pairs = ev[["user_id", "day"]].drop_duplicates()
+    first = pairs.groupby("user_id").day.min()
+    acquired = 0
+    for r in rows:
+        d = r.day
+        dg = pairs[pairs.day == d]
+        new = sum(first[u] == d for u in dg.user_id)
+        assert r.new_users == new
+        assert r.returning_users == len(dg) - new
+        assert r.dau == len(dg)
+        acquired += new
+        assert r.acquired_to_date == acquired
+        assert abs(r.new_share - new / len(dg)) < 1e-5
+    assert rows[-1].acquired_to_date == pairs.user_id.nunique()
