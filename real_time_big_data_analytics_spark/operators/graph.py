@@ -535,3 +535,51 @@ def trade_harmonic_centrality(
             ).alias("harmonic_normalized"),
         )
     )
+
+
+def trade_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the strong-trade graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over all directed
+    edges. Positive = hubs trade with hubs (rich-club), negative =
+    hub-and-spoke. The one-number structural summary that tells you
+    which sparsification/partitioning strategy a graph workload
+    needs — the eighth graph statistic, complementing centrality
+    (where a node sits) and cores (how deep).
+
+    Execution shape: degrees are one aggregate over the checkpointed
+    strong-pair list; the correlation's five moments are ONE pass
+    over the degree-joined edge list — all metadata-scale after the
+    fact table collapses to edges. Returns one row with the
+    coefficient and its moments (so the twin pins the arithmetic,
+    not just the headline number).
+
+    Determinism: degrees are exact integers; the correlation is one
+    float expression of integer moments, rounded 1e-6.
+    """
+    kept = _strong_trade_pairs(spark, sf_dir)
+    edges = kept.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        kept.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = edges.groupBy("x").agg(F.count("*").alias("d"))
+    de = (
+        edges.join(deg.select(F.col("x"), F.col("d").alias("dx")), "x")
+        .join(
+            deg.select(F.col("x").alias("y"), F.col("d").alias("dy")), "y"
+        )
+    )
+    m = de.agg(
+        F.count("*").alias("m"),
+        F.avg("dx").alias("mx"),
+        F.avg("dy").alias("my"),
+        F.avg(F.col("dx") * F.col("dy")).alias("mxy"),
+        F.avg(F.col("dx") * F.col("dx")).alias("mxx"),
+        F.avg(F.col("dy") * F.col("dy")).alias("myy"),
+    )
+    r = (F.col("mxy") - F.col("mx") * F.col("my")) / F.sqrt(
+        (F.col("mxx") - F.col("mx") ** 2) * (F.col("myy") - F.col("my") ** 2)
+    )
+    return m.select(
+        F.col("m").cast("bigint").alias("n_directed_edges"),
+        round2("mx", 6).alias("mean_deg"),
+        round2(r, 6).alias("assortativity"),
+    )

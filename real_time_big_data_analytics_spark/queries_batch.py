@@ -3631,3 +3631,43 @@ register(
     """,
     tags=("window", "engagement", "growth-accounting"),
 )
+
+
+register(
+    "graph_trade_assortativity",
+    graph.trade_assortativity,
+    sql="""
+    WITH pairs AS (
+      SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+             greatest(c.c_nationkey, s.s_nationkey) AS b,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ), kept AS (
+      SELECT a, b FROM pairs WHERE w > (SELECT median(w) FROM pairs)
+    ), e AS (
+      SELECT a AS x, b AS y FROM kept UNION ALL SELECT b, a FROM kept
+    ), deg AS (
+      SELECT x, count(*) AS d FROM e GROUP BY x
+    ), de AS (
+      SELECT dx.d AS dx, dy.d AS dy
+      FROM e JOIN deg dx ON e.x = dx.x JOIN deg dy ON e.y = dy.x
+    ), m AS (
+      SELECT count(*) AS m, avg(dx) AS mx, avg(dy) AS my,
+             avg(dx * dy) AS mxy, avg(dx * dx) AS mxx, avg(dy * dy) AS myy
+      FROM de
+    )
+    SELECT CAST(m AS BIGINT) AS n_directed_edges,
+           round(mx, 6) AS mean_deg,
+           round((mxy - mx * my)
+                 / sqrt((mxx - mx * mx) * (myy - my * my)), 6)
+             AS assortativity
+    FROM m
+    """,
+    tags=("graph", "assortativity", "structure"),
+)

@@ -230,3 +230,34 @@ def test_harmonic_centrality_matches_python_bfs(spark, sf_dir):
         assert abs(r.harmonic - h) < 1e-5
         assert abs(r.harmonic_normalized - h / (n - 1)) < 1e-5
         assert 0.0 <= r.harmonic_normalized <= 1.0
+
+
+def test_assortativity_matches_python_replay(spark, sf_dir):
+    """The coefficient must equal a direct python Pearson over the
+    same edge-endpoint degree pairs, bounded in [-1, 1], and symmetric
+    (the directed expansion makes mx == my exactly)."""
+    from collections import Counter
+
+    from real_time_big_data_analytics_spark.operators import graph
+
+    r = graph.trade_assortativity(spark, sf_dir).first()
+    kept = [(p.a, p.b) for p in graph._strong_trade_pairs(spark, sf_dir).collect()]
+    deg = Counter()
+    for a, b in kept:
+        deg[a] += 1
+        deg[b] += 1
+    pairs = [(deg[a], deg[b]) for a, b in kept] + [
+        (deg[b], deg[a]) for a, b in kept
+    ]
+    m = len(pairs)
+    mx = sum(x for x, _ in pairs) / m
+    my = sum(y for _, y in pairs) / m
+    mxy = sum(x * y for x, y in pairs) / m
+    mxx = sum(x * x for x, _ in pairs) / m
+    myy = sum(y * y for _, y in pairs) / m
+    rho = (mxy - mx * my) / ((mxx - mx**2) * (myy - my**2)) ** 0.5
+    assert r.n_directed_edges == m
+    assert abs(r.mean_deg - mx) < 1e-5
+    assert abs(r.assortativity - rho) < 1e-5
+    assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+    assert abs(mx - my) < 1e-12  # symmetric by construction
