@@ -3975,3 +3975,59 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("new_share"),
     )
+
+
+PGRAM_PERIODS = (5, 7, 10)  # candidate cycle lengths in days
+PGRAM_TWO_PI = 6.283185307179586  # 2*pi as an exact shared double
+
+
+def periodogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts — single-frequency periodogram (Goertzel/Schuster) of the
+    daily event value at candidate periods: for each period P,
+    I(P) = (C^2 + S^2) / n with C = sum xc_t cos(2 pi t / P),
+    S = sum xc_t sin(2 pi t / P) over the mean-centered daily series,
+    plus each period's share of total variance. The frequency-domain
+    confirmation of what ``seasonal_decompose_dow`` assumes: the
+    7-day line should dominate its neighbors — if a 5- or 10-day
+    cycle ever rivals it, the weekly seasonal model is wrong.
+
+    Scale shape: the fact scan collapses to one row per day before
+    any trigonometry; the period grid is an explode PROJECTION on the
+    calendar-bounded daily frame (3x rows); per-period C/S/variance
+    are one grouped aggregate. 2*pi is a shared literal double so
+    both engines evaluate identical cos/sin arguments.
+
+    Determinism: the day index and candidate periods are integers;
+    cos/sin come from the same libm on identical doubles; the <=days
+    -term sums are absorbed by 1e-4 output rounding.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(round2(F.sum("value"), 2).alias("x"))
+    w_all = Window.partitionBy()
+    w_rn = Window.orderBy("day")
+    centered = daily.withColumn(
+        "t", (F.row_number().over(w_rn) - 1).cast("double")
+    ).withColumn("xc", F.col("x") - F.avg("x").over(w_all))
+    grid = centered.select(
+        "t",
+        "xc",
+        F.explode(
+            F.array(*[F.lit(p) for p in PGRAM_PERIODS])
+        ).alias("period"),
+    )
+    ang = F.lit(PGRAM_TWO_PI) * F.col("t") / F.col("period")
+    g = grid.groupBy("period").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("xc") * F.cos(ang)).alias("c"),
+        F.sum(F.col("xc") * F.sin(ang)).alias("s"),
+        F.sum(F.col("xc") * F.col("xc")).alias("ss"),
+    )
+    power = (F.col("c") ** 2 + F.col("s") ** 2) / F.col("n")
+    return g.select(
+        F.col("period").cast("bigint").alias("period"),
+        F.col("n").cast("bigint").alias("n_days"),
+        round2(power, 4).alias("power"),
+        round2(power / F.col("ss"), 6).alias("variance_share"),
+    )

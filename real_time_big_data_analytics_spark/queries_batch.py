@@ -3671,3 +3671,37 @@ register(
     """,
     tags=("graph", "assortativity", "structure"),
 )
+
+
+# identical 2*pi literal, identical 0-based day index; the period grid
+# is an unnest projection over the daily frame
+register(
+    "ts_periodogram_power",
+    relational.periodogram_power,
+    sql=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS x
+      FROM events GROUP BY 1
+    ), centered AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS DOUBLE) AS t,
+             x - avg(x) OVER () AS xc
+      FROM daily
+    ), grid AS (
+      SELECT t, xc, unnest(ARRAY{list(relational.PGRAM_PERIODS)}) AS period
+      FROM centered
+    ), g AS (
+      SELECT period, count(*) AS n,
+             sum(xc * cos({relational.PGRAM_TWO_PI} * t / period)) AS c,
+             sum(xc * sin({relational.PGRAM_TWO_PI} * t / period)) AS s,
+             sum(xc * xc) AS ss
+      FROM grid GROUP BY period
+    )
+    SELECT CAST(period AS BIGINT) AS period,
+           CAST(n AS BIGINT) AS n_days,
+           round((c * c + s * s) / n, 4) AS power,
+           round(((c * c + s * s) / n) / ss, 6) AS variance_share
+    FROM g
+    """,
+    tags=("timeseries", "periodogram", "frequency-domain"),
+)
