@@ -4031,3 +4031,51 @@ def periodogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(power, 4).alias("power"),
         round2(power / F.col("ss"), 6).alias("variance_share"),
     )
+
+
+def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq — Shannon entropy profile of the categorical order/customer
+    columns: per column, distinct count, entropy (nats) and the
+    normalized H/ln(k) in [0,1]. The distribution-shape companion to
+    ``dq_table_profile``'s null/distinct counts: near-0 normalized
+    entropy means a column is effectively constant (a candidate for
+    partition pruning or removal), near-1 means uniform (a good
+    shuffle key, a bad filter). The profiler an auto-layout advisor
+    reads first.
+
+    Scale shape: one grouped count per column (map-side combinable,
+    same Expand trick as the table profile), entropy arithmetic on
+    the value-grain rows — vocab-bounded per categorical column.
+
+    Determinism: counts exact; H is a sum of k closed-form terms of
+    integer ratios, rounded 1e-6.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cols = [
+        ("o_orderstatus", orders.select(F.col("o_orderstatus").alias("v"))),
+        ("o_orderpriority", orders.select(F.col("o_orderpriority").alias("v"))),
+        ("c_mktsegment", cust.select(F.col("c_mktsegment").alias("v"))),
+        ("c_nationkey", cust.select(F.col("c_nationkey").cast("string").alias("v"))),
+    ]
+    out = None
+    for name, df in cols:
+        g = df.groupBy("v").agg(F.count("*").alias("c"))
+        w = Window.partitionBy()
+        h = g.withColumn("n", F.sum("c").over(w)).agg(
+            F.lit(name).alias("column_name"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            (-F.sum(
+                (F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))
+            )).alias("h_raw"),
+        )
+        part = h.select(
+            "column_name",
+            "n_distinct",
+            round2("h_raw", 6).alias("entropy_nats"),
+            round2(
+                F.col("h_raw") / F.log(F.col("n_distinct").cast("double")), 6
+            ).alias("entropy_normalized"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -3705,3 +3705,33 @@ register(
     """,
     tags=("timeseries", "periodogram", "frequency-domain"),
 )
+
+
+def _entropy_col_sql(name: str, table: str, expr: str) -> str:
+    return f"""
+    SELECT '{name}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy_nats,
+           round(-sum((c * 1.0 / n) * ln(c * 1.0 / n))
+                 / ln(count(*) * 1.0), 6) AS entropy_normalized
+    FROM (
+      SELECT v, count(*) AS c, sum(count(*)) OVER () AS n
+      FROM (SELECT {expr} AS v FROM {table}) GROUP BY v
+    )"""
+
+
+register(
+    "dq_column_entropy_profile",
+    relational.column_entropy_profile,
+    sql=" UNION ALL ".join(
+        [
+            _entropy_col_sql("o_orderstatus", "orders", "o_orderstatus"),
+            _entropy_col_sql("o_orderpriority", "orders", "o_orderpriority"),
+            _entropy_col_sql("c_mktsegment", "customer", "c_mktsegment"),
+            _entropy_col_sql(
+                "c_nationkey", "customer", "CAST(c_nationkey AS VARCHAR)"
+            ),
+        ]
+    ),
+    tags=("data-quality", "entropy", "profiling"),
+)

@@ -337,3 +337,36 @@ def test_delta_attribution_decomposition_is_exact(spark, sf_dir):
         assert abs((r.volume_effect + r.rate_effect) - r.delta) < 0.03
         assert abs(r.share_of_total_delta - (r2 - r1) / total_delta) < 1e-4
     assert abs(sum(r.share_of_total_delta for r in rows) - 1.0) < 1e-4
+
+
+def test_column_entropy_profile_matches_python_replay(spark, sf_dir):
+    """Entropy values must equal a python replay; normalized entropy
+    must sit in [0, 1] with the uniformity ordering sensible."""
+    import math
+    from collections import Counter
+
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = {
+        r.column_name: r
+        for r in relational.column_entropy_profile(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").toPandas()
+    cust = load_table(spark, sf_dir, "customer").toPandas()
+    series = {
+        "o_orderstatus": orders.o_orderstatus,
+        "o_orderpriority": orders.o_orderpriority,
+        "c_mktsegment": cust.c_mktsegment,
+        "c_nationkey": cust.c_nationkey.astype(str),
+    }
+    assert set(rows) == set(series)
+    for name, s in series.items():
+        counts = Counter(s)
+        n = sum(counts.values())
+        h = -sum((c / n) * math.log(c / n) for c in counts.values())
+        r = rows[name]
+        assert r.n_distinct == len(counts)
+        assert abs(r.entropy_nats - h) < 1e-5
+        assert abs(r.entropy_normalized - h / math.log(len(counts))) < 1e-5
+        assert 0.0 <= r.entropy_normalized <= 1.0 + 1e-9
