@@ -4079,3 +4079,78 @@ def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def event_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq — event-ordering integrity: per user, does the lifecycle
+    respect causality (no purchase before the first signup, no click
+    before the first view)? Emits per-violation-type user counts and
+    rates. The logical-consistency audit next to the structural ones
+    (`dq_referential_integrity` checks keys; this checks TIME) — at
+    100 TB ordering violations usually mean clock skew or a replayed
+    partition, caught here before they poison sessionization and
+    attribution.
+
+    Scale shape: one user-grain aggregate computing all first-event
+    timestamps in a single pass (conditional mins), then counting
+    comparisons — no joins, no windows over events.
+
+    Determinism: pure timestamp comparisons and integer counts; the
+    rate is the only float, rounded 1e-6.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+    )
+    checks = [
+        (
+            "purchase_before_signup",
+            F.col("first_purchase").isNotNull()
+            & F.col("first_signup").isNotNull()
+            & (F.col("first_purchase") < F.col("first_signup")),
+            F.col("first_purchase").isNotNull()
+            & F.col("first_signup").isNotNull(),
+        ),
+        (
+            "click_before_view",
+            F.col("first_click").isNotNull()
+            & F.col("first_view").isNotNull()
+            & (F.col("first_click") < F.col("first_view")),
+            F.col("first_click").isNotNull() & F.col("first_view").isNotNull(),
+        ),
+        (
+            "purchase_without_any_signup",
+            F.col("first_purchase").isNotNull()
+            & F.col("first_signup").isNull(),
+            F.col("first_purchase").isNotNull(),
+        ),
+    ]
+    out = None
+    for name, viol, applicable in checks:
+        part = per.agg(
+            F.lit(name).alias("check"),
+            F.sum(applicable.cast("bigint")).alias("n_applicable"),
+            F.sum(viol.cast("bigint")).alias("n_violations"),
+        ).select(
+            "check",
+            "n_applicable",
+            "n_violations",
+            round2(
+                F.col("n_violations")
+                / F.greatest(F.col("n_applicable"), F.lit(1)),
+                6,
+            ).alias("violation_rate"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -3735,3 +3735,52 @@ register(
     ),
     tags=("data-quality", "entropy", "profiling"),
 )
+
+
+register(
+    "dq_event_order_audit",
+    relational.event_order_audit,
+    sql="""
+    WITH per AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS fs,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS fc
+      FROM events GROUP BY user_id
+    )
+    SELECT 'purchase_before_signup' AS check,
+           CAST(sum(CASE WHEN fp IS NOT NULL AND fs IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_applicable,
+           CAST(sum(CASE WHEN fp IS NOT NULL AND fs IS NOT NULL AND fp < fs
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           round(sum(CASE WHEN fp IS NOT NULL AND fs IS NOT NULL AND fp < fs
+                          THEN 1 ELSE 0 END) * 1.0
+                 / greatest(sum(CASE WHEN fp IS NOT NULL AND fs IS NOT NULL
+                                     THEN 1 ELSE 0 END), 1), 6)
+             AS violation_rate
+    FROM per
+    UNION ALL
+    SELECT 'click_before_view',
+           CAST(sum(CASE WHEN fc IS NOT NULL AND fv IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN fc IS NOT NULL AND fv IS NOT NULL AND fc < fv
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN fc IS NOT NULL AND fv IS NOT NULL AND fc < fv
+                          THEN 1 ELSE 0 END) * 1.0
+                 / greatest(sum(CASE WHEN fc IS NOT NULL AND fv IS NOT NULL
+                                     THEN 1 ELSE 0 END), 1), 6)
+    FROM per
+    UNION ALL
+    SELECT 'purchase_without_any_signup',
+           CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN fp IS NOT NULL AND fs IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN fp IS NOT NULL AND fs IS NULL
+                          THEN 1 ELSE 0 END) * 1.0
+                 / greatest(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END),
+                            1), 6)
+    FROM per
+    """,
+    tags=("data-quality", "integrity", "event-ordering"),
+)

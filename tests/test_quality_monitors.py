@@ -370,3 +370,43 @@ def test_column_entropy_profile_matches_python_replay(spark, sf_dir):
         assert abs(r.entropy_nats - h) < 1e-5
         assert abs(r.entropy_normalized - h / math.log(len(counts))) < 1e-5
         assert 0.0 <= r.entropy_normalized <= 1.0 + 1e-9
+
+
+def test_event_order_audit_matches_pandas_replay(spark, sf_dir):
+    """Violation counts must equal a pandas replay of the same
+    first-event comparisons."""
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rows = {r.check: r for r in relational.event_order_audit(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).toPandas()
+    firsts = ev.pivot_table(
+        index="user_id", columns="event_type", values="ts", aggfunc="min"
+    )
+    fp = firsts.get("purchase")
+    fs = firsts.get("signup")
+    fv = firsts.get("view")
+    fc = firsts.get("click")
+    both_ps = fp.notna() & fs.notna()
+    both_cv = fc.notna() & fv.notna()
+    expect = {
+        "purchase_before_signup": (
+            int(both_ps.sum()),
+            int((both_ps & (fp < fs)).sum()),
+        ),
+        "click_before_view": (
+            int(both_cv.sum()),
+            int((both_cv & (fc < fv)).sum()),
+        ),
+        "purchase_without_any_signup": (
+            int(fp.notna().sum()),
+            int((fp.notna() & fs.isna()).sum()),
+        ),
+    }
+    assert set(rows) == set(expect)
+    for k, (na, nv) in expect.items():
+        r = rows[k]
+        assert (r.n_applicable, r.n_violations) == (na, nv)
+        assert abs(r.violation_rate - nv / max(na, 1)) < 1e-5
