@@ -2500,3 +2500,95 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         round2(F.avg("lr_doc"), 6).alias("avg_lr"),
     )
+
+
+HEAPS_CHECKPOINTS = 10
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — Heaps'-law fit of vocabulary growth, V(T) ~ K * T^beta:
+    the corpus is cut at HEAPS_CHECKPOINTS doc-id deciles; V at each
+    cut is counted WITHOUT re-scanning prefixes (each term belongs to
+    the decile of its FIRST-occurrence doc, so V(cut_k) is a
+    cumulative sum over 10 bucket rows — the same first-occurrence
+    trick `contamination_flags` uses), T likewise from per-doc token
+    counts; beta/K come from OLS on the 10 (ln T, ln V) points. The
+    capacity-planning constant for everything vocab-bounded in this
+    engine (TextRank, PMI, BPE, feature hashing): beta ~ 0.5 is what
+    justifies their 100 TB stories, and this measures it instead of
+    assuming it.
+
+    Scale shape: one tokenize pass to (term, min doc) vocab grain and
+    one to per-doc token counts; everything after runs on 10 bucket
+    rows. The max-doc-id scalar is a 1-row broadcast.
+
+    Determinism: bucket cuts are integer arithmetic on exact ids;
+    the OLS runs over 10 ln() points, rounded 1e-6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_words()).alias("t")
+    ).filter(F.col("t") != "")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    k = F.lit(HEAPS_CHECKPOINTS)
+    first = (
+        tok.groupBy("t")
+        .agg(F.min("doc_id").alias("fd"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.ceil(F.col("fd") * k / F.col("mx")), k.cast("bigint")
+            ).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count("*").alias("new_terms"))
+    )
+    per_doc = (
+        tok.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.ceil(F.col("doc_id") * k / F.col("mx")), k.cast("bigint")
+            ).alias("d"),
+            "n_tok",
+        )
+        .groupBy("d")
+        .agg(F.sum("n_tok").alias("toks"))
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    # FULL outer: a decile can add tokens but no new terms (saturated
+    # vocabulary) — its token mass must still enter the cumulative T
+    pts = (
+        first.join(per_doc, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+            F.coalesce("toks", F.lit(0)).alias("toks"),
+        )
+        .withColumn("V", F.sum("new_terms").over(w_cum))
+        .withColumn("T", F.sum("toks").over(w_cum))
+        .filter((F.col("V") > 0) & (F.col("T") > 0))
+        .select(F.log("T").alias("lx"), F.log("V").alias("ly"))
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.avg("lx").alias("mx_"),
+        F.avg("ly").alias("my_"),
+        F.avg(F.col("lx") * F.col("ly")).alias("mxy"),
+        F.avg(F.col("lx") * F.col("lx")).alias("mxx"),
+        F.avg(F.col("ly") * F.col("ly")).alias("myy"),
+    )
+    beta = (F.col("mxy") - F.col("mx_") * F.col("my_")) / (
+        F.col("mxx") - F.col("mx_") ** 2
+    )
+    r2 = (F.col("mxy") - F.col("mx_") * F.col("my_")) ** 2 / (
+        (F.col("mxx") - F.col("mx_") ** 2)
+        * (F.col("myy") - F.col("my_") ** 2)
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        round2(beta, 6).alias("heaps_beta"),
+        round2(F.col("my_") - beta * F.col("mx_"), 6).alias("heaps_ln_k"),
+        round2(r2, 6).alias("r_squared"),
+    )

@@ -3141,3 +3141,55 @@ register(
     """,
     tags=("source", "robustness", "corrupt-record"),
 )
+
+
+register(
+    "l4_heaps_law_fit",
+    text.heaps_law_fit,
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      ) WHERE t <> ''
+    ), mx AS (
+      SELECT max(doc_id) AS mx FROM documents
+    ), first AS (
+      SELECT least(CAST(ceil(fd * {text.HEAPS_CHECKPOINTS}.0 / mx.mx)
+                        AS BIGINT), {text.HEAPS_CHECKPOINTS}) AS d,
+             count(*) AS new_terms
+      FROM (SELECT t, min(doc_id) AS fd FROM tok GROUP BY t), mx
+      GROUP BY 1
+    ), per_doc AS (
+      SELECT least(CAST(ceil(doc_id * {text.HEAPS_CHECKPOINTS}.0 / mx.mx)
+                        AS BIGINT), {text.HEAPS_CHECKPOINTS}) AS d,
+             sum(n_tok) AS toks
+      FROM (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id), mx
+      GROUP BY 1
+    ), joined AS (
+      SELECT coalesce(f.d, p.d) AS d,
+             coalesce(f.new_terms, 0) AS new_terms,
+             coalesce(p.toks, 0) AS toks
+      FROM first f FULL OUTER JOIN per_doc p USING (d)
+    ), cum AS (
+      SELECT sum(new_terms) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS V,
+             sum(toks) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS T
+      FROM joined
+    ), pts AS (
+      SELECT ln(T) AS lx, ln(V) AS ly FROM cum WHERE V > 0 AND T > 0
+    ), m AS (
+      SELECT count(*) AS n, avg(lx) AS mx_, avg(ly) AS my_,
+             avg(lx * ly) AS mxy, avg(lx * lx) AS mxx, avg(ly * ly) AS myy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((mxy - mx_ * my_) / (mxx - mx_ * mx_), 6) AS heaps_beta,
+           round(my_ - (mxy - mx_ * my_) / (mxx - mx_ * mx_) * mx_, 6)
+             AS heaps_ln_k,
+           round(pow(mxy - mx_ * my_, 2)
+                 / ((mxx - mx_ * mx_) * (myy - my_ * my_)), 6) AS r_squared
+    FROM m
+    """,
+    tags=("text", "heaps-law", "vocabulary", "capacity"),
+)

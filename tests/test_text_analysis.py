@@ -878,3 +878,54 @@ def test_importance_weights_matches_python_replay(spark, sf_dir):
         if l != text.DSIR_TARGET_LANG for s in ss
     ]
     assert sum(tgt) / len(tgt) > sum(others) / len(others)
+
+
+def test_heaps_law_fit_matches_python_replay(spark, sf_dir):
+    """Beta/intercept/R2 must equal a python replay of the
+    first-occurrence decile construction, with beta in (0, 1] (the
+    generator's closed vocabulary makes growth sublinear)."""
+    import math
+
+    from real_time_big_data_analytics_spark.operators import text
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    r = text.heaps_law_fit(spark, sf_dir).first()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).toPandas()
+    K = text.HEAPS_CHECKPOINTS
+    mx = int(docs.doc_id.max())
+    first, toks = {}, {}
+    for did, t in zip(docs.doc_id, docs.text):
+        ws = [w for w in t.split(" ") if w]
+        d = min(math.ceil(did * K / mx), K)
+        toks[d] = toks.get(d, 0) + len(ws)
+        for w in ws:
+            if w not in first or did < first[w]:
+                first[w] = did
+    newt = {}
+    for w, did in first.items():
+        d = min(math.ceil(did * K / mx), K)
+        newt[d] = newt.get(d, 0) + 1
+    # full-outer cumulative semantics: every decile contributes its
+    # token mass; a point exists wherever both cums are positive
+    pts = []
+    V = T = 0
+    for d in sorted(set(newt) | set(toks)):
+        V += newt.get(d, 0)
+        T += toks.get(d, 0)
+        if V > 0 and T > 0:
+            pts.append((math.log(T), math.log(V)))
+    n = len(pts)
+    mx_ = sum(x for x, _ in pts) / n
+    my_ = sum(y for _, y in pts) / n
+    mxy = sum(x * y for x, y in pts) / n
+    mxx = sum(x * x for x, _ in pts) / n
+    myy = sum(y * y for _, y in pts) / n
+    beta = (mxy - mx_ * my_) / (mxx - mx_**2)
+    r2 = (mxy - mx_ * my_) ** 2 / ((mxx - mx_**2) * (myy - my_**2))
+    assert r.n_points == n
+    assert abs(r.heaps_beta - beta) < 1e-5
+    assert abs(r.heaps_ln_k - (my_ - beta * mx_)) < 1e-4
+    assert abs(r.r_squared - r2) < 1e-5
+    assert 0.0 < r.heaps_beta <= 1.0
