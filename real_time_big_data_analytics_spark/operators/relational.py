@@ -4154,3 +4154,58 @@ def event_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sf — partial correlation of per-user event count and total
+    value CONTROLLING for activity span (days active):
+    r_xy.z = (r_xy - r_xz r_yz) / sqrt((1-r_xz²)(1-r_yz²)). Count and
+    value correlate trivially because both grow with tenure — the
+    partial coefficient asks whether they still co-move once tenure
+    is held fixed, the confounder-aware readout a raw Pearson (as in
+    ``spearman_user_activity``) cannot give.
+
+    Scale shape: ONE user-grain aggregate produces (x, y, z); one
+    more pass accumulates all nine pairwise moments map-side; the
+    partial formula is 1-row arithmetic.
+
+    Determinism: moments are the only float sums; the output rounds
+    at 1e-6 (the m8/OLS discipline).
+    """
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("x"),
+        F.sum("value").alias("y"),
+        F.countDistinct(F.date_trunc("day", "ts")).cast("double").alias("z"),
+    )
+    m = per.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg("z").alias("mz"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("z")).alias("mxz"),
+        F.avg(F.col("y") * F.col("z")).alias("myz"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+        F.avg(F.col("z") * F.col("z")).alias("mzz"),
+    )
+
+    def corr(ab, a, b, aa, bb):
+        return (F.col(ab) - F.col(a) * F.col(b)) / F.sqrt(
+            (F.col(aa) - F.col(a) ** 2) * (F.col(bb) - F.col(b) ** 2)
+        )
+
+    rxy = corr("mxy", "mx", "my", "mxx", "myy")
+    rxz = corr("mxz", "mx", "mz", "mxx", "mzz")
+    ryz = corr("myz", "my", "mz", "myy", "mzz")
+    partial = (rxy - rxz * ryz) / F.sqrt(
+        (1 - rxz ** 2) * (1 - ryz ** 2)
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        round2(rxy, 6).alias("r_xy"),
+        round2(rxz, 6).alias("r_xz"),
+        round2(ryz, 6).alias("r_yz"),
+        round2(partial, 6).alias("r_xy_given_z"),
+    )

@@ -3784,3 +3784,38 @@ register(
     """,
     tags=("data-quality", "integrity", "event-ordering"),
 )
+
+
+register(
+    "sf_partial_correlation",
+    relational.partial_correlation,
+    sql="""
+    WITH per AS (
+      SELECT CAST(count(*) AS DOUBLE) AS x,
+             sum(value) AS y,
+             CAST(count(DISTINCT date_trunc('day', ts)) AS DOUBLE) AS z
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT count(*) AS n,
+             avg(x) AS mx, avg(y) AS my, avg(z) AS mz,
+             avg(x * y) AS mxy, avg(x * z) AS mxz, avg(y * z) AS myz,
+             avg(x * x) AS mxx, avg(y * y) AS myy, avg(z * z) AS mzz
+      FROM per
+    ), c AS (
+      SELECT n,
+             (mxy - mx * my) / sqrt((mxx - mx * mx) * (myy - my * my)) AS rxy,
+             (mxz - mx * mz) / sqrt((mxx - mx * mx) * (mzz - mz * mz)) AS rxz,
+             (myz - my * mz) / sqrt((myy - my * my) * (mzz - mz * mz)) AS ryz
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(rxy, 6) AS r_xy,
+           round(rxz, 6) AS r_xz,
+           round(ryz, 6) AS r_yz,
+           round((rxy - rxz * ryz)
+                 / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+             AS r_xy_given_z
+    FROM c
+    """,
+    tags=("statistics", "partial-correlation", "confounding"),
+)

@@ -1294,3 +1294,34 @@ def test_periodogram_matches_numpy_replay(spark, sf_dir):
     # no dominance assertion: which line wins is a property of the
     # synthetic fixture (30 days at test SF shows no weekly cycle),
     # not of the operator — the numpy replay above is the contract
+
+
+def test_partial_correlation_matches_numpy_replay(spark, sf_dir):
+    """All four coefficients must equal a numpy replay, with the
+    partial bounded in [-1, 1] and (here) smaller in magnitude than
+    the raw r_xy once tenure is controlled."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    r = relational.partial_correlation(spark, sf_dir).first()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    ).toPandas()
+    ev["day"] = ev.ts.dt.floor("D")
+    g = ev.groupby("user_id").agg(
+        x=("value", "size"), y=("value", "sum"), z=("day", "nunique")
+    ).astype(float)
+    c = np.corrcoef(g.to_numpy().T)
+    rxy, rxz, ryz = c[0, 1], c[0, 2], c[1, 2]
+    partial = (rxy - rxz * ryz) / np.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert r.n_users == len(g)
+    assert abs(r.r_xy - rxy) < 1e-5
+    assert abs(r.r_xz - rxz) < 1e-5
+    assert abs(r.r_yz - ryz) < 1e-5
+    assert abs(r.r_xy_given_z - partial) < 1e-5
+    assert -1.0 <= r.r_xy_given_z <= 1.0
+    # no |partial| <= |raw| assertion: with opposite-sign r_xz/r_yz
+    # the control variable SUPPRESSES the association and the partial
+    # legitimately exceeds the raw coefficient (observed here)
