@@ -97,6 +97,17 @@ QUERIES = (
     "l2_semantic_threshold_sweep", # label-blocked cosine pairs + explode grid
     "l6_training_mix_v2",          # dedup closure + DSIR gate + packing
     "sketch_countmin_words",       # vocab-grain salted-cell sums
+    # eighth/ninth-wave round-4 additions
+    "p_corrupt_record_audit",      # staged-fixture permissive scan
+    "sf_theil_decomposition",      # per-customer ln moments + 5-row decomp
+    "sf_brown_forsythe_value",     # per-group prefix-sum medians + ANOVA
+    "wf_new_vs_returning",         # user-grain first-day + day grain
+    "graph_trade_assortativity",   # edge build + degree moments
+    "ts_periodogram_power",        # daily rollup + 3x trig projection
+    "dq_column_entropy_profile",   # four vocab-grain column counts
+    "dq_event_order_audit",        # one user-grain conditional-min pass
+    "l4_heaps_law_fit",            # first-occurrence deciles + 10-pt OLS
+    "sf_partial_correlation",      # user-grain moments, 1-row formula
 )
 
 
