@@ -4209,3 +4209,52 @@ def partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(ryz, 6).alias("r_yz"),
         round2(partial, 6).alias("r_xy_given_z"),
     )
+
+
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts — maximum drawdown of the cumulative daily event value: the
+    deepest peak-to-trough fall of the running total, with the peak
+    and trough days. The risk lens on a cumulative series (the same
+    machinery finance uses on equity curves, applied to revenue
+    run-rate): CUSUM (`ts_cusum_changepoint`) finds WHERE the level
+    shifted, drawdown says how BAD the worst stretch was.
+
+    Scale shape: the fact scan collapses to one row per day; the
+    cumulative sum, running max, and argmax all run on the
+    calendar-bounded daily frame. Deterministic argmax: the trough is
+    the first day attaining the maximal drawdown (rounded cents, day
+    tiebreak); the peak is the first day attaining the running max
+    before it.
+
+    Determinism: daily values cents-rounded before the cumsum, so
+    running totals are engine-identical cents.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(round2(F.sum("value"), 2).alias("x"))
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.withColumn("cum", F.sum("x").over(w_cum)).withColumn(
+        "peak", F.max(F.sum("x").over(w_cum)).over(w_cum)
+    )
+    dd = c.withColumn("drawdown", F.col("peak") - F.col("cum"))
+    w_pick = Window.orderBy(F.desc(round2(F.col("drawdown"), 2)), F.asc("day"))
+    trough = dd.withColumn("rk", F.row_number().over(w_pick)).filter(
+        F.col("rk") == 1
+    )
+    # first day attaining that trough's peak value
+    peak_day = (
+        dd.join(
+            F.broadcast(trough.select(F.col("peak").alias("p0"))),
+            F.col("cum") == F.col("p0"),
+        )
+        .agg(F.min("day").alias("peak_day"))
+    )
+    return trough.crossJoin(F.broadcast(peak_day)).select(
+        F.col("peak_day").cast("timestamp").alias("peak_day"),
+        F.col("day").cast("timestamp").alias("trough_day"),
+        round2("peak", 2).alias("peak_cum"),
+        round2("cum", 2).alias("trough_cum"),
+        round2("drawdown", 2).alias("max_drawdown"),
+        round2(F.col("drawdown") / F.col("peak"), 6).alias("drawdown_frac"),
+    )

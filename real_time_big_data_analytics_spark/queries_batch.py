@@ -3819,3 +3819,42 @@ register(
     """,
     tags=("statistics", "partial-correlation", "confounding"),
 )
+
+
+register(
+    "ts_max_drawdown",
+    relational.max_drawdown,
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS x
+      FROM events GROUP BY 1
+    ), c0 AS (
+      SELECT day,
+             sum(x) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM daily
+    ), c AS (
+      SELECT day, cum,
+             max(cum) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM c0
+    ), dd AS (
+      SELECT *, peak - cum AS drawdown FROM c
+    ), trough AS (
+      SELECT * FROM dd
+      ORDER BY round(drawdown, 2) DESC, day ASC LIMIT 1
+    ), pk AS (
+      SELECT min(dd.day) AS peak_day
+      FROM dd, trough WHERE dd.cum = trough.peak
+    )
+    SELECT CAST(pk.peak_day AS TIMESTAMP) AS peak_day,
+           CAST(trough.day AS TIMESTAMP) AS trough_day,
+           round(trough.peak, 2) AS peak_cum,
+           round(trough.cum, 2) AS trough_cum,
+           round(trough.drawdown, 2) AS max_drawdown,
+           round(trough.drawdown / trough.peak, 6) AS drawdown_frac
+    FROM trough, pk
+    """,
+    tags=("timeseries", "drawdown", "risk"),
+)

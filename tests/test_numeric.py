@@ -1325,3 +1325,28 @@ def test_partial_correlation_matches_numpy_replay(spark, sf_dir):
     # no |partial| <= |raw| assertion: with opposite-sign r_xz/r_yz
     # the control variable SUPPRESSES the association and the partial
     # legitimately exceeds the raw coefficient (observed here)
+
+
+def test_max_drawdown_matches_numpy_replay(spark, sf_dir):
+    """Drawdown, peak and trough must equal a numpy replay on the
+    cents-rounded cumulative series."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import relational
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    r = relational.max_drawdown(spark, sf_dir).first()
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    daily = ev.groupby(ev.ts.dt.floor("D"))["value"].sum().round(2).sort_index()
+    cum = daily.cumsum().to_numpy()
+    peak = np.maximum.accumulate(cum)
+    dd = np.round(peak - cum, 2)
+    ti = int(np.argmax(dd))  # first maximal trough
+    pi = int(np.argmax(cum == peak[ti]))  # first day attaining that peak
+    assert r.trough_day == daily.index[ti].to_pydatetime()
+    assert r.peak_day == daily.index[pi].to_pydatetime()
+    assert abs(r.max_drawdown - dd[ti]) < 0.02
+    assert abs(r.peak_cum - peak[ti]) < 0.02
+    assert abs(r.trough_cum - cum[ti]) < 0.02
+    assert abs(r.drawdown_frac - dd[ti] / peak[ti]) < 1e-5
+    assert r.max_drawdown >= 0
