@@ -1119,3 +1119,54 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(gap * F.col("n") / F.col("n_total")).over(win), 6
         ).alias("ece"),
     )
+
+
+def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m14 — Cohen's kappa between the m5 logistic predictions (0.5
+    threshold) and the true bot label: chance-corrected agreement
+    kappa = (p_o - p_e) / (1 - p_e), with p_e from the marginal rates.
+    On an imbalanced label raw accuracy flatters any
+    majority-class-ish model — kappa is the honest agreement number,
+    closing the eval suite (confusion m5 / ranking m11 / calibration
+    m13 / chance-corrected agreement here).
+
+    Scale shape: the m5 scoring pass, then ONE aggregate producing
+    the four confusion cells; kappa is 1-row arithmetic.
+    """
+    u = logreg_gd_features(spark, sf_dir)
+    lr = F.lit(LOGREG_LR)
+
+    def sigmoid(z):
+        return 1.0 / (1.0 + F.exp(-z))
+
+    w = spark.range(1).select(
+        F.lit(0.0).alias("wb"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    )
+    for _ in range(LOGREG_ITERS):
+        z = F.col("wb") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+        resid = F.col("y") - sigmoid(z)
+        w = u.crossJoin(F.broadcast(w)).agg(
+            (F.first("wb") + lr * F.avg(resid)).alias("wb"),
+            (F.first("w1") + lr * F.avg(resid * F.col("x1"))).alias("w1"),
+            (F.first("w2") + lr * F.avg(resid * F.col("x2"))).alias("w2"),
+        )
+    z = F.col("wb") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    pred = (sigmoid(z) >= 0.5).cast("long")
+    cells = u.crossJoin(F.broadcast(w)).agg(
+        F.count("*").alias("n"),
+        F.sum((pred * F.col("y")).cast("long")).alias("tp"),
+        F.sum((pred * (1 - F.col("y"))).cast("long")).alias("fp"),
+        F.sum(((1 - pred) * F.col("y")).cast("long")).alias("fn"),
+        F.sum(((1 - pred) * (1 - F.col("y"))).cast("long")).alias("tn"),
+    )
+    po = (F.col("tp") + F.col("tn")) / F.col("n")
+    pe = (
+        (F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn"))
+        + (F.col("fn") + F.col("tn")) * (F.col("fp") + F.col("tn"))
+    ) / (F.col("n") * F.col("n"))
+    return cells.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        round2(po, 6).alias("observed_agreement"),
+        round2(pe, 6).alias("chance_agreement"),
+        round2((po - pe) / (1 - pe), 6).alias("kappa"),
+    )

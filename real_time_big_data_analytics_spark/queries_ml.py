@@ -615,3 +615,59 @@ register(
     """,
     tags=("ml", "calibration", "evaluation"),
 )
+
+
+register(
+    "m14_cohens_kappa",
+    ml.cohens_kappa,
+    sql=f"""
+    WITH u AS ({_LOGREG_U}),
+    i1 AS (
+      SELECT {ml.LOGREG_LR} * avg(y - 0.5) AS wb,
+             {ml.LOGREG_LR} * avg((y - 0.5) * x1) AS w1,
+             {ml.LOGREG_LR} * avg((y - 0.5) * x2) AS w2
+      FROM u
+    ),
+    i2 AS (
+      SELECT any_value(wb) + {ml.LOGREG_LR} * avg(
+               y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) AS wb,
+             any_value(w1) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x1) AS w1,
+             any_value(w2) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x2) AS w2
+      FROM u, i1
+    ),
+    i3 AS (
+      SELECT any_value(wb) + {ml.LOGREG_LR} * avg(
+               y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) AS wb,
+             any_value(w1) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x1) AS w1,
+             any_value(w2) + {ml.LOGREG_LR} * avg(
+               (y - 1.0 / (1.0 + exp(-(wb + w1 * x1 + w2 * x2)))) * x2) AS w2
+      FROM u, i2
+    ),
+    cells AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN 1.0 / (1.0 + exp(-(wb + w1*x1 + w2*x2))) >= 0.5
+                       AND y = 1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN 1.0 / (1.0 + exp(-(wb + w1*x1 + w2*x2))) >= 0.5
+                       AND y = 0 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN 1.0 / (1.0 + exp(-(wb + w1*x1 + w2*x2))) < 0.5
+                       AND y = 1 THEN 1 ELSE 0 END) AS fn,
+             sum(CASE WHEN 1.0 / (1.0 + exp(-(wb + w1*x1 + w2*x2))) < 0.5
+                       AND y = 0 THEN 1 ELSE 0 END) AS tn
+      FROM u, i3
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round((tp + tn) * 1.0 / n, 6) AS observed_agreement,
+           round(((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                 * 1.0 / (n * n), 6) AS chance_agreement,
+           round(((tp + tn) * 1.0 / n
+                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                    * 1.0 / (n * n))
+                 / (1 - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                        * 1.0 / (n * n)), 6) AS kappa
+    FROM cells
+    """,
+    tags=("ml", "kappa", "evaluation"),
+)

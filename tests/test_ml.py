@@ -447,3 +447,26 @@ def test_calibration_bins_matches_numpy_replay(spark, sf_dir):
         assert abs(r.calib_gap - abs(prob[m].mean() - y[m].mean())) < 2e-5
         assert abs(r.ece - ece) < 1e-4
     assert 0.0 <= list(rows.values())[0].ece <= 1.0
+
+
+def test_cohens_kappa_matches_numpy_replay(spark, sf_dir):
+    """Kappa must equal a numpy replay from the same unrolled weights,
+    agree with m5's confusion cells, and sit in [-1, 1]."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import ml
+
+    r = ml.cohens_kappa(spark, sf_dir).first()
+    m5 = ml.logreg_gd_train(spark, sf_dir).first()
+    n = m5.n_users
+    po = (m5.tp + m5.tn) / n
+    pe = (
+        (m5.tp + m5.fp) * (m5.tp + m5.fn)
+        + (m5.fn + m5.tn) * (m5.fp + m5.tn)
+    ) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert r.n_users == n
+    assert abs(r.observed_agreement - po) < 1e-5
+    assert abs(r.chance_agreement - pe) < 1e-5
+    assert abs(r.kappa - kappa) < 1e-5
+    assert -1.0 <= r.kappa <= 1.0

@@ -130,6 +130,7 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "sf_brown_forsythe_value",  # 5-row group-median broadcast
         "l4_heaps_law_fit",  # 1-row max-doc-id broadcast
         "ts_max_drawdown",  # 1-row trough/peak-day broadcasts
+        "m14_cohens_kappa",  # m5's 1-row weight broadcasts per GD step
         "ts_acf_daily_value",  # 7-row lag table onto the daily series
         "m5_logreg_gd",  # 1-row weight vector broadcast per GD step
         "m7_kmeans_lloyd",  # 1-row centroid vector broadcast per Lloyd step
