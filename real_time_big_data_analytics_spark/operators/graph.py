@@ -583,3 +583,57 @@ def trade_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2("mx", 6).alias("mean_deg"),
         round2(r, 6).alias("assortativity"),
     )
+
+
+def trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the DIRECTED trade graph: the fraction of
+    src->dst flow edges whose reverse edge also exists, and the
+    weighted variant sum(min(w_ab, w_ba)) / sum(w) — how much of the
+    trade volume flows in BALANCED pairs. The directionality summary
+    the undirected ops discard: pagerank sees where mass concentrates,
+    this says whether relationships are two-way.
+
+    Execution shape: the fact table collapses to the <=625-row
+    directed edge aggregate (integer cents — the LPA weight
+    discipline); reciprocity is one self-join of that edge list on
+    the swapped key plus a 1-row aggregate — all metadata-scale.
+
+    Determinism: everything is exact integer-cent arithmetic until
+    the two final ratios, rounded 1e-6.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.sum(cents).alias("w"))
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.col("w").alias("w_rev"),
+    )
+    j = e.join(rev, ["src", "dst"], "left")
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_directed_edges"),
+        F.sum(F.col("w_rev").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_reciprocated"),
+        round2(
+            F.sum(F.col("w_rev").isNotNull().cast("double")) / F.count("*"), 6
+        ).alias("edge_reciprocity"),
+        round2(
+            F.sum(F.least(F.col("w"), F.coalesce(F.col("w_rev"), F.lit(0))))
+            / F.sum("w"),
+            6,
+        ).alias("weighted_reciprocity"),
+    )

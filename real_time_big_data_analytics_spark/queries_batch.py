@@ -3858,3 +3858,34 @@ register(
     """,
     tags=("timeseries", "drawdown", "risk"),
 )
+
+
+register(
+    "graph_trade_reciprocity",
+    graph.trade_reciprocity,
+    sql="""
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT a.src, a.dst, a.w, b.w AS w_rev
+      FROM e a LEFT JOIN e b ON a.src = b.dst AND a.dst = b.src
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+           CAST(sum(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reciprocated,
+           round(sum(CASE WHEN w_rev IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                 / count(*), 6) AS edge_reciprocity,
+           round(sum(least(w, coalesce(w_rev, 0))) * 1.0 / sum(w), 6)
+             AS weighted_reciprocity
+    FROM j
+    """,
+    tags=("graph", "reciprocity", "directionality"),
+)

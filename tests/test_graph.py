@@ -261,3 +261,45 @@ def test_assortativity_matches_python_replay(spark, sf_dir):
     assert abs(r.assortativity - rho) < 1e-5
     assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
     assert abs(mx - my) < 1e-12  # symmetric by construction
+
+
+def test_reciprocity_matches_python_replay(spark, sf_dir):
+    """Reciprocity must equal a dict replay over the engine's own
+    integer-cent edge aggregate, with ratios in [0, 1]."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.operators import graph
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    r = graph.trade_reciprocity(spark, sf_dir).first()
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    e = {
+        (row.src, row.dst): row.w
+        for row in (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(customer, orders.o_custkey == customer.c_custkey)
+            .join(supplier, li.l_suppkey == supplier.s_suppkey)
+            .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+            .groupBy(
+                F.col("c_nationkey").alias("src"),
+                F.col("s_nationkey").alias("dst"),
+            )
+            .agg(F.sum(cents).alias("w"))
+            .collect()
+        )
+    }
+    n = len(e)
+    recip = sum(1 for (s, d) in e if (d, s) in e)
+    wmin = sum(min(w, e.get((d, s), 0)) for (s, d), w in e.items())
+    wtot = sum(e.values())
+    assert r.n_directed_edges == n
+    assert r.n_reciprocated == recip
+    assert abs(r.edge_reciprocity - recip / n) < 1e-5
+    assert abs(r.weighted_reciprocity - wmin / wtot) < 1e-5
+    assert 0.0 <= r.weighted_reciprocity <= r.edge_reciprocity + 1e-9 <= 1.0 + 1e-9
