@@ -108,6 +108,10 @@ QUERIES = (
     "dq_event_order_audit",        # one user-grain conditional-min pass
     "l4_heaps_law_fit",            # first-occurrence deciles + 10-pt OLS
     "sf_partial_correlation",      # user-grain moments, 1-row formula
+    # tenth-wave round-4 additions
+    "ts_max_drawdown",             # daily cumsum + running max + argmax
+    "m14_cohens_kappa",            # m5 scoring pass + 1-row kappa
+    "graph_trade_reciprocity",     # edge aggregate + swapped self-join
 )
 
 
