@@ -43,24 +43,68 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     """Canonicalize for order-insensitive compare: sort cols by name,
-    stringify cells deterministically, sort rows."""
+    stringify cells deterministically, sort rows.
+
+    Floats stringify via ``repr`` with NO integral folding: the driver
+    hashes dtype-faithful values, so ``2`` (int64) vs ``2.0`` (float64)
+    must mismatch here exactly as it does there (CORRECTNESS_r04 q12).
+    """
     df = df[sorted(df.columns)].copy()
 
     def cell(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "<null>"
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            return repr(v)
+            return repr(float(v))
         if hasattr(v, "isoformat"):
             return v.isoformat()
         if isinstance(v, (list, tuple)):
             return "[" + ",".join(cell(x) for x in v) + "]"
+        import numpy as _np
+
+        if isinstance(v, _np.ndarray):
+            return "[" + ",".join(cell(x) for x in v.tolist()) + "]"
+        if isinstance(v, _np.floating):
+            return repr(float(v))
         return str(v)
 
     out = df.map(cell)
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _dtype_kind(dtype) -> str:
+    """Bucket a pandas dtype into the classes the driver's value hash
+    distinguishes: int-like, float, bool, datetime, other(object)."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("M", "m"):
+        return "datetime"
+    return "object"
+
+
+def dtype_parity(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Spark-vs-oracle column dtype-kind parity. DuckDB types integer
+    ``sum()`` as HUGEINT which pandas converts to float64 while Spark
+    returns int64; the driver's hash sees 2.0 vs 2 and fails even when
+    values are numerically identical. Catch that locally. ``object``
+    columns (strings, dates, lists, decimals) are left to the value
+    compare — pandas conversion is too lossy to type-check them."""
+    problems = []
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        ks, ko = _dtype_kind(sdf[c].dtype), _dtype_kind(odf[c].dtype)
+        if ks == ko or "object" in (ks, ko):
+            continue
+        problems.append(
+            f"dtype kind differs on '{c}': spark={sdf[c].dtype}({ks}) "
+            f"oracle={odf[c].dtype}({ko}) — driver hash will mismatch; "
+            f"CAST the oracle (or Spark) side to align"
+        )
+    return problems
 
 
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
@@ -70,6 +114,7 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return problems
     if len(sdf) != len(odf):
         problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
+    problems.extend(dtype_parity(sdf, odf))
     cs, co = canon(sdf), canon(odf)
     if len(cs) == len(co) and not cs.equals(co):
         neq = (cs != co).any(axis=1)
