@@ -211,16 +211,24 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 )
 
 
-def _driver_verified() -> set[str]:
-    """Names with a conclusive row in any driver correctness receipt:
-    a hash-matched oracle comparison, or (for queries registered
-    without an oracle) any recorded run."""
+def _driver_receipts() -> tuple[set[str], set[str]]:
+    """(verified, red) from the driver correctness receipts.
+
+    verified — names with a conclusive green row in ANY receipt: a
+    hash-matched oracle comparison, or (for queries registered without
+    an oracle) any recorded run.
+    red — names the driver actually ran and FAILED (hash/row/schema
+    mismatch or error) that have never gone green since. A driver-red
+    name outranks every never-verified name in the rotation: a wrong
+    answer the grader has seen must be re-receipted before new
+    coverage (VERDICT r4 ask #1)."""
     import glob
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     verified: set[str] = set()
+    red: set[str] = set()
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
@@ -234,7 +242,9 @@ def _driver_verified() -> set[str]:
                 verified.add(name)
             elif QUERIES[name].sql is None and rec.get("spark_rows") is not None:
                 verified.add(name)
-    return verified
+            else:
+                red.add(name)
+    return verified, red - verified
 
 
 def all_queries() -> dict[str, Query]:
@@ -247,10 +257,15 @@ def all_queries() -> dict[str, Query]:
     missing = [n for n in prio if n not in QUERIES]
     if missing:
         raise RuntimeError(f"DRIVER_CHECK_PRIORITY names unknown queries: {missing}")
-    verified = _driver_verified()
+    verified, red = _driver_receipts()
     reg_order = {n: i for i, n in enumerate(QUERIES)}
     names = sorted(
         QUERIES,
-        key=lambda n: (n in verified, prio.get(n, len(prio)), reg_order[n]),
+        key=lambda n: (
+            n in verified,
+            n not in red,
+            prio.get(n, len(prio)),
+            reg_order[n],
+        ),
     )
     return {n: QUERIES[n] for n in names}
