@@ -93,6 +93,57 @@ def test_decode_from_kafka_wire_schema(spark, sf_dir):
     assert n_parts > 1
 
 
+def test_streaming_consumer_topology_over_wire_schema(spark, sf_dir):
+    """The full consumer topology IN STREAMING MODE minus transport:
+    wire-schema rows (binary key/value + kafka transport metadata)
+    arrive through an unbounded source, flow through the same
+    decode_payload a live ``kafka_stream`` uses, aggregate per
+    event_type, and finish through an availableNow memory sink. Pins
+    that the decode path is legal inside a streaming plan (from_json
+    on binary under micro-batch execution), so a live topic swap
+    changes only the ``.format("kafka")`` transport line."""
+    from real_time_big_data_analytics_spark.streaming.runner import run_to_table
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(200)
+    )
+    enc = kafka.encode_payload(events, key_col="user_id")
+    wire = enc.select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        (F.crc32(F.col("key")) % 4).cast("int").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    with tempfile.TemporaryDirectory(prefix="rtba_wire_") as d:
+        staged = os.path.join(d, "topic")
+        wire.write.parquet(staged)
+        stream = spark.readStream.schema(
+            "key binary, value binary, topic string, partition int, "
+            "offset bigint, timestamp timestamp, timestampType int"
+        ).parquet(staged)
+        assert stream.isStreaming
+        decoded = kafka.decode_payload(stream, SCHEMA)
+        agg = decoded.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        )
+        got = {
+            r.event_type: (r.n, round(r.total, 6))
+            for r in run_to_table(spark, agg, output_mode="complete").collect()
+        }
+    want = {
+        r.event_type: (r.n, round(r.total, 6))
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_foreach_batch_index_sink(spark, sf_dir):
     """availableNow replay through foreachBatch appends every event to
     the parquet 'index' exactly once (S7 stand-in)."""
