@@ -122,9 +122,12 @@ def decode_real(payload: bytes) -> dict:
     """The real-codec seam: decode one image payload to the
     DECODE_CONTRACT_FIELDS dict. Container-header metadata (PNG, GIF,
     BMP, JPEG) decodes with the stdlib ``decode_header`` parser — no
-    codec library needed; unrecognized containers fall through to PIL
-    when available, else the disclosed NotImplementedError (pixel
-    decode genuinely needs a codec library; the deterministic fake in
+    codec library needed; PNG **pixel** decode is also real and
+    stdlib-only (``decode_png_pixels`` — zlib inflate + full unfilter,
+    oracle-checked by ``l5_png_pixel_decode_stats``). Unrecognized
+    containers fall through to PIL when available, else the disclosed
+    NotImplementedError (JPEG entropy / video pixel decode genuinely
+    needs a codec library; the deterministic fake in
     ``decode_image_metadata`` keeps the pipeline testable)."""
     parsed = decode_header(payload)
     if parsed is not None:
@@ -522,6 +525,407 @@ def wav_roundtrip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         schema="doc_id long, sample_rate int, channels int, n_samples long, duration_ms long",
+    )
+
+
+def encode_png_rgb(pixels) -> bytes:
+    """Encode an (h, w, channels) uint8 array as a REAL spec-valid PNG
+    — stdlib struct/zlib only — cycling through ALL FIVE scanline
+    filter types (None/Sub/Up/Average/Paeth by ``y % 5``) so any
+    decoder of the output must implement the full filter suite.
+    Supports 8-bit gray(1) / gray+alpha(2) / RGB(3) / RGBA(4)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = pixels.astype(np.int32)
+    body = bytearray()
+    prior = np.zeros((w, ch), dtype=np.int32)
+    for y in range(h):
+        row = raw[y]
+        zero = np.zeros((1, ch), dtype=np.int32)
+        left = np.vstack([zero, row[:-1]])
+        up_left = np.vstack([zero, prior[:-1]])
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prior
+        elif ft == 3:
+            filt = row - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - up_left
+            pa = np.abs(p - left)
+            pb = np.abs(p - prior)
+            pc = np.abs(p - up_left)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, up_left)
+            )
+            filt = row - pred
+        body.append(ft)
+        body.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = row
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        payload = tag + data
+        return struct.pack(">I", len(data)) + payload + struct.pack(
+            ">I", zlib.crc32(payload) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes):
+    """FULL PNG **pixel** decode — no codec library, stdlib only:
+    CRC-checked chunk walk, zlib-decompressed IDAT stream, and per-row
+    reversal of all five PNG filter types (None/Sub/Up/Average/Paeth).
+    Returns an (h, w, channels) uint8 numpy array.
+
+    Supports the non-interlaced 8-bit formats (gray, gray+alpha, RGB,
+    RGBA); palette / 16-bit / interlaced raise ValueError. This closes
+    the pixel-decode half of the L5 seam for PNG — ``decode_real``'s
+    NotImplementedError now only covers formats whose pixel decode
+    genuinely needs an external codec (JPEG entropy coding, video).
+
+    Sub is vectorized as a per-channel cumulative sum mod 256; Up is a
+    whole-row vector add; Average/Paeth walk pixels left-to-right (the
+    spec's data dependency). Per-image work only — embarrassingly
+    parallel across an Arrow batch, no shuffle implications.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i, n = 8, len(payload)
+    width = height = color_type = None
+    idat = bytearray()
+    while i + 12 <= n:
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        (crc,) = struct.unpack(">I", payload[i + 8 + length : i + 12 + length])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8:
+                raise ValueError(f"unsupported bit depth {bit_depth}")
+            if color_type not in (0, 2, 4, 6):
+                raise ValueError(f"unsupported color type {color_type}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + length
+    if width is None:
+        raise ValueError("missing IHDR")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (1 + stride):
+        raise ValueError("IDAT length mismatch")
+    out = np.empty((height, width, ch), dtype=np.int32)
+    prior = np.zeros((width, ch), dtype=np.int32)
+    pos = 0
+    for y in range(height):
+        ft = raw[pos]
+        pos += 1
+        filt = (
+            np.frombuffer(raw, np.uint8, stride, pos)
+            .astype(np.int32)
+            .reshape(width, ch)
+        )
+        pos += stride
+        if ft == 0:
+            recon = filt
+        elif ft == 1:  # Sub: per-channel running sum
+            recon = np.cumsum(filt, axis=0) % 256
+        elif ft == 2:  # Up
+            recon = (filt + prior) % 256
+        elif ft in (3, 4):
+            recon = np.zeros_like(filt)
+            zero = np.zeros(ch, dtype=np.int32)
+            for x in range(width):
+                left = recon[x - 1] if x else zero
+                up = prior[x]
+                up_left = prior[x - 1] if x else zero
+                if ft == 3:  # Average
+                    recon[x] = (filt[x] + (left + up) // 2) % 256
+                else:  # Paeth
+                    p = left + up - up_left
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - up)
+                    pc = np.abs(p - up_left)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, up, up_left),
+                    )
+                    recon[x] = (filt[x] + pred) % 256
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = recon
+        prior = recon
+    return out.astype(np.uint8)
+
+
+def png_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — REAL **pixel**-level codec roundtrip, stdlib only: per
+    document, render a deterministic RGB image (pixel value is a pure
+    function of doc_id and raster position), encode it as a spec-valid
+    PNG exercising ALL FIVE scanline filters, then fully decode the
+    container bytes — CRC walk, zlib inflate, per-row unfiltering —
+    and reduce the recovered pixels to per-channel sums.
+
+    Unlike the header-roundtrip queries this validates the pixel path:
+    a single wrong Paeth tie-break or Average floor anywhere flips the
+    sums and fails the hash. The oracle is closed-form modular
+    arithmetic over (doc_id, n_chars) — pixel c at raster index i is
+    ``(doc_id*31 + c*7 + i) % 256``, so each channel sum is full-cycle
+    count × 32640 plus a triangular partial.
+
+    One Arrow-batched ``mapInPandas``; payload bytes never leave the
+    executor; per-image work is independent → scales linearly with
+    executors (no shuffle).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    # Closure must stay self-contained (pickled by value; only
+    # site-packages names may leak in) — the codec bodies mirror
+    # encode_png_rgb / decode_png_pixels above, pinned in sync by
+    # tests/test_multimodal.py::test_pixel_query_closure_matches_module_codec.
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def encode(pixels) -> bytes:
+            h, w, ch = pixels.shape
+            raw = pixels.astype(np.int32)
+            body = bytearray()
+            prior = np.zeros((w, ch), dtype=np.int32)
+            for y in range(h):
+                row = raw[y]
+                zero = np.zeros((1, ch), dtype=np.int32)
+                left = np.vstack([zero, row[:-1]])
+                up_left = np.vstack([zero, prior[:-1]])
+                ft = y % 5
+                if ft == 0:
+                    filt = row
+                elif ft == 1:
+                    filt = row - left
+                elif ft == 2:
+                    filt = row - prior
+                elif ft == 3:
+                    filt = row - (left + prior) // 2
+                else:
+                    p = left + prior - up_left
+                    pa, pb, pc = (
+                        np.abs(p - left),
+                        np.abs(p - prior),
+                        np.abs(p - up_left),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, prior, up_left),
+                    )
+                    filt = row - pred
+                body.append(ft)
+                body.extend((filt % 256).astype(np.uint8).tobytes())
+                prior = row
+
+            def chunk(tag: bytes, data: bytes) -> bytes:
+                payload = tag + data
+                return struct.pack(">I", len(data)) + payload + struct.pack(
+                    ">I", zlib.crc32(payload) & 0xFFFFFFFF
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(body), 6))
+                + chunk(b"IEND", b"")
+            )
+
+        def decode(payload: bytes):
+            i, n = 8, len(payload)
+            width = height = None
+            idat = bytearray()
+            while i + 12 <= n:
+                (length,) = struct.unpack(">I", payload[i : i + 4])
+                tag = payload[i + 4 : i + 8]
+                data = payload[i + 8 : i + 8 + length]
+                (crc,) = struct.unpack(
+                    ">I", payload[i + 8 + length : i + 12 + length]
+                )
+                if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+                    raise ValueError("bad CRC")
+                if tag == b"IHDR":
+                    width, height = struct.unpack(">II", data[:8])
+                elif tag == b"IDAT":
+                    idat += data
+                elif tag == b"IEND":
+                    break
+                i += 12 + length
+            ch = 3
+            raw = zlib.decompress(bytes(idat))
+            stride = width * ch
+            out = np.empty((height, width, ch), dtype=np.int32)
+            prior = np.zeros((width, ch), dtype=np.int32)
+            pos = 0
+            for y in range(height):
+                ft = raw[pos]
+                pos += 1
+                filt = (
+                    np.frombuffer(raw, np.uint8, stride, pos)
+                    .astype(np.int32)
+                    .reshape(width, ch)
+                )
+                pos += stride
+                if ft == 0:
+                    recon = filt
+                elif ft == 1:
+                    recon = np.cumsum(filt, axis=0) % 256
+                elif ft == 2:
+                    recon = (filt + prior) % 256
+                else:
+                    recon = np.zeros_like(filt)
+                    zero = np.zeros(ch, dtype=np.int32)
+                    for x in range(width):
+                        left = recon[x - 1] if x else zero
+                        up = prior[x]
+                        up_left = prior[x - 1] if x else zero
+                        if ft == 3:
+                            recon[x] = (filt[x] + (left + up) // 2) % 256
+                        else:
+                            p = left + up - up_left
+                            pa, pb, pc = (
+                                np.abs(p - left),
+                                np.abs(p - up),
+                                np.abs(p - up_left),
+                            )
+                            pred = np.where(
+                                (pa <= pb) & (pa <= pc),
+                                left,
+                                np.where(pb <= pc, up, up_left),
+                            )
+                            recon[x] = (filt[x] + pred) % 256
+                out[y] = recon
+                prior = recon
+            return out
+
+        for batch in batches:
+            rows = []
+            for doc_id, n_chars in zip(batch["doc_id"], batch["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                w = nc % 24 + 8
+                h = (nc * 3) % 16 + 8
+                idx = np.arange(w * h, dtype=np.int64)
+                pixels = np.stack(
+                    [((d * 31 + c * 7 + idx) % 256).reshape(h, w) for c in range(3)],
+                    axis=-1,
+                ).astype(np.uint8)
+                arr = decode(encode(pixels)).astype(np.int64)
+                rows.append(
+                    (
+                        d,
+                        w,
+                        h,
+                        int(arr[..., 0].sum()),
+                        int(arr[..., 1].sum()),
+                        int(arr[..., 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, width int, height int, sum_r long, sum_g long, sum_b long",
+    )
+
+
+def wav_pcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 (audio) — REAL **sample**-level decode, stdlib only: per
+    document synthesize a deterministic int16 PCM signal (sample i is
+    ``(doc_id + i) % 256``), wrap it in a spec-valid RIFF/WAVE
+    container, then decode back — chunk-walk demux to the data chunk,
+    little-endian int16 sample extraction — and reduce to (count, sum,
+    max). Completes the WAV story past header demux: the samples
+    themselves cross the container boundary and must survive exactly.
+
+    Oracle is closed-form modular arithmetic over (doc_id, n_chars).
+    One Arrow-batched ``mapInPandas``; no shuffle; linear in
+    executors.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def wav(samples) -> bytes:
+            data = samples.astype("<i2").tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+            return (
+                b"RIFF"
+                + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+
+        def decode(payload: bytes):
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not RIFF/WAVE")
+            i = 12
+            while i + 8 <= len(payload):
+                tag = payload[i : i + 4]
+                size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+                if tag == b"data":
+                    return np.frombuffer(payload, "<i2", size // 2, i + 8)
+                i += 8 + size + (size % 2)
+            raise ValueError("no data chunk")
+
+        for batch in batches:
+            rows = []
+            for doc_id, n_chars in zip(batch["doc_id"], batch["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                n = nc % 2000 + 50
+                samples = (d + np.arange(n, dtype=np.int64)) % 256
+                got = decode(wav(samples)).astype(np.int64)
+                rows.append((d, len(got), int(got.sum()), int(got.max())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "sum_samples", "max_sample"]
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_samples long, sum_samples long, max_sample int",
     )
 
 

@@ -1779,6 +1779,77 @@ register(
     tags=("multimodal", "codec", "audio", "wav"),
 )
 
+# REAL PIXEL decode (round 5): full PNG codec roundtrip — all five
+# scanline filters encoded and reversed, zlib inflate, CRC walk — with
+# per-channel pixel sums whose oracle is closed-form modular
+# arithmetic: pixel c at raster index i is (doc_id*31 + c*7 + i) % 256
+# over n = w*h pixels, so each channel sum is (n // 256) full cycles of
+# 32640 plus a triangular partial starting at s_c = (doc_id*31+c*7)%256.
+_PNG_PIXEL_SUM_SQL = """
+      CAST((w * h // 256) * 32640 +
+        CASE WHEN {s} + (w * h) % 256 <= 256
+             THEN ((w * h) % 256) * {s} + ((w * h) % 256) * ((w * h) % 256 - 1) // 2
+             ELSE (256 - {s}) * {s} + (256 - {s}) * (255 - {s}) // 2
+                  + ((w * h) % 256 - 256 + {s}) * ((w * h) % 256 - 257 + {s}) // 2
+        END AS BIGINT)"""
+
+register(
+    "l5_png_pixel_decode_stats",
+    multimodal.png_pixel_decode_stats,
+    sql="""
+    WITH p AS (
+      SELECT doc_id,
+             n_chars % 24 + 8 AS w,
+             (n_chars * 3) % 16 + 8 AS h,
+             (doc_id * 31) % 256 AS s0,
+             (doc_id * 31 + 7) % 256 AS s1,
+             (doc_id * 31 + 14) % 256 AS s2
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           {sum0} AS sum_r,
+           {sum1} AS sum_g,
+           {sum2} AS sum_b
+    FROM p
+    """.format(
+        sum0=_PNG_PIXEL_SUM_SQL.format(s="s0"),
+        sum1=_PNG_PIXEL_SUM_SQL.format(s="s1"),
+        sum2=_PNG_PIXEL_SUM_SQL.format(s="s2"),
+    ),
+    tags=("multimodal", "codec", "png", "pixels"),
+)
+
+# REAL SAMPLE decode (round 5): int16 PCM through a spec-valid
+# RIFF/WAVE container and back; sample i is (doc_id + i) % 256 over
+# n = n_chars % 2000 + 50 samples — same closed-form cycle+partial
+# oracle shape as the PNG pixel sums.
+register(
+    "l5_wav_pcm_decode_stats",
+    multimodal.wav_pcm_decode_stats,
+    sql="""
+    WITH p AS (
+      SELECT doc_id,
+             n_chars % 2000 + 50 AS n,
+             doc_id % 256 AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((n // 256) * 32640 +
+             CASE WHEN s + n % 256 <= 256
+                  THEN (n % 256) * s + (n % 256) * (n % 256 - 1) // 2
+                  ELSE (256 - s) * s + (256 - s) * (255 - s) // 2
+                       + (n % 256 - 256 + s) * (n % 256 - 257 + s) // 2
+             END AS BIGINT) AS sum_samples,
+           CAST(CASE WHEN s + n <= 256 THEN s + n - 1 ELSE 255 END AS INT)
+             AS max_sample
+    FROM p
+    """,
+    tags=("multimodal", "codec", "audio", "wav", "pcm"),
+)
+
 # REAL video demux roundtrip: ISO-BMFF box walk to moov/mvhd
 register(
     "l5_mp4_roundtrip_metadata",

@@ -211,6 +211,20 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 )
 
 
+# Round-5+ additions sort AFTER the existing never-verified tail: the
+# r4 verdict froze registry growth until the driver-receipt debt drains
+# below 50 names, so anything registered from round 5 on must not
+# displace an older unverified name out of the driver's checked prefix.
+# (They still sort ahead of already-verified names, so they get their
+# driver receipt once the pre-freeze tail is drained.)
+DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
+    {
+        "l5_png_pixel_decode_stats",
+        "l5_wav_pcm_decode_stats",
+    }
+)
+
+
 def _driver_receipts() -> tuple[set[str], set[str]]:
     """(verified, red) from the driver correctness receipts.
 
@@ -264,6 +278,7 @@ def all_queries() -> dict[str, Query]:
         key=lambda n: (
             n in verified,
             n not in red,
+            n in DRIVER_CHECK_DEFER,
             prio.get(n, len(prio)),
             reg_order[n],
         ),

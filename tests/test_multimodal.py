@@ -175,3 +175,85 @@ def test_mp4_box_walk_finds_mvhd():
     }
     assert M.decode_mp4_header(b"\x00\x00\x00\x08free") is None
     assert M.decode_mp4_header(b"junkjunkjunk") is None
+
+
+def test_png_pixel_roundtrip_all_filters_and_channels():
+    """Full pixel codec: every scanline filter type (the encoder cycles
+    None/Sub/Up/Average/Paeth by row) and every 8-bit channel layout
+    must survive encode→decode exactly."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        for h, w in [(1, 1), (5, 5), (23, 31), (7, 2)]:
+            px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            back = M.decode_png_pixels(M.encode_png_rgb(px))
+            assert back.shape == px.shape
+            assert (back == px).all(), (ch, h, w)
+
+
+def test_png_pixel_decoder_rejects_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    px = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    payload = bytearray(M.encode_png_rgb(px))
+    with _pytest.raises(ValueError):
+        M.decode_png_pixels(b"not a png at all")
+    flipped = bytearray(payload)
+    flipped[40] ^= 0xFF  # inside IDAT → CRC must catch it
+    with _pytest.raises(ValueError):
+        M.decode_png_pixels(bytes(flipped))
+
+
+def test_pixel_query_closure_matches_module_codec(spark, sf_dir):
+    """The self-contained closure inside png_pixel_decode_stats mirrors
+    encode_png_rgb/decode_png_pixels; pin that the query's sums equal
+    what the module-level codec produces for the same inputs."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    rows = {r.doc_id: r for r in M.png_pixel_decode_stats(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    for d, nc in [(r.doc_id, r.n_chars) for r in docs.limit(25).collect()]:
+        w = nc % 24 + 8
+        h = (nc * 3) % 16 + 8
+        idx = np.arange(w * h, dtype=np.int64)
+        px = np.stack(
+            [((d * 31 + c * 7 + idx) % 256).reshape(h, w) for c in range(3)],
+            axis=-1,
+        ).astype(np.uint8)
+        arr = M.decode_png_pixels(M.encode_png_rgb(px)).astype(np.int64)
+        got = rows[d]
+        assert (got.width, got.height) == (w, h)
+        assert (got.sum_r, got.sum_g, got.sum_b) == (
+            int(arr[..., 0].sum()),
+            int(arr[..., 1].sum()),
+            int(arr[..., 2].sum()),
+        )
+
+
+def test_wav_pcm_samples_survive_container(spark, sf_dir):
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    rows = {r.doc_id: r for r in M.wav_pcm_decode_stats(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    for d, nc in [(r.doc_id, r.n_chars) for r in docs.limit(25).collect()]:
+        n = nc % 2000 + 50
+        vals = (d + np.arange(n, dtype=np.int64)) % 256
+        got = rows[d]
+        assert got.n_samples == n
+        assert got.sum_samples == int(vals.sum())
+        assert got.max_sample == int(vals.max())
+

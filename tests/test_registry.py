@@ -113,3 +113,30 @@ def test_entry_shim_pins_utc_session_tz(spark, sf_dir):
         df.limit(1).collect()
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_round5_additions_sort_after_prefreeze_tail():
+    """Registry-freeze discipline (VERDICT r4 ask #3): names registered
+    after the freeze (DRIVER_CHECK_DEFER) must sort behind every
+    pre-freeze never-verified name, so they cannot displace the debt
+    the driver is draining — but still ahead of verified names."""
+    from real_time_big_data_analytics_spark.registry import (
+        DRIVER_CHECK_DEFER,
+        _driver_receipts,
+        all_queries,
+    )
+
+    names = list(all_queries())
+    verified, _red = _driver_receipts()
+    deferred_idx = [i for i, n in enumerate(names) if n in DRIVER_CHECK_DEFER]
+    assert deferred_idx, "defer set should be non-empty from round 5"
+    prefreeze_unverified = [
+        i
+        for i, n in enumerate(names)
+        if n not in verified and n not in DRIVER_CHECK_DEFER
+    ]
+    if prefreeze_unverified:
+        assert min(deferred_idx) > max(prefreeze_unverified)
+    if verified:
+        first_verified = min(i for i, n in enumerate(names) if n in verified)
+        assert max(deferred_idx) < first_verified
