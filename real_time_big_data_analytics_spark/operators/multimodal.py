@@ -704,9 +704,19 @@ def png_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One Arrow-batched ``mapInPandas``; payload bytes never leave the
     executor; per-image work is independent → scales linearly with
-    executors (no shuffle).
+    executors. The UDF input is only (doc_id, n_chars) — payloads are
+    synthesized executor-side — so a repartition of that 16-byte-row
+    projection to the cluster's parallelism is effectively free and
+    lets the CPU-heavy decode use every core even when the metadata
+    scan yields fewer splits than cores (at 100 TB with real payload
+    columns you'd skip it and let input splits drive parallelism —
+    shuffling payload bytes just to rebalance would be the bug).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     # Closure must stay self-contained (pickled by value; only
     # site-packages names may leak in) — the codec bodies mirror
@@ -878,10 +888,16 @@ def wav_pcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves cross the container boundary and must survive exactly.
 
     Oracle is closed-form modular arithmetic over (doc_id, n_chars).
-    One Arrow-batched ``mapInPandas``; no shuffle; linear in
-    executors.
+    One Arrow-batched ``mapInPandas``; linear in executors. Same
+    cheap metadata repartition as the PNG query: the UDF input is two
+    integers per row, so fanning it out to all cores costs nothing
+    and parallelizes the container build/demux.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
