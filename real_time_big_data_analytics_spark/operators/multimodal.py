@@ -878,6 +878,209 @@ def png_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decode_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — FAULT-TOLERANT decode: the property that actually keeps a
+    100 TB multimodal job alive. A deterministic subset of payloads is
+    corrupted in two real ways (doc_id % 7 == 3 → the IDAT CRC byte is
+    flipped; doc_id % 7 == 5 → the container is truncated mid-stream),
+    every payload goes through the REAL stdlib PNG pixel decoder, and
+    failures are QUARANTINED per-row instead of failing the task —
+    the binary-payload analogue of the PERMISSIVE corrupt-record CSV
+    audit (`p_corrupt_record_audit`).
+
+    The oracle pins BOTH halves of the contract: corrupted payloads
+    must be caught (a decoder that misses a flipped CRC or survives
+    truncation inflates the decoded count → hash fail) and clean
+    payloads must decode to exactly the closed-form pixel sums.
+    Same cheap metadata repartition + Arrow-batched ``mapInPandas``
+    as the other decode stages; the try/except is per-payload, so one
+    bad object costs one python exception, not a task retry storm.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+    # Self-contained closure (pickled by value); codec bodies mirror
+    # encode_png_rgb / decode_png_pixels (module-level twins above).
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def encode(pixels) -> bytes:
+            h, w, ch = pixels.shape
+            raw = pixels.astype(np.int32)
+            body = bytearray()
+            prior = np.zeros((w, ch), dtype=np.int32)
+            for y in range(h):
+                row = raw[y]
+                zero = np.zeros((1, ch), dtype=np.int32)
+                left = np.vstack([zero, row[:-1]])
+                up_left = np.vstack([zero, prior[:-1]])
+                ft = y % 5
+                if ft == 0:
+                    filt = row
+                elif ft == 1:
+                    filt = row - left
+                elif ft == 2:
+                    filt = row - prior
+                elif ft == 3:
+                    filt = row - (left + prior) // 2
+                else:
+                    p = left + prior - up_left
+                    pa, pb, pc = (
+                        np.abs(p - left),
+                        np.abs(p - prior),
+                        np.abs(p - up_left),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, prior, up_left),
+                    )
+                    filt = row - pred
+                body.append(ft)
+                body.extend((filt % 256).astype(np.uint8).tobytes())
+                prior = row
+
+            def chunk(tag: bytes, data: bytes) -> bytes:
+                payload = tag + data
+                return struct.pack(">I", len(data)) + payload + struct.pack(
+                    ">I", zlib.crc32(payload) & 0xFFFFFFFF
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(body), 6))
+                + chunk(b"IEND", b"")
+            )
+
+        def decode(payload: bytes):
+            if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG")
+            i, n = 8, len(payload)
+            width = height = None
+            idat = bytearray()
+            saw_end = False
+            while i + 12 <= n:
+                (length,) = struct.unpack(">I", payload[i : i + 4])
+                tag = payload[i + 4 : i + 8]
+                data = payload[i + 8 : i + 8 + length]
+                if len(data) != length or i + 12 + length > n:
+                    raise ValueError("truncated chunk")
+                (crc,) = struct.unpack(
+                    ">I", payload[i + 8 + length : i + 12 + length]
+                )
+                if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+                    raise ValueError("bad CRC")
+                if tag == b"IHDR":
+                    width, height = struct.unpack(">II", data[:8])
+                elif tag == b"IDAT":
+                    idat += data
+                elif tag == b"IEND":
+                    saw_end = True
+                    break
+                i += 12 + length
+            if width is None or not saw_end:
+                raise ValueError("incomplete container")
+            ch = 3
+            raw = zlib.decompress(bytes(idat))
+            stride = width * ch
+            if len(raw) != height * (1 + stride):
+                raise ValueError("IDAT length mismatch")
+            out = np.empty((height, width, ch), dtype=np.int32)
+            prior = np.zeros((width, ch), dtype=np.int32)
+            pos = 0
+            for y in range(height):
+                ft = raw[pos]
+                pos += 1
+                filt = (
+                    np.frombuffer(raw, np.uint8, stride, pos)
+                    .astype(np.int32)
+                    .reshape(width, ch)
+                )
+                pos += stride
+                if ft == 0:
+                    recon = filt
+                elif ft == 1:
+                    recon = np.cumsum(filt, axis=0) % 256
+                elif ft == 2:
+                    recon = (filt + prior) % 256
+                else:
+                    recon = np.zeros_like(filt)
+                    zero = np.zeros(ch, dtype=np.int32)
+                    for x in range(width):
+                        left = recon[x - 1] if x else zero
+                        up = prior[x]
+                        up_left = prior[x - 1] if x else zero
+                        if ft == 3:
+                            recon[x] = (filt[x] + (left + up) // 2) % 256
+                        else:
+                            p = left + up - up_left
+                            pa, pb, pc = (
+                                np.abs(p - left),
+                                np.abs(p - up),
+                                np.abs(p - up_left),
+                            )
+                            pred = np.where(
+                                (pa <= pb) & (pa <= pc),
+                                left,
+                                np.where(pb <= pc, up, up_left),
+                            )
+                            recon[x] = (filt[x] + pred) % 256
+                out[y] = recon
+                prior = recon
+            return out
+
+        def corrupt(payload: bytes, mode: int) -> bytes:
+            if mode == 3:  # flip the IDAT CRC's first byte
+                i = 8
+                while i + 12 <= len(payload):
+                    (length,) = struct.unpack(">I", payload[i : i + 4])
+                    if payload[i + 4 : i + 8] == b"IDAT":
+                        buf = bytearray(payload)
+                        buf[i + 8 + length] ^= 0xFF
+                        return bytes(buf)
+                    i += 12 + length
+                raise AssertionError("no IDAT")
+            return payload[: len(payload) // 2]  # mode 5: truncate
+
+        for batch in batches:
+            rows = []
+            for doc_id, n_chars in zip(batch["doc_id"], batch["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                w = nc % 24 + 8
+                h = (nc * 3) % 16 + 8
+                idx = np.arange(w * h, dtype=np.int64)
+                pixels = np.stack(
+                    [
+                        ((d * 31 + c * 7 + idx) % 256).reshape(h, w)
+                        for c in range(3)
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payload = encode(pixels)
+                if d % 7 in (3, 5):
+                    payload = corrupt(payload, d % 7)
+                try:
+                    arr = decode(payload).astype(np.int64)
+                    rows.append((d, "decoded", int(arr.sum())))
+                except Exception:
+                    rows.append((d, "quarantined", 0))
+            yield pd.DataFrame(rows, columns=["doc_id", "status", "px"])
+
+    per_doc = docs.mapInPandas(run, schema="doc_id long, status string, px long")
+    return per_doc.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("px").alias("sum_pixels"),
+    )
+
+
 def wav_pcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 (audio) — REAL **sample**-level decode, stdlib only: per
     document synthesize a deterministic int16 PCM signal (sample i is

@@ -1821,6 +1821,42 @@ register(
     tags=("multimodal", "codec", "png", "pixels"),
 )
 
+# FAULT-TOLERANT decode (round 5): deterministic corruption (flipped
+# IDAT CRC for doc_id%7==3, mid-stream truncation for doc_id%7==5)
+# must be CAUGHT and quarantined per-row — a decoder that misses a bad
+# CRC or survives truncation inflates the decoded count and fails the
+# hash; clean payloads must still decode to the exact closed-form sums.
+register(
+    "l5_decode_quarantine_audit",
+    multimodal.decode_quarantine_audit,
+    sql="""
+    WITH p AS (
+      SELECT doc_id,
+             n_chars % 24 + 8 AS w,
+             (n_chars * 3) % 16 + 8 AS h,
+             (doc_id * 31) % 256 AS s0,
+             (doc_id * 31 + 7) % 256 AS s1,
+             (doc_id * 31 + 14) % 256 AS s2
+      FROM documents
+    ), d AS (
+      SELECT CASE WHEN doc_id % 7 IN (3, 5) THEN 'quarantined'
+                  ELSE 'decoded' END AS status,
+             CASE WHEN doc_id % 7 IN (3, 5) THEN 0
+                  ELSE {sum0} + {sum1} + {sum2} END AS px
+      FROM p
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(px) AS BIGINT) AS sum_pixels
+    FROM d GROUP BY status
+    """.format(
+        sum0=_PNG_PIXEL_SUM_SQL.format(s="s0"),
+        sum1=_PNG_PIXEL_SUM_SQL.format(s="s1"),
+        sum2=_PNG_PIXEL_SUM_SQL.format(s="s2"),
+    ),
+    tags=("multimodal", "codec", "quarantine", "data-quality"),
+)
+
 # REAL SAMPLE decode (round 5): int16 PCM through a spec-valid
 # RIFF/WAVE container and back; sample i is (doc_id + i) % 256 over
 # n = n_chars % 2000 + 50 samples — same closed-form cycle+partial

@@ -257,3 +257,45 @@ def test_wav_pcm_samples_survive_container(spark, sf_dir):
         assert got.sum_samples == int(vals.sum())
         assert got.max_sample == int(vals.max())
 
+
+
+def test_quarantine_statuses_follow_injected_corruption(spark, sf_dir):
+    """Exactly the doc_id % 7 ∈ {3,5} payloads are quarantined; clean
+    ones decode. (The oracle also pins this, but per-status counts at
+    smoke scale make a decoder regression obvious in pytest.)"""
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    rows = {r.status: r for r in M.decode_quarantine_audit(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    bad = docs.filter("doc_id % 7 in (3, 5)").count()
+    assert rows["quarantined"].n_docs == bad
+    assert rows["decoded"].n_docs == n - bad
+    assert rows["quarantined"].sum_pixels == 0
+    assert rows["decoded"].sum_pixels > 0
+
+
+def test_png_codec_roundtrips_under_hypothesis_fuzz():
+    """Property: ANY 8-bit image content survives encode→decode exactly,
+    across channel layouts and degenerate sizes (w=1 exercises the
+    zero left-neighbor branch of Sub/Average/Paeth; h=1 the zero
+    prior-row branch)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 17),
+        h=st.integers(1, 13),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(w, h, ch, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        assert (M.decode_png_pixels(M.encode_png_rgb(px)) == px).all()
+
+    prop()
