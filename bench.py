@@ -138,6 +138,11 @@ HEADLINE = [
     # the composed targeted-mix pipeline (dedup closure + DSIR gate +
     # per-lang packing) — the v2 counterpart of l6_training_pipeline
     "l6_training_mix_v2",
+    # round-5 addition: the real stdlib PNG pixel codec — a new cost
+    # shape (CPU-bound Arrow-batched decode behind a metadata
+    # repartition, no data shuffle). wav/quarantine ride the same
+    # shape and stay unheadlined.
+    "l5_png_pixel_decode_stats",
 ]
 
 

@@ -112,6 +112,11 @@ QUERIES = (
     "ts_max_drawdown",             # daily cumsum + running max + argmax
     "m14_cohens_kappa",            # m5 scoring pass + 1-row kappa
     "graph_trade_reciprocity",     # edge aggregate + swapped self-join
+    # round-5 additions: the real pixel/sample codec stages — per-doc
+    # CPU work behind a metadata repartition, expected ~linear
+    "l5_png_pixel_decode_stats",   # stdlib PNG encode+full pixel decode
+    "l5_wav_pcm_decode_stats",     # RIFF container build + PCM demux
+    "l5_decode_quarantine_audit",  # decode + per-row corruption quarantine
 )
 
 
