@@ -113,6 +113,10 @@ def test_results_invariant_to_shuffle_partitioning(spark, sf_dir):
         "l4_pareto_frontier",
         "ts_watermark_lateness_profile",
         "wf_topk_events_per_type",
+        # round 5: decode + per-row quarantine — the status rollup
+        # crosses the metadata repartition, so pin that neither the
+        # repartition count nor shuffle width changes the audit
+        "l5_decode_quarantine_audit",
     ]
     qs = all_queries()
     before = spark.conf.get("spark.sql.shuffle.partitions")
