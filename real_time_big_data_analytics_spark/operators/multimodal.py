@@ -1148,6 +1148,346 @@ def wav_pcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jpeg_codec():
+    """Single-source baseline-JPEG codec (grayscale, SOF0) — stdlib
+    struct + numpy only, no codec library: a REAL encoder and decoder
+    for the sequential-DCT JPEG process. The encoder emits a spec-valid
+    JFIF stream (DQT, SOF0, DHT, SOS, Huffman-coded entropy data with
+    0xFF byte stuffing); the decoder rebuilds its Huffman tables FROM
+    the DHT segments in the stream (it does not assume the encoder's
+    tables), entropy-decodes DC diffs + AC run-lengths, dequantizes via
+    the DQT it read, applies the 2-D inverse DCT, and reassembles the
+    image. With the all-ones quantization table, per-block-flat images
+    roundtrip EXACTLY (the DC coefficient 8·(v−128) is integral and all
+    ACs quantize to zero), which is what gives the oracle query its
+    closed form; arbitrary content roundtrips within the DCT-rounding
+    bound (pinned by test).
+
+    Returns ``(encode, decode)`` as NESTED functions: their qualnames
+    are not importable, so cloudpickle ships the code objects BY VALUE
+    and closures capturing them stay executor-safe when the driver
+    runs from a foreign cwd (same property as the repo's inline-def
+    convention, without duplicating 300 lines per call site).
+    """
+    import struct
+
+    import numpy as np
+
+    ZIGZAG = np.array(
+        [
+             0,  1,  8, 16,  9,  2,  3, 10,
+            17, 24, 32, 25, 18, 11,  4,  5,
+            12, 19, 26, 33, 40, 48, 41, 34,
+            27, 20, 13,  6,  7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36,
+            29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46,
+            53, 60, 61, 54, 47, 55, 62, 63,
+        ],
+        dtype=np.int64,
+    )
+    # Canonical Huffman specs (BITS counts per code length 1..16 +
+    # symbol list). Any valid table works — the decoder reads DHT —
+    # so use simple complete-prefix canonical layouts: all 12 DC
+    # categories at length 4, all 162 AC symbols at length 8 (codes
+    # 0..161; the all-ones code is never assigned).
+    DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    DC_VALS = list(range(12))
+    AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+    AC_VALS = [0x00, 0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+
+    def _canonical_codes(bits, vals):
+        codes, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[vals[k]] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    DC_CODES = _canonical_codes(DC_BITS, DC_VALS)
+    AC_CODES = _canonical_codes(AC_BITS, AC_VALS)
+
+    n8 = np.arange(8)
+    D = np.cos((2 * n8[None, :] + 1) * n8[:, None] * np.pi / 16) * 0.5
+    D[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+
+    def _seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, 2 + len(payload)) + payload
+
+    class _BitWriter:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.nbits = 0
+
+        def put(self, value: int, length: int) -> None:
+            if not length:
+                return
+            self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+            self.nbits += length
+            while self.nbits >= 8:
+                byte = (self.acc >> (self.nbits - 8)) & 0xFF
+                self.out.append(byte)
+                if byte == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.nbits -= 8
+                self.acc &= (1 << self.nbits) - 1
+
+        def flush(self) -> bytes:
+            if self.nbits:
+                pad = 8 - self.nbits
+                self.put((1 << pad) - 1, pad)
+            return bytes(self.out)
+
+    def encode(pixels) -> bytes:
+        px = np.asarray(pixels, dtype=np.uint8)
+        h, w = px.shape
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+        blocks = (
+            padded.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .astype(np.float64)
+            - 128.0
+        )
+        coefs = np.einsum("ij,abjk,lk->abil", D, blocks, D)
+        q = np.round(coefs).astype(np.int64)
+
+        bw = _BitWriter()
+        dc_prev = 0
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                zz = q[by, bx].ravel()[ZIGZAG]
+                diff = int(zz[0]) - dc_prev
+                dc_prev = int(zz[0])
+                size = int(abs(diff)).bit_length()
+                ln, code = DC_CODES[size]
+                bw.put(code, ln)
+                if size:
+                    bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+                last_nz = int(np.nonzero(zz)[0].max(initial=0))
+                k = 1
+                while k <= last_nz:
+                    run = 0
+                    while zz[k] == 0:
+                        run += 1
+                        k += 1
+                    while run > 15:
+                        ln, code = AC_CODES[0xF0]  # ZRL
+                        bw.put(code, ln)
+                        run -= 16
+                    v = int(zz[k])
+                    size = abs(v).bit_length()
+                    ln, code = AC_CODES[(run << 4) | size]
+                    bw.put(code, ln)
+                    bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+                    k += 1
+                if last_nz < 63:
+                    ln, code = AC_CODES[0x00]  # EOB
+                    bw.put(code, ln)
+
+        qt = np.ones(64, dtype=np.uint8)
+        dqt = _seg(0xFFDB, bytes([0x00]) + qt.tobytes())
+        sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        dht = _seg(
+            0xFFC4,
+            bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+            + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS),
+        )
+        sos = _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        return (
+            b"\xff\xd8"
+            + _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+            + dqt + sof + dht + sos
+            + bw.flush()
+            + b"\xff\xd9"
+        )
+
+    def _build_table(spec: bytes):
+        bits, vals = spec[:16], spec[16:]
+        table, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return table, 16 + sum(bits)
+
+    def decode(payload: bytes):
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG")
+        i, n = 2, len(payload)
+        qt = None
+        huff = {}
+        h = w = None
+        dc_id = ac_id = None
+        data = None
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                raise ValueError("bad marker")
+            marker = payload[i + 1]
+            (ln,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            seg = payload[i + 4 : i + 2 + ln]
+            if len(seg) != ln - 2:
+                raise ValueError("truncated segment")
+            if marker == 0xDB:
+                if seg[0] != 0x00:
+                    raise ValueError("only 8-bit quant table 0 supported")
+                qt = np.frombuffer(seg[1:65], dtype=np.uint8).astype(np.int64)
+            elif marker == 0xC0:
+                prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+                if prec != 8 or ncomp != 1 or seg[7] != 0x11:
+                    raise ValueError("only 8-bit single-component 4:4:4 supported")
+            elif marker in (0xC1, 0xC2, 0xC3):
+                raise ValueError("only baseline SOF0 supported")
+            elif marker == 0xC4:
+                j = 0
+                while j < len(seg):
+                    cls_id = seg[j]
+                    table, used = _build_table(seg[j + 1 :])
+                    huff[(cls_id >> 4, cls_id & 0xF)] = table
+                    j += 1 + used
+            elif marker == 0xDA:
+                dc_id, ac_id = seg[2] >> 4, seg[2] & 0xF
+                data = payload[i + 2 + ln :]
+                break
+            i += 2 + ln
+        if data is None or qt is None or h is None:
+            raise ValueError("incomplete stream")
+        end = data.rfind(b"\xff\xd9")
+        if end < 0:
+            raise ValueError("missing EOI")
+        entropy = data[:end].replace(b"\xff\x00", b"\xff")
+        dc_table = huff[(0, dc_id)]
+        ac_table = huff[(1, ac_id)]
+
+        pos = 0
+        total = len(entropy) * 8
+
+        def bit() -> int:
+            nonlocal pos
+            if pos >= total:
+                raise ValueError("truncated entropy stream")
+            byte = entropy[pos >> 3]
+            v = (byte >> (7 - (pos & 7))) & 1
+            pos += 1
+            return v
+
+        def huffdec(table) -> int:
+            code, length = 0, 0
+            while length < 16:
+                code = (code << 1) | bit()
+                length += 1
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code")
+
+        def extend(v: int, size: int) -> int:
+            return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        out = np.empty((ph // 8, pw // 8, 8, 8), dtype=np.float64)
+        dc = 0
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                zz = np.zeros(64, dtype=np.int64)
+                size = huffdec(dc_table)
+                diff = 0
+                if size:
+                    v = 0
+                    for _ in range(size):
+                        v = (v << 1) | bit()
+                    diff = extend(v, size)
+                dc += diff
+                zz[0] = dc
+                k = 1
+                while k < 64:
+                    sym = huffdec(ac_table)
+                    if sym == 0x00:
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    v = 0
+                    for _ in range(size):
+                        v = (v << 1) | bit()
+                    zz[k] = extend(v, size)
+                    k += 1
+                block = np.zeros(64, dtype=np.float64)
+                block[ZIGZAG] = zz * qt
+                out[by, bx] = D.T @ block.reshape(8, 8) @ D
+        img = out.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
+        return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
+
+    return encode, decode
+
+
+def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — REAL baseline-JPEG pixel roundtrip, stdlib+numpy only: per
+    document, render a per-block-flat grayscale image (block ``bi`` has
+    level ``(doc_id*13 % 256 + bi) % 256``), encode it through the full
+    sequential-DCT JPEG process (Huffman entropy coding, byte stuffing),
+    decode the stream back — DHT/DQT are read from the stream, not
+    assumed — and sum the recovered pixels.
+
+    Flat blocks make the lossy process EXACT (DC 8·(v−128) integral,
+    ACs quantize to zero under the all-ones table), so the oracle is
+    closed-form: per block the level walks s, s+1, … mod 256, giving
+    64·(nb·s + nb(nb−1)/2 − 256·max(0, s+nb−256)). The DC Huffman path
+    is exercised across magnitude categories (+1 steps → category 4
+    diffs; the mod-256 wrap → category 11; first block up to 11); the
+    AC/ZRL paths are pinned by pytest on random images instead, where
+    roundtrip is bounded, not exact. Same execution shape as the PNG
+    pixel query: metadata repartition + Arrow-batched ``mapInPandas``,
+    payloads never leave the executor.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    encode, decode = _jpeg_codec()  # nested fns → pickled by value
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            rows = []
+            for doc_id, n_chars in zip(batch["doc_id"], batch["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                w = (nc % 3 + 2) * 8
+                h = (nc % 2 + 2) * 8
+                nb_x, nb_y = w // 8, h // 8
+                s = (d * 13) % 256
+                grid = (
+                    s + np.arange(nb_y * nb_x, dtype=np.int64).reshape(nb_y, nb_x)
+                ) % 256
+                pixels = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1).astype(
+                    np.uint8
+                )
+                arr = decode(encode(pixels)).astype(np.int64)
+                rows.append((d, w, h, int(arr.sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "sum_pixels"]
+            )
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, width int, height int, sum_pixels long"
+    )
+
+
 def encode_mp4_skeleton(duration: int, timescale: int = 1000) -> bytes:
     """A minimal REAL ISO-BMFF (MP4) skeleton: ftyp + moov/mvhd boxes
     with the given movie duration — stdlib struct only. Media tracks

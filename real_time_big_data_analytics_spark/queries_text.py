@@ -1821,6 +1821,35 @@ register(
     tags=("multimodal", "codec", "png", "pixels"),
 )
 
+# REAL baseline-JPEG roundtrip (round 5): the full sequential-DCT
+# process — Huffman entropy coding, byte stuffing, DHT/DQT read back
+# from the stream — with per-block-flat images making the lossy
+# pipeline exact (DC 8*(v-128) integral, ACs quantize to zero under
+# the all-ones table). Block levels walk s, s+1, ... mod 256 so the
+# pixel sum has the same cycle+wrap closed form as the PNG family.
+register(
+    "l5_jpeg_pixel_decode_stats",
+    multimodal.jpeg_pixel_decode_stats,
+    sql="""
+    WITH p AS (
+      SELECT doc_id,
+             (n_chars % 3 + 2) * 8 AS w,
+             (n_chars % 2 + 2) * 8 AS h,
+             (doc_id * 13) % 256 AS s
+      FROM documents
+    ), q AS (
+      SELECT doc_id, w, h, (w // 8) * (h // 8) AS nb, s FROM p
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(64 * (nb * s + nb * (nb - 1) // 2
+                - 256 * GREATEST(0, s + nb - 256)) AS BIGINT) AS sum_pixels
+    FROM q
+    """,
+    tags=("multimodal", "codec", "jpeg", "pixels"),
+)
+
 # FAULT-TOLERANT decode (round 5): deterministic corruption (flipped
 # IDAT CRC for doc_id%7==3, mid-stream truncation for doc_id%7==5)
 # must be CAUGHT and quarantined per-row — a decoder that misses a bad

@@ -299,3 +299,68 @@ def test_png_codec_roundtrips_under_hypothesis_fuzz():
         assert (M.decode_png_pixels(M.encode_png_rgb(px)) == px).all()
 
     prop()
+
+
+def test_jpeg_flat_blocks_roundtrip_exactly():
+    """Per-block-flat images survive the full lossy JPEG process
+    exactly under the all-ones quantization table — the property the
+    l5_jpeg_pixel_decode_stats oracle rests on."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    encode, decode = M._jpeg_codec()
+    rng = np.random.default_rng(3)
+    for _ in range(15):
+        nbx, nby = int(rng.integers(1, 5)), int(rng.integers(1, 4))
+        s = int(rng.integers(0, 256))
+        grid = (s + np.arange(nby * nbx).reshape(nby, nbx)) % 256
+        px = np.repeat(np.repeat(grid, 8, 0), 8, 1).astype(np.uint8)
+        assert (decode(encode(px)) == px).all()
+
+
+def test_jpeg_random_images_roundtrip_within_dct_bound():
+    """Arbitrary content (the AC / ZRL / run-length entropy paths) and
+    non-multiple-of-8 sizes roundtrip within the DCT-rounding bound —
+    the decoder must reproduce the encoder's exact coefficients for
+    this to hold (a single Huffman/bit-order bug blows the bound)."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    encode, decode = M._jpeg_codec()
+    rng = np.random.default_rng(11)
+    worst = 0
+    for _ in range(12):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        back = decode(encode(px))
+        assert back.shape == (h, w)
+        worst = max(worst, int(np.abs(back.astype(int) - px.astype(int)).max()))
+    assert worst <= 8, worst
+
+
+def test_jpeg_stream_is_parseable_by_the_independent_header_parser():
+    """Cross-validation: decode_header's JPEG marker walk (written for
+    foreign payloads) must agree with our encoder's SOF0 emission."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    encode, _ = M._jpeg_codec()
+    meta = M.decode_header(encode(np.zeros((24, 16), np.uint8)))
+    assert (meta["width"], meta["height"], meta["channels"]) == (16, 24, 1)
+
+
+def test_jpeg_decoder_rejects_malformed_streams():
+    import numpy as np
+    import pytest as _pytest
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    encode, decode = M._jpeg_codec()
+    payload = encode(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    with _pytest.raises(ValueError):
+        decode(b"not a jpeg")
+    with _pytest.raises(ValueError):
+        decode(payload[: len(payload) // 2])  # no EOI
