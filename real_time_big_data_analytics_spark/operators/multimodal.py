@@ -215,7 +215,10 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def frame_sample_stub(spark: SparkSession, sf_dir: str, every_n: int = 10) -> DataFrame:
     """L5 — video frame-sampling plumbing: one output row per sampled
-    frame index, metadata computed natively; frame decode stubbed."""
+    frame index, metadata computed natively; frame decode stubbed.
+    The REAL container path is ``avi_frame_sample_stats`` below (round
+    5): actual RIFF/AVI mux + demux with exact per-frame pixel sums —
+    this stub stays registered for the pure-plumbing plan shape."""
     docs = load_table(spark, sf_dir, "documents")
     n_frames = (F.col("n_chars") % 100 + 1).cast("int")  # fake per-doc frame count
     return (
@@ -1145,6 +1148,144 @@ def wav_pcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         schema="doc_id long, n_samples long, sum_samples long, max_sample int",
+    )
+
+
+def _avi_codec():
+    """Single-source uncompressed-AVI (RIFF) muxer + demuxer — stdlib
+    struct + numpy only: a REAL multi-frame video container. The muxer
+    writes the standard RIFF 'AVI ' layout (LIST hdrl with avih/strl,
+    LIST movi with one '00db' chunk of raw 8-bit grayscale DIB data
+    per frame); the demuxer walks the RIFF tree like a real player —
+    finds hdrl for the frame geometry, then iterates movi's '00db'
+    chunks — and extracts whole frames by index. Lossless, so frame
+    extraction roundtrips EXACTLY (the basis of the frame-sampling
+    oracle). Same nested-function by-value pickling contract as
+    ``_jpeg_codec``. Returns ``(mux, demux)`` where
+    ``demux(payload) -> (width, height, [frame bytes])``."""
+    import struct
+
+    import numpy as np
+
+    def _chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def _list(kind: bytes, data: bytes) -> bytes:
+        return _chunk(b"LIST", kind + data)
+
+    def mux(frames, width: int, height: int, fps: int = 10) -> bytes:
+        n = len(frames)
+        frame_bytes = width * height
+        avih = struct.pack(
+            "<IIIIIIIIIIIIII",
+            1_000_000 // fps,  # microseconds per frame
+            frame_bytes * fps,  # max bytes per second
+            0, 0x10,  # padding, flags (AVIF_HASINDEX off: no idx1)
+            n, 0, 1, frame_bytes,
+            width, height, 0, 0, 0, 0,
+        )
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+            frame_bytes, 0, 0, 0, 0, width, height,
+        )
+        # BITMAPINFOHEADER: 8-bit single-plane bottom-up DIB
+        strf = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 8, 0, frame_bytes, 0, 0, 256, 0
+        )
+        hdrl = _list(
+            b"hdrl",
+            _chunk(b"avih", avih)
+            + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+        )
+        movi = _list(b"movi", b"".join(_chunk(b"00db", f) for f in frames))
+        riff_body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+    def demux(payload: bytes):
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            raise ValueError("not an AVI")
+        width = height = None
+        frames = []
+
+        def walk(start: int, end: int) -> None:
+            nonlocal width, height
+            i = start
+            while i + 8 <= end:
+                tag = payload[i : i + 4]
+                (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+                data_start = i + 8
+                if data_start + size > end:
+                    raise ValueError("truncated chunk")
+                if tag == b"LIST":
+                    walk(data_start + 4, data_start + size)
+                elif tag == b"strf":
+                    width, height = struct.unpack(
+                        "<ii", payload[data_start + 4 : data_start + 12]
+                    )
+                elif tag == b"00db":
+                    frames.append(payload[data_start : data_start + size])
+                i = data_start + size + (size % 2)
+
+        walk(12, len(payload))
+        if width is None or not frames:
+            raise ValueError("missing stream format or frames")
+        return width, abs(height), frames
+
+    return mux, demux
+
+
+def avi_frame_sample_stats(
+    spark: SparkSession, sf_dir: str, every_n: int = 3
+) -> DataFrame:
+    """L5 — REAL video frame sampling (upgrades ``frame_sample_stub``):
+    per document build an uncompressed multi-frame AVI whose frame
+    count and pixel content derive from (doc_id, n_chars) — frame f is
+    flat gray level ``(doc_id*11 % 256 + f) % 256`` at 16×8 — then
+    demux the container for real (RIFF tree walk to movi) and extract
+    every ``every_n``-th frame, emitting one row per SAMPLED frame
+    with its recovered pixel sum. Lossless DIB frames make the oracle
+    exact: sum = 128·((s+f) % 256) per sampled frame f.
+
+    This is the real shape of video curation at 100 TB: demux +
+    stride-sample inside one Arrow batch, full decode only on the
+    sampled frames, nothing per-frame crossing a shuffle. Same
+    metadata-repartition + ``mapInPandas`` plan as the other codec
+    stages; output grain is (doc, sampled frame).
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    mux, demux = _avi_codec()  # nested fns → pickled by value
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        W, H = 16, 8
+        for batch in batches:
+            rows = []
+            for doc_id, n_chars in zip(batch["doc_id"], batch["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                n_frames = nc % 12 + 2
+                s = (d * 11) % 256
+                frames = [
+                    np.full(W * H, (s + f) % 256, dtype=np.uint8).tobytes()
+                    for f in range(n_frames)
+                ]
+                w, h, got = demux(mux(frames, W, H))
+                for f in range(0, len(got), every_n):
+                    px = np.frombuffer(got[f], dtype=np.uint8).astype(np.int64)
+                    rows.append((d, n_frames, f, int(px.sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "frame_idx", "pixel_sum"]
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_frames int, frame_idx int, pixel_sum long",
     )
 
 

@@ -1821,6 +1821,32 @@ register(
     tags=("multimodal", "codec", "png", "pixels"),
 )
 
+# REAL video frame sampling (round 5): uncompressed multi-frame AVI
+# muxed and demuxed for real (RIFF tree walk to movi/00db), every 3rd
+# frame extracted with its exact pixel sum — upgrades the disclosed
+# frame_sample_stub to a genuine container path; lossless DIB frames
+# make the oracle exact.
+register(
+    "l5_avi_frame_sample_stats",
+    multimodal.avi_frame_sample_stats,
+    sql="""
+    WITH p AS (
+      SELECT doc_id, n_chars % 12 + 2 AS n_frames, (doc_id * 11) % 256 AS s
+      FROM documents
+    ), e AS (
+      SELECT doc_id, n_frames, s,
+             unnest(generate_series(0, n_frames - 1, 3)) AS f
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(f AS INT) AS frame_idx,
+           CAST(128 * ((s + f) % 256) AS BIGINT) AS pixel_sum
+    FROM e
+    """,
+    tags=("multimodal", "codec", "video", "avi", "frame-sampling"),
+)
+
 # REAL baseline-JPEG roundtrip (round 5): the full sequential-DCT
 # process — Huffman entropy coding, byte stuffing, DHT/DQT read back
 # from the stream — with per-block-flat images making the lossy

@@ -223,6 +223,7 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         "l5_wav_pcm_decode_stats",
         "l5_decode_quarantine_audit",
         "l5_jpeg_pixel_decode_stats",
+        "l5_avi_frame_sample_stats",
     }
 )
 

@@ -364,3 +364,45 @@ def test_jpeg_decoder_rejects_malformed_streams():
         decode(b"not a jpeg")
     with _pytest.raises(ValueError):
         decode(payload[: len(payload) // 2])  # no EOI
+
+
+def test_avi_mux_demux_roundtrips_frames_exactly():
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    mux, demux = M._avi_codec()
+    rng = np.random.default_rng(5)
+    for _ in range(8):
+        n = int(rng.integers(1, 14))
+        frames = [rng.integers(0, 256, 16 * 8, dtype=np.uint8).tobytes() for _ in range(n)]
+        w, h, got = demux(mux(frames, 16, 8))
+        assert (w, h) == (16, 8)
+        assert len(got) == n
+        assert all(a == b for a, b in zip(got, frames))
+    with pytest.raises(ValueError):
+        demux(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        demux(b"junk")
+
+
+def test_avi_frame_sampling_grain_and_sums(spark, sf_dir):
+    """One row per sampled frame (stride 3), pixel sums exact."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    rows = M.avi_frame_sample_stats(spark, sf_dir).collect()
+    docs = {r.doc_id: r.n_chars for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rs in list(by_doc.items())[:25]:
+        n_frames = docs[d] % 12 + 2
+        s = (d * 11) % 256
+        expect = list(range(0, n_frames, 3))
+        assert sorted(r.frame_idx for r in rs) == expect
+        for r in rs:
+            assert r.n_frames == n_frames
+            assert r.pixel_sum == 128 * ((s + r.frame_idx) % 256)

@@ -117,6 +117,8 @@ QUERIES = (
     "l5_png_pixel_decode_stats",   # stdlib PNG encode+full pixel decode
     "l5_wav_pcm_decode_stats",     # RIFF container build + PCM demux
     "l5_decode_quarantine_audit",  # decode + per-row corruption quarantine
+    "l5_jpeg_pixel_decode_stats",  # baseline-JPEG entropy code + DCT roundtrip
+    "l5_avi_frame_sample_stats",   # AVI mux/demux + stride frame extraction
 )
 
 
