@@ -133,3 +133,35 @@ def test_results_invariant_to_shuffle_partitioning(spark, sf_dir):
                     results[n] = rows
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_results_invariant_to_aqe_toggle(spark, sf_dir):
+    """AQE re-planning (join demotion, partition coalescing, skew
+    splits) must never change answers — the property that lets us
+    leave AQE on at any scale. Same tie-break-sensitive families as
+    the shuffle-width test, plus a codec rollup."""
+    from real_time_big_data_analytics_spark.registry import all_queries
+
+    names = [
+        "wf_peak_concurrency",
+        "l4_weighted_sample",
+        "l2_ppjoin_jaccard_pairs",
+        "l4_pareto_frontier",
+        "l5_decode_quarantine_audit",
+        "q2_min_cost_supplier",
+    ]
+    qs = all_queries()
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        results = {}
+        for flag in ("false", "true"):
+            spark.conf.set("spark.sql.adaptive.enabled", flag)
+            for n in names:
+                rows = sorted(map(str, qs[n].fn(spark, sf_dir).collect()))
+                assert rows, n
+                if n in results:
+                    assert results[n] == rows, f"{n}: differs with AQE={flag}"
+                else:
+                    results[n] = rows
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", before)
