@@ -33,7 +33,19 @@ TABLES = (
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Oracle connection with a hard memory ceiling. The naive-twin
+    oracles are brute-force references sized for the driver's sf0.01
+    gate; at sf0.1 a quadratic all-pairs twin can otherwise grow until
+    the kernel OOM-kills the whole process (observed: 128 GB anon RSS
+    during a whole-surface sf0.1 attempt). With the limit + a spill
+    directory, DuckDB spills what it can and raises OutOfMemoryError
+    for what it can't — the sweep records a clean per-query failure
+    instead of taking the host down."""
+    import tempfile
+
     con = duckdb.connect()
+    con.execute("SET memory_limit='48GB'")
+    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='rtba_duck_spill_')}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
