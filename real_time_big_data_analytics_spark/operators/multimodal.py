@@ -619,6 +619,8 @@ def decode_png_pixels(payload: bytes):
     while i + 12 <= n:
         (length,) = struct.unpack(">I", payload[i : i + 4])
         tag = payload[i + 4 : i + 8]
+        if i + 12 + length > n:
+            raise ValueError(f"truncated {tag!r} chunk")
         data = payload[i + 8 : i + 8 + length]
         (crc,) = struct.unpack(">I", payload[i + 8 + length : i + 12 + length])
         if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
@@ -1181,7 +1183,7 @@ def _avi_codec():
             "<IIIIIIIIIIIIII",
             1_000_000 // fps,  # microseconds per frame
             frame_bytes * fps,  # max bytes per second
-            0, 0x10,  # padding, flags (AVIF_HASINDEX off: no idx1)
+            0, 0,  # padding, flags (no idx1 chunk is written, so AVIF_HASINDEX stays off)
             n, 0, 1, frame_bytes,
             width, height, 0, 0, 0, 0,
         )

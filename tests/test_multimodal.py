@@ -208,6 +208,20 @@ def test_png_pixel_decoder_rejects_corruption():
     flipped[40] ^= 0xFF  # inside IDAT → CRC must catch it
     with _pytest.raises(ValueError):
         M.decode_png_pixels(bytes(flipped))
+    # truncation mid-chunk (header fits, data/CRC don't) must raise the
+    # documented ValueError, not struct.error from a short CRC slice
+    # (ADVICE r5: the quarantine closure had this guard; the exported
+    # twin did not)
+    import struct as _struct
+
+    i = 8
+    while True:
+        (length,) = _struct.unpack(">I", payload[i : i + 4])
+        if payload[i + 4 : i + 8] == b"IDAT":
+            break
+        i += 12 + length
+    with _pytest.raises(ValueError, match="truncated"):
+        M.decode_png_pixels(bytes(payload[: i + 8 + max(1, length // 2)]))
 
 
 def test_pixel_query_closure_matches_module_codec(spark, sf_dir):

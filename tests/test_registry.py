@@ -128,8 +128,16 @@ def test_round5_additions_sort_after_prefreeze_tail():
 
     names = list(all_queries())
     verified, _red = _driver_receipts()
-    deferred_idx = [i for i, n in enumerate(names) if n in DRIVER_CHECK_DEFER]
-    assert deferred_idx, "defer set should be non-empty from round 5"
+    # a deferred name that has since earned a driver receipt sorts into
+    # the verified region by design — only still-unverified deferred
+    # names are held behind the pre-freeze tail (ADVICE r5)
+    deferred_idx = [
+        i
+        for i, n in enumerate(names)
+        if n in DRIVER_CHECK_DEFER and n not in verified
+    ]
+    if not deferred_idx:
+        pytest.skip("every deferred name already has a driver receipt")
     prefreeze_unverified = [
         i
         for i, n in enumerate(names)

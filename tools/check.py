@@ -40,12 +40,20 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     during a whole-surface sf0.1 attempt). With the limit + a spill
     directory, DuckDB spills what it can and raises OutOfMemoryError
     for what it can't — the sweep records a clean per-query failure
-    instead of taking the host down."""
+    instead of taking the host down.
+
+    The spill directory is removed at interpreter exit (ADVICE r5:
+    a fresh mkdtemp per connection leaked dirs across repeated sweeps,
+    potentially holding large spill files after an abnormal exit)."""
+    import atexit
+    import shutil
     import tempfile
 
     con = duckdb.connect()
     con.execute("SET memory_limit='48GB'")
-    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='rtba_duck_spill_')}'")
+    spill = tempfile.mkdtemp(prefix="rtba_duck_spill_")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

@@ -13,7 +13,9 @@ from a temp cwd with a vanilla session exercises the
 ``_ship_package`` addPyFile path and the UTC-repin wrapper for real.
 
 Usage: python tools/driver_sweep.py [--sf /root/testdata/sf0.01] [names...]
-Exit code = number of failures (0 = all green).
+Exit code: 0 = all green, else min(failures, 255) — raw counts would
+wrap mod 256 and a 256-failure sweep would read as success (ADVICE r5).
+The true count is printed on the last line.
 """
 
 from __future__ import annotations
@@ -57,7 +59,7 @@ def main() -> int:
     unknown = [n for n in todo if n not in qs]
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
-        return len(unknown)
+        return min(len(unknown), 255)
     con = duck_connection(args.sf)
     fails = 0
     t0 = time.time()
@@ -82,7 +84,7 @@ def main() -> int:
             print(f"FAIL(rows) {name}: empty result for rows-only query")
             fails += 1
     print(f"{fails} failures / {len(todo)} in {time.time() - t0:.0f}s")
-    return fails
+    return min(fails, 255)
 
 
 if __name__ == "__main__":
