@@ -228,6 +228,59 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
 )
 
 
+def receipt_ledger() -> dict[str, dict]:
+    """Per-query driver-receipt history, the single parse of every
+    CORRECTNESS_r*.json in the repo root (VERDICT r5 ask #8).
+
+    Returns ``{name: {"green_rounds": [int...], "red_rounds": [int...],
+    "last_green": int|None, "last_red": int|None}}`` for every
+    REGISTERED name that appears in any receipt. A round is *green*
+    for a name when the driver recorded ``hash_match: true`` (or, for
+    a query registered without an oracle, any recorded spark_rows);
+    anything else the driver ran and recorded is *red*. Rounds are
+    taken from the ``CORRECTNESS_r{N}.json`` filename."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ledger: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rounds = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, rec in rounds.items():
+            if not isinstance(rec, dict) or name not in QUERIES:
+                continue
+            entry = ledger.setdefault(
+                name,
+                {
+                    "green_rounds": [],
+                    "red_rounds": [],
+                    "last_green": None,
+                    "last_red": None,
+                },
+            )
+            green = rec.get("hash_match") is True or (
+                QUERIES[name].sql is None and rec.get("spark_rows") is not None
+            )
+            key = "green_rounds" if green else "red_rounds"
+            entry[key].append(rnd)
+    for entry in ledger.values():
+        entry["green_rounds"].sort()
+        entry["red_rounds"].sort()
+        entry["last_green"] = entry["green_rounds"][-1] if entry["green_rounds"] else None
+        entry["last_red"] = entry["red_rounds"][-1] if entry["red_rounds"] else None
+    return ledger
+
+
 def _driver_receipts() -> tuple[set[str], set[str]]:
     """(verified, red) from the driver correctness receipts.
 
@@ -239,28 +292,9 @@ def _driver_receipts() -> tuple[set[str], set[str]]:
     name outranks every never-verified name in the rotation: a wrong
     answer the grader has seen must be re-receipted before new
     coverage (VERDICT r4 ask #1)."""
-    import glob
-    import json
-    import os
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    verified: set[str] = set()
-    red: set[str] = set()
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        try:
-            with open(path) as f:
-                rounds = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            continue
-        for name, rec in rounds.items():
-            if not isinstance(rec, dict) or name not in QUERIES:
-                continue
-            if rec.get("hash_match") is True:
-                verified.add(name)
-            elif QUERIES[name].sql is None and rec.get("spark_rows") is not None:
-                verified.add(name)
-            else:
-                red.add(name)
+    ledger = receipt_ledger()
+    verified = {n for n, e in ledger.items() if e["green_rounds"]}
+    red = {n for n, e in ledger.items() if e["red_rounds"]}
     return verified, red - verified
 
 
