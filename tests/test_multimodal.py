@@ -428,6 +428,60 @@ def test_jpeg_random_images_roundtrip_within_dct_bound():
     assert worst <= 8, worst
 
 
+def test_jpeg_420_flat_mcus_roundtrip_exactly():
+    """4:2:0 YCbCr: per-8×8-flat luma + per-16×16-MCU-flat chroma
+    survive the full interleaved-MCU process exactly (subsample,
+    per-component DC prediction, upsample) — the property the round-6
+    half of the l5_jpeg_pixel_decode_stats oracle rests on."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    encode, decode = M._jpeg_codec()
+    rng = np.random.default_rng(17)
+    for _ in range(10):
+        mx, my = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        w, h = mx * 16, my * 16
+        s = int(rng.integers(0, 256))
+        y = np.repeat(
+            np.repeat((s + np.arange((h // 8) * (w // 8)).reshape(h // 8, w // 8)) % 256, 8, 0),
+            8, 1,
+        )
+        cb = np.repeat(
+            np.repeat((s + 17 + np.arange(my * mx).reshape(my, mx)) % 256, 16, 0), 16, 1
+        )
+        cr = np.repeat(
+            np.repeat((s + 91 + np.arange(my * mx).reshape(my, mx)) % 256, 16, 0), 16, 1
+        )
+        px = np.stack([y, cb, cr], axis=-1).astype(np.uint8)
+        back = decode(encode(px))
+        assert back.shape == px.shape
+        assert (back == px).all()
+
+
+def test_jpeg_420_random_content_luma_within_dct_bound():
+    """Arbitrary 4:2:0 content (including non-MCU-multiple sizes, which
+    exercise the edge-padding path): the luma plane must come back
+    within the DCT-rounding bound — chroma is legitimately lossy under
+    2×2 subsampling, so only its MCU means are preserved."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    encode, decode = M._jpeg_codec()
+    rng = np.random.default_rng(23)
+    worst = 0
+    for _ in range(8):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        back = decode(encode(px))
+        assert back.shape == (h, w, 3)
+        worst = max(
+            worst, int(np.abs(back[..., 0].astype(int) - px[..., 0].astype(int)).max())
+        )
+    assert worst <= 8, worst
+
+
 def test_jpeg_stream_is_parseable_by_the_independent_header_parser():
     """Cross-validation: decode_header's JPEG marker walk (written for
     foreign payloads) must agree with our encoder's SOF0 emission."""
@@ -438,6 +492,8 @@ def test_jpeg_stream_is_parseable_by_the_independent_header_parser():
     encode, _ = M._jpeg_codec()
     meta = M.decode_header(encode(np.zeros((24, 16), np.uint8)))
     assert (meta["width"], meta["height"], meta["channels"]) == (16, 24, 1)
+    meta = M.decode_header(encode(np.zeros((32, 16, 3), np.uint8)))
+    assert (meta["width"], meta["height"], meta["channels"]) == (16, 32, 3)
 
 
 def test_jpeg_decoder_rejects_malformed_streams():
