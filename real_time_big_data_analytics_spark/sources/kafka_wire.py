@@ -1,0 +1,404 @@
+"""Minimal Kafka WIRE protocol: RecordBatch v2 + produce/fetch framing
+(SURVEY.md §2.1 S2/S3 — the round-6 upgrade of the Kafka seam).
+
+The sandbox has no broker binary, no spark-sql-kafka connector JAR, no
+Python Kafka client, and no network to fetch any of them
+(``tools/probe_kafka.py`` records the probe), so Spark's
+``format("kafka")`` path cannot be exercised end-to-end. What CAN be
+made real without any of that is the WIRE level: this module
+implements, from the public Kafka protocol spec
+(kafka.apache.org/protocol, KIP-98 record format):
+
+- **RecordBatch v2** encode/decode — magic 2, CRC32C (Castagnoli,
+  table-driven, implemented here since zlib only has CRC32-IEEE),
+  zigzag-varint record framing, per-record key/value/headers,
+  timestamp/offset deltas;
+- request/response framing for **ApiVersions (key 18, v0)**,
+  **Produce (key 0, v3)** and **Fetch (key 1, v4)** — the minimal
+  subset a loopback round-trip needs, versions chosen because they
+  carry RecordBatch v2 record sets with plain (non-flexible) headers;
+- ``MiniBroker`` — an in-process TCP server speaking that subset over
+  a REAL socket, storing produced batches per (topic, partition) and
+  serving them back to fetches byte-identically.
+
+``tests/test_kafka_wire.py`` drives ``encode_payload``-shaped rows
+through produce → socket → fetch → decode and asserts exact roundtrip
+plus CRC rejection of corrupted batches. This upgrades S2/S3 evidence
+from string-contract pytest to wire-level framing; the remaining gap
+(Spark's own connector behavior) is environment-blocked and disclosed.
+
+Reference parity: the reference's producer/consumer
+(ProducerFinal.scala:50-83, ConsumerESFinal.scala:40-47) exchange
+String key/values over exactly this record format; the JSON payload
+codec in ``sources/kafka.py`` is the fixed (§1.4.1) equivalent.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+
+# ---------------------------------------------------------------- CRC32C
+
+_CRC32C_TABLE: list[int] = []
+
+
+def _crc32c_table() -> list[int]:
+    if not _CRC32C_TABLE:
+        poly = 0x82F63B78  # reflected Castagnoli polynomial
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ poly if c & 1 else c >> 1
+            _CRC32C_TABLE.append(c)
+    return _CRC32C_TABLE
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli) — the checksum RecordBatch v2 mandates."""
+    table = _crc32c_table()
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------- varints
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_varint(n: int) -> bytes:
+    """Zigzag varint (Kafka record framing)."""
+    u = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = u = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(u), pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+
+
+# ------------------------------------------------------- RecordBatch v2
+
+
+def encode_record_batch(
+    records: list[tuple[bytes | None, bytes]],
+    *,
+    base_offset: int = 0,
+    base_timestamp: int = 0,
+) -> bytes:
+    """[(key, value)] → one RecordBatch v2 (attributes 0: no
+    compression, CreateTime, not transactional, not control)."""
+    body = bytearray()
+    for i, (key, value) in enumerate(records):
+        rec = bytearray()
+        rec += b"\x00"  # record attributes
+        rec += write_varint(0)  # timestampDelta
+        rec += write_varint(i)  # offsetDelta
+        if key is None:
+            rec += write_varint(-1)
+        else:
+            rec += write_varint(len(key)) + key
+        rec += write_varint(len(value)) + value
+        rec += write_varint(0)  # headers
+        body += write_varint(len(rec)) + rec
+
+    n = len(records)
+    after_crc = (
+        struct.pack(">hiqqqhii", 0, n - 1, base_timestamp, base_timestamp, -1, -1, -1, n)
+        + bytes(body)
+    )
+    crc = crc32c(after_crc)
+    # partitionLeaderEpoch(4) magic(1) crc(4) + after_crc
+    tail = struct.pack(">ibI", -1, 2, crc) + after_crc
+    return struct.pack(">qi", base_offset, len(tail)) + tail
+
+
+def decode_record_batch(buf: bytes) -> list[tuple[bytes | None, bytes]]:
+    """One RecordBatch v2 → [(key, value)], CRC-verified."""
+    if len(buf) < 61:  # fixed envelope: 12 + 9 + 40 header bytes
+        raise ValueError("truncated record batch")
+    base_offset, batch_len = struct.unpack(">qi", buf[:12])
+    if 12 + batch_len > len(buf):
+        raise ValueError("truncated record batch")
+    _epoch, magic, crc = struct.unpack(">ibI", buf[12:21])
+    if magic != 2:
+        raise ValueError(f"unsupported magic {magic}")
+    after_crc = buf[21 : 12 + batch_len]
+    if crc32c(after_crc) != crc:
+        raise ValueError("record batch CRC mismatch")
+    (_attrs, _last_delta, _bts, _mts, _pid, _pepoch, _bseq, count) = struct.unpack(
+        ">hiqqqhii", after_crc[:40]
+    )
+    pos, out = 40, []
+    for _ in range(count):
+        rec_len, pos = read_varint(after_crc, pos)
+        end = pos + rec_len
+        pos += 1  # record attributes
+        _, pos = read_varint(after_crc, pos)  # timestampDelta
+        _, pos = read_varint(after_crc, pos)  # offsetDelta
+        klen, pos = read_varint(after_crc, pos)
+        key = None if klen < 0 else bytes(after_crc[pos : pos + klen])
+        pos += max(klen, 0)
+        vlen, pos = read_varint(after_crc, pos)
+        value = bytes(after_crc[pos : pos + vlen])
+        pos += vlen
+        nh, pos = read_varint(after_crc, pos)
+        for _ in range(nh):
+            hk, pos = read_varint(after_crc, pos)
+            pos += max(hk, 0)
+            hv, pos = read_varint(after_crc, pos)
+            pos += max(hv, 0)
+        if pos != end:
+            raise ValueError("record length mismatch")
+        out.append((key, value))
+    return out
+
+
+# --------------------------------------------------- request framing
+
+API_PRODUCE, API_FETCH, API_VERSIONS = 0, 1, 18
+
+
+def _str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    b = s.encode()
+    return struct.pack(">h", len(b)) + b
+
+
+def _read_str(buf: bytes, pos: int) -> tuple[str | None, int]:
+    (ln,) = struct.unpack(">h", buf[pos : pos + 2])
+    pos += 2
+    if ln < 0:
+        return None, pos
+    return buf[pos : pos + ln].decode(), pos + ln
+
+
+def frame_request(
+    api_key: int, api_version: int, correlation_id: int, body: bytes,
+    client_id: str = "rtba",
+) -> bytes:
+    hdr = struct.pack(">hhi", api_key, api_version, correlation_id) + _str(client_id)
+    return struct.pack(">i", len(hdr) + len(body)) + hdr + body
+
+
+def produce_request_v3(topic: str, partition: int, record_set: bytes) -> bytes:
+    """Produce v3 body: transactional_id, acks=-1, timeout, one
+    topic/partition with an int32-length-delimited record set."""
+    return (
+        _str(None)
+        + struct.pack(">hi", -1, 30000)
+        + struct.pack(">i", 1)
+        + _str(topic)
+        + struct.pack(">i", 1)
+        + struct.pack(">i", partition)
+        + struct.pack(">i", len(record_set))
+        + record_set
+    )
+
+
+def fetch_request_v4(topic: str, partition: int, offset: int = 0) -> bytes:
+    """Fetch v4 body: replica=-1, max_wait, min_bytes, max_bytes,
+    isolation=0, one topic/partition."""
+    return (
+        struct.pack(">iiiib", -1, 100, 1, 1 << 20, 0)
+        + struct.pack(">i", 1)
+        + _str(topic)
+        + struct.pack(">i", 1)
+        + struct.pack(">iqi", partition, offset, 1 << 20)
+    )
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("socket closed mid-frame")
+        buf += chunk
+    return bytes(buf)
+
+
+def call(sock: socket.socket, payload: bytes) -> bytes:
+    """Send one framed request, return the response body (after the
+    echoed correlation id)."""
+    sock.sendall(payload)
+    (size,) = struct.unpack(">i", _recv_exact(sock, 4))
+    resp = _recv_exact(sock, size)
+    return resp[4:]  # strip correlation id
+
+
+# --------------------------------------------------------- MiniBroker
+
+
+class MiniBroker:
+    """In-process single-node 'broker' speaking the subset above over a
+    real TCP socket: ApiVersions v0, Produce v3 (stores the record set
+    per topic/partition), Fetch v4 (serves stored batches back
+    byte-identically). One thread, loopback only — a test harness, not
+    a Kafka reimplementation; everything outside the subset returns
+    error_code 35 (UNSUPPORTED_VERSION)."""
+
+    def __init__(self):
+        self.log: dict[tuple[str, int], list[bytes]] = {}
+        broker = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                try:
+                    while True:
+                        (size,) = struct.unpack(
+                            ">i", _recv_exact(self.request, 4)
+                        )
+                        req = _recv_exact(self.request, size)
+                        self.request.sendall(broker._respond(req))
+                except (ConnectionError, struct.error):
+                    return
+
+        self._server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+        self._server.daemon_threads = True
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    # -- lifecycle ----------------------------------------------------
+    def start(self) -> str:
+        self._thread.start()
+        host, port = self._server.server_address
+        return f"{host}:{port}"
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    # -- protocol -----------------------------------------------------
+    def _respond(self, req: bytes) -> bytes:
+        api_key, api_version, corr = struct.unpack(">hhi", req[:8])
+        _, pos = _read_str(req, 8)  # client_id
+        body = req[pos:]
+        if api_key == API_VERSIONS:
+            out = struct.pack(">h", 0) + struct.pack(">i", 3)
+            for k, lo, hi in ((API_PRODUCE, 3, 3), (API_FETCH, 4, 4), (API_VERSIONS, 0, 0)):
+                out += struct.pack(">hhh", k, lo, hi)
+        elif api_key == API_PRODUCE and api_version == 3:
+            out = self._produce(body)
+        elif api_key == API_FETCH and api_version == 4:
+            out = self._fetch(body)
+        else:
+            out = struct.pack(">h", 35)  # UNSUPPORTED_VERSION
+        return struct.pack(">i", 4 + len(out)) + struct.pack(">i", corr) + out
+
+    def _produce(self, body: bytes) -> bytes:
+        _txn, pos = _read_str(body, 0)
+        _acks, _timeout, ntopics = struct.unpack(">hii", body[pos : pos + 10])
+        pos += 10
+        resp_topics = b""
+        for _ in range(ntopics):
+            topic, pos = _read_str(body, pos)
+            (nparts,) = struct.unpack(">i", body[pos : pos + 4])
+            pos += 4
+            parts = b""
+            for _ in range(nparts):
+                partition, set_len = struct.unpack(">iI", body[pos : pos + 8])
+                pos += 8
+                record_set = body[pos : pos + set_len]
+                pos += set_len
+                key = (topic, partition)
+                base = sum(
+                    len(decode_record_batch(b)) for b in self.log.get(key, [])
+                )
+                # validate before acking — a corrupt batch is refused
+                try:
+                    decode_record_batch(record_set)
+                except ValueError:
+                    parts += struct.pack(">ihqq", partition, 2, -1, -1)  # CORRUPT_MESSAGE
+                    continue
+                self.log.setdefault(key, []).append(record_set)
+                parts += struct.pack(">ihqq", partition, 0, base, -1)
+            resp_topics += _str(topic) + struct.pack(">i", nparts) + parts
+        return (
+            struct.pack(">i", ntopics) + resp_topics + struct.pack(">i", 0)
+        )  # throttle_time
+
+    def _fetch(self, body: bytes) -> bytes:
+        pos = 4 + 4 + 4 + 4 + 1  # replica, max_wait, min_bytes, max_bytes, isolation
+        (ntopics,) = struct.unpack(">i", body[pos : pos + 4])
+        pos += 4
+        out = struct.pack(">i", 0) + struct.pack(">i", ntopics)  # throttle, topics
+        for _ in range(ntopics):
+            topic, pos = _read_str(body, pos)
+            (nparts,) = struct.unpack(">i", body[pos : pos + 4])
+            pos += 4
+            out += _str(topic) + struct.pack(">i", nparts)
+            for _ in range(nparts):
+                partition, _offset, _maxb = struct.unpack(
+                    ">iqi", body[pos : pos + 16]
+                )
+                pos += 16
+                batches = self.log.get((topic, partition), [])
+                record_set = b"".join(batches)
+                hw = sum(len(decode_record_batch(b)) for b in batches)
+                # partition, error, high_watermark, last_stable, [aborted]=0
+                out += struct.pack(">ihqqi", partition, 0, hw, hw, 0)
+                out += struct.pack(">i", len(record_set)) + record_set
+        return out
+
+
+def parse_fetch_record_sets(resp: bytes) -> dict[tuple[str, int], bytes]:
+    """Fetch v4 response body → {(topic, partition): record_set bytes}."""
+    pos = 4  # throttle_time
+    (ntopics,) = struct.unpack(">i", resp[pos : pos + 4])
+    pos += 4
+    out: dict[tuple[str, int], bytes] = {}
+    for _ in range(ntopics):
+        topic, pos = _read_str(resp, pos)
+        (nparts,) = struct.unpack(">i", resp[pos : pos + 4])
+        pos += 4
+        for _ in range(nparts):
+            partition, _err, _hw, _ls, naborted = struct.unpack(
+                ">ihqqi", resp[pos : pos + 26]
+            )
+            pos += 26 + 16 * naborted  # aborted txn = producer_id + first_offset
+            (set_len,) = struct.unpack(">i", resp[pos : pos + 4])
+            pos += 4
+            out[(topic, partition)] = resp[pos : pos + set_len]
+            pos += set_len
+    return out
+
+
+def split_record_sets(record_set: bytes) -> list[bytes]:
+    """A fetch record_set may concatenate several batches; split on the
+    baseOffset/batchLength envelope."""
+    out, pos = [], 0
+    while pos + 12 <= len(record_set):
+        (batch_len,) = struct.unpack(">i", record_set[pos + 8 : pos + 12])
+        end = pos + 12 + batch_len
+        if end > len(record_set):
+            raise ValueError("truncated batch in record set")
+        out.append(record_set[pos:end])
+        pos = end
+    return out

@@ -1,0 +1,186 @@
+"""Wire-level Kafka evidence (S2/S3, VERDICT r5 ask #6): the JSON
+payload codec round-trips through REAL RecordBatch v2 bytes over a
+REAL loopback TCP socket against the in-process MiniBroker.
+
+The Spark connector itself (spark-sql-kafka JAR) is absent from the
+sandbox — tools/probe_kafka.py records that — so these tests pin every
+byte layer beneath it: CRC32C, zigzag varints, record framing,
+produce/fetch request framing, and corruption rejection.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+
+import pytest
+
+from real_time_big_data_analytics_spark.sources import kafka_wire as KW
+
+
+# ------------------------------------------------------------- primitives
+
+
+def test_crc32c_known_vectors():
+    """Public CRC-32C check vectors (RFC 3720 appendix / common test
+    strings) — zlib.crc32 (IEEE) must NOT match these."""
+    import zlib
+
+    assert KW.crc32c(b"") == 0
+    assert KW.crc32c(b"123456789") == 0xE3069283
+    assert KW.crc32c(b"a") == 0xC1D04330
+    assert KW.crc32c(bytes(32)) == 0x8A9136AA
+    assert zlib.crc32(b"123456789") != KW.crc32c(b"123456789")
+
+
+def test_varint_zigzag_roundtrip():
+    for n in (0, 1, -1, 63, -64, 64, 300, -300, 2**31 - 1, -(2**31), 2**40):
+        buf = KW.write_varint(n)
+        got, pos = KW.read_varint(buf, 0)
+        assert (got, pos) == (n, len(buf)), n
+
+
+def test_record_batch_roundtrip_and_crc_rejection():
+    records = [
+        (b"k1", b'{"user_id": 1, "value": 2.5}'),
+        (None, b'{"user_id": 2, "value": "a,b,c"}'),  # null key + embedded commas
+        (b"k3", b""),
+    ]
+    batch = KW.encode_record_batch(records, base_offset=7, base_timestamp=1234)
+    assert KW.decode_record_batch(batch) == records
+    corrupt = bytearray(batch)
+    corrupt[-1] ^= 0xFF  # flip a payload byte → CRC32C must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        KW.decode_record_batch(bytes(corrupt))
+    with pytest.raises(ValueError, match="truncated"):
+        KW.decode_record_batch(batch[: len(batch) // 2])
+
+
+# ------------------------------------------------------------ loopback
+
+
+@pytest.fixture()
+def broker():
+    b = KW.MiniBroker()
+    addr = b.start()
+    yield b, addr
+    b.stop()
+
+
+def _connect(addr: str) -> socket.socket:
+    host, port = addr.rsplit(":", 1)
+    return socket.create_connection((host, int(port)), timeout=5)
+
+
+def test_api_versions_handshake(broker):
+    _, addr = broker
+    with _connect(addr) as sock:
+        resp = KW.call(
+            sock, KW.frame_request(KW.API_VERSIONS, 0, correlation_id=1, body=b"")
+        )
+    err, napis = struct.unpack(">hi", resp[:6])
+    assert err == 0
+    apis = {
+        struct.unpack(">hhh", resp[6 + 6 * i : 12 + 6 * i])[0] for i in range(napis)
+    }
+    assert {KW.API_PRODUCE, KW.API_FETCH, KW.API_VERSIONS} <= apis
+
+
+def test_produce_fetch_roundtrip_preserves_payload_codec(broker):
+    """encode_payload-shaped rows (JSON value, entity key — the §1.4.1
+    fix) survive produce → socket → fetch → decode byte-exactly,
+    including embedded commas that corrupted the reference's CSV."""
+    _, addr = broker
+    rows = [
+        {"user_id": 1, "location": "a,b", "lang": "en", "statuses_count": 10},
+        {"user_id": 2, "location": None, "lang": "hr", "statuses_count": 0},
+    ]
+    records = [
+        (str(r["user_id"]).encode(), json.dumps(r, sort_keys=True).encode())
+        for r in rows
+    ]
+    batch = KW.encode_record_batch(records)
+    with _connect(addr) as sock:
+        presp = KW.call(
+            sock,
+            KW.frame_request(
+                KW.API_PRODUCE, 3, 2, KW.produce_request_v3("events", 0, batch)
+            ),
+        )
+        fresp = KW.call(
+            sock,
+            KW.frame_request(KW.API_FETCH, 4, 3, KW.fetch_request_v4("events", 0)),
+        )
+    # produce ack: topic echoed, error 0, base offset 0
+    (ntopics,) = struct.unpack(">i", presp[:4])
+    assert ntopics == 1
+    sets = KW.parse_fetch_record_sets(fresp)
+    got = [
+        rec
+        for b in KW.split_record_sets(sets[("events", 0)])
+        for rec in KW.decode_record_batch(b)
+    ]
+    assert got == records
+    decoded = [json.loads(v) for _, v in got]
+    assert decoded == [json.loads(json.dumps(r, sort_keys=True)) for r in rows]
+    assert decoded[0]["location"] == "a,b"
+
+
+def test_multiple_produces_accumulate_and_fetch_all(broker):
+    _, addr = broker
+    with _connect(addr) as sock:
+        for i in range(3):
+            batch = KW.encode_record_batch(
+                [(b"k", f"v{i}".encode())], base_offset=i
+            )
+            KW.call(
+                sock,
+                KW.frame_request(
+                    KW.API_PRODUCE, 3, 10 + i, KW.produce_request_v3("t", 0, batch)
+                ),
+            )
+        fresp = KW.call(
+            sock, KW.frame_request(KW.API_FETCH, 4, 20, KW.fetch_request_v4("t", 0))
+        )
+    sets = KW.parse_fetch_record_sets(fresp)
+    vals = [
+        v
+        for b in KW.split_record_sets(sets[("t", 0)])
+        for _, v in KW.decode_record_batch(b)
+    ]
+    assert vals == [b"v0", b"v1", b"v2"]
+
+
+def test_broker_refuses_corrupt_batch(broker):
+    """A produce carrying a CRC-broken batch is acked with
+    CORRUPT_MESSAGE (2) and NOT appended to the log — matching real
+    broker behavior for record-set validation."""
+    _, addr = broker
+    batch = bytearray(KW.encode_record_batch([(b"k", b"v")]))
+    batch[-1] ^= 0xFF
+    with _connect(addr) as sock:
+        presp = KW.call(
+            sock,
+            KW.frame_request(
+                KW.API_PRODUCE, 3, 5, KW.produce_request_v3("bad", 0, bytes(batch))
+            ),
+        )
+        fresp = KW.call(
+            sock, KW.frame_request(KW.API_FETCH, 4, 6, KW.fetch_request_v4("bad", 0))
+        )
+    # walk to the partition error code: ntopics, topic, nparts, partition, err
+    (ntopics,) = struct.unpack(">i", presp[:4])
+    assert ntopics == 1
+    (tlen,) = struct.unpack(">h", presp[4:6])
+    off = 6 + tlen + 4  # past topic string + nparts
+    _partition, err = struct.unpack(">ih", presp[off : off + 6])
+    assert err == 2  # CORRUPT_MESSAGE
+    assert KW.parse_fetch_record_sets(fresp)[("bad", 0)] == b""
+
+
+def test_unsupported_version_is_signalled(broker):
+    _, addr = broker
+    with _connect(addr) as sock:
+        resp = KW.call(sock, KW.frame_request(KW.API_PRODUCE, 9, 7, b"\x00"))
+    assert struct.unpack(">h", resp[:2])[0] == 35  # UNSUPPORTED_VERSION

@@ -28,8 +28,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
     # §2.1 scans / sources / sinks
     "S1": ("t4_stream_windowed_analytics",),  # file-replay stand-in for Twitter
-    "S2": ("pytest:tests/test_kafka_codec.py",),  # no broker in sandbox
-    "S3": ("pytest:tests/test_kafka_codec.py",),
+    # no broker/connector JAR in sandbox (tools/probe_kafka.py); wire
+    # level (RecordBatch v2 + produce/fetch over a real loopback
+    # socket) verified in test_kafka_wire.py
+    "S2": ("pytest:tests/test_kafka_codec.py", "pytest:tests/test_kafka_wire.py"),
+    "S3": ("pytest:tests/test_kafka_codec.py", "pytest:tests/test_kafka_wire.py"),
     "S4": (
         "p_csv_parse_pipeline",
         "p_corrupt_record_audit",
