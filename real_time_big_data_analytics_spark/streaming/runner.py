@@ -56,6 +56,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared sources.tables.normalize_timestamps helper — watermarks
     reject TIMESTAMP_NTZ, so the cast must happen here, before any
     event-time operator sees the column.
+
+    ``events.parquet`` may be a single file (the driver's testdata) or
+    a DIRECTORY of time-ordered part files (the streaming scale smoke,
+    tools/stream_scale_smoke.py) — each data file is symlinked
+    individually so FileStreamSource discovers them in
+    modification-time order. With SPARK_GRAFT_STREAM_MAX_FILES set,
+    availableNow replays N files per micro-batch instead of everything
+    at once, so the watermark advances BETWEEN batches and bounded
+    state (t13's dedup ledger) actually evicts — the production
+    micro-batch cadence, observable in recentProgress.
     """
     from ..sources.tables import normalize_timestamps
 
@@ -63,10 +73,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # FileStreamSource requires a directory; stage the (read-only)
-    # table file into a temp dir via symlink — zero-copy replay.
+    # table file(s) into a temp dir via symlink — zero-copy replay.
     stage = tempfile.mkdtemp(prefix="rtba_stream_src_")
-    os.symlink(path, os.path.join(stage, "events.parquet"))
-    stream = spark.readStream.schema(schema).parquet(stage)
+    if os.path.isdir(path):
+        for fn in sorted(os.listdir(path)):
+            if fn.endswith(".parquet"):
+                os.symlink(os.path.join(path, fn), os.path.join(stage, fn))
+    else:
+        os.symlink(path, os.path.join(stage, "events.parquet"))
+    reader = spark.readStream.schema(schema)
+    max_files = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.parquet(stage)
     return normalize_timestamps(stream)
 
 
@@ -110,6 +129,13 @@ def index_sink(path: str):
     return write
 
 
+# Per-batch StreamingQueryProgress dicts from the most recent
+# run_to_table replay — state-store rows/bytes and input rates for the
+# streaming scale smoke (tools/stream_scale_smoke.py). Diagnostics
+# only; queries never read it.
+LAST_RECENT_PROGRESS: list[dict] = []
+
+
 def run_to_table(spark: SparkSession, streaming_df: DataFrame, *, output_mode: str) -> DataFrame:
     """Run a streaming aggregation to completion (availableNow) into a
     memory sink; return the finite result as a batch DataFrame."""
@@ -127,5 +153,10 @@ def run_to_table(spark: SparkSession, streaming_df: DataFrame, *, output_mode: s
         try:
             query.awaitTermination()
         finally:
+            import json as _json
+
+            LAST_RECENT_PROGRESS[:] = [
+                _json.loads(p.json) for p in query.recentProgress
+            ]
             query.stop()
     return spark.table(name)
