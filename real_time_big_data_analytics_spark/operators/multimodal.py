@@ -127,13 +127,14 @@ def decode_real(payload: bytes) -> dict:
     zlib inflate + full unfilter, palette/16-bit/Adam7 included,
     oracle-checked by ``l5_png_pixel_decode_stats``), as are baseline
     sequential-DCT JPEG in both grayscale and 4:2:0 YCbCr layouts
-    (``_jpeg_codec``, ``l5_jpeg_pixel_decode_stats``) and uncompressed
-    AVI frame extraction (``_avi_codec``). Unrecognized containers fall
-    through to PIL when available, else the disclosed
-    NotImplementedError — now narrowed to progressive JPEG and
-    compressed video, the formats whose pixel decode genuinely needs a
-    codec library; the deterministic fake in ``decode_image_metadata``
-    keeps the pipeline testable)."""
+    (``_jpeg_codec``, ``l5_jpeg_pixel_decode_stats``) and AVI frame
+    extraction in both uncompressed-DIB and Motion-JPEG layouts
+    (``_avi_codec``). Unrecognized containers fall through to PIL when
+    available, else the disclosed NotImplementedError — now narrowed
+    to progressive JPEG and inter-frame video codecs (H.26x/VPx/AV1),
+    the formats whose pixel decode genuinely needs a codec library;
+    the deterministic fake in ``decode_image_metadata`` keeps the
+    pipeline testable)."""
     parsed = decode_header(payload)
     if parsed is not None:
         return parsed
@@ -1101,12 +1102,16 @@ def _avi_codec():
     writes the standard RIFF 'AVI ' layout (LIST hdrl with avih/strl,
     LIST movi with one '00db' chunk of raw 8-bit grayscale DIB data
     per frame); the demuxer walks the RIFF tree like a real player —
-    finds hdrl for the frame geometry, then iterates movi's '00db'
-    chunks — and extracts whole frames by index. Lossless, so frame
-    extraction roundtrips EXACTLY (the basis of the frame-sampling
-    oracle). Same nested-function by-value pickling contract as
-    ``_jpeg_codec``. Returns ``(mux, demux)`` where
-    ``demux(payload) -> (width, height, [frame bytes])``."""
+    finds hdrl for the frame geometry, then iterates movi's '00db' /
+    '00dc' chunks — and extracts whole frames by index. Raw DIB frames
+    are lossless, so extraction roundtrips EXACTLY (the basis of the
+    frame-sampling oracle). Round 6 adds **Motion-JPEG** ('00dc'
+    chunks, MJPG fourcc/biCompression): each frame is a complete
+    baseline-JPEG stream — compose with ``_jpeg_codec`` to decode;
+    flat frames keep the oracle exact through the lossy path. Same
+    nested-function by-value pickling contract as ``_jpeg_codec``.
+    Returns ``(mux, demux)`` where
+    ``demux(payload) -> (width, height, [frame bytes], codec)``."""
     import struct
 
     import numpy as np
@@ -1118,9 +1123,17 @@ def _avi_codec():
     def _list(kind: bytes, data: bytes) -> bytes:
         return _chunk(b"LIST", kind + data)
 
-    def mux(frames, width: int, height: int, fps: int = 10) -> bytes:
+    def mux(frames, width: int, height: int, fps: int = 10, codec: str = "raw") -> bytes:
+        """``codec="raw"`` writes uncompressed 8-bit DIB frames in
+        '00db' chunks (fccHandler 'DIB ', biCompression 0); ``"mjpg"``
+        writes Motion-JPEG — each frame a complete baseline-JPEG stream
+        in a '00dc' (compressed) chunk, fccHandler/biCompression
+        'MJPG' — the standard intra-frame compressed-AVI layout."""
         n = len(frames)
-        frame_bytes = width * height
+        mjpg = codec == "mjpg"
+        frame_bytes = max((len(f) for f in frames), default=0) if mjpg else width * height
+        fourcc = b"MJPG" if mjpg else b"DIB "
+        bi_compression = struct.unpack("<I", b"MJPG")[0] if mjpg else 0
         avih = struct.pack(
             "<IIIIIIIIIIIIII",
             1_000_000 // fps,  # microseconds per frame
@@ -1131,30 +1144,38 @@ def _avi_codec():
         )
         strh = struct.pack(
             "<4s4sIHHIIIIIIIIhhhh",
-            b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+            b"vids", fourcc, 0, 0, 0, 0, 1, fps, 0, n,
             frame_bytes, 0, 0, 0, 0, width, height,
         )
-        # BITMAPINFOHEADER: 8-bit single-plane bottom-up DIB
+        # BITMAPINFOHEADER: 8-bit single plane; bottom-up DIB when raw
         strf = struct.pack(
-            "<IiiHHIIiiII", 40, width, height, 1, 8, 0, frame_bytes, 0, 0, 256, 0
+            "<IiiHHIIiiII",
+            40, width, height, 1, 8, bi_compression, frame_bytes, 0, 0,
+            0 if mjpg else 256, 0,
         )
         hdrl = _list(
             b"hdrl",
             _chunk(b"avih", avih)
             + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
         )
-        movi = _list(b"movi", b"".join(_chunk(b"00db", f) for f in frames))
+        ftag = b"00dc" if mjpg else b"00db"
+        movi = _list(b"movi", b"".join(_chunk(ftag, f) for f in frames))
         riff_body = b"AVI " + hdrl + movi
         return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
     def demux(payload: bytes):
+        """→ (width, height, frames, codec) where codec is "raw" or
+        "mjpg" per the strf biCompression field; frames are the chunk
+        payloads (raw DIB bytes, or complete JPEG streams for MJPG —
+        decode them with ``_jpeg_codec``)."""
         if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
             raise ValueError("not an AVI")
         width = height = None
+        compression = 0
         frames = []
 
         def walk(start: int, end: int) -> None:
-            nonlocal width, height
+            nonlocal width, height, compression
             i = start
             while i + 8 <= end:
                 tag = payload[i : i + 4]
@@ -1168,14 +1189,23 @@ def _avi_codec():
                     width, height = struct.unpack(
                         "<ii", payload[data_start + 4 : data_start + 12]
                     )
-                elif tag == b"00db":
+                    (compression,) = struct.unpack(
+                        "<I", payload[data_start + 16 : data_start + 20]
+                    )
+                elif tag in (b"00db", b"00dc"):
                     frames.append(payload[data_start : data_start + size])
                 i = data_start + size + (size % 2)
 
         walk(12, len(payload))
         if width is None or not frames:
             raise ValueError("missing stream format or frames")
-        return width, abs(height), frames
+        if compression == 0:
+            codec = "raw"
+        elif compression == struct.unpack("<I", b"MJPG")[0]:
+            codec = "mjpg"
+        else:
+            raise ValueError(f"unsupported biCompression 0x{compression:08x}")
+        return width, abs(height), frames, codec
 
     return mux, demux
 
@@ -1184,13 +1214,21 @@ def avi_frame_sample_stats(
     spark: SparkSession, sf_dir: str, every_n: int = 3
 ) -> DataFrame:
     """L5 — REAL video frame sampling (upgrades ``frame_sample_stub``):
-    per document build an uncompressed multi-frame AVI whose frame
-    count and pixel content derive from (doc_id, n_chars) — frame f is
-    flat gray level ``(doc_id*11 % 256 + f) % 256`` at 16×8 — then
-    demux the container for real (RIFF tree walk to movi) and extract
-    every ``every_n``-th frame, emitting one row per SAMPLED frame
-    with its recovered pixel sum. Lossless DIB frames make the oracle
-    exact: sum = 128·((s+f) % 256) per sampled frame f.
+    per document build a multi-frame AVI whose frame count and pixel
+    content derive from (doc_id, n_chars) — frame f is flat gray level
+    ``(doc_id*11 % 256 + f) % 256`` at 16×8 — then demux the container
+    for real (RIFF tree walk to movi) and extract every ``every_n``-th
+    frame, emitting one row per SAMPLED frame with its recovered pixel
+    sum. Round 6 splits the corpus by doc_id % 2:
+
+      * even → uncompressed DIB ('00db') — lossless, the round-5 path;
+      * odd → **Motion-JPEG** ('00dc', MJPG fourcc): each frame is a
+        complete baseline-JPEG stream, decoded on sampling via the
+        real ``_jpeg_codec`` — COMPRESSED video through the container,
+        exact because flat frames survive the lossy DCT path.
+
+    Both paths decode to the same flat frames, so one oracle covers
+    them: sum = 128·((s+f) % 256) per sampled frame f.
 
     This is the real shape of video curation at 100 TB: demux +
     stride-sample inside one Arrow batch, full decode only on the
@@ -1204,6 +1242,7 @@ def avi_frame_sample_stats(
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     mux, demux = _avi_codec()  # nested fns → pickled by value
+    jenc, jdec = _jpeg_codec()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1215,21 +1254,33 @@ def avi_frame_sample_stats(
                 d, nc = int(doc_id), int(n_chars)
                 n_frames = nc % 12 + 2
                 s = (d * 11) % 256
-                frames = [
-                    np.full(W * H, (s + f) % 256, dtype=np.uint8).tobytes()
-                    for f in range(n_frames)
-                ]
-                w, h, got = demux(mux(frames, W, H))
+                levels = [(s + f) % 256 for f in range(n_frames)]
+                if d % 2 == 0:
+                    frames = [
+                        np.full(W * H, v, dtype=np.uint8).tobytes() for v in levels
+                    ]
+                    payload = mux(frames, W, H)
+                else:
+                    frames = [
+                        jenc(np.full((H, W), v, dtype=np.uint8)) for v in levels
+                    ]
+                    payload = mux(frames, W, H, codec="mjpg")
+                w, h, got, codec = demux(payload)
                 for f in range(0, len(got), every_n):
-                    px = np.frombuffer(got[f], dtype=np.uint8).astype(np.int64)
-                    rows.append((d, n_frames, f, int(px.sum())))
+                    if codec == "mjpg":
+                        px = jdec(got[f]).astype(np.int64)
+                    else:
+                        px = np.frombuffer(got[f], dtype=np.uint8).astype(np.int64)
+                    rows.append((d, codec, n_frames, f, int(px.sum())))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "n_frames", "frame_idx", "pixel_sum"]
+                rows,
+                columns=["doc_id", "video_codec", "n_frames", "frame_idx", "pixel_sum"],
             )
 
     return docs.mapInPandas(
         run,
-        schema="doc_id long, n_frames int, frame_idx int, pixel_sum long",
+        schema="doc_id long, video_codec string, n_frames int, frame_idx int, "
+        "pixel_sum long",
     )
 
 

@@ -1828,11 +1828,14 @@ register(
     tags=("multimodal", "codec", "png", "pixels"),
 )
 
-# REAL video frame sampling (round 5): uncompressed multi-frame AVI
-# muxed and demuxed for real (RIFF tree walk to movi/00db), every 3rd
-# frame extracted with its exact pixel sum — upgrades the disclosed
-# frame_sample_stub to a genuine container path; lossless DIB frames
-# make the oracle exact.
+# REAL video frame sampling (round 5): multi-frame AVI muxed and
+# demuxed for real (RIFF tree walk to movi), every 3rd frame extracted
+# with its exact pixel sum — upgrades the disclosed frame_sample_stub
+# to a genuine container path. Round 6: odd doc_ids go through
+# Motion-JPEG ('00dc' chunks, MJPG fourcc) — COMPRESSED video, each
+# frame a complete baseline-JPEG stream decoded on sampling; flat
+# frames survive the lossy path exactly, so one closed form covers
+# both codecs.
 register(
     "l5_avi_frame_sample_stats",
     multimodal.avi_frame_sample_stats,
@@ -1846,12 +1849,13 @@ register(
       FROM p
     )
     SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'raw' ELSE 'mjpg' END AS video_codec,
            CAST(n_frames AS INT) AS n_frames,
            CAST(f AS INT) AS frame_idx,
            CAST(128 * ((s + f) % 256) AS BIGINT) AS pixel_sum
     FROM e
     """,
-    tags=("multimodal", "codec", "video", "avi", "frame-sampling"),
+    tags=("multimodal", "codec", "video", "avi", "mjpeg", "frame-sampling"),
 )
 
 # REAL baseline-JPEG roundtrip (round 5): the full sequential-DCT

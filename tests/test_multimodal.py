@@ -520,14 +520,41 @@ def test_avi_mux_demux_roundtrips_frames_exactly():
     for _ in range(8):
         n = int(rng.integers(1, 14))
         frames = [rng.integers(0, 256, 16 * 8, dtype=np.uint8).tobytes() for _ in range(n)]
-        w, h, got = demux(mux(frames, 16, 8))
-        assert (w, h) == (16, 8)
+        w, h, got, codec = demux(mux(frames, 16, 8))
+        assert (w, h, codec) == (16, 8, "raw")
         assert len(got) == n
         assert all(a == b for a, b in zip(got, frames))
     with pytest.raises(ValueError):
         demux(b"RIFFxxxxNOPE")
     with pytest.raises(ValueError):
         demux(b"junk")
+
+
+def test_avi_mjpeg_frames_decode_exactly():
+    """Motion-JPEG AVI: '00dc' chunks carry complete baseline-JPEG
+    streams (MJPG fourcc/biCompression); demux returns them intact and
+    flat frames decode exactly through the lossy JPEG path — the
+    compressed-video half of the frame-sampling oracle."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    mux, demux = M._avi_codec()
+    jenc, jdec = M._jpeg_codec()
+    levels = [7, 130, 255, 0, 64]
+    frames = [jenc(np.full((8, 16), v, dtype=np.uint8)) for v in levels]
+    w, h, got, codec = demux(mux(frames, 16, 8, codec="mjpg"))
+    assert (w, h, codec) == (16, 8, "mjpg")
+    assert [g for g in got] == frames  # chunk payloads byte-identical
+    for v, g in zip(levels, got):
+        assert (jdec(g) == v).all()
+    # an AVI with an unknown compression fourcc is refused, not
+    # misread as raw
+    bad = bytearray(mux(frames, 16, 8, codec="mjpg"))
+    i = bad.index(b"strf") + 8 + 16
+    bad[i : i + 4] = b"H264"
+    with pytest.raises(ValueError, match="biCompression"):
+        demux(bytes(bad))
 
 
 def test_avi_frame_sampling_grain_and_sums(spark, sf_dir):
