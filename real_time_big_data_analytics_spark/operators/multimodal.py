@@ -127,14 +127,16 @@ def decode_real(payload: bytes) -> dict:
     zlib inflate + full unfilter, palette/16-bit/Adam7 included,
     oracle-checked by ``l5_png_pixel_decode_stats``), as are baseline
     sequential-DCT JPEG in both grayscale and 4:2:0 YCbCr layouts
-    (``_jpeg_codec``, ``l5_jpeg_pixel_decode_stats``) and AVI frame
-    extraction in both uncompressed-DIB and Motion-JPEG layouts
-    (``_avi_codec``). Unrecognized containers fall through to PIL when
-    available, else the disclosed NotImplementedError — now narrowed
-    to progressive JPEG and inter-frame video codecs (H.26x/VPx/AV1),
-    the formats whose pixel decode genuinely needs a codec library;
-    the deterministic fake in ``decode_image_metadata`` keeps the
-    pipeline testable)."""
+    (``_jpeg_codec``, ``l5_jpeg_pixel_decode_stats``), as is the
+    PROGRESSIVE JPEG process (SOF2 — spectral selection + successive
+    approximation), and AVI frame extraction covers uncompressed-DIB
+    and Motion-JPEG layouts (``_avi_codec``). Unrecognized containers
+    fall through to PIL when available, else the disclosed
+    NotImplementedError — now narrowed to inter-frame video codecs
+    (H.26x/VPx/AV1) and exotic stills (arithmetic-coded/lossless
+    JPEG), the formats whose pixel decode genuinely needs a codec
+    library; the deterministic fake in ``decode_image_metadata`` keeps
+    the pipeline testable)."""
     parsed = decode_header(payload)
     if parsed is not None:
         return parsed
@@ -1285,36 +1287,47 @@ def avi_frame_sample_stats(
 
 
 def _jpeg_codec():
-    """Single-source baseline-JPEG codec — stdlib struct + numpy only,
-    no codec library: a REAL encoder and decoder for the sequential-DCT
-    JPEG process (SOF0). Two pixel layouts:
+    """Single-source JPEG codec — stdlib struct + numpy only, no codec
+    library: REAL encoders and a REAL decoder for the DCT JPEG
+    processes. Three pixel/process layouts:
 
-      * grayscale — ``encode`` of an (h, w) uint8 array emits a
-        single-component 4:4:4 stream (the round-5 path, unchanged);
-      * **4:2:0 YCbCr (round 6, VERDICT r5 ask #3)** — ``encode`` of an
-        (h, w, 3) uint8 array treats the planes as Y/Cb/Cr (JFIF's
-        stream color space; RGB↔YCbCr conversion is a display-side
-        concern), subsamples Cb/Cr 2×2 by averaging, and emits a
+      * grayscale baseline — ``encode`` of an (h, w) uint8 array emits
+        a single-component sequential SOF0 stream (the round-5 path);
+      * **4:2:0 YCbCr baseline (round 6)** — ``encode`` of an (h, w, 3)
+        uint8 array treats the planes as Y/Cb/Cr (JFIF's stream color
+        space), subsamples Cb/Cr 2×2 by averaging, and emits a
         three-component interleaved stream with sampling factors
-        2×2/1×1/1×1 — real MCU structure: four Y blocks then Cb then
-        Cr per 16×16 MCU, one DC predictor per component.
+        2×2/1×1/1×1 — real MCU structure, one DC predictor per
+        component;
+      * **PROGRESSIVE grayscale (round 6, SOF2)** —
+        ``encode(px, progressive=True)`` emits a six-scan progressive
+        stream with both progressive mechanisms: spectral selection
+        (DC scan, AC bands 1–5 / 6–63) and successive approximation
+        (DC at Al=1 + refinement; AC first passes at Al=2 refined
+        2→1→0), using EOBRUN end-of-band run-length coding across
+        blocks. The decoder accumulates coefficients scan by scan —
+        DC/AC first passes and DC/AC refinement passes (correction
+        bits for history coefficients, ±1 insertions, EOB-run tails)
+        — and reconstructs once at EOI.
 
-    The encoder emits a spec-valid JFIF stream (DQT, SOF0, DHT, SOS,
-    Huffman-coded entropy data with 0xFF byte stuffing); the decoder
-    rebuilds its Huffman tables FROM the DHT segments (it does not
-    assume the encoder's tables), reads per-component quantization
-    table ids from SOF0/DQT, entropy-decodes the MCU stream with
-    per-component DC predictors, dequantizes, applies the 2-D inverse
-    DCT, and reassembles the image — upsampling chroma 2× back to full
-    resolution for 4:2:0 streams, so decode(encode(x)) is
-    shape-preserving in both layouts.
+    The encoder emits spec-valid JFIF streams (DQT, SOF0/SOF2, DHT,
+    one or more SOS, Huffman-coded entropy data with 0xFF byte
+    stuffing); the decoder rebuilds its Huffman tables FROM the DHT
+    segments (it does not assume the encoder's tables), reads
+    per-component quantization table ids from SOF/DQT, walks every
+    scan (locating scan ends by marker search), entropy-decodes with
+    per-component DC predictors and per-scan EOBRUN state,
+    dequantizes, applies the 2-D inverse DCT, and reassembles the
+    image — upsampling chroma 2× for 4:2:0, so decode(encode(x)) is
+    shape-preserving in every layout.
 
     With the all-ones quantization table, per-block-flat luma and
-    per-MCU-flat chroma roundtrip EXACTLY (each DC is the integral
-    8·(v−128), all ACs quantize to zero, and 2×2 averaging of an
-    MCU-constant plane is lossless) — the closed forms the oracle
-    query rests on; arbitrary content roundtrips within the
-    DCT-rounding bound (pinned by test).
+    per-MCU-flat chroma roundtrip EXACTLY in all three processes (each
+    DC is the integral 8·(v−128); all ACs quantize to zero, which in
+    the progressive process exercises maximal EOB runs) — the closed
+    forms the oracle query rests on; arbitrary content roundtrips
+    within the DCT-rounding bound (pinned by test for both sequential
+    and progressive).
 
     Returns ``(encode, decode)`` as NESTED functions: their qualnames
     are not importable, so cloudpickle ships the code objects BY VALUE
@@ -1340,16 +1353,15 @@ def _jpeg_codec():
         dtype=np.int64,
     )
     # Canonical Huffman specs (BITS counts per code length 1..16 +
-    # symbol list). Any valid table works — the decoder reads DHT —
-    # so use simple complete-prefix canonical layouts: all 12 DC
-    # categories at length 4, all 162 AC symbols at length 8 (codes
-    # 0..161; the all-ones code is never assigned).
+    # symbol list). Any valid table works — the decoder reads DHT — so
+    # use simple complete-prefix canonical layouts: all 12 DC
+    # categories at length 4; ALL 176 AC symbols (run<<4|size for
+    # size 0..10 — size-0 rows are EOB0..EOB14 + ZRL, needed by the
+    # progressive process) at length 8.
     DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
     DC_VALS = list(range(12))
-    AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
-    AC_VALS = [0x00, 0xF0] + [
-        (run << 4) | size for run in range(16) for size in range(1, 11)
-    ]
+    AC_VALS = [(run << 4) | size for run in range(16) for size in range(11)]
+    AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
 
     def _canonical_codes(bits, vals):
         codes, code, k = {}, 0, 0
@@ -1409,8 +1421,8 @@ def _jpeg_codec():
         return np.round(np.einsum("ij,abjk,lk->abil", D, blocks, D)).astype(np.int64)
 
     def _put_block(bw, block, dc_prev: int) -> int:
-        """Entropy-code one 8×8 coefficient block; returns the new DC
-        predictor for this block's component."""
+        """Sequential-process entropy coding of one 8×8 block; returns
+        the new DC predictor for this block's component."""
         zz = block.ravel()[ZIGZAG]
         diff = int(zz[0]) - dc_prev
         size = int(abs(diff)).bit_length()
@@ -1440,28 +1452,180 @@ def _jpeg_codec():
             bw.put(code, ln)
         return int(zz[0])
 
-    def _headers(h: int, w: int, comps) -> bytes:
-        """DQT + SOF0 + DHT + SOS for the given component specs
-        ((id, hv) tuples; quant table 0 / huffman tables 0 for all)."""
+    def _headers(h: int, w: int, comps, sof_marker: int = 0xFFC0) -> bytes:
+        """DQT + SOF + DHT for the given component specs ((id, hv)
+        tuples; quant table 0 / huffman tables 0 for all)."""
         qt = np.ones(64, dtype=np.uint8)
         dqt = _seg(0xFFDB, bytes([0x00]) + qt.tobytes())
         sof_comps = b"".join(bytes([cid, hv, 0]) for cid, hv in comps)
-        sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, len(comps)) + sof_comps)
+        sof = _seg(sof_marker, struct.pack(">BHHB", 8, h, w, len(comps)) + sof_comps)
         dht = _seg(
             0xFFC4,
             bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
             + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS),
         )
-        sos_comps = b"".join(bytes([cid, 0x00]) for cid, _ in comps)
-        sos = _seg(0xFFDA, bytes([len(comps)]) + sos_comps + bytes([0, 63, 0]))
         return (
             b"\xff\xd8"
             + _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-            + dqt + sof + dht + sos
+            + dqt + sof + dht
         )
 
-    def encode(pixels) -> bytes:
+    def _sos(comps, ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comps)])
+        for cid in comps:
+            body += bytes([cid, 0x00])
+        return _seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # The progressive scan script: spectral selection (DC; AC 1–5 /
+    # 6–63) + successive approximation (DC Al=1→0; AC Al=2→1→0).
+    PROG_SCANS = (
+        (0, 0, 0, 1),
+        (1, 5, 0, 2),
+        (6, 63, 0, 2),
+        (1, 63, 2, 1),
+        (0, 0, 1, 0),
+        (1, 63, 1, 0),
+    )
+
+    def _encode_prog_scans(zz) -> bytes:
+        """zz: (nb, 64) zigzag-ordered quantized coefficients. Emits
+        SOS+entropy for every scan in PROG_SCANS."""
+        nb = zz.shape[0]
+        out = b""
+        for ss, se, ah, al in PROG_SCANS:
+            bw = _BitWriter()
+            if ss == 0:  # DC scan
+                if ah == 0:
+                    pred = 0
+                    for b in range(nb):
+                        t = int(zz[b, 0]) >> al  # arithmetic shift
+                        diff = t - pred
+                        pred = t
+                        size = abs(diff).bit_length()
+                        ln, code = DC_CODES[size]
+                        bw.put(code, ln)
+                        if size:
+                            bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+                else:  # DC refinement: one bit per block
+                    for b in range(nb):
+                        bw.put((int(zz[b, 0]) >> al) & 1, 1)
+            elif ah == 0:  # AC first pass for this band
+                eobrun = 0
+
+                def flush_eob():
+                    nonlocal eobrun
+                    if eobrun:
+                        r = eobrun.bit_length() - 1
+                        ln, code = AC_CODES[r << 4]
+                        bw.put(code, ln)
+                        bw.put(eobrun - (1 << r), r)
+                        eobrun = 0
+
+                for b in range(nb):
+                    vals = []
+                    for k in range(ss, se + 1):
+                        t = int(zz[b, k])
+                        tv = abs(t) >> al
+                        vals.append(tv if t >= 0 else -tv)
+                    if not any(vals):
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
+                    last_nz = max(i for i, v in enumerate(vals) if v)
+                    flush_eob()
+                    run = 0
+                    for i, v in enumerate(vals[: last_nz + 1]):
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ln, code = AC_CODES[0xF0]
+                            bw.put(code, ln)
+                            run -= 16
+                        size = abs(v).bit_length()
+                        ln, code = AC_CODES[(run << 4) | size]
+                        bw.put(code, ln)
+                        bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+                        run = 0
+                    if last_nz < se - ss:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                flush_eob()
+            else:  # AC refinement pass
+                eobrun = 0
+                pending_bits: list[int] = []
+
+                def flush_eob_refine():
+                    nonlocal eobrun, pending_bits
+                    if eobrun:
+                        r = eobrun.bit_length() - 1
+                        ln, code = AC_CODES[r << 4]
+                        bw.put(code, ln)
+                        bw.put(eobrun - (1 << r), r)
+                        eobrun = 0
+                    for bit in pending_bits:
+                        bw.put(bit, 1)
+                    pending_bits = []
+
+                p1 = 1 << al
+                for b in range(nb):
+                    absv = [abs(int(zz[b, k])) >> al for k in range(ss, se + 1)]
+                    eob_pos = -1  # last newly-significant (==1) position
+                    for i, v in enumerate(absv):
+                        if v == 1:
+                            eob_pos = i
+                    run = 0
+                    br: list[int] = []
+                    for i, v in enumerate(absv):
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15 and i <= eob_pos:
+                            flush_eob_refine()
+                            ln, code = AC_CODES[0xF0]
+                            bw.put(code, ln)
+                            run -= 16
+                            for bit in br:
+                                bw.put(bit, 1)
+                            br = []
+                        if v > 1:  # history coefficient: correction bit
+                            br.append(v & 1)
+                            continue
+                        flush_eob_refine()
+                        ln, code = AC_CODES[(run << 4) | 1]
+                        bw.put(code, ln)
+                        bw.put(1 if int(zz[b, ss + i]) >= 0 else 0, 1)
+                        for bit in br:
+                            bw.put(bit, 1)
+                        br = []
+                        run = 0
+                    if run > 0 or br:
+                        eobrun += 1
+                        pending_bits.extend(br)
+                        if eobrun == 0x7FFF:
+                            flush_eob_refine()
+                flush_eob_refine()
+            out += _sos([1], ss, se, ah, al) + bw.flush()
+        return out
+
+    def encode(pixels, *, progressive: bool = False) -> bytes:
         px = np.asarray(pixels, dtype=np.uint8)
+        if px.ndim == 2 and progressive:  # grayscale progressive (SOF2)
+            h, w = px.shape
+            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+            q = _block_coefs(padded)
+            nby, nbx = q.shape[:2]
+            zz = q.reshape(nby * nbx, 64)[:, ZIGZAG]
+            return (
+                _headers(h, w, [(1, 0x11)], sof_marker=0xFFC2)
+                + _encode_prog_scans(zz)
+                + b"\xff\xd9"
+            )
+        if progressive:
+            raise ValueError("progressive encoding supports grayscale only")
         if px.ndim == 2:  # grayscale, single component, 4:4:4
             h, w = px.shape
             ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
@@ -1472,7 +1636,12 @@ def _jpeg_codec():
             for by in range(ph // 8):
                 for bx in range(pw // 8):
                     dc = _put_block(bw, q[by, bx], dc)
-            return _headers(h, w, [(1, 0x11)]) + bw.flush() + b"\xff\xd9"
+            return (
+                _headers(h, w, [(1, 0x11)])
+                + _sos([1], 0, 63, 0, 0)
+                + bw.flush()
+                + b"\xff\xd9"
+            )
         if px.ndim != 3 or px.shape[2] != 3:
             raise ValueError("encode expects (h, w) gray or (h, w, 3) YCbCr")
         h, w = px.shape[:2]  # 4:2:0: pad to whole 16×16 MCUs
@@ -1504,7 +1673,12 @@ def _jpeg_codec():
                 dc[1] = _put_block(bw, qcb[my, mx], dc[1])
                 dc[2] = _put_block(bw, qcr[my, mx], dc[2])
         comps = [(1, 0x22), (2, 0x11), (3, 0x11)]
-        return _headers(h, w, comps) + bw.flush() + b"\xff\xd9"
+        return (
+            _headers(h, w, comps)
+            + _sos([1, 2, 3], 0, 63, 0, 0)
+            + bw.flush()
+            + b"\xff\xd9"
+        )
 
     def _build_table(spec: bytes):
         bits, vals = spec[:16], spec[16:]
@@ -1517,6 +1691,17 @@ def _jpeg_codec():
             code <<= 1
         return table, 16 + sum(bits)
 
+    def _scan_end(payload: bytes, start: int) -> int:
+        """Entropy data runs until the next unstuffed marker (we emit
+        no restart markers)."""
+        i = start
+        n = len(payload)
+        while i + 1 < n:
+            if payload[i] == 0xFF and payload[i + 1] != 0x00:
+                return i
+            i += 1
+        raise ValueError("unterminated scan")
+
     def decode(payload: bytes):
         if payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG")
@@ -1525,12 +1710,18 @@ def _jpeg_codec():
         huff = {}
         h = w = None
         comps = None  # [(cid, hv, tq)] in SOF order
-        scan = None  # {cid: (dc_id, ac_id)}
-        data = None
-        while i + 4 <= n:
+        progressive = False
+        scans = []  # [(scan_comps, ss, se, ah, al, entropy_bytes)]
+        saw_eoi = False
+        while i + 2 <= n:
             if payload[i] != 0xFF:
                 raise ValueError("bad marker")
             marker = payload[i + 1]
+            if marker == 0xD9:
+                saw_eoi = True
+                break
+            if i + 4 > n:
+                raise ValueError("truncated segment")
             (ln,) = struct.unpack(">H", payload[i + 2 : i + 4])
             seg = payload[i + 4 : i + 2 + ln]
             if len(seg) != ln - 2:
@@ -1544,7 +1735,8 @@ def _jpeg_codec():
                         seg[j + 1 : j + 65], dtype=np.uint8
                     ).astype(np.int64)
                     j += 65
-            elif marker == 0xC0:
+            elif marker in (0xC0, 0xC2):
+                progressive = marker == 0xC2
                 prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
                 if prec != 8:
                     raise ValueError("only 8-bit precision supported")
@@ -1557,8 +1749,10 @@ def _jpeg_codec():
                     raise ValueError(
                         "only single-component 4:4:4 or 3-component 4:2:0 supported"
                     )
-            elif marker in (0xC1, 0xC2, 0xC3):
-                raise ValueError("only baseline SOF0 supported")
+                if progressive and ncomp != 1:
+                    raise ValueError("progressive decode supports grayscale only")
+            elif marker in (0xC1, 0xC3):
+                raise ValueError("only baseline SOF0 / progressive SOF2 supported")
             elif marker == 0xC4:
                 j = 0
                 while j < len(seg):
@@ -1568,81 +1762,187 @@ def _jpeg_codec():
                     j += 1 + used
             elif marker == 0xDA:
                 ns = seg[0]
-                scan = {
+                scomps = {
                     seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
                     for c in range(ns)
                 }
-                data = payload[i + 2 + ln :]
-                break
+                ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                data_start = i + 2 + ln
+                end = _scan_end(payload, data_start)
+                entropy = payload[data_start:end].replace(b"\xff\x00", b"\xff")
+                scans.append((scomps, ss, se, ahal >> 4, ahal & 0xF, entropy))
+                i = end
+                continue
             i += 2 + ln
-        if data is None or not qts or h is None:
+        if not scans or not qts or h is None:
             raise ValueError("incomplete stream")
-        end = data.rfind(b"\xff\xd9")
-        if end < 0:
+        if not saw_eoi:
             raise ValueError("missing EOI")
-        entropy = data[:end].replace(b"\xff\x00", b"\xff")
 
-        pos = 0
-        total = len(entropy) * 8
+        def make_bitreader(entropy: bytes):
+            state = {"pos": 0}
+            total = len(entropy) * 8
 
-        def bit() -> int:
-            nonlocal pos
-            if pos >= total:
-                raise ValueError("truncated entropy stream")
-            byte = entropy[pos >> 3]
-            v = (byte >> (7 - (pos & 7))) & 1
-            pos += 1
-            return v
+            def bit() -> int:
+                p = state["pos"]
+                if p >= total:
+                    raise ValueError("truncated entropy stream")
+                state["pos"] = p + 1
+                return (entropy[p >> 3] >> (7 - (p & 7))) & 1
 
-        def huffdec(table) -> int:
-            code, length = 0, 0
-            while length < 16:
-                code = (code << 1) | bit()
-                length += 1
-                sym = table.get((length, code))
-                if sym is not None:
-                    return sym
-            raise ValueError("invalid Huffman code")
+            def bits(count: int) -> int:
+                v = 0
+                for _ in range(count):
+                    v = (v << 1) | bit()
+                return v
+
+            def huffdec(table) -> int:
+                code, length = 0, 0
+                while length < 16:
+                    code = (code << 1) | bit()
+                    length += 1
+                    sym = table.get((length, code))
+                    if sym is not None:
+                        return sym
+                raise ValueError("invalid Huffman code")
+
+            return bit, bits, huffdec
 
         def extend(v: int, size: int) -> int:
             return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
+        def idct_block(zz_vec, qt):
+            block = np.zeros(64, dtype=np.float64)
+            block[ZIGZAG] = zz_vec * qt
+            return D.T @ block.reshape(8, 8) @ D
+
+        if progressive:
+            cid, _, tq = comps[0]
+            qt = qts[tq]
+            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            nb = (ph // 8) * (pw // 8)
+            zz = np.zeros((nb, 64), dtype=np.int64)
+            for scomps, ss, se, ah, al, entropy in scans:
+                bit, bits, huffdec = make_bitreader(entropy)
+                dc_id, ac_id = scomps[cid]
+                if ss == 0:  # DC scan
+                    if se != 0:
+                        raise ValueError("DC scan with Se != 0")
+                    if ah == 0:
+                        table = huff[(0, dc_id)]
+                        pred = 0
+                        for b in range(nb):
+                            size = huffdec(table)
+                            diff = extend(bits(size), size) if size else 0
+                            pred += diff
+                            zz[b, 0] = pred << al
+                    else:
+                        p1 = 1 << al
+                        for b in range(nb):
+                            if bit():
+                                zz[b, 0] |= p1
+                    continue
+                table = huff[(1, ac_id)]
+                if ah == 0:  # AC first pass
+                    eobrun = 0
+                    for b in range(nb):
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = huffdec(table)
+                            r, s = sym >> 4, sym & 0xF
+                            if s:
+                                k += r
+                                if k > se:
+                                    raise ValueError("AC index overflow")
+                                zz[b, k] = extend(bits(s), s) << al
+                                k += 1
+                            elif r == 15:
+                                k += 16
+                            else:
+                                eobrun = (1 << r) - 1 + (bits(r) if r else 0)
+                                break
+                else:  # AC refinement pass
+                    p1, m1 = 1 << al, -(1 << al)
+                    eobrun = 0
+                    for b in range(nb):
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = huffdec(table)
+                                r, s = sym >> 4, sym & 0xF
+                                val = 0
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = (1 << r) + (bits(r) if r else 0)
+                                        break
+                                    # r == 15: ZRL — skip 16 zero-history
+                                else:
+                                    if s != 1:
+                                        raise ValueError("bad refinement symbol")
+                                    val = p1 if bit() else m1
+                                while k <= se:
+                                    if zz[b, k] != 0:
+                                        if bit() and (zz[b, k] & p1) == 0:
+                                            zz[b, k] += p1 if zz[b, k] >= 0 else m1
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val:
+                                    if k > se:
+                                        raise ValueError("AC index overflow")
+                                    zz[b, k] = val
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                if zz[b, k] != 0:
+                                    if bit() and (zz[b, k] & p1) == 0:
+                                        zz[b, k] += p1 if zz[b, k] >= 0 else m1
+                                k += 1
+                            eobrun -= 1
+            out = np.empty((ph // 8, pw // 8, 8, 8), dtype=np.float64)
+            nbx = pw // 8
+            for b in range(nb):
+                out[b // nbx, b % nbx] = idct_block(zz[b], qt)
+            img = out.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
+            return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
+
+        # sequential (baseline) process: exactly one full-band scan
+        scomps, ss, se, ah, al, entropy = scans[0]
+        if (ss, se, ah, al) != (0, 63, 0, 0) or len(scans) != 1:
+            raise ValueError("baseline stream must have one full-band scan")
+        bit, bits, huffdec = make_bitreader(entropy)
+
         def read_block(dc_table, ac_table, qt, dc_prev: int):
-            zz = np.zeros(64, dtype=np.int64)
+            zzv = np.zeros(64, dtype=np.int64)
             size = huffdec(dc_table)
-            diff = 0
-            if size:
-                v = 0
-                for _ in range(size):
-                    v = (v << 1) | bit()
-                diff = extend(v, size)
+            diff = extend(bits(size), size) if size else 0
             dc_val = dc_prev + diff
-            zz[0] = dc_val
+            zzv[0] = dc_val
             k = 1
             while k < 64:
                 sym = huffdec(ac_table)
                 if sym == 0x00:
                     break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r != 15:
                         raise ValueError("bad AC symbol")
                     k += 16
                     continue
-                k += run
+                k += r
                 if k > 63:
                     raise ValueError("AC index overflow")
-                v = 0
-                for _ in range(size):
-                    v = (v << 1) | bit()
-                zz[k] = extend(v, size)
+                zzv[k] = extend(bits(s), s)
                 k += 1
-            block = np.zeros(64, dtype=np.float64)
-            block[ZIGZAG] = zz * qt
-            return D.T @ block.reshape(8, 8) @ D, dc_val
+            return idct_block(zzv, qt), dc_val
 
         def tables_for(cid: int):
-            dc_id, ac_id = scan[cid]
+            dc_id, ac_id = scomps[cid]
             return huff[(0, dc_id)], huff[(1, ac_id)]
 
         if len(comps) == 1:
@@ -1693,29 +1993,36 @@ def _jpeg_codec():
 
 
 def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5 — REAL baseline-JPEG pixel roundtrip, stdlib+numpy only.
-    Round 6 widens the corpus across both supported layouts by
-    doc_id % 2:
+    """L5 — REAL JPEG pixel roundtrip, stdlib+numpy only. Round 6
+    widens the corpus across all three supported processes by
+    doc_id % 3:
 
-      * even → per-block-flat GRAYSCALE (block ``bi`` at level
+      * 0 → per-block-flat GRAYSCALE (block ``bi`` at level
         ``(doc_id*13 % 256 + bi) % 256``) through the single-component
-        4:4:4 process — the round-5 path;
-      * odd → **4:2:0 YCbCr**: per-8×8-block-flat luma walking the same
+        sequential 4:4:4 process — the round-5 path;
+      * 1 → **4:2:0 YCbCr**: per-8×8-block-flat luma walking the same
         levels, plus per-16×16-MCU-flat chroma planes at
         ``(s+17+mi) % 256`` / ``(s+91+mi) % 256`` — a real interleaved
         MCU stream (four Y blocks + Cb + Cr per MCU, one DC predictor
-        per component, chroma 2×2-subsampled then upsampled back).
+        per component, chroma 2×2-subsampled then upsampled back);
+      * 2 → **PROGRESSIVE grayscale (SOF2)**: the same flat-block
+        image through the six-scan spectral-selection + successive-
+        approximation process (EOBRUN coding, DC/AC refinement scans)
+        — the decoder accumulates coefficients scan by scan and must
+        land on the identical pixels.
 
-    Flatness makes the lossy process EXACT in both layouts (each DC is
+    Flatness makes the lossy process EXACT in every layout (each DC is
     the integral 8·(v−128), ACs quantize to zero under the all-ones
     table, and 2×2 averaging of MCU-constant chroma is lossless), so
     the oracle stays closed-form: Σ_{i<m}(t+i)%256 = m·t + m(m−1)/2 −
     256·max(0, t+m−256) per plane — ×64 per luma block, ×256 per
-    full-res-equivalent chroma MCU. DHT/DQT are read from the stream,
-    not assumed; the AC/ZRL entropy paths are pinned by pytest on
-    random images where roundtrip is bounded, not exact. Same
-    execution shape as the PNG pixel query: metadata repartition +
-    Arrow-batched ``mapInPandas``, payloads never leave the executor.
+    full-res-equivalent chroma MCU; the progressive corpus reuses the
+    grayscale form. DHT/DQT are read from the stream, not assumed; the
+    AC/ZRL/refinement entropy paths are pinned by pytest on random
+    images where progressive must decode BIT-IDENTICALLY to
+    sequential. Same execution shape as the PNG pixel query: metadata
+    repartition + Arrow-batched ``mapInPandas``, payloads never leave
+    the executor.
     """
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -1738,12 +2045,7 @@ def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, n_chars in zip(batch["doc_id"], batch["n_chars"]):
                 d, nc = int(doc_id), int(n_chars)
                 s = (d * 13) % 256
-                if d % 2 == 0:
-                    w = (nc % 3 + 2) * 8
-                    h = (nc % 2 + 2) * 8
-                    pixels = flat_blocks(s, h // 8, w // 8, 8).astype(np.uint8)
-                    fmt = "gray"
-                else:
+                if d % 3 == 1:
                     w = (nc % 2 + 1) * 16
                     h = (nc % 3 + 1) * 16
                     y = flat_blocks(s, h // 8, w // 8, 8)
@@ -1751,7 +2053,15 @@ def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cr = flat_blocks((s + 91) % 256, h // 16, w // 16, 16)
                     pixels = np.stack([y, cb, cr], axis=-1).astype(np.uint8)
                     fmt = "ycbcr420"
-                arr = decode(encode(pixels)).astype(np.int64)
+                    payload = encode(pixels)
+                else:
+                    w = (nc % 3 + 2) * 8
+                    h = (nc % 2 + 2) * 8
+                    pixels = flat_blocks(s, h // 8, w // 8, 8).astype(np.uint8)
+                    prog = d % 3 == 2
+                    fmt = "gray_progressive" if prog else "gray"
+                    payload = encode(pixels, progressive=prog)
+                arr = decode(payload).astype(np.int64)
                 rows.append((d, fmt, w, h, int(arr.sum())))
             yield pd.DataFrame(
                 rows,

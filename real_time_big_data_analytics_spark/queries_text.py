@@ -1864,12 +1864,16 @@ register(
 # pipeline exact (DC 8*(v-128) integral, ACs quantize to zero under
 # the all-ones table). Block levels walk s, s+1, ... mod 256 so the
 # pixel sum has the same cycle+wrap closed form as the PNG family.
-# Round 6 (VERDICT r5 ask #3): odd doc_ids go through the REAL 4:2:0
-# YCbCr path — interleaved MCU stream (4×Y + Cb + Cr, per-component DC
-# predictors, chroma 2×2 subsample/upsample). Per-MCU-flat chroma keeps
-# it exact: total = 64·S(s, 4·n_mcu) + 256·S((s+17)%256, n_mcu)
-# + 256·S((s+91)%256, n_mcu) with S(t,m) = m·t + m(m−1)/2
-# − 256·max(0, t+m−256).
+# Round 6 (VERDICT r5 ask #3 + stretch), corpus by doc_id % 3:
+# 1 → the REAL 4:2:0 YCbCr path — interleaved MCU stream (4×Y + Cb +
+# Cr, per-component DC predictors, chroma 2×2 subsample/upsample);
+# per-MCU-flat chroma keeps it exact: total = 64·S(s, 4·n_mcu)
+# + 256·S((s+17)%256, n_mcu) + 256·S((s+91)%256, n_mcu) with
+# S(t,m) = m·t + m(m−1)/2 − 256·max(0, t+m−256).
+# 2 → the REAL PROGRESSIVE (SOF2) process: six scans of spectral
+# selection + successive approximation with EOBRUN coding; same
+# grayscale geometry and closed form as 0 (flat blocks survive the
+# scan-by-scan coefficient accumulation exactly).
 _JPEG_WALK_SUM = (
     "({m}) * ({t}) + ({m}) * (({m}) - 1) // 2"
     " - 256 * GREATEST(0, ({t}) + ({m}) - 256)"
@@ -1881,10 +1885,10 @@ register(
     sql="""
     WITH p AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 2 = 0 THEN (n_chars % 3 + 2) * 8
-                  ELSE (n_chars % 2 + 1) * 16 END AS w,
-             CASE WHEN doc_id % 2 = 0 THEN (n_chars % 2 + 2) * 8
-                  ELSE (n_chars % 3 + 1) * 16 END AS h,
+             CASE WHEN doc_id % 3 = 1 THEN (n_chars % 2 + 1) * 16
+                  ELSE (n_chars % 3 + 2) * 8 END AS w,
+             CASE WHEN doc_id % 3 = 1 THEN (n_chars % 3 + 1) * 16
+                  ELSE (n_chars % 2 + 2) * 8 END AS h,
              (doc_id * 13) % 256 AS s
       FROM documents
     ), q AS (
@@ -1894,15 +1898,15 @@ register(
       FROM p
     )
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'gray' ELSE 'ycbcr420' END
-               AS jpeg_format,
+           CASE doc_id % 3 WHEN 0 THEN 'gray' WHEN 1 THEN 'ycbcr420'
+                ELSE 'gray_progressive' END AS jpeg_format,
            CAST(w AS INT) AS width,
            CAST(h AS INT) AS height,
-           CAST(CASE WHEN doc_id % 2 = 0
+           CAST(CASE WHEN doc_id % 3 = 1
                 THEN 64 * ({y_sum})
-                ELSE 64 * ({y_sum})
                      + 256 * ({cb_sum})
                      + 256 * ({cr_sum})
+                ELSE 64 * ({y_sum})
                 END AS BIGINT) AS sum_pixels
     FROM q
     """.format(

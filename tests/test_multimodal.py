@@ -482,6 +482,39 @@ def test_jpeg_420_random_content_luma_within_dct_bound():
     assert worst <= 8, worst
 
 
+def test_jpeg_progressive_decodes_bit_identically_to_sequential():
+    """PROGRESSIVE (SOF2): the six-scan spectral-selection +
+    successive-approximation stream must reconstruct the EXACT
+    quantized-coefficient array — so on ANY content the progressive
+    decode equals the sequential decode bit for bit (a single
+    misplaced EOBRUN, refinement, or correction bit breaks this), and
+    flat blocks roundtrip exactly."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    encode, decode = M._jpeg_codec()
+    rng = np.random.default_rng(29)
+    for _ in range(6):
+        nbx, nby = int(rng.integers(1, 5)), int(rng.integers(1, 4))
+        s = int(rng.integers(0, 256))
+        grid = (s + np.arange(nby * nbx).reshape(nby, nbx)) % 256
+        px = np.repeat(np.repeat(grid, 8, 0), 8, 1).astype(np.uint8)
+        assert (decode(encode(px, progressive=True)) == px).all()
+    for _ in range(10):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        prog = decode(encode(px, progressive=True))
+        seq = decode(encode(px))
+        assert prog.shape == (h, w)
+        assert (prog == seq).all()
+    # the stream really is multi-scan SOF2
+    payload = encode(np.zeros((16, 16), np.uint8), progressive=True)
+    assert b"\xff\xc2" in payload and payload.count(b"\xff\xda") == 6
+    with pytest.raises(ValueError, match="grayscale"):
+        encode(np.zeros((16, 16, 3), np.uint8), progressive=True)
+
+
 def test_jpeg_stream_is_parseable_by_the_independent_header_parser():
     """Cross-validation: decode_header's JPEG marker walk (written for
     foreign payloads) must agree with our encoder's SOF0 emission."""
