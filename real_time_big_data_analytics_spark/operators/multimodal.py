@@ -955,20 +955,30 @@ def png_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 — FAULT-TOLERANT decode: the property that actually keeps a
     100 TB multimodal job alive. A deterministic subset of payloads is
-    corrupted in two real ways (doc_id % 7 == 3 → the IDAT CRC byte is
-    flipped; doc_id % 7 == 5 → the container is truncated mid-stream),
-    every payload goes through the REAL stdlib PNG pixel decoder, and
-    failures are QUARANTINED per-row instead of failing the task —
-    the binary-payload analogue of the PERMISSIVE corrupt-record CSV
-    audit (`p_corrupt_record_audit`).
+    corrupted in format-appropriate ways, every payload goes through a
+    REAL stdlib pixel decoder, and failures are QUARANTINED per-row
+    instead of failing the task — the binary-payload analogue of the
+    PERMISSIVE corrupt-record CSV audit (`p_corrupt_record_audit`).
 
-    The oracle pins BOTH halves of the contract: corrupted payloads
-    must be caught (a decoder that misses a flipped CRC or survives
-    truncation inflates the decoded count → hash fail) and clean
-    payloads must decode to exactly the closed-form pixel sums.
-    Same cheap metadata repartition + Arrow-batched ``mapInPandas``
-    as the other decode stages; the try/except is per-payload, so one
-    bad object costs one python exception, not a task retry storm.
+    Round 6 makes the corpus multi-format by doc_id % 2:
+
+      * even → PNG (round-5 path): doc_id % 7 == 3 flips the IDAT CRC
+        byte (caught by the CRC walk), == 5 truncates mid-stream;
+      * odd → **GIF89a with REAL LZW** (``_gif_codec``): the palette
+        is the identity-shifted pal[v]=(v, v+7, v+14) and the index
+        raster is the same formula, so decoded RGB sums reuse the PNG
+        closed form. GIF carries no checksum, so the deterministic
+        corruptions target structurally-checked fields: % 7 == 3
+        overwrites the LZW minimum-code-size byte with an invalid 12,
+        == 5 truncates (caught by sub-block/trailer guards).
+
+    The oracle pins BOTH halves of the contract per format: corrupted
+    payloads must be caught (a decoder that misses one inflates the
+    decoded count → hash fail) and clean payloads must decode to
+    exactly the closed-form pixel sums. Same cheap metadata
+    repartition + Arrow-batched ``mapInPandas`` as the other decode
+    stages; the try/except is per-payload, so one bad object costs one
+    python exception, not a task retry storm.
     """
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -976,18 +986,17 @@ def decode_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
 
-    # Single-source codec shipped by value (factory-nested functions;
+    # Single-source codecs shipped by value (factory-nested functions;
     # same pattern as png_pixel_decode_stats / _jpeg_codec / _avi_codec).
-    enc, dec = _png_codec()
+    png_enc, png_dec = _png_codec()
+    gif_enc, gif_dec = _gif_codec()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
         import numpy as np
 
-        encode, decode = enc, dec
-
-        def corrupt(payload: bytes, mode: int) -> bytes:
+        def corrupt_png(payload: bytes, mode: int) -> bytes:
             if mode == 3:  # flip the IDAT CRC's first byte
                 i = 8
                 while i + 12 <= len(payload):
@@ -1000,6 +1009,15 @@ def decode_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise AssertionError("no IDAT")
             return payload[: len(payload) // 2]  # mode 5: truncate
 
+        def corrupt_gif(payload: bytes, mode: int) -> bytes:
+            if mode == 3:  # invalid LZW minimum code size
+                buf = bytearray(payload)
+                # fixed layout from our encoder: header(13) + 256-entry
+                # global color table (768) + image descriptor (10)
+                buf[13 + 768 + 10] = 12
+                return bytes(buf)
+            return payload[: len(payload) // 2]  # mode 5: truncate
+
         for batch in batches:
             rows = []
             for doc_id, n_chars in zip(batch["doc_id"], batch["n_chars"]):
@@ -1007,25 +1025,41 @@ def decode_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w = nc % 24 + 8
                 h = (nc * 3) % 16 + 8
                 idx = np.arange(w * h, dtype=np.int64)
-                pixels = np.stack(
-                    [
-                        ((d * 31 + c * 7 + idx) % 256).reshape(h, w)
-                        for c in range(3)
-                    ],
-                    axis=-1,
-                ).astype(np.uint8)
-                payload = encode(pixels)
+                if d % 2 == 0:
+                    fmt = "png"
+                    pixels = np.stack(
+                        [
+                            ((d * 31 + c * 7 + idx) % 256).reshape(h, w)
+                            for c in range(3)
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    payload = png_enc(pixels)
+                    decode = png_dec
+                    corrupt = corrupt_png
+                else:
+                    fmt = "gif"
+                    pal = np.stack(
+                        [(np.arange(256) + 7 * c) % 256 for c in range(3)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    indices = ((d * 31 + idx) % 256).reshape(h, w).astype(np.uint8)
+                    payload = gif_enc(indices, pal)
+                    decode = gif_dec
+                    corrupt = corrupt_gif
                 if d % 7 in (3, 5):
                     payload = corrupt(payload, d % 7)
                 try:
                     arr = decode(payload).astype(np.int64)
-                    rows.append((d, "decoded", int(arr.sum())))
+                    rows.append((d, fmt, "decoded", int(arr.sum())))
                 except Exception:
-                    rows.append((d, "quarantined", 0))
-            yield pd.DataFrame(rows, columns=["doc_id", "status", "px"])
+                    rows.append((d, fmt, "quarantined", 0))
+            yield pd.DataFrame(rows, columns=["doc_id", "img_format", "status", "px"])
 
-    per_doc = docs.mapInPandas(run, schema="doc_id long, status string, px long")
-    return per_doc.groupBy("status").agg(
+    per_doc = docs.mapInPandas(
+        run, schema="doc_id long, img_format string, status string, px long"
+    )
+    return per_doc.groupBy("img_format", "status").agg(
         F.count("*").alias("n_docs"),
         F.sum("px").alias("sum_pixels"),
     )
@@ -1284,6 +1318,235 @@ def avi_frame_sample_stats(
         schema="doc_id long, video_codec string, n_frames int, frame_idx int, "
         "pixel_sum long",
     )
+
+
+def _gif_codec():
+    """Single-source GIF89a codec — stdlib struct only: a REAL LZW
+    encoder and decoder (round 6). The encoder writes a spec-valid
+    GIF89a stream: logical screen descriptor, global color table,
+    image descriptor (optionally interlaced), and the image data as
+    variable-width LZW codes (LSB-first bit packing, CLEAR/EOI codes,
+    dictionary growth to 12 bits with CLEAR-on-full) in 255-byte
+    sub-blocks. The decoder walks the container and implements the
+    full GIF-LZW algorithm from the spec — including the KwKwK case
+    (code == next dictionary slot) and the 4-pass interlace row
+    shuffle — and returns palette-looked-up (h, w, 3) RGB.
+
+    Decode guards (ValueError): bad signature, missing/undersized
+    color table, invalid LZW minimum code size, code beyond the
+    dictionary, truncated sub-blocks, missing trailer, pixel-count
+    mismatch. GIF carries NO checksum — silent corruption of code
+    bytes may decode to wrong pixels, which is why the quarantine
+    query's deterministic GIF corruptions target structurally-checked
+    fields (LZW minimum code size, truncation), not free bytes.
+
+    Same nested-function by-value pickling contract as the other
+    codec factories. Returns ``(encode, decode)``.
+    """
+    import struct
+
+    import numpy as np
+
+    def _interlace_rows(h: int):
+        rows = list(range(0, h, 8))
+        rows += list(range(4, h, 8))
+        rows += list(range(2, h, 4))
+        rows += list(range(1, h, 2))
+        return rows
+
+    def _lzw_encode(indices, mcs: int) -> bytes:
+        """GIF-LZW: variable-width codes, LSB-first packing."""
+        clear = 1 << mcs
+        eoi = clear + 1
+        out = bytearray()
+        acc = nbits = 0
+
+        def put(code: int, width: int):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        table = {(i,): i for i in range(clear)}
+        next_code = eoi + 1
+        width = mcs + 1
+        put(clear, width)
+        buf: tuple = ()
+        for px in indices:
+            cand = buf + (int(px),)
+            if cand in table:
+                buf = cand
+                continue
+            put(table[buf], width)
+            table[cand] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+            elif next_code >= (1 << 12):
+                put(clear, width)
+                table = {(i,): i for i in range(clear)}
+                next_code = eoi + 1
+                width = mcs + 1
+            buf = (int(px),)
+        if buf:
+            put(table[buf], width)
+        put(eoi, width)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def _lzw_decode(data: bytes, mcs: int, n_pixels: int):
+        if not 2 <= mcs <= 8:
+            raise ValueError(f"invalid LZW minimum code size {mcs}")
+        clear = 1 << mcs
+        eoi = clear + 1
+        pos = 0
+        total = len(data) * 8
+
+        def get(width: int) -> int:
+            nonlocal pos
+            if pos + width > total:
+                raise ValueError("truncated LZW stream")
+            v = 0
+            for i in range(width):
+                byte = data[(pos + i) >> 3]
+                v |= ((byte >> ((pos + i) & 7)) & 1) << i
+            pos += width
+            return v
+
+        table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = mcs + 1
+        out = bytearray()
+        prev: bytes | None = None
+        while True:
+            code = get(width)
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if code < len(table) and (code < clear or code > eoi):
+                entry = table[code]
+            elif code == len(table) and prev is not None:  # KwKwK
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"invalid LZW code {code}")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+            if len(out) > n_pixels:
+                raise ValueError("LZW output exceeds pixel count")
+        if len(out) != n_pixels:
+            raise ValueError("pixel count mismatch")
+        return np.frombuffer(bytes(out), dtype=np.uint8)
+
+    def encode(indices, palette, *, interlace: bool = False) -> bytes:
+        """(h, w) index array + (n, 3) palette → GIF89a bytes. The
+        color table is padded to the next power of two (min 2)."""
+        indices = np.asarray(indices, dtype=np.uint8)
+        palette = np.asarray(palette, dtype=np.uint8)
+        h, w = indices.shape
+        n = len(palette)
+        if int(indices.max(initial=0)) >= n:
+            raise ValueError("index beyond palette")
+        size_exp = max(1, (max(n, 2) - 1).bit_length())
+        table = np.zeros((1 << size_exp, 3), dtype=np.uint8)
+        table[:n] = palette
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", w, h, 0x80 | (size_exp - 1), 0, 0)
+        out += table.tobytes()
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+        mcs = max(2, size_exp)
+        out.append(mcs)
+        if interlace:
+            flat = indices[_interlace_rows(h)].reshape(-1)
+        else:
+            flat = indices.reshape(-1)
+        lzw = _lzw_encode(flat.tolist(), mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00\x3b"  # block terminator + trailer
+        return bytes(out)
+
+    def decode(payload: bytes):
+        """GIF bytes → palette-looked-up (h, w, 3) uint8 RGB."""
+        if payload[:6] not in (b"GIF89a", b"GIF87a"):
+            raise ValueError("not a GIF")
+        if len(payload) < 13:
+            raise ValueError("truncated header")
+        sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+        i = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            if i + 3 * n > len(payload):
+                raise ValueError("truncated color table")
+            gct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+            i += 3 * n
+        while i < len(payload):
+            b = payload[i]
+            if b == 0x3B:  # trailer
+                raise ValueError("no image data before trailer")
+            if b == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while i < len(payload) and payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+                continue
+            if b != 0x2C:
+                raise ValueError(f"unexpected block 0x{b:02x}")
+            break
+        if i + 10 > len(payload):
+            raise ValueError("truncated image descriptor")
+        _, _left, _top, w, h, ipacked = struct.unpack("<BHHHHB", payload[i : i + 10])
+        i += 10
+        table = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            if i + 3 * n > len(payload):
+                raise ValueError("truncated color table")
+            table = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+            i += 3 * n
+        if table is None:
+            raise ValueError("no color table")
+        if i >= len(payload):
+            raise ValueError("missing LZW minimum code size")
+        mcs = payload[i]
+        i += 1
+        data = bytearray()
+        while True:
+            if i >= len(payload):
+                raise ValueError("truncated sub-blocks")
+            ln = payload[i]
+            i += 1
+            if ln == 0:
+                break
+            if i + ln > len(payload):
+                raise ValueError("truncated sub-blocks")
+            data += payload[i : i + ln]
+            i += ln
+        if i >= len(payload) or payload[i] != 0x3B:
+            raise ValueError("missing trailer")
+        flat = _lzw_decode(bytes(data), mcs, w * h)
+        if int(flat.max(initial=0)) >= len(table):
+            raise ValueError("palette index out of range")
+        img = flat.reshape(h, w) if not ipacked & 0x40 else None
+        if ipacked & 0x40:  # deinterlace
+            img = np.empty((h, w), dtype=np.uint8)
+            img[_interlace_rows(h)] = flat.reshape(h, w)
+        return table[img]
+
+    return encode, decode
 
 
 def _jpeg_codec():

@@ -1935,16 +1935,17 @@ register(
              (doc_id * 31 + 14) % 256 AS s2
       FROM documents
     ), d AS (
-      SELECT CASE WHEN doc_id % 7 IN (3, 5) THEN 'quarantined'
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS img_format,
+             CASE WHEN doc_id % 7 IN (3, 5) THEN 'quarantined'
                   ELSE 'decoded' END AS status,
              CASE WHEN doc_id % 7 IN (3, 5) THEN 0
                   ELSE {sum0} + {sum1} + {sum2} END AS px
       FROM p
     )
-    SELECT status,
+    SELECT img_format, status,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(px) AS BIGINT) AS sum_pixels
-    FROM d GROUP BY status
+    FROM d GROUP BY img_format, status
     """.format(
         sum0=_PNG_PIXEL_SUM_SQL.format(s="s0"),
         sum1=_PNG_PIXEL_SUM_SQL.format(s="s1"),

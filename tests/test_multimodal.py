@@ -280,19 +280,63 @@ def test_wav_pcm_samples_survive_container(spark, sf_dir):
 
 
 def test_quarantine_statuses_follow_injected_corruption(spark, sf_dir):
-    """Exactly the doc_id % 7 ∈ {3,5} payloads are quarantined; clean
-    ones decode. (The oracle also pins this, but per-status counts at
-    smoke scale make a decoder regression obvious in pytest.)"""
+    """Exactly the doc_id % 7 ∈ {3,5} payloads are quarantined, for
+    BOTH formats (even→PNG, odd→GIF); clean ones decode. (The oracle
+    also pins this, but per-status counts at smoke scale make a
+    decoder regression obvious in pytest.)"""
     from real_time_big_data_analytics_spark.operators import multimodal as M
 
-    rows = {r.status: r for r in M.decode_quarantine_audit(spark, sf_dir).collect()}
+    rows = {
+        (r.img_format, r.status): r
+        for r in M.decode_quarantine_audit(spark, sf_dir).collect()
+    }
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n = docs.count()
-    bad = docs.filter("doc_id % 7 in (3, 5)").count()
-    assert rows["quarantined"].n_docs == bad
-    assert rows["decoded"].n_docs == n - bad
-    assert rows["quarantined"].sum_pixels == 0
-    assert rows["decoded"].sum_pixels > 0
+    for fmt, parity in (("png", 0), ("gif", 1)):
+        n = docs.filter(f"doc_id % 2 = {parity}").count()
+        bad = docs.filter(f"doc_id % 2 = {parity} and doc_id % 7 in (3, 5)").count()
+        assert rows[(fmt, "quarantined")].n_docs == bad
+        assert rows[(fmt, "decoded")].n_docs == n - bad
+        assert rows[(fmt, "quarantined")].sum_pixels == 0
+        assert rows[(fmt, "decoded")].sum_pixels > 0
+
+
+def test_gif_lzw_roundtrips_and_rejects():
+    """REAL GIF89a LZW: random palettes/sizes/interlace roundtrip
+    exactly (including dictionary-overflow CLEAR, KwKwK runs), and the
+    structural guards reject truncation, missing trailer, and an
+    invalid LZW minimum code size."""
+    import numpy as np
+    import pytest as _pytest
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    enc, dec = M._gif_codec()
+    rng = np.random.default_rng(31)
+    for _ in range(12):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        npal = 1 << int(rng.integers(1, 9))
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        idx = rng.integers(0, npal, (h, w), dtype=np.uint8)
+        il = bool(rng.integers(0, 2))
+        assert (dec(enc(idx, pal, interlace=il)) == pal[idx]).all()
+    # dictionary overflow forces a mid-stream CLEAR
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (200, 300), dtype=np.uint8)
+    assert (dec(enc(idx, pal)) == pal[idx]).all()
+    # maximal KwKwK: a single-color image
+    idx = np.full((50, 70), 3, dtype=np.uint8)
+    assert (dec(enc(idx, pal)) == pal[idx]).all()
+    g = enc(np.zeros((4, 4), np.uint8), pal[:4])
+    with _pytest.raises(ValueError):
+        dec(b"notagif")
+    with _pytest.raises(ValueError):
+        dec(g[:-1])  # missing trailer
+    with _pytest.raises(ValueError):
+        dec(g[:20])  # truncated
+    bad = bytearray(g)
+    bad[13 + 3 * 4 + 10] = 12  # invalid LZW minimum code size
+    with _pytest.raises(ValueError, match="minimum code size"):
+        dec(bytes(bad))
 
 
 def test_png_codec_roundtrips_under_hypothesis_fuzz():
