@@ -339,6 +339,48 @@ def test_gif_lzw_roundtrips_and_rejects():
         dec(bytes(bad))
 
 
+def test_gif_decodes_foreign_known_answer_streams():
+    """EXTERNAL validation (not a self-roundtrip): the decoder handles
+    byte streams our encoder did not produce. (1) The widely-published
+    canonical minimal 1×1 white GIF89a — bytes from the wild — with
+    and without a graphic-control extension block; (2) a 2×1 stream
+    whose LZW codes are hand-assembled in this test from the spec
+    (clear, 0, 1, EOI at width 3, LSB-first), independent of the
+    encoder's code path."""
+    import struct
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    _, dec = M._gif_codec()
+    kat = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+    )
+    img = dec(kat)
+    assert img.shape == (1, 1, 3) and tuple(img[0, 0]) == (255, 255, 255)
+    with_ext = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b"!\xf9\x04\x00\x00\x00\x00\x00"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+    )
+    assert (dec(with_ext) == img).all()
+    # hand-assembled 2x1: palette {(10,20,30), (40,50,60)}, indices 0,1
+    # LZW mcs=2 → clear=4, eoi=5, width 3; codes 4,0,1,5 packed
+    # LSB-first: 4 | 0<<3 | 1<<6 | 5<<9 = 0x0A44 → bytes 44 0A
+    hand = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)
+        + bytes([10, 20, 30, 40, 50, 60])
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+        + bytes([2, 2, 0x44, 0x0A, 0x00])
+        + b"\x3b"
+    )
+    img2 = dec(hand)
+    assert img2.shape == (1, 2, 3)
+    assert tuple(img2[0, 0]) == (10, 20, 30)
+    assert tuple(img2[0, 1]) == (40, 50, 60)
+
+
 def test_png_codec_roundtrips_under_hypothesis_fuzz():
     """Property: ANY 8-bit image content survives encode→decode exactly,
     across channel layouts and degenerate sizes (w=1 exercises the
