@@ -960,17 +960,21 @@ def decode_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of failing the task — the binary-payload analogue of the
     PERMISSIVE corrupt-record CSV audit (`p_corrupt_record_audit`).
 
-    Round 6 makes the corpus multi-format by doc_id % 2:
+    Round 6 makes the corpus multi-format by doc_id % 3:
 
-      * even → PNG (round-5 path): doc_id % 7 == 3 flips the IDAT CRC
+      * 0 → PNG (round-5 path): doc_id % 7 == 3 flips the IDAT CRC
         byte (caught by the CRC walk), == 5 truncates mid-stream;
-      * odd → **GIF89a with REAL LZW** (``_gif_codec``): the palette
+      * 1 → **GIF89a with REAL LZW** (``_gif_codec``): the palette
         is the identity-shifted pal[v]=(v, v+7, v+14) and the index
         raster is the same formula, so decoded RGB sums reuse the PNG
         closed form. GIF carries no checksum, so the deterministic
         corruptions target structurally-checked fields: % 7 == 3
         overwrites the LZW minimum-code-size byte with an invalid 12,
-        == 5 truncates (caught by sub-block/trailer guards).
+        == 5 truncates (caught by sub-block/trailer guards);
+      * 2 → **24-bit BMP** (``_bmp_codec``): same pixel formula
+        through the bottom-up padded-row DIB layout. Also
+        checksum-free, so % 7 == 3 overwrites biBitCount with an
+        invalid 13 and == 5 truncates the pixel data.
 
     The oracle pins BOTH halves of the contract per format: corrupted
     payloads must be caught (a decoder that misses one inflates the
@@ -990,6 +994,7 @@ def decode_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same pattern as png_pixel_decode_stats / _jpeg_codec / _avi_codec).
     png_enc, png_dec = _png_codec()
     gif_enc, gif_dec = _gif_codec()
+    bmp_enc, bmp_dec = _bmp_codec()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -1018,6 +1023,13 @@ def decode_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return bytes(buf)
             return payload[: len(payload) // 2]  # mode 5: truncate
 
+        def corrupt_bmp(payload: bytes, mode: int) -> bytes:
+            if mode == 3:  # invalid biBitCount
+                buf = bytearray(payload)
+                buf[28] = 13
+                return bytes(buf)
+            return payload[: len(payload) // 2]  # mode 5: truncate
+
         for batch in batches:
             rows = []
             for doc_id, n_chars in zip(batch["doc_id"], batch["n_chars"]):
@@ -1025,19 +1037,7 @@ def decode_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w = nc % 24 + 8
                 h = (nc * 3) % 16 + 8
                 idx = np.arange(w * h, dtype=np.int64)
-                if d % 2 == 0:
-                    fmt = "png"
-                    pixels = np.stack(
-                        [
-                            ((d * 31 + c * 7 + idx) % 256).reshape(h, w)
-                            for c in range(3)
-                        ],
-                        axis=-1,
-                    ).astype(np.uint8)
-                    payload = png_enc(pixels)
-                    decode = png_dec
-                    corrupt = corrupt_png
-                else:
+                if d % 3 == 1:
                     fmt = "gif"
                     pal = np.stack(
                         [(np.arange(256) + 7 * c) % 256 for c in range(3)],
@@ -1047,6 +1047,24 @@ def decode_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = gif_enc(indices, pal)
                     decode = gif_dec
                     corrupt = corrupt_gif
+                else:
+                    pixels = np.stack(
+                        [
+                            ((d * 31 + c * 7 + idx) % 256).reshape(h, w)
+                            for c in range(3)
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    if d % 3 == 0:
+                        fmt = "png"
+                        payload = png_enc(pixels)
+                        decode = png_dec
+                        corrupt = corrupt_png
+                    else:
+                        fmt = "bmp"
+                        payload = bmp_enc(pixels)
+                        decode = bmp_dec
+                        corrupt = corrupt_bmp
                 if d % 7 in (3, 5):
                     payload = corrupt(payload, d % 7)
                 try:
@@ -1318,6 +1336,110 @@ def avi_frame_sample_stats(
         schema="doc_id long, video_codec string, n_frames int, frame_idx int, "
         "pixel_sum long",
     )
+
+
+def _bmp_codec():
+    """Single-source BMP codec — stdlib struct only (round 6): a REAL
+    Windows-DIB encoder/decoder completing the still-image set (every
+    container ``decode_header`` demuxes now has a real pixel path).
+    Supports the two classic uncompressed layouts: 8-bit palettized
+    and 24-bit BGR, both with the spec's bottom-up row order and
+    4-byte row padding. Decode guards (ValueError): bad signature,
+    truncated header/palette/pixel data, unsupported bit depth,
+    non-BI_RGB compression, palette index out of range.
+
+    Same nested-function by-value pickling contract as the other codec
+    factories. Returns ``(encode, decode)``; decode yields (h, w, 3)
+    RGB uint8 (palette looked up; BGR swizzled)."""
+    import struct
+
+    import numpy as np
+
+    def encode(pixels, palette=None) -> bytes:
+        """(h, w) indices + (n, 3) RGB palette -> 8-bit BMP, or
+        (h, w, 3) RGB -> 24-bit BMP."""
+        pixels = np.asarray(pixels, dtype=np.uint8)
+        if palette is not None:
+            h, w = pixels.shape
+            palette = np.asarray(palette, dtype=np.uint8)
+            n_pal = len(palette)
+            if int(pixels.max(initial=0)) >= n_pal:
+                raise ValueError("index beyond palette")
+            bpp = 8
+            row_bytes = w
+            # BGRA quad order, alpha 0
+            pal_bytes = b"".join(
+                bytes([int(b), int(g), int(r), 0]) for r, g, b in palette
+            )
+        else:
+            h, w, ch = pixels.shape
+            if ch != 3:
+                raise ValueError("24-bit encode expects (h, w, 3) RGB")
+            n_pal = 0
+            bpp = 24
+            row_bytes = w * 3
+            pal_bytes = b""
+        stride = (row_bytes + 3) & ~3
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            if palette is not None:
+                row = pixels[y].tobytes()
+            else:
+                row = pixels[y, :, ::-1].tobytes()  # RGB -> BGR
+            body += row + bytes(stride - len(row))
+        offset = 14 + 40 + len(pal_bytes)
+        header = b"BM" + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body), 2835, 2835, n_pal, 0
+        )
+        return header + info + pal_bytes + bytes(body)
+
+    def decode(payload: bytes):
+        if payload[:2] != b"BM":
+            raise ValueError("not a BMP")
+        if len(payload) < 54:
+            raise ValueError("truncated header")
+        (offset,) = struct.unpack("<I", payload[10:14])
+        size, w, h, planes, bpp, comp = struct.unpack("<IiiHHI", payload[14:34])
+        (n_pal,) = struct.unpack("<I", payload[46:50])
+        if size < 40:
+            raise ValueError("unsupported DIB header")
+        if comp != 0:
+            raise ValueError(f"unsupported compression {comp}")
+        if bpp not in (8, 24):
+            raise ValueError(f"unsupported bit depth {bpp}")
+        top_down = h < 0
+        h = abs(h)
+        if w <= 0 or h == 0:
+            raise ValueError("bad dimensions")
+        palette = None
+        if bpp == 8:
+            n_pal = n_pal or 256
+            pal_start = 14 + size
+            pal_end = pal_start + 4 * n_pal
+            if pal_end > len(payload):
+                raise ValueError("truncated palette")
+            quads = np.frombuffer(
+                payload[pal_start:pal_end], dtype=np.uint8
+            ).reshape(-1, 4)
+            palette = quads[:, [2, 1, 0]]  # BGRA -> RGB
+        row_bytes = w * (bpp // 8)
+        stride = (row_bytes + 3) & ~3
+        if offset + stride * h > len(payload):
+            raise ValueError("truncated pixel data")
+        rows = np.frombuffer(
+            payload[offset : offset + stride * h], dtype=np.uint8
+        ).reshape(h, stride)[:, :row_bytes]
+        if not top_down:
+            rows = rows[::-1]
+        if bpp == 8:
+            idx = rows
+            if int(idx.max(initial=0)) >= len(palette):
+                raise ValueError("palette index out of range")
+            return palette[idx]
+        return rows.reshape(h, w, 3)[:, :, ::-1].copy()  # BGR -> RGB
+
+    return encode, decode
 
 
 def _gif_codec():

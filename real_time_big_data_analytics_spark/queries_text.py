@@ -1935,7 +1935,8 @@ register(
              (doc_id * 31 + 14) % 256 AS s2
       FROM documents
     ), d AS (
-      SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS img_format,
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                  ELSE 'bmp' END AS img_format,
              CASE WHEN doc_id % 7 IN (3, 5) THEN 'quarantined'
                   ELSE 'decoded' END AS status,
              CASE WHEN doc_id % 7 IN (3, 5) THEN 0

@@ -281,9 +281,9 @@ def test_wav_pcm_samples_survive_container(spark, sf_dir):
 
 def test_quarantine_statuses_follow_injected_corruption(spark, sf_dir):
     """Exactly the doc_id % 7 ∈ {3,5} payloads are quarantined, for
-    BOTH formats (even→PNG, odd→GIF); clean ones decode. (The oracle
-    also pins this, but per-status counts at smoke scale make a
-    decoder regression obvious in pytest.)"""
+    ALL THREE formats (doc_id % 3 → PNG/GIF/BMP); clean ones decode.
+    (The oracle also pins this, but per-status counts at smoke scale
+    make a decoder regression obvious in pytest.)"""
     from real_time_big_data_analytics_spark.operators import multimodal as M
 
     rows = {
@@ -291,13 +291,48 @@ def test_quarantine_statuses_follow_injected_corruption(spark, sf_dir):
         for r in M.decode_quarantine_audit(spark, sf_dir).collect()
     }
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    for fmt, parity in (("png", 0), ("gif", 1)):
-        n = docs.filter(f"doc_id % 2 = {parity}").count()
-        bad = docs.filter(f"doc_id % 2 = {parity} and doc_id % 7 in (3, 5)").count()
+    for fmt, parity in (("png", 0), ("gif", 1), ("bmp", 2)):
+        n = docs.filter(f"doc_id % 3 = {parity}").count()
+        bad = docs.filter(f"doc_id % 3 = {parity} and doc_id % 7 in (3, 5)").count()
         assert rows[(fmt, "quarantined")].n_docs == bad
         assert rows[(fmt, "decoded")].n_docs == n - bad
         assert rows[(fmt, "quarantined")].sum_pixels == 0
         assert rows[(fmt, "decoded")].sum_pixels > 0
+
+
+def test_bmp_roundtrips_and_rejects():
+    """REAL BMP codec: 8-bit palettized and 24-bit BGR with bottom-up
+    padded rows roundtrip exactly; structural guards reject truncation
+    and invalid bit depths; the independent header parser agrees with
+    the encoder's geometry."""
+    import numpy as np
+    import pytest as _pytest
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    enc, dec = M._bmp_codec()
+    rng = np.random.default_rng(43)
+    for _ in range(10):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (dec(enc(px)) == px).all()
+        npal = int(rng.integers(1, 257))
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        idx = rng.integers(0, npal, (h, w), dtype=np.uint8)
+        assert (dec(enc(idx, pal)) == pal[idx]).all()
+    meta = M.decode_header(enc(np.zeros((8, 5, 3), np.uint8)))
+    assert (meta["width"], meta["height"]) == (5, 8)
+    g = enc(np.zeros((4, 4, 3), np.uint8))
+    with _pytest.raises(ValueError):
+        dec(b"notabmp")
+    with _pytest.raises(ValueError):
+        dec(g[:30])
+    with _pytest.raises(ValueError):
+        dec(g[:-5])
+    bad = bytearray(g)
+    bad[28] = 13  # biBitCount
+    with _pytest.raises(ValueError, match="bit depth"):
+        dec(bytes(bad))
 
 
 def test_gif_lzw_roundtrips_and_rejects():
