@@ -174,6 +174,44 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _ambient() -> dict:
+    """Host-condition snapshot (VERDICT r6 ask #4): loadavg, memory /
+    page-cache, cpufreq if readable, and a ~2 s single-thread
+    calibration loop, so BENCH_DRIFT can normalize per-query times
+    against a same-process CPU constant instead of arguing from
+    spread. All fields best-effort — absent readings record None."""
+    amb: dict = {}
+    try:
+        amb["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        amb["loadavg"] = None
+    mem = {}
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                if k in ("MemTotal", "MemFree", "MemAvailable", "Cached"):
+                    mem[k] = int(v.split()[0])  # kB
+    except OSError:
+        pass
+    amb["meminfo_kb"] = mem or None
+    try:
+        with open("/sys/devices/system/cpu/cpu0/cpufreq/scaling_cur_freq") as f:
+            amb["cpu0_khz"] = int(f.read().strip())
+    except OSError:
+        amb["cpu0_khz"] = None
+    # Calibration: fixed arithmetic workload, time it. The constant is
+    # pure-Python single-thread CPU; contention or frequency scaling
+    # shows up directly as a larger number. ~0.6-2 s nominal.
+    t0 = time.monotonic()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i * i & 0xFFFF
+    amb["calib_sec"] = round(time.monotonic() - t0, 4)
+    amb["calib_check"] = acc & 0xFFFF  # pin the loop against DCE-style edits
+    return amb
+
+
 def _next_round() -> int:
     """One past the newest driver-recorded BENCH_r{N}.json (the file
     for the CURRENT round doesn't exist yet while bench.py runs)."""
@@ -189,6 +227,7 @@ def _next_round() -> int:
 
 def main() -> None:
     isolate = "--isolate" in sys.argv[1:]
+    ambient_pre = _ambient()
     spark = get_spark("rtba-bench")
     queries = all_queries()
 
@@ -209,12 +248,11 @@ def main() -> None:
     # min() reports steady-state latency. Three, not two — on a shared
     # host a single contended run otherwise sets the recorded number
     # (observed 2-7× first-run inflation after idle periods).
-    timings: dict[str, float] = {}
+    runs_by_name: dict[str, list[float]] = {n: [] for n in HEADLINE}
     if isolate:
         # 3 randomized full passes: per-query min across passes, with
         # a fixed seed so reruns are reproducible.
         rng = random.Random(4)
-        runs_by_name: dict[str, list[float]] = {n: [] for n in HEADLINE}
         for _ in range(3):
             order = list(HEADLINE)
             rng.shuffle(order)
@@ -222,33 +260,42 @@ def main() -> None:
                 t0 = time.monotonic()
                 force(queries[name].fn(spark, SF_DIR))
                 runs_by_name[name].append(time.monotonic() - t0)
-        timings = {n: round(min(rs), 3) for n, rs in runs_by_name.items()}
     else:
         for name in HEADLINE:
-            runs = []
             for _ in range(3):
                 t0 = time.monotonic()
                 force(queries[name].fn(spark, SF_DIR))
-                runs.append(time.monotonic() - t0)
-            timings[name] = round(min(runs), 3)
+                runs_by_name[name].append(time.monotonic() - t0)
+    # Headline per-query figure stays min-of-3 (steady-state latency,
+    # methodology unchanged since r1); the RAW samples now land in the
+    # receipt too (VERDICT r6 ask #5) so drift tables can compare mins
+    # and see the within-session spread instead of arguing from a
+    # single sample per round.
+    timings = {n: round(min(rs), 3) for n, rs in runs_by_name.items()}
+    samples = {n: [round(r, 3) for r in rs] for n, rs in runs_by_name.items()}
 
     # End-to-end streaming throughput: events ingested through the
     # windowed streaming aggregation per second of wall clock — the
     # comparable number to the reference's ~35 rec/s envelope
     # (BASELINE.md "observed throughput"). This single number swung
     # 120k→72.7k across driver rounds while same-host replays held
-    # steady (BENCH_DRIFT_r06.md: the round-6 cadence replay showed
-    # the post-sweep bench is FASTER, so the swing is inter-session
-    # host variance, not cadence) — take the min over two extra
-    # dedicated runs on top of the headline's three so one contended
-    # burst can't set the recorded figure.
+    # steady (BENCH_DRIFT_r06.md: the swing is inter-session host
+    # variance, not cadence). Five samples total (the headline's three
+    # + two dedicated runs); the HEADLINE figure is the MEDIAN-of-5
+    # (ADVICE r6: min-of-5 recorded the best case, inflating vs prior
+    # rounds' single-run methodology), with best + raw samples
+    # recorded alongside so both readings stay available.
     n_events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
-    t4_best = timings["t4_stream_windowed_analytics"]
+    t4_runs = list(runs_by_name["t4_stream_windowed_analytics"])
     for _ in range(2):
         t0 = time.monotonic()
         force(queries["t4_stream_windowed_analytics"].fn(spark, SF_DIR))
-        t4_best = min(t4_best, round(time.monotonic() - t0, 3))
-    stream_rps = round(n_events / t4_best, 1)
+        t4_runs.append(time.monotonic() - t0)
+    t4_sorted = sorted(t4_runs)
+    t4_median = t4_sorted[len(t4_sorted) // 2]
+    stream_rps = round(n_events / t4_median, 1)
+    stream_rps_best = round(n_events / t4_sorted[0], 1)
+    ambient_post = _ambient()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -256,7 +303,11 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
         "stream_events_per_sec": stream_rps,
+        "stream_events_per_sec_best": stream_rps_best,
+        "stream_t4_samples_sec": [round(t, 3) for t in t4_runs],
+        "ambient": {"pre": ambient_pre, "post": ambient_post},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Round-over-round regression signal: per-query delta vs the last
@@ -274,7 +325,10 @@ def main() -> None:
         out["mode"] = "isolate"
     # Truncation-proof receipt: the driver captures stdout with a
     # bounded tail buffer (BENCH_r03.json:parsed was null because the
-    # 39-query line outgrew it), so the summary also lands in a file.
+    # 39-query line outgrew it), so the FULL summary (raw samples,
+    # ambient snapshots) lands in a file and the stdout line stays
+    # compact — per-query raw samples and the ambient blocks would
+    # roughly triple it and re-trigger the r3 failure mode.
     suffix = "_isolated" if isolate else ""
     path = os.path.join(REPO, f"BENCH_SUMMARY_r{_next_round():02d}{suffix}.json")
     try:
@@ -283,7 +337,14 @@ def main() -> None:
             f.write("\n")
     except OSError:
         pass  # read-only checkout: the stdout line is still the receipt
-    print(json.dumps(out))
+    compact = {
+        k: v for k, v in out.items() if k not in ("samples", "ambient")
+    }
+    compact["ambient_calib_sec"] = {
+        "pre": ambient_pre.get("calib_sec"),
+        "post": ambient_post.get("calib_sec"),
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -355,13 +355,24 @@ class MiniBroker:
             pos += 4
             out += _str(topic) + struct.pack(">i", nparts)
             for _ in range(nparts):
-                partition, _offset, _maxb = struct.unpack(
+                partition, offset, _maxb = struct.unpack(
                     ">iqi", body[pos : pos + 16]
                 )
                 pos += 16
                 batches = self.log.get((topic, partition), [])
-                record_set = b"".join(batches)
-                hw = sum(len(decode_record_batch(b)) for b in batches)
+                # Honor the requested fetch offset (ADVICE r6): serve
+                # only batches that still contain records at >= offset.
+                # Batch granularity matches real Kafka semantics — a
+                # fetch from mid-batch returns the whole batch and the
+                # consumer skips records below its position.
+                served, base = [], 0
+                for b in batches:
+                    count = len(decode_record_batch(b))
+                    if base + count > offset:
+                        served.append(b)
+                    base += count
+                record_set = b"".join(served)
+                hw = base
                 # partition, error, high_watermark, last_stable, [aborted]=0
                 out += struct.pack(">ihqqi", partition, 0, hw, hw, 0)
                 out += struct.pack(">i", len(record_set)) + record_set

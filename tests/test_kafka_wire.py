@@ -152,6 +152,45 @@ def test_multiple_produces_accumulate_and_fetch_all(broker):
     assert vals == [b"v0", b"v1", b"v2"]
 
 
+def test_fetch_honors_nonzero_offset(broker):
+    """A fetch from offset N skips batches wholly below N (ADVICE r6:
+    _fetch previously served the full log from 0 regardless)."""
+    _, addr = broker
+    with _connect(addr) as sock:
+        for i in range(3):  # three 2-record batches → offsets 0..5
+            batch = KW.encode_record_batch(
+                [(b"k", f"v{2 * i}".encode()), (b"k", f"v{2 * i + 1}".encode())],
+                base_offset=2 * i,
+            )
+            KW.call(
+                sock,
+                KW.frame_request(
+                    KW.API_PRODUCE, 3, 30 + i, KW.produce_request_v3("o", 0, batch)
+                ),
+            )
+        by_offset = {}
+        for off in (0, 2, 3, 4, 6):
+            fresp = KW.call(
+                sock,
+                KW.frame_request(
+                    KW.API_FETCH, 4, 40 + off, KW.fetch_request_v4("o", 0, offset=off)
+                ),
+            )
+            sets = KW.parse_fetch_record_sets(fresp)
+            by_offset[off] = [
+                v
+                for b in KW.split_record_sets(sets[("o", 0)])
+                for _, v in KW.decode_record_batch(b)
+            ]
+    assert by_offset[0] == [b"v0", b"v1", b"v2", b"v3", b"v4", b"v5"]
+    assert by_offset[2] == [b"v2", b"v3", b"v4", b"v5"]
+    # mid-batch fetch returns the containing batch (real Kafka
+    # semantics: consumer-side skip below position)
+    assert by_offset[3] == [b"v2", b"v3", b"v4", b"v5"]
+    assert by_offset[4] == [b"v4", b"v5"]
+    assert by_offset[6] == []
+
+
 def test_broker_refuses_corrupt_batch(broker):
     """A produce carrying a CRC-broken batch is acked with
     CORRUPT_MESSAGE (2) and NOT appended to the log — matching real
