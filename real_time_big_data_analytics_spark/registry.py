@@ -224,11 +224,17 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         "l5_decode_quarantine_audit",
         "l5_jpeg_pixel_decode_stats",
         "l5_avi_frame_sample_stats",
+        # round-7 additions (r6 verdict ask #2 explicitly requested
+        # these registrations; the receipt debt is 14 < 50, so they
+        # fit in the checked prefix without displacing any pre-freeze
+        # name):
+        "s_kafka_wire_roundtrip",
+        "s_kafka_wire_stream",
     }
 )
 
 
-def receipt_ledger() -> dict[str, dict]:
+def receipt_ledger(max_round: int | None = None) -> dict[str, dict]:
     """Per-query driver-receipt history, the single parse of every
     CORRECTNESS_r*.json in the repo root (VERDICT r5 ask #8).
 
@@ -238,7 +244,12 @@ def receipt_ledger() -> dict[str, dict]:
     for a name when the driver recorded ``hash_match: true`` (or, for
     a query registered without an oracle, any recorded spark_rows);
     anything else the driver ran and recorded is *red*. Rounds are
-    taken from the ``CORRECTNESS_r{N}.json`` filename."""
+    taken from the ``CORRECTNESS_r{N}.json`` filename.
+
+    ``max_round`` bounds the parse to receipts from rounds <= it — the
+    RECEIPTS.md drift guard (tests/test_receipts.py) regenerates the
+    ledger at the committed file's stamped input horizon, so a driver
+    receipt landing AFTER the commit doesn't read as staleness."""
     import glob
     import json
     import os
@@ -251,6 +262,8 @@ def receipt_ledger() -> dict[str, dict]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             with open(path) as f:
                 rounds = json.load(f)
@@ -281,7 +294,7 @@ def receipt_ledger() -> dict[str, dict]:
     return ledger
 
 
-def _driver_receipts() -> tuple[set[str], set[str]]:
+def _driver_receipts(max_round: int | None = None) -> tuple[set[str], set[str]]:
     """(verified, red) from the driver correctness receipts.
 
     verified — names with a conclusive green row in ANY receipt: a
@@ -292,13 +305,13 @@ def _driver_receipts() -> tuple[set[str], set[str]]:
     name outranks every never-verified name in the rotation: a wrong
     answer the grader has seen must be re-receipted before new
     coverage (VERDICT r4 ask #1)."""
-    ledger = receipt_ledger()
+    ledger = receipt_ledger(max_round)
     verified = {n for n, e in ledger.items() if e["green_rounds"]}
     red = {n for n, e in ledger.items() if e["red_rounds"]}
     return verified, red - verified
 
 
-def all_queries() -> dict[str, Query]:
+def all_queries(receipt_max_round: int | None = None) -> dict[str, Query]:
     _load_all()
     # first occurrence wins: the verdict-flagged block at the top may
     # repeat names that also appear in the older family sections below
@@ -308,7 +321,7 @@ def all_queries() -> dict[str, Query]:
     missing = [n for n in prio if n not in QUERIES]
     if missing:
         raise RuntimeError(f"DRIVER_CHECK_PRIORITY names unknown queries: {missing}")
-    verified, red = _driver_receipts()
+    verified, red = _driver_receipts(receipt_max_round)
     reg_order = {n: i for i, n in enumerate(QUERIES)}
     names = sorted(
         QUERIES,

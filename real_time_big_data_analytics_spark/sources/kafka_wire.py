@@ -267,6 +267,10 @@ class MiniBroker:
 
     def __init__(self):
         self.log: dict[tuple[str, int], list[bytes]] = {}
+        # Concurrent producers (one per Spark task in the distributed
+        # produce path) race on the base-offset read + append below;
+        # ThreadingTCPServer gives each connection its own thread.
+        self._produce_lock = threading.Lock()
         broker = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -328,16 +332,17 @@ class MiniBroker:
                 record_set = body[pos : pos + set_len]
                 pos += set_len
                 key = (topic, partition)
-                base = sum(
-                    len(decode_record_batch(b)) for b in self.log.get(key, [])
-                )
                 # validate before acking — a corrupt batch is refused
                 try:
                     decode_record_batch(record_set)
                 except ValueError:
                     parts += struct.pack(">ihqq", partition, 2, -1, -1)  # CORRUPT_MESSAGE
                     continue
-                self.log.setdefault(key, []).append(record_set)
+                with self._produce_lock:
+                    base = sum(
+                        len(decode_record_batch(b)) for b in self.log.get(key, [])
+                    )
+                    self.log.setdefault(key, []).append(record_set)
                 parts += struct.pack(">ihqq", partition, 0, base, -1)
             resp_topics += _str(topic) + struct.pack(">i", nparts) + parts
         return (
