@@ -127,14 +127,15 @@ def decode_real(payload: bytes) -> dict:
     zlib inflate + full unfilter, palette/16-bit/Adam7 included,
     oracle-checked by ``l5_png_pixel_decode_stats``), as are baseline
     sequential-DCT JPEG in both grayscale and 4:2:0 YCbCr layouts
-    (``_jpeg_codec``, ``l5_jpeg_pixel_decode_stats``), as is the
+    (``_jpeg_codec``, ``l5_jpeg_pixel_decode_stats``), as are the
     PROGRESSIVE JPEG process (SOF2 — spectral selection + successive
-    approximation), and AVI frame extraction covers uncompressed-DIB
-    and Motion-JPEG layouts (``_avi_codec``). Unrecognized containers
-    fall through to PIL when available, else the disclosed
-    NotImplementedError — now narrowed to inter-frame video codecs
-    (H.26x/VPx/AV1) and exotic stills (arithmetic-coded/lossless
-    JPEG), the formats whose pixel decode genuinely needs a codec
+    approximation) and the LOSSLESS JPEG process (SOF3 — Huffman
+    predictive, all seven Annex-H predictors, round 7), and AVI frame
+    extraction covers uncompressed-DIB and Motion-JPEG layouts
+    (``_avi_codec``). Unrecognized containers fall through to PIL when
+    available, else the disclosed NotImplementedError — now narrowed
+    to inter-frame video codecs (H.26x/VPx/AV1) and arithmetic-coded
+    JPEG, the formats whose pixel decode genuinely needs a codec
     library; the deterministic fake in ``decode_image_metadata`` keeps
     the pipeline testable)."""
     parsed = decode_header(payload)
@@ -326,7 +327,7 @@ def decode_header(payload: bytes) -> dict | None:
             if payload[i] != 0xFF:
                 return None
             marker = payload[i + 1]
-            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2/3
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                 return {
                     "n_bytes": n,
@@ -1674,7 +1675,8 @@ def _gif_codec():
 def _jpeg_codec():
     """Single-source JPEG codec — stdlib struct + numpy only, no codec
     library: REAL encoders and a REAL decoder for the DCT JPEG
-    processes. Three pixel/process layouts:
+    processes plus the LOSSLESS predictive process. Four
+    pixel/process layouts:
 
       * grayscale baseline — ``encode`` of an (h, w) uint8 array emits
         a single-component sequential SOF0 stream (the round-5 path);
@@ -1693,7 +1695,16 @@ def _jpeg_codec():
         blocks. The decoder accumulates coefficients scan by scan —
         DC/AC first passes and DC/AC refinement passes (correction
         bits for history coefficients, ±1 insertions, EOB-run tails)
-        — and reconstructs once at EOI.
+        — and reconstructs once at EOI;
+      * **LOSSLESS grayscale (round 7, SOF3)** —
+        ``encode(px, lossless=True, predictor=k, pt=p)`` emits the
+        Huffman-coded predictive process (T.81 Annex H): no DCT, no
+        quantization table, per-sample prediction from the a/b/c
+        neighborhood under any of the seven selectors, DC-category
+        coding of the modulo-2^16 differences, optional point
+        transform. Decode is ARRAY-EXACT for Pt=0 on arbitrary
+        content — pytest-pinned across all predictors and
+        non-block-aligned shapes.
 
     The encoder emits spec-valid JFIF streams (DQT, SOF0/SOF2, DHT,
     one or more SOS, Huffman-coded entropy data with 0xFF byte
@@ -1995,8 +2006,89 @@ def _jpeg_codec():
             out += _sos([1], ss, se, ah, al) + bw.flush()
         return out
 
-    def encode(pixels, *, progressive: bool = False) -> bytes:
+    def _lossless_predict(samples, i: int, j: int, psel: int, default: int) -> int:
+        """T.81 Annex H.1 prediction for sample (i, j): a = left,
+        b = above, c = upper-left; first sample uses the mid-level
+        default, rest of row 0 uses a, column 0 uses b."""
+        if i == 0 and j == 0:
+            return default
+        if i == 0:
+            return int(samples[0, j - 1])
+        if j == 0:
+            return int(samples[i - 1, 0])
+        a = int(samples[i, j - 1])
+        b = int(samples[i - 1, j])
+        c = int(samples[i - 1, j - 1])
+        if psel == 1:
+            return a
+        if psel == 2:
+            return b
+        if psel == 3:
+            return c
+        if psel == 4:
+            return a + b - c
+        if psel == 5:
+            return a + ((b - c) >> 1)
+        if psel == 6:
+            return b + ((a - c) >> 1)
+        return (a + b) >> 1  # psel == 7
+
+    def encode(
+        pixels,
+        *,
+        progressive: bool = False,
+        lossless: bool = False,
+        predictor: int = 1,
+        pt: int = 0,
+    ) -> bytes:
         px = np.asarray(pixels, dtype=np.uint8)
+        if lossless:  # LOSSLESS process (SOF3, Huffman predictive)
+            if progressive:
+                raise ValueError("lossless and progressive are distinct processes")
+            if px.ndim != 2:
+                raise ValueError("lossless encoding supports grayscale only")
+            if not 1 <= predictor <= 7:
+                raise ValueError("predictor selector must be 1..7")
+            h, w = px.shape
+            samples = px.astype(np.int64) >> pt
+            default = 1 << (8 - pt - 1)
+            bw = _BitWriter()
+            for i in range(h):
+                for j in range(w):
+                    diff = int(samples[i, j]) - _lossless_predict(
+                        samples, i, j, predictor, default
+                    )
+                    # modulo-2^16 difference arithmetic (T.81 H.1.2.1);
+                    # at 8-bit precision diffs stay within ±255 for
+                    # predictors 1-3/7 and within ±510 for 4-6, so the
+                    # SSSS=16 special case (diff exactly 32768) is
+                    # unreachable and DC categories 0..9 suffice
+                    diff = ((diff + 32768) & 0xFFFF) - 32768
+                    size = abs(diff).bit_length()
+                    ln, code = DC_CODES[size]
+                    bw.put(code, ln)
+                    if size:
+                        bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            # No DQT — the lossless process has no quantization; SOF3
+            # declares the true (unpadded) dimensions, Ss carries the
+            # predictor selector and Al the point transform (T.81
+            # table H.2 scan-header semantics).
+            dht = _seg(
+                0xFFC4,
+                bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS),
+            )
+            sof = _seg(
+                0xFFC3, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+            )
+            return (
+                b"\xff\xd8"
+                + _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+                + sof
+                + dht
+                + _sos([1], predictor, 0, 0, pt)
+                + bw.flush()
+                + b"\xff\xd9"
+            )
         if px.ndim == 2 and progressive:  # grayscale progressive (SOF2)
             h, w = px.shape
             ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
@@ -2096,6 +2188,7 @@ def _jpeg_codec():
         h = w = None
         comps = None  # [(cid, hv, tq)] in SOF order
         progressive = False
+        lossless = False
         scans = []  # [(scan_comps, ss, se, ah, al, entropy_bytes)]
         saw_eoi = False
         while i + 2 <= n:
@@ -2120,8 +2213,9 @@ def _jpeg_codec():
                         seg[j + 1 : j + 65], dtype=np.uint8
                     ).astype(np.int64)
                     j += 65
-            elif marker in (0xC0, 0xC2):
+            elif marker in (0xC0, 0xC2, 0xC3):
                 progressive = marker == 0xC2
+                lossless = marker == 0xC3
                 prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
                 if prec != 8:
                     raise ValueError("only 8-bit precision supported")
@@ -2134,10 +2228,14 @@ def _jpeg_codec():
                     raise ValueError(
                         "only single-component 4:4:4 or 3-component 4:2:0 supported"
                     )
-                if progressive and ncomp != 1:
-                    raise ValueError("progressive decode supports grayscale only")
-            elif marker in (0xC1, 0xC3):
-                raise ValueError("only baseline SOF0 / progressive SOF2 supported")
+                if (progressive or lossless) and ncomp != 1:
+                    raise ValueError(
+                        "progressive/lossless decode supports grayscale only"
+                    )
+            elif marker == 0xC1:
+                raise ValueError(
+                    "only SOF0 baseline / SOF2 progressive / SOF3 lossless supported"
+                )
             elif marker == 0xC4:
                 j = 0
                 while j < len(seg):
@@ -2159,7 +2257,7 @@ def _jpeg_codec():
                 i = end
                 continue
             i += 2 + ln
-        if not scans or not qts or h is None:
+        if not scans or h is None or (not qts and not lossless):
             raise ValueError("incomplete stream")
         if not saw_eoi:
             raise ValueError("missing EOI")
@@ -2200,6 +2298,29 @@ def _jpeg_codec():
             block = np.zeros(64, dtype=np.float64)
             block[ZIGZAG] = zz_vec * qt
             return D.T @ block.reshape(8, 8) @ D
+
+        if lossless:  # SOF3 predictive process: one scan, exact samples
+            if len(scans) != 1:
+                raise ValueError("lossless stream must have one scan")
+            scomps, psel, se, ah, pt = scans[0][:5]
+            entropy = scans[0][5]
+            if se != 0 or ah != 0 or not 1 <= psel <= 7:
+                raise ValueError("bad lossless scan header")
+            cid = comps[0][0]
+            dc_id, _ = scomps[cid]
+            table = huff[(0, dc_id)]
+            bit, bits, huffdec = make_bitreader(entropy)
+            samples = np.zeros((h, w), dtype=np.int64)
+            default = 1 << (8 - pt - 1)
+            for i in range(h):
+                for j in range(w):
+                    size = huffdec(table)
+                    diff = extend(bits(size), size) if size else 0
+                    pred = _lossless_predict(samples, i, j, psel, default)
+                    samples[i, j] = (pred + diff) & 0xFFFF
+            # decoder output is the point-transformed sample scaled
+            # back by 2^Pt (T.81 H.2.3); Pt=0 is fully lossless
+            return np.clip(samples << pt, 0, 255).astype(np.uint8)
 
         if progressive:
             cid, _, tq = comps[0]
@@ -2378,9 +2499,9 @@ def _jpeg_codec():
 
 
 def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5 — REAL JPEG pixel roundtrip, stdlib+numpy only. Round 6
-    widens the corpus across all three supported processes by
-    doc_id % 3:
+    """L5 — REAL JPEG pixel roundtrip, stdlib+numpy only. Round 7
+    widens the corpus across all FOUR supported processes by
+    doc_id % 4:
 
       * 0 → per-block-flat GRAYSCALE (block ``bi`` at level
         ``(doc_id*13 % 256 + bi) % 256``) through the single-component
@@ -2394,18 +2515,28 @@ def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         image through the six-scan spectral-selection + successive-
         approximation process (EOBRUN coding, DC/AC refinement scans)
         — the decoder accumulates coefficients scan by scan and must
-        land on the identical pixels.
+        land on the identical pixels;
+      * 3 → **LOSSLESS grayscale (SOF3, round 7)**: Huffman-coded
+        predictive process on ARBITRARY (non-flat) content
+        ``pixel(i,j) = (s + 7i + 13j) % 256`` at arbitrary
+        non-block-aligned dimensions, predictor selector
+        ``doc_id % 7 + 1`` cycling all seven T.81 Annex-H predictors.
+        Because the process is exact (no DCT, no quantization), the
+        oracle is the EXACT pixel sum of the generating expression —
+        not a flatness-engineered DCT closed form.
 
-    Flatness makes the lossy process EXACT in every layout (each DC is
-    the integral 8·(v−128), ACs quantize to zero under the all-ones
+    Flatness makes the LOSSY processes exact in every layout (each DC
+    is the integral 8·(v−128), ACs quantize to zero under the all-ones
     table, and 2×2 averaging of MCU-constant chroma is lossless), so
-    the oracle stays closed-form: Σ_{i<m}(t+i)%256 = m·t + m(m−1)/2 −
+    their oracle is closed-form: Σ_{i<m}(t+i)%256 = m·t + m(m−1)/2 −
     256·max(0, t+m−256) per plane — ×64 per luma block, ×256 per
     full-res-equivalent chroma MCU; the progressive corpus reuses the
-    grayscale form. DHT/DQT are read from the stream, not assumed; the
-    AC/ZRL/refinement entropy paths are pinned by pytest on random
-    images where progressive must decode BIT-IDENTICALLY to
-    sequential. Same execution shape as the PNG pixel query: metadata
+    grayscale form, and the lossless corpus sums the raw generator
+    over a bounded series. DHT/DQT are read from the stream, not
+    assumed; the AC/ZRL/refinement entropy paths are pinned by pytest
+    on random images where progressive must decode BIT-IDENTICALLY to
+    sequential and lossless must decode ARRAY-EXACTLY under all seven
+    predictors. Same execution shape as the PNG pixel query: metadata
     repartition + Arrow-batched ``mapInPandas``, payloads never leave
     the executor.
     """
@@ -2430,7 +2561,7 @@ def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, n_chars in zip(batch["doc_id"], batch["n_chars"]):
                 d, nc = int(doc_id), int(n_chars)
                 s = (d * 13) % 256
-                if d % 3 == 1:
+                if d % 4 == 1:
                     w = (nc % 2 + 1) * 16
                     h = (nc % 3 + 1) * 16
                     y = flat_blocks(s, h // 8, w // 8, 8)
@@ -2439,11 +2570,21 @@ def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pixels = np.stack([y, cb, cr], axis=-1).astype(np.uint8)
                     fmt = "ycbcr420"
                     payload = encode(pixels)
+                elif d % 4 == 3:
+                    w = nc % 29 + 5
+                    h = (nc * 7) % 23 + 5
+                    ii = np.arange(h, dtype=np.int64)[:, None]
+                    jj = np.arange(w, dtype=np.int64)[None, :]
+                    pixels = ((s + 7 * ii + 13 * jj) % 256).astype(np.uint8)
+                    fmt = "gray_lossless"
+                    payload = encode(
+                        pixels, lossless=True, predictor=d % 7 + 1
+                    )
                 else:
                     w = (nc % 3 + 2) * 8
                     h = (nc % 2 + 2) * 8
                     pixels = flat_blocks(s, h // 8, w // 8, 8).astype(np.uint8)
-                    prog = d % 3 == 2
+                    prog = d % 4 == 2
                     fmt = "gray_progressive" if prog else "gray"
                     payload = encode(pixels, progressive=prog)
                 arr = decode(payload).astype(np.int64)

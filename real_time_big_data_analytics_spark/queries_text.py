@@ -2001,10 +2001,12 @@ register(
     multimodal.jpeg_pixel_decode_stats,
     sql="""
     WITH p AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 3 = 1 THEN (n_chars % 2 + 1) * 16
+      SELECT doc_id, n_chars,
+             CASE WHEN doc_id % 4 = 1 THEN (n_chars % 2 + 1) * 16
+                  WHEN doc_id % 4 = 3 THEN n_chars % 29 + 5
                   ELSE (n_chars % 3 + 2) * 8 END AS w,
-             CASE WHEN doc_id % 3 = 1 THEN (n_chars % 3 + 1) * 16
+             CASE WHEN doc_id % 4 = 1 THEN (n_chars % 3 + 1) * 16
+                  WHEN doc_id % 4 = 3 THEN (n_chars * 7) % 23 + 5
                   ELSE (n_chars % 2 + 2) * 8 END AS h,
              (doc_id * 13) % 256 AS s
       FROM documents
@@ -2013,19 +2015,28 @@ register(
              (w // 8) * (h // 8) AS nb,
              (w // 16) * (h // 16) AS n_mcu
       FROM p
+    ), ll AS (
+      -- lossless corpus (doc_id % 4 = 3): EXACT sum of the arbitrary
+      -- generator pixel(i,j) = (s + 7i + 13j) % 256 over h x w
+      SELECT q.doc_id, sum((q.s + 7 * i.g + 13 * j.g) % 256) AS px
+      FROM q, generate_series(0, 26) i(g), generate_series(0, 32) j(g)
+      WHERE q.doc_id % 4 = 3 AND i.g < q.h AND j.g < q.w
+      GROUP BY q.doc_id
     )
-    SELECT doc_id,
-           CASE doc_id % 3 WHEN 0 THEN 'gray' WHEN 1 THEN 'ycbcr420'
-                ELSE 'gray_progressive' END AS jpeg_format,
-           CAST(w AS INT) AS width,
-           CAST(h AS INT) AS height,
-           CAST(CASE WHEN doc_id % 3 = 1
+    SELECT q.doc_id,
+           CASE q.doc_id % 4 WHEN 0 THEN 'gray' WHEN 1 THEN 'ycbcr420'
+                WHEN 2 THEN 'gray_progressive'
+                ELSE 'gray_lossless' END AS jpeg_format,
+           CAST(q.w AS INT) AS width,
+           CAST(q.h AS INT) AS height,
+           CAST(CASE WHEN q.doc_id % 4 = 1
                 THEN 64 * ({y_sum})
                      + 256 * ({cb_sum})
                      + 256 * ({cr_sum})
+                WHEN q.doc_id % 4 = 3 THEN ll.px
                 ELSE 64 * ({y_sum})
                 END AS BIGINT) AS sum_pixels
-    FROM q
+    FROM q LEFT JOIN ll ON q.doc_id = ll.doc_id
     """.format(
         y_sum=_JPEG_WALK_SUM.format(t="s", m="nb"),
         cb_sum=_JPEG_WALK_SUM.format(t="(s + 17) % 256", m="n_mcu"),

@@ -636,6 +636,49 @@ def test_jpeg_progressive_decodes_bit_identically_to_sequential():
         encode(np.zeros((16, 16, 3), np.uint8), progressive=True)
 
 
+def test_jpeg_lossless_roundtrips_exactly_all_predictors():
+    """LOSSLESS (SOF3, round 7): Huffman predictive coding must be
+    ARRAY-EXACT on arbitrary random content — no DCT bound, no
+    flatness requirement — for every T.81 Annex-H predictor selector
+    (1..7), at arbitrary non-block-aligned dimensions including 1-pixel
+    edges. Point transform Pt shifts samples down on encode and back
+    up on decode (exact for Pt=0, quantized to multiples of 2^Pt
+    otherwise). The stream must be spec-shaped: SOF3 marker, one scan,
+    NO quantization table."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    encode, decode = M._jpeg_codec()
+    rng = np.random.default_rng(31)
+    for psel in range(1, 8):
+        for h, w in ((1, 1), (1, 17), (9, 1), (13, 21), (40, 33)):
+            px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            out = decode(encode(px, lossless=True, predictor=psel))
+            assert out.dtype == np.uint8 and out.shape == (h, w)
+            assert (out == px).all(), (psel, h, w)
+    # extreme-diff content (checkerboard 0/255) through predictor 4-6
+    # (the widest-diff predictors: pred can leave [0, 255])
+    board = ((np.indices((12, 18)).sum(0) % 2) * 255).astype(np.uint8)
+    for psel in (4, 5, 6):
+        assert (decode(encode(board, lossless=True, predictor=psel)) == board).all()
+    # point transform: decode returns (px >> pt) << pt
+    px = rng.integers(0, 256, (11, 7), dtype=np.uint8)
+    for pt in (1, 2):
+        got = decode(encode(px, lossless=True, predictor=1, pt=pt))
+        assert (got == ((px.astype(np.int64) >> pt) << pt)).all()
+    payload = encode(px, lossless=True, predictor=7)
+    assert b"\xff\xc3" in payload
+    assert payload.count(b"\xff\xda") == 1
+    assert b"\xff\xdb" not in payload  # no DQT in the lossless process
+    with pytest.raises(ValueError):
+        encode(np.zeros((8, 8, 3), np.uint8), lossless=True)
+    with pytest.raises(ValueError):
+        encode(px, lossless=True, predictor=0)
+    with pytest.raises(ValueError):
+        encode(px, lossless=True, progressive=True)
+
+
 def test_jpeg_stream_is_parseable_by_the_independent_header_parser():
     """Cross-validation: decode_header's JPEG marker walk (written for
     foreign payloads) must agree with our encoder's SOF0 emission."""
