@@ -143,6 +143,13 @@ HEADLINE = [
     # repartition, no data shuffle). wav/quarantine ride the same
     # shape and stay unheadlined.
     "l5_png_pixel_decode_stats",
+    # round-7 addition: the in-engine Kafka wire path — a new cost
+    # shape (Python DataSource scan: one fetch task per Kafka
+    # partition over a real socket + RecordBatch v2 decode + from_json
+    # parse). First run includes one-time broker staging (distributed
+    # produce of the full events table, ~25 s at sf0.1); min-of-3
+    # reports the steady-state fetch+decode scan (~3.5 s).
+    "s_kafka_wire_roundtrip",
 ]
 
 

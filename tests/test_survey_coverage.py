@@ -30,9 +30,19 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
     "S1": ("t4_stream_windowed_analytics",),  # file-replay stand-in for Twitter
     # no broker/connector JAR in sandbox (tools/probe_kafka.py); wire
     # level (RecordBatch v2 + produce/fetch over a real loopback
-    # socket) verified in test_kafka_wire.py
-    "S2": ("pytest:tests/test_kafka_codec.py", "pytest:tests/test_kafka_wire.py"),
-    "S3": ("pytest:tests/test_kafka_codec.py", "pytest:tests/test_kafka_wire.py"),
+    # socket) verified in test_kafka_wire.py, and — round 7 —
+    # IN-ENGINE via the kafka_wire Python DataSource round-trip
+    # queries (oracle-hash-checked)
+    "S2": (
+        "s_kafka_wire_roundtrip",
+        "pytest:tests/test_kafka_codec.py",
+        "pytest:tests/test_kafka_wire.py",
+    ),
+    "S3": (
+        "s_kafka_wire_stream",
+        "pytest:tests/test_kafka_codec.py",
+        "pytest:tests/test_kafka_wire.py",
+    ),
     "S4": (
         "p_csv_parse_pipeline",
         "p_corrupt_record_audit",
