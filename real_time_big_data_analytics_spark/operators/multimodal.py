@@ -1702,8 +1702,12 @@ def _jpeg_codec():
         quantization table, per-sample prediction from the a/b/c
         neighborhood under any of the seven selectors, DC-category
         coding of the modulo-2^16 differences, optional point
-        transform. Decode is ARRAY-EXACT for Pt=0 on arbitrary
-        content — pytest-pinned across all predictors and
+        transform. Precision follows the array dtype — uint8 → P=8,
+        uint16 → P=16 (the full Annex-H range's endpoints), the
+        16-bit path including the SSSS=16 special case (a wrapped
+        difference of exactly 32768 carries no additional bits).
+        Decode is ARRAY-EXACT for Pt=0 on arbitrary content —
+        pytest-pinned across all predictors, both precisions, and
         non-block-aligned shapes.
 
     The encoder emits spec-valid JFIF streams (DQT, SOF0/SOF2, DHT,
@@ -1756,6 +1760,10 @@ def _jpeg_codec():
     # progressive process) at length 8.
     DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
     DC_VALS = list(range(12))
+    # Lossless 16-bit precision needs difference categories 0..16
+    # (T.81 table H.2): all 17 symbols at code length 5.
+    DC16_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    DC16_VALS = list(range(17))
     AC_VALS = [(run << 4) | size for run in range(16) for size in range(11)]
     AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
 
@@ -1770,6 +1778,7 @@ def _jpeg_codec():
         return codes
 
     DC_CODES = _canonical_codes(DC_BITS, DC_VALS)
+    DC16_CODES = _canonical_codes(DC16_BITS, DC16_VALS)
     AC_CODES = _canonical_codes(AC_BITS, AC_VALS)
 
     n8 = np.arange(8)
@@ -2041,17 +2050,25 @@ def _jpeg_codec():
         predictor: int = 1,
         pt: int = 0,
     ) -> bytes:
-        px = np.asarray(pixels, dtype=np.uint8)
         if lossless:  # LOSSLESS process (SOF3, Huffman predictive)
             if progressive:
                 raise ValueError("lossless and progressive are distinct processes")
+            px = np.asarray(pixels)
+            # precision from dtype: uint8 -> P=8, uint16 -> P=16
+            # (T.81 allows 2..16; these are the two array dtypes)
+            if px.dtype == np.uint16:
+                prec = 16
+            else:
+                px = px.astype(np.uint8)
+                prec = 8
             if px.ndim != 2:
                 raise ValueError("lossless encoding supports grayscale only")
             if not 1 <= predictor <= 7:
                 raise ValueError("predictor selector must be 1..7")
+            codes = DC16_CODES if prec == 16 else DC_CODES
             h, w = px.shape
             samples = px.astype(np.int64) >> pt
-            default = 1 << (8 - pt - 1)
+            default = 1 << (prec - pt - 1)
             bw = _BitWriter()
             for i in range(h):
                 for j in range(w):
@@ -2059,13 +2076,17 @@ def _jpeg_codec():
                         samples, i, j, predictor, default
                     )
                     # modulo-2^16 difference arithmetic (T.81 H.1.2.1);
-                    # at 8-bit precision diffs stay within ±255 for
-                    # predictors 1-3/7 and within ±510 for 4-6, so the
-                    # SSSS=16 special case (diff exactly 32768) is
-                    # unreachable and DC categories 0..9 suffice
+                    # at 8-bit precision diffs stay within ±510 so the
+                    # SSSS=16 special case is unreachable; at 16-bit a
+                    # wrapped diff of exactly -32768 encodes as
+                    # category 16 with NO additional bits
                     diff = ((diff + 32768) & 0xFFFF) - 32768
+                    if diff == -32768:
+                        ln, code = codes[16]
+                        bw.put(code, ln)
+                        continue
                     size = abs(diff).bit_length()
-                    ln, code = DC_CODES[size]
+                    ln, code = codes[size]
                     bw.put(code, ln)
                     if size:
                         bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
@@ -2073,12 +2094,18 @@ def _jpeg_codec():
             # declares the true (unpadded) dimensions, Ss carries the
             # predictor selector and Al the point transform (T.81
             # table H.2 scan-header semantics).
-            dht = _seg(
-                0xFFC4,
-                bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS),
-            )
+            if prec == 16:
+                dht = _seg(
+                    0xFFC4,
+                    bytes([0x00]) + bytes(DC16_BITS) + bytes(DC16_VALS),
+                )
+            else:
+                dht = _seg(
+                    0xFFC4,
+                    bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS),
+                )
             sof = _seg(
-                0xFFC3, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+                0xFFC3, struct.pack(">BHHB", prec, h, w, 1) + bytes([1, 0x11, 0])
             )
             return (
                 b"\xff\xd8"
@@ -2089,6 +2116,7 @@ def _jpeg_codec():
                 + bw.flush()
                 + b"\xff\xd9"
             )
+        px = np.asarray(pixels, dtype=np.uint8)
         if px.ndim == 2 and progressive:  # grayscale progressive (SOF2)
             h, w = px.shape
             ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
@@ -2217,8 +2245,10 @@ def _jpeg_codec():
                 progressive = marker == 0xC2
                 lossless = marker == 0xC3
                 prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-                if prec != 8:
-                    raise ValueError("only 8-bit precision supported")
+                if prec != 8 and not (lossless and prec == 16):
+                    raise ValueError(
+                        "only 8-bit precision supported (16-bit lossless excepted)"
+                    )
                 comps = [
                     (seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c])
                     for c in range(ncomp)
@@ -2311,16 +2341,20 @@ def _jpeg_codec():
             table = huff[(0, dc_id)]
             bit, bits, huffdec = make_bitreader(entropy)
             samples = np.zeros((h, w), dtype=np.int64)
-            default = 1 << (8 - pt - 1)
+            default = 1 << (prec - pt - 1)
             for i in range(h):
                 for j in range(w):
                     size = huffdec(table)
-                    diff = extend(bits(size), size) if size else 0
+                    if size == 16:  # category 16: diff 32768, no bits
+                        diff = 32768
+                    else:
+                        diff = extend(bits(size), size) if size else 0
                     pred = _lossless_predict(samples, i, j, psel, default)
                     samples[i, j] = (pred + diff) & 0xFFFF
             # decoder output is the point-transformed sample scaled
             # back by 2^Pt (T.81 H.2.3); Pt=0 is fully lossless
-            return np.clip(samples << pt, 0, 255).astype(np.uint8)
+            out = np.clip(samples << pt, 0, (1 << prec) - 1)
+            return out.astype(np.uint16 if prec == 16 else np.uint8)
 
         if progressive:
             cid, _, tq = comps[0]

@@ -671,6 +671,22 @@ def test_jpeg_lossless_roundtrips_exactly_all_predictors():
     assert b"\xff\xc3" in payload
     assert payload.count(b"\xff\xda") == 1
     assert b"\xff\xdb" not in payload  # no DQT in the lossless process
+    # 16-BIT precision (uint16 input -> SOF3 P=16): exact on full-range
+    # random content, on the 0/65535 checkerboard (max wrapped diffs),
+    # and on the deterministic SSSS=16 event (first sample 0 against
+    # the mid-level default predictor 32768 -> diff exactly -32768,
+    # encoded as category 16 with no additional bits)
+    px16 = rng.integers(0, 65536, (7, 11), dtype=np.uint16)
+    for psel in range(1, 8):
+        out = decode(encode(px16, lossless=True, predictor=psel))
+        assert out.dtype == np.uint16 and (out == px16).all(), psel
+    board16 = ((np.indices((6, 10)).sum(0) % 2) * 65535).astype(np.uint16)
+    ssss16 = np.array([[0, 32768], [65535, 32767]], dtype=np.uint16)
+    for psel in range(1, 8):
+        assert (decode(encode(board16, lossless=True, predictor=psel)) == board16).all()
+        assert (decode(encode(ssss16, lossless=True, predictor=psel)) == ssss16).all()
+    got16 = decode(encode(px16, lossless=True, predictor=2, pt=3))
+    assert (got16 == ((px16.astype(np.int64) >> 3) << 3)).all()
     with pytest.raises(ValueError):
         encode(np.zeros((8, 8, 3), np.uint8), lossless=True)
     with pytest.raises(ValueError):
