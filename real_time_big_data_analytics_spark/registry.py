@@ -27,15 +27,39 @@ class Query:
     fn: Callable[[SparkSession, str], DataFrame]
     sql: str | None = None
     tags: tuple[str, ...] = field(default=())
+    # Canonical position: (rank of the registering queries_* module in
+    # _MODULE_ORDER, registration sequence within that module). Within
+    # a module the sequence is source order, so the canonical order is
+    # identical no matter which module Python happened to import first
+    # — QUERIES dict insertion order is NOT stable under pytest, where
+    # a test file may import queries_text before queries_batch, and
+    # the rotation prefix the driver checks must not depend on that.
+    module: str = ""
+    seq: int = 0
 
 
 QUERIES: dict[str, Query] = {}
+
+# Canonical module order = _load_all() import order. Used for the
+# registration tie-break in all_queries() instead of dict insertion
+# order (which varies with which module a caller imported first).
+_MODULE_ORDER: tuple[str, ...] = (
+    "queries_batch",
+    "queries_parity",
+    "queries_text",
+    "queries_ml",
+    "queries_streaming",
+)
 
 
 def register(name: str, fn, sql: str | None = None, tags: tuple[str, ...] = ()) -> None:
     if name in QUERIES:
         raise ValueError(f"duplicate query name {name!r}")
-    QUERIES[name] = Query(fn=fn, sql=sql, tags=tags)
+    import sys
+
+    mod = sys._getframe(1).f_globals.get("__name__", "").rsplit(".", 1)[-1]
+    seq = sum(1 for q in QUERIES.values() if q.module == mod)
+    QUERIES[name] = Query(fn=fn, sql=sql, tags=tags, module=mod, seq=seq)
 
 
 def _load_all() -> None:
@@ -322,7 +346,15 @@ def all_queries(receipt_max_round: int | None = None) -> dict[str, Query]:
     if missing:
         raise RuntimeError(f"DRIVER_CHECK_PRIORITY names unknown queries: {missing}")
     verified, red = _driver_receipts(receipt_max_round)
-    reg_order = {n: i for i, n in enumerate(QUERIES)}
+
+    def canon(n: str) -> tuple[int, int]:
+        q = QUERIES[n]
+        try:
+            rank = _MODULE_ORDER.index(q.module)
+        except ValueError:
+            rank = len(_MODULE_ORDER)
+        return (rank, q.seq)
+
     names = sorted(
         QUERIES,
         key=lambda n: (
@@ -330,7 +362,7 @@ def all_queries(receipt_max_round: int | None = None) -> dict[str, Query]:
             n not in red,
             n in DRIVER_CHECK_DEFER,
             prio.get(n, len(prio)),
-            reg_order[n],
+            canon(n),
         ),
     )
     return {n: QUERIES[n] for n in names}

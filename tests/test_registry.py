@@ -148,3 +148,33 @@ def test_round5_additions_sort_after_prefreeze_tail():
     if verified:
         first_verified = min(i for i, n in enumerate(names) if n in verified)
         assert max(deferred_idx) < first_verified
+
+
+def test_rotation_order_independent_of_import_order():
+    """CORRECTNESS_r07 regression (found by the RECEIPTS.md drift
+    guard): the rotation tie-break used QUERIES dict insertion order,
+    which follows whichever queries_* module Python imported FIRST —
+    under pytest a test file importing queries_text ahead of
+    queries_batch silently reordered the prefix the driver checks.
+    The canonical (module rank, in-module sequence) key must make the
+    order identical no matter the import order."""
+    import subprocess
+    import sys
+
+    probe = (
+        "from real_time_big_data_analytics_spark import {pre}registry\n"
+        "print('\\n'.join(registry.all_queries(receipt_max_round=6)))\n"
+    )
+    clean = probe.format(pre="")
+    polluted = probe.format(
+        pre="queries_streaming, queries_text  # worst-case order\n"
+        "from real_time_big_data_analytics_spark import "
+    )
+    outs = []
+    for code in (clean, polluted):
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(r.stdout)
+    assert outs[0] == outs[1], "rotation order depends on import order"
