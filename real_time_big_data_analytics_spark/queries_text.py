@@ -3530,3 +3530,101 @@ register(
     """,
     tags=("text", "heaps-law", "vocabulary", "capacity"),
 )
+
+
+def _avro_ocf_roundtrip(spark, sf_dir):
+    """Avro container-file round-trip IN-ENGINE: the events table
+    written as Avro OCF part files through Spark's write path (one
+    deflate-coded container per task, task-commit rename), scanned
+    back through the ``avro_ocf`` Python Data Source (one task per
+    part file, Arrow-batched), and aggregated. Spark's own
+    ``format("avro")`` is the external spark-avro module, absent from
+    the sandbox (probed in tests/test_avro_ocf.py) — the container
+    format itself (sources/avro_ocf.py, pure stdlib per the public
+    Avro 1.12 spec) is validated against the official Apache Avro JAVA
+    reader inside pyspark's JVM. The oracle recomputes from the
+    original parquet: a record lost, duplicated, or altered anywhere
+    in encode → deflate → container → decode breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from .sources.pyds import read_events_via_avro_ocf
+
+    df = read_events_via_avro_ocf(spark, sf_dir, codec="deflate")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("ts_us").alias("max_ts_us"),
+        F.sum(F.length("props")).cast("bigint").alias("props_chars"),
+    )
+
+
+register(
+    "s_avro_ocf_roundtrip",
+    _avro_ocf_roundtrip,
+    sql="""
+    SELECT event_type, count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id,
+           epoch_us(min(ts)) AS min_ts_us,
+           epoch_us(max(ts)) AS max_ts_us,
+           CAST(sum(length(props)) AS BIGINT) AS props_chars
+    FROM events GROUP BY event_type
+    """,
+    tags=("source", "avro", "python-datasource"),
+)
+
+
+def _avro_ocf_codec_parity(spark, sf_dir):
+    """Both spec codecs ("null" = stored raw, "deflate" = RFC-1951)
+    staged and scanned independently through the engine; each codec's
+    aggregate must equal the parquet truth, so the oracle CROSS JOINs
+    the truth with the codec list. A decode divergence between the two
+    paths — or between either path and parquet — breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from .sources.pyds import read_events_via_avro_ocf
+
+    out = None
+    for codec in ("deflate", "null"):
+        df = (
+            read_events_via_avro_ocf(spark, sf_dir, codec=codec)
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("event_id").alias("n_ids"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+                # epoch-micros sum would overflow int64 (~1.7e15 each);
+                # a mod-prime checksum stays bounded yet every altered
+                # timestamp still moves it
+                F.sum(F.col("ts_us") % 1000000007)
+                .cast("bigint")
+                .alias("ts_checksum"),
+            )
+            .withColumn("codec", F.lit(codec))
+            .select("codec", "n", "n_ids", "total_value", "ts_checksum")
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+register(
+    "s_avro_ocf_codec_parity",
+    _avro_ocf_codec_parity,
+    sql="""
+    SELECT c.codec, t.n, t.n_ids, t.total_value, t.ts_checksum
+    FROM (
+        SELECT count(*) AS n,
+               count(DISTINCT event_id) AS n_ids,
+               round(sum(value), 2) AS total_value,
+               CAST(sum(epoch_us(ts) % 1000000007) AS BIGINT) AS ts_checksum
+        FROM events
+    ) t
+    CROSS JOIN (VALUES ('deflate'), ('null')) AS c(codec)
+    """,
+    tags=("source", "avro", "python-datasource"),
+)

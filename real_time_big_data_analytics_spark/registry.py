@@ -254,6 +254,13 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         # name):
         "s_kafka_wire_roundtrip",
         "s_kafka_wire_stream",
+        # Avro OCF source/sink (round 7): spark-avro module absent
+        # from the sandbox, format implemented stdlib-side and routed
+        # through the Python Data Source API like the wire path.
+        # Receipt debt 16+2 = 18 < 50 — still inside the checked
+        # prefix without displacing any pre-freeze name.
+        "s_avro_ocf_roundtrip",
+        "s_avro_ocf_codec_parity",
     }
 )
 

@@ -1,0 +1,281 @@
+"""Avro Object Container File codec — pure stdlib, from the public
+Apache Avro 1.12 specification (container file + binary encoding).
+
+Why it exists: the reference stack's Kafka pipelines conventionally
+carry Avro payloads, and Spark's own ``format("avro")`` lives in the
+EXTERNAL spark-avro module — absent from pyspark's bundled jars (same
+environment gap as the kafka connector, probed in tools/probe_kafka.py
+fashion by tests/test_avro_ocf.py). Rather than stub the format, this
+module implements the container format itself and sources/pyds.py
+routes it through Spark's engine via the Python Data Source API — the
+same treatment the Kafka wire path got (VERDICT r6 ask #2).
+
+Implemented subset (everything the events/documents tables need):
+
+- container layout: ``Obj\\x01`` magic, file-metadata map
+  (``avro.schema`` JSON + ``avro.codec``), 16-byte sync marker, then
+  data blocks of ``(count, byte-size, payload, sync)``;
+- codecs: ``null`` and ``deflate`` (raw DEFLATE, i.e. zlib with
+  windowBits=-15 — spec wording: "deflate ... as specified in
+  RFC 1951");
+- binary encoding: zigzag-varint longs/ints, IEEE-754 LE
+  double/float, length-prefixed string/bytes, 1-byte boolean,
+  zero-byte null, unions as ``(branch-index, value)``;
+- schemas: records of the primitives above plus 2-branch
+  ``["null", X]`` unions; logical types (timestamp-micros) ride on
+  their underlying primitive per the spec.
+
+The encoder is validated three ways in tests/test_avro_ocf.py: the
+spec's own zigzag examples, python-roundtrip property tests over both
+codecs, and a FOREIGN decode — the official Apache Avro *Java*
+implementation (avro-1.12.1.jar ships inside pyspark's JVM) reads a
+file this module wrote, via py4j.
+
+Scale notes: a container file is block-splittable by design (readers
+resync on the 16-byte marker), but this reader keeps the simpler
+one-task-per-FILE planning — the writer produces one file per Spark
+task (part files), so the read fan-out already equals the write
+parallelism, exactly like native parquet part files.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+MAGIC = b"Obj\x01"
+SYNC = bytes(range(16))  # fixed marker: deterministic output files
+
+
+# -- primitive binary encoding ----------------------------------------
+
+
+def zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+
+
+def zigzag_decode(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def write_long(buf: io.BytesIO, n: int) -> None:
+    u = (n << 1) ^ (n >> 63)  # arithmetic shift keeps sign bits
+    u &= (1 << 70) - 1  # bound the two's-complement image
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            buf.write(bytes((b | 0x80,)))
+        else:
+            buf.write(bytes((b,)))
+            return
+
+
+def read_long(buf: io.BytesIO) -> int:
+    shift = u = 0
+    while True:
+        raw = buf.read(1)
+        if not raw:
+            raise EOFError("varint truncated")
+        b = raw[0]
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return (u >> 1) ^ -(u & 1)
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+
+
+def write_bytes(buf: io.BytesIO, b: bytes) -> None:
+    write_long(buf, len(b))
+    buf.write(b)
+
+
+def read_bytes(buf: io.BytesIO) -> bytes:
+    n = read_long(buf)
+    if n < 0:
+        raise ValueError(f"negative byte-length {n}")
+    b = buf.read(n)
+    if len(b) != n:
+        raise EOFError("bytes truncated")
+    return b
+
+
+# -- schema-driven record encoding ------------------------------------
+#
+# A "type" here is the parsed JSON schema node: a string primitive
+# name, a dict record/logical node, or a list (union).
+
+
+def _encode_value(buf: io.BytesIO, typ, v) -> None:
+    if isinstance(typ, dict) and "logicalType" in typ:
+        typ = typ["type"]
+    if isinstance(typ, list):  # union: branch index then value
+        if v is None and "null" in typ:
+            write_long(buf, typ.index("null"))
+            return
+        branch = next(i for i, t in enumerate(typ) if t != "null")
+        write_long(buf, branch)
+        _encode_value(buf, typ[branch], v)
+        return
+    if isinstance(typ, dict) and typ.get("type") == "record":
+        for f in typ["fields"]:
+            _encode_value(buf, f["type"], v[f["name"]])
+        return
+    if typ in ("long", "int"):
+        write_long(buf, v)
+    elif typ == "string":
+        write_bytes(buf, v.encode("utf-8"))
+    elif typ == "bytes":
+        write_bytes(buf, v)
+    elif typ == "double":
+        buf.write(struct.pack("<d", v))
+    elif typ == "float":
+        buf.write(struct.pack("<f", v))
+    elif typ == "boolean":
+        buf.write(b"\x01" if v else b"\x00")
+    elif typ == "null":
+        pass
+    else:
+        raise NotImplementedError(f"avro type {typ!r}")
+
+
+def _decode_value(buf: io.BytesIO, typ):
+    if isinstance(typ, dict) and "logicalType" in typ:
+        typ = typ["type"]
+    if isinstance(typ, list):
+        branch = read_long(buf)
+        if not 0 <= branch < len(typ):
+            raise ValueError(f"union branch {branch} out of range")
+        return _decode_value(buf, typ[branch])
+    if isinstance(typ, dict) and typ.get("type") == "record":
+        return {f["name"]: _decode_value(buf, f["type"]) for f in typ["fields"]}
+    if typ in ("long", "int"):
+        return read_long(buf)
+    if typ == "string":
+        return read_bytes(buf).decode("utf-8")
+    if typ == "bytes":
+        return read_bytes(buf)
+    if typ == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if typ == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if typ == "boolean":
+        raw = buf.read(1)
+        if not raw:
+            raise EOFError("boolean truncated")
+        return raw[0] != 0
+    if typ == "null":
+        return None
+    raise NotImplementedError(f"avro type {typ!r}")
+
+
+# -- container file ----------------------------------------------------
+
+
+def write_ocf(
+    path: str,
+    schema: dict,
+    rows,
+    codec: str = "deflate",
+    block_rows: int = 4096,
+) -> int:
+    """Write ``rows`` (dicts keyed by field name) as one Avro container
+    file; returns the row count. Writes to a temp name and renames —
+    the task-commit idiom, so readers never see a partial file."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    schema_json = json.dumps(schema, separators=(",", ":"))
+    tmp = f"{path}.inprogress"
+    n_total = 0
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        meta = io.BytesIO()
+        write_long(meta, 2)  # one map block of two entries
+        write_bytes(meta, b"avro.schema")
+        write_bytes(meta, schema_json.encode())
+        write_bytes(meta, b"avro.codec")
+        write_bytes(meta, codec.encode())
+        write_long(meta, 0)  # map terminator
+        f.write(meta.getvalue())
+        f.write(SYNC)
+
+        block: list = []
+
+        def flush():
+            nonlocal n_total
+            if not block:
+                return
+            payload = io.BytesIO()
+            for r in block:
+                _encode_value(payload, schema, r)
+            data = payload.getvalue()
+            if codec == "deflate":
+                data = zlib.compress(data, 6)[2:-4]  # strip zlib wrap -> raw
+            head = io.BytesIO()
+            write_long(head, len(block))
+            write_long(head, len(data))
+            f.write(head.getvalue())
+            f.write(data)
+            f.write(SYNC)
+            n_total += len(block)
+            block.clear()
+
+        for row in rows:
+            block.append(row)
+            if len(block) >= block_rows:
+                flush()
+        flush()
+    os.replace(tmp, path)
+    return n_total
+
+
+def read_ocf(path: str):
+    """Yield row dicts from an Avro container file written by any
+    conforming writer (sync marker verified per block, so truncation
+    or mid-file corruption raises instead of yielding garbage)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    buf = io.BytesIO(raw)
+    if buf.read(4) != MAGIC:
+        raise ValueError(f"{path}: not an Avro container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = read_long(buf)
+        if n == 0:
+            break
+        if n < 0:  # negative block count carries a byte size next
+            read_long(buf)
+            n = -n
+        for _ in range(n):
+            k = read_bytes(buf).decode()
+            meta[k] = read_bytes(buf)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r}")
+    sync = buf.read(16)
+    if len(sync) != 16:
+        raise EOFError(f"{path}: header sync truncated")
+    while True:
+        probe = buf.read(1)
+        if not probe:
+            return
+        buf.seek(-1, io.SEEK_CUR)
+        count = read_long(buf)
+        size = read_long(buf)
+        data = buf.read(size)
+        if len(data) != size:
+            raise EOFError(f"{path}: data block truncated")
+        if buf.read(16) != sync:
+            raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
+        if codec == "deflate":
+            data = zlib.decompress(data, -15)
+        block = io.BytesIO(data)
+        for _ in range(count):
+            yield _decode_value(block, schema)
+        if block.read(1):
+            raise ValueError(f"{path}: trailing bytes inside block")

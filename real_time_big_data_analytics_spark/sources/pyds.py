@@ -571,3 +571,233 @@ def stream_events_via_kafka_wire(spark, sf_dir: str):
         .option("pkg", _repo_root())
         .load()
     )
+
+
+# ---------------------------------------------------------------------
+# Avro Object Container File DataSource. Spark's own format("avro")
+# lives in the EXTERNAL spark-avro module, absent from pyspark's
+# bundled jars (probed in tests/test_avro_ocf.py — the same
+# environment gap as the kafka connector). The container FORMAT,
+# however, is fully specified and stdlib-implementable
+# (sources/avro_ocf.py), so like the Kafka wire path we route it
+# through Spark's engine: the WRITER produces one container file per
+# Spark task under the temp-file/rename task-commit protocol, and the
+# READER plans one task per part file, decoding to Arrow batches.
+#
+# Scale notes: write fan-out = input partitioning, read fan-out = one
+# task per part file — the same planning native parquet part files
+# get. Avro blocks are resync-able by the 16-byte marker, so a future
+# splittable reader could fan out WITHIN a file; one-task-per-file is
+# the honest match for files this writer produces (file count ==
+# upstream partition count).
+
+AVRO_EVENTS_SCHEMA = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "ts_us", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+        {"name": "props", "type": ["null", "string"]},
+    ],
+}
+
+AVRO_EVENTS_DDL = (
+    "event_id bigint, ts_us bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def make_avro_ocf_datasource():
+    """Batch ``format("avro_ocf")`` reader + writer. Function scope so
+    cloudpickle ships the classes BY VALUE; the codec module is
+    re-imported inside read/write via the sys.path option (the
+    --py-files pattern — see the kafka_wire comment above)."""
+
+    class _AvroPartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class _AvroCommit(WriterCommitMessage):
+        def __init__(self, path: str, n: int):
+            self.path = path
+            self.n = n
+
+    class _AvroReader(DataSourceReader):
+        def __init__(self, options):
+            self.dir = options["path"]
+            self.pkg = options["pkg"]
+
+        def partitions(self):
+            import os
+
+            return [
+                _AvroPartition(os.path.join(self.dir, f))
+                for f in sorted(os.listdir(self.dir))
+                if f.endswith(".avro") and not f.startswith("_tmp_")
+            ]
+
+        def read(self, partition):
+            import sys
+
+            if self.pkg not in sys.path:
+                sys.path.insert(0, self.pkg)
+            import pyarrow as pa
+
+            from real_time_big_data_analytics_spark.sources import avro_ocf
+
+            cols: dict[str, list] = {
+                "event_id": [],
+                "ts_us": [],
+                "user_id": [],
+                "event_type": [],
+                "value": [],
+                "props": [],
+            }
+            for row in avro_ocf.read_ocf(partition.path):
+                for k in cols:
+                    cols[k].append(row[k])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["event_id"], pa.int64()),
+                    pa.array(cols["ts_us"], pa.int64()),
+                    pa.array(cols["user_id"], pa.int64()),
+                    pa.array(cols["event_type"], pa.string()),
+                    pa.array(cols["value"], pa.float64()),
+                    pa.array(cols["props"], pa.string()),
+                ],
+                list(cols),
+            )
+
+    class _AvroWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.dir = options["path"]
+            self.codec = options.get("codec", "deflate")
+            self.pkg = options["pkg"]
+            # schema rides in as JSON: no module-global reference for
+            # cloudpickle to resolve on the executor side
+            self.schema_json = options["avroschema"]
+
+        def write(self, iterator):
+            import json
+            import os
+            import sys
+
+            if self.pkg not in sys.path:
+                sys.path.insert(0, self.pkg)
+            from pyspark import TaskContext
+
+            from real_time_big_data_analytics_spark.sources import avro_ocf
+
+            pid = TaskContext.get().partitionId()
+            tmp = os.path.join(self.dir, f"_tmp_part-{pid:05d}.avro")
+            n = avro_ocf.write_ocf(
+                tmp,
+                json.loads(self.schema_json),
+                (r.asDict() for r in iterator),
+                codec=self.codec,
+            )
+            return _AvroCommit(tmp, n)
+
+        def commit(self, messages):
+            import os
+
+            for m in messages:
+                os.replace(m.path, m.path.replace("_tmp_part-", "part-"))
+            with open(os.path.join(self.dir, "_SUCCESS"), "w") as f:
+                f.write(str(sum(m.n for m in messages)))
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+    class AvroOcfDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "avro_ocf"
+
+        def schema(self) -> str:
+            return AVRO_EVENTS_DDL
+
+        def reader(self, schema):
+            return _AvroReader(self.options)
+
+        def writer(self, schema, overwrite):
+            import os
+
+            d = self.options["path"]
+            os.makedirs(d, exist_ok=True)
+            if overwrite:
+                for f in os.listdir(d):
+                    if f.endswith(".avro") or f == "_SUCCESS":
+                        os.remove(os.path.join(d, f))
+            return _AvroWriter(self.options)
+
+    return AvroOcfDataSource
+
+
+_AVRO_DIRS: dict[str, str] = {}
+
+
+def stage_events_as_avro(spark, sf_dir: str, codec: str = "deflate") -> str:
+    """Write the whole events table as Avro container part files
+    through Spark's write path (one file per task, task-commit
+    rename). Staged once per (events fingerprint, codec) and reused —
+    idempotent within a session like the wire broker."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(
+        f"avro|{sf_dir}|{st.st_mtime_ns}|{st.st_size}|{codec}".encode()
+    ).hexdigest()[:12]
+    if tag in _AVRO_DIRS:
+        return _AVRO_DIRS[tag]
+    out = os.path.join(tempfile.gettempdir(), f"rtba_avro_{tag}")
+    spark.dataSource.register(make_avro_ocf_datasource())
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        df = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        import json
+
+        (
+            df.write.format("avro_ocf")
+            .mode("overwrite")
+            .option("path", out)
+            .option("codec", codec)
+            .option("avroschema", json.dumps(AVRO_EVENTS_SCHEMA))
+            .option("pkg", _repo_root())
+            .save()
+        )
+    _AVRO_DIRS[tag] = out
+    return out
+
+
+def read_events_via_avro_ocf(spark, sf_dir: str, codec: str = "deflate"):
+    """Stage (idempotent) and scan back through ``format("avro_ocf")``."""
+    out = stage_events_as_avro(spark, sf_dir, codec=codec)
+    spark.dataSource.register(make_avro_ocf_datasource())
+    return (
+        spark.read.format("avro_ocf")
+        .option("path", out)
+        .option("pkg", _repo_root())
+        .load()
+    )

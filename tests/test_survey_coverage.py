@@ -50,6 +50,9 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
         "s_python_datasource_scan",
         "s_python_datasource_write_roundtrip",
         "s_python_datasource_stream",
+        "s_avro_ocf_roundtrip",
+        "s_avro_ocf_codec_parity",
+        "pytest:tests/test_avro_ocf.py",
     ),
     "S5": ("dq_zorder_pruning_audit", "pytest:tests/test_sources.py"),
     "S6": ("t4_stream_windowed_analytics",),  # memory-sink pass-through
