@@ -1454,3 +1454,159 @@ def semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "n_affected_vectors",
     )
+
+
+# -- IVF recall/probe sweep (round 7) ----------------------------------
+
+SWEEP_BITS = 6  # sign bits of the first 6 dims -> up to 64 cells
+SWEEP_PROBES = (1, 2, 4, 8, 16, 64)  # 64 = every possible cell: the
+# sweep's top row must read recall exactly 1.0 against brute force
+
+
+def _sign_cell_expr(col: str = "embedding") -> str:
+    """Deterministic coarse quantizer: cell id = sign-bit pattern of
+    the first SWEEP_BITS dimensions. Unlike a trained k-means
+    quantizer it is oracle-reproducible in pure SQL, which is the
+    point here: the recall CURVE itself gets a hash-exact oracle
+    instead of an invariant twin. (No corpus vector has an exactly-
+    zero leading dim — verified on the generator output — so the
+    sign is unambiguous on both engines.)"""
+    return " + ".join(
+        f"if(element_at({col}, {d + 1}) > 0, {1 << d}, 0)" for d in range(SWEEP_BITS)
+    )
+
+
+def ivf_recall_sweep(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """The ANN quality/efficiency trade-off, measured: recall@k of an
+    inverted-file search as a function of probed cells (nprobe in
+    1/2/4/8), against the exact brute-force top-k — plus the average
+    candidate count actually scanned, the efficiency axis. This is
+    the audit a production ANN deployment tunes nprobe with.
+
+    Scale: queries and the per-query cell ranking broadcast (both
+    O(n_queries · n_cells) metadata); the corpus is scanned ONCE for
+    similarities; every later stage is k-bounded or cell-bounded.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    corpus = emb.withColumn("cell", F.expr(_sign_cell_expr()))
+    queries = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q"),
+            F.col("cell").alias("qcell"),
+        )
+    )
+    # per-query probe order over the DISTINCT cells present in the
+    # corpus: hamming distance between sign patterns, cell id tiebreak
+    cells = corpus.select("cell").distinct()
+    cell_rank = (
+        cells.crossJoin(F.broadcast(queries.select("query_id", "qcell")))
+        .withColumn("hd", F.expr("bit_count(cell ^ qcell)"))
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("hd", "cell")
+            ),
+        )
+        .select("query_id", "cell", "cell_rank")
+    )
+    sims = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            round2(cosine_similarity("q", "embedding"), 6).alias("sim"),
+        )
+        .join(F.broadcast(cell_rank), ["query_id", "cell"])
+    )
+    true_topk = (
+        sims.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("sim"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id")
+        .withColumn("is_true", F.lit(1))
+    )
+    probed = sims.withColumn(
+        "nprobe", F.explode(F.array(*[F.lit(p) for p in SWEEP_PROBES]))
+    ).filter(F.col("cell_rank") <= F.col("nprobe"))
+    approx_topk = probed.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("query_id", "nprobe").orderBy(
+                F.desc("sim"), F.asc("vec_id")
+            )
+        ),
+    )
+    per_query = (
+        approx_topk.join(F.broadcast(true_topk), ["query_id", "vec_id"], "left")
+        .groupBy("query_id", "nprobe")
+        .agg(
+            (F.sum(F.when(F.col("rk") <= k, F.coalesce("is_true", F.lit(0)))) / k)
+            .alias("recall"),
+            F.count("*").alias("n_candidates"),
+        )
+    )
+    return (
+        per_query.groupBy("nprobe")
+        .agg(
+            round2(F.avg("recall"), 4).alias("mean_recall"),
+            round2(F.avg("n_candidates"), 2).alias("avg_candidates"),
+            F.count("*").cast("bigint").alias("n_queries"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+IVF_RECALL_SWEEP_SQL = f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+         {" + ".join(f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(SWEEP_BITS))} AS cell
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, ev AS qv, cell AS qcell FROM c WHERE vec_id < 5
+), cellrank AS (
+  SELECT query_id, cell,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY bit_count(CAST(xor(cell, qcell) AS BIGINT)), cell) AS cell_rank
+  FROM (SELECT DISTINCT cell FROM c) CROSS JOIN q
+), sims AS (
+  SELECT query_id, c.vec_id, c.cell, cell_rank,
+         round(list_dot_product(qv, ev)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ev, ev))),
+               6) AS sim
+  FROM c JOIN q ON c.vec_id <> q.query_id
+  JOIN cellrank USING (query_id, cell)
+), true_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+    FROM sims) WHERE rk <= 10
+), probed AS (
+  SELECT s.*, p.nprobe,
+         row_number() OVER (PARTITION BY query_id, nprobe ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM sims s CROSS JOIN (VALUES {", ".join(f"({p})" for p in SWEEP_PROBES)}) AS p(nprobe)
+  WHERE s.cell_rank <= p.nprobe
+), per_query AS (
+  SELECT p.query_id, p.nprobe,
+         sum(CASE WHEN p.rk <= 10 AND t.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0 AS recall,
+         count(*) AS n_candidates
+  FROM probed p LEFT JOIN true_topk t
+    ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+  GROUP BY p.query_id, p.nprobe
+)
+SELECT nprobe, round(avg(recall), 4) AS mean_recall,
+       round(avg(n_candidates), 2) AS avg_candidates,
+       CAST(count(*) AS BIGINT) AS n_queries
+FROM per_query GROUP BY nprobe ORDER BY nprobe
+"""

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round2
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 STOPWORDS = ("the", "a")
 
@@ -2592,3 +2592,172 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(F.col("my_") - beta * F.col("mx_"), 6).alias("heaps_ln_k"),
         round2(r2, 6).alias("r_squared"),
     )
+
+
+# -- content-defined chunking (round 7) --------------------------------
+
+CDC_WINDOW = 16
+CDC_BASE = 131
+CDC_MOD = 1_000_000_007
+CDC_DIVISOR = 64
+# B^(W-1-j) mod M for j = 0..W-1 — identical literals on the oracle
+# side so both engines cut at exactly the same byte positions
+CDC_POWS = tuple(pow(CDC_BASE, CDC_WINDOW - 1 - j, CDC_MOD) for j in range(CDC_WINDOW))
+
+
+def _cdc_window_hash_expr() -> str:
+    """Flat 16-term window polynomial over a materialized ``codes``
+    int-array column at position column ``i`` — plain int64 codegen
+    arithmetic, no lambda. L-suffixed pow coefficients keep each
+    product in int64 (code·pow < 2^47; 16-term sum < 2^52).
+
+    Why this shape (each alternative measured on the sf0.01 corpus):
+    - ``substring(text, i, 1)`` per window byte-scans the UTF8String
+      from the start → O(len²·W) per doc → minutes;
+    - computing boundaries as a nested array-HOF expression collapses
+      under CollapseProject: the optimizer inlines aliased array
+      expressions into EVERY reference, so a cuts→ends→codes chain
+      re-derives the whole codes array per element access (>100 s);
+    - exploding positions to rows keeps the hash in whole-stage
+      codegen and the boundary list behind an aggregation, whose
+      output attributes are immune to expression inlining (~1 s).
+    """
+    return (
+        "("
+        + " + ".join(
+            f"element_at(codes, i + {j}) * {p}L" for j, p in enumerate(CDC_POWS)
+        )
+        + f") % {CDC_MOD} % {CDC_DIVISOR}"
+    )
+
+
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of every document — the storage/
+    dataset dedup technique that survives insertions (a fixed-stride
+    chunker re-shifts every chunk after an edit; a content-defined one
+    re-localizes). Returns (doc_id, lang, chunk_idx, chunk); chunks
+    concatenated in chunk_idx order reassemble the text exactly
+    (pytest-pinned).
+
+    Scale: the window hash runs in whole-stage codegen over EXPLODED
+    positions (scan-local, zero shuffle); boundary lists aggregate per
+    doc (shuffle 1), join back to the docs on doc_id (shuffle 2,
+    co-partitioned), and the dedup itself is ONE hash shuffle on
+    (lang, chunk md5) — the same shape as l1 exact dedup plus the
+    boundary pass. See _cdc_window_hash_expr for why this row-wise
+    shape beats the nested array-HOF formulation by two orders of
+    magnitude.
+    """
+    w = CDC_WINDOW
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # positions exploded to rows; `codes` is computed once per doc row
+    # in the Project BELOW the Generate (projects don't collapse
+    # across it), then referenced 16× as a plain attribute
+    pos = docs.withColumn(
+        "codes", F.expr("transform(split(text, ''), ch -> ascii(ch))")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"explode(if(char_length(text) >= {w}, "
+            f"sequence(1, char_length(text) - {w - 1}), "
+            "cast(array() as array<int>)))"
+        ).alias("i"),
+        "codes",
+    )
+    bounds = pos.filter(F.expr(_cdc_window_hash_expr()) == 0).select(
+        "doc_id", (F.col("i") + (w - 1)).alias("e")
+    )
+    # aggregation barrier: `ends` below is an aggregate output
+    # attribute, so downstream multi-references stay O(1) row reads
+    per_doc_ends = bounds.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("e")).alias("ends")
+    )
+    chunks = (
+        docs.join(per_doc_ends, "doc_id", "left")
+        .withColumn(
+            "cuts",
+            F.expr(
+                "CASE WHEN ends IS NULL THEN array(char_length(text)) "
+                "WHEN element_at(ends, -1) = char_length(text) THEN ends "
+                "ELSE concat(ends, array(char_length(text))) END"
+            ),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(cuts)), k -> substring(text, "
+                    "if(k = 1, 0, element_at(cuts, k - 1)) + 1, "
+                    "element_at(cuts, k) - if(k = 1, 0, element_at(cuts, k - 1))))"
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+    )
+    return chunks
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup stats over :func:`cdc_chunks`
+    boundaries. Per language: chunk counts, distinct-chunk counts,
+    duplicate occurrences, raw vs deduped bytes, max chunk reuse.
+    The dedup itself is ONE hash shuffle on (lang, chunk md5)."""
+    chunks = cdc_chunks(spark, sf_dir)
+    per_chunk = chunks.groupBy("lang", F.md5("chunk").alias("chunk_hash")).agg(
+        F.count("*").alias("cnt"),
+        F.max(F.length("chunk")).alias("chunk_len"),
+    )
+    return (
+        per_chunk.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.count("*").cast("bigint").alias("n_distinct_chunks"),
+            F.sum(F.col("cnt") - 1).cast("bigint").alias("dup_occurrences"),
+            F.sum(F.col("cnt") * F.col("chunk_len")).cast("bigint").alias("bytes_total"),
+            F.sum("chunk_len").cast("bigint").alias("bytes_deduped"),
+            F.max("cnt").cast("bigint").alias("max_chunk_reuse"),
+        )
+        .orderBy("lang")
+    )
+
+
+CDC_CHUNK_DEDUP_SQL = f"""
+WITH cutsrc AS (
+    SELECT doc_id, lang, text,
+           list_transform(
+               list_filter(
+                   range(1, greatest(length(text) - {CDC_WINDOW - 1}, 0) + 1),
+                   i -> list_sum(
+                            list_transform(range(0, {CDC_WINDOW}),
+                                j -> CAST(ascii(substr(text, i + j, 1)) AS BIGINT) *
+                                     ([{",".join(str(p) for p in CDC_POWS)}])[j + 1])
+                        ) % {CDC_MOD} % {CDC_DIVISOR} = 0),
+               i -> i + {CDC_WINDOW - 1}) AS ends
+    FROM documents
+), cutlist AS (
+    SELECT doc_id, lang, text,
+           CASE WHEN len(ends) > 0 AND ends[-1] = length(text)
+                THEN ends ELSE list_append(ends, length(text)) END AS cuts
+    FROM cutsrc
+), chunk AS (
+    SELECT lang,
+           md5(substr(text,
+                      CASE WHEN k = 1 THEN 0 ELSE cuts[k - 1] END + 1,
+                      cuts[k] - CASE WHEN k = 1 THEN 0 ELSE cuts[k - 1] END)) AS chunk_hash,
+           cuts[k] - CASE WHEN k = 1 THEN 0 ELSE cuts[k - 1] END AS clen
+    FROM cutlist, unnest(range(1, len(cuts) + 1)) AS t(k)
+), per_chunk AS (
+    SELECT lang, chunk_hash, count(*) AS cnt, max(clen) AS chunk_len
+    FROM chunk GROUP BY lang, chunk_hash
+)
+SELECT lang,
+       CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(sum(cnt - 1) AS BIGINT) AS dup_occurrences,
+       CAST(sum(cnt * chunk_len) AS BIGINT) AS bytes_total,
+       CAST(sum(chunk_len) AS BIGINT) AS bytes_deduped,
+       CAST(max(cnt) AS BIGINT) AS max_chunk_reuse
+FROM per_chunk
+GROUP BY lang
+ORDER BY lang
+"""

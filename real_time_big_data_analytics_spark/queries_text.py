@@ -3628,3 +3628,19 @@ register(
     """,
     tags=("source", "avro", "python-datasource"),
 )
+
+
+register(
+    "l2_cdc_chunk_dedup",
+    text.cdc_chunk_dedup,
+    sql=text.CDC_CHUNK_DEDUP_SQL,
+    tags=("dedup", "cdc", "chunking"),
+)
+
+
+register(
+    "l3_ivf_recall_sweep",
+    similarity.ivf_recall_sweep,
+    sql=similarity.IVF_RECALL_SWEEP_SQL,
+    tags=("similarity", "ivf", "recall"),
+)

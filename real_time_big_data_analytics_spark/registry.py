@@ -261,6 +261,13 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         # prefix without displacing any pre-freeze name.
         "s_avro_ocf_roundtrip",
         "s_avro_ocf_codec_parity",
+        # content-defined chunking dedup (round 7): receipt debt
+        # 18+1 = 19 < 50
+        "l2_cdc_chunk_dedup",
+        # IVF recall/probe sweep (round 7): hash-exact oracle for the
+        # recall CURVE via a SQL-reproducible sign-bit coarse
+        # quantizer; receipt debt 19+1 = 20 < 50
+        "l3_ivf_recall_sweep",
     }
 )
 

@@ -103,8 +103,15 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
         "l2_ngram_jaccard_pairs",
         "l2_ppjoin_jaccard_pairs",
         "l2_dedup_clusters",
+        "l2_cdc_chunk_dedup",
+        "pytest:tests/test_cdc_chunking.py",
     ),
-    "L3": ("l3_knn_bruteforce", "l3_knn_ivf_indexed", "l3_knn_pq_rerank"),
+    "L3": (
+        "l3_knn_bruteforce",
+        "l3_knn_ivf_indexed",
+        "l3_knn_pq_rerank",
+        "l3_ivf_recall_sweep",
+    ),
     "L4": ("l4_word_topk", "l4_quality_scores", "l4_token_counts"),
     "L5": (
         "l5_png_pixel_decode_stats",
