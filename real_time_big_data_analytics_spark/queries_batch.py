@@ -3889,3 +3889,15 @@ register(
     """,
     tags=("graph", "reciprocity", "directionality"),
 )
+
+
+# --- round 7: physical-layout introspection (stdlib parquet footer) ---
+
+from .sources.parquet_footer import FOOTER_STATS_SQL, footer_column_stats  # noqa: E402
+
+register(
+    "dq_parquet_footer_stats",
+    footer_column_stats,
+    sql=FOOTER_STATS_SQL,
+    tags=("dq", "parquet", "footer", "metadata"),
+)

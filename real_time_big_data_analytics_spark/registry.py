@@ -268,6 +268,8 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         # recall CURVE via a SQL-reproducible sign-bit coarse
         # quantizer; receipt debt 19+1 = 20 < 50
         "l3_ivf_recall_sweep",
+        # stdlib parquet-footer audit (round 7): receipt debt 21 < 50
+        "dq_parquet_footer_stats",
     }
 )
 

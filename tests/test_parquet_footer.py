@@ -1,0 +1,100 @@
+"""Stdlib parquet footer reader vs two foreign implementations.
+
+The dq_parquet_footer_stats oracle binds decoded STATISTICS to the
+data; these tests bind the whole footer walk to independent readers of
+the same bytes — DuckDB's ``parquet_metadata()`` table function and
+pyarrow's metadata object — across every harness table, including the
+nested-list embeddings column.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from real_time_big_data_analytics_spark.sources.parquet_footer import read_footer
+from real_time_big_data_analytics_spark.sources.tables import TABLE_NAMES
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("table", TABLE_NAMES)
+def test_footer_matches_duckdb_metadata(table):
+    path = f"{SF}/{table}.parquet"
+    ours = read_footer(path)
+    rows = duckdb.connect().execute(
+        "SELECT row_group_id, column_id, num_values, compression, "
+        "total_compressed_size, total_uncompressed_size, stats_null_count "
+        "FROM parquet_metadata(?) ORDER BY row_group_id, column_id",
+        [path],
+    ).fetchall()
+    flat = [
+        (gi, ci, c)
+        for gi, rg in enumerate(ours["row_groups"])
+        for ci, c in enumerate(rg["columns"])
+    ]
+    assert len(flat) == len(rows)
+    for (gi, ci, c), (rg_id, col_id, nv, comp, tcs, tus, nulls) in zip(flat, rows):
+        assert (gi, ci) == (rg_id, col_id)
+        assert c["num_values"] == nv
+        assert c["codec"] == comp
+        assert c["total_compressed_size"] == tcs
+        assert c["total_uncompressed_size"] == tus
+        assert c["null_count"] == nulls
+
+
+@pytest.mark.parametrize("table", TABLE_NAMES)
+def test_footer_matches_pyarrow_metadata(table):
+    path = f"{SF}/{table}.parquet"
+    ours = read_footer(path)
+    meta = pq.ParquetFile(path).metadata
+    assert ours["num_rows"] == meta.num_rows
+    assert len(ours["row_groups"]) == meta.num_row_groups
+    assert ours["created_by"] == meta.created_by
+    for gi in range(meta.num_row_groups):
+        rg = meta.row_group(gi)
+        assert ours["row_groups"][gi]["num_rows"] == rg.num_rows
+        for ci in range(rg.num_columns):
+            col = rg.column(ci)
+            c = ours["row_groups"][gi]["columns"][ci]
+            assert c["path"] == col.path_in_schema
+            assert c["type"] == col.physical_type
+            assert c["num_values"] == col.num_values
+            assert c["data_page_offset"] == col.data_page_offset
+            if col.statistics is not None and col.statistics.has_min_max:
+                smin, smax = col.statistics.min, col.statistics.max
+                if isinstance(smin, bytes):
+                    smin = smin.decode("utf-8", errors="replace")
+                    smax = smax.decode("utf-8", errors="replace")
+                from datetime import datetime
+
+                if isinstance(smin, datetime):
+                    continue  # pyarrow surfaces INT64 ts logically; we
+                    # keep the physical int — covered by the oracle
+                assert c["min"] == smin, c["path"]
+                assert c["max"] == smax, c["path"]
+
+
+def test_truncated_footer_raises(tmp_path):
+    src = open(f"{SF}/region.parquet", "rb").read()
+    bad = tmp_path / "bad.parquet"
+    bad.write_bytes(src[: len(src) - 1])  # clip the magic
+    with pytest.raises(ValueError, match="PAR1"):
+        read_footer(str(bad))
+    bad.write_bytes(src[:20] + src[-8:])  # keep framing, gut the footer
+    with pytest.raises((EOFError, ValueError, KeyError, IndexError)):
+        read_footer(str(bad))
+
+
+def test_row_group_pruning_inputs_present():
+    """The audit's reason to exist: every harness fact-table column
+    must carry min/max stats — the inputs row-group pruning needs."""
+    for table in ("events", "lineitem", "orders"):
+        fm = read_footer(f"{SF}/{table}.parquet")
+        for rg in fm["row_groups"]:
+            for c in rg["columns"]:
+                assert c["min"] is not None and c["max"] is not None, (
+                    table,
+                    c["path"],
+                )

@@ -59,7 +59,12 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
     "S7": ("t15_stream_cdc_materialize",),  # foreachBatch parquet index
     "S8": ("n/a:stay in DataFrames end-to-end (SURVEY §2.1 S8)",),
     "S9": ("t4_stream_windowed_analytics",),  # checkpointLocation on every stream
-    "S10": ("q1_pricing_summary", "s_schema_evolution_scan"),
+    "S10": (
+        "q1_pricing_summary",
+        "s_schema_evolution_scan",
+        "dq_parquet_footer_stats",
+        "pytest:tests/test_parquet_footer.py",
+    ),
     # §2.2 projections / per-record transforms
     "P1": ("p_csv_parse_pipeline",),
     "P2": ("p_csv_parse_pipeline",),

@@ -78,6 +78,9 @@ QUERIES = (
     "sf_mutual_information",       # contingency-grid windows
     "l4_feature_hashing_stats",    # vocab-grain bucket histogram
     "l4_quantile_align_audit",     # per-source windows + pooled prefix sum
+    # round-7 addition (l3_ivf_recall_sweep is NOT here for the same
+    # reason as blockmatmul: embeddings is a dimension table)
+    "l2_cdc_chunk_dedup",          # codegen window hash + chunk-store shuffle
     "wf_conversion_lag",           # two user-grain min-aggs + bucket grain
     # fifth-wave round-4 additions
     "wf_cohort_ltv_triangle",      # signup join + (cohort, week) grain
