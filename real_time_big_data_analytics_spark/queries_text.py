@@ -3644,3 +3644,58 @@ register(
     sql=similarity.IVF_RECALL_SWEEP_SQL,
     tags=("similarity", "ivf", "recall"),
 )
+
+
+def _avro_ocf_stream(spark, sf_dir):
+    """Streaming twin of the avro round-trip — the same staged
+    container files consumed through the ``avro_ocf_stream`` Python
+    Data Source (offset = next part-file index, committed per
+    micro-batch), windowless complete-mode aggregate. Prefix
+    consistency over the static file set makes the drained stream
+    equal the batch aggregate; a dropped or re-read file changes the
+    counts."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .sources.pyds import stream_events_via_avro_ocf
+    from .streaming.runner import _stream_shuffle_partitions
+
+    stream = stream_events_via_avro_ocf(spark, sf_dir, codec="deflate")
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+    name = f"avro_{uuid.uuid4().hex[:12]}"
+    with _stream_shuffle_partitions(spark):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="rtba_ckpt_avro_"))
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    return spark.table(name)
+
+
+register(
+    "s_avro_ocf_stream",
+    _avro_ocf_stream,
+    sql="""
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 2) AS total_value,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id,
+           epoch_us(max(ts)) AS max_ts_us
+    FROM events GROUP BY event_type
+    """,
+    tags=("source", "avro", "python-datasource", "streaming"),
+)

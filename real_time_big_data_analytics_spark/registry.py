@@ -270,6 +270,8 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         "l3_ivf_recall_sweep",
         # stdlib parquet-footer audit (round 7): receipt debt 21 < 50
         "dq_parquet_footer_stats",
+        # avro streaming twin (round 7): receipt debt 22 < 50
+        "s_avro_ocf_stream",
     }
 )
 

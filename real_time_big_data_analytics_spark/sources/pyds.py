@@ -801,3 +801,87 @@ def read_events_via_avro_ocf(spark, sf_dir: str, codec: str = "deflate"):
         .option("pkg", _repo_root())
         .load()
     )
+
+
+def make_avro_ocf_stream_datasource():
+    """STREAMING twin of the avro_ocf batch reader — one container
+    part file per micro-batch, offset = next file index (files are
+    the replayable log; recovery re-reads from the committed index
+    like a Kafka offset seek). Function scope for the same by-value
+    pickling reason as the JSONL stream source; the codec module is
+    imported via the sys.path option because the streaming-source
+    runner process does not see addPyFile."""
+
+    class _AvroStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.dir = options["path"]
+            self.pkg = options["pkg"]
+
+        def _files(self):
+            import os
+
+            return [
+                os.path.join(self.dir, f)
+                for f in sorted(os.listdir(self.dir))
+                if f.endswith(".avro") and not f.startswith("_tmp_")
+            ]
+
+        def initialOffset(self):
+            return {"idx": 0}
+
+        def read(self, start):
+            i = start["idx"]
+            files = self._files()
+            if i >= len(files):
+                return iter([]), {"idx": i}
+            import sys
+
+            if self.pkg not in sys.path:
+                sys.path.insert(0, self.pkg)
+            from real_time_big_data_analytics_spark.sources import avro_ocf
+
+            rows = [
+                (
+                    r["event_id"],
+                    r["ts_us"],
+                    r["user_id"],
+                    r["event_type"],
+                    r["value"],
+                    r["props"],
+                )
+                for r in avro_ocf.read_ocf(files[i])
+            ]
+            return iter(rows), {"idx": i + 1}
+
+        def readBetweenOffsets(self, start, end):
+            rows, _ = self.read(start)
+            return rows
+
+        def commit(self, end):
+            pass
+
+    class AvroOcfStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "avro_ocf_stream"
+
+        def schema(self) -> str:
+            return AVRO_EVENTS_DDL
+
+        def simpleStreamReader(self, schema):
+            return _AvroStreamReader(self.options)
+
+    return AvroOcfStreamDataSource
+
+
+def stream_events_via_avro_ocf(spark, sf_dir: str, codec: str = "deflate"):
+    """Stage (idempotent) and open the streaming scan over the staged
+    container files."""
+    out = stage_events_as_avro(spark, sf_dir, codec=codec)
+    spark.dataSource.register(make_avro_ocf_stream_datasource())
+    return (
+        spark.readStream.format("avro_ocf_stream")
+        .option("path", out)
+        .option("pkg", _repo_root())
+        .load()
+    )

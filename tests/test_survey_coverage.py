@@ -52,6 +52,7 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
         "s_python_datasource_stream",
         "s_avro_ocf_roundtrip",
         "s_avro_ocf_codec_parity",
+        "s_avro_ocf_stream",
         "pytest:tests/test_avro_ocf.py",
     ),
     "S5": ("dq_zorder_pruning_audit", "pytest:tests/test_sources.py"),
