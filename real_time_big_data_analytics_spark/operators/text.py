@@ -2652,21 +2652,28 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     # positions exploded to rows; `codes` is computed once per doc row
     # in the Project BELOW the Generate (projects don't collapse
-    # across it), then referenced 16× as a plain attribute
+    # across it), then referenced 16× as a plain attribute.
+    # explode_OUTER + the coalesce'd boundary predicate below keep
+    # Catalyst from inferring isnotnull() constraints on the computed
+    # arrays — plain explode + `hash = 0` pushed
+    # isnotnull(transform(split(text,...))) into the parquet scan's
+    # DataFilters, evaluating the whole codes transform per row on the
+    # single pre-spread() partition (the SCALE.md inferred-predicate
+    # trap, caught by tests/test_plans.py on this very query).
     pos = docs.withColumn(
         "codes", F.expr("transform(split(text, ''), ch -> ascii(ch))")
     ).select(
         "doc_id",
         F.expr(
-            f"explode(if(char_length(text) >= {w}, "
+            f"explode_outer(if(char_length(text) >= {w}, "
             f"sequence(1, char_length(text) - {w - 1}), "
             "cast(array() as array<int>)))"
         ).alias("i"),
         "codes",
     )
-    bounds = pos.filter(F.expr(_cdc_window_hash_expr()) == 0).select(
-        "doc_id", (F.col("i") + (w - 1)).alias("e")
-    )
+    bounds = pos.filter(
+        F.expr(f"coalesce({_cdc_window_hash_expr()}, -1L) = 0")
+    ).select("doc_id", (F.col("i") + (w - 1)).alias("e"))
     # aggregation barrier: `ends` below is an aggregate output
     # attribute, so downstream multi-references stay O(1) row reads
     per_doc_ends = bounds.groupBy("doc_id").agg(

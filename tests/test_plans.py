@@ -133,6 +133,7 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "m14_cohens_kappa",  # m5's 1-row weight broadcasts per GD step
         "ts_acf_daily_value",  # 7-row lag table onto the daily series
         "m5_logreg_gd",  # 1-row weight vector broadcast per GD step
+        "l3_ivf_recall_sweep",  # bruteforce's 5-row query != broadcast
         "m7_kmeans_lloyd",  # 1-row centroid vector broadcast per Lloyd step
         "dq_zorder_pruning_audit",  # 1-row dimension-bounds broadcast
         "l4_rrf_hybrid_search",  # 3-row seed-vector broadcast (knn shape)
