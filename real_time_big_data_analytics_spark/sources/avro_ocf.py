@@ -253,6 +253,8 @@ def read_ocf(path: str):
         for _ in range(n):
             k = read_bytes(buf).decode()
             meta[k] = read_bytes(buf)
+    if "avro.schema" not in meta:
+        raise ValueError(f"{path}: file metadata lacks avro.schema")
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
@@ -273,9 +275,22 @@ def read_ocf(path: str):
         if buf.read(16) != sync:
             raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
         if codec == "deflate":
-            data = zlib.decompress(data, -15)
+            try:
+                data = zlib.decompress(data, -15)
+            except zlib.error as e:
+                raise ValueError(f"{path}: corrupt deflate block ({e})") from e
         block = io.BytesIO(data)
         for _ in range(count):
-            yield _decode_value(block, schema)
+            try:
+                yield _decode_value(block, schema)
+            except (KeyError, TypeError, AttributeError, IndexError) as e:
+                # a corrupt byte in the SCHEMA JSON yields a parseable
+                # but mis-shaped schema node; surface the designed
+                # rejection, not an accidental crash (failure class
+                # pinned by tests/test_binary_reader_fuzz.py)
+                raise ValueError(
+                    f"{path}: malformed schema or record "
+                    f"({type(e).__name__}: {e})"
+                ) from e
         if block.read(1):
             raise ValueError(f"{path}: trailing bytes inside block")

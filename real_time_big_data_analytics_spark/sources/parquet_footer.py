@@ -189,7 +189,19 @@ def read_footer(path: str) -> dict:
         f.seek(size - 8 - meta_len)
         raw = f.read(meta_len)
     fm = _read_struct(io.BytesIO(raw))
+    try:
+        return _interpret(fm)
+    except (AttributeError, TypeError, KeyError, IndexError) as e:
+        # a corrupt field-type nibble morphs a struct into an int (or a
+        # list into a bool) and the shape-mapping below trips — surface
+        # it as the designed rejection, not an accidental crash
+        # (failure class pinned by tests/test_binary_reader_fuzz.py)
+        raise ValueError(
+            f"{path}: malformed FileMetaData ({type(e).__name__}: {e})"
+        ) from e
 
+
+def _interpret(fm: dict) -> dict:
     schema = [
         {
             "name": (se.get(4) or b"").decode(),
