@@ -3901,3 +3901,15 @@ register(
     sql=FOOTER_STATS_SQL,
     tags=("dq", "parquet", "footer", "metadata"),
 )
+
+
+# --- round 7: Delta-log table semantics over parquet files ---
+
+from .sources.delta_log import DELTA_TIME_TRAVEL_SQL, delta_time_travel  # noqa: E402
+
+register(
+    "s_delta_time_travel",
+    delta_time_travel,
+    sql=DELTA_TIME_TRAVEL_SQL,
+    tags=("source", "delta", "time-travel", "lakehouse"),
+)

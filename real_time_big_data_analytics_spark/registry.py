@@ -272,6 +272,9 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         "dq_parquet_footer_stats",
         # avro streaming twin (round 7): receipt debt 22 < 50
         "s_avro_ocf_stream",
+        # Delta-log table semantics over parquet (round 7): receipt
+        # debt 23 < 50
+        "s_delta_time_travel",
     }
 )
 

@@ -1,0 +1,126 @@
+"""Delta transaction-log semantics (sources/delta_log.py).
+
+The registry oracle binds whole-version aggregates to the data; these
+tests pin the LOG semantics themselves: commit mutual exclusion, gap
+refusal, last-action-wins replay, time travel, and the environment
+probe showing no foreign delta reader exists in the sandbox (so the
+validation pattern is spec-shaped bytes + oracle, like the kafka wire
+path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from real_time_big_data_analytics_spark.sources import delta_log as D
+
+
+def _toy_table(tmp_path, spark):
+    table = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    adds1 = D._write_version_files(spark, df1, table, "v0")
+    meta = {
+        "metaData": {
+            "id": "toy",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df1.schema.json(),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": 0,
+        }
+    }
+    D.write_commit(table, 0, [D.PROTOCOL_ACTION, meta] + adds1)
+    return table, adds1
+
+
+def test_commit_refuses_overwrite(tmp_path, spark):
+    table, _ = _toy_table(tmp_path, spark)
+    with pytest.raises(FileExistsError):
+        D.write_commit(table, 0, [])
+
+
+def test_replay_refuses_gaps(tmp_path, spark):
+    table, _ = _toy_table(tmp_path, spark)
+    D.write_commit(table, 2, [])  # skipped version 1
+    with pytest.raises(ValueError, match="gaps"):
+        D.replay(table)
+
+
+def test_remove_then_readd_last_action_wins(tmp_path, spark):
+    table, adds1 = _toy_table(tmp_path, spark)
+    path = adds1[0]["add"]["path"]
+    D.write_commit(
+        table,
+        1,
+        [{"remove": {"path": path, "deletionTimestamp": 0, "dataChange": True}}],
+    )
+    D.write_commit(table, 2, [adds1[0]])  # re-add the same file
+    files_v1 = D.replay(table, 1)["files"]
+    files_v2 = D.replay(table, 2)["files"]
+    assert path not in files_v1
+    assert path in files_v2
+
+
+def test_time_travel_reads_version_content(tmp_path, spark):
+    table, adds1 = _toy_table(tmp_path, spark)
+    df2 = spark.createDataFrame([(3, "c")], "id bigint, s string")
+    D.write_commit(table, 1, D._write_version_files(spark, df2, table, "v1"))
+    v0 = {r.id for r in D.read_snapshot(spark, table, 0).collect()}
+    v1 = {r.id for r in D.read_snapshot(spark, table, 1).collect()}
+    latest = {r.id for r in D.read_snapshot(spark, table).collect()}
+    assert v0 == {1, 2} and v1 == {1, 2, 3} == latest
+
+
+def test_empty_snapshot_keeps_schema(tmp_path, spark):
+    table, adds1 = _toy_table(tmp_path, spark)
+    removes = [
+        {"remove": {"path": a["add"]["path"], "deletionTimestamp": 0,
+                    "dataChange": True}}
+        for a in adds1
+    ]
+    D.write_commit(table, 1, removes)
+    df = D.read_snapshot(spark, table, 1)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "s"]
+
+
+def test_commit_file_is_spec_shaped_ndjson(tmp_path, spark):
+    """Each line one JSON action; v0 carries protocol + metaData with
+    the PROTOCOL.md-required fields."""
+    table, _ = _toy_table(tmp_path, spark)
+    lines = open(
+        os.path.join(table, "_delta_log", f"{0:020d}.json")
+    ).read().splitlines()
+    actions = [json.loads(ln) for ln in lines]
+    assert set(actions[0]) == {"protocol"}
+    assert actions[0]["protocol"]["minReaderVersion"] == 1
+    md = actions[1]["metaData"]
+    for field in ("id", "format", "schemaString", "partitionColumns"):
+        assert field in md
+    assert md["format"]["provider"] == "parquet"
+    for a in actions[2:]:
+        assert set(a) == {"add"}
+        for field in ("path", "partitionValues", "size", "modificationTime",
+                      "dataChange"):
+            assert field in a["add"]
+
+
+def test_no_foreign_delta_reader_in_sandbox(spark, tmp_path):
+    """The environment gap this module fills, re-proven each round:
+    neither spark's jars nor duckdb carry a delta reader here."""
+    import duckdb
+    import pyspark
+
+    jars = os.listdir(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    assert not any("delta" in j.lower() for j in jars)
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(Exception):
+        spark.read.format("delta").load(str(tmp_path / "x"))
+    con = duckdb.connect()
+    with pytest.raises(Exception):
+        con.execute(
+            "SELECT * FROM delta_scan('/nonexistent')"
+        ).fetchall()

@@ -65,6 +65,8 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
         "s_schema_evolution_scan",
         "dq_parquet_footer_stats",
         "pytest:tests/test_parquet_footer.py",
+        "s_delta_time_travel",
+        "pytest:tests/test_delta_log.py",
     ),
     # §2.2 projections / per-record transforms
     "P1": ("p_csv_parse_pipeline",),
