@@ -194,6 +194,20 @@ def stage_events_as_delta(spark, sf_dir: str) -> str:
 
     table_dir = os.path.join(tempfile.gettempdir(), f"rtba_delta_{tag}")
     if not os.path.exists(_commit_path(table_dir, 2)):
+        # Crash-idempotent staging: build the WHOLE table (data files +
+        # all commits) in a fresh scratch dir, then atomically rename it
+        # into place. A prior run that died mid-build leaves either a
+        # partial table_dir (a pre-rename code generation — delete it;
+        # its final commit marker is absent by the guard above) or an
+        # orphaned scratch dir (harmless, unique name), never a wedged
+        # half-committed log that FileExistsError would then refuse to
+        # rebuild forever.
+        import shutil
+        import uuid
+
+        if os.path.exists(table_dir):
+            shutil.rmtree(table_dir)
+        stage_dir = f"{table_dir}.staging-{uuid.uuid4().hex[:12]}"
         events = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
         )
@@ -201,7 +215,7 @@ def stage_events_as_delta(spark, sf_dir: str) -> str:
         m1 = events.filter(F.col("event_id") % 3 == 1)
         m2 = events.filter(F.col("event_id") % 3 == 2)
 
-        adds_v0 = _write_version_files(spark, m0, table_dir, "v0")
+        adds_v0 = _write_version_files(spark, m0, stage_dir, "v0")
         meta = {
             "metaData": {
                 "id": f"rtba-{tag}",
@@ -212,10 +226,10 @@ def stage_events_as_delta(spark, sf_dir: str) -> str:
                 "createdTime": _T0,
             }
         }
-        write_commit(table_dir, 0, [PROTOCOL_ACTION, meta] + adds_v0)
+        write_commit(stage_dir, 0, [PROTOCOL_ACTION, meta] + adds_v0)
 
-        adds_v1 = _write_version_files(spark, m1, table_dir, "v1")
-        write_commit(table_dir, 1, adds_v1)
+        adds_v1 = _write_version_files(spark, m1, stage_dir, "v1")
+        write_commit(stage_dir, 1, adds_v1)
 
         removes = [
             {
@@ -229,9 +243,16 @@ def stage_events_as_delta(spark, sf_dir: str) -> str:
         ]
         # compacted rewrite of the removed rows + the new modulus class
         adds_v2 = _write_version_files(
-            spark, m0.unionByName(m2).coalesce(4), table_dir, "v2"
+            spark, m0.unionByName(m2).coalesce(4), stage_dir, "v2"
         )
-        write_commit(table_dir, 2, removes + adds_v2)
+        write_commit(stage_dir, 2, removes + adds_v2)
+        try:
+            os.rename(stage_dir, table_dir)
+        except OSError:
+            # a concurrent stager renamed first; its table is complete
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            if not os.path.exists(_commit_path(table_dir, 2)):
+                raise
     _DELTA_DIRS[tag] = table_dir
     return table_dir
 

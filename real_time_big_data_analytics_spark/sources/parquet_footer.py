@@ -118,9 +118,21 @@ def _read_value(buf: io.BytesIO, ftype: int):
             return {}
         kv = buf.read(1)[0]
         ktype, vtype = kv >> 4, kv & 0x0F
-        return {
-            _read_value(buf, ktype): _read_value(buf, vtype) for _ in range(size)
-        }
+
+        def _elem(etype):
+            # bools inside maps are one byte per element, exactly like
+            # the list/set path above — the zero-byte header-nibble
+            # encoding applies only to struct FIELDS; treating map
+            # elements that way desyncs the stream for any map<_,bool>
+            if etype in (_TRUE, _FALSE):
+                return buf.read(1)[0] == 1
+            return _read_value(buf, etype)
+
+        out = {}
+        for _ in range(size):
+            k = _elem(ktype)
+            out[k] = _elem(vtype)
+        return out
     if ftype == _STRUCT:
         return _read_struct(buf)
     raise ValueError(f"unknown thrift compact type {ftype}")
@@ -253,6 +265,18 @@ def _interpret(fm: dict) -> dict:
     }
 
 
+# Columns whose serialized values grow with the corpus (document text,
+# JSON props): parquet writers OMIT or TRUNCATE chunk min/max once a
+# value exceeds their stats size cap (parquet-mr ~4 KB), so the footer's
+# string bounds for these stop being a recomputable function of the data
+# at some scale factor. The audit therefore claims only num_values and
+# the null count for them (always present in ColumnMetaData/Statistics
+# regardless of the min/max cap) and reports an explicit stats_present
+# flag instead of value bounds — a writer-side omission flips the flag
+# detectably rather than silently diverging from the data-side oracle.
+UNBOUNDED_WIDTH_COLS = frozenset({"documents.text", "events.props"})
+
+
 def footer_column_stats(spark, sf_dir: str, tables=("events", "documents")):
     """``dq_parquet_footer_stats`` — per-column statistics read from
     the FOOTER BYTES ALONE (no data pages touched), aggregated across
@@ -261,6 +285,12 @@ def footer_column_stats(spark, sf_dir: str, tables=("events", "documents")):
     only if the footer's claims about the data are both correctly
     parsed and actually true — exactly what row-group pruning relies
     on at scale.
+
+    Every row carries ``stats_present`` = "every chunk of this column
+    published min AND max bounds"; for bounded-width columns the oracle
+    asserts it TRUE, so a writer omitting stats breaks the hash on this
+    explicit flag (with bounds already NULL on both sides for the
+    unbounded-width columns — see ``UNBOUNDED_WIDTH_COLS``).
 
     Scale: one Spark task per parquet file (mapInPandas over the file
     list) — a 100 TB table with thousands of part files audits as a
@@ -304,6 +334,7 @@ def footer_column_stats(spark, sf_dir: str, tables=("events", "documents")):
             "col_name",
             "num_values",
             "n_nulls",
+            "chunk_has_bounds",
             "min_int",
             "max_int",
             "min_dbl",
@@ -317,10 +348,15 @@ def footer_column_stats(spark, sf_dir: str, tables=("events", "documents")):
                 fm = read_footer(path)
                 for rg in fm["row_groups"]:
                     for c in rg["columns"]:
+                        name = f"{tbl}.{c['path']}"
+                        has_bounds = (
+                            c["min"] is not None and c["max"] is not None
+                        )
                         r = {
-                            "col_name": f"{tbl}.{c['path']}",
+                            "col_name": name,
                             "num_values": c["num_values"],
                             "n_nulls": c["null_count"],
+                            "chunk_has_bounds": has_bounds,
                             "min_int": None,
                             "max_int": None,
                             "min_dbl": None,
@@ -328,7 +364,9 @@ def footer_column_stats(spark, sf_dir: str, tables=("events", "documents")):
                             "min_str": None,
                             "max_str": None,
                         }
-                        if c["type"] in ("INT32", "INT64"):
+                        if name in UNBOUNDED_WIDTH_COLS:
+                            pass  # bounds not claimed (cap-dependent)
+                        elif c["type"] in ("INT32", "INT64"):
                             r["min_int"], r["max_int"] = c["min"], c["max"]
                         elif c["type"] in ("FLOAT", "DOUBLE"):
                             r["min_dbl"], r["max_dbl"] = c["min"], c["max"]
@@ -339,6 +377,7 @@ def footer_column_stats(spark, sf_dir: str, tables=("events", "documents")):
 
     schema = (
         "col_name string, num_values bigint, n_nulls bigint, "
+        "chunk_has_bounds boolean, "
         "min_int bigint, max_int bigint, min_dbl double, max_dbl double, "
         "min_str string, max_str string"
     )
@@ -348,6 +387,14 @@ def footer_column_stats(spark, sf_dir: str, tables=("events", "documents")):
         .agg(
             F.sum("num_values").cast("bigint").alias("num_values"),
             F.sum("n_nulls").cast("bigint").alias("n_nulls"),
+            # NULL (unknowable claim) for unbounded-width columns, else
+            # "every chunk published both bounds" — the oracle pins TRUE
+            F.when(
+                F.col("col_name").isin(*sorted(UNBOUNDED_WIDTH_COLS)),
+                F.lit(None).cast("boolean"),
+            )
+            .otherwise(F.every("chunk_has_bounds"))
+            .alias("stats_present"),
             F.min("min_int").alias("min_int"),
             F.max("max_int").alias("max_int"),
             # + 0.0 canonicalizes IEEE signed zero: the spec tells
@@ -366,15 +413,25 @@ def footer_column_stats(spark, sf_dir: str, tables=("events", "documents")):
 def _stat_select(tbl: str, col: str, kind: str) -> str:
     """One UNION ALL branch of the footer-stats oracle: recompute a
     column's footer claims from the data. kind: int | dbl | str | ts
-    (ts = INT64 epoch-micros physical)."""
+    (ts = INT64 epoch-micros physical) | wide (unbounded-width string —
+    bounds and presence flag NOT claimed; num_values and null_count
+    stay checked, the latter not being subject to the writers' min/max
+    serialization cap)."""
     n = f"count(*) AS num_values, CAST(count(*) - count({col}) AS BIGINT) AS n_nulls"
+    # bounded-width columns assert the footer published bounds
+    sp = (
+        "CAST(NULL AS BOOLEAN) AS stats_present"
+        if kind == "wide"
+        else "CAST(1 AS BOOLEAN) AS stats_present"
+    )
     nulls = {
         "int": "min({c}) AS min_int, max({c}) AS max_int, CAST(NULL AS DOUBLE) AS min_dbl, CAST(NULL AS DOUBLE) AS max_dbl, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str",
         "ts": "epoch_us(min({c})) AS min_int, epoch_us(max({c})) AS max_int, CAST(NULL AS DOUBLE) AS min_dbl, CAST(NULL AS DOUBLE) AS max_dbl, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str",
         "dbl": "CAST(NULL AS BIGINT) AS min_int, CAST(NULL AS BIGINT) AS max_int, min({c}) + 0.0 AS min_dbl, max({c}) + 0.0 AS max_dbl, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str",
         "str": "CAST(NULL AS BIGINT) AS min_int, CAST(NULL AS BIGINT) AS max_int, CAST(NULL AS DOUBLE) AS min_dbl, CAST(NULL AS DOUBLE) AS max_dbl, min({c}) AS min_str, max({c}) AS max_str",
+        "wide": "CAST(NULL AS BIGINT) AS min_int, CAST(NULL AS BIGINT) AS max_int, CAST(NULL AS DOUBLE) AS min_dbl, CAST(NULL AS DOUBLE) AS max_dbl, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str",
     }[kind].format(c=col)
-    return f"SELECT '{tbl}.{col}' AS col_name, {n}, {nulls} FROM {tbl}"
+    return f"SELECT '{tbl}.{col}' AS col_name, {n}, {sp}, {nulls} FROM {tbl}"
 
 
 FOOTER_STATS_SQL = (
@@ -385,9 +442,9 @@ FOOTER_STATS_SQL = (
             _stat_select("events", "user_id", "int"),
             _stat_select("events", "event_type", "str"),
             _stat_select("events", "value", "dbl"),
-            _stat_select("events", "props", "str"),
+            _stat_select("events", "props", "wide"),
             _stat_select("documents", "doc_id", "int"),
-            _stat_select("documents", "text", "str"),
+            _stat_select("documents", "text", "wide"),
             _stat_select("documents", "lang", "str"),
             _stat_select("documents", "source", "str"),
             _stat_select("documents", "n_chars", "int"),

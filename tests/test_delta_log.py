@@ -124,3 +124,33 @@ def test_no_foreign_delta_reader_in_sandbox(spark, tmp_path):
         con.execute(
             "SELECT * FROM delta_scan('/nonexistent')"
         ).fetchall()
+
+
+def test_staging_recovers_from_partial_build(spark):
+    """Crash-idempotency (ADVICE r7): a prior run that died after some
+    commits but before the FINAL one must not wedge the stager — the
+    partial table_dir is discarded and rebuilt via atomic staging
+    rename, and the rebuilt table replays identically."""
+    sf = "/root/testdata/sf0.001"
+    table_dir = D.stage_events_as_delta(spark, sf)
+    before = {
+        v: D.replay(table_dir, v)["files"] for v in (0, 1, 2)
+    }
+    n_before = D.read_snapshot(spark, table_dir, 2).count()
+    # simulate the crash: final commit marker absent, earlier state present
+    os.remove(D._commit_path(table_dir, 2))
+    D._DELTA_DIRS.clear()
+    rebuilt = D.stage_events_as_delta(spark, sf)
+    assert rebuilt == table_dir
+    assert os.path.exists(D._commit_path(rebuilt, 2))
+    after = {v: D.replay(rebuilt, v)["files"] for v in (0, 1, 2)}
+    assert {v: len(f) for v, f in after.items()} == {
+        v: len(f) for v, f in before.items()
+    }
+    assert D.read_snapshot(spark, rebuilt, 2).count() == n_before
+    # no orphaned staging scratch dirs left behind
+    parent = os.path.dirname(table_dir)
+    base = os.path.basename(table_dir)
+    assert not [
+        d for d in os.listdir(parent) if d.startswith(f"{base}.staging-")
+    ]

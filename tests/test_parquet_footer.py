@@ -98,3 +98,34 @@ def test_row_group_pruning_inputs_present():
                     table,
                     c["path"],
                 )
+
+
+def test_thrift_map_bool_values_stay_in_sync():
+    """map<_,bool> elements are ONE BYTE each (like list elements); the
+    zero-byte header-nibble bool encoding applies only to struct
+    fields. A reader that returns a constant without consuming the
+    element byte desyncs the stream, corrupting every later field —
+    pinned here with a map<i32,bool> followed by a sentinel i32."""
+    import io
+
+    from real_time_big_data_analytics_spark.sources.parquet_footer import (
+        _read_struct,
+    )
+
+    buf = io.BytesIO(
+        bytes(
+            [
+                0x1B,  # field 1, type MAP
+                0x02,  # 2 entries
+                0x51,  # key i32, value CT_BOOLEAN_TRUE class
+                0x06, 0x01,  # zigzag(3) -> true (1)
+                0x08, 0x02,  # zigzag(4) -> false (2)
+                0x15,  # field 2, type i32
+                0xC6, 0x01,  # zigzag varint of 99
+                0x00,  # STOP
+            ]
+        )
+    )
+    out = _read_struct(buf)
+    assert out == {1: {3: True, 4: False}, 2: 99}
+    assert buf.read() == b""

@@ -118,7 +118,10 @@ def main() -> None:
             ):
                 overlap = " (samples overlap)"
         rows.append((nd if nd is not None else d, pct, npct, name, d, overlap))
-    rows.sort(reverse=True)
+    # key on the numeric pair only: r[2] (npct) is None for zero-old
+    # rows and a float elsewhere — letting it join the comparison
+    # raises TypeError on (eff_d, pct) ties with mixed npct types
+    rows.sort(key=lambda r: (r[0], r[1]), reverse=True)
 
     w = max((len(r[3]) for r in rows), default=10)
     print(f"{os.path.basename(old_path)} -> {os.path.basename(new_path)}")
