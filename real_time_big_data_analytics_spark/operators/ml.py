@@ -91,6 +91,116 @@ def train_decision_tree(train_df: DataFrame):
     return Pipeline(stages=[_assembler(), dt]).fit(train_df.cache())
 
 
+P6_FIXTURE_N = 600
+
+
+def p6_training_fixture(spark: SparkSession) -> DataFrame:
+    """Deterministic labeled training fixture for the P6 scoring-parity
+    path — the rebuild's analog of the reference's STATIC ``dataset.txt``
+    (the reference trains on a fixed labeled file and scores the live
+    stream, ConsumerESFinal.scala:54-67; it never trains on the stream).
+
+    Closed-form features over an id grid with an interaction-heavy
+    label plus deterministic flips, so the fitted depth-6 tree is
+    non-trivial. SMALL ON PURPOSE (600 rows): below MLlib's 10k-row
+    split-sampling threshold, continuous-split candidates come from the
+    FULL sorted input — the fitted tree is a pure function of the row
+    set, independent of cluster partitioning — which is what lets the
+    fitted tree be compiled to SQL, pinned, and replayed by the DuckDB
+    oracle (P6_TREE_PREDICT_SQL). Training on sf-dependent features
+    (like m1) is partitioning-sensitive above that threshold."""
+    base = (
+        ((F.col("n_events") > 26) != (F.col("n_clicks") > 15))
+        | ((F.col("n_purchases") > 20) & (F.col("avg_value") < 5.0))
+    )
+    return (
+        spark.range(P6_FIXTURE_N)
+        .select(
+            (F.col("id") * 7 % 53).alias("n_events"),
+            (F.col("id") * 11 % 31).alias("n_clicks"),
+            (F.col("id") * 13 % 29).alias("n_purchases"),
+            (F.col("id") * 17 % 23).alias("n_signups"),
+            F.round((F.col("id") * 19 % 97) / 7.0, 2).alias("avg_value"),
+            F.col("id").alias("id"),
+        )
+        .withColumn(
+            "total_value", F.round(F.col("avg_value") * F.col("n_events"), 2)
+        )
+        .withColumn(
+            "label",
+            (base != (F.col("id") % 37 == 0)).cast("int"),
+        )
+        .drop("id")
+    )
+
+
+def tree_to_case_sql(model, feature_cols: list[str]) -> str:
+    """Compile a fitted DecisionTreeClassificationModel into a nested
+    ANSI CASE-WHEN expression over ``feature_cols`` (assembler input
+    order == feature indices) by walking ``toDebugString`` — the public
+    serialization of the fitted tree. Continuous splits only (this
+    pipeline has no categorical features); thresholds are emitted via
+    ``repr`` so the decimal literal round-trips to the identical double
+    in any engine. The expression evaluates to the integer class
+    prediction, which is what lets DuckDB replay MLlib scoring
+    verbatim (the P6 oracle)."""
+    import re
+
+    lines = [
+        ln for ln in model.toDebugString.splitlines()[1:] if ln.strip()
+    ]
+
+    def walk(i: int) -> tuple[str, int]:
+        ln = lines[i].strip()
+        if ln.startswith("Predict:"):
+            return str(int(float(ln.split(":", 1)[1]))), i + 1
+        m = re.fullmatch(r"If \(feature (\d+) <= (.+)\)", ln)
+        if not m:
+            raise ValueError(f"unsupported tree node: {ln!r}")
+        cond = f"{feature_cols[int(m.group(1))]} <= {float(m.group(2))!r}"
+        left, i = walk(i + 1)
+        if not lines[i].strip().startswith("Else "):
+            raise ValueError(f"expected Else at: {lines[i]!r}")
+        right, i = walk(i + 1)
+        return f"CASE WHEN {cond} THEN {left} ELSE {right} END", i
+
+    sql, end = walk(0)
+    if end != len(lines):
+        raise ValueError("trailing unparsed tree lines")
+    return sql
+
+
+# The compiled fit over p6_training_fixture — generated by
+# tree_to_case_sql, pinned here so the DuckDB oracle can replay the
+# scoring without a SparkSession. scored_parity_9col re-compiles the
+# LIVE fit on every run and refuses to score if it drifts from this
+# constant (so would tests/test_parity.py), making an MLlib behavior
+# change a loud failure instead of a silent oracle mismatch.
+P6_TREE_PREDICT_SQL = (
+    "CASE WHEN n_purchases <= 20.5 THEN CASE WHEN avg_value <= "
+    "7.359999999999999 THEN CASE WHEN n_clicks <= 27.5 THEN CASE WHEN "
+    "n_events <= 25.5 THEN CASE WHEN n_clicks <= 15.5 THEN 0 ELSE CASE "
+    "WHEN total_value <= 108.2 THEN 1 ELSE 0 END END ELSE CASE WHEN "
+    "n_clicks <= 15.5 THEN CASE WHEN n_events <= 27.5 THEN 0 ELSE 1 END "
+    "ELSE 0 END END ELSE CASE WHEN n_events <= 22.5 THEN 1 ELSE 0 END "
+    "END ELSE CASE WHEN n_clicks <= 20.5 THEN CASE WHEN n_events <= "
+    "27.5 THEN CASE WHEN n_clicks <= 15.5 THEN 0 ELSE 1 END ELSE CASE "
+    "WHEN n_clicks <= 15.5 THEN 1 ELSE CASE WHEN avg_value <= 12.93 "
+    "THEN 0 ELSE 1 END END END ELSE CASE WHEN n_events <= 25.5 THEN "
+    "CASE WHEN n_purchases <= 3.5 THEN CASE WHEN n_purchases <= 2.5 "
+    "THEN 1 ELSE 0 END ELSE 1 END ELSE 0 END END END ELSE CASE WHEN "
+    "avg_value <= 5.07 THEN CASE WHEN n_purchases <= 26.5 THEN 1 ELSE "
+    "CASE WHEN avg_value <= 2.9299999999999997 THEN 1 ELSE CASE WHEN "
+    "total_value <= 84.525 THEN CASE WHEN n_clicks <= 20.5 THEN 0 ELSE "
+    "1 END ELSE 1 END END END ELSE CASE WHEN n_clicks <= 3.5 THEN CASE "
+    "WHEN n_events <= 7.5 THEN 0 ELSE 1 END ELSE CASE WHEN n_clicks <= "
+    "27.5 THEN CASE WHEN n_clicks <= 8.5 THEN CASE WHEN n_events <= "
+    "25.5 THEN 0 ELSE 1 END ELSE CASE WHEN n_clicks <= 12.5 THEN 1 ELSE "
+    "0 END END ELSE CASE WHEN n_purchases <= 23.5 THEN CASE WHEN "
+    "n_signups <= 4.5 THEN 1 ELSE 0 END ELSE 1 END END END END END"
+)
+
+
 def with_verdict(scored: DataFrame) -> DataFrame:
     """P6 — verdict string column, exactly the reference's encoding
     (``if (prediction == 0) "Not bolt" else "Bolt"``,

@@ -120,17 +120,34 @@ def scored_parity_9col(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (reference ConsumerESFinal.scala:90: statuses_count,
     followers_count, friends_count, favourites_count, protected,
     verified, lang, location, bolt_user), produced by the idiomatic
-    pipeline: feature fixture → model.transform → broadcast dimension
-    enrichment.
+    pipeline: static training fixture → model.transform over the live
+    features → broadcast dimension enrichment. Training on the FIXED
+    fixture (ml.p6_training_fixture) mirrors the reference's actual
+    topology — it fits on a static ``dataset.txt`` and scores the
+    stream (ConsumerESFinal.scala:54-73), never trains on the stream.
 
     Column mapping from harness data: activity counts stand in for the
     Twitter counters; protected/verified derive from customer account
     state; lang/location from the customer→nation dimension chain.
-    Rows-only check (tree predictions aren't SQL-expressible); the
-    shape + verdict domain are pinned by tests/test_parity.py.
+
+    HASH-EXACT since round 8: the seeded fit over the fixed sub-10k-row
+    fixture is partitioning-independent, so the fitted tree compiles to
+    a pinned CASE-WHEN (ml.P6_TREE_PREDICT_SQL) that the DuckDB oracle
+    replays over the same SQL-derived features — every verdict string
+    is value-checked. The live fit is re-compiled HERE on every run and
+    refuses to score on drift, so an MLlib behavior change fails loudly
+    instead of silently diverging from the oracle.
     """
+    from .ml import P6_TREE_PREDICT_SQL, FEATURES, p6_training_fixture, tree_to_case_sql
+
     feats = user_activity_features(spark, sf_dir)
-    model = train_decision_tree(feats)
+    model = train_decision_tree(p6_training_fixture(spark))
+    compiled = tree_to_case_sql(model.stages[1], FEATURES)
+    if compiled != P6_TREE_PREDICT_SQL:
+        raise AssertionError(
+            "fitted P6 tree drifted from the pinned compilation — "
+            "regenerate ml.P6_TREE_PREDICT_SQL and the oracle"
+        )
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     dim = (

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from .operators import parity
+from .operators import ml, parity
 from .registry import register
 
 register(
@@ -19,6 +19,42 @@ register(
     tags=("parity", "json"),
 )
 
-# Model predictions in the output — rows-only; shape/verdict domain
-# pinned by tests/test_parity.py.
-register("p6_scored_parity_9col", parity.scored_parity_9col, tags=("parity", "ml"))
+# HASH-EXACT since round 8 (VERDICT r7 ask #2a): the seeded tree fit
+# over the FIXED sub-10k-row fixture is partitioning-independent, so
+# its compiled CASE-WHEN (ml.P6_TREE_PREDICT_SQL, pinned + drift-
+# asserted at query time and in tests/test_parity.py) lets DuckDB
+# replay the exact MLlib scoring and verdict strings per user.
+_P6_SQL = f"""
+WITH feats AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signups,
+         round(avg(value), 2) AS avg_value,
+         round(sum(value), 2) AS total_value
+  FROM events GROUP BY user_id
+), dim AS (
+  SELECT c_custkey AS user_id,
+         CAST(c_acctbal < 0 AS INT) AS protected,
+         CAST(c_acctbal > 5000 AS INT) AS verified,
+         lower(substr(c_mktsegment, 1, 2)) AS lang,
+         n_name AS location
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT f.n_events AS statuses_count,
+       f.n_clicks AS followers_count,
+       f.n_purchases AS friends_count,
+       f.n_signups AS favourites_count,
+       d.protected, d.verified, d.lang, d.location,
+       CASE WHEN ({ml.P6_TREE_PREDICT_SQL}) = 0
+            THEN 'Not bolt' ELSE 'Bolt' END AS bolt_user
+FROM feats f JOIN dim d USING (user_id)
+"""
+
+register(
+    "p6_scored_parity_9col",
+    parity.scored_parity_9col,
+    sql=_P6_SQL,
+    tags=("parity", "ml"),
+)

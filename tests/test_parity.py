@@ -45,3 +45,55 @@ def test_scored_parity_shape(spark, sf_dir):
     assert rows
     assert {r.bolt_user for r in rows} <= {"Bolt", "Not bolt"}
     assert all(r.protected in (0, 1) and r.verified in (0, 1) for r in rows)
+
+
+def test_p6_pinned_tree_matches_live_fit(spark):
+    """The P6 oracle replays MLlib scoring through the PINNED compiled
+    tree (ml.P6_TREE_PREDICT_SQL); this refit-assert is the drift
+    alarm — and the partitioning sweep is the argument for why pinning
+    is sound: below MLlib's 10k-row split-sampling threshold the fit is
+    a pure function of the row SET."""
+    from real_time_big_data_analytics_spark.operators import ml
+
+    for nparts in (1, 5):
+        fx = ml.p6_training_fixture(spark).repartition(nparts)
+        model = ml.train_decision_tree(fx)
+        compiled = ml.tree_to_case_sql(model.stages[1], ml.FEATURES)
+        assert compiled == ml.P6_TREE_PREDICT_SQL
+
+
+def test_tree_to_case_sql_walks_debug_string():
+    """The toDebugString parser pinned on a hand-built tree shape."""
+    from real_time_big_data_analytics_spark.operators import ml
+
+    class Fake:
+        toDebugString = (
+            "DecisionTreeClassificationModel: depth=2, numNodes=5\n"
+            "  If (feature 0 <= 1.5)\n"
+            "   Predict: 0.0\n"
+            "  Else (feature 0 > 1.5)\n"
+            "   If (feature 4 <= 0.25)\n"
+            "    Predict: 1.0\n"
+            "   Else (feature 4 > 0.25)\n"
+            "    Predict: 0.0\n"
+        )
+
+    sql = ml.tree_to_case_sql(Fake(), ml.FEATURES)
+    assert sql == (
+        "CASE WHEN n_events <= 1.5 THEN 0 ELSE "
+        "CASE WHEN avg_value <= 0.25 THEN 1 ELSE 0 END END"
+    )
+
+    class Categorical:
+        toDebugString = (
+            "DecisionTreeClassificationModel: depth=1\n"
+            "  If (feature 2 in {0.0,1.0})\n"
+            "   Predict: 0.0\n"
+            "  Else (feature 2 not in {0.0,1.0})\n"
+            "   Predict: 1.0\n"
+        )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported tree node"):
+        ml.tree_to_case_sql(Categorical(), ml.FEATURES)
