@@ -3905,11 +3905,37 @@ register(
 
 # --- round 7: Delta-log table semantics over parquet files ---
 
-from .sources.delta_log import DELTA_TIME_TRAVEL_SQL, delta_time_travel  # noqa: E402
+from .sources.delta_log import (  # noqa: E402
+    DELTA_CDF_CHANGES_SQL,
+    DELTA_CHECKPOINT_REPLAY_SQL,
+    DELTA_TIME_TRAVEL_SQL,
+    delta_cdf_changes,
+    delta_checkpoint_replay,
+    delta_time_travel,
+)
 
 register(
     "s_delta_time_travel",
     delta_time_travel,
     sql=DELTA_TIME_TRAVEL_SQL,
     tags=("source", "delta", "time-travel", "lakehouse"),
+)
+
+# round 8 (VERDICT r7 ask #3): checkpoint + _last_checkpoint pointer —
+# replay cost O(tail) with the covered JSON commits EXPIRED, so these
+# hashes prove the checkpoint state itself, not a silent JSON fallback.
+register(
+    "s_delta_checkpoint_replay",
+    delta_checkpoint_replay,
+    sql=DELTA_CHECKPOINT_REPLAY_SQL,
+    tags=("source", "delta", "checkpoint", "lakehouse"),
+)
+
+# round 8 (VERDICT r7 ask #3): CDF-style incremental scan — the oracle
+# replays each commit's set-difference row definition.
+register(
+    "s_delta_cdf_changes",
+    delta_cdf_changes,
+    sql=DELTA_CDF_CHANGES_SQL,
+    tags=("source", "delta", "cdf", "incremental", "lakehouse"),
 )

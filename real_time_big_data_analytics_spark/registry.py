@@ -280,6 +280,10 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         # through the engine against a loopback MiniES.
         "s_es_wire_roundtrip",
         "s_es_wire_stream",
+        # Delta checkpoint + CDF incremental scan (round 8, VERDICT r7
+        # ask #3).
+        "s_delta_checkpoint_replay",
+        "s_delta_cdf_changes",
     }
 )
 

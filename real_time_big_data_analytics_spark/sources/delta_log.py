@@ -17,10 +17,14 @@ Implemented subset (disclosed):
 - replay: versions applied in order; within the active set a path's
   LAST action wins (an ``add`` after ``remove`` re-adds);
 - time travel: replay stops at the requested version;
-- NOT implemented: checkpoints (``_last_checkpoint`` + parquet
-  checkpoint files — a replay-acceleration cache, not a semantics
-  change), partition pruning on ``partitionValues``, and the v2+
-  deletion-vector/column-mapping features.
+- checkpoints (round 8): parquet checkpoint + ``_last_checkpoint``
+  pointer, O(tail) replay, log cleanup of covered commits, honest
+  refusal of time travel behind an expired tail;
+- CDF-style incremental scan (round 8): per-commit insert/delete row
+  feed from the dataChange adds/removes;
+- NOT implemented: partition pruning on ``partitionValues``, multi-
+  part checkpoints, and the v2+ deletion-vector/column-mapping
+  features.
 
 No foreign delta reader exists in the sandbox (no delta-spark JAR, no
 duckdb delta extension — probed in tests/test_delta_log.py), so the
@@ -71,28 +75,8 @@ def log_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def replay(table_dir: str, version: int | None = None) -> dict:
-    """Reconstruct the table state at ``version`` (default: latest).
-
-    Returns ``{version, metadata, files}`` where ``files`` is the
-    sorted list of active data-file paths (relative to the table
-    root). Contiguity of versions from 0 is enforced — a gap means a
-    lost commit, and replaying past it would silently time-travel."""
-    versions = log_versions(table_dir)
-    if not versions:
-        raise ValueError(f"{table_dir}: no _delta_log commits")
-    if version is None:
-        version = versions[-1]
-    if version not in versions:
-        raise ValueError(f"{table_dir}: version {version} not in log")
-    expect = list(range(version + 1))
-    if versions[: len(expect)] != expect:
-        raise ValueError(
-            f"{table_dir}: log has gaps {versions} — refusing to replay"
-        )
-    active: dict[str, dict] = {}
-    metadata: dict | None = None
-    for v in expect:
+def _apply_commits(table_dir: str, versions: list[int], active: dict, metadata):
+    for v in versions:
         with open(_commit_path(table_dir, v)) as f:
             for line in f:
                 line = line.strip()
@@ -105,13 +89,215 @@ def replay(table_dir: str, version: int | None = None) -> dict:
                     active[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     active.pop(action["remove"]["path"], None)
+    return active, metadata
+
+
+def _replay_json(table_dir: str, version: int):
+    """JSON-only replay from version 0 (pre-checkpoint path, and the
+    state source when WRITING a checkpoint). Contiguity from 0 is
+    enforced — a gap means a lost commit, and replaying past it would
+    silently time-travel."""
+    versions = log_versions(table_dir)
+    expect = list(range(version + 1))
+    if versions[: len(expect)] != expect:
+        raise ValueError(
+            f"{table_dir}: log has gaps {versions} — refusing to replay"
+        )
+    active, metadata = _apply_commits(table_dir, expect, {}, None)
     if metadata is None:
         raise ValueError(f"{table_dir}: no metaData action through v{version}")
+    return active, metadata
+
+
+def replay(table_dir: str, version: int | None = None) -> dict:
+    """Reconstruct the table state at ``version`` (default: latest).
+
+    Returns ``{version, metadata, files}`` where ``files`` is the
+    sorted list of active data-file paths (relative to the table
+    root). With a checkpoint at C <= version, the state loads from the
+    checkpoint parquet and only commits C+1..version replay — O(tail)
+    regardless of history length, and commits <= C may have been
+    cleaned up. Time travel to version < C falls back to JSON-from-0
+    and refuses honestly if those commits were expired. Contiguity of
+    whatever JSON range is needed is enforced — a gap means a lost
+    commit, and replaying past it would silently time-travel."""
+    versions = log_versions(table_dir)
+    cp = read_last_checkpoint(table_dir)
+    newest = max(
+        versions[-1] if versions else -1,
+        cp["version"] if cp else -1,
+    )
+    if newest < 0:
+        raise ValueError(f"{table_dir}: no _delta_log commits")
+    if version is None:
+        version = newest
+    if version > newest:
+        raise ValueError(f"{table_dir}: version {version} not in log")
+    if cp is not None and cp["version"] <= version:
+        active, metadata = _load_checkpoint(table_dir, cp["version"])
+        tail = list(range(cp["version"] + 1, version + 1))
+        present = [v for v in versions if cp["version"] < v <= version]
+        if present != tail:
+            raise ValueError(
+                f"{table_dir}: commits after checkpoint {cp['version']} "
+                f"have gaps {present} — refusing to replay"
+            )
+        active, metadata = _apply_commits(table_dir, tail, active, metadata)
+    else:
+        active, metadata = _replay_json(table_dir, version)
     return {
         "version": version,
         "metadata": metadata,
         "files": sorted(active),
     }
+
+
+# -- checkpoints (PROTOCOL.md "Checkpoints") ----------------------------
+#
+# A checkpoint at version N is a parquet file
+# ``_delta_log/{N:020d}.checkpoint.parquet`` holding the REPLAYED state
+# (one row per action: protocol / metaData / active add), plus the
+# ``_last_checkpoint`` pointer ``{"version": N, "size": rows}``. Its
+# purpose is replay-acceleration: readers load the checkpoint and apply
+# only the JSON tail AFTER it, so commits <= N may be cleaned up (log
+# cleanup) without losing any version >= N. Time travel BEFORE the
+# checkpoint still needs the cleaned JSON commits and is refused
+# honestly — the same contract as the real implementation.
+
+
+def _checkpoint_path(table_dir: str, version: int) -> str:
+    return os.path.join(
+        table_dir, "_delta_log", f"{version:020d}.checkpoint.parquet"
+    )
+
+
+def read_last_checkpoint(table_dir: str) -> dict | None:
+    p = os.path.join(table_dir, "_delta_log", "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        cp = json.load(f)
+    if "version" not in cp:
+        raise ValueError(f"{table_dir}: malformed _last_checkpoint {cp}")
+    return cp
+
+
+def write_checkpoint(table_dir: str, version: int) -> str:
+    """Replay (from JSON) to ``version`` and publish the checkpoint +
+    ``_last_checkpoint`` pointer (tmp + atomic rename, like commits).
+    Metadata-scale: one parquet row per active file — written with
+    pyarrow directly, the same way real writers use a parquet library
+    for the log (the DATA files still go through Spark's writer)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap_active, metadata = _replay_json(table_dir, version)
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    adds = [snap_active[p] for p in sorted(snap_active)]
+    n = len(adds) + 2
+    tbl = pa.table(
+        {
+            "protocol": pa.array(
+                [PROTOCOL_ACTION["protocol"]] + [None] * (n - 1), proto_t
+            ),
+            "metaData": pa.array(
+                [None]
+                + [
+                    {
+                        "id": metadata["id"],
+                        "schemaString": metadata["schemaString"],
+                        "partitionColumns": metadata["partitionColumns"],
+                        "createdTime": metadata["createdTime"],
+                    }
+                ]
+                + [None] * (n - 2),
+                meta_t,
+            ),
+            "add": pa.array(
+                [None, None]
+                + [
+                    {
+                        "path": a["path"],
+                        "partitionValues": list(
+                            a.get("partitionValues", {}).items()
+                        ),
+                        "size": a["size"],
+                        "modificationTime": a["modificationTime"],
+                        "dataChange": a["dataChange"],
+                    }
+                    for a in adds
+                ],
+                add_t,
+            ),
+        }
+    )
+    path = _checkpoint_path(table_dir, version)
+    tmp = f"{path}.inprogress"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    ptr = os.path.join(table_dir, "_delta_log", "_last_checkpoint")
+    tmp = f"{ptr}.inprogress"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "size": n}, f)
+    os.replace(tmp, ptr)
+    return path
+
+
+def _load_checkpoint(table_dir: str, version: int):
+    """Checkpoint parquet → (active add dict, metadata dict)."""
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(_checkpoint_path(table_dir, version)).to_pylist()
+    active: dict[str, dict] = {}
+    metadata = None
+    for r in rows:
+        if r.get("metaData"):
+            metadata = dict(r["metaData"])
+            # pyarrow maps come back as pair lists; nothing downstream
+            # needs format/options, so the JSON shape subset suffices
+        elif r.get("add"):
+            a = dict(r["add"])
+            a["partitionValues"] = dict(a.get("partitionValues") or [])
+            active[a["path"]] = a
+    if metadata is None:
+        raise ValueError(
+            f"{table_dir}: checkpoint {version} carries no metaData"
+        )
+    return active, metadata
+
+
+def expire_commits_before_checkpoint(table_dir: str) -> list[int]:
+    """Log cleanup: delete JSON commits <= the checkpointed version
+    (they are fully covered by the checkpoint). Returns the removed
+    versions. Refuses when no checkpoint exists."""
+    cp = read_last_checkpoint(table_dir)
+    if cp is None:
+        raise ValueError(f"{table_dir}: no checkpoint — refusing cleanup")
+    removed = []
+    for v in log_versions(table_dir):
+        if v <= cp["version"]:
+            os.remove(_commit_path(table_dir, v))
+            removed.append(v)
+    return removed
 
 
 def read_snapshot(spark, table_dir: str, version: int | None = None):
@@ -165,9 +351,8 @@ def _write_version_files(spark, df, table_dir: str, tag: str) -> list[dict]:
     return adds
 
 
-def stage_events_as_delta(spark, sf_dir: str) -> str:
-    """Build a three-version Delta table over the events rows (staged
-    once per corpus fingerprint):
+def _build_three_version_table(spark, sf_dir: str, stage_dir: str, tag: str) -> None:
+    """The shared three-version build:
 
     - v0: rows with event_id % 3 == 0
     - v1: append rows with event_id % 3 == 1
@@ -178,83 +363,262 @@ def stage_events_as_delta(spark, sf_dir: str) -> str:
     So: v1 reads %3 in (0,1); v2 (latest) reads all rows but through
     DIFFERENT files than v0 wrote. Replay must honor both the adds
     and the remove at each version or the aggregates diverge."""
-    import hashlib
-
     from pyspark.sql import functions as F
 
     from .tables import load_table
 
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    m0 = events.filter(F.col("event_id") % 3 == 0)
+    m1 = events.filter(F.col("event_id") % 3 == 1)
+    m2 = events.filter(F.col("event_id") % 3 == 2)
+
+    adds_v0 = _write_version_files(spark, m0, stage_dir, "v0")
+    meta = {
+        "metaData": {
+            "id": f"rtba-{tag}",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": events.schema.json(),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": _T0,
+        }
+    }
+    write_commit(stage_dir, 0, [PROTOCOL_ACTION, meta] + adds_v0)
+
+    adds_v1 = _write_version_files(spark, m1, stage_dir, "v1")
+    write_commit(stage_dir, 1, adds_v1)
+
+    removes = [
+        {
+            "remove": {
+                "path": a["add"]["path"],
+                "deletionTimestamp": _T0,
+                "dataChange": True,
+            }
+        }
+        for a in adds_v0
+    ]
+    # compacted rewrite of the removed rows + the new modulus class
+    adds_v2 = _write_version_files(
+        spark, m0.unionByName(m2).coalesce(4), stage_dir, "v2"
+    )
+    write_commit(stage_dir, 2, removes + adds_v2)
+
+
+def _stage_table(spark, sf_dir: str, kind: str, post_build=None) -> str:
+    """Crash-idempotent staging shared by the delta stagers: build the
+    WHOLE table (data files + all commits + any ``post_build`` step,
+    e.g. checkpointing) in a fresh scratch dir, then atomically rename
+    it into place. A prior run that died mid-build leaves either a
+    partial table_dir (a pre-rename code generation — delete it; its
+    final marker is absent by the guard below) or an orphaned scratch
+    dir (harmless, unique name), never a wedged half-committed log
+    that FileExistsError would then refuse to rebuild forever
+    (ADVICE r7)."""
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid
+
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
     tag = hashlib.md5(
-        f"delta|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+        f"{kind}|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
-    if tag in _DELTA_DIRS:
-        return _DELTA_DIRS[tag]
-    import tempfile
-
-    table_dir = os.path.join(tempfile.gettempdir(), f"rtba_delta_{tag}")
-    if not os.path.exists(_commit_path(table_dir, 2)):
-        # Crash-idempotent staging: build the WHOLE table (data files +
-        # all commits) in a fresh scratch dir, then atomically rename it
-        # into place. A prior run that died mid-build leaves either a
-        # partial table_dir (a pre-rename code generation — delete it;
-        # its final commit marker is absent by the guard above) or an
-        # orphaned scratch dir (harmless, unique name), never a wedged
-        # half-committed log that FileExistsError would then refuse to
-        # rebuild forever.
-        import shutil
-        import uuid
-
+    cache_key = f"{kind}|{tag}"
+    if cache_key in _DELTA_DIRS:
+        return _DELTA_DIRS[cache_key]
+    table_dir = os.path.join(tempfile.gettempdir(), f"rtba_{kind}_{tag}")
+    done_marker = os.path.join(table_dir, "_staging_complete")
+    if not os.path.exists(done_marker):
         if os.path.exists(table_dir):
             shutil.rmtree(table_dir)
         stage_dir = f"{table_dir}.staging-{uuid.uuid4().hex[:12]}"
-        events = load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value"
-        )
-        m0 = events.filter(F.col("event_id") % 3 == 0)
-        m1 = events.filter(F.col("event_id") % 3 == 1)
-        m2 = events.filter(F.col("event_id") % 3 == 2)
-
-        adds_v0 = _write_version_files(spark, m0, stage_dir, "v0")
-        meta = {
-            "metaData": {
-                "id": f"rtba-{tag}",
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": events.schema.json(),
-                "partitionColumns": [],
-                "configuration": {},
-                "createdTime": _T0,
-            }
-        }
-        write_commit(stage_dir, 0, [PROTOCOL_ACTION, meta] + adds_v0)
-
-        adds_v1 = _write_version_files(spark, m1, stage_dir, "v1")
-        write_commit(stage_dir, 1, adds_v1)
-
-        removes = [
-            {
-                "remove": {
-                    "path": a["add"]["path"],
-                    "deletionTimestamp": _T0,
-                    "dataChange": True,
-                }
-            }
-            for a in adds_v0
-        ]
-        # compacted rewrite of the removed rows + the new modulus class
-        adds_v2 = _write_version_files(
-            spark, m0.unionByName(m2).coalesce(4), stage_dir, "v2"
-        )
-        write_commit(stage_dir, 2, removes + adds_v2)
+        _build_three_version_table(spark, sf_dir, stage_dir, tag)
+        if post_build is not None:
+            post_build(stage_dir)
+        with open(os.path.join(stage_dir, "_staging_complete"), "w") as f:
+            f.write(tag)
         try:
             os.rename(stage_dir, table_dir)
         except OSError:
             # a concurrent stager renamed first; its table is complete
             shutil.rmtree(stage_dir, ignore_errors=True)
-            if not os.path.exists(_commit_path(table_dir, 2)):
+            if not os.path.exists(done_marker):
                 raise
-    _DELTA_DIRS[tag] = table_dir
+    _DELTA_DIRS[cache_key] = table_dir
     return table_dir
+
+
+def stage_events_as_delta(spark, sf_dir: str) -> str:
+    """The plain three-version table (see _build_three_version_table),
+    staged once per corpus fingerprint."""
+    return _stage_table(spark, sf_dir, "delta")
+
+
+def changes_between(spark, table_dir: str, start_version: int, end_version: int):
+    """CDF-style incremental scan: the row-level changes committed in
+    versions ``start_version..end_version`` (both inclusive, like
+    Delta's ``startingVersion``): every ``dataChange`` add contributes
+    its file's rows as ``change_type='insert'`` and every
+    ``dataChange`` remove contributes the removed file's rows as
+    ``change_type='delete'``, each stamped with ``commit_version``.
+    This is the file-granularity change feed the log ALREADY encodes —
+    an incremental consumer reads only the commits since its last
+    position plus the files they touch, never the whole table (the
+    point of a log at 100 TB: downstream refresh cost is O(changed
+    bytes), not O(table)). Removed files are readable until vacuum,
+    exactly why tombstoned files stay on disk."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    versions = log_versions(table_dir)
+    want = list(range(start_version, end_version + 1))
+    missing = [v for v in want if v not in versions]
+    if missing:
+        raise ValueError(
+            f"{table_dir}: commits {missing} absent — CDF needs the JSON "
+            "actions for every version in the requested range"
+        )
+    parts = []
+    for v in want:
+        adds, removes = [], []
+        with open(_commit_path(table_dir, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action and action["add"].get("dataChange"):
+                    adds.append(os.path.join(table_dir, action["add"]["path"]))
+                elif "remove" in action and action["remove"].get("dataChange"):
+                    removes.append(
+                        os.path.join(table_dir, action["remove"]["path"])
+                    )
+        for paths, kind in ((adds, "insert"), (removes, "delete")):
+            if paths:
+                parts.append(
+                    spark.read.parquet(*paths)
+                    .withColumn("commit_version", F.lit(v).cast("bigint"))
+                    .withColumn("change_type", F.lit(kind))
+                )
+    if not parts:
+        raise ValueError(f"{table_dir}: no dataChange actions in range")
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def stage_events_as_delta_checkpointed(spark, sf_dir: str) -> str:
+    """The same three-version table, then ``write_checkpoint`` at
+    version 1 and LOG CLEANUP of commits 0-1 — so any replay of
+    version >= 1 MUST come through the checkpoint (the JSON history
+    behind it no longer exists), which is exactly what the
+    ``s_delta_checkpoint_replay`` oracle then hash-checks."""
+
+    def post_build(stage_dir: str) -> None:
+        write_checkpoint(stage_dir, 1)
+        expire_commits_before_checkpoint(stage_dir)
+
+    return _stage_table(spark, sf_dir, "deltacp", post_build=post_build)
+
+
+def delta_checkpoint_replay(spark, sf_dir: str):
+    """``s_delta_checkpoint_replay`` — versions 1 and 2 of the
+    checkpointed table, replayed AFTER log cleanup removed the JSON
+    commits the checkpoint covers: v1 is pure checkpoint state, v2 is
+    checkpoint + the one-tail commit (O(tail) replay). Hash-exact vs
+    the oracle's per-version modulus definitions; a checkpoint that
+    dropped/duplicated one add, mis-decoded the parquet state, or
+    mis-applied the tail diverges."""
+    from pyspark.sql import functions as F
+
+    table_dir = stage_events_as_delta_checkpointed(spark, sf_dir)
+    out = None
+    for v in (1, 2):
+        df = (
+            read_snapshot(spark, table_dir, version=v)
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+                F.min("event_id").alias("min_event_id"),
+                F.max("event_id").alias("max_event_id"),
+            )
+            .withColumn("version", F.lit(v).cast("bigint"))
+            .select(
+                "version", "n", "n_users", "total_value",
+                "min_event_id", "max_event_id",
+            )
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+DELTA_CHECKPOINT_REPLAY_SQL = """
+WITH v(version, m0, m1, m2) AS (
+    VALUES (CAST(1 AS BIGINT), true, true,  false),
+           (CAST(2 AS BIGINT), true, true,  true)
+)
+SELECT v.version,
+       count(*) AS n,
+       count(DISTINCT e.user_id) AS n_users,
+       round(sum(e.value), 2) AS total_value,
+       min(e.event_id) AS min_event_id,
+       max(e.event_id) AS max_event_id
+FROM v JOIN events e
+  ON (e.event_id % 3 = 0 AND v.m0)
+  OR (e.event_id % 3 = 1 AND v.m1)
+  OR (e.event_id % 3 = 2 AND v.m2)
+GROUP BY v.version
+ORDER BY v.version
+"""
+
+
+def delta_cdf_changes(spark, sf_dir: str):
+    """``s_delta_cdf_changes`` — the full change feed of the staged
+    table (commits 0..2) aggregated per (commit_version, change_type).
+    The oracle replays the SET-DIFFERENCE definition of each commit:
+    v0 inserts %3==0, v1 inserts %3==1, v2 deletes %3==0 and re-inserts
+    %3 IN (0,2) (the compaction rewrite) — a change feed that loses,
+    duplicates, or mislabels one file's rows breaks the hash."""
+    from pyspark.sql import functions as F
+
+    table_dir = stage_events_as_delta(spark, sf_dir)
+    ch = changes_between(spark, table_dir, 0, 2)
+    return (
+        ch.groupBy("commit_version", "change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+DELTA_CDF_CHANGES_SQL = """
+WITH ch AS (
+  SELECT CAST(0 AS BIGINT) AS commit_version, 'insert' AS change_type, e.*
+  FROM events e WHERE e.event_id % 3 = 0
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), 'insert', e.* FROM events e WHERE e.event_id % 3 = 1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'delete', e.* FROM events e WHERE e.event_id % 3 = 0
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'insert', e.* FROM events e WHERE e.event_id % 3 IN (0, 2)
+)
+SELECT commit_version, change_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS total_value,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id
+FROM ch GROUP BY commit_version, change_type
+ORDER BY commit_version, change_type
+"""
 
 
 def delta_time_travel(spark, sf_dir: str):

@@ -137,7 +137,8 @@ def test_staging_recovers_from_partial_build(spark):
         v: D.replay(table_dir, v)["files"] for v in (0, 1, 2)
     }
     n_before = D.read_snapshot(spark, table_dir, 2).count()
-    # simulate the crash: final commit marker absent, earlier state present
+    # simulate the crash: completion marker absent, earlier state present
+    os.remove(os.path.join(table_dir, "_staging_complete"))
     os.remove(D._commit_path(table_dir, 2))
     D._DELTA_DIRS.clear()
     rebuilt = D.stage_events_as_delta(spark, sf)
@@ -154,3 +155,84 @@ def test_staging_recovers_from_partial_build(spark):
     assert not [
         d for d in os.listdir(parent) if d.startswith(f"{base}.staging-")
     ]
+
+
+def test_checkpoint_replays_without_covered_commits(tmp_path, spark):
+    """The checkpoint's reason to exist: after log cleanup (and even
+    with a CORRUPTED leftover commit behind the checkpoint), replay of
+    any version >= checkpoint works from the parquet state + tail
+    alone, and is file-identical to the pre-cleanup replay."""
+    table, adds1 = _toy_table(tmp_path, spark)
+    df2 = spark.createDataFrame([(3, "c")], "id bigint, s string")
+    adds2 = D._write_version_files(spark, df2, table, "v1")
+    D.write_commit(table, 1, adds2)
+    before = {v: D.replay(table, v)["files"] for v in (0, 1)}
+    D.write_checkpoint(table, 1)
+    # corrupt commit 0 in place, then clean both covered commits
+    with open(D._commit_path(table, 0), "w") as f:
+        f.write("{not json")
+    assert D.expire_commits_before_checkpoint(table) == [0, 1]
+    assert D.replay(table, 1)["files"] == before[1]
+    assert D.replay(table)["version"] == 1
+    # a further commit replays as checkpoint + tail
+    df3 = spark.createDataFrame([(4, "d")], "id bigint, s string")
+    adds3 = D._write_version_files(spark, df3, table, "v2")
+    D.write_commit(table, 2, adds3)
+    assert len(D.replay(table, 2)["files"]) == len(before[1]) + len(adds3)
+    assert D.read_snapshot(spark, table, 2).count() == 4
+    # time travel BEHIND the expired tail is refused, not silently wrong
+    with pytest.raises(ValueError, match="gaps"):
+        D.replay(table, 0)
+
+
+def test_checkpoint_tail_gap_refused(tmp_path, spark):
+    table, _ = _toy_table(tmp_path, spark)
+    D.write_checkpoint(table, 0)
+    df3 = spark.createDataFrame([(4, "d")], "id bigint, s string")
+    D.write_commit(table, 2, D._write_version_files(spark, df3, table, "v2"))
+    with pytest.raises(ValueError, match="gaps"):
+        D.replay(table, 2)
+
+
+def test_changes_between_emits_inserts_and_deletes(tmp_path, spark):
+    table, adds1 = _toy_table(tmp_path, spark)
+    df2 = spark.createDataFrame([(3, "c")], "id bigint, s string")
+    adds2 = D._write_version_files(spark, df2, table, "v1")
+    removes = [
+        {"remove": {"path": a["add"]["path"], "deletionTimestamp": 0,
+                    "dataChange": True}}
+        for a in adds1
+    ]
+    D.write_commit(table, 1, removes + adds2)
+    ch = D.changes_between(spark, table, 0, 1)
+    got = {
+        (r.commit_version, r.change_type, r.id) for r in ch.collect()
+    }
+    assert got == {
+        (0, "insert", 1), (0, "insert", 2),
+        (1, "delete", 1), (1, "delete", 2),
+        (1, "insert", 3),
+    }
+    # a range with an expired commit is refused
+    os.remove(D._commit_path(table, 0))
+    with pytest.raises(ValueError, match="absent"):
+        D.changes_between(spark, table, 0, 1)
+
+
+def test_cdf_non_datachange_compaction_excluded(tmp_path, spark):
+    """A pure compaction (dataChange=false on both sides) must NOT
+    appear in the change feed — the flag is what separates logical
+    changes from physical rewrites."""
+    table, adds1 = _toy_table(tmp_path, spark)
+    rewrite = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    adds2 = D._write_version_files(spark, rewrite, table, "v1")
+    actions = [
+        {"remove": {"path": a["add"]["path"], "deletionTimestamp": 0,
+                    "dataChange": False}}
+        for a in adds1
+    ] + [
+        {"add": {**a["add"], "dataChange": False}} for a in adds2
+    ]
+    D.write_commit(table, 1, actions)
+    ch = D.changes_between(spark, table, 0, 1)
+    assert {r.commit_version for r in ch.collect()} == {0}
