@@ -106,14 +106,27 @@ def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 # ------------------------------------------------------- RecordBatch v2
 
 
+# RecordBatch v2 attributes bits 0-2: the compression codec
+# (kafka.apache.org/protocol "attributes"). Only the codecs the
+# sandbox's stdlib can honor are implemented; a batch flagging any
+# other codec is refused loudly rather than mis-decoded.
+CODEC_NONE, CODEC_GZIP = 0, 1
+_CODEC_MASK = 0x07
+
+
 def encode_record_batch(
     records: list[tuple[bytes | None, bytes]],
     *,
     base_offset: int = 0,
     base_timestamp: int = 0,
+    codec: int = CODEC_NONE,
 ) -> bytes:
-    """[(key, value)] → one RecordBatch v2 (attributes 0: no
-    compression, CreateTime, not transactional, not control)."""
+    """[(key, value)] → one RecordBatch v2 (CreateTime, not
+    transactional, not control). ``codec=CODEC_GZIP`` gzip-compresses
+    the records section — the payload AFTER the 40 header bytes, per
+    the spec — and flags it in attributes bits 0-2; the CRC covers the
+    COMPRESSED bytes (it is computed over everything after the crc
+    field, so corruption is caught before any inflate runs)."""
     body = bytearray()
     for i, (key, value) in enumerate(records):
         rec = bytearray()
@@ -128,10 +141,21 @@ def encode_record_batch(
         rec += write_varint(0)  # headers
         body += write_varint(len(rec)) + rec
 
+    payload = bytes(body)
+    if codec == CODEC_GZIP:
+        import gzip
+
+        # fixed mtime: byte-reproducible batches (same reason as the
+        # avro deflate path)
+        payload = gzip.compress(payload, mtime=0)
+    elif codec != CODEC_NONE:
+        raise ValueError(f"unsupported codec {codec}")
     n = len(records)
     after_crc = (
-        struct.pack(">hiqqqhii", 0, n - 1, base_timestamp, base_timestamp, -1, -1, -1, n)
-        + bytes(body)
+        struct.pack(
+            ">hiqqqhii", codec, n - 1, base_timestamp, base_timestamp, -1, -1, -1, n
+        )
+        + payload
     )
     crc = crc32c(after_crc)
     # partitionLeaderEpoch(4) magic(1) crc(4) + after_crc
@@ -140,7 +164,10 @@ def encode_record_batch(
 
 
 def decode_record_batch(buf: bytes) -> list[tuple[bytes | None, bytes]]:
-    """One RecordBatch v2 → [(key, value)], CRC-verified."""
+    """One RecordBatch v2 → [(key, value)], CRC-verified; the
+    attributes codec bits are honored (none / gzip) BOTH directions —
+    CRC is checked on the wire bytes first, then the records section
+    inflates if flagged."""
     if len(buf) < 61:  # fixed envelope: 12 + 9 + 40 header bytes
         raise ValueError("truncated record batch")
     base_offset, batch_len = struct.unpack(">qi", buf[:12])
@@ -152,9 +179,21 @@ def decode_record_batch(buf: bytes) -> list[tuple[bytes | None, bytes]]:
     after_crc = buf[21 : 12 + batch_len]
     if crc32c(after_crc) != crc:
         raise ValueError("record batch CRC mismatch")
-    (_attrs, _last_delta, _bts, _mts, _pid, _pepoch, _bseq, count) = struct.unpack(
+    (attrs, _last_delta, _bts, _mts, _pid, _pepoch, _bseq, count) = struct.unpack(
         ">hiqqqhii", after_crc[:40]
     )
+    codec = attrs & _CODEC_MASK
+    if codec == CODEC_GZIP:
+        import gzip
+        import zlib
+
+        try:
+            records_section = gzip.decompress(bytes(after_crc[40:]))
+        except (OSError, EOFError, zlib.error) as e:
+            raise ValueError(f"gzip records section malformed: {e}") from e
+        after_crc = after_crc[:40] + records_section
+    elif codec != CODEC_NONE:
+        raise ValueError(f"unsupported codec {codec} in batch attributes")
     pos, out = 40, []
     for _ in range(count):
         rec_len, pos = read_varint(after_crc, pos)

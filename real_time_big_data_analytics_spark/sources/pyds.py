@@ -354,8 +354,15 @@ def stage_events_on_wire(spark, sf_dir: str) -> str:
         corr = 0
         with socket.create_connection((host, int(port)), timeout=60) as sock:
             for kpart, recs in by_kpart.items():
-                for i in range(0, len(recs), 2000):
-                    batch = kw.encode_record_batch(recs[i : i + 2000])
+                for bi, i in enumerate(range(0, len(recs), 2000)):
+                    # alternate gzip / uncompressed per batch: the log
+                    # carries BOTH codecs, so the hash-exact roundtrip
+                    # proves the attribute bit is honored per batch in
+                    # each direction (real producers default compressed)
+                    batch = kw.encode_record_batch(
+                        recs[i : i + 2000],
+                        codec=kw.CODEC_GZIP if bi % 2 == 0 else kw.CODEC_NONE,
+                    )
                     corr += 1
                     resp = kw.call(
                         sock,

@@ -223,3 +223,85 @@ def test_unsupported_version_is_signalled(broker):
     with _connect(addr) as sock:
         resp = KW.call(sock, KW.frame_request(KW.API_PRODUCE, 9, 7, b"\x00"))
     assert struct.unpack(">h", resp[:2])[0] == 35  # UNSUPPORTED_VERSION
+
+
+def test_gzip_batch_roundtrip_and_attribute_bit():
+    """Attribute-flagged gzip compression (RecordBatch v2 bits 0-2):
+    encode/decode round-trips byte-identically to the uncompressed
+    payload, the codec bit is actually set, the compressed batch is
+    smaller on compressible data, and corruption inside the compressed
+    section is caught by the CRC before any inflate runs."""
+    import struct
+
+    recs = [(f"k{i}".encode(), (f"v{i}-" * 40).encode()) for i in range(50)]
+    plain = KW.encode_record_batch(recs)
+    gz = KW.encode_record_batch(recs, codec=KW.CODEC_GZIP)
+    (attrs_plain,) = struct.unpack(">h", plain[21:23])
+    (attrs_gz,) = struct.unpack(">h", gz[21:23])
+    assert attrs_plain & 0x07 == KW.CODEC_NONE
+    assert attrs_gz & 0x07 == KW.CODEC_GZIP
+    assert len(gz) < len(plain)
+    assert KW.decode_record_batch(gz) == recs == KW.decode_record_batch(plain)
+    # flip a byte in the compressed records section -> CRC catches it
+    bad = bytearray(gz)
+    bad[70] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        KW.decode_record_batch(bytes(bad))
+    # a VALID CRC over a malformed gzip stream is refused as designed
+    # (rebuild the crc over a corrupted payload; the flip sits in the
+    # DEFLATE data past the 10-byte gzip header, not in mutable header
+    # fields like mtime, so the stream is genuinely broken)
+    body = bytearray(gz[21:])
+    body[40 + 20] ^= 0xFF
+    crc = KW.crc32c(bytes(body))
+    forged = gz[:12] + struct.pack(">ibI", -1, 2, crc) + bytes(body)
+    with pytest.raises(ValueError, match="gzip|CRC"):
+        KW.decode_record_batch(forged)
+
+
+def test_unknown_codec_bits_refused():
+    import struct
+
+    recs = [(b"k", b"v")]
+    plain = KW.encode_record_batch(recs)
+    body = bytearray(plain[21:])
+    attrs = struct.unpack(">h", body[:2])[0] | 3  # flag lz4 (unimplemented)
+    body[:2] = struct.pack(">h", attrs)
+    crc = KW.crc32c(bytes(body))
+    forged = plain[:12] + struct.pack(">ibI", -1, 2, crc) + bytes(body)
+    with pytest.raises(ValueError, match="unsupported codec"):
+        KW.decode_record_batch(forged)
+    with pytest.raises(ValueError, match="unsupported codec"):
+        KW.encode_record_batch(recs, codec=4)
+
+
+def test_gzip_batches_through_broker(broker):
+    """Mixed-codec log through produce -> socket -> fetch: the broker
+    stores and serves gzip batches byte-identically and the decoded
+    stream interleaves with uncompressed batches."""
+    import socket
+    import struct
+
+    _, addr = broker
+    b1 = KW.encode_record_batch([(b"a", b"1")], codec=KW.CODEC_GZIP)
+    b2 = KW.encode_record_batch([(b"b", b"2")])
+    with _connect(addr) as sock:
+        for corr, batch in ((1, b1), (2, b2)):
+            KW.call(
+                sock,
+                KW.frame_request(
+                    KW.API_PRODUCE, 3, corr,
+                    KW.produce_request_v3("t", 0, batch),
+                ),
+            )
+        resp = KW.call(
+            sock,
+            KW.frame_request(
+                KW.API_FETCH, 4, 3, KW.fetch_request_v4("t", 0, offset=0)
+            ),
+        )
+    record_set = KW.parse_fetch_record_sets(resp)[("t", 0)]
+    got = []
+    for b in KW.split_record_sets(record_set):
+        got.extend(KW.decode_record_batch(b))
+    assert got == [(b"a", b"1"), (b"b", b"2")]
