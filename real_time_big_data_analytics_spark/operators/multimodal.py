@@ -129,15 +129,16 @@ def decode_real(payload: bytes) -> dict:
     sequential-DCT JPEG in both grayscale and 4:2:0 YCbCr layouts
     (``_jpeg_codec``, ``l5_jpeg_pixel_decode_stats``), as are the
     PROGRESSIVE JPEG process (SOF2 — spectral selection + successive
-    approximation) and the LOSSLESS JPEG process (SOF3 — Huffman
-    predictive, all seven Annex-H predictors, round 7), and AVI frame
-    extraction covers uncompressed-DIB and Motion-JPEG layouts
-    (``_avi_codec``). Unrecognized containers fall through to PIL when
-    available, else the disclosed NotImplementedError — now narrowed
-    to inter-frame video codecs (H.26x/VPx/AV1) and arithmetic-coded
-    JPEG, the formats whose pixel decode genuinely needs a codec
-    library; the deterministic fake in ``decode_image_metadata`` keeps
-    the pipeline testable)."""
+    approximation), the LOSSLESS JPEG process (SOF3 — Huffman
+    predictive, all seven Annex-H predictors, round 7), and the
+    ARITHMETIC-CODED sequential process (SOF9 — T.81 Annex D QM coder,
+    round 8), and AVI frame extraction covers uncompressed-DIB and
+    Motion-JPEG layouts (``_avi_codec``). Unrecognized containers fall
+    through to PIL when available, else the disclosed
+    NotImplementedError — now narrowed to inter-frame video codecs
+    (H.26x/VPx/AV1) ONLY, the formats whose pixel decode genuinely
+    needs a codec library; the deterministic fake in
+    ``decode_image_metadata`` keeps the pipeline testable)."""
     parsed = decode_header(payload)
     if parsed is not None:
         return parsed
@@ -1675,7 +1676,7 @@ def _gif_codec():
 def _jpeg_codec():
     """Single-source JPEG codec — stdlib struct + numpy only, no codec
     library: REAL encoders and a REAL decoder for the DCT JPEG
-    processes plus the LOSSLESS predictive process. Four
+    processes plus the LOSSLESS predictive process. Five
     pixel/process layouts:
 
       * grayscale baseline — ``encode`` of an (h, w) uint8 array emits
@@ -1708,7 +1709,21 @@ def _jpeg_codec():
         difference of exactly 32768 carries no additional bits).
         Decode is ARRAY-EXACT for Pt=0 on arbitrary content —
         pytest-pinned across all predictors, both precisions, and
-        non-block-aligned shapes.
+        non-block-aligned shapes;
+      * **ARITHMETIC grayscale (round 8, SOF9)** —
+        ``encode(px, arith=True)`` replaces the Huffman entropy layer
+        with the T.81 Annex-D QM coder: 113 adaptive probability
+        states + the fixed ~0.5 sign state, conditional MPS/LPS
+        exchange, carry-resolving byte output, and the Annex-F
+        sequential decision models (5-class DC conditioning with the
+        default L=0/U=1 thresholds, per-k AC EOB/run/magnitude
+        contexts with the Kx=5 split, conditioning transmitted in a
+        DAC segment). Pytest-pinned to decode BIT-IDENTICALLY to the
+        sequential process on random images (and it compresses
+        smaller — the adaptive contexts demonstrably adapt). No
+        foreign arithmetic-JPEG decoder exists in the sandbox to
+        cross-validate byte-level conformance (disclosed in the QE
+        table comment).
 
     The encoder emits spec-valid JFIF streams (DQT, SOF0/SOF2, DHT,
     one or more SOS, Huffman-coded entropy data with 0xFF byte
@@ -2042,11 +2057,367 @@ def _jpeg_codec():
             return b + ((a - c) >> 1)
         return (a + b) >> 1  # psel == 7
 
+    # ---- T.81 Annex D QM arithmetic coder (round 8, SOF9) ----------
+    # Qe probability-estimation state machine, transcribed from the
+    # public T.81 Table D.3: (Qe, NMPS, NLPS, SWITCH). Index 113 is
+    # the NON-ADAPTIVE ~equiprobable state the spec assigns to AC sign
+    # decisions. Encoder/decoder share this table, so the roundtrip is
+    # table-consistent by construction; no foreign arithmetic-JPEG
+    # decoder exists in the sandbox to cross-validate byte conformance
+    # (PIL absent; JDK imageio is Huffman-only — disclosed), so the
+    # pytest bar is the SOF2 discipline: arithmetic decode must equal
+    # sequential decode of the same pixels, exactly.
+    QE_TAB = (
+        (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+        (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+        (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+        (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+        (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+        (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+        (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+        (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+        (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+        (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+        (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+        (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+        (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+        (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+        (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+        (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+        (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+        (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+        (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+        (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+        (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+        (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+        (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+        (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+        (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+        (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+        (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+        (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+        (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+        (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+        (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+        (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+        (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+        (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+        (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+        (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+        (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+        (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1),
+        (0x5A1D, 113, 113, 0),  # fixed ~0.5 state (AC signs)
+    )
+    ARITH_DC_L, ARITH_DC_U, ARITH_AC_K = 0, 1, 5  # default conditioning
+
+    class _QMEncoder:
+        """Annex D encoder: interval A, code register C (bottom of the
+        interval), CT spacer-bit counter, carry resolved directly into
+        the raw byte list; 0xFF→0xFF00 stuffing applied at flush (the
+        entropy-segment convention this container already uses)."""
+
+        def __init__(self):
+            self.a = 0x10000
+            self.c = 0
+            self.ct = 11
+            self.raw = bytearray()
+
+        def _carry(self):
+            i = len(self.raw) - 1
+            while i >= 0 and self.raw[i] == 0xFF:
+                self.raw[i] = 0
+                i -= 1
+            if i < 0:
+                raise ValueError("arithmetic carry out of stream start")
+            self.raw[i] += 1
+
+        def _byteout(self):
+            t = self.c >> 19
+            if t > 0xFF:
+                self._carry()
+                t &= 0xFF
+            self.raw.append(t)
+            self.c &= 0x7FFFF
+
+        def _renorm(self):
+            while True:
+                self.a <<= 1
+                self.c <<= 1
+                self.ct -= 1
+                if self.ct == 0:
+                    self._byteout()
+                    self.ct = 8
+                if self.a >= 0x8000:
+                    return
+
+        def encode(self, st, k: int, bit: int) -> None:
+            sv = st[k]
+            idx, mps = sv & 0x7F, sv >> 7
+            qe, nmps, nlps, switch = QE_TAB[idx]
+            a1 = self.a - qe
+            if bit == mps:
+                if a1 >= 0x8000:  # short MPS path: no renorm, no update
+                    self.a = a1
+                    return
+                if a1 < qe:  # conditional exchange: MPS takes the top
+                    self.c += a1
+                    self.a = qe
+                else:
+                    self.a = a1
+                st[k] = (mps << 7) | nmps
+            else:
+                if a1 < qe:  # conditional exchange: LPS takes the bottom
+                    self.a = a1
+                else:
+                    self.c += a1
+                    self.a = qe
+                if switch:
+                    mps ^= 1
+                st[k] = (mps << 7) | nlps
+            self._renorm()
+
+        def flush(self) -> bytes:
+            # clear as many low bits of C as the interval allows
+            t = (self.c + self.a - 1) & 0xFFFF0000
+            self.c = t + 0x8000 if t < self.c else t
+            self.c <<= self.ct
+            if self.c > 0x7FFFFFF:
+                self._carry()
+                self.c &= 0x7FFFFFF
+            self.raw.append((self.c >> 19) & 0xFF)
+            self.raw.append((self.c >> 11) & 0xFF)
+            self.raw.append((self.c >> 3) & 0xFF)
+            out = bytearray()
+            for b in self.raw:
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+    class _QMDecoder:
+        """Bit-fed mirror of the encoder: D is the (truncated) offset
+        of the code value above the interval bottom at the current
+        scale — integer comparisons against subinterval boundaries are
+        exact under truncation, and zero bits feed past stream end
+        (the behavior real decoders get at the trailing marker)."""
+
+        def __init__(self, data: bytes):  # unstuffed entropy bytes
+            self.data = data
+            self.a = 0x10000
+            b0 = data[0] if len(data) > 0 else 0
+            b1 = data[1] if len(data) > 1 else 0
+            self.d = (b0 << 8) | b1
+            self.pos = 16
+            self.total = len(data) * 8
+
+        def _bit(self) -> int:
+            p = self.pos
+            self.pos = p + 1
+            if p >= self.total:
+                return 0
+            return (self.data[p >> 3] >> (7 - (p & 7))) & 1
+
+        def decode(self, st, k: int) -> int:
+            sv = st[k]
+            idx, mps = sv & 0x7F, sv >> 7
+            qe, nmps, nlps, switch = QE_TAB[idx]
+            a1 = self.a - qe
+            exchange = a1 < qe
+            if self.d >= a1:
+                self.d -= a1
+                self.a = qe
+                is_mps = exchange  # top interval is MPS only on exchange
+            else:
+                self.a = a1
+                if a1 >= 0x8000:  # short MPS path: no renorm, no update
+                    return mps
+                is_mps = not exchange
+            if is_mps:
+                st[k] = (mps << 7) | nmps
+                bit = mps
+            else:
+                bit = mps ^ 1
+                if switch:
+                    mps ^= 1
+                st[k] = (mps << 7) | nlps
+            while self.a < 0x8000:
+                self.a <<= 1
+                self.d = (self.d << 1) | self._bit()
+            return bit
+
+    def _arith_encode_block(enc, dc_st, ac_st, fixed, dc_ctx, zz, last_dc):
+        """Sequential DCT decision model (T.81 F.1.4.4.1, the layout
+        libjpeg's conformant implementation uses): DC bins 0-19 are 5
+        conditioning classes x (S0, SS, SP, SN), X bins at 20, mantissa
+        at X+14; AC bins 3 per k (EOB, zero/nonzero, first magnitude),
+        X areas at 189 (k <= Kx) / 217, sign in the fixed bin. Returns
+        (new last_dc, new dc_context)."""
+        v = int(zz[0]) - last_dc
+        last_dc = int(zz[0])
+        st = dc_ctx
+        if v == 0:
+            enc.encode(dc_st, st, 0)
+            dc_ctx = 0
+        else:
+            enc.encode(dc_st, st, 1)
+            if v > 0:
+                enc.encode(dc_st, st + 1, 0)
+                sign = 0
+                st += 2
+            else:
+                v = -v
+                enc.encode(dc_st, st + 1, 1)
+                sign = 1
+                st += 3
+            m = 0
+            v2 = v - 1
+            if v2:
+                enc.encode(dc_st, st, 1)
+                m = 1
+                st = 20
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(dc_st, st, 1)
+                    m <<= 1
+                    st += 1
+            enc.encode(dc_st, st, 0)
+            if m < (1 << ARITH_DC_L) >> 1:
+                dc_ctx = 0
+            elif m > (1 << ARITH_DC_U) >> 1:
+                dc_ctx = 12 + sign * 4
+            else:
+                dc_ctx = 4 + sign * 4
+            st += 14
+            vm = v - 1
+            while m >> 1:
+                m >>= 1
+                enc.encode(dc_st, st, 1 if (m & vm) else 0)
+        ke = 63
+        while ke > 0 and zz[ke] == 0:
+            ke -= 1
+        k = 1
+        while k <= ke:
+            st = 3 * (k - 1)
+            enc.encode(ac_st, st, 0)  # not end-of-block
+            while zz[k] == 0:
+                enc.encode(ac_st, st + 1, 0)
+                st += 3
+                k += 1
+            enc.encode(ac_st, st + 1, 1)
+            v = int(zz[k])
+            if v > 0:
+                enc.encode(fixed, 0, 0)
+            else:
+                v = -v
+                enc.encode(fixed, 0, 1)
+            st += 2
+            m = 0
+            v2 = v - 1
+            if v2:
+                enc.encode(ac_st, st, 1)
+                m = 1
+                if v2 >> 1:
+                    enc.encode(ac_st, st, 1)  # second decision, same bin
+                    m = 2
+                    v2 >>= 1
+                    st = 189 if k <= ARITH_AC_K else 217
+                    while v2 >> 1:
+                        v2 >>= 1
+                        enc.encode(ac_st, st, 1)
+                        m <<= 1
+                        st += 1
+            enc.encode(ac_st, st, 0)
+            st += 14
+            vm = v - 1
+            while m >> 1:
+                m >>= 1
+                enc.encode(ac_st, st, 1 if (m & vm) else 0)
+            k += 1
+        if ke < 63:
+            st = 3 * (k - 1)
+            enc.encode(ac_st, st, 1)  # end-of-block
+        return last_dc, dc_ctx
+
+    def _arith_decode_block_cond(
+        dec, dc_st, ac_st, fixed, dc_ctx, last_dc,
+        dc_l=ARITH_DC_L, dc_u=ARITH_DC_U, kx=ARITH_AC_K,
+    ):
+        """Mirror of _arith_encode_block under the given conditioning
+        (decoder reads L/U/Kx from the DAC segment); returns
+        (zz vector, new last_dc, new dc_context)."""
+        zz = np.zeros(64, dtype=np.int64)
+        st = dc_ctx
+        if dec.decode(dc_st, st):
+            sign = dec.decode(dc_st, st + 1)
+            st += 2 + sign
+            m = dec.decode(dc_st, st)
+            if m:
+                st = 20
+                while dec.decode(dc_st, st):
+                    m <<= 1
+                    if m >= 0x8000:
+                        raise ValueError("corrupt arithmetic DC magnitude")
+                    st += 1
+            if m < (1 << dc_l) >> 1:
+                dc_ctx = 0
+            elif m > (1 << dc_u) >> 1:
+                dc_ctx = 12 + sign * 4
+            else:
+                dc_ctx = 4 + sign * 4
+            v = m
+            if m:
+                st += 14
+                while m >> 1:
+                    m >>= 1
+                    if dec.decode(dc_st, st):
+                        v |= m
+            v += 1
+            last_dc += -v if sign else v
+        else:
+            dc_ctx = 0
+        zz[0] = last_dc
+        k = 1
+        while k <= 63:
+            st = 3 * (k - 1)
+            if dec.decode(ac_st, st):  # end-of-block
+                break
+            while not dec.decode(ac_st, st + 1):
+                st += 3
+                k += 1
+                if k > 63:
+                    raise ValueError("corrupt arithmetic AC run")
+            sign = dec.decode(fixed, 0)
+            st += 2
+            m = dec.decode(ac_st, st)
+            if m:
+                if dec.decode(ac_st, st):
+                    m = 2
+                    st = 189 if k <= kx else 217
+                    while dec.decode(ac_st, st):
+                        m <<= 1
+                        if m >= 0x8000:
+                            raise ValueError(
+                                "corrupt arithmetic AC magnitude"
+                            )
+                        st += 1
+            v = m
+            if m:
+                st += 14
+                while m >> 1:
+                    m >>= 1
+                    if dec.decode(ac_st, st):
+                        v |= m
+            v += 1
+            zz[k] = -v if sign else v
+            k += 1
+        return zz, last_dc, dc_ctx
+
     def encode(
         pixels,
         *,
         progressive: bool = False,
         lossless: bool = False,
+        arith: bool = False,
         predictor: int = 1,
         pt: int = 0,
     ) -> bytes:
@@ -2117,6 +2488,46 @@ def _jpeg_codec():
                 + b"\xff\xd9"
             )
         px = np.asarray(pixels, dtype=np.uint8)
+        if arith:  # extended sequential DCT, arithmetic coding (SOF9)
+            if progressive:
+                raise ValueError("arithmetic progressive not implemented")
+            if px.ndim != 2:
+                raise ValueError("arithmetic encoding supports grayscale only")
+            h, w = px.shape
+            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+            q = _block_coefs(padded)
+            enc = _QMEncoder()
+            dc_st = bytearray(64)
+            ac_st = bytearray(256)
+            fixed = bytearray([113])
+            last_dc, dc_ctx = 0, 0
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    zzb = q[by, bx].ravel()[ZIGZAG]
+                    last_dc, dc_ctx = _arith_encode_block(
+                        enc, dc_st, ac_st, fixed, dc_ctx, zzb, last_dc
+                    )
+            qt = np.ones(64, dtype=np.uint8)
+            dqt = _seg(0xFFDB, bytes([0x00]) + qt.tobytes())
+            sof = _seg(
+                0xFFC9, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+            )
+            # DAC (arithmetic conditioning, B.2.4.3): DC table 0 with
+            # Cs = (U << 4) | L, AC table 0 with Cs = Kx
+            dac = _seg(
+                0xFFCC,
+                bytes([0x00, (ARITH_DC_U << 4) | ARITH_DC_L])
+                + bytes([0x10, ARITH_AC_K]),
+            )
+            return (
+                b"\xff\xd8"
+                + _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+                + dqt + sof + dac
+                + _sos([1], 0, 63, 0, 0)
+                + enc.flush()
+                + b"\xff\xd9"
+            )
         if px.ndim == 2 and progressive:  # grayscale progressive (SOF2)
             h, w = px.shape
             ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
@@ -2217,6 +2628,8 @@ def _jpeg_codec():
         comps = None  # [(cid, hv, tq)] in SOF order
         progressive = False
         lossless = False
+        arith_mode = False
+        arith_cond = {}  # (class, table_id) -> Cs conditioning value
         scans = []  # [(scan_comps, ss, se, ah, al, entropy_bytes)]
         saw_eoi = False
         while i + 2 <= n:
@@ -2241,9 +2654,10 @@ def _jpeg_codec():
                         seg[j + 1 : j + 65], dtype=np.uint8
                     ).astype(np.int64)
                     j += 65
-            elif marker in (0xC0, 0xC2, 0xC3):
+            elif marker in (0xC0, 0xC2, 0xC3, 0xC9):
                 progressive = marker == 0xC2
                 lossless = marker == 0xC3
+                arith_mode = marker == 0xC9
                 prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
                 if prec != 8 and not (lossless and prec == 16):
                     raise ValueError(
@@ -2258,14 +2672,21 @@ def _jpeg_codec():
                     raise ValueError(
                         "only single-component 4:4:4 or 3-component 4:2:0 supported"
                     )
-                if (progressive or lossless) and ncomp != 1:
+                if (progressive or lossless or arith_mode) and ncomp != 1:
                     raise ValueError(
-                        "progressive/lossless decode supports grayscale only"
+                        "progressive/lossless/arithmetic decode supports "
+                        "grayscale only"
                     )
             elif marker == 0xC1:
                 raise ValueError(
-                    "only SOF0 baseline / SOF2 progressive / SOF3 lossless supported"
+                    "only SOF0 baseline / SOF2 progressive / SOF3 lossless "
+                    "/ SOF9 arithmetic supported"
                 )
+            elif marker == 0xCC:  # DAC — arithmetic conditioning
+                j = 0
+                while j + 1 < len(seg):
+                    arith_cond[(seg[j] >> 4, seg[j] & 0xF)] = seg[j + 1]
+                    j += 2
             elif marker == 0xC4:
                 j = 0
                 while j < len(seg):
@@ -2328,6 +2749,39 @@ def _jpeg_codec():
             block = np.zeros(64, dtype=np.float64)
             block[ZIGZAG] = zz_vec * qt
             return D.T @ block.reshape(8, 8) @ D
+
+        if arith_mode:  # SOF9: extended sequential DCT, QM-coded
+            if len(scans) != 1:
+                raise ValueError("arithmetic stream must have one scan")
+            scomps, ss, se, ah, al, entropy = scans[0]
+            if (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError(
+                    "arithmetic stream must have one full-band scan"
+                )
+            cid, _, tq = comps[0]
+            dc_id, ac_id = scomps[cid]
+            # conditioning from DAC (defaults per B.2.4.3 if absent);
+            # the encoder-side constants must match or contexts desync
+            dc_cs = arith_cond.get((0, dc_id), 0x10)
+            kx = arith_cond.get((1, ac_id), 5)
+            dc_l, dc_u = dc_cs & 0xF, dc_cs >> 4
+            qt = qts[tq]
+            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            dec = _QMDecoder(entropy)
+            dc_st = bytearray(64)
+            ac_st = bytearray(256)
+            fixed = bytearray([113])
+            last_dc, dc_ctx = 0, 0
+            out = np.empty((ph // 8, pw // 8, 8, 8), dtype=np.float64)
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    zzb, last_dc, dc_ctx = _arith_decode_block_cond(
+                        dec, dc_st, ac_st, fixed, dc_ctx, last_dc,
+                        dc_l, dc_u, kx,
+                    )
+                    out[by, bx] = idct_block(zzb, qt)
+            img = out.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
+            return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
 
         if lossless:  # SOF3 predictive process: one scan, exact samples
             if len(scans) != 1:
@@ -2533,9 +2987,10 @@ def _jpeg_codec():
 
 
 def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5 — REAL JPEG pixel roundtrip, stdlib+numpy only. Round 7
-    widens the corpus across all FOUR supported processes by
-    doc_id % 4:
+    """L5 — REAL JPEG pixel roundtrip, stdlib+numpy only. Round 8
+    widens the corpus across all FIVE supported processes by
+    doc_id % 5 (slice 4 = the SOF9 QM-arithmetic process on the same
+    flat-block grayscale content, sharing the gray closed form):
 
       * 0 → per-block-flat GRAYSCALE (block ``bi`` at level
         ``(doc_id*13 % 256 + bi) % 256``) through the single-component
@@ -2595,7 +3050,7 @@ def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, n_chars in zip(batch["doc_id"], batch["n_chars"]):
                 d, nc = int(doc_id), int(n_chars)
                 s = (d * 13) % 256
-                if d % 4 == 1:
+                if d % 5 == 1:
                     w = (nc % 2 + 1) * 16
                     h = (nc % 3 + 1) * 16
                     y = flat_blocks(s, h // 8, w // 8, 8)
@@ -2604,7 +3059,7 @@ def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pixels = np.stack([y, cb, cr], axis=-1).astype(np.uint8)
                     fmt = "ycbcr420"
                     payload = encode(pixels)
-                elif d % 4 == 3:
+                elif d % 5 == 3:
                     w = nc % 29 + 5
                     h = (nc * 7) % 23 + 5
                     ii = np.arange(h, dtype=np.int64)[:, None]
@@ -2614,11 +3069,17 @@ def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = encode(
                         pixels, lossless=True, predictor=d % 7 + 1
                     )
+                elif d % 5 == 4:  # QM arithmetic coding (SOF9, round 8)
+                    w = (nc % 3 + 2) * 8
+                    h = (nc % 2 + 2) * 8
+                    pixels = flat_blocks(s, h // 8, w // 8, 8).astype(np.uint8)
+                    fmt = "gray_arith"
+                    payload = encode(pixels, arith=True)
                 else:
                     w = (nc % 3 + 2) * 8
                     h = (nc % 2 + 2) * 8
                     pixels = flat_blocks(s, h // 8, w // 8, 8).astype(np.uint8)
-                    prog = d % 4 == 2
+                    prog = d % 5 == 2
                     fmt = "gray_progressive" if prog else "gray"
                     payload = encode(pixels, progressive=prog)
                 arr = decode(payload).astype(np.int64)

@@ -2103,11 +2103,11 @@ register(
     sql="""
     WITH p AS (
       SELECT doc_id, n_chars,
-             CASE WHEN doc_id % 4 = 1 THEN (n_chars % 2 + 1) * 16
-                  WHEN doc_id % 4 = 3 THEN n_chars % 29 + 5
+             CASE WHEN doc_id % 5 = 1 THEN (n_chars % 2 + 1) * 16
+                  WHEN doc_id % 5 = 3 THEN n_chars % 29 + 5
                   ELSE (n_chars % 3 + 2) * 8 END AS w,
-             CASE WHEN doc_id % 4 = 1 THEN (n_chars % 3 + 1) * 16
-                  WHEN doc_id % 4 = 3 THEN (n_chars * 7) % 23 + 5
+             CASE WHEN doc_id % 5 = 1 THEN (n_chars % 3 + 1) * 16
+                  WHEN doc_id % 5 = 3 THEN (n_chars * 7) % 23 + 5
                   ELSE (n_chars % 2 + 2) * 8 END AS h,
              (doc_id * 13) % 256 AS s
       FROM documents
@@ -2117,24 +2117,25 @@ register(
              (w // 16) * (h // 16) AS n_mcu
       FROM p
     ), ll AS (
-      -- lossless corpus (doc_id % 4 = 3): EXACT sum of the arbitrary
+      -- lossless corpus (doc_id % 5 = 3): EXACT sum of the arbitrary
       -- generator pixel(i,j) = (s + 7i + 13j) % 256 over h x w
       SELECT q.doc_id, sum((q.s + 7 * i.g + 13 * j.g) % 256) AS px
       FROM q, generate_series(0, 26) i(g), generate_series(0, 32) j(g)
-      WHERE q.doc_id % 4 = 3 AND i.g < q.h AND j.g < q.w
+      WHERE q.doc_id % 5 = 3 AND i.g < q.h AND j.g < q.w
       GROUP BY q.doc_id
     )
     SELECT q.doc_id,
-           CASE q.doc_id % 4 WHEN 0 THEN 'gray' WHEN 1 THEN 'ycbcr420'
+           CASE q.doc_id % 5 WHEN 0 THEN 'gray' WHEN 1 THEN 'ycbcr420'
                 WHEN 2 THEN 'gray_progressive'
+                WHEN 4 THEN 'gray_arith'
                 ELSE 'gray_lossless' END AS jpeg_format,
            CAST(q.w AS INT) AS width,
            CAST(q.h AS INT) AS height,
-           CAST(CASE WHEN q.doc_id % 4 = 1
+           CAST(CASE WHEN q.doc_id % 5 = 1
                 THEN 64 * ({y_sum})
                      + 256 * ({cb_sum})
                      + 256 * ({cr_sum})
-                WHEN q.doc_id % 4 = 3 THEN ll.px
+                WHEN q.doc_id % 5 = 3 THEN ll.px
                 ELSE 64 * ({y_sum})
                 END AS BIGINT) AS sum_pixels
     FROM q LEFT JOIN ll ON q.doc_id = ll.doc_id

