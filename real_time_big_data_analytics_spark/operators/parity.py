@@ -115,8 +115,9 @@ FROM events GROUP BY 1
 """
 
 
-def scored_parity_9col(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6 golden parity — the reference's exact 9-column scored output
+def scored_parity_9col_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 golden parity (keyed by user_id — the row identity the ES
+    verdict index uses as ``_id``) — the reference's 9-column scored output
     shape (reference ConsumerESFinal.scala:90: statuses_count,
     followers_count, friends_count, favourites_count, protected,
     verified, lang, location, bolt_user), produced by the idiomatic
@@ -163,6 +164,7 @@ def scored_parity_9col(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = with_verdict(model.transform(feats))
     return scored.join(F.broadcast(dim), "user_id", "inner").select(
+        "user_id",
         F.col("n_events").alias("statuses_count"),
         F.col("n_clicks").alias("followers_count"),
         F.col("n_purchases").alias("friends_count"),
@@ -172,4 +174,51 @@ def scored_parity_9col(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "location",
         "bolt_user",
+    )
+
+
+def scored_parity_9col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact 9 output columns (see
+    scored_parity_9col_keyed, which this drops the row key from)."""
+    return scored_parity_9col_keyed(spark, sf_dir).drop("user_id")
+
+
+def es_verdict_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``s_es_verdict_index`` — the reference's COMPLETE sink topology,
+    end-to-end in-engine: score users with the MLlib tree (P6), bulk-
+    index the scored 9-column verdicts into the reference's own index
+    name ``detect_bolt_user`` over the ES wire protocol
+    (ConsumerESFinal.scala:86-94 ``saveToEs("detect_bolt_user/final")``
+    — `_id` = user_id, murmur3-routed, one HTTP connection per Spark
+    task), then read the index back through the sliced-scroll
+    DataSource and re-emit every row. The output's ``user_id`` column
+    is decoded from the TRANSPORTED ``_id`` (not the payload), so the
+    hash binds both the document body and the routing key; the oracle
+    replays the whole thing through the pinned compiled tree
+    (queries_parity._P6_SQL with the key column)."""
+    from ..sources.pyds import index_df_in_es, read_events_via_es_wire
+
+    scored = scored_parity_9col_keyed(spark, sf_dir)
+    index_df_in_es(spark, sf_dir, "detect_bolt_user", scored, "user_id")
+    raw = read_events_via_es_wire(spark, sf_dir, index="detect_bolt_user")
+    doc_schema = (
+        "user_id bigint, statuses_count bigint, followers_count bigint, "
+        "friends_count bigint, favourites_count bigint, protected int, "
+        "verified int, lang string, location string, bolt_user string"
+    )
+    parsed = raw.select(
+        F.col("es_id").cast("bigint").alias("user_id"),
+        F.from_json("source", doc_schema).alias("r"),
+    )
+    return parsed.select(
+        "user_id",
+        "r.statuses_count",
+        "r.followers_count",
+        "r.friends_count",
+        "r.favourites_count",
+        "r.protected",
+        "r.verified",
+        "r.lang",
+        "r.location",
+        "r.bolt_user",
     )

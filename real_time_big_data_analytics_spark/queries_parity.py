@@ -24,7 +24,11 @@ register(
 # its compiled CASE-WHEN (ml.P6_TREE_PREDICT_SQL, pinned + drift-
 # asserted at query time and in tests/test_parity.py) lets DuckDB
 # replay the exact MLlib scoring and verdict strings per user.
-_P6_SQL = f"""
+def _p6_sql(keyed: bool) -> str:
+    """The P6 oracle; ``keyed`` adds the user_id row key (the column
+    the ES verdict index transports as ``_id``)."""
+    key = "f.user_id,\n       " if keyed else ""
+    return f"""
 WITH feats AS (
   SELECT user_id,
          count(*) AS n_events,
@@ -42,7 +46,7 @@ WITH feats AS (
          n_name AS location
   FROM customer JOIN nation ON c_nationkey = n_nationkey
 )
-SELECT f.n_events AS statuses_count,
+SELECT {key}f.n_events AS statuses_count,
        f.n_clicks AS followers_count,
        f.n_purchases AS friends_count,
        f.n_signups AS favourites_count,
@@ -52,9 +56,21 @@ SELECT f.n_events AS statuses_count,
 FROM feats f JOIN dim d USING (user_id)
 """
 
+
 register(
     "p6_scored_parity_9col",
     parity.scored_parity_9col,
-    sql=_P6_SQL,
+    sql=_p6_sql(keyed=False),
     tags=("parity", "ml"),
+)
+
+# The reference's COMPLETE sink topology (round 8): score with the
+# MLlib tree, bulk-index the verdicts into the reference's own
+# detect_bolt_user index over the ES wire, read back via sliced
+# scroll, hash every row (user_id decoded from the transported _id).
+register(
+    "s_es_verdict_index",
+    parity.es_verdict_index_roundtrip,
+    sql=_p6_sql(keyed=True),
+    tags=("parity", "ml", "elasticsearch", "wire"),
 )

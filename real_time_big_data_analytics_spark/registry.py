@@ -284,6 +284,10 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         # ask #3).
         "s_delta_checkpoint_replay",
         "s_delta_cdf_changes",
+        # The reference's complete sink topology (round 8): tree-scored
+        # verdicts bulk-indexed into detect_bolt_user over the ES wire
+        # and read back row-exact.
+        "s_es_verdict_index",
     }
 )
 

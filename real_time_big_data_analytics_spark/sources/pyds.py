@@ -1202,3 +1202,39 @@ def stage_events_in_es_streaming(spark, sf_dir: str) -> str:
     run_foreach_batch(stream, _index_batch, output_mode="append")
     _ES_STAGED.add(key)
     return index
+
+
+def index_df_in_es(spark, sf_dir: str, index: str, df, id_col: str) -> str:
+    """Bulk-index an arbitrary DataFrame into ``index`` on the staged
+    MiniES (idempotent per server+index): ``_id`` = ``id_col``, doc =
+    the JSON of every column — the generic writer the reference's
+    ``saveToEs(df)`` call is, distributed one HTTP connection per
+    Spark task. Returns the server address."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from . import es_wire as EW
+
+    addr = _es_addr(spark, sf_dir)
+    key = f"{addr}/{index}"
+    if key in _ES_STAGED:
+        return addr
+    EW.es_request(
+        addr,
+        "PUT",
+        f"/{index}",
+        json.dumps(
+            {"settings": {"index": {"number_of_shards": ES_NSHARDS}}}
+        ).encode(),
+    )
+    payload = df.select(
+        F.col(id_col).cast("string").alias("es_id"),
+        F.to_json(F.struct(*df.columns)).alias("doc"),
+    )
+    payload.foreachPartition(
+        bulk_index_partition_fn(addr, index, _repo_root())
+    )
+    EW.es_request(addr, "POST", f"/{index}/_refresh")
+    _ES_STAGED.add(key)
+    return addr

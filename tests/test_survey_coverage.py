@@ -65,6 +65,7 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
     "S7": (
         "s_es_wire_roundtrip",
         "s_es_wire_stream",
+        "s_es_verdict_index",  # the reference's saveToEs topology whole
         "t15_stream_cdc_materialize",
         "pytest:tests/test_es_wire.py",
     ),
