@@ -1613,6 +1613,80 @@ register(
     tags=("source", "elasticsearch", "wire", "streaming"),
 )
 
+
+def _es_wire_terms_agg(spark, sf_dir):
+    """The reference's Kibana panels ARE Elasticsearch aggregations
+    over the indexed stream (SURVEY §2.5 internalized them as Spark
+    A-series queries); this one runs SERVER-side over the wire like
+    the real dashboards: a terms aggregation on event_type (size 3,
+    doc_count desc / key asc — the documented default order) with a
+    sum(value) metric sub-agg and the sum_other_doc_count tail,
+    answered by MiniES from the indexed documents and parsed into a
+    bounded 4-row DataFrame. The oracle recomputes the same top-3 +
+    Other from the parquet truth, binding bucketing, ordering, tail
+    accounting, and the metric itself. Driver-side cost: one HTTP
+    request, K+1 rows — metadata scale (the server does the scan,
+    exactly the division of labor the reference ran)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .sources import es_wire as EW
+    from .sources.pyds import ES_INDEX, stage_events_in_es
+
+    addr = stage_events_in_es(spark, sf_dir)
+    resp = EW.es_request(
+        addr,
+        "POST",
+        f"/{ES_INDEX}/_search",
+        json.dumps(
+            {
+                "size": 0,
+                "aggs": {
+                    "by_type": {
+                        "terms": {"field": "event_type", "size": 3},
+                        "aggs": {
+                            "total_value": {"sum": {"field": "value"}}
+                        },
+                    }
+                },
+            }
+        ).encode(),
+    )
+    agg = resp["aggregations"]["by_type"]
+    rows = [
+        (b["key"], int(b["doc_count"]), float(b["total_value"]["value"]))
+        for b in agg["buckets"]
+    ] + [("Other", int(agg["sum_other_doc_count"]), None)]
+    df = spark.createDataFrame(
+        rows, "event_type string, n bigint, total_value double"
+    )
+    return df.select(
+        "event_type", "n", F.round("total_value", 2).alias("total_value")
+    )
+
+
+register(
+    "s_es_wire_terms_agg",
+    _es_wire_terms_agg,
+    sql="""
+    WITH c AS (
+      SELECT event_type, count(*) AS n, round(sum(value), 2) AS tv
+      FROM events GROUP BY event_type
+    ), top AS (
+      SELECT event_type, n, tv,
+             row_number() OVER (ORDER BY n DESC, event_type ASC) AS rk
+      FROM c
+    )
+    SELECT event_type, n, tv AS total_value FROM top WHERE rk <= 3
+    UNION ALL
+    SELECT 'Other', CAST(coalesce(sum(n), 0) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM top WHERE rk > 3
+    """,
+    tags=("source", "elasticsearch", "wire", "aggregation", "kibana"),
+)
+
 register(
     "l5_matryoshka_truncation_audit",
     similarity.matryoshka_truncation_audit,

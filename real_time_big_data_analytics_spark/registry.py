@@ -288,6 +288,9 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         # verdicts bulk-indexed into detect_bolt_user over the ES wire
         # and read back row-exact.
         "s_es_verdict_index",
+        # Kibana-style SERVER-side terms aggregation answered by MiniES
+        # over the wire (round 8).
+        "s_es_wire_terms_agg",
     }
 )
 

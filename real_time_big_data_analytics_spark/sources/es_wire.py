@@ -336,6 +336,10 @@ class MiniES:
                 }
             docs = self.indices[index]["docs"]
             ids = sorted(docs)
+        if "aggs" in req or "aggregations" in req:
+            return self._aggregate(
+                docs, req.get("aggs") or req["aggregations"], size
+            )
         if slice_spec is not None:
             sid, smax = int(slice_spec["id"]), int(slice_spec["max"])
             if not 0 <= sid < smax:
@@ -370,6 +374,82 @@ class MiniES:
                 }
             resp["_scroll_id"] = scroll_id
         return 200, resp
+
+    def _aggregate(self, docs: dict, aggs: dict, size: int):
+        """The Aggregations-API subset the reference's Kibana
+        dashboards issue (terms bucketing with metric sub-aggs, plus
+        top-level sum/avg/min/max/value_count) — computed SERVER-side
+        over the indexed documents, like real ES. Terms buckets order
+        by doc_count desc with key asc tiebreak (the documented
+        default) and report sum_other_doc_count for the tail."""
+        parsed = [json.loads(s) for s in docs.values()]
+
+        def metric(kind: str, spec: dict, rows: list) -> float:
+            import math
+
+            vals = [
+                r[spec["field"]]
+                for r in rows
+                if r.get(spec["field"]) is not None
+            ]
+            if kind == "value_count":
+                return len(vals)
+            if not vals:
+                return None
+            # fsum: exact summation, so the response is independent of
+            # the dict's (bulk-arrival) document order across runs
+            if kind == "sum":
+                return math.fsum(vals)
+            if kind == "avg":
+                return math.fsum(vals) / len(vals)
+            if kind == "min":
+                return min(vals)
+            if kind == "max":
+                return max(vals)
+            raise ValueError(f"unsupported metric aggregation {kind}")
+
+        out = {}
+        for name, spec in aggs.items():
+            kinds = [k for k in spec if k != "aggs" and k != "aggregations"]
+            if len(kinds) != 1:
+                raise ValueError(f"malformed aggregation {name}")
+            kind = kinds[0]
+            if kind == "terms":
+                field = spec["terms"]["field"]
+                k = int(spec["terms"].get("size", 10))
+                groups: dict = {}
+                for r in parsed:
+                    groups.setdefault(r.get(field), []).append(r)
+                ordered = sorted(
+                    groups.items(), key=lambda kv: (-len(kv[1]), str(kv[0]))
+                )
+                buckets = []
+                for key, rows in ordered[:k]:
+                    b = {"key": key, "doc_count": len(rows)}
+                    for sub, subspec in (
+                        spec.get("aggs") or spec.get("aggregations") or {}
+                    ).items():
+                        (skind,) = subspec.keys()
+                        b[sub] = {
+                            "value": metric(skind, subspec[skind], rows)
+                        }
+                    buckets.append(b)
+                out[name] = {
+                    "doc_count_error_upper_bound": 0,
+                    "sum_other_doc_count": sum(
+                        len(rows) for _, rows in ordered[k:]
+                    ),
+                    "buckets": buckets,
+                }
+            else:
+                out[name] = {"value": metric(kind, spec[kind], parsed)}
+        return 200, {
+            "took": 0,
+            "timed_out": False,
+            "hits": {"total": {"value": len(parsed), "relation": "eq"},
+                     "hits": []},
+            "aggregations": out,
+        }
 
     def _scroll_next(self, body: bytes):
         req = json.loads(body or b"{}")

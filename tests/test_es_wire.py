@@ -233,3 +233,50 @@ def test_no_elasticsearch_in_sandbox(spark):
     assert shutil.which("elasticsearch") is None
     with pytest.raises(Exception):
         spark.read.format("es").load("nope/nope")
+
+
+def test_terms_aggregation_server_side(es):
+    """The Aggregations-API subset (terms + metric sub-aggs): bucket
+    ordering (doc_count desc, key asc tiebreak), sum_other_doc_count
+    tail accounting, fsum-exact metrics, and top-level metrics."""
+    addr, _ = es
+    _req(addr, "PUT", "/t")
+    docs = (
+        [(i, {"g": "a", "v": 1.5}) for i in range(5)]
+        + [(10 + i, {"g": "b", "v": 2.0}) for i in range(5)]  # count tie w/ a
+        + [(20 + i, {"g": "c", "v": 0.25}) for i in range(7)]
+        + [(30 + i, {"g": "d", "v": 1.0}) for i in range(2)]
+    )
+    _req(addr, "POST", "/t/_bulk", ndjson=_bulk_lines("t", docs))
+    st, body = _req(
+        addr, "POST", "/t/_search",
+        {
+            "size": 0,
+            "aggs": {
+                "by_g": {
+                    "terms": {"field": "g", "size": 2},
+                    "aggs": {"tv": {"sum": {"field": "v"}}},
+                },
+                "grand": {"avg": {"field": "v"}},
+            },
+        },
+    )
+    assert st == 200
+    agg = body["aggregations"]["by_g"]
+    assert [(b["key"], b["doc_count"]) for b in agg["buckets"]] == [
+        ("c", 7),
+        ("a", 5),  # ties with b on count -> key asc wins
+    ]
+    assert agg["buckets"][0]["tv"]["value"] == 7 * 0.25
+    assert agg["sum_other_doc_count"] == 7  # b(5) + d(2)
+    assert abs(
+        body["aggregations"]["grand"]["value"]
+        - (5 * 1.5 + 5 * 2.0 + 7 * 0.25 + 2 * 1.0) / 19
+    ) < 1e-12
+    assert body["hits"]["hits"] == []
+    # unsupported metric kinds are refused as parse errors
+    st, body = _req(
+        addr, "POST", "/t/_search",
+        {"aggs": {"x": {"percentiles": {"field": "v"}}}},
+    )
+    assert st == 400
