@@ -92,7 +92,7 @@ def calib_sec(summary: dict) -> float | None:
     return sum(vals) / len(vals) if vals else None
 
 
-def main() -> None:
+def _main() -> None:
     if len(sys.argv) == 3:
         old_path, new_path = sys.argv[1], sys.argv[2]
     else:
@@ -178,6 +178,17 @@ def newest_two() -> tuple[str, str]:
     if len(rounds) < 2:
         sys.exit("need two BENCH_r*.json rounds (or pass two paths)")
     return rounds[-2][1], rounds[-1][1]
+
+
+def main() -> None:
+    try:
+        _main()
+    except BrokenPipeError:  # e.g. piped into head
+        import os
+        import sys
+
+        # suppress the interpreter's implicit flush-on-exit complaint
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
 
 
 if __name__ == "__main__":
