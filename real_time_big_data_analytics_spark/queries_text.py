@@ -1666,6 +1666,120 @@ def _es_wire_terms_agg(spark, sf_dir):
     )
 
 
+def _es_wire_sink_datasource(spark, sf_dir):
+    """The streaming-SINK extension point itself: the events stream
+    written through ``writeStream.format("es_wire_sink")`` — a Python
+    ``DataSourceStreamWriter`` (the API a real ES connector
+    implements; one bulk-indexing task per partition per micro-batch,
+    driver-side commit refreshes the index, ``_id`` idempotency makes
+    replayed batches overwrite themselves) — then the index read back
+    through the sliced-scroll source and aggregated. Compared to
+    ``s_es_wire_stream`` (the ``foreachBatch`` composition), this
+    exercises Spark's own sink planning/commit protocol around the
+    same wire bytes."""
+    from pyspark.sql import functions as F
+
+    from .sources.pyds import (
+        read_events_via_es_wire,
+        stage_events_via_es_sink_datasource,
+    )
+
+    index = stage_events_via_es_sink_datasource(spark, sf_dir)
+    raw = read_events_via_es_wire(spark, sf_dir, index=index)
+    parsed = raw.select(F.from_json("source", _WIRE_EVENT_SCHEMA).alias("r")).select(
+        "r.*"
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+register(
+    "s_es_wire_sink_datasource",
+    _es_wire_sink_datasource,
+    sql="""
+    SELECT event_type, count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+    FROM events GROUP BY event_type
+    """,
+    tags=("source", "elasticsearch", "wire", "streaming", "python-datasource"),
+)
+
+
+def _es_wire_date_histogram(spark, sf_dir):
+    """The reference's Kibana TIMELINE panel is a date_histogram
+    aggregation; MiniES serves it server-side (fixed_interval 1h,
+    UTC bucket keys, sum(value) sub-agg) over the indexed events and
+    the buckets are hashed against DuckDB's hourly date_trunc rollup —
+    the wire-level twin of the internalized A6 (`counts_over_time`)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .sources import es_wire as EW
+    from .sources.pyds import ES_INDEX, stage_events_in_es
+
+    addr = stage_events_in_es(spark, sf_dir)
+    resp = EW.es_request(
+        addr,
+        "POST",
+        f"/{ES_INDEX}/_search",
+        json.dumps(
+            {
+                "size": 0,
+                "aggs": {
+                    "per_hour": {
+                        "date_histogram": {
+                            "field": "ts",
+                            "fixed_interval": "1h",
+                        },
+                        "aggs": {
+                            "total_value": {"sum": {"field": "value"}}
+                        },
+                    }
+                },
+            }
+        ).encode(),
+    )
+    buckets = resp["aggregations"]["per_hour"]["buckets"]
+    rows = [
+        (
+            b["key_as_string"],
+            int(b["doc_count"]),
+            float(b["total_value"]["value"]),
+        )
+        for b in buckets
+    ]
+    df = spark.createDataFrame(
+        rows, "window_start string, n bigint, total_value double"
+    )
+    return df.select(
+        F.to_timestamp("window_start").alias("window_start"),
+        "n",
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+register(
+    "s_es_wire_date_histogram",
+    _es_wire_date_histogram,
+    sql="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+    tags=("source", "elasticsearch", "wire", "aggregation", "kibana"),
+)
+
+
 register(
     "s_es_wire_terms_agg",
     _es_wire_terms_agg,

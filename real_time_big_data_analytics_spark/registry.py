@@ -291,6 +291,13 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         # Kibana-style SERVER-side terms aggregation answered by MiniES
         # over the wire (round 8).
         "s_es_wire_terms_agg",
+        # The streaming-sink extension point itself (round 8): the
+        # events stream through writeStream.format("es_wire_sink"), a
+        # Python DataSourceStreamWriter.
+        "s_es_wire_sink_datasource",
+        # Kibana timeline panel server-side: date_histogram over the
+        # wire (round 8).
+        "s_es_wire_date_histogram",
     }
 )
 

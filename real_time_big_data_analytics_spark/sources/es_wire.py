@@ -408,13 +408,57 @@ class MiniES:
                 return max(vals)
             raise ValueError(f"unsupported metric aggregation {kind}")
 
+        def sub_aggs(spec: dict, rows: list) -> dict:
+            out = {}
+            for sub, subspec in (
+                spec.get("aggs") or spec.get("aggregations") or {}
+            ).items():
+                (skind,) = subspec.keys()
+                out[sub] = {"value": metric(skind, subspec[skind], rows)}
+            return out
+
+        _INTERVALS = {"1h": 3600_000, "1d": 86400_000, "1m": 60_000}
+
         out = {}
         for name, spec in aggs.items():
             kinds = [k for k in spec if k != "aggs" and k != "aggregations"]
             if len(kinds) != 1:
                 raise ValueError(f"malformed aggregation {name}")
             kind = kinds[0]
-            if kind == "terms":
+            if kind == "date_histogram":
+                import datetime
+
+                field = spec[kind]["field"]
+                step = _INTERVALS.get(spec[kind].get("fixed_interval", "1h"))
+                if step is None:
+                    raise ValueError(
+                        f"unsupported fixed_interval "
+                        f"{spec[kind].get('fixed_interval')!r}"
+                    )
+                groups: dict[int, list] = {}
+                for r in parsed:
+                    v = r.get(field)
+                    if v is None:
+                        continue
+                    ts = datetime.datetime.strptime(
+                        v, "%Y-%m-%d %H:%M:%S.%f"
+                    ).replace(tzinfo=datetime.timezone.utc)
+                    ms = int(ts.timestamp() * 1000)
+                    groups.setdefault(ms - ms % step, []).append(r)
+                buckets = []
+                for key in sorted(groups):
+                    rows = groups[key]
+                    b = {
+                        "key": key,
+                        "key_as_string": datetime.datetime.fromtimestamp(
+                            key / 1000, tz=datetime.timezone.utc
+                        ).strftime("%Y-%m-%d %H:%M:%S"),
+                        "doc_count": len(rows),
+                    }
+                    b.update(sub_aggs(spec, rows))
+                    buckets.append(b)
+                out[name] = {"buckets": buckets}
+            elif kind == "terms":
                 field = spec["terms"]["field"]
                 k = int(spec["terms"].get("size", 10))
                 groups: dict = {}
@@ -426,13 +470,7 @@ class MiniES:
                 buckets = []
                 for key, rows in ordered[:k]:
                     b = {"key": key, "doc_count": len(rows)}
-                    for sub, subspec in (
-                        spec.get("aggs") or spec.get("aggregations") or {}
-                    ).items():
-                        (skind,) = subspec.keys()
-                        b[sub] = {
-                            "value": metric(skind, subspec[skind], rows)
-                        }
+                    b.update(sub_aggs(spec, rows))
                     buckets.append(b)
                 out[name] = {
                     "doc_count_error_upper_bound": 0,

@@ -1238,3 +1238,159 @@ def index_df_in_es(spark, sf_dir: str, index: str, df, id_col: str) -> str:
     EW.es_request(addr, "POST", f"/{index}/_refresh")
     _ES_STAGED.add(key)
     return addr
+
+
+def make_es_wire_sink_datasource():
+    """STREAMING SINK ``format("es_wire_sink")`` — the Python
+    DataSourceStreamWriter extension point (the API a real
+    elasticsearch connector would implement), replacing the
+    ``foreachBatch`` composition: Spark plans one ``write(iterator)``
+    task per partition PER MICRO-BATCH, each task bulk-indexing its
+    rows over its own HTTP connection (``_id`` from the row, so a
+    replayed micro-batch after failure overwrites itself — the
+    idempotent exactly-once recipe at the SINK-API level); the
+    driver-side ``commit(messages, batchId)`` refreshes the index once
+    the batch's tasks all succeeded. Function scope so cloudpickle
+    ships the classes BY VALUE; rows must carry (es_id string,
+    doc string-JSON) columns."""
+    import json as _json
+
+    from pyspark.sql.datasource import DataSourceStreamWriter
+
+    class _EsCommit(WriterCommitMessage):
+        def __init__(self, n: int):
+            self.n = n
+
+    class _EsWireStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.addr = options["addr"]
+            self.index = options["index"]
+            self.pkg = options["pkg"]
+
+        def write(self, iterator):
+            import http.client
+            import sys
+
+            if self.pkg not in sys.path:
+                sys.path.insert(0, self.pkg)
+            from real_time_big_data_analytics_spark.sources import (
+                es_wire as ew,
+            )
+
+            buf = [(r.es_id, r.doc) for r in iterator]
+            if buf:
+                host, port = self.addr.rsplit(":", 1)
+                conn = http.client.HTTPConnection(host, int(port), timeout=60)
+                try:
+                    for i in range(0, len(buf), 1000):
+                        nd = []
+                        for es_id, doc in buf[i : i + 1000]:
+                            nd.append(
+                                _json.dumps(
+                                    {
+                                        "index": {
+                                            "_index": self.index,
+                                            "_id": es_id,
+                                        }
+                                    }
+                                )
+                            )
+                            nd.append(doc)
+                        resp = ew.es_request_on(
+                            conn,
+                            "POST",
+                            "/_bulk",
+                            ("\n".join(nd) + "\n").encode("utf-8"),
+                            "application/x-ndjson",
+                        )
+                        if resp.get("errors"):
+                            raise IOError(f"bulk refused in stream sink: {resp}")
+                finally:
+                    conn.close()
+            return _EsCommit(len(buf))
+
+        def commit(self, messages, batchId):
+            import sys
+
+            if self.pkg not in sys.path:
+                sys.path.insert(0, self.pkg)
+            from real_time_big_data_analytics_spark.sources import (
+                es_wire as ew,
+            )
+
+            ew.es_request(self.addr, "POST", f"/{self.index}/_refresh")
+
+        def abort(self, messages, batchId):
+            pass  # indexing by _id: a retried batch overwrites itself
+
+    class EsWireSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "es_wire_sink"
+
+        def schema(self) -> str:
+            return "es_id string, doc string"
+
+        def streamWriter(self, schema, overwrite):
+            return _EsWireStreamWriter(self.options)
+
+    return EsWireSinkDataSource
+
+
+def stage_events_via_es_sink_datasource(spark, sf_dir: str) -> str:
+    """Stream the events through ``writeStream.format("es_wire_sink")``
+    into its own index (staged once per fingerprint); returns the
+    index name."""
+    import json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from . import es_wire as EW
+    from ..streaming.runner import _stream_shuffle_partitions, events_stream
+
+    addr = _es_addr(spark, sf_dir)
+    index = "events_sink_ds"
+    key = f"{addr}/{index}"
+    if key in _ES_STAGED:
+        return index
+    EW.es_request(
+        addr,
+        "PUT",
+        f"/{index}",
+        json.dumps(
+            {"settings": {"index": {"number_of_shards": ES_NSHARDS}}}
+        ).encode(),
+    )
+    stream = events_stream(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("es_id"),
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+                F.col("props"),
+            )
+        ).alias("doc"),
+    )
+    spark.dataSource.register(make_es_wire_sink_datasource())
+    with _stream_shuffle_partitions(spark):
+        query = (
+            stream.writeStream.format("es_wire_sink")
+            .option("addr", addr)
+            .option("index", index)
+            .option("pkg", _repo_root())
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="rtba_ckpt_essink_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination()
+        finally:
+            query.stop()
+    _ES_STAGED.add(key)
+    return index

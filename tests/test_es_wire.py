@@ -280,3 +280,57 @@ def test_terms_aggregation_server_side(es):
         {"aggs": {"x": {"percentiles": {"field": "v"}}}},
     )
     assert st == 400
+
+
+def test_date_histogram_buckets_and_intervals(es):
+    addr, _ = es
+    _req(addr, "PUT", "/t")
+    docs = [
+        (1, {"ts": "2024-01-01 10:05:00.000000", "v": 1.0}),
+        (2, {"ts": "2024-01-01 10:55:00.000000", "v": 2.0}),
+        (3, {"ts": "2024-01-01 11:00:00.000000", "v": 4.0}),
+        (4, {"ts": "2024-01-01 13:59:59.999999", "v": 8.0}),
+    ]
+    _req(addr, "POST", "/t/_bulk", ndjson=_bulk_lines("t", docs))
+    st, body = _req(
+        addr, "POST", "/t/_search",
+        {
+            "size": 0,
+            "aggs": {
+                "h": {
+                    "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+                    "aggs": {"tv": {"sum": {"field": "v"}}},
+                }
+            },
+        },
+    )
+    assert st == 200
+    buckets = body["aggregations"]["h"]["buckets"]
+    assert [(b["key_as_string"], b["doc_count"], b["tv"]["value"]) for b in buckets] == [
+        ("2024-01-01 10:00:00", 2, 3.0),
+        ("2024-01-01 11:00:00", 1, 4.0),
+        ("2024-01-01 13:00:00", 1, 8.0),  # empty hours are absent
+    ]
+    assert all(b["key"] % 3600_000 == 0 for b in buckets)
+    st, body = _req(
+        addr, "POST", "/t/_search",
+        {"aggs": {"h": {"date_histogram": {"field": "ts",
+                                           "fixed_interval": "7s"}}}},
+    )
+    assert st == 400  # unsupported interval refused
+
+
+def test_replayed_micro_batch_is_idempotent(es):
+    """The exactly-once recipe both streaming sinks rely on: replaying
+    the SAME batch (same _ids, after a simulated failure) leaves the
+    index byte-identical — last-write-wins indexing is the sink-side
+    half of checkpoint-recovery semantics."""
+    addr, server = es
+    _req(addr, "PUT", "/t")
+    batch = _bulk_lines("t", [(i, {"v": i * 3}) for i in range(50)])
+    _req(addr, "POST", "/t/_bulk", ndjson=batch)
+    before = dict(server.indices["t"]["docs"])
+    _req(addr, "POST", "/t/_bulk", ndjson=batch)  # the retry
+    assert server.indices["t"]["docs"] == before
+    _, body = _req(addr, "GET", "/t/_count")
+    assert body["count"] == 50

@@ -66,6 +66,7 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
         "s_es_wire_roundtrip",
         "s_es_wire_stream",
         "s_es_verdict_index",  # the reference's saveToEs topology whole
+        "s_es_wire_sink_datasource",  # DataSourceStreamWriter sink API
         "t15_stream_cdc_materialize",
         "pytest:tests/test_es_wire.py",
     ),
@@ -92,11 +93,11 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
     "P10": ("m3_holdout_eval",),  # seeded randomSplit
     # §2.3 internalized Kibana aggregations
     "A1": ("a1_count_by_group",),
-    "A2": ("a2_topk_sources_other",),
+    "A2": ("a2_topk_sources_other", "s_es_wire_terms_agg"),
     "A3": ("a3_sum_by_group",),
     "A4": ("a4_topk_lang_other",),
     "A5": ("a5_recent_window_counts",),
-    "A6": ("a6_counts_over_time",),
+    "A6": ("a6_counts_over_time", "s_es_wire_date_histogram"),
     # §2.4 joins
     "J1": ("j1_revenue_by_mktsegment",),
     "J2": ("j2_revenue_by_nation_region",),
