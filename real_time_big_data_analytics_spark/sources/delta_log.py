@@ -64,6 +64,88 @@ def write_commit(table_dir: str, version: int, actions: list[dict]) -> str:
     return path
 
 
+def commit_with_retry(
+    table_dir: str,
+    actions: list[dict],
+    *,
+    read_version: int | None = None,
+    max_attempts: int = 10,
+) -> int:
+    """Optimistic-concurrency commit — the real Delta writer protocol:
+    the writer derived ``actions`` from the table state at
+    ``read_version`` (default: the current head — a blind append that
+    resolved nothing from a snapshot); commits that land between that
+    snapshot and the eventual write are CONFLICT-CHECKED, and the
+    put-if-absent retries at the new head when it loses the race.
+    Blind appends never conflict (the common case); a remove conflicts
+    with an intervening remove of the same path (a concurrent
+    delete/compaction resolved the same file from what is now stale
+    state) and is refused rather than silently double-applied.
+    Returns the committed version."""
+    my_removes = {a["remove"]["path"] for a in actions if "remove" in a}
+    versions = log_versions(table_dir)
+    head = versions[-1] if versions else -1
+    if read_version is None:
+        read_version = head
+
+    def check_conflicts(lo: int, hi: int) -> None:
+        if not my_removes:
+            return
+        for v in range(lo, hi + 1):
+            with open(_commit_path(table_dir, v)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if (
+                        "remove" in action
+                        and action["remove"]["path"] in my_removes
+                    ):
+                        raise ValueError(
+                            f"concurrent remove of "
+                            f"{action['remove']['path']} in v{v} — "
+                            "refusing to double-apply"
+                        ) from None
+
+    check_conflicts(read_version + 1, head)
+    target = head + 1
+    for _ in range(max_attempts):
+        try:
+            write_commit(table_dir, target, actions)
+            return target
+        except FileExistsError:
+            new_head = log_versions(table_dir)[-1]
+            check_conflicts(target, new_head)
+            target = new_head + 1
+    raise ValueError(
+        f"{table_dir}: lost the commit race {max_attempts} times"
+    )
+
+
+def vacuum(table_dir: str) -> list[str]:
+    """Delete data files no longer referenced by the LATEST snapshot —
+    the tombstoned dead versions that removes/compactions leave on
+    disk. The log (and any checkpoint) is untouched, so replay still
+    reconstructs every version's FILE LIST; reading a vacuumed
+    version's DATA fails at scan time — the documented vacuum
+    trade-off (retention is the real knob; this is retention 0).
+    Returns the deleted paths."""
+    snap = replay(table_dir)
+    active = {os.path.join(table_dir, p) for p in snap["files"]}
+    removed = []
+    for root, _dirs, files in os.walk(table_dir):
+        if "_delta_log" in root:
+            continue  # never touch commits or checkpoints
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(root, fn)
+                if p not in active:
+                    os.remove(p)
+                    removed.append(p)
+    return sorted(removed)
+
+
 def log_versions(table_dir: str) -> list[int]:
     log_dir = os.path.join(table_dir, "_delta_log")
     if not os.path.isdir(log_dir):

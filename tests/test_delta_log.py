@@ -236,3 +236,76 @@ def test_cdf_non_datachange_compaction_excluded(tmp_path, spark):
     D.write_commit(table, 1, actions)
     ch = D.changes_between(spark, table, 0, 1)
     assert {r.commit_version for r in ch.collect()} == {0}
+
+
+def test_commit_with_retry_wins_after_losing_race(tmp_path, spark):
+    """Optimistic concurrency: a writer that loses the put-if-absent
+    race re-reads the log and lands at the new head; blind appends
+    never conflict."""
+    table, _ = _toy_table(tmp_path, spark)
+    df2 = spark.createDataFrame([(3, "c")], "id bigint, s string")
+    adds2 = D._write_version_files(spark, df2, table, "v1")
+    # a concurrent writer takes version 1 first
+    D.write_commit(table, 1, [])
+    v = D.commit_with_retry(table, adds2)
+    assert v == 2
+    assert {r.id for r in D.read_snapshot(spark, table).collect()} == {1, 2, 3}
+
+
+def test_commit_with_retry_refuses_concurrent_remove(tmp_path, spark):
+    """A remove racing an intervening remove of the SAME path is a
+    true conflict (both writers resolved the file from stale state) —
+    refused, never double-applied."""
+    table, adds1 = _toy_table(tmp_path, spark)
+    path = adds1[0]["add"]["path"]
+    rm = {"remove": {"path": path, "deletionTimestamp": 0, "dataChange": True}}
+    D.write_commit(table, 1, [rm])  # the other writer wins with it
+    with pytest.raises(ValueError, match="concurrent remove"):
+        # this writer resolved the file from the v0 snapshot
+        D.commit_with_retry(table, [dict(rm)], read_version=0)
+    # a remove of a DIFFERENT path from the same snapshot is no conflict
+    rm2 = {
+        "remove": {"path": adds1[1]["add"]["path"], "deletionTimestamp": 0,
+                   "dataChange": True}
+    }
+    assert D.commit_with_retry(table, [rm2], read_version=0) == 2
+    removed_paths = {path, adds1[1]["add"]["path"]}
+    expect = sorted(
+        a["add"]["path"] for a in adds1 if a["add"]["path"] not in removed_paths
+    )
+    assert D.replay(table)["files"] == expect
+
+
+def test_vacuum_deletes_only_dead_files(tmp_path, spark):
+    """Vacuum removes tombstoned files, keeps the live snapshot
+    readable and the log/checkpoint intact; vacuumed versions replay
+    their FILE LIST but fail at data-scan time (the documented
+    trade-off)."""
+    import os as _os
+
+    table, adds1 = _toy_table(tmp_path, spark)
+    rewrite = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                    "id bigint, s string")
+    adds2 = D._write_version_files(spark, rewrite, table, "v1")
+    removes = [
+        {"remove": {"path": a["add"]["path"], "deletionTimestamp": 0,
+                    "dataChange": True}}
+        for a in adds1
+    ]
+    D.write_commit(table, 1, removes + adds2)
+    D.write_checkpoint(table, 1)
+    dead = [os.path.join(table, a["add"]["path"]) for a in adds1]
+    live = [os.path.join(table, a["add"]["path"]) for a in adds2]
+    removed = D.vacuum(table)
+    assert sorted(removed) == sorted(dead)
+    assert all(not _os.path.exists(p) for p in dead)
+    assert all(_os.path.exists(p) for p in live)
+    # live snapshot reads; checkpoint parquet untouched
+    assert D.read_snapshot(spark, table).count() == 3
+    assert _os.path.exists(D._checkpoint_path(table, 1))
+    # the vacuumed version still REPLAYS (log intact) but cannot scan
+    assert len(D.replay(table, 0)["files"]) == len(adds1)
+    with pytest.raises(Exception):
+        D.read_snapshot(spark, table, 0).collect()
+    # idempotent: nothing left to vacuum
+    assert D.vacuum(table) == []
