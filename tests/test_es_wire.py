@@ -334,3 +334,27 @@ def test_replayed_micro_batch_is_idempotent(es):
     assert server.indices["t"]["docs"] == before
     _, body = _req(addr, "GET", "/t/_count")
     assert body["count"] == 50
+
+
+def test_murmur3_foreign_validated_against_spark_jvm(spark):
+    """FOREIGN validation of the murmur3 implementation: Spark's own
+    ``F.hash()`` IS Murmur3 x86_32 (seed 42) over the string's UTF-8
+    bytes, and for inputs whose byte length is a multiple of 4 its
+    tail-free path is the STANDARD algorithm — so the block loop,
+    rotation/mixing constants, and finalizer can be cross-checked
+    against an independent JVM implementation in-sandbox. (Spark's
+    per-byte tail mixing intentionally diverges from reference
+    murmur3 for other lengths — documented in its Murmur3_x86_32
+    source — so only 4-multiples are comparable.)"""
+    from pyspark.sql import functions as F
+
+    strs = ["", "abcd", "12345678", "hello wonder", "x" * 16,
+            "Ωmega-4bytes".encode("utf-8")[:12].decode("utf-8", "ignore")]
+    strs = [s for s in strs if len(s.encode()) % 4 == 0]
+    rows = spark.createDataFrame([(s,) for s in strs], "s string").select(
+        "s", F.hash("s").alias("h")
+    ).collect()
+    for r in rows:
+        mine = E.murmur3_x86_32(r.s.encode(), seed=42)
+        signed = mine - (1 << 32) if mine >= (1 << 31) else mine
+        assert signed == r.h, r.s

