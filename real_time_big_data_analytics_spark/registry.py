@@ -298,6 +298,14 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         # Kibana timeline panel server-side: date_histogram over the
         # wire (round 8).
         "s_es_wire_date_histogram",
+        # Round 9 (VERDICT r8 asks #4/#5/#7 + new families). Receipt
+        # debt entering r9 is ZERO (r1-r8 union covers all 315), so
+        # every new name lands inside the driver's 50-row window.
+        "s_delta_partition_prune",
+        "s_es_wire_pushdown",
+        "l3_knn_hnsw",
+        "l3_hnsw_recall_sweep",
+        "l5_video_pframe_stats",
     }
 )
 

@@ -51,16 +51,31 @@ def write_commit(table_dir: str, version: int, actions: list[dict]) -> str:
     under ``_delta_log/{version:020d}.json``. Refuses to overwrite an
     existing version — the mutual-exclusion rule that makes the log a
     commit point (real implementations get this from atomic
-    put-if-absent on the object store)."""
+    put-if-absent on the object store).
+
+    The put-if-absent is ``os.link(tmp, path)``: the kernel makes the
+    link creation atomic and it fails with EEXIST when the version
+    already exists, so two genuinely concurrent writers cannot both
+    win — the loser gets FileExistsError even if both raced past any
+    earlier existence check (a check-then-replace would silently
+    clobber the first committer; see tests/test_delta_log.py's
+    multi-process race)."""
     path = _commit_path(table_dir, version)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    if os.path.exists(path):
-        raise FileExistsError(f"version {version} already committed: {path}")
-    tmp = f"{path}.inprogress"
+    tmp = f"{path}.inprogress-{os.getpid()}"
     with open(tmp, "w") as f:
         for a in actions:
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
-    os.replace(tmp, path)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)  # atomic put-if-absent: EEXIST on loss
+    except FileExistsError:
+        raise FileExistsError(
+            f"version {version} already committed: {path}"
+        ) from None
+    finally:
+        os.unlink(tmp)
     return path
 
 
@@ -83,8 +98,19 @@ def commit_with_retry(
     state) and is refused rather than silently double-applied.
     Returns the committed version."""
     my_removes = {a["remove"]["path"] for a in actions if "remove" in a}
-    versions = log_versions(table_dir)
-    head = versions[-1] if versions else -1
+
+    def current_head() -> int:
+        # the head is max(JSON tail, checkpoint): after log cleanup the
+        # checkpoint may be the ONLY evidence of committed versions —
+        # a JSON-only head would re-commit (and corrupt) version 0
+        versions = log_versions(table_dir)
+        cp = read_last_checkpoint(table_dir)
+        return max(
+            versions[-1] if versions else -1,
+            cp["version"] if cp else -1,
+        )
+
+    head = current_head()
     if read_version is None:
         read_version = head
 
@@ -92,6 +118,15 @@ def commit_with_retry(
         if not my_removes:
             return
         for v in range(lo, hi + 1):
+            if not os.path.exists(_commit_path(table_dir, v)):
+                # log cleanup expired the commit this writer must
+                # conflict-check against — refuse honestly instead of
+                # crashing (or worse, committing unchecked)
+                raise ValueError(
+                    f"{table_dir}: cannot conflict-check remove against "
+                    f"expired commit v{v} — refresh read_version past "
+                    "the checkpoint and re-derive the actions"
+                )
             with open(_commit_path(table_dir, v)) as f:
                 for line in f:
                     line = line.strip()
@@ -115,7 +150,7 @@ def commit_with_retry(
             write_commit(table_dir, target, actions)
             return target
         except FileExistsError:
-            new_head = log_versions(table_dir)[-1]
+            new_head = current_head()
             check_conflicts(target, new_head)
             target = new_head + 1
     raise ValueError(
@@ -231,6 +266,9 @@ def replay(table_dir: str, version: int | None = None) -> dict:
         "version": version,
         "metadata": metadata,
         "files": sorted(active),
+        # raw add actions keyed by path — partitionValues feed pruning
+        # and the checkpoint writer; same replayed state, richer view
+        "_active": active,
     }
 
 
@@ -265,15 +303,20 @@ def read_last_checkpoint(table_dir: str) -> dict | None:
 
 
 def write_checkpoint(table_dir: str, version: int) -> str:
-    """Replay (from JSON) to ``version`` and publish the checkpoint +
+    """Replay to ``version`` and publish the checkpoint +
     ``_last_checkpoint`` pointer (tmp + atomic rename, like commits).
+    State comes from ``replay`` — existing checkpoint + JSON tail — so
+    checkpoints ROLL FORWARD after log cleanup expired the early
+    commits (building from JSON-version-0 would refuse forever once
+    cleanup ran, and the JSON tail would grow unboundedly).
     Metadata-scale: one parquet row per active file — written with
     pyarrow directly, the same way real writers use a parquet library
     for the log (the DATA files still go through Spark's writer)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    snap_active, metadata = _replay_json(table_dir, version)
+    snap = replay(table_dir, version)
+    snap_active, metadata = snap["_active"], snap["metadata"]
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -283,11 +326,19 @@ def write_checkpoint(table_dir: str, version: int) -> str:
             ("dataChange", pa.bool_()),
         ]
     )
+    fmt_t = pa.struct(
+        [
+            ("provider", pa.string()),
+            ("options", pa.map_(pa.string(), pa.string())),
+        ]
+    )
     meta_t = pa.struct(
         [
             ("id", pa.string()),
+            ("format", fmt_t),
             ("schemaString", pa.string()),
             ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
             ("createdTime", pa.int64()),
         ]
     )
@@ -296,6 +347,7 @@ def write_checkpoint(table_dir: str, version: int) -> str:
     )
     adds = [snap_active[p] for p in sorted(snap_active)]
     n = len(adds) + 2
+    fmt = metadata.get("format", {"provider": "parquet", "options": {}})
     tbl = pa.table(
         {
             "protocol": pa.array(
@@ -306,8 +358,17 @@ def write_checkpoint(table_dir: str, version: int) -> str:
                 + [
                     {
                         "id": metadata["id"],
+                        "format": {
+                            "provider": fmt.get("provider", "parquet"),
+                            "options": list(
+                                (fmt.get("options") or {}).items()
+                            ),
+                        },
                         "schemaString": metadata["schemaString"],
                         "partitionColumns": metadata["partitionColumns"],
+                        "configuration": list(
+                            (metadata.get("configuration") or {}).items()
+                        ),
                         "createdTime": metadata["createdTime"],
                     }
                 ]
@@ -354,8 +415,15 @@ def _load_checkpoint(table_dir: str, version: int):
     for r in rows:
         if r.get("metaData"):
             metadata = dict(r["metaData"])
-            # pyarrow maps come back as pair lists; nothing downstream
-            # needs format/options, so the JSON shape subset suffices
+            # pyarrow maps come back as pair lists — restore the JSON
+            # action shape so replay()['metadata'] is identical whether
+            # it came through the checkpoint or the JSON path
+            fmt = dict(metadata.get("format") or {})
+            fmt["options"] = dict(fmt.get("options") or [])
+            metadata["format"] = fmt
+            metadata["configuration"] = dict(
+                metadata.get("configuration") or []
+            )
         elif r.get("add"):
             a = dict(r["add"])
             a["partitionValues"] = dict(a.get("partitionValues") or [])
@@ -382,21 +450,81 @@ def expire_commits_before_checkpoint(table_dir: str) -> list[int]:
     return removed
 
 
-def read_snapshot(spark, table_dir: str, version: int | None = None):
+def prune_files(
+    snap: dict, partition_filter: dict[str, set] | None
+) -> dict[str, dict]:
+    """Metadata-only partition pruning: filter the snapshot's active
+    ``add`` actions by their ``partitionValues`` — the scale lever of
+    the log at 100 TB (the reader never even LISTS the data files of
+    unselected partitions; pruning cost is O(log metadata), not
+    O(table)). ``partition_filter`` maps partition column -> allowed
+    string values (partitionValues are strings per PROTOCOL.md)."""
+    active = snap["_active"]
+    if not partition_filter:
+        return active
+    part_cols = set(snap["metadata"].get("partitionColumns") or [])
+    unknown = set(partition_filter) - part_cols
+    if unknown:
+        raise ValueError(
+            f"not partition columns (have {sorted(part_cols)}): "
+            f"{sorted(unknown)}"
+        )
+    return {
+        p: a
+        for p, a in active.items()
+        if all(
+            (a.get("partitionValues") or {}).get(c) in vals
+            for c, vals in partition_filter.items()
+        )
+    }
+
+
+def read_snapshot(
+    spark,
+    table_dir: str,
+    version: int | None = None,
+    partition_filter: dict[str, set] | None = None,
+):
     """DataFrame over the table at ``version`` — the replayed active
     file set handed to the native parquet reader (so column pruning /
     predicate pushdown apply exactly as on a plain scan; an empty
-    snapshot yields an empty DataFrame with the log's schema)."""
-    snap = replay(table_dir, version)
-    paths = [os.path.join(table_dir, p) for p in snap["files"]]
-    if not paths:
-        from pyspark.sql.types import StructType
+    snapshot yields an empty DataFrame with the log's schema).
 
-        schema = StructType.fromJson(
-            json.loads(snap["metadata"]["schemaString"])
-        )
+    With ``partition_filter``, files are pruned from the LOG's
+    partitionValues before any scan is planned, and the partition
+    columns (not stored in the data files, per Delta's layout) are
+    reconstructed as literals per file group — exactly how real Delta
+    readers serve partition columns from metadata."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    snap = replay(table_dir, version)
+    schema = StructType.fromJson(json.loads(snap["metadata"]["schemaString"]))
+    part_cols = list(snap["metadata"].get("partitionColumns") or [])
+    active = prune_files(snap, partition_filter)
+    if not active:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*paths)
+    if not part_cols:
+        return spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in sorted(active)]
+        )
+    # group pruned files by partition tuple; reconstruct the partition
+    # columns as typed literals (one scan per partition value set, all
+    # unioned — each group is still a native pushdown-capable scan)
+    by_vals: dict[tuple, list[str]] = {}
+    for p in sorted(active):
+        pv = active[p].get("partitionValues") or {}
+        key = tuple(pv[c] for c in part_cols)
+        by_vals.setdefault(key, []).append(os.path.join(table_dir, p))
+    types = {f.name: f.dataType for f in schema.fields}
+    out = None
+    for key in sorted(by_vals):
+        df = spark.read.parquet(*by_vals[key])
+        for c, raw in zip(part_cols, key):
+            df = df.withColumn(c, F.lit(raw).cast(types[c]))
+        df = df.select(*[f.name for f in schema.fields])
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 # -- staging for the registry query ------------------------------------
@@ -489,7 +617,7 @@ def _build_three_version_table(spark, sf_dir: str, stage_dir: str, tag: str) -> 
     write_commit(stage_dir, 2, removes + adds_v2)
 
 
-def _stage_table(spark, sf_dir: str, kind: str, post_build=None) -> str:
+def _stage_table(spark, sf_dir: str, kind: str, post_build=None, builder=None) -> str:
     """Crash-idempotent staging shared by the delta stagers: build the
     WHOLE table (data files + all commits + any ``post_build`` step,
     e.g. checkpointing) in a fresh scratch dir, then atomically rename
@@ -517,7 +645,7 @@ def _stage_table(spark, sf_dir: str, kind: str, post_build=None) -> str:
         if os.path.exists(table_dir):
             shutil.rmtree(table_dir)
         stage_dir = f"{table_dir}.staging-{uuid.uuid4().hex[:12]}"
-        _build_three_version_table(spark, sf_dir, stage_dir, tag)
+        (builder or _build_three_version_table)(spark, sf_dir, stage_dir, tag)
         if post_build is not None:
             post_build(stage_dir)
         with open(os.path.join(stage_dir, "_staging_complete"), "w") as f:
@@ -729,6 +857,123 @@ def delta_time_travel(spark, sf_dir: str):
         )
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def _build_partitioned_table(spark, sf_dir: str, stage_dir: str, tag: str) -> None:
+    """Hive-layout partitioned staging: events partitioned by
+    ``event_type``, each partition written as EXACTLY two parquet
+    files (repartition(2)) with the partition column dropped from the
+    data files and carried in the add action's ``partitionValues`` —
+    Delta's actual layout, which is what makes metadata-only pruning
+    possible. One commit (v0) with partitionColumns=["event_type"]."""
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    etypes = [
+        r[0]
+        for r in events.select("event_type").distinct().orderBy("event_type").collect()
+    ]  # bounded: one row per event type (5 at every SF)
+    adds = []
+    for et in etypes:
+        sub = f"files_pt/event_type={et}"
+        out = os.path.join(stage_dir, sub)
+        (
+            events.filter(F.col("event_type") == et)
+            .drop("event_type")
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        for fn in sorted(os.listdir(out)):
+            if fn.endswith(".parquet"):
+                adds.append(
+                    {
+                        "add": {
+                            "path": f"{sub}/{fn}",
+                            "partitionValues": {"event_type": et},
+                            "size": os.path.getsize(os.path.join(out, fn)),
+                            "modificationTime": _T0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+    meta = {
+        "metaData": {
+            "id": f"rtba-pt-{tag}",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": events.schema.json(),
+            "partitionColumns": ["event_type"],
+            "configuration": {},
+            "createdTime": _T0,
+        }
+    }
+    write_commit(stage_dir, 0, [PROTOCOL_ACTION, meta] + adds)
+
+
+def stage_events_as_delta_partitioned(spark, sf_dir: str) -> str:
+    return _stage_table(
+        spark, sf_dir, "deltapt", builder=_build_partitioned_table
+    )
+
+
+def delta_partition_prune(spark, sf_dir: str):
+    """``s_delta_partition_prune`` — read the partitioned table through
+    a partition filter (event_type IN ('click','purchase')) and emit
+    per-type aggregates PLUS the pruning audit: files scanned vs files
+    total, both taken from the log's add actions (the
+    ``dq_zorder_pruning_audit`` discipline). The oracle reproduces the
+    aggregates from the raw events and the file counts from the
+    staging invariant (exactly 2 files per partition) — a reader that
+    scans unselected partitions, drops a selected file, or
+    reconstructs the partition column wrong diverges."""
+    from pyspark.sql import functions as F
+
+    table_dir = stage_events_as_delta_partitioned(spark, sf_dir)
+    snap = replay(table_dir)
+    sel = {"click", "purchase"}
+    pruned = prune_files(snap, {"event_type": sel})
+    files_total = len(snap["_active"])
+    files_scanned = len(pruned)
+    per_part: dict[str, int] = {}
+    for a in pruned.values():
+        et = a["partitionValues"]["event_type"]
+        per_part[et] = per_part.get(et, 0) + 1
+    counts = spark.createDataFrame(
+        [(et, n) for et, n in sorted(per_part.items())],
+        "event_type string, files_in_partition bigint",
+    )
+    df = read_snapshot(spark, table_dir, partition_filter={"event_type": sel})
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .join(F.broadcast(counts), "event_type")
+        .withColumn("files_scanned", F.lit(files_scanned).cast("bigint"))
+        .withColumn("files_total", F.lit(files_total).cast("bigint"))
+        .orderBy("event_type")
+    )
+
+
+DELTA_PARTITION_PRUNE_SQL = """
+SELECT e.event_type,
+       count(*) AS n,
+       count(DISTINCT e.user_id) AS n_users,
+       round(sum(e.value), 2) AS total_value,
+       CAST(2 AS BIGINT) AS files_in_partition,
+       CAST(4 AS BIGINT) AS files_scanned,
+       (SELECT 2 * count(DISTINCT event_type) FROM events) AS files_total
+FROM events e
+WHERE e.event_type IN ('click', 'purchase')
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
 
 
 DELTA_TIME_TRAVEL_SQL = """

@@ -276,6 +276,233 @@ def test_commit_with_retry_refuses_concurrent_remove(tmp_path, spark):
     assert D.replay(table)["files"] == expect
 
 
+# --- round 9: REAL multi-process commit races (VERDICT r8 ask #2) ----
+#
+# The prior race tests simulated the loser sequentially, so the
+# check-then-replace TOCTOU window was never exercised — and the old
+# write_commit (os.path.exists + os.replace) would let two concurrent
+# writers both "win", the second silently clobbering a committed
+# version. These tests hold all writers at a Barrier and release them
+# into write_commit simultaneously; os.link's kernel-atomic
+# put-if-absent guarantees exactly one winner and an intact file.
+
+import multiprocessing as _mp
+
+_FORK = _mp.get_context("fork")  # children do pure-stdlib I/O only
+
+
+def _race_same_version(table, wid, barrier, q):
+    barrier.wait()
+    try:
+        D.write_commit(
+            table, 1, [{"commitInfo": {"writer": wid, "pad": "x" * 4096}}]
+        )
+        q.put(("won", wid))
+    except FileExistsError:
+        q.put(("lost", wid))
+
+
+def _race_retry_append(table, wid, barrier, q):
+    barrier.wait()
+    v = D.commit_with_retry(
+        table,
+        [{"add": {"path": f"files_w{wid}/part-0.parquet",
+                  "partitionValues": {}, "size": 1,
+                  "modificationTime": 0, "dataChange": True}}],
+        max_attempts=200,
+    )
+    q.put((wid, v))
+
+
+def _log_only_table(tmp_path) -> str:
+    """A table with a v0 metaData commit and no data files — the race
+    tests exercise log mutual exclusion, which never reads data."""
+    table = str(tmp_path / "race")
+    meta = {
+        "metaData": {
+            "id": "race",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": "{}",
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": 0,
+        }
+    }
+    D.write_commit(table, 0, [D.PROTOCOL_ACTION, meta])
+    return table
+
+
+def test_multiprocess_put_if_absent_exactly_one_winner(tmp_path):
+    """N processes released simultaneously into write_commit(v1):
+    exactly one wins, everyone else gets FileExistsError, and the
+    surviving file is the winner's COMPLETE intact payload (a clobber
+    or interleaved write would corrupt or swap it)."""
+    table = _log_only_table(tmp_path)
+    n = 8
+    barrier = _FORK.Barrier(n)
+    q = _FORK.Queue()
+    procs = [
+        _FORK.Process(target=_race_same_version, args=(table, w, barrier, q))
+        for w in range(n)
+    ]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=60) for _ in range(n)]
+    for p in procs:
+        p.join(timeout=60)
+    winners = [wid for status, wid in results if status == "won"]
+    assert len(winners) == 1
+    lines = open(D._commit_path(table, 1)).read().splitlines()
+    actions = [json.loads(ln) for ln in lines]  # intact NDJSON
+    assert actions == [
+        {"commitInfo": {"writer": winners[0], "pad": "x" * 4096}}
+    ]
+    # no leaked in-progress temp files
+    log_dir = os.path.join(table, "_delta_log")
+    assert not [f for f in os.listdir(log_dir) if "inprogress" in f]
+
+
+def test_multiprocess_retry_commits_are_gapless_and_lossless(tmp_path):
+    """N concurrent commit_with_retry writers (blind appends): every
+    writer lands, versions are gapless 0..N, and every writer's add
+    survives in the final replay exactly once."""
+    table = _log_only_table(tmp_path)
+    n = 8
+    barrier = _FORK.Barrier(n)
+    q = _FORK.Queue()
+    procs = [
+        _FORK.Process(target=_race_retry_append, args=(table, w, barrier, q))
+        for w in range(n)
+    ]
+    for p in procs:
+        p.start()
+    results = dict(q.get(timeout=120) for _ in range(n))
+    for p in procs:
+        p.join(timeout=120)
+    assert sorted(results) == list(range(n))  # every writer committed
+    assert sorted(results.values()) == list(range(1, n + 1))  # distinct
+    assert D.log_versions(table) == list(range(n + 1))  # gapless
+    files = D.replay(table)["files"]
+    assert sorted(files) == sorted(
+        f"files_w{w}/part-0.parquet" for w in range(n)
+    )
+
+
+def test_conflict_check_against_expired_commit_refused(tmp_path, spark):
+    """commit_with_retry with a remove whose conflict range was
+    expired by log cleanup: an honest ValueError naming the expired
+    commit, not FileNotFoundError (ADVICE r8)."""
+    table, adds1 = _toy_table(tmp_path, spark)
+    path = adds1[0]["add"]["path"]
+    D.write_commit(
+        table, 1,
+        [{"remove": {"path": "files_other/x.parquet",
+                     "deletionTimestamp": 0, "dataChange": True}}],
+    )
+    D.write_checkpoint(table, 1)
+    D.expire_commits_before_checkpoint(table)
+    rm = {"remove": {"path": path, "deletionTimestamp": 0, "dataChange": True}}
+    with pytest.raises(ValueError, match="expired commit v1"):
+        D.commit_with_retry(table, [rm], read_version=0)
+
+
+def test_checkpoint_rolls_forward_after_log_cleanup(tmp_path, spark):
+    """ADVICE r8: checkpoints must build from replay() (existing
+    checkpoint + tail), not JSON-from-0 — otherwise no checkpoint can
+    ever be written again once cleanup expired the early commits and
+    the JSON tail grows forever."""
+    table, adds1 = _toy_table(tmp_path, spark)
+    df2 = spark.createDataFrame([(3, "c")], "id bigint, s string")
+    D.write_commit(table, 1, D._write_version_files(spark, df2, table, "v1"))
+    D.write_checkpoint(table, 1)
+    D.expire_commits_before_checkpoint(table)
+    df3 = spark.createDataFrame([(4, "d")], "id bigint, s string")
+    D.write_commit(table, 2, D._write_version_files(spark, df3, table, "v2"))
+    # the old code raised "log has gaps" here
+    D.write_checkpoint(table, 2)
+    assert D.read_last_checkpoint(table)["version"] == 2
+    assert D.expire_commits_before_checkpoint(table) == [2]
+    # replay of the head now comes purely from the rolled checkpoint
+    assert D.replay(table)["version"] == 2
+    assert D.read_snapshot(spark, table).count() == 4
+
+
+def test_replay_metadata_shape_identical_json_vs_checkpoint(tmp_path, spark):
+    """ADVICE r8: replay()['metadata'] must be the same shape (format
+    + configuration included) whether served from JSON or checkpoint."""
+    table, _ = _toy_table(tmp_path, spark)
+    md_json = D.replay(table)["metadata"]
+    D.write_checkpoint(table, 0)
+    D.expire_commits_before_checkpoint(table)
+    md_cp = D.replay(table)["metadata"]
+    assert md_cp == md_json
+    assert md_cp["format"] == {"provider": "parquet", "options": {}}
+    assert md_cp["configuration"] == {}
+
+
+# --- round 9: partitionValues pruning (VERDICT r8 ask #7) -------------
+
+
+def _partitioned_toy(tmp_path, spark):
+    table = str(tmp_path / "pt")
+    meta = {
+        "metaData": {
+            "id": "pt",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": spark.createDataFrame(
+                [(1, "a")], "id bigint, k string"
+            ).schema.json(),
+            "partitionColumns": ["k"],
+            "configuration": {},
+            "createdTime": 0,
+        }
+    }
+    adds = []
+    for k, ids in (("a", [1, 2]), ("b", [3]), ("c", [4, 5, 6])):
+        sub = f"files_pt/k={k}"
+        out = os.path.join(table, sub)
+        df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        for fn in sorted(os.listdir(out)):
+            if fn.endswith(".parquet"):
+                adds.append(
+                    {"add": {"path": f"{sub}/{fn}",
+                             "partitionValues": {"k": k}, "size": 1,
+                             "modificationTime": 0, "dataChange": True}}
+                )
+    D.write_commit(table, 0, [D.PROTOCOL_ACTION, meta] + adds)
+    return table
+
+
+def test_partition_prune_filters_files_from_metadata(tmp_path, spark):
+    table = _partitioned_toy(tmp_path, spark)
+    snap = D.replay(table)
+    pruned = D.prune_files(snap, {"k": {"a", "c"}})
+    assert len(pruned) == 2 and len(snap["_active"]) == 3
+    assert all("k=b" not in p for p in pruned)
+    # unknown column refused
+    with pytest.raises(ValueError, match="not partition columns"):
+        D.prune_files(snap, {"nope": {"x"}})
+
+
+def test_partition_prune_reconstructs_partition_column(tmp_path, spark):
+    """The partition column is absent from the data files; the pruned
+    read serves it from partitionValues as a typed literal."""
+    table = _partitioned_toy(tmp_path, spark)
+    df = D.read_snapshot(spark, table, partition_filter={"k": {"a", "c"}})
+    assert [f.name for f in df.schema.fields] == ["id", "k"]
+    got = {(r.id, r.k) for r in df.collect()}
+    assert got == {(1, "a"), (2, "a"), (4, "c"), (5, "c"), (6, "c")}
+    # empty selection keeps the full schema
+    empty = D.read_snapshot(spark, table, partition_filter={"k": {"zzz"}})
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "k"]
+    # unpartitioned table + partition_filter is refused
+    table2, _ = _toy_table(tmp_path, spark)
+    with pytest.raises(ValueError, match="not partition columns"):
+        D.read_snapshot(spark, table2, partition_filter={"k": {"a"}})
+
+
 def test_vacuum_deletes_only_dead_files(tmp_path, spark):
     """Vacuum removes tombstoned files, keeps the live snapshot
     readable and the log/checkpoint intact; vacuumed versions replay
