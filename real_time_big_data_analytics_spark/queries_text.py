@@ -1614,6 +1614,59 @@ register(
 )
 
 
+def _es_wire_pushdown(spark, sf_dir):
+    """Predicate pushdown into the sliced scroll (VERDICT r8 ask #4) —
+    the es-hadoop model: Spark's pushed data-source filters (term on
+    event_type, range on value and ts, the inferred IsNotNulls) are
+    translated to Query-DSL ``bool.filter`` clauses by the typed
+    ``es_wire_typed`` reader's ``pushFilters`` and evaluated SERVER-
+    side by MiniES before anything crosses the wire. Spark does NOT
+    re-evaluate consumed filters, so a wrong DSL translation (or a
+    server that ignores the query) changes these aggregates and breaks
+    the hash. The plan is pinned in PLANS.md + tests/test_es_wire.py
+    (PushedFilters reaching the scan, like s_orc_roundtrip_stats)."""
+    from pyspark.sql import functions as F
+
+    from .sources.pyds import read_events_via_es_wire_typed
+
+    df = read_events_via_es_wire_typed(spark, sf_dir)
+    return (
+        df.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") >= 50.0)
+            & (F.col("ts") >= "2024-01-10 00:00:00.000000")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+            F.min("ts").alias("min_ts"),
+        )
+    )
+
+
+register(
+    "s_es_wire_pushdown",
+    _es_wire_pushdown,
+    sql="""
+    SELECT event_type, count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id,
+           min(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS min_ts
+    FROM events
+    WHERE event_type = 'purchase' AND value >= 50.0
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+    GROUP BY event_type
+    """,
+    tags=("source", "elasticsearch", "wire", "pushdown", "python-datasource"),
+)
+
+
 def _es_wire_terms_agg(spark, sf_dir):
     """The reference's Kibana panels ARE Elasticsearch aggregations
     over the indexed stream (SURVEY §2.5 internalized them as Spark

@@ -103,6 +103,54 @@ def es_shard(doc_id: str, n_shards: int) -> int:
     return h % n_shards
 
 
+def _match_query(q: dict, doc: dict) -> bool:
+    """Query-DSL evaluation for the pushdown subset (public Query DSL:
+    term / range / bool with filter+must_not / match_all). Exactly the
+    clause shapes elasticsearch-hadoop generates when it pushes Spark
+    data-source filters down as ES queries."""
+    if len(q) != 1:
+        raise ValueError(f"malformed query clause: {sorted(q)}")
+    (kind,) = q.keys()
+    spec = q[kind]
+    if kind == "match_all":
+        return True
+    if kind == "term":
+        ((field, cond),) = spec.items()
+        want = cond["value"] if isinstance(cond, dict) else cond
+        return doc.get(field) == want
+    if kind == "terms":
+        ((field, vals),) = spec.items()
+        return doc.get(field) in vals
+    if kind == "range":
+        ((field, bounds),) = spec.items()
+        v = doc.get(field)
+        if v is None:
+            return False
+        for op, bound in bounds.items():
+            if op == "gte" and not v >= bound:
+                return False
+            elif op == "gt" and not v > bound:
+                return False
+            elif op == "lte" and not v <= bound:
+                return False
+            elif op == "lt" and not v < bound:
+                return False
+            elif op not in ("gte", "gt", "lte", "lt"):
+                raise ValueError(f"unsupported range op {op!r}")
+        return True
+    if kind == "exists":
+        return doc.get(spec["field"]) is not None
+    if kind == "bool":
+        for clause in spec.get("filter", []) + spec.get("must", []):
+            if not _match_query(clause, doc):
+                return False
+        for clause in spec.get("must_not", []):
+            if _match_query(clause, doc):
+                return False
+        return True
+    raise ValueError(f"unsupported query clause {kind!r}")
+
+
 # -------------------------------------------------------------- MiniES
 
 
@@ -334,8 +382,20 @@ class MiniES:
                         "reason": f"no such index [{index}]",
                     }
                 }
-            docs = self.indices[index]["docs"]
-            ids = sorted(docs)
+            # snapshot under the lock: concurrent _bulk writers from
+            # parallel Spark tasks must not mutate the dict while hits/
+            # aggregations are built below (ADVICE r8)
+            docs = dict(self.indices[index]["docs"])
+        if "query" in req:
+            # Query-DSL filtering (term / range / bool.filter) — the
+            # subset es-hadoop pushes Spark predicates down as. Applied
+            # BEFORE slicing/aggregation, like real ES.
+            docs = {
+                i: s
+                for i, s in docs.items()
+                if _match_query(req["query"], json.loads(s))
+            }
+        ids = sorted(docs)
         if "aggs" in req or "aggregations" in req:
             return self._aggregate(
                 docs, req.get("aggs") or req["aggregations"], size
@@ -369,6 +429,10 @@ class MiniES:
                 self.scrolls[scroll_id] = {
                     "index": index,
                     "ids": rest,
+                    # snapshot the remaining sources NOW: a scroll is a
+                    # point-in-time view (real ES pins the segments),
+                    # and later pages must not chase live mutations
+                    "docs": {i: docs[i] for i in rest},
                     "size": size,
                     "total": total,
                 }
@@ -502,7 +566,7 @@ class MiniES:
                     }
                 }
             page, ctx["ids"] = ctx["ids"][: ctx["size"]], ctx["ids"][ctx["size"] :]
-            docs = self.indices[ctx["index"]]["docs"]
+            docs = ctx["docs"]  # the point-in-time snapshot
         return 200, {
             "_scroll_id": scroll_id,
             "took": 0,
@@ -554,6 +618,22 @@ def es_request(
         return es_request_on(conn, method, path, body, ctype)
     finally:
         conn.close()
+
+
+def ensure_index(addr: str, index: str, n_shards: int) -> None:
+    """Idempotent index creation: tolerate
+    ``resource_already_exists_exception`` so a crashed partial stage
+    re-runs cleanly (ADVICE r8 — the PUT used to wedge a re-stage with
+    IOError; the subsequent ``_id``-keyed bulk re-index is
+    last-write-wins, so the retry converges)."""
+    body = json.dumps(
+        {"settings": {"index": {"number_of_shards": n_shards}}}
+    ).encode()
+    try:
+        es_request(addr, "PUT", f"/{index}", body)
+    except IOError as e:
+        if "resource_already_exists_exception" not in str(e):
+            raise
 
 
 def es_request_on(

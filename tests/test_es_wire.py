@@ -358,3 +358,184 @@ def test_murmur3_foreign_validated_against_spark_jvm(spark):
         mine = E.murmur3_x86_32(r.s.encode(), seed=42)
         signed = mine - (1 << 32) if mine >= (1 << 31) else mine
         assert signed == r.h, r.s
+
+
+# --- round 9: query-DSL filtering + pushdown (VERDICT r8 ask #4) ------
+
+
+def test_match_query_dsl_subset():
+    doc = {"event_type": "purchase", "value": 50.0, "ts": "2024-01-10"}
+    m = E._match_query
+    assert m({"match_all": {}}, doc)
+    assert m({"term": {"event_type": {"value": "purchase"}}}, doc)
+    assert m({"term": {"event_type": "purchase"}}, doc)  # shorthand
+    assert not m({"term": {"event_type": "click"}}, doc)
+    assert m({"terms": {"event_type": ["click", "purchase"]}}, doc)
+    assert m({"range": {"value": {"gte": 50.0, "lt": 51.0}}}, doc)
+    assert not m({"range": {"value": {"gt": 50.0}}}, doc)
+    assert m({"range": {"ts": {"gte": "2024-01-01"}}}, doc)  # lexicographic
+    assert m({"exists": {"field": "value"}}, doc)
+    assert not m({"exists": {"field": "missing"}}, doc)
+    assert m(
+        {"bool": {"filter": [{"term": {"event_type": "purchase"}},
+                             {"range": {"value": {"gte": 1}}}],
+                  "must_not": [{"term": {"event_type": "click"}}]}},
+        doc,
+    )
+    assert not m({"bool": {"must_not": [{"match_all": {}}]}}, doc)
+    # missing field never matches term/range
+    assert not m({"term": {"nope": "x"}}, doc)
+    assert not m({"range": {"nope": {"gte": 0}}}, doc)
+    with pytest.raises(ValueError, match="unsupported query clause"):
+        m({"fuzzy": {"f": "x"}}, doc)
+    with pytest.raises(ValueError, match="unsupported range op"):
+        m({"range": {"value": {"between": 1}}}, doc)
+
+
+def test_search_applies_query_server_side(es):
+    """A query body filters hits, slices, scroll pages, and aggs
+    BEFORE anything crosses the wire."""
+    addr, server = es
+    _req(addr, "PUT", "/t", {})
+    docs = [(i, {"k": "a" if i % 2 else "b", "v": float(i)}) for i in range(40)]
+    _req(addr, "POST", "/t/_bulk", ndjson=_bulk_lines("t", docs))
+    q = {"query": {"bool": {"filter": [
+        {"term": {"k": "a"}}, {"range": {"v": {"gte": 10}}}]}},
+        "size": 100}
+    _, body = _req(addr, "POST", "/t/_search", q)
+    got = {h["_source"]["v"] for h in body["hits"]["hits"]}
+    assert got == {float(i) for i in range(11, 40, 2)}
+    assert body["hits"]["total"]["value"] == len(got)
+    # filtered aggregation
+    _, body = _req(addr, "POST", "/t/_search", {
+        "query": {"term": {"k": "a"}},
+        "aggs": {"total": {"sum": {"field": "v"}}},
+    })
+    assert body["aggregations"]["total"]["value"] == sum(
+        i for i in range(40) if i % 2
+    )
+    # filtered sliced scroll: slices of the FILTERED set stay disjoint
+    seen = []
+    for sid in range(3):
+        _, page = _req(
+            addr, "POST", "/t/_search?scroll=1m",
+            {"query": {"term": {"k": "b"}}, "size": 4,
+             "slice": {"id": sid, "max": 3}},
+        )
+        while True:
+            hits = page["hits"]["hits"]
+            if not hits:
+                break
+            seen += [h["_source"]["v"] for h in hits]
+            _, page = _req(addr, "POST", "/_search/scroll",
+                           {"scroll_id": page["_scroll_id"]})
+    assert sorted(seen) == [float(i) for i in range(0, 40, 2)]
+
+
+def test_scroll_is_point_in_time_snapshot(es):
+    """Docs bulk-updated AFTER the scroll opened must not leak into
+    later pages (and concurrent mutation must not crash the page
+    build) — the ADVICE r8 race, pinned as snapshot semantics."""
+    addr, server = es
+    _req(addr, "PUT", "/t", {})
+    docs = [(i, {"v": i}) for i in range(10)]
+    _req(addr, "POST", "/t/_bulk", ndjson=_bulk_lines("t", docs))
+    _, page = _req(addr, "POST", "/t/_search?scroll=1m", {"size": 3})
+    # overwrite every doc while the scroll is open
+    mutated = [(i, {"v": i + 1000}) for i in range(10)]
+    _req(addr, "POST", "/t/_bulk", ndjson=_bulk_lines("t", mutated))
+    seen = [h["_source"]["v"] for h in page["hits"]["hits"]]
+    while True:
+        _, page = _req(addr, "POST", "/_search/scroll",
+                       {"scroll_id": page["_scroll_id"]})
+        hits = page["hits"]["hits"]
+        if not hits:
+            break
+        seen += [h["_source"]["v"] for h in hits]
+    assert sorted(seen) == list(range(10))  # the snapshot, not the update
+
+
+def test_concurrent_bulk_and_search_no_race(es):
+    """Parallel _bulk writers + searchers/aggregators: the server must
+    never throw (the pre-snapshot code could die with 'dict changed
+    size during iteration')."""
+    import threading
+
+    addr, server = es
+    _req(addr, "PUT", "/t", {})
+    errs = []
+
+    def writer(w):
+        try:
+            for r in range(10):
+                docs = [(w * 1000 + r * 100 + i, {"v": i}) for i in range(50)]
+                _req(addr, "POST", "/t/_bulk", ndjson=_bulk_lines("t", docs))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def searcher():
+        try:
+            for _ in range(20):
+                s, body = _req(addr, "POST", "/t/_search", {
+                    "query": {"range": {"v": {"gte": 0}}},
+                    "aggs": {"t": {"sum": {"field": "v"}}},
+                })
+                assert s == 200 and "aggregations" in body
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    threads += [threading.Thread(target=searcher) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs
+
+
+def test_ensure_index_idempotent(es):
+    """ADVICE r8: a crashed partial stage re-runs — the second PUT
+    must tolerate resource_already_exists, other errors still raise."""
+    addr, server = es
+    E.ensure_index(addr, "t", 4)
+    E.ensure_index(addr, "t", 4)  # the retry — used to wedge with IOError
+    assert server.indices["t"]["n_shards"] == 4
+    with pytest.raises(IOError):
+        E.es_request(addr, "POST", "/nope/_count")
+
+
+def test_pushdown_filters_reach_scan_and_server(spark):
+    """The typed DataSource consumes term/range/exists filters: the
+    formatted plan shows them ALL under PushedFilters with NO residual
+    Filter node, and the result matches a Spark-side filter of the
+    unfiltered scan (the source really applied them — Spark does not
+    re-evaluate consumed filters)."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.sources.pyds import (
+        read_events_via_es_wire,
+        read_events_via_es_wire_typed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = read_events_via_es_wire_typed(spark, sf)
+    flt = df.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 50.0)
+    )
+    plan = flt._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BatchScan es_wire_typed" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "GreaterThanOrEqual(value,50.0)" in plan
+    assert "\n(2) Filter" not in plan  # fully consumed, nothing residual
+    got = {(r.event_id, r.value) for r in flt.collect()}
+    # ground truth: unfiltered typed scan, filtered Spark-side
+    base = {
+        (r.event_id, r.value)
+        for r in df.collect()
+        if r.event_type == "purchase" and r.value >= 50.0
+    }
+    assert got == base and got
