@@ -21,6 +21,15 @@ repeats share whatever JVM/GC/code-cache state the previous queries
 left behind in a fixed order; randomized passes decorrelate that, so
 comparing the two modes splits shared-session interference from real
 per-query regression (round-3 verdict ask #3).
+
+Contention robustness (round 9, VERDICT r8 ask #1): in the default
+mode every query's samples are BRACKETED by interleaved single-thread
+calibration loops; queries whose bracket drifted >10% above the run's
+baseline calibration are automatically requeued (quietest bracket
+wins), and calibration-normalized per-query times land in the summary
+as first-class fields (``queries_norm`` / ``value_norm`` / ``calib`` /
+``brackets`` / ``requeued``) — so the recorded artifact reads the
+engine, not whatever the host happened to be doing.
 """
 
 from __future__ import annotations
@@ -219,6 +228,84 @@ def _ambient() -> dict:
     return amb
 
 
+def _calib_quick() -> float:
+    """Short single-thread calibration (~0.1-0.3 s nominal): the same
+    fixed arithmetic workload as _ambient()'s 10M-iteration loop at
+    1/5 length, cheap enough to interleave BETWEEN queries (VERDICT r8
+    ask #1). Ambient CPU contention or frequency scaling inflates the
+    reading directly."""
+    t0 = time.monotonic()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i & 0xFFFF
+    dt = time.monotonic() - t0
+    if acc & 0xFFFF == 0xDEAD:  # pin the loop against DCE-style edits
+        print(acc)
+    return dt
+
+
+def _timed_runs(queries, name: str, runs: int = 3) -> list[float]:
+    out = []
+    for _ in range(runs):
+        t0 = time.monotonic()
+        force(queries[name].fn(spark_holder[0], SF_DIR))
+        out.append(time.monotonic() - t0)
+    return out
+
+
+spark_holder: list = [None]
+
+
+def _bracketed_sweep(queries, names: list[str]) -> tuple[dict, dict, list]:
+    """Contention-robust measurement (VERDICT r8 ask #1): every query's
+    3 samples are BRACKETED by interleaved single-thread calibrations;
+    a query whose bracket drifted >10% above the run's baseline
+    calibration (= min over all calibrations seen, the uncontended
+    host speed) is automatically REQUEUED to the back of the line (up
+    to 2 retries) and the attempt with the quietest bracket wins.
+
+    Returns (attempts_by_name, calib_stats, requeued_names):
+    attempts_by_name[name] = list of {"samples", "bracket", "infl"}.
+    """
+    # settle the baseline with three quick calibrations up front
+    calibs = [_calib_quick() for _ in range(3)]
+    attempts: dict[str, list[dict]] = {n: [] for n in names}
+    requeued: list[str] = []
+    queue = list(names)
+    retries: dict[str, int] = {n: 0 for n in names}
+    last_calib = _calib_quick()
+    calibs.append(last_calib)
+    while queue:
+        name = queue.pop(0)
+        pre = last_calib
+        samples = _timed_runs(queries, name)
+        post = _calib_quick()
+        calibs.append(post)
+        last_calib = post
+        baseline = min(calibs)
+        bracket_mean = (pre + post) / 2.0
+        infl = bracket_mean / baseline
+        attempts[name].append(
+            {"samples": samples, "bracket": [pre, post], "infl": infl}
+        )
+        if infl > 1.10 and retries[name] < 2:
+            retries[name] += 1
+            queue.append(name)  # contended bracket: try again later
+            if name not in requeued:
+                requeued.append(name)
+    baseline = min(calibs)
+    calib_stats = {
+        "baseline_sec": round(baseline, 4),
+        "n": len(calibs),
+        "min_sec": round(min(calibs), 4),
+        "median_sec": round(sorted(calibs)[len(calibs) // 2], 4),
+        "max_sec": round(max(calibs), 4),
+        "spread_pct": round((max(calibs) / min(calibs) - 1) * 100, 1),
+        "samples_sec": [round(c, 4) for c in calibs],
+    }
+    return attempts, calib_stats, requeued
+
+
 def _next_round() -> int:
     """One past the newest driver-recorded BENCH_r{N}.json (the file
     for the CURRENT round doesn't exist yet while bench.py runs)."""
@@ -255,10 +342,14 @@ def main() -> None:
     # min() reports steady-state latency. Three, not two — on a shared
     # host a single contended run otherwise sets the recorded number
     # (observed 2-7× first-run inflation after idle periods).
-    runs_by_name: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    spark_holder[0] = spark
+    calib_stats = None
+    brackets: dict[str, dict] = {}
+    requeued: list[str] = []
     if isolate:
         # 3 randomized full passes: per-query min across passes, with
         # a fixed seed so reruns are reproducible.
+        runs_by_name: dict[str, list[float]] = {n: [] for n in HEADLINE}
         rng = random.Random(4)
         for _ in range(3):
             order = list(HEADLINE)
@@ -268,11 +359,20 @@ def main() -> None:
                 force(queries[name].fn(spark, SF_DIR))
                 runs_by_name[name].append(time.monotonic() - t0)
     else:
-        for name in HEADLINE:
-            for _ in range(3):
-                t0 = time.monotonic()
-                force(queries[name].fn(spark, SF_DIR))
-                runs_by_name[name].append(time.monotonic() - t0)
+        # Default mode (the driver's grading run): calibration-
+        # bracketed sweep with auto-requeue on ambient drift (VERDICT
+        # r8 ask #1 — the committed r8 headline was a degraded-host
+        # run; this makes the artifact read the ENGINE, not the host).
+        attempts, calib_stats, requeued = _bracketed_sweep(queries, HEADLINE)
+        runs_by_name = {}
+        for name, atts in attempts.items():
+            best = min(atts, key=lambda a: a["infl"])
+            runs_by_name[name] = best["samples"]
+            brackets[name] = {
+                "bracket_sec": [round(b, 4) for b in best["bracket"]],
+                "infl": round(best["infl"], 4),
+                "attempts": len(atts),
+            }
     # Headline per-query figure stays min-of-3 (steady-state latency,
     # methodology unchanged since r1); the RAW samples now land in the
     # receipt too (VERDICT r6 ask #5) so drift tables can compare mins
@@ -280,6 +380,19 @@ def main() -> None:
     # single sample per round.
     timings = {n: round(min(rs), 3) for n, rs in runs_by_name.items()}
     samples = {n: [round(r, 3) for r in rs] for n, rs in runs_by_name.items()}
+    # Calibration-normalized per-query times (first-class, VERDICT r8
+    # ask #1): raw / bracket-inflation — what the same run would have
+    # read at the baseline (uncontended) host speed. Raw stays the
+    # headline for methodology continuity; normalized is what
+    # BENCH_DRIFT compares across rounds.
+    timings_norm = (
+        {
+            n: round(t / brackets[n]["infl"], 3)
+            for n, t in timings.items()
+        }
+        if brackets
+        else None
+    )
 
     # End-to-end streaming throughput: events ingested through the
     # windowed streaming aggregation per second of wall clock — the
@@ -317,6 +430,12 @@ def main() -> None:
         "ambient": {"pre": ambient_pre, "post": ambient_post},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if timings_norm is not None:
+        out["value_norm"] = round(sum(timings_norm.values()), 3)
+        out["queries_norm"] = timings_norm
+        out["calib"] = calib_stats
+        out["brackets"] = brackets
+        out["requeued"] = requeued
     # Round-over-round regression signal: per-query delta vs the last
     # driver-recorded bench (positive = slower this round).
     prev = _prev_bench()
@@ -345,8 +464,14 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: the stdout line is still the receipt
     compact = {
-        k: v for k, v in out.items() if k not in ("samples", "ambient")
+        k: v
+        for k, v in out.items()
+        if k not in ("samples", "ambient", "queries_norm", "brackets")
     }
+    if calib_stats is not None:
+        compact["calib"] = {
+            k: v for k, v in calib_stats.items() if k != "samples_sec"
+        }
     compact["ambient_calib_sec"] = {
         "pre": ambient_pre.get("calib_sec"),
         "post": ambient_post.get("calib_sec"),
