@@ -590,6 +590,27 @@ register(
     ),
     tags=("similarity", "knn", "ivf", "index"),
 )
+# round 9 (VERDICT r8 ask #5): graph-based ANN — per-shard HNSW graphs
+# (deterministic levels/insertion, M-bounded bidirectional links, beam
+# search) searched in parallel and merged as a global top-k; candidates
+# re-scored with the exact Catalyst cosine so sims are bit-identical.
+register(
+    "l3_knn_hnsw",
+    similarity.knn_hnsw_checked,
+    sql=_ANN_QUERIES_SQL.format(
+        flags="true AS sims_exact, true AS within_k, true AS recall_ok"
+    ),
+    tags=("similarity", "knn", "hnsw", "graph"),
+)
+# the ef tuning curve: recall@10 vs brute force per beam width, with
+# pinned per-ef floors (bound-assertion twin — the graph walk is not
+# SQL-replayable, unlike the sign-bit IVF sweep)
+register(
+    "l3_hnsw_recall_sweep",
+    similarity.hnsw_recall_sweep,
+    sql=similarity.HNSW_RECALL_SWEEP_SQL,
+    tags=("similarity", "knn", "hnsw", "recall"),
+)
 
 def _mmr_sql() -> str:
     """DuckDB replay of the unrolled MMR greedy recurrence — the CTE

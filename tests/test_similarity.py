@@ -487,3 +487,107 @@ def test_semantic_threshold_sweep_monotone(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert a.n_pairs >= b.n_pairs
         assert a.n_affected_vectors >= b.n_affected_vectors
+
+
+# --- round 9: HNSW (VERDICT r8 ask #5) --------------------------------
+
+
+def test_hnsw_recall_floor_and_exact_sims(spark, sf_dir):
+    """HNSW@ef=64 must hit the pinned recall floor vs brute force
+    (measured 1.0 at sf0.001/0.01 and 1.0 at sf0.1 this round; floor
+    0.85 leaves margin), and every returned sim must equal the exact
+    cosine for that pair."""
+    brute = {
+        (r.query_id, r.vec_id): r.sim
+        for r in similarity.knn_bruteforce(spark, sf_dir).collect()
+    }
+    approx = similarity.knn_hnsw(spark, sf_dir).collect()
+    hits = sum((r.query_id, r.vec_id) in brute for r in approx)
+    assert hits >= 0.85 * len(brute)
+    exact = {
+        (r.query_id, r.vec_id): r.sim
+        for r in similarity._all_sims(spark, sf_dir).collect()
+    }
+    for r in approx:
+        assert abs(r.sim - exact[(r.query_id, r.vec_id)]) < 1e-9
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(similarity.N_QUERIES))
+    for q, rs in per_q.items():
+        assert len(rs) <= similarity.TOP_K
+        assert all(r.vec_id != q for r in rs)  # never the query itself
+
+
+def test_hnsw_deterministic_across_runs(spark, sf_dir):
+    """Same corpus, two independent builds: identical results (the
+    hash-stability requirement — levels from id hashes, insertion by
+    sorted vec_id, rounded-distance tie-breaks, sorted neighbor
+    iteration)."""
+    a = sorted(
+        (r.query_id, r.vec_id, r.rk)
+        for r in similarity.knn_hnsw(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vec_id, r.rk)
+        for r in similarity.knn_hnsw(spark, sf_dir).collect()
+    )
+    assert a == b
+
+
+def test_hnsw_recall_improves_with_ef(spark, sf_dir):
+    """The sweep's reason to exist: a tiny beam must not outscore a
+    saturated one, and the saturated beam should be near-exact."""
+    true_k = {
+        (r.query_id, r.vec_id)
+        for r in similarity.knn_bruteforce(spark, sf_dir).collect()
+    }
+    cands = similarity._hnsw_candidates(
+        spark, sf_dir, similarity.TOP_K, similarity.HNSW_EF_SWEEP
+    )
+    from pyspark.sql import Window
+
+    emb = similarity.spread(
+        similarity.load_table(spark, sf_dir, "embeddings")
+    )
+    q = emb.filter(F.col("vec_id") < similarity.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    ranked = (
+        cands.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "ef", "query_id", "vec_id",
+            similarity.round2(
+                cosine_similarity("q", "embedding"), 6
+            ).alias("sim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("ef", "query_id").orderBy(
+                    F.desc("sim"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= similarity.TOP_K)
+        .collect()
+    )
+    recall = {}
+    for ef in similarity.HNSW_EF_SWEEP:
+        got = {(r.query_id, r.vec_id) for r in ranked if r.ef == ef}
+        recall[ef] = len(got & true_k) / len(true_k)
+    efs = sorted(recall)
+    assert recall[efs[-1]] >= 0.9  # saturated beam near-exact
+    for ef in efs:
+        assert recall[ef] >= similarity.HNSW_SWEEP_FLOORS[ef] - 1e-9
+    assert recall[efs[0]] <= recall[efs[-1]] + 1e-9
+
+
+def test_hnsw_sweep_flags_all_true(spark, sf_dir):
+    rows = similarity.hnsw_recall_sweep(spark, sf_dir).collect()
+    assert [r.ef for r in rows] == sorted(similarity.HNSW_EF_SWEEP)
+    for r in rows:
+        assert r.n_queries == similarity.N_QUERIES
+        assert r.k == similarity.TOP_K
+        assert r.sims_exact and r.within_k and r.recall_ok
