@@ -11,6 +11,17 @@ sys.path.insert(0, REPO)
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
+# Activate the pure-Python protobuf shim (compat/purepb) BEFORE any
+# SparkSession exists: the transformWithState state client runs in
+# JVM-spawned python workers that inherit the driver environment, so
+# PYTHONPATH must carry the shim before the JVM starts. A no-op when a
+# real google.protobuf is installed.
+from real_time_big_data_analytics_spark.compat import (  # noqa: E402
+    enable_protobuf_shim,
+)
+
+enable_protobuf_shim()
+
 
 @pytest.fixture(scope="session")
 def spark():
