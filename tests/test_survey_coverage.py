@@ -65,6 +65,7 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
     "S7": (
         "s_es_wire_roundtrip",
         "s_es_wire_stream",
+        "s_es_wire_pushdown",  # round 9: filters pushed as Query DSL
         "s_es_verdict_index",  # the reference's saveToEs topology whole
         "s_es_wire_sink_datasource",  # DataSourceStreamWriter sink API
         "t15_stream_cdc_materialize",
@@ -78,6 +79,7 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
         "dq_parquet_footer_stats",
         "pytest:tests/test_parquet_footer.py",
         "s_delta_time_travel",
+        "s_delta_partition_prune",  # round 9: partitionValues pruning
         "pytest:tests/test_delta_log.py",
     ),
     # §2.2 projections / per-record transforms
@@ -115,7 +117,13 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
     "T5": ("t5_stream_windowed_watermarked",),
     "T6": ("t6_stream_session_windows",),
     "T7": ("t7_stream_dedup_counts", "t13_stream_dedup_within_watermark"),
-    "T8": ("t8_stateful_user_stats", "t17_stream_stateful_ewma"),
+    "T8": (
+        "t8_stateful_user_stats",
+        "t17_stream_stateful_ewma",
+        # round 9: transformWithStateInPandas runs LIVE via the
+        # protobuf shim (registry exclusion boundary in NOTES_r09 §6)
+        "pytest:tests/test_protobuf_shim.py",
+    ),
     # §2.9 LLM-data-pipeline operators
     "L1": ("l1_exact_dedup", "l1_dup_group_stats", "l1_incremental_dedup"),
     "L2": (
@@ -131,6 +139,8 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
         "l3_knn_ivf_indexed",
         "l3_knn_pq_rerank",
         "l3_ivf_recall_sweep",
+        "l3_knn_hnsw",  # round 9: graph-based ANN, shard-and-merge
+        "l3_hnsw_recall_sweep",
     ),
     "L4": ("l4_word_topk", "l4_quality_scores", "l4_token_counts"),
     "L5": (
@@ -138,6 +148,7 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
         "l5_jpeg_pixel_decode_stats",
         "l5_wav_pcm_decode_stats",
         "l5_avi_frame_sample_stats",
+        "l5_video_pframe_stats",  # round 9: motion-compensated codec
         "l5_decode_quarantine_audit",
     ),
     "L6": ("m1_train_score_users", "m2_stream_scored_verdicts"),
