@@ -159,6 +159,15 @@ HEADLINE = [
     # produce of the full events table, ~25 s at sf0.1); min-of-3
     # reports the steady-state fetch+decode scan (~3.5 s).
     "s_kafka_wire_roundtrip",
+    # round-9 additions: the two genuinely new cost shapes — the
+    # motion-compensated video codec (per-doc Python MC encode inside
+    # mapInPandas, zero shuffle) and shard-and-merge HNSW (per-shard
+    # graph build + beam search in applyInPandas plus TWO brute-force
+    # verification passes in its invariant twin). s_es_wire_pushdown /
+    # s_delta_partition_prune ride already-benched scan shapes and the
+    # hnsw sweep rides l3_knn_hnsw's, so they stay unheadlined.
+    "l5_video_pframe_stats",
+    "l3_knn_hnsw",
 ]
 
 

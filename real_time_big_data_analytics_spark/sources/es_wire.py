@@ -386,26 +386,32 @@ class MiniES:
             # parallel Spark tasks must not mutate the dict while hits/
             # aggregations are built below (ADVICE r8)
             docs = dict(self.indices[index]["docs"])
-        if "query" in req:
-            # Query-DSL filtering (term / range / bool.filter) — the
-            # subset es-hadoop pushes Spark predicates down as. Applied
-            # BEFORE slicing/aggregation, like real ES.
+        dsl = req.get("query")
+        if dsl is not None and ("aggs" in req or "aggregations" in req):
+            # aggregations see the whole filtered index (no slice)
             docs = {
                 i: s
                 for i, s in docs.items()
-                if _match_query(req["query"], json.loads(s))
+                if _match_query(dsl, json.loads(s))
             }
-        ids = sorted(docs)
         if "aggs" in req or "aggregations" in req:
             return self._aggregate(
                 docs, req.get("aggs") or req["aggregations"], size
             )
+        ids = sorted(docs)
         if slice_spec is not None:
             sid, smax = int(slice_spec["id"]), int(slice_spec["max"])
             if not 0 <= sid < smax:
                 raise ValueError(f"slice id {sid} out of [0, {smax})")
             # the default _id-based slice split — same hash as routing
             ids = [i for i in ids if es_shard(i, smax) == sid]
+        if dsl is not None:
+            # Query-DSL filtering (term / range / bool.filter) — the
+            # subset es-hadoop pushes Spark predicates down as. Applied
+            # AFTER the slice split (like real ES, where the query runs
+            # per shard): each sliced request only ever parses its own
+            # slice's documents, so N slices cost one pass total.
+            ids = [i for i in ids if _match_query(dsl, json.loads(docs[i]))]
         total = len(ids)
         page, rest = ids[:size], ids[size:]
         resp = {
