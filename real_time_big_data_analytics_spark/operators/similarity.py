@@ -1679,7 +1679,9 @@ HNSW_EF_SWEEP = (4, 16, 64)
 HNSW_SWEEP_FLOORS = {4: 0.2, 16: 0.55, 64: 0.85}
 
 
-def _hnsw_candidate_fn(queries: list, k: int, efs: tuple, m: int, ef_c: int):
+def _hnsw_candidate_fn(
+    queries: list, k: int, efs: tuple, m: int, ef_c: int, emit: str = "candidates"
+):
     """Build the ``applyInPandas`` body: construct an HNSW graph over
     ONE shard's vectors (Malkov & Yashunin 2016, public algorithm:
     exponentially-distributed layers, greedy descent, beam search with
@@ -1689,7 +1691,11 @@ def _hnsw_candidate_fn(queries: list, k: int, efs: tuple, m: int, ef_c: int):
     trap). Everything is deterministic: insertion order = sorted
     vec_id, node level = hash(vec_id) (not RNG state), distances
     rounded to 9 dp with index tie-breaks, neighbor iteration sorted.
-    """
+
+    ``emit="edges"`` returns the constructed graph's adjacency rows
+    (node_id, layer, neighbor_id) instead of searching — the
+    PERSISTENCE path (levels and the entry point are derivable from
+    the id hash, so edges are the whole index)."""
 
     def build_and_search(pdf):
         import heapq
@@ -1771,6 +1777,18 @@ def _hnsw_candidate_fn(queries: list, k: int, efs: tuple, m: int, ef_c: int):
                 ep = [e for _, e in cands]
             if li > top:
                 entry, top = i, li
+
+        if emit == "edges":
+            rows_n, rows_l, rows_nb = [], [], []
+            for i in range(n):
+                for layer, nbrs in adj[i].items():
+                    for nb in sorted(nbrs):
+                        rows_n.append(int(ids[i]))
+                        rows_l.append(layer)
+                        rows_nb.append(int(ids[nb]))
+            return pd.DataFrame(
+                {"node_id": rows_n, "layer": rows_l, "neighbor_id": rows_nb}
+            )
 
         out_q, out_v, out_ef = [], [], []
         for ef in efs:
@@ -1944,3 +1962,212 @@ SELECT ef, CAST(n_queries AS BIGINT) AS n_queries,
 FROM (VALUES (4, 5), (16, 5), (64, 5)) AS t(ef, n_queries)
 ORDER BY ef
 """
+
+
+# --- HNSW persisted index: build once, search many (round 9) ----------
+
+_HNSW_INDEX_DIRS: dict[str, str] = {}
+
+
+def hnsw_index_write(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the per-shard HNSW graphs as a shard-partitioned
+    parquet EDGE table — the index lifecycle step the IVF family has
+    (``ivf_index_write``): build once, search many. Only the adjacency
+    needs storing; node levels and the entry point are pure functions
+    of the vector id (the deterministic level draw), so the index is
+    exactly (node_id, layer, neighbor_id) rows. Staged once per corpus
+    fingerprint via build-in-scratch + atomic rename (the delta-stager
+    crash-idempotency discipline)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = hashlib.md5(
+        f"hnsw|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    if tag in _HNSW_INDEX_DIRS:
+        return _HNSW_INDEX_DIRS[tag]
+    index_dir = os.path.join(tempfile.gettempdir(), f"rtba_hnswidx_{tag}")
+    done = os.path.join(index_dir, "_staging_complete")
+    if not os.path.exists(done):
+        if os.path.exists(index_dir):
+            shutil.rmtree(index_dir)
+        stage = f"{index_dir}.staging-{uuid.uuid4().hex[:12]}"
+        emb = spread(load_table(spark, sf_dir, "embeddings"))
+        corpus = emb.withColumn(
+            "shard", (F.col("vec_id") % HNSW_SHARDS).cast("int")
+        )
+        fn = _hnsw_candidate_fn(
+            [], 0, (), HNSW_M, HNSW_EF_CONSTRUCTION, emit="edges"
+        )
+        edges = corpus.groupBy("shard").applyInPandas(
+            fn, "node_id bigint, layer int, neighbor_id bigint"
+        ).withColumn("shard", (F.col("node_id") % HNSW_SHARDS).cast("int"))
+        edges.write.partitionBy("shard").parquet(os.path.join(stage, "edges"))
+        with open(os.path.join(stage, "_staging_complete"), "w") as f:
+            f.write(tag)
+        try:
+            os.rename(stage, index_dir)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+            if not os.path.exists(done):
+                raise
+    _HNSW_INDEX_DIRS[tag] = index_dir
+    return index_dir
+
+
+def _hnsw_search_edges_fn(queries: list, k: int, ef: int, m: int):
+    """Cogrouped search body: one shard's VECTORS (left) + its
+    persisted EDGE rows (right) → per-query local top-k candidates.
+    Reconstructs the adjacency and replays exactly the search the
+    inline builder runs (same rounded distances, same tie-breaks, same
+    descent) — tests/test_similarity.py pins indexed ≡ fresh-build
+    results EXACTLY, so any drift between this copy of the beam search
+    and the builder's is caught."""
+
+    def search_shard(vec_pdf, edge_pdf):
+        import heapq
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        ids = vec_pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        vecs = np.stack(vec_pdf["embedding"].to_numpy())[order].astype(
+            np.float64
+        )
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        unit = vecs / np.maximum(norms, 1e-12)[:, None]
+        n = len(ids)
+        idx_of = {int(v): i for i, v in enumerate(ids)}
+
+        m_l = 1.0 / math.log(m)
+        level_of = []
+        for vid in ids:
+            h = (int(vid) * 2654435761 + 97) % (1 << 32)
+            u = (h + 1) / float((1 << 32) + 1)
+            level_of.append(min(int(-math.log(u) * m_l), 8))
+        adj: list[dict[int, set]] = [
+            {layer: set() for layer in range(lv + 1)} for lv in level_of
+        ]
+        for node, layer, nb in zip(
+            edge_pdf["node_id"], edge_pdf["layer"], edge_pdf["neighbor_id"]
+        ):
+            adj[idx_of[int(node)]][int(layer)].add(idx_of[int(nb)])
+        # entry = the builder's final entry: highest level, FIRST
+        # inserted among equals (insertion order = ascending vec_id,
+        # and the entry only moves on a STRICTLY higher level)
+        entry, top = None, -1
+        for i in range(n):
+            if level_of[i] > top:
+                entry, top = i, level_of[i]
+        if entry is None:
+            return pd.DataFrame({"query_id": [], "vec_id": []})
+
+        def d_to(qu, i):
+            return round(1.0 - float(unit[i] @ qu), 9)
+
+        def search_layer(qu, eps, ef_, layer):
+            visited = set(eps)
+            cand = [(d_to(qu, e), e) for e in eps]
+            heapq.heapify(cand)
+            res = [(-d, e) for d, e in cand]
+            heapq.heapify(res)
+            while cand:
+                d, c = heapq.heappop(cand)
+                if res and d > -res[0][0]:
+                    break
+                for nb in sorted(adj[c].get(layer, ())):
+                    if nb in visited:
+                        continue
+                    visited.add(nb)
+                    dn = d_to(qu, nb)
+                    if len(res) < ef_ or dn < -res[0][0]:
+                        heapq.heappush(cand, (dn, nb))
+                        heapq.heappush(res, (-dn, nb))
+                        if len(res) > ef_:
+                            heapq.heappop(res)
+            return sorted(((-d, e) for d, e in res), key=lambda t: (t[0], t[1]))
+
+        out_q, out_v = [], []
+        for qid, qvec in queries:
+            qu = np.asarray(qvec, dtype=np.float64)
+            qn = math.sqrt(float(qu @ qu))
+            qu = qu / max(qn, 1e-12)
+            ep = [entry]
+            for layer in range(top, 0, -1):
+                ep = [search_layer(qu, ep, 1, layer)[0][1]]
+            res = search_layer(qu, ep, ef + 1, 0)
+            taken = 0
+            for _d, e in res:
+                if int(ids[e]) == qid:
+                    continue
+                out_q.append(qid)
+                out_v.append(int(ids[e]))
+                taken += 1
+                if taken >= k:
+                    break
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v})
+
+    return search_shard
+
+
+def knn_hnsw_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    ef_search: int = HNSW_EF_SEARCH,
+) -> DataFrame:
+    """L3 — HNSW search over the PERSISTED per-shard graphs: the
+    vectors and the index cogroup on shard (one task per shard, the
+    same fan-out as the build), no graph construction at query time.
+    Candidates are re-scored with the exact Catalyst cosine and merged
+    as the global top-k, identical to the fresh-build path."""
+    index_dir = hnsw_index_write(spark, sf_dir)
+    import os
+
+    edges = spark.read.parquet(os.path.join(index_dir, "edges"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()  # bounded: the N_QUERIES demo query vectors
+    ]
+    corpus = emb.withColumn(
+        "shard", (F.col("vec_id") % HNSW_SHARDS).cast("int")
+    )
+    fn = _hnsw_search_edges_fn(queries, k, ef_search, HNSW_M)
+    cands = (
+        corpus.groupBy("shard")
+        .cogroup(edges.groupBy("shard"))
+        .applyInPandas(fn, "query_id bigint, vec_id bigint")
+    )
+    qdf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    sims = (
+        cands.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            round2(cosine_similarity("q", "embedding"), 6).alias("sim"),
+        )
+    )
+    return _ranked_topk(sims, k)
+
+
+def knn_hnsw_indexed_checked(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """L3 persisted-HNSW with its invariant twin (same 0.85 floor as
+    the fresh-build path — the graphs are identical by construction)."""
+    return _knn_invariants(
+        spark, sf_dir, knn_hnsw_indexed(spark, sf_dir, k), k, 0.85
+    )

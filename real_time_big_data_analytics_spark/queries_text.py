@@ -611,6 +611,18 @@ register(
     sql=similarity.HNSW_RECALL_SWEEP_SQL,
     tags=("similarity", "knn", "hnsw", "recall"),
 )
+# persisted-index variant (the ivf_index_write lifecycle): per-shard
+# graphs written once as a shard-partitioned parquet edge table, then
+# searched via a vectors-with-edges cogroup — results pinned EXACTLY
+# equal to the fresh-build path (tests/test_similarity.py)
+register(
+    "l3_knn_hnsw_indexed",
+    similarity.knn_hnsw_indexed_checked,
+    sql=_ANN_QUERIES_SQL.format(
+        flags="true AS sims_exact, true AS within_k, true AS recall_ok"
+    ),
+    tags=("similarity", "knn", "hnsw", "index"),
+)
 
 def _mmr_sql() -> str:
     """DuckDB replay of the unrolled MMR greedy recurrence — the CTE

@@ -305,6 +305,7 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         "s_es_wire_pushdown",
         "l3_knn_hnsw",
         "l3_hnsw_recall_sweep",
+        "l3_knn_hnsw_indexed",
         "l5_video_pframe_stats",
     }
 )

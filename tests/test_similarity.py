@@ -591,3 +591,25 @@ def test_hnsw_sweep_flags_all_true(spark, sf_dir):
         assert r.n_queries == similarity.N_QUERIES
         assert r.k == similarity.TOP_K
         assert r.sims_exact and r.within_k and r.recall_ok
+
+
+def test_hnsw_indexed_equals_fresh_build_exactly(spark, sf_dir):
+    """The persisted-graph search must reproduce the fresh-build
+    results EXACTLY (same graph + same beam search) — the drift guard
+    between the builder's search and the edge-table replayer."""
+    fresh = sorted(
+        (r.query_id, r.vec_id, r.rk, r.sim)
+        for r in similarity.knn_hnsw(spark, sf_dir).collect()
+    )
+    idx = sorted(
+        (r.query_id, r.vec_id, r.rk, r.sim)
+        for r in similarity.knn_hnsw_indexed(spark, sf_dir).collect()
+    )
+    assert idx == fresh and len(idx) > 0
+    # the index is reused, not rebuilt: same staged dir both times
+    a = similarity.hnsw_index_write(spark, sf_dir)
+    b = similarity.hnsw_index_write(spark, sf_dir)
+    assert a == b
+    import os
+
+    assert os.path.exists(os.path.join(a, "_staging_complete"))

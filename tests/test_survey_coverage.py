@@ -141,6 +141,7 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
         "l3_ivf_recall_sweep",
         "l3_knn_hnsw",  # round 9: graph-based ANN, shard-and-merge
         "l3_hnsw_recall_sweep",
+        "l3_knn_hnsw_indexed",  # persisted per-shard graphs
     ),
     "L4": ("l4_word_topk", "l4_quality_scores", "l4_token_counts"),
     "L5": (

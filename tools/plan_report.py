@@ -46,12 +46,18 @@ def _exchanges(plan: str) -> int:
     return len(re.findall(r"\bExchange ", plan))
 
 
-def describe(pre: str, post: str | None) -> dict[str, str]:
+def describe(pre: str, post: str | None, pre_fmt: str = "") -> dict[str, str]:
     py = [n for n in PY_NODES if n in pre]
+    # DSv2 scans (Python data sources, ORC/parquet v2) print their
+    # PushedFilters only in FORMATTED explain — the tree string shows
+    # a bare `BatchScan`; check both representations.
+    pushed = re.search(r"PushedFilters: \[(?!\])", pre) or re.search(
+        r"PushedFilters: \[(?!\])", pre_fmt
+    )
     d = {
         "exchanges": str(_exchanges(pre)),
         "joins": _joins(pre),
-        "pushed": "yes" if re.search(r"PushedFilters: \[(?!\])", pre) else "—",
+        "pushed": "yes" if pushed else "—",
         "python": " ".join(py) or "—",
     }
     if post is None:
@@ -116,11 +122,16 @@ def main() -> None:
         n_queries += 1
         try:
             df = q.fn(spark, args.sf)
-            pre = df._jdf.queryExecution().executedPlan().toString()
+            qe = df._jdf.queryExecution()
+            pre = qe.executedPlan().toString()
+            pre_fmt = qe.explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
         except Exception as ex:  # pragma: no cover - report, don't die
             lines.append(f"| `{name}` | ERROR | {type(ex).__name__} | | | |")
             continue
-        d = describe(pre, final_plan(df))
+        d = describe(pre, final_plan(df), pre_fmt)
         lines.append(
             f"| `{name}` | {d['exchanges']} | {d['joins']} | {d['pushed']} "
             f"| {d['python']} | {d['final']} |"
