@@ -19,12 +19,15 @@ Implemented subset (disclosed):
 - time travel: replay stops at the requested version;
 - checkpoints (round 8): parquet checkpoint + ``_last_checkpoint``
   pointer, O(tail) replay, log cleanup of covered commits, honest
-  refusal of time travel behind an expired tail;
+  refusal of time travel behind an expired tail; round 9 adds
+  MULTI-PART checkpoints (``{v}.checkpoint.{i}.{n}.parquet`` +
+  ``"parts"`` in the pointer, partial-parts refused) and checkpoint
+  roll-forward after cleanup;
 - CDF-style incremental scan (round 8): per-commit insert/delete row
   feed from the dataChange adds/removes;
-- NOT implemented: partition pruning on ``partitionValues``, multi-
-  part checkpoints, and the v2+ deletion-vector/column-mapping
-  features.
+- partition pruning on ``partitionValues`` (round 9): metadata-only
+  file selection + typed literal reconstruction of partition columns;
+- NOT implemented: the v2+ deletion-vector/column-mapping features.
 
 No foreign delta reader exists in the sandbox (no delta-spark JAR, no
 duckdb delta extension — probed in tests/test_delta_log.py), so the
@@ -251,7 +254,9 @@ def replay(table_dir: str, version: int | None = None) -> dict:
     if version > newest:
         raise ValueError(f"{table_dir}: version {version} not in log")
     if cp is not None and cp["version"] <= version:
-        active, metadata = _load_checkpoint(table_dir, cp["version"])
+        active, metadata = _load_checkpoint(
+            table_dir, cp["version"], parts=int(cp.get("parts", 1))
+        )
         tail = list(range(cp["version"] + 1, version + 1))
         present = [v for v in versions if cp["version"] < v <= version]
         if present != tail:
@@ -291,6 +296,18 @@ def _checkpoint_path(table_dir: str, version: int) -> str:
     )
 
 
+def _checkpoint_part_path(
+    table_dir: str, version: int, part: int, parts: int
+) -> str:
+    """Multi-part checkpoint file name per PROTOCOL.md:
+    ``{version}.checkpoint.{part}.{parts}.parquet`` (1-based part)."""
+    return os.path.join(
+        table_dir,
+        "_delta_log",
+        f"{version:020d}.checkpoint.{part:010d}.{parts:010d}.parquet",
+    )
+
+
 def read_last_checkpoint(table_dir: str) -> dict | None:
     p = os.path.join(table_dir, "_delta_log", "_last_checkpoint")
     if not os.path.exists(p):
@@ -302,7 +319,7 @@ def read_last_checkpoint(table_dir: str) -> dict | None:
     return cp
 
 
-def write_checkpoint(table_dir: str, version: int) -> str:
+def write_checkpoint(table_dir: str, version: int, parts: int = 1) -> str:
     """Replay to ``version`` and publish the checkpoint +
     ``_last_checkpoint`` pointer (tmp + atomic rename, like commits).
     State comes from ``replay`` — existing checkpoint + JSON tail — so
@@ -311,7 +328,14 @@ def write_checkpoint(table_dir: str, version: int) -> str:
     cleanup ran, and the JSON tail would grow unboundedly).
     Metadata-scale: one parquet row per active file — written with
     pyarrow directly, the same way real writers use a parquet library
-    for the log (the DATA files still go through Spark's writer)."""
+    for the log (the DATA files still go through Spark's writer).
+
+    ``parts > 1`` writes a MULTI-PART checkpoint (PROTOCOL.md:
+    ``{v}.checkpoint.{i}.{n}.parquet`` + ``"parts"`` in
+    ``_last_checkpoint``): the add actions split contiguously across
+    parts (protocol/metaData ride part 1) — at 100 TB a snapshot has
+    millions of active files and a single checkpoint file becomes the
+    write/read bottleneck; parts parallelize both sides."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -348,68 +372,102 @@ def write_checkpoint(table_dir: str, version: int) -> str:
     adds = [snap_active[p] for p in sorted(snap_active)]
     n = len(adds) + 2
     fmt = metadata.get("format", {"provider": "parquet", "options": {}})
-    tbl = pa.table(
-        {
-            "protocol": pa.array(
-                [PROTOCOL_ACTION["protocol"]] + [None] * (n - 1), proto_t
-            ),
-            "metaData": pa.array(
-                [None]
-                + [
-                    {
-                        "id": metadata["id"],
-                        "format": {
-                            "provider": fmt.get("provider", "parquet"),
-                            "options": list(
-                                (fmt.get("options") or {}).items()
-                            ),
-                        },
-                        "schemaString": metadata["schemaString"],
-                        "partitionColumns": metadata["partitionColumns"],
-                        "configuration": list(
-                            (metadata.get("configuration") or {}).items()
-                        ),
-                        "createdTime": metadata["createdTime"],
-                    }
-                ]
-                + [None] * (n - 2),
-                meta_t,
-            ),
-            "add": pa.array(
-                [None, None]
-                + [
-                    {
-                        "path": a["path"],
-                        "partitionValues": list(
-                            a.get("partitionValues", {}).items()
-                        ),
-                        "size": a["size"],
-                        "modificationTime": a["modificationTime"],
-                        "dataChange": a["dataChange"],
-                    }
-                    for a in adds
-                ],
-                add_t,
-            ),
+    meta_row = {
+        "id": metadata["id"],
+        "format": {
+            "provider": fmt.get("provider", "parquet"),
+            "options": list((fmt.get("options") or {}).items()),
+        },
+        "schemaString": metadata["schemaString"],
+        "partitionColumns": metadata["partitionColumns"],
+        "configuration": list((metadata.get("configuration") or {}).items()),
+        "createdTime": metadata["createdTime"],
+    }
+
+    def _add_row(a: dict) -> dict:
+        return {
+            "path": a["path"],
+            "partitionValues": list(a.get("partitionValues", {}).items()),
+            "size": a["size"],
+            "modificationTime": a["modificationTime"],
+            "dataChange": a["dataChange"],
         }
-    )
-    path = _checkpoint_path(table_dir, version)
-    tmp = f"{path}.inprogress"
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, path)
+
+    def _cp_table(with_header: bool, part_adds: list):
+        hdr = 2 if with_header else 0
+        rows = hdr + len(part_adds)
+        return pa.table(
+            {
+                "protocol": pa.array(
+                    ([PROTOCOL_ACTION["protocol"], None] if with_header else [])
+                    + [None] * len(part_adds),
+                    proto_t,
+                ),
+                "metaData": pa.array(
+                    ([None, meta_row] if with_header else [])
+                    + [None] * len(part_adds),
+                    meta_t,
+                ),
+                "add": pa.array(
+                    [None] * hdr + [_add_row(a) for a in part_adds], add_t
+                ),
+            }
+        )
+
+    if parts <= 1:
+        targets = [(_checkpoint_path(table_dir, version), _cp_table(True, adds))]
+    else:
+        # contiguous split: part i gets adds[i*step:(i+1)*step]; the
+        # protocol/metaData header rides part 1 (any distribution is
+        # legal — readers take the union of all parts)
+        step = -(-len(adds) // parts) if adds else 0
+        targets = []
+        for i in range(parts):
+            chunk = adds[i * step : (i + 1) * step] if step else []
+            targets.append(
+                (
+                    _checkpoint_part_path(table_dir, version, i + 1, parts),
+                    _cp_table(i == 0, chunk),
+                )
+            )
+    for path, tbl in targets:
+        tmp = f"{path}.inprogress"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    path = targets[0][0]
     ptr = os.path.join(table_dir, "_delta_log", "_last_checkpoint")
     tmp = f"{ptr}.inprogress"
+    pointer = {"version": version, "size": n}
+    if parts > 1:
+        pointer["parts"] = parts
     with open(tmp, "w") as f:
-        json.dump({"version": version, "size": n}, f)
+        json.dump(pointer, f)
     os.replace(tmp, ptr)
     return path
 
 
-def _load_checkpoint(table_dir: str, version: int):
-    """Checkpoint parquet → (active add dict, metadata dict)."""
+def _load_checkpoint(table_dir: str, version: int, parts: int = 1):
+    """Checkpoint parquet(s) → (active add dict, metadata dict).
+    ``parts > 1`` reads the union of every part file (refusing on a
+    missing part — a partial multi-part checkpoint is no checkpoint)."""
     import pyarrow.parquet as pq
 
-    rows = pq.read_table(_checkpoint_path(table_dir, version)).to_pylist()
+    if parts <= 1:
+        paths = [_checkpoint_path(table_dir, version)]
+    else:
+        paths = [
+            _checkpoint_part_path(table_dir, version, i + 1, parts)
+            for i in range(parts)
+        ]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise ValueError(
+                f"{table_dir}: multi-part checkpoint {version} is missing "
+                f"{len(missing)}/{parts} parts — refusing partial state"
+            )
+    rows = []
+    for pth in paths:
+        rows.extend(pq.read_table(pth).to_pylist())
     active: dict[str, dict] = {}
     metadata = None
     for r in rows:
@@ -721,16 +779,20 @@ def changes_between(spark, table_dir: str, start_version: int, end_version: int)
 
 def stage_events_as_delta_checkpointed(spark, sf_dir: str) -> str:
     """The same three-version table, then ``write_checkpoint`` at
-    version 1 and LOG CLEANUP of commits 0-1 — so any replay of
-    version >= 1 MUST come through the checkpoint (the JSON history
-    behind it no longer exists), which is exactly what the
-    ``s_delta_checkpoint_replay`` oracle then hash-checks."""
+    version 1 — MULTI-PART (2 parts, round 9) — and LOG CLEANUP of
+    commits 0-1: any replay of version >= 1 MUST come through the
+    checkpoint parts (the JSON history behind it no longer exists),
+    which is exactly what the ``s_delta_checkpoint_replay`` oracle
+    then hash-checks — one lost/duplicated part row and the version
+    aggregates diverge."""
 
     def post_build(stage_dir: str) -> None:
-        write_checkpoint(stage_dir, 1)
+        write_checkpoint(stage_dir, 1, parts=2)
         expire_commits_before_checkpoint(stage_dir)
 
-    return _stage_table(spark, sf_dir, "deltacp", post_build=post_build)
+    # kind "deltacp2": the r9 multi-part staging must not reuse a
+    # cached single-part table from an earlier round
+    return _stage_table(spark, sf_dir, "deltacp2", post_build=post_build)
 
 
 def delta_checkpoint_replay(spark, sf_dir: str):

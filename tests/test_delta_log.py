@@ -536,3 +536,42 @@ def test_vacuum_deletes_only_dead_files(tmp_path, spark):
         D.read_snapshot(spark, table, 0).collect()
     # idempotent: nothing left to vacuum
     assert D.vacuum(table) == []
+
+
+# --- round 9: multi-part checkpoints ----------------------------------
+
+
+def test_multipart_checkpoint_roundtrips_and_survives_cleanup(tmp_path, spark):
+    """A 3-part checkpoint replays identically to the single-file one
+    (same state, parts unioned), including after log cleanup; the
+    pointer carries "parts"; part files follow the PROTOCOL.md name."""
+    table, adds1 = _toy_table(tmp_path, spark)
+    df2 = spark.createDataFrame([(3, "c"), (4, "d")], "id bigint, s string")
+    D.write_commit(table, 1, D._write_version_files(spark, df2, table, "v1"))
+    before = D.replay(table, 1)["files"]
+    D.write_checkpoint(table, 1, parts=3)
+    cp = D.read_last_checkpoint(table)
+    assert cp["parts"] == 3
+    for i in range(3):
+        assert os.path.exists(D._checkpoint_part_path(table, 1, i + 1, 3))
+    D.expire_commits_before_checkpoint(table)
+    assert D.replay(table, 1)["files"] == before
+    assert D.read_snapshot(spark, table).count() == 4
+    # metadata shape identical through the multi-part path too
+    md = D.replay(table)["metadata"]
+    assert md["format"] == {"provider": "parquet", "options": {}}
+    # more parts than adds: empty tail parts are legal
+    D.write_commit(table, 2, [])
+    D.write_checkpoint(table, 2, parts=8)
+    assert D.replay(table, 2)["files"] == before
+
+
+def test_multipart_checkpoint_missing_part_refused(tmp_path, spark):
+    """A partial multi-part checkpoint is NO checkpoint: replay must
+    refuse rather than silently drop the missing part's files."""
+    table, _ = _toy_table(tmp_path, spark)
+    D.write_checkpoint(table, 0, parts=2)
+    D.expire_commits_before_checkpoint(table)
+    os.remove(D._checkpoint_part_path(table, 0, 2, 2))
+    with pytest.raises(ValueError, match="missing 1/2 parts"):
+        D.replay(table)

@@ -95,6 +95,9 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "l3_knn_lsh",
         "l3_knn_ivf",
         "l3_knn_ivf_indexed",
+        "l3_knn_hnsw",  # invariant twin: broadcast-query != exact pass
+        "l3_knn_hnsw_indexed",  # same twin over the persisted graphs
+        "l3_hnsw_recall_sweep",  # brute-force truth: broadcast != scan
         "l3_knn_pq_rerank",  # exact-twin broadcast + 1-row recall flag
         "l2_minhash_lsh_pairs",  # checked form: five 1-row assertion-scalar broadcasts
         "a5_recent_window_counts",
