@@ -3908,10 +3908,12 @@ register(
 from .sources.delta_log import (  # noqa: E402
     DELTA_CDF_CHANGES_SQL,
     DELTA_CHECKPOINT_REPLAY_SQL,
+    DELTA_DELETION_VECTORS_SQL,
     DELTA_PARTITION_PRUNE_SQL,
     DELTA_TIME_TRAVEL_SQL,
     delta_cdf_changes,
     delta_checkpoint_replay,
+    delta_deletion_vectors,
     delta_partition_prune,
     delta_time_travel,
 )
@@ -3950,4 +3952,15 @@ register(
     delta_partition_prune,
     sql=DELTA_PARTITION_PRUNE_SQL,
     tags=("source", "delta", "partition-pruning", "lakehouse"),
+)
+
+# round 9: deletion vectors — row-level deletes with ZERO data-file
+# rewrites (inline Z85 roaring bitmaps applied at scan time via the
+# native parquet _metadata.row_index), closing the log's last
+# disclosed v2-reader gap.
+register(
+    "s_delta_deletion_vectors",
+    delta_deletion_vectors,
+    sql=DELTA_DELETION_VECTORS_SQL,
+    tags=("source", "delta", "deletion-vectors", "lakehouse"),
 )

@@ -306,6 +306,7 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         "l3_knn_hnsw",
         "l3_hnsw_recall_sweep",
         "l3_knn_hnsw_indexed",
+        "s_delta_deletion_vectors",
         "l5_video_pframe_stats",
     }
 )

@@ -27,7 +27,13 @@ Implemented subset (disclosed):
   feed from the dataChange adds/removes;
 - partition pruning on ``partitionValues`` (round 9): metadata-only
   file selection + typed literal reconstruction of partition columns;
-- NOT implemented: the v2+ deletion-vector/column-mapping features.
+- DELETION VECTORS (round 9, sources/delta_dv.py): inline ("i")
+  descriptors — Z85-encoded 64-bit roaring bitmaps — applied at scan
+  time via the native parquet ``_metadata.row_index`` anti-join, so
+  row-level deletes rewrite zero data bytes;
+- NOT implemented: column mapping (rename/drop via physical names)
+  and DV sidecar-file ("u"/"p") storage — inline covers the
+  row-level-delete semantics end-to-end.
 
 No foreign delta reader exists in the sandbox (no delta-spark JAR, no
 duckdb delta extension — probed in tests/test_delta_log.py), so the
@@ -556,28 +562,65 @@ def read_snapshot(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    from . import delta_dv
+
     snap = replay(table_dir, version)
     schema = StructType.fromJson(json.loads(snap["metadata"]["schemaString"]))
     part_cols = list(snap["metadata"].get("partitionColumns") or [])
     active = prune_files(snap, partition_filter)
     if not active:
         return spark.createDataFrame([], schema)
+
+    def read_files(adds: list[dict]):
+        """One scan for the plain files + one DV-applying scan per
+        deletion-vectored file: the file is read with the native
+        parquet ``_metadata.row_index`` column and LEFT-ANTI joined
+        against its DV's broadcast row positions — the row-position
+        skip real DV readers perform, kept distributed (positions
+        broadcast, filtering executor-side) and pushdown-capable."""
+        plain = [a["path"] for a in adds if not a.get("deletionVector")]
+        parts = []
+        if plain:
+            parts.append(
+                spark.read.parquet(
+                    *[os.path.join(table_dir, p) for p in sorted(plain)]
+                )
+            )
+        for a in adds:
+            dv = a.get("deletionVector")
+            if not dv:
+                continue
+            deleted = delta_dv.dv_row_indexes(dv)
+            df = spark.read.parquet(
+                os.path.join(table_dir, a["path"])
+            ).withColumn("__dv_ri", F.col("_metadata.row_index"))
+            dd = spark.createDataFrame(
+                [(int(i),) for i in deleted], "__dv_ri bigint"
+            )
+            parts.append(
+                df.join(F.broadcast(dd), "__dv_ri", "left_anti").drop(
+                    "__dv_ri"
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     if not part_cols:
-        return spark.read.parquet(
-            *[os.path.join(table_dir, p) for p in sorted(active)]
-        )
+        return read_files(list(active.values()))
     # group pruned files by partition tuple; reconstruct the partition
     # columns as typed literals (one scan per partition value set, all
     # unioned — each group is still a native pushdown-capable scan)
-    by_vals: dict[tuple, list[str]] = {}
+    by_vals: dict[tuple, list[dict]] = {}
     for p in sorted(active):
         pv = active[p].get("partitionValues") or {}
         key = tuple(pv[c] for c in part_cols)
-        by_vals.setdefault(key, []).append(os.path.join(table_dir, p))
+        by_vals.setdefault(key, []).append(active[p])
     types = {f.name: f.dataType for f in schema.fields}
     out = None
     for key in sorted(by_vals):
-        df = spark.read.parquet(*by_vals[key])
+        df = read_files(by_vals[key])
         for c, raw in zip(part_cols, key):
             df = df.withColumn(c, F.lit(raw).cast(types[c]))
         df = df.select(*[f.name for f in schema.fields])
@@ -1054,6 +1097,148 @@ FROM v JOIN events e
   ON (e.event_id % 3 = 0 AND v.m0)
   OR (e.event_id % 3 = 1 AND v.m1)
   OR (e.event_id % 3 = 2 AND v.m2)
+GROUP BY v.version
+ORDER BY v.version
+"""
+
+
+# --- deletion vectors (round 9): row-level deletes without rewrites ----
+
+
+def _build_dv_table(spark, sf_dir: str, stage_dir: str, tag: str) -> None:
+    """Two-version staging for the deletion-vector path:
+
+    - v0: the full events projection written as parquet files;
+    - v1: every file containing ``event_id % 7 == 0`` rows is
+      remove+re-added WITH an inline deletionVector marking exactly
+      those row positions — a row-level delete that rewrites NO data
+      bytes (the whole point of DVs at 100 TB: deleting a few rows
+      from a TB file costs a bitmap, not a rewrite).
+
+    The per-file deleted positions come from one scan of
+    ``_metadata.(file_name, row_index)``; the collect is bounded by
+    the deleted-row count and is staging-only (a production writer
+    computes DVs distributed and writes sidecar files)."""
+    from pyspark.sql import functions as F
+
+    from . import delta_dv
+    from .tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    adds_v0 = _write_version_files(spark, events, stage_dir, "v0")
+    meta = {
+        "metaData": {
+            "id": f"rtba-dv-{tag}",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": events.schema.json(),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": _T0,
+        }
+    }
+    write_commit(stage_dir, 0, [PROTOCOL_ACTION, meta] + adds_v0)
+    hits = (
+        spark.read.parquet(os.path.join(stage_dir, "files_v0"))
+        .select(
+            F.col("_metadata.file_name").alias("fn"),
+            F.col("_metadata.row_index").alias("ri"),
+            "event_id",
+        )
+        .filter(F.col("event_id") % 7 == 0)
+        .collect()  # bounded: the deleted-row positions (staging only)
+    )
+    per_file: dict[str, list[int]] = {}
+    for r in hits:
+        per_file.setdefault(r.fn, []).append(int(r.ri))
+    actions = []
+    for a in adds_v0:
+        fn = os.path.basename(a["add"]["path"])
+        rows = per_file.get(fn)
+        if not rows:
+            continue  # no deleted rows in this file: add stays as-is
+        actions.append(
+            {
+                "remove": {
+                    "path": a["add"]["path"],
+                    "deletionTimestamp": _T0,
+                    "dataChange": True,
+                }
+            }
+        )
+        new_add = dict(a["add"])
+        new_add["deletionVector"] = delta_dv.dv_inline_descriptor(rows)
+        actions.append({"add": new_add})
+    if not actions:
+        raise ValueError("DV staging found no rows to delete")
+    write_commit(stage_dir, 1, actions)
+
+
+def stage_events_as_delta_dv(spark, sf_dir: str) -> str:
+    return _stage_table(spark, sf_dir, "deltadv", builder=_build_dv_table)
+
+
+def delta_deletion_vectors(spark, sf_dir: str):
+    """``s_delta_deletion_vectors`` — aggregate the DV-staged table at
+    v0 (everything) and v1 (event_id % 7 == 0 rows deleted via inline
+    deletion vectors, ZERO data files rewritten), plus the log-derived
+    audit columns: number of DV'd files and the summed descriptor
+    cardinality. One deleted row surviving the scan, one kept row
+    dropped, or a descriptor whose cardinality disagrees with the
+    bitmap breaks the hash against the oracle's %7 definition."""
+    from pyspark.sql import functions as F
+
+    table_dir = stage_events_as_delta_dv(spark, sf_dir)
+    out = None
+    for v in (0, 1):
+        snap = replay(table_dir, v)
+        dvs = [
+            a["deletionVector"]
+            for a in snap["_active"].values()
+            if a.get("deletionVector")
+        ]
+        df = (
+            read_snapshot(spark, table_dir, version=v)
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+                F.min("event_id").alias("min_event_id"),
+                F.max("event_id").alias("max_event_id"),
+            )
+            .withColumn("version", F.lit(v).cast("bigint"))
+            .withColumn(
+                # the content-bound audit: summed descriptor cardinality
+                # (file COUNTS depend on Spark's split and are not
+                # content-deterministic, so they stay out of the hash)
+                "deleted_rows",
+                F.lit(sum(d["cardinality"] for d in dvs)).cast("bigint"),
+            )
+            .select(
+                "version", "n", "n_users", "total_value",
+                "min_event_id", "max_event_id", "deleted_rows",
+            )
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+DELTA_DELETION_VECTORS_SQL = """
+WITH v(version, keep_all) AS (
+    VALUES (CAST(0 AS BIGINT), true), (CAST(1 AS BIGINT), false)
+), del AS (
+    SELECT count(*) AS deleted FROM events WHERE event_id % 7 = 0
+)
+SELECT v.version,
+       count(*) AS n,
+       count(DISTINCT e.user_id) AS n_users,
+       round(sum(e.value), 2) AS total_value,
+       min(e.event_id) AS min_event_id,
+       max(e.event_id) AS max_event_id,
+       CASE WHEN v.version = 1 THEN (SELECT deleted FROM del)
+            ELSE CAST(0 AS BIGINT) END AS deleted_rows
+FROM v JOIN events e ON v.keep_all OR e.event_id % 7 <> 0
 GROUP BY v.version
 ORDER BY v.version
 """

@@ -575,3 +575,88 @@ def test_multipart_checkpoint_missing_part_refused(tmp_path, spark):
     os.remove(D._checkpoint_part_path(table, 0, 2, 2))
     with pytest.raises(ValueError, match="missing 1/2 parts"):
         D.replay(table)
+
+
+# --- round 9: deletion vectors ----------------------------------------
+
+
+def test_dv_codec_spec_shapes_and_roundtrip():
+    """Z85 RFC test vector; roaring cookie/container-switch structure;
+    64-bit bucket layout; descriptor cardinality binding."""
+    import struct
+
+    from real_time_big_data_analytics_spark.sources import delta_dv as DV
+
+    # the ZeroMQ RFC 32 canonical vector
+    assert DV.z85_encode(
+        bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    ) == "HelloWorld"
+    assert DV.z85_decode("HelloWorld") == bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B]
+    )
+    # array container (<=4096) and bitmap container (>4096) roundtrip
+    small = [1, 5, 9, 70000]
+    blob = DV.roaring32_serialize(small)
+    assert struct.unpack_from("<I", blob)[0] == 12346  # no-run cookie
+    assert DV.roaring32_deserialize(blob) == small
+    dense = list(range(0, 10000, 2)) + [65536 * 3 + 7]
+    assert DV.roaring32_deserialize(DV.roaring32_serialize(dense)) == sorted(
+        dense
+    )
+    # 64-bit buckets
+    big = [0, 1, (1 << 32) + 5, (1 << 33) + 9]
+    assert DV.rba_deserialize(DV.rba_serialize(big)) == big
+    # descriptor: inline, magic, cardinality cross-checked
+    d = DV.dv_inline_descriptor([2, 4, 8])
+    assert d["storageType"] == "i" and d["cardinality"] == 3
+    assert DV.dv_row_indexes(d) == [2, 4, 8]
+    d_bad = dict(d, cardinality=5)
+    with pytest.raises(ValueError, match="cardinality mismatch"):
+        DV.dv_row_indexes(d_bad)
+    with pytest.raises(ValueError, match="storageType"):
+        DV.dv_row_indexes({"storageType": "u", "pathOrInlineDv": "x"})
+
+
+def test_deletion_vector_scan_skips_exactly_marked_rows(tmp_path, spark):
+    """A DV'd add serves its file MINUS the marked row positions —
+    no data bytes rewritten (the file on disk is untouched), kept rows
+    intact, time travel to the pre-DV version still sees everything."""
+    from real_time_big_data_analytics_spark.sources import delta_dv as DV
+
+    table, adds1 = _toy_table(tmp_path, spark)  # files hold ids {1,2}
+    # find the row positions of id==1 per file
+    import pyspark.sql.functions as F
+
+    pos = (
+        spark.read.parquet(os.path.join(table, "files_v0"))
+        .select(
+            F.col("_metadata.file_name").alias("fn"),
+            F.col("_metadata.row_index").alias("ri"),
+            "id",
+        )
+        .filter(F.col("id") == 1)
+        .collect()
+    )
+    per_file = {}
+    for r in pos:
+        per_file.setdefault(r.fn, []).append(int(r.ri))
+    actions = []
+    bytes_before = {}
+    for a in adds1:
+        fn = os.path.basename(a["add"]["path"])
+        if fn not in per_file:
+            continue
+        full = os.path.join(table, a["add"]["path"])
+        bytes_before[full] = open(full, "rb").read()
+        actions.append(
+            {"remove": {"path": a["add"]["path"], "deletionTimestamp": 0,
+                        "dataChange": True}}
+        )
+        new_add = dict(a["add"])
+        new_add["deletionVector"] = DV.dv_inline_descriptor(per_file[fn])
+        actions.append({"add": new_add})
+    D.write_commit(table, 1, actions)
+    assert {r.id for r in D.read_snapshot(spark, table).collect()} == {2}
+    assert {r.id for r in D.read_snapshot(spark, table, 0).collect()} == {1, 2}
+    for full, before in bytes_before.items():
+        assert open(full, "rb").read() == before  # zero rewrites
