@@ -3908,11 +3908,13 @@ register(
 from .sources.delta_log import (  # noqa: E402
     DELTA_CDF_CHANGES_SQL,
     DELTA_CHECKPOINT_REPLAY_SQL,
+    DELTA_COLUMN_MAPPING_SQL,
     DELTA_DELETION_VECTORS_SQL,
     DELTA_PARTITION_PRUNE_SQL,
     DELTA_TIME_TRAVEL_SQL,
     delta_cdf_changes,
     delta_checkpoint_replay,
+    delta_column_mapping,
     delta_deletion_vectors,
     delta_partition_prune,
     delta_time_travel,
@@ -3963,4 +3965,14 @@ register(
     delta_deletion_vectors,
     sql=DELTA_DELETION_VECTORS_SQL,
     tags=("source", "delta", "deletion-vectors", "lakehouse"),
+)
+
+# round 9: column mapping (name mode) — logical->physical name
+# indirection makes column RENAMES metadata-only commits; v2 serves
+# the same bytes under the renamed logical column.
+register(
+    "s_delta_column_mapping",
+    delta_column_mapping,
+    sql=DELTA_COLUMN_MAPPING_SQL,
+    tags=("source", "delta", "column-mapping", "lakehouse"),
 )

@@ -307,6 +307,7 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         "l3_hnsw_recall_sweep",
         "l3_knn_hnsw_indexed",
         "s_delta_deletion_vectors",
+        "s_delta_column_mapping",
         "l5_video_pframe_stats",
     }
 )

@@ -31,9 +31,13 @@ Implemented subset (disclosed):
   descriptors — Z85-encoded 64-bit roaring bitmaps — applied at scan
   time via the native parquet ``_metadata.row_index`` anti-join, so
   row-level deletes rewrite zero data bytes;
-- NOT implemented: column mapping (rename/drop via physical names)
-  and DV sidecar-file ("u"/"p") storage — inline covers the
-  row-level-delete semantics end-to-end.
+- COLUMN MAPPING, name mode (round 9): logical->physical name
+  indirection via the delta.columnMapping.* field metadata; renames
+  are metadata-only commits (unpartitioned tables — the partitioned
+  combination is refused, not mis-read);
+- NOT implemented: DV sidecar-file ("u"/"p") storage (inline "i"
+  covers the row-level-delete semantics end-to-end) and id-mode
+  column mapping.
 
 No foreign delta reader exists in the sandbox (no delta-spark JAR, no
 duckdb delta extension — probed in tests/test_delta_log.py), so the
@@ -565,8 +569,18 @@ def read_snapshot(
     from . import delta_dv
 
     snap = replay(table_dir, version)
-    schema = StructType.fromJson(json.loads(snap["metadata"]["schemaString"]))
+    schema_json = json.loads(snap["metadata"]["schemaString"])
+    schema = StructType.fromJson(schema_json)
     part_cols = list(snap["metadata"].get("partitionColumns") or [])
+    cfg = snap["metadata"].get("configuration") or {}
+    cm_mode = cfg.get("delta.columnMapping.mode")
+    if cm_mode not in (None, "none", "name"):
+        raise ValueError(f"unsupported columnMapping mode {cm_mode!r}")
+    if cm_mode == "name" and part_cols:
+        raise ValueError(
+            "columnMapping with partitioned tables not implemented "
+            "(partitionValues would key by physical name)"
+        )
     active = prune_files(snap, partition_filter)
     if not active:
         return spark.createDataFrame([], schema)
@@ -608,7 +622,21 @@ def read_snapshot(
         return out
 
     if not part_cols:
-        return read_files(list(active.values()))
+        df = read_files(list(active.values()))
+        if cm_mode == "name":
+            # column mapping: the data files store PHYSICAL names; the
+            # current metaData's schema maps them to logical names —
+            # which is what makes renames a metadata-only commit (the
+            # same bytes read back under the new logical name)
+            df = df.select(
+                *[
+                    F.col(
+                        f["metadata"]["delta.columnMapping.physicalName"]
+                    ).alias(f["name"])
+                    for f in schema_json["fields"]
+                ]
+            )
+        return df
     # group pruned files by partition tuple; reconstruct the partition
     # columns as typed literals (one scan per partition value set, all
     # unioned — each group is still a native pushdown-capable scan)
@@ -1240,5 +1268,129 @@ SELECT v.version,
             ELSE CAST(0 AS BIGINT) END AS deleted_rows
 FROM v JOIN events e ON v.keep_all OR e.event_id % 7 <> 0
 GROUP BY v.version
+ORDER BY v.version
+"""
+
+
+# --- column mapping (round 9): rename without rewrite ------------------
+
+
+def _cm_meta(tag: str, fields: list[tuple[str, str]]) -> dict:
+    """metaData action for a name-mode column-mapped table: logical
+    field names map to fixed PHYSICAL names (col_1..col_n) via the
+    delta.columnMapping.* field metadata — the indirection that makes
+    renames metadata-only."""
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": name,
+                "type": typ,
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": i + 1,
+                    "delta.columnMapping.physicalName": f"col_{i + 1}",
+                },
+            }
+            for i, (name, typ) in enumerate(fields)
+        ],
+    }
+    return {
+        "metaData": {
+            "id": f"rtba-cm-{tag}",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": _T0,
+        }
+    }
+
+
+_CM_FIELDS = [
+    ("event_id", "long"),
+    ("user_id", "long"),
+    ("event_type", "string"),
+    ("value", "double"),
+]
+
+
+def _build_cm_table(spark, sf_dir: str, stage_dir: str, tag: str) -> None:
+    """Column-mapped staging: v0 writes the events projection under
+    PHYSICAL names col_1..col_4 with logical names in the metaData;
+    v1 is a METADATA-ONLY commit renaming logical ``value`` →
+    ``amount`` (same physicalName, zero data bytes touched)."""
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+
+    physical = load_table(spark, sf_dir, "events").select(
+        *[
+            F.col(name).alias(f"col_{i + 1}")
+            for i, (name, _t) in enumerate(_CM_FIELDS)
+        ]
+    )
+    adds = _write_version_files(spark, physical, stage_dir, "v0")
+    write_commit(stage_dir, 0, [PROTOCOL_ACTION, _cm_meta(tag, _CM_FIELDS)])
+    # (two commits: metadata first, then the adds — exercises metaData
+    # carry-forward through replay as well)
+    write_commit(stage_dir, 1, adds)
+    renamed = [
+        ("amount", t) if n == "value" else (n, t) for n, t in _CM_FIELDS
+    ]
+    write_commit(stage_dir, 2, [_cm_meta(tag, renamed)])
+
+
+def stage_events_as_delta_cm(spark, sf_dir: str) -> str:
+    return _stage_table(spark, sf_dir, "deltacm", builder=_build_cm_table)
+
+
+def delta_column_mapping(spark, sf_dir: str):
+    """``s_delta_column_mapping`` — the column-mapped table read at
+    v1 (logical column ``value``) and v2 (after the metadata-only
+    rename: ``amount``, same physical bytes): per version the logical
+    name served by the schema plus aggregates computed THROUGH the
+    mapped column. A reader that resolves physical names wrong, loses
+    the rename, or rewrites data to rename diverges (the oracle pins
+    identical aggregates under both names and the pytest pins that
+    the data files are untouched by the rename)."""
+    from pyspark.sql import functions as F
+
+    table_dir = stage_events_as_delta_cm(spark, sf_dir)
+    out = None
+    for v, col in ((1, "value"), (2, "amount")):
+        df = read_snapshot(spark, table_dir, version=v)
+        assert col in df.columns, (v, df.columns)
+        agg = (
+            df.agg(
+                F.count("*").alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum(col), 2).alias("total_value"),
+                F.min("event_id").alias("min_event_id"),
+                F.max("event_id").alias("max_event_id"),
+            )
+            .withColumn("version", F.lit(v).cast("bigint"))
+            .withColumn("value_col", F.lit(col))
+            .select(
+                "version", "value_col", "n", "n_users", "total_value",
+                "min_event_id", "max_event_id",
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+DELTA_COLUMN_MAPPING_SQL = """
+WITH v(version, value_col) AS (
+    VALUES (CAST(1 AS BIGINT), 'value'), (CAST(2 AS BIGINT), 'amount')
+)
+SELECT v.version, v.value_col,
+       count(*) AS n,
+       count(DISTINCT e.user_id) AS n_users,
+       round(sum(e.value), 2) AS total_value,
+       min(e.event_id) AS min_event_id,
+       max(e.event_id) AS max_event_id
+FROM v CROSS JOIN events e
+GROUP BY v.version, v.value_col
 ORDER BY v.version
 """

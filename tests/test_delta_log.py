@@ -660,3 +660,51 @@ def test_deletion_vector_scan_skips_exactly_marked_rows(tmp_path, spark):
     assert {r.id for r in D.read_snapshot(spark, table, 0).collect()} == {1, 2}
     for full, before in bytes_before.items():
         assert open(full, "rb").read() == before  # zero rewrites
+
+
+# --- round 9: column mapping (name mode) ------------------------------
+
+
+def test_column_mapping_rename_is_metadata_only(tmp_path, spark):
+    """Logical->physical indirection: files store col_1/col_2; reads
+    serve logical names; a rename is one metaData commit with ZERO
+    data bytes touched; time travel shows the old name."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "cm")
+    phys = spark.createDataFrame(
+        [(1, 2.0), (2, 4.0)], "col_1 bigint, col_2 double"
+    )
+    adds = D._write_version_files(spark, phys, table, "v0")
+    fields = [("id", "long"), ("score", "double")]
+    D.write_commit(table, 0, [D.PROTOCOL_ACTION, D._cm_meta("t", fields)] + adds)
+    df = D.read_snapshot(spark, table)
+    assert df.columns == ["id", "score"]
+    assert {(r.id, r.score) for r in df.collect()} == {(1, 2.0), (2, 4.0)}
+    data_files = [os.path.join(table, a["add"]["path"]) for a in adds]
+    before = {p: open(p, "rb").read() for p in data_files}
+    renamed = [("id", "long"), ("points", "double")]
+    D.write_commit(table, 1, [D._cm_meta("t", renamed)])
+    df2 = D.read_snapshot(spark, table)
+    assert df2.columns == ["id", "points"]
+    assert {(r.id, r.points) for r in df2.collect()} == {(1, 2.0), (2, 4.0)}
+    assert D.read_snapshot(spark, table, 0).columns == ["id", "score"]
+    for p, b in before.items():
+        assert open(p, "rb").read() == b  # rename touched no data
+    # aggregate through the renamed column
+    assert df2.agg(F.sum("points")).collect()[0][0] == 6.0
+
+
+def test_column_mapping_unsupported_modes_refused(tmp_path, spark):
+    table = str(tmp_path / "cmbad")
+    meta = D._cm_meta("t", [("id", "long")])
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    D.write_commit(table, 0, [D.PROTOCOL_ACTION, meta])
+    with pytest.raises(ValueError, match="unsupported columnMapping"):
+        D.read_snapshot(spark, table)
+    table2 = str(tmp_path / "cmpart")
+    meta2 = D._cm_meta("t", [("id", "long")])
+    meta2["metaData"]["partitionColumns"] = ["id"]
+    D.write_commit(table2, 0, [D.PROTOCOL_ACTION, meta2])
+    with pytest.raises(ValueError, match="partitioned"):
+        D.read_snapshot(spark, table2)

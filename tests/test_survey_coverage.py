@@ -81,6 +81,7 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
         "s_delta_time_travel",
         "s_delta_partition_prune",  # round 9: partitionValues pruning
         "s_delta_deletion_vectors",  # round 9: DV row-level deletes
+        "s_delta_column_mapping",  # round 9: metadata-only renames
         "pytest:tests/test_delta_log.py",
     ),
     # §2.2 projections / per-record transforms
