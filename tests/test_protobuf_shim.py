@@ -258,3 +258,113 @@ def test_tws_list_and_map_state_live(spark, sf_dir):
         assert g.list_total == w.total_value  # list state agrees
         assert g.map_n == w.n_events          # map state agrees
         assert g.map_total == w.total_value
+
+
+def test_tws_timers_live(spark, sf_dir):
+    """Exercise the TIMER wire surface through the shim — registerTimer
+    / listTimers (paged iterator responses) / deleteTimer — against the
+    live JVM state server in ProcessingTime mode. Assertions run
+    WORKER-side inside handleInputRows (a wire mis-parse fails the
+    task); the emitted counts re-assert driver-side.
+
+    Bounded runner: TWS in ProcessingTime mode keeps scheduling
+    timer-sweep batches even under trigger(availableNow) — probed this
+    round, 182 consecutive successful batches with NO timer calls, so
+    it is the trigger semantics, not a protocol failure — hence the
+    query is stopped once the first batch lands instead of awaiting a
+    termination that never comes (NOTES_r09.md)."""
+    import time
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+    from real_time_big_data_analytics_spark.streaming.runner import (
+        events_stream,
+    )
+
+    class TimerProbe(StatefulProcessor):
+        def init(self, handle):
+            self._handle = handle  # timer API lives on the handle
+            self._seen = handle.getValueState(
+                "seen", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = sum(len(pdf) for pdf in rows)
+            uid = int(key[0])
+            t1 = 10_000_000_000_000 + uid  # far future: never fires
+            t2 = t1 + 1_000_000
+            self._handle.registerTimer(t1)
+            self._handle.registerTimer(t2)
+            after_register = sorted(self._handle.listTimers())
+            self._handle.deleteTimer(t1)
+            after_delete = sorted(self._handle.listTimers())
+            assert after_register == [t1, t2], (uid, after_register)
+            assert after_delete == [t2], (uid, after_delete)
+            self._handle.deleteTimer(t2)
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "n_events": [n],
+                    "n_timers_registered": [len(after_register)],
+                    "n_timers_after_delete": [len(after_delete)],
+                }
+            )
+
+        def close(self):
+            pass
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    try:
+        stream = events_stream(spark, sf_dir).select("user_id", "value")
+        agg = stream.groupBy("user_id").transformWithStateInPandas(
+            TimerProbe(),
+            outputStructType=(
+                "user_id bigint, n_events bigint, "
+                "n_timers_registered bigint, n_timers_after_delete bigint"
+            ),
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+        query = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                if query.exception() is not None:
+                    raise query.exception()
+                if spark.table(name).count() >= n_users:
+                    break
+                time.sleep(1)
+            else:
+                raise AssertionError("first TWS timer batch never landed")
+        finally:
+            query.stop()
+        rows = spark.table(name).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = {r.user_id: r for r in rows}
+    assert len(got) == n_users
+    for r in got.values():
+        assert r.n_timers_registered == 2
+        assert r.n_timers_after_delete == 1
