@@ -314,12 +314,20 @@ class ShimMessage:
             _enc_field_varint(buf, int(v), ftype)
         elif ftype in _F64_TYPES:
             _enc_varint(buf, num << 3 | _WT_F64)
+            # fixed64 is UNSIGNED on the wire ('<Q'); only sfixed64 is
+            # signed — a signed pack would raise on values >= 2^63
             buf += struct.pack(
-                "<d" if ftype == T_DOUBLE else "<q", v
+                "<d" if ftype == T_DOUBLE
+                else ("<Q" if ftype == T_FIXED64 else "<q"),
+                v,
             )
         elif ftype in _F32_TYPES:
             _enc_varint(buf, num << 3 | _WT_F32)
-            buf += struct.pack("<f" if ftype == T_FLOAT else "<i", v)
+            buf += struct.pack(
+                "<f" if ftype == T_FLOAT
+                else ("<I" if ftype == T_FIXED32 else "<i"),
+                v,
+            )
         elif ftype == T_STRING:
             payload = v.encode("utf-8")
             _enc_varint(buf, num << 3 | _WT_LD)
@@ -363,11 +371,19 @@ class ShimMessage:
                     continue
                 v = _dec_field_varint(val, ftype)
             elif ftype in _F64_TYPES:
+                # mirror _emit: fixed64 unsigned, sfixed64 signed — the
+                # signed unpack decoded u64 values >= 2^63 as negative
                 v = struct.unpack(
-                    "<d" if ftype == T_DOUBLE else "<q", val
+                    "<d" if ftype == T_DOUBLE
+                    else ("<Q" if ftype == T_FIXED64 else "<q"),
+                    val,
                 )[0]
             elif ftype in _F32_TYPES:
-                v = struct.unpack("<f" if ftype == T_FLOAT else "<i", val)[0]
+                v = struct.unpack(
+                    "<f" if ftype == T_FLOAT
+                    else ("<I" if ftype == T_FIXED32 else "<i"),
+                    val,
+                )[0]
             elif ftype == T_STRING:
                 v = val.decode("utf-8")
             elif ftype == T_BYTES:

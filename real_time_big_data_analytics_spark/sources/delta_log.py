@@ -27,17 +27,21 @@ Implemented subset (disclosed):
   feed from the dataChange adds/removes;
 - partition pruning on ``partitionValues`` (round 9): metadata-only
   file selection + typed literal reconstruction of partition columns;
-- DELETION VECTORS (round 9, sources/delta_dv.py): inline ("i")
-  descriptors — Z85-encoded 64-bit roaring bitmaps — applied at scan
-  time via the native parquet ``_metadata.row_index`` anti-join, so
-  row-level deletes rewrite zero data bytes;
-- COLUMN MAPPING, name mode (round 9): logical->physical name
+- DELETION VECTORS (round 9/10, sources/delta_dv.py): inline ("i")
+  descriptors — Z85-encoded 64-bit roaring bitmaps — plus SIDECAR
+  storage (round 10): relative "u" (UUID-named ``deletion_vector_*.
+  bin`` files, optional random prefix) and absolute "p" descriptors,
+  all applied at scan time via ONE native parquet
+  ``_metadata.(file_path, row_index)`` anti-join (bitmaps decoded
+  executor-side), so row-level deletes rewrite zero data bytes;
+  checkpoints persist the descriptor in the add struct (ADVICE r9);
+- COLUMN MAPPING, name AND id mode (round 9/10): logical->physical
   indirection via the delta.columnMapping.* field metadata; renames
-  are metadata-only commits (unpartitioned tables — the partitioned
-  combination is refused, not mis-read);
-- NOT implemented: DV sidecar-file ("u"/"p") storage (inline "i"
-  covers the row-level-delete semantics end-to-end) and id-mode
-  column mapping.
+  are metadata-only commits. Name mode resolves physical column
+  names; id mode resolves parquet FIELD IDS through Spark's native
+  ``spark.sql.parquet.fieldId.read.enabled`` path (file column names
+  are immaterial, per the spec). Both compose with partitioned
+  tables: ``partitionValues`` key by physical name.
 
 No foreign delta reader exists in the sandbox (no delta-spark JAR, no
 duckdb delta extension — probed in tests/test_delta_log.py), so the
@@ -351,6 +355,19 @@ def write_checkpoint(table_dir: str, version: int, parts: int = 1) -> str:
 
     snap = replay(table_dir, version)
     snap_active, metadata = snap["_active"], snap["metadata"]
+    # deletionVector rides the checkpoint add struct (PROTOCOL.md
+    # checkpoint schema) — dropping it would silently RESURRECT every
+    # logically deleted row once log cleanup expired the JSON commit
+    # that carried the descriptor (ADVICE r9, high)
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -358,6 +375,7 @@ def write_checkpoint(table_dir: str, version: int, parts: int = 1) -> str:
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("deletionVector", dv_t),
         ]
     )
     fmt_t = pa.struct(
@@ -395,12 +413,24 @@ def write_checkpoint(table_dir: str, version: int, parts: int = 1) -> str:
     }
 
     def _add_row(a: dict) -> dict:
+        dv = a.get("deletionVector")
         return {
             "path": a["path"],
             "partitionValues": list(a.get("partitionValues", {}).items()),
             "size": a["size"],
             "modificationTime": a["modificationTime"],
             "dataChange": a["dataChange"],
+            "deletionVector": (
+                {
+                    "storageType": dv["storageType"],
+                    "pathOrInlineDv": dv["pathOrInlineDv"],
+                    "offset": dv.get("offset"),
+                    "sizeInBytes": dv["sizeInBytes"],
+                    "cardinality": dv["cardinality"],
+                }
+                if dv
+                else None
+            ),
         }
 
     def _cp_table(with_header: bool, part_adds: list):
@@ -495,6 +525,13 @@ def _load_checkpoint(table_dir: str, version: int, parts: int = 1):
         elif r.get("add"):
             a = dict(r["add"])
             a["partitionValues"] = dict(a.get("partitionValues") or [])
+            # restore the JSON action shape: adds without a DV carry NO
+            # deletionVector key (a None value would change replay()'s
+            # _active shape between the checkpoint and JSON paths)
+            if a.get("deletionVector") is None:
+                a.pop("deletionVector", None)
+            else:
+                a["deletionVector"] = dict(a["deletionVector"])
             active[a["path"]] = a
     if metadata is None:
         raise ValueError(
@@ -518,6 +555,22 @@ def expire_commits_before_checkpoint(table_dir: str) -> list[int]:
     return removed
 
 
+def _cm_physical_names(metadata: dict) -> dict[str, str]:
+    """logical -> physical column-name map when column mapping is on
+    (empty dict otherwise). With mapping enabled, ``partitionValues``
+    keys and (name-mode) data-file columns use PHYSICAL names; the
+    schemaString's field names stay logical with the mapping carried
+    in the delta.columnMapping.* field metadata."""
+    cfg = metadata.get("configuration") or {}
+    if cfg.get("delta.columnMapping.mode") in (None, "none"):
+        return {}
+    fields = json.loads(metadata["schemaString"])["fields"]
+    return {
+        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+        for f in fields
+    }
+
+
 def prune_files(
     snap: dict, partition_filter: dict[str, set] | None
 ) -> dict[str, dict]:
@@ -525,8 +578,10 @@ def prune_files(
     ``add`` actions by their ``partitionValues`` — the scale lever of
     the log at 100 TB (the reader never even LISTS the data files of
     unselected partitions; pruning cost is O(log metadata), not
-    O(table)). ``partition_filter`` maps partition column -> allowed
-    string values (partitionValues are strings per PROTOCOL.md)."""
+    O(table)). ``partition_filter`` maps LOGICAL partition column ->
+    allowed string values (partitionValues are strings per
+    PROTOCOL.md); under column mapping the filter keys translate to
+    the physical names the add actions carry."""
     active = snap["_active"]
     if not partition_filter:
         return active
@@ -537,11 +592,12 @@ def prune_files(
             f"not partition columns (have {sorted(part_cols)}): "
             f"{sorted(unknown)}"
         )
+    phys = _cm_physical_names(snap["metadata"])
     return {
         p: a
         for p, a in active.items()
         if all(
-            (a.get("partitionValues") or {}).get(c) in vals
+            (a.get("partitionValues") or {}).get(phys.get(c, c)) in vals
             for c, vals in partition_filter.items()
         )
     }
@@ -564,7 +620,7 @@ def read_snapshot(
     reconstructed as literals per file group — exactly how real Delta
     readers serve partition columns from metadata."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     from . import delta_dv
 
@@ -574,81 +630,144 @@ def read_snapshot(
     part_cols = list(snap["metadata"].get("partitionColumns") or [])
     cfg = snap["metadata"].get("configuration") or {}
     cm_mode = cfg.get("delta.columnMapping.mode")
-    if cm_mode not in (None, "none", "name"):
+    if cm_mode in ("none",):
+        cm_mode = None
+    if cm_mode not in (None, "name", "id"):
         raise ValueError(f"unsupported columnMapping mode {cm_mode!r}")
-    if cm_mode == "name" and part_cols:
-        raise ValueError(
-            "columnMapping with partitioned tables not implemented "
-            "(partitionValues would key by physical name)"
+    phys_of = _cm_physical_names(snap["metadata"]) if cm_mode else {}
+    data_fields = [f for f in schema_json["fields"] if f["name"] not in part_cols]
+    if cm_mode == "id":
+        # id mode: parquet FIELD IDS (not names) are authoritative —
+        # Spark's native field-id resolution does exactly this when
+        # the requested schema carries parquet.field.id metadata, so
+        # the scan stays a single pushdown-capable native read even
+        # though the files' column names are arbitrary
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        types = {f.name: f.dataType for f in schema.fields}
+        id_schema = StructType(
+            [
+                StructField(
+                    f["name"],
+                    types[f["name"]],
+                    True,
+                    {
+                        "parquet.field.id": int(
+                            f["metadata"]["delta.columnMapping.id"]
+                        )
+                    },
+                )
+                for f in data_fields
+            ]
         )
     active = prune_files(snap, partition_filter)
     if not active:
         return spark.createDataFrame([], schema)
 
     def read_files(adds: list[dict]):
-        """One scan for the plain files + one DV-applying scan per
-        deletion-vectored file: the file is read with the native
-        parquet ``_metadata.row_index`` column and LEFT-ANTI joined
-        against its DV's broadcast row positions — the row-position
-        skip real DV readers perform, kept distributed (positions
-        broadcast, filtering executor-side) and pushdown-capable."""
+        """One scan for the plain files + ONE scan and ONE broadcast
+        anti-join for ALL deletion-vectored files (ADVICE r9): the
+        DV'd files are read together with the native parquet
+        ``_metadata`` (file_path, row_index) columns and anti-joined
+        against a single deleted-positions relation. The driver ships
+        only the DESCRIPTORS (bounded metadata, one per file);
+        ``mapInPandas`` decodes each bitmap into (path, row_index)
+        rows executor-side — plan size and driver memory stay O(files
+        with DVs), not O(files × cardinality), and the join count is
+        1 no matter how many files carry DVs."""
         plain = [a["path"] for a in adds if not a.get("deletionVector")]
+        dvd = sorted(
+            (a for a in adds if a.get("deletionVector")),
+            key=lambda a: a["path"],
+        )
+        reader = spark.read.schema(id_schema) if cm_mode == "id" else spark.read
         parts = []
         if plain:
             parts.append(
-                spark.read.parquet(
+                reader.parquet(
                     *[os.path.join(table_dir, p) for p in sorted(plain)]
                 )
             )
-        for a in adds:
-            dv = a.get("deletionVector")
-            if not dv:
-                continue
-            deleted = delta_dv.dv_row_indexes(dv)
-            df = spark.read.parquet(
-                os.path.join(table_dir, a["path"])
-            ).withColumn("__dv_ri", F.col("_metadata.row_index"))
-            dd = spark.createDataFrame(
-                [(int(i),) for i in deleted], "__dv_ri bigint"
+        if dvd:
+            descs = [
+                (
+                    os.path.abspath(os.path.join(table_dir, a["path"])),
+                    json.dumps(a["deletionVector"]),
+                )
+                for a in dvd
+            ]
+            tdir = table_dir
+
+            def expand(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    paths: list[str] = []
+                    rows: list[int] = []
+                    for p, dj in zip(pdf["__dv_path"], pdf["__dv_desc"]):
+                        for ri in delta_dv.dv_row_indexes(
+                            json.loads(dj), table_dir=tdir
+                        ):
+                            paths.append(p)
+                            rows.append(int(ri))
+                    yield pd.DataFrame(
+                        {"__dv_path": paths, "__dv_ri": rows}
+                    )
+
+            deleted = spark.createDataFrame(
+                descs, "__dv_path string, __dv_desc string"
+            ).mapInPandas(expand, "__dv_path string, __dv_ri bigint")
+            df = (
+                reader.parquet(
+                    *[os.path.join(table_dir, a["path"]) for a in dvd]
+                )
+                .withColumn(
+                    # normalize the scheme'd URI to the plain absolute
+                    # path the descriptor rows carry ("file:///x" and
+                    # "file:/x" both -> "/x")
+                    "__dv_path",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ),
+                )
+                .withColumn("__dv_ri", F.col("_metadata.row_index"))
             )
             parts.append(
-                df.join(F.broadcast(dd), "__dv_ri", "left_anti").drop(
-                    "__dv_ri"
-                )
+                df.join(
+                    F.broadcast(deleted), ["__dv_path", "__dv_ri"], "left_anti"
+                ).drop("__dv_path", "__dv_ri")
             )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
 
+    def to_logical(df):
+        """name mode: the data files store PHYSICAL names; the current
+        metaData's schema maps them to logical names — which is what
+        makes renames a metadata-only commit (the same bytes read back
+        under the new logical name). id mode already resolved by field
+        id at the scan."""
+        if cm_mode != "name":
+            return df
+        return df.select(
+            *[F.col(phys_of[f["name"]]).alias(f["name"]) for f in data_fields]
+        )
+
     if not part_cols:
-        df = read_files(list(active.values()))
-        if cm_mode == "name":
-            # column mapping: the data files store PHYSICAL names; the
-            # current metaData's schema maps them to logical names —
-            # which is what makes renames a metadata-only commit (the
-            # same bytes read back under the new logical name)
-            df = df.select(
-                *[
-                    F.col(
-                        f["metadata"]["delta.columnMapping.physicalName"]
-                    ).alias(f["name"])
-                    for f in schema_json["fields"]
-                ]
-            )
-        return df
+        return to_logical(read_files(list(active.values())))
     # group pruned files by partition tuple; reconstruct the partition
     # columns as typed literals (one scan per partition value set, all
-    # unioned — each group is still a native pushdown-capable scan)
+    # unioned — each group is still a native pushdown-capable scan).
+    # partitionValues key by PHYSICAL name under column mapping.
     by_vals: dict[tuple, list[dict]] = {}
     for p in sorted(active):
         pv = active[p].get("partitionValues") or {}
-        key = tuple(pv[c] for c in part_cols)
+        key = tuple(pv[phys_of.get(c, c)] for c in part_cols)
         by_vals.setdefault(key, []).append(active[p])
     types = {f.name: f.dataType for f in schema.fields}
     out = None
     for key in sorted(by_vals):
-        df = read_files(by_vals[key])
+        df = to_logical(read_files(by_vals[key]))
         for c, raw in zip(part_cols, key):
             df = df.withColumn(c, F.lit(raw).cast(types[c]))
         df = df.select(*[f.name for f in schema.fields])
@@ -1133,20 +1252,24 @@ ORDER BY v.version
 # --- deletion vectors (round 9): row-level deletes without rewrites ----
 
 
-def _build_dv_table(spark, sf_dir: str, stage_dir: str, tag: str) -> None:
+def _build_dv_table_core(
+    spark, sf_dir: str, stage_dir: str, tag: str, *, modulus: int, sidecar: bool
+) -> None:
     """Two-version staging for the deletion-vector path:
 
     - v0: the full events projection written as parquet files;
-    - v1: every file containing ``event_id % 7 == 0`` rows is
-      remove+re-added WITH an inline deletionVector marking exactly
-      those row positions — a row-level delete that rewrites NO data
-      bytes (the whole point of DVs at 100 TB: deleting a few rows
-      from a TB file costs a bitmap, not a rewrite).
+    - v1: every file containing ``event_id % modulus == 0`` rows is
+      remove+re-added WITH a deletionVector marking exactly those row
+      positions — a row-level delete that rewrites NO data bytes (the
+      whole point of DVs at 100 TB: deleting a few rows from a TB
+      file costs a bitmap, not a rewrite). ``sidecar=True`` stores
+      the bitmaps in ONE shared ``deletion_vector_{uuid}.bin`` file
+      ("u" descriptors, the production layout); otherwise inline "i".
 
     The per-file deleted positions come from one scan of
     ``_metadata.(file_name, row_index)``; the collect is bounded by
     the deleted-row count and is staging-only (a production writer
-    computes DVs distributed and writes sidecar files)."""
+    computes DVs distributed)."""
     from pyspark.sql import functions as F
 
     from . import delta_dv
@@ -1174,18 +1297,34 @@ def _build_dv_table(spark, sf_dir: str, stage_dir: str, tag: str) -> None:
             F.col("_metadata.row_index").alias("ri"),
             "event_id",
         )
-        .filter(F.col("event_id") % 7 == 0)
+        .filter(F.col("event_id") % modulus == 0)
         .collect()  # bounded: the deleted-row positions (staging only)
     )
     per_file: dict[str, list[int]] = {}
     for r in hits:
         per_file.setdefault(r.fn, []).append(int(r.ri))
+    hit_adds = [
+        a
+        for a in adds_v0
+        if os.path.basename(a["add"]["path"]) in per_file
+    ]
+    if not hit_adds:
+        raise ValueError("DV staging found no rows to delete")
+    if sidecar:
+        descs = delta_dv.dv_sidecar_write(
+            stage_dir,
+            [per_file[os.path.basename(a["add"]["path"])] for a in hit_adds],
+            prefix="dv",
+        )
+    else:
+        descs = [
+            delta_dv.dv_inline_descriptor(
+                per_file[os.path.basename(a["add"]["path"])]
+            )
+            for a in hit_adds
+        ]
     actions = []
-    for a in adds_v0:
-        fn = os.path.basename(a["add"]["path"])
-        rows = per_file.get(fn)
-        if not rows:
-            continue  # no deleted rows in this file: add stays as-is
+    for a, d in zip(hit_adds, descs):
         actions.append(
             {
                 "remove": {
@@ -1196,15 +1335,31 @@ def _build_dv_table(spark, sf_dir: str, stage_dir: str, tag: str) -> None:
             }
         )
         new_add = dict(a["add"])
-        new_add["deletionVector"] = delta_dv.dv_inline_descriptor(rows)
+        new_add["deletionVector"] = d
         actions.append({"add": new_add})
-    if not actions:
-        raise ValueError("DV staging found no rows to delete")
     write_commit(stage_dir, 1, actions)
+
+
+def _build_dv_table(spark, sf_dir: str, stage_dir: str, tag: str) -> None:
+    _build_dv_table_core(
+        spark, sf_dir, stage_dir, tag, modulus=7, sidecar=False
+    )
+
+
+def _build_dv_sidecar_table(spark, sf_dir: str, stage_dir: str, tag: str) -> None:
+    _build_dv_table_core(
+        spark, sf_dir, stage_dir, tag, modulus=5, sidecar=True
+    )
 
 
 def stage_events_as_delta_dv(spark, sf_dir: str) -> str:
     return _stage_table(spark, sf_dir, "deltadv", builder=_build_dv_table)
+
+
+def stage_events_as_delta_dv_sidecar(spark, sf_dir: str) -> str:
+    return _stage_table(
+        spark, sf_dir, "deltadvu", builder=_build_dv_sidecar_table
+    )
 
 
 def delta_deletion_vectors(spark, sf_dir: str):
@@ -1272,14 +1427,101 @@ ORDER BY v.version
 """
 
 
+def delta_dv_sidecar(spark, sf_dir: str):
+    """``s_delta_dv_sidecar`` — the sidecar-stored twin of
+    ``s_delta_deletion_vectors`` (round 10, VERDICT r9 ask #2): the
+    ``event_id % 5 == 0`` rows are deleted via "u" descriptors whose
+    bitmaps live in ONE shared ``deletion_vector_{uuid}.bin`` file —
+    the production layout (a delete commit lands O(1) DV files, not
+    one per data file, and the data files are byte-identical). Audit
+    columns: summed descriptor cardinality, the count of DISTINCT
+    sidecar files (pinned 1 by construction), and the storage type.
+    One deleted row surviving, one kept row dropped, a mis-framed
+    offset, or a CRC/uuid resolution bug breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from . import delta_dv
+
+    table_dir = stage_events_as_delta_dv_sidecar(spark, sf_dir)
+    out = None
+    for v in (0, 1):
+        snap = replay(table_dir, v)
+        dvs = [
+            a["deletionVector"]
+            for a in snap["_active"].values()
+            if a.get("deletionVector")
+        ]
+        files = {
+            delta_dv.dv_sidecar_path(d, table_dir) for d in dvs
+        }
+        df = (
+            read_snapshot(spark, table_dir, version=v)
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+                F.min("event_id").alias("min_event_id"),
+                F.max("event_id").alias("max_event_id"),
+            )
+            .withColumn("version", F.lit(v).cast("bigint"))
+            .withColumn(
+                "deleted_rows",
+                F.lit(sum(d["cardinality"] for d in dvs)).cast("bigint"),
+            )
+            .withColumn("dv_files", F.lit(len(files)).cast("bigint"))
+            .withColumn(
+                "storage_type",
+                F.lit("".join(sorted({d["storageType"] for d in dvs}))),
+            )
+            .select(
+                "version", "n", "n_users", "total_value",
+                "min_event_id", "max_event_id", "deleted_rows",
+                "dv_files", "storage_type",
+            )
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+DELTA_DV_SIDECAR_SQL = """
+WITH v(version, keep_all) AS (
+    VALUES (CAST(0 AS BIGINT), true), (CAST(1 AS BIGINT), false)
+), del AS (
+    SELECT count(*) AS deleted FROM events WHERE event_id % 5 = 0
+)
+SELECT v.version,
+       count(*) AS n,
+       count(DISTINCT e.user_id) AS n_users,
+       round(sum(e.value), 2) AS total_value,
+       min(e.event_id) AS min_event_id,
+       max(e.event_id) AS max_event_id,
+       CASE WHEN v.version = 1 THEN (SELECT deleted FROM del)
+            ELSE CAST(0 AS BIGINT) END AS deleted_rows,
+       CASE WHEN v.version = 1 THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS dv_files,
+       CASE WHEN v.version = 1 THEN 'u' ELSE '' END AS storage_type
+FROM v JOIN events e ON v.keep_all OR e.event_id % 5 <> 0
+GROUP BY v.version
+ORDER BY v.version
+"""
+
+
 # --- column mapping (round 9): rename without rewrite ------------------
 
 
-def _cm_meta(tag: str, fields: list[tuple[str, str]]) -> dict:
-    """metaData action for a name-mode column-mapped table: logical
-    field names map to fixed PHYSICAL names (col_1..col_n) via the
-    delta.columnMapping.* field metadata — the indirection that makes
-    renames metadata-only."""
+def _cm_meta(
+    tag: str,
+    fields: list[tuple[str, str]],
+    mode: str = "name",
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """metaData action for a column-mapped table (``mode`` "name" or
+    "id"): logical field names map to fixed PHYSICAL names
+    (col_1..col_n) and field ids (1..n) via the delta.columnMapping.*
+    field metadata — the indirection that makes renames
+    metadata-only. ``partition_cols`` are LOGICAL names (the
+    schemaString is logical-first); the add actions' partitionValues
+    key by the PHYSICAL names."""
     schema = {
         "type": "struct",
         "fields": [
@@ -1300,8 +1542,8 @@ def _cm_meta(tag: str, fields: list[tuple[str, str]]) -> dict:
             "id": f"rtba-cm-{tag}",
             "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps(schema),
-            "partitionColumns": [],
-            "configuration": {"delta.columnMapping.mode": "name"},
+            "partitionColumns": list(partition_cols or []),
+            "configuration": {"delta.columnMapping.mode": mode},
             "createdTime": _T0,
         }
     }
@@ -1393,4 +1635,228 @@ SELECT v.version, v.value_col,
 FROM v CROSS JOIN events e
 GROUP BY v.version, v.value_col
 ORDER BY v.version
+"""
+
+
+# --- column mapping, id mode + partitioned (round 10) -------------------
+
+
+def _build_cm_id_table(spark, sf_dir: str, stage_dir: str, tag: str) -> None:
+    """id-mode staging: the data files carry parquet FIELD IDS under
+    column names (``anon_N``) that match NEITHER the logical names nor
+    the metaData physicalName — a name-based reader has nothing to
+    match on; only id resolution serves these files (the id-mode
+    guarantee). v2 renames logical ``value`` -> ``revenue``
+    metadata-only."""
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+
+    physical = load_table(spark, sf_dir, "events").select(
+        *[
+            F.col(name).alias(
+                f"anon_{i + 1}", metadata={"parquet.field.id": i + 1}
+            )
+            for i, (name, _t) in enumerate(_CM_FIELDS)
+        ]
+    )
+    adds = _write_version_files(spark, physical, stage_dir, "v0")
+    write_commit(
+        stage_dir, 0, [PROTOCOL_ACTION, _cm_meta(tag, _CM_FIELDS, mode="id")]
+    )
+    write_commit(stage_dir, 1, adds)
+    renamed = [
+        ("revenue", t) if n == "value" else (n, t) for n, t in _CM_FIELDS
+    ]
+    write_commit(stage_dir, 2, [_cm_meta(tag, renamed, mode="id")])
+
+
+def stage_events_as_delta_cm_id(spark, sf_dir: str) -> str:
+    return _stage_table(spark, sf_dir, "deltacmid", builder=_build_cm_id_table)
+
+
+def delta_cm_id_mode(spark, sf_dir: str):
+    """``s_delta_cm_id_mode`` — the id-mode column-mapped table read
+    at v1 (logical ``value``) and v2 (after the metadata-only rename:
+    ``revenue``): the files' column names are deliberately foreign
+    (``anon_N``), so every value in this result was resolved through
+    parquet field ids (Spark's native
+    ``spark.sql.parquet.fieldId.read.enabled`` path). A reader that
+    falls back to name matching returns all-null columns and the
+    aggregates diverge."""
+    from pyspark.sql import functions as F
+
+    table_dir = stage_events_as_delta_cm_id(spark, sf_dir)
+    out = None
+    for v, col in ((1, "value"), (2, "revenue")):
+        df = read_snapshot(spark, table_dir, version=v)
+        assert col in df.columns, (v, df.columns)
+        agg = (
+            df.agg(
+                F.count("*").alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum(col), 2).alias("total_value"),
+                F.min("event_id").alias("min_event_id"),
+                F.max("event_id").alias("max_event_id"),
+            )
+            .withColumn("version", F.lit(v).cast("bigint"))
+            .withColumn("value_col", F.lit(col))
+            .select(
+                "version", "value_col", "n", "n_users", "total_value",
+                "min_event_id", "max_event_id",
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+DELTA_CM_ID_MODE_SQL = """
+WITH v(version, value_col) AS (
+    VALUES (CAST(1 AS BIGINT), 'value'), (CAST(2 AS BIGINT), 'revenue')
+)
+SELECT v.version, v.value_col,
+       count(*) AS n,
+       count(DISTINCT e.user_id) AS n_users,
+       round(sum(e.value), 2) AS total_value,
+       min(e.event_id) AS min_event_id,
+       max(e.event_id) AS max_event_id
+FROM v CROSS JOIN events e
+GROUP BY v.version, v.value_col
+ORDER BY v.version
+"""
+
+
+def _build_cm_partitioned_table(
+    spark, sf_dir: str, stage_dir: str, tag: str
+) -> None:
+    """Partitioned × column-mapping staging (the combination refused
+    through round 9): events partitioned by ``event_type`` whose
+    PHYSICAL name is ``col_3`` — the add actions' partitionValues key
+    by that physical name per the spec. Data files store physical
+    names col_1/col_2/col_4 (the partition column lives only in
+    partitionValues). v1 renames BOTH the partition column
+    (``event_type`` -> ``etype``) and ``value`` -> ``amount``,
+    metadata-only."""
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    etypes = [
+        r[0]
+        for r in events.select("event_type").distinct().orderBy("event_type").collect()
+    ]  # bounded: one row per event type (5 at every SF)
+    phys_data = {"event_id": "col_1", "user_id": "col_2", "value": "col_4"}
+    adds = []
+    for et in etypes:
+        sub = f"files_cmpt/p={et}"
+        out = os.path.join(stage_dir, sub)
+        (
+            events.filter(F.col("event_type") == et)
+            .select(
+                *[F.col(n).alias(p) for n, p in phys_data.items()]
+            )
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        for fn in sorted(os.listdir(out)):
+            if fn.endswith(".parquet"):
+                adds.append(
+                    {
+                        "add": {
+                            "path": f"{sub}/{fn}",
+                            # PHYSICAL partition key per the spec
+                            "partitionValues": {"col_3": et},
+                            "size": os.path.getsize(os.path.join(out, fn)),
+                            "modificationTime": _T0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+    write_commit(
+        stage_dir,
+        0,
+        [
+            PROTOCOL_ACTION,
+            _cm_meta(tag, _CM_FIELDS, partition_cols=["event_type"]),
+        ]
+        + adds,
+    )
+    renamed = [
+        ("etype" if n == "event_type" else ("amount" if n == "value" else n), t)
+        for n, t in _CM_FIELDS
+    ]
+    write_commit(
+        stage_dir, 1, [_cm_meta(tag, renamed, partition_cols=["etype"])]
+    )
+
+
+def stage_events_as_delta_cm_partitioned(spark, sf_dir: str) -> str:
+    return _stage_table(
+        spark, sf_dir, "deltacmpt", builder=_build_cm_partitioned_table
+    )
+
+
+def delta_cm_partitioned(spark, sf_dir: str):
+    """``s_delta_cm_partitioned`` — partitioned table under column
+    mapping, read through LOGICAL partition filters at both versions:
+    v0 filters ``event_type IN ('click','purchase')``, v1 (after the
+    metadata-only rename) filters ``etype IN ('purchase','view')`` —
+    different filters on the renamed column prove pruning re-resolves
+    the logical->physical key each time. Pruning-audit columns ride
+    along (2 files per partition by construction). A reader that
+    keys partitionValues logically, loses the rename, or scans
+    unselected partitions diverges."""
+    from pyspark.sql import functions as F
+
+    table_dir = stage_events_as_delta_cm_partitioned(spark, sf_dir)
+    out = None
+    for v, pcol, vcol, sel in (
+        (0, "event_type", "value", {"click", "purchase"}),
+        (1, "etype", "amount", {"purchase", "view"}),
+    ):
+        snap = replay(table_dir, v)
+        pruned = prune_files(snap, {pcol: sel})
+        files_scanned = len(pruned)
+        files_total = len(snap["_active"])
+        df = (
+            read_snapshot(
+                spark, table_dir, version=v, partition_filter={pcol: sel}
+            )
+            .groupBy(F.col(pcol).alias("part_value"))
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum(vcol), 2).alias("total_value"),
+            )
+            .withColumn("version", F.lit(v).cast("bigint"))
+            .withColumn("files_scanned", F.lit(files_scanned).cast("bigint"))
+            .withColumn("files_total", F.lit(files_total).cast("bigint"))
+            .select(
+                "version", "part_value", "n", "n_users", "total_value",
+                "files_scanned", "files_total",
+            )
+        )
+        out = df if out is None else out.unionByName(df)
+    return out.orderBy("version", "part_value")
+
+
+DELTA_CM_PARTITIONED_SQL = """
+WITH v(version, part_value) AS (
+    VALUES (CAST(0 AS BIGINT), 'click'), (CAST(0 AS BIGINT), 'purchase'),
+           (CAST(1 AS BIGINT), 'purchase'), (CAST(1 AS BIGINT), 'view')
+)
+SELECT v.version,
+       v.part_value,
+       count(*) AS n,
+       count(DISTINCT e.user_id) AS n_users,
+       round(sum(e.value), 2) AS total_value,
+       CAST(4 AS BIGINT) AS files_scanned,
+       (SELECT 2 * count(DISTINCT event_type) FROM events) AS files_total
+FROM v JOIN events e ON e.event_type = v.part_value
+GROUP BY v.version, v.part_value
+ORDER BY v.version, v.part_value
 """

@@ -614,7 +614,10 @@ def test_dv_codec_spec_shapes_and_roundtrip():
     with pytest.raises(ValueError, match="cardinality mismatch"):
         DV.dv_row_indexes(d_bad)
     with pytest.raises(ValueError, match="storageType"):
-        DV.dv_row_indexes({"storageType": "u", "pathOrInlineDv": "x"})
+        DV.dv_row_indexes({"storageType": "z", "pathOrInlineDv": "x"})
+    # "u" is sidecar storage (round 10) and needs the table root
+    with pytest.raises(ValueError, match="table root"):
+        DV.dv_row_indexes({"storageType": "u", "pathOrInlineDv": "x" * 20})
 
 
 def test_deletion_vector_scan_skips_exactly_marked_rows(tmp_path, spark):
@@ -695,16 +698,234 @@ def test_column_mapping_rename_is_metadata_only(tmp_path, spark):
     assert df2.agg(F.sum("points")).collect()[0][0] == 6.0
 
 
-def test_column_mapping_unsupported_modes_refused(tmp_path, spark):
+def test_column_mapping_unknown_mode_refused(tmp_path, spark):
     table = str(tmp_path / "cmbad")
     meta = D._cm_meta("t", [("id", "long")])
-    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "weird"
     D.write_commit(table, 0, [D.PROTOCOL_ACTION, meta])
     with pytest.raises(ValueError, match="unsupported columnMapping"):
         D.read_snapshot(spark, table)
-    table2 = str(tmp_path / "cmpart")
-    meta2 = D._cm_meta("t", [("id", "long")])
-    meta2["metaData"]["partitionColumns"] = ["id"]
-    D.write_commit(table2, 0, [D.PROTOCOL_ACTION, meta2])
-    with pytest.raises(ValueError, match="partitioned"):
-        D.read_snapshot(spark, table2)
+
+
+# --- round 10: id-mode column mapping + partitioned combination --------
+
+
+def test_column_mapping_id_mode_resolves_by_field_id(tmp_path, spark):
+    """id mode: parquet FIELD IDS are authoritative — the files here
+    carry field ids under column names that match NEITHER the logical
+    nor the metadata physicalName, so a name-based reader has nothing
+    to match on; resolution must go through the ids. A rename stays
+    metadata-only (same id, zero data bytes touched)."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    table = str(tmp_path / "cmid")
+    w = StructType(
+        [
+            StructField("fld_a", LongType(), True, {"parquet.field.id": 1}),
+            StructField("fld_b", DoubleType(), True, {"parquet.field.id": 2}),
+        ]
+    )
+    phys = spark.createDataFrame([(1, 2.0), (2, 4.0)], w)
+    adds = D._write_version_files(spark, phys, table, "v0")
+    fields = [("id", "long"), ("score", "double")]
+    D.write_commit(
+        table, 0, [D.PROTOCOL_ACTION, D._cm_meta("t", fields, mode="id")] + adds
+    )
+    df = D.read_snapshot(spark, table)
+    assert df.columns == ["id", "score"]
+    assert {(r.id, r.score) for r in df.collect()} == {(1, 2.0), (2, 4.0)}
+    data_files = [os.path.join(table, a["add"]["path"]) for a in adds]
+    before = {p: open(p, "rb").read() for p in data_files}
+    renamed = [("id", "long"), ("points", "double")]
+    D.write_commit(table, 1, [D._cm_meta("t", renamed, mode="id")])
+    df2 = D.read_snapshot(spark, table)
+    assert df2.columns == ["id", "points"]
+    assert {(r.id, r.points) for r in df2.collect()} == {(1, 2.0), (2, 4.0)}
+    for p, b in before.items():
+        assert open(p, "rb").read() == b  # rename touched no data
+
+
+def test_column_mapping_partitioned_physical_partition_values(
+    tmp_path, spark
+):
+    """Partitioned × column mapping (refused through round 9): the
+    add actions' partitionValues key by PHYSICAL name; pruning takes
+    LOGICAL filter keys and translates; the partition column is
+    reconstructed under its logical name; a rename of the partition
+    column is metadata-only."""
+    table = str(tmp_path / "cmpt")
+    # fields: id (col_1), grp (col_2, partition). Files store col_1
+    # only (partition columns live in partitionValues, not the data).
+    fields = [("id", "long"), ("grp", "string")]
+    adds = []
+    for grp, ids in (("x", [1, 2]), ("y", [3])):
+        phys = spark.createDataFrame([(i,) for i in ids], "col_1 bigint")
+        for a in D._write_version_files(spark, phys, table, f"v0_{grp}"):
+            a["add"]["partitionValues"] = {"col_2": grp}  # PHYSICAL key
+            adds.append(a)
+    D.write_commit(
+        table,
+        0,
+        [D.PROTOCOL_ACTION, D._cm_meta("t", fields, partition_cols=["grp"])]
+        + adds,
+    )
+    df = D.read_snapshot(spark, table)
+    assert sorted(df.columns) == ["grp", "id"]
+    assert {(r.id, r.grp) for r in df.collect()} == {
+        (1, "x"), (2, "x"), (3, "y"),
+    }
+    # logical-key pruning reaches the physical partitionValues
+    snap = D.replay(table)
+    pruned = D.prune_files(snap, {"grp": {"y"}})
+    assert all(
+        a["partitionValues"]["col_2"] == "y" for a in pruned.values()
+    ) and pruned
+    only_y = D.read_snapshot(spark, table, partition_filter={"grp": {"y"}})
+    assert {(r.id, r.grp) for r in only_y.collect()} == {(3, "y")}
+    # metadata-only rename of the PARTITION column
+    renamed = [("id", "long"), ("bucket", "string")]
+    D.write_commit(
+        table, 1, [D._cm_meta("t", renamed, partition_cols=["bucket"])]
+    )
+    df2 = D.read_snapshot(spark, table)
+    assert sorted(df2.columns) == ["bucket", "id"]
+    assert {(r.id, r.bucket) for r in df2.collect()} == {
+        (1, "x"), (2, "x"), (3, "y"),
+    }
+
+
+# --- round 10: DV sidecar storage + checkpointed DVs -------------------
+
+
+def test_dv_sidecar_file_format_and_roundtrip(tmp_path):
+    """The PROTOCOL.md sidecar framing: version byte 1; per vector a
+    BE int32 dataSize, the bitmap bytes, a BE CRC-32; 'u' descriptors
+    name the file by Z85-encoded UUID (with optional prefix); 'p'
+    descriptors carry an absolute path; corruption is refused at the
+    CRC before any bitmap decode."""
+    import struct as S
+
+    from real_time_big_data_analytics_spark.sources import delta_dv as DV
+
+    table = str(tmp_path)
+    descs = DV.dv_sidecar_write(table, [[1, 5, 9], [0, 2, 70000]], prefix="ab")
+    assert [d["storageType"] for d in descs] == ["u", "u"]
+    assert descs[0]["pathOrInlineDv"].startswith("ab/")
+    path = DV.dv_sidecar_path(descs[0], table)
+    assert os.path.basename(path).startswith("deletion_vector_")
+    assert path == DV.dv_sidecar_path(descs[1], table)  # one shared file
+    raw = open(path, "rb").read()
+    assert raw[0] == 1  # version byte
+    # descriptor offsets point at the BE dataSize ints
+    for d, rows in zip(descs, ([1, 5, 9], [0, 2, 70000])):
+        (dlen,) = S.unpack_from(">i", raw, d["offset"])
+        assert dlen == d["sizeInBytes"]
+        assert DV.dv_row_indexes(d, table_dir=table) == rows
+    # 'p' storage: absolute path, no table root needed
+    p_desc = dict(descs[0], storageType="p", pathOrInlineDv=path)
+    assert DV.dv_row_indexes(p_desc) == [1, 5, 9]
+    # CRC refusal: flip one bitmap byte
+    bad = bytearray(raw)
+    bad[descs[0]["offset"] + 6] ^= 0xFF
+    open(path, "wb").write(bytes(bad))
+    with pytest.raises(ValueError, match="checksum"):
+        DV.dv_row_indexes(descs[0], table_dir=table)
+
+
+def test_dv_sidecar_scan_skips_rows(tmp_path, spark):
+    """End-to-end: a 'u'-descriptor delete serves the file minus the
+    marked rows; the DATA files are byte-identical (the delete cost
+    one sidecar file)."""
+    from real_time_big_data_analytics_spark.sources import delta_dv as DV
+
+    table, adds1 = _toy_table(tmp_path, spark)
+    import pyspark.sql.functions as F
+
+    pos = (
+        spark.read.parquet(os.path.join(table, "files_v0"))
+        .select(
+            F.col("_metadata.file_name").alias("fn"),
+            F.col("_metadata.row_index").alias("ri"),
+            "id",
+        )
+        .filter(F.col("id") == 1)
+        .collect()
+    )
+    per_file = {}
+    for r in pos:
+        per_file.setdefault(r.fn, []).append(int(r.ri))
+    hit_adds = [
+        a for a in adds1 if os.path.basename(a["add"]["path"]) in per_file
+    ]
+    descs = DV.dv_sidecar_write(
+        table,
+        [per_file[os.path.basename(a["add"]["path"])] for a in hit_adds],
+    )
+    data_bytes = {
+        os.path.join(table, a["add"]["path"]): open(
+            os.path.join(table, a["add"]["path"]), "rb"
+        ).read()
+        for a in hit_adds
+    }
+    actions = []
+    for a, d in zip(hit_adds, descs):
+        actions.append(
+            {"remove": {"path": a["add"]["path"], "deletionTimestamp": 0,
+                        "dataChange": True}}
+        )
+        new_add = dict(a["add"])
+        new_add["deletionVector"] = d
+        actions.append({"add": new_add})
+    D.write_commit(table, 1, actions)
+    assert {r.id for r in D.read_snapshot(spark, table).collect()} == {2}
+    assert {r.id for r in D.read_snapshot(spark, table, 0).collect()} == {1, 2}
+    for full, before in data_bytes.items():
+        assert open(full, "rb").read() == before  # zero data rewrites
+
+
+def test_checkpoint_persists_deletion_vectors(tmp_path, spark):
+    """ADVICE r9 (high): checkpointing a DV table and expiring the
+    JSON commits must NOT resurrect the logically deleted rows — the
+    deletionVector rides the checkpoint add struct and replay through
+    the checkpoint serves the same filtered rows."""
+    from real_time_big_data_analytics_spark.sources import delta_dv as DV
+
+    table, adds1 = _toy_table(tmp_path, spark)
+    import pyspark.sql.functions as F
+
+    pos = (
+        spark.read.parquet(os.path.join(table, "files_v0"))
+        .select(
+            F.col("_metadata.file_name").alias("fn"),
+            F.col("_metadata.row_index").alias("ri"),
+            "id",
+        )
+        .filter(F.col("id") == 1)
+        .collect()
+    )
+    per_file = {}
+    for r in pos:
+        per_file.setdefault(r.fn, []).append(int(r.ri))
+    actions = []
+    for a in adds1:
+        fn = os.path.basename(a["add"]["path"])
+        if fn not in per_file:
+            continue
+        actions.append(
+            {"remove": {"path": a["add"]["path"], "deletionTimestamp": 0,
+                        "dataChange": True}}
+        )
+        new_add = dict(a["add"])
+        new_add["deletionVector"] = DV.dv_inline_descriptor(per_file[fn])
+        actions.append({"add": new_add})
+    D.write_commit(table, 1, actions)
+    # the _active shape must be identical through either replay path
+    json_active = D.replay(table, 1)["_active"]
+    D.write_checkpoint(table, 1)
+    D.expire_commits_before_checkpoint(table)
+    cp_active = D.replay(table, 1)["_active"]
+    assert cp_active == json_active
+    # the reproduced ADVICE failure: deleted rows stayed deleted
+    assert {r.id for r in D.read_snapshot(spark, table).collect()} == {2}

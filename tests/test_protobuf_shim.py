@@ -368,3 +368,45 @@ def test_tws_timers_live(spark, sf_dir):
     for r in got.values():
         assert r.n_timers_registered == 2
         assert r.n_timers_after_delete == 1
+
+
+def test_fixed_width_fields_are_unsigned_on_the_wire():
+    """ADVICE r9: fixed64/fixed32 are UNSIGNED scalar types — values
+    >= 2^63 / 2^31 must serialize (the signed '<q'/'<i' pack raised
+    struct.error) and round-trip as non-negative; sfixed stays signed."""
+    def mk(ftype):
+        fd = {
+            "name": "f.proto", "package": "", "enums": [],
+            "messages": [
+                {"name": "M", "oneofs": [], "enums": [], "nested": [],
+                 "fields": [
+                     {"name": "v", "number": 1, "label": 1, "type": ftype,
+                      "type_name": "", "oneof_index": None,
+                      "proto3_optional": False},
+                 ]},
+            ],
+        }
+        g = {}
+        core.build_messages(core.FileDescriptorShim(fd, b""), g)
+        return g["M"]
+
+    F64, F32 = mk(core.T_FIXED64), mk(core.T_FIXED32)
+    for v in (0, 1, 2**63, 2**64 - 1):
+        m = F64(v=v)
+        r = F64()
+        r.ParseFromString(m.SerializeToString())
+        assert r.v == v, (v, r.v)
+    # wire bytes pinned: fixed64 = tag 09 + 8 LE bytes
+    assert F64(v=2**64 - 1).SerializeToString() == b"\x09" + b"\xff" * 8
+    for v in (0, 1, 2**31, 2**32 - 1):
+        m = F32(v=v)
+        r = F32()
+        r.ParseFromString(m.SerializeToString())
+        assert r.v == v, (v, r.v)
+    assert F32(v=2**32 - 1).SerializeToString() == b"\x0d" + b"\xff" * 4
+    # sfixed keeps signed semantics both directions
+    S64, S32 = mk(core.T_SFIXED64), mk(core.T_SFIXED32)
+    for cls, v in ((S64, -(2**63)), (S64, -1), (S32, -(2**31)), (S32, -1)):
+        r = cls()
+        r.ParseFromString(cls(v=v).SerializeToString())
+        assert r.v == v, (cls, v, r.v)
