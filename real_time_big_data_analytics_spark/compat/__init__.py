@@ -41,3 +41,41 @@ def enable_protobuf_shim() -> bool:
         return True
     except ImportError:
         return False
+
+
+def tws_runtime_available() -> bool:
+    """True when ``transformWithStateInPandas`` can actually RUN from
+    this process (VERDICT r9 ask #4's registration gate): the TWS
+    state client needs ``google.protobuf`` importable not just here
+    but in the JVM-SPAWNED state-server workers, which inherit the
+    JVM's environment frozen at startup.
+
+    - real protobuf install → importable everywhere → True;
+    - purepb shim, no JVM yet → True if the shim dir is on the
+      PYTHONPATH env var (the launching JVM inherits it);
+    - purepb shim, JVM already running → True ONLY if that session
+      was built with ``spark.executorEnv.PYTHONPATH`` carrying the
+      shim dir (probed WORKING — tools/probe_tws_executorenv.py,
+      round 10: the python workers receive executorEnv even in local
+      mode). A shim activated any other way after JVM start is
+      importable here but NOT in the workers (late env mutation and
+      addPyFile both probed → crash, NOTES_r09 §6) — refuse rather
+      than register a query that dies executor-side."""
+    try:
+        import google.protobuf as gp
+    except ImportError:
+        return False
+    if "rtba-shim" not in getattr(gp, "__version__", ""):
+        return True  # real library: on site-packages, reaches workers
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return PUREPB_DIR in os.environ.get("PYTHONPATH", "").split(
+            os.pathsep
+        )
+    try:
+        epath = sc.getConf().get("spark.executorEnv.PYTHONPATH", "") or ""
+    except Exception:
+        epath = ""
+    return PUREPB_DIR in epath.split(os.pathsep)

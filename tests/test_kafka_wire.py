@@ -305,3 +305,211 @@ def test_gzip_batches_through_broker(broker):
     for b in KW.split_record_sets(record_set):
         got.extend(KW.decode_record_batch(b))
     assert got == [(b"a", b"1"), (b"b", b"2")]
+
+
+# --------------------------------------- KIP-98 idempotent producer
+
+
+def _produce_one(sock, corr, topic, part, batch):
+    resp = KW.call(
+        sock,
+        KW.frame_request(
+            KW.API_PRODUCE, 3, corr, KW.produce_request_v3(topic, part, batch)
+        ),
+    )
+    (tlen,) = struct.unpack(">h", resp[4:6])
+    pos = 6 + tlen + 4
+    _partition, err, offset, _ts = struct.unpack(">ihqq", resp[pos : pos + 22])
+    return err, offset
+
+
+def _fetch_all(sock, corr, topic, part):
+    fresp = KW.call(
+        sock,
+        KW.frame_request(KW.API_FETCH, 4, corr, KW.fetch_request_v4(topic, part)),
+    )
+    sets = KW.parse_fetch_record_sets(fresp)
+    return [
+        rec
+        for b in KW.split_record_sets(sets.get((topic, part), b""))
+        for rec in KW.decode_record_batch(b)
+    ]
+
+
+def test_idempotent_replay_is_deduplicated(broker):
+    """The KIP-98 exactly-once produce: a REPLAYED batch (same PID,
+    epoch, baseSequence — the retry case the reference sidesteps with
+    retries=0) is acked with its ORIGINAL offset and appended nothing;
+    the log serves each record once."""
+    _, addr = broker
+    recs1 = [(b"k1", b"v1"), (b"k2", b"v2")]
+    recs2 = [(b"k3", b"v3")]
+    with _connect(addr) as sock:
+        pid, epoch = KW.init_producer_id(sock)
+        b1 = KW.encode_record_batch(
+            recs1, producer_id=pid, producer_epoch=epoch, base_sequence=0
+        )
+        b2 = KW.encode_record_batch(
+            recs2, producer_id=pid, producer_epoch=epoch, base_sequence=2
+        )
+        err, off1 = _produce_one(sock, 1, "t", 0, b1)
+        assert (err, off1) == (0, 0)
+        # the deliberate re-send: byte-identical replay of batch 1
+        err, off_dup = _produce_one(sock, 2, "t", 0, b1)
+        assert err == 0 and off_dup == off1  # silent dup, original offset
+        err, off2 = _produce_one(sock, 3, "t", 0, b2)
+        assert (err, off2) == (0, 2)
+        # replay again AFTER later batches landed (still in dup cache)
+        err, off_dup2 = _produce_one(sock, 4, "t", 0, b1)
+        assert err == 0 and off_dup2 == 0
+        got = _fetch_all(sock, 5, "t", 0)
+    assert got == recs1 + recs2  # each record exactly once
+
+
+def test_non_idempotent_replay_duplicates(broker):
+    """WITHOUT the idempotence fields (pid −1, the legacy/default
+    producer) the same replay DUPLICATES — the failure mode KIP-98
+    exists for, and why the reference pinned retries=0."""
+    _, addr = broker
+    recs = [(b"k", b"v")]
+    batch = KW.encode_record_batch(recs)  # pid/epoch/seq all -1
+    with _connect(addr) as sock:
+        assert _produce_one(sock, 1, "t", 0, batch) == (0, 0)
+        err, off = _produce_one(sock, 2, "t", 0, batch)
+        assert (err, off) == (0, 1)  # appended AGAIN
+        got = _fetch_all(sock, 3, "t", 0)
+    assert got == recs + recs  # duplicated
+
+
+def test_sequence_gap_refused(broker):
+    """A sequence gap (lost batch under max.in.flight) must be
+    OUT_OF_ORDER_SEQUENCE_NUMBER, not a silent hole."""
+    _, addr = broker
+    with _connect(addr) as sock:
+        pid, epoch = KW.init_producer_id(sock)
+        b0 = KW.encode_record_batch(
+            [(b"a", b"1")], producer_id=pid, producer_epoch=epoch, base_sequence=0
+        )
+        b_gap = KW.encode_record_batch(
+            [(b"b", b"2")], producer_id=pid, producer_epoch=epoch, base_sequence=5
+        )
+        assert _produce_one(sock, 1, "t", 0, b0)[0] == 0
+        err, _ = _produce_one(sock, 2, "t", 0, b_gap)
+        assert err == KW.ERR_OUT_OF_ORDER_SEQUENCE
+        # and nothing landed from the refused batch
+        assert _fetch_all(sock, 3, "t", 0) == [(b"a", b"1")]
+
+
+def test_stale_epoch_fenced_and_bump_resets_sequence(broker):
+    """A batch from an OLDER epoch is fenced (INVALID_PRODUCER_EPOCH);
+    a NEWER epoch resets the expected sequence to 0 — the public
+    fencing rules."""
+    _, addr = broker
+    with _connect(addr) as sock:
+        pid, epoch = KW.init_producer_id(sock)
+        b0 = KW.encode_record_batch(
+            [(b"a", b"1")], producer_id=pid, producer_epoch=epoch + 1,
+            base_sequence=0,
+        )
+        assert _produce_one(sock, 1, "t", 0, b0)[0] == 0
+        stale = KW.encode_record_batch(
+            [(b"b", b"2")], producer_id=pid, producer_epoch=epoch,
+            base_sequence=1,
+        )
+        err, _ = _produce_one(sock, 2, "t", 0, stale)
+        assert err == KW.ERR_INVALID_PRODUCER_EPOCH
+        bumped = KW.encode_record_batch(
+            [(b"c", b"3")], producer_id=pid, producer_epoch=epoch + 2,
+            base_sequence=0,  # bump resets to 0
+        )
+        assert _produce_one(sock, 3, "t", 0, bumped)[0] == 0
+        assert _fetch_all(sock, 4, "t", 0) == [(b"a", b"1"), (b"c", b"3")]
+
+
+def test_init_producer_id_assigns_unique_pids(broker):
+    _, addr = broker
+    with _connect(addr) as sock:
+        pids = {KW.init_producer_id(sock, i)[0] for i in range(4)}
+    assert len(pids) == 4
+
+
+# ------------------------------- streaming crash recovery (S9 × S3)
+
+
+def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path, broker):
+    """VERDICT r9 ask #7: kill the kafka_wire stream after draining,
+    append NEW records to the broker (including to already-consumed
+    partitions — the case the old partition-index cursor lost),
+    restart from the SAME checkpoint: the restored aggregate counts
+    every record exactly once (re-reading from 0 would double-count;
+    a high-watermark restore would drop the appends), and an idle
+    third run changes nothing."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.sources.pyds import (
+        _repo_root,
+        make_kafka_wire_stream_datasource,
+    )
+
+    _, addr = broker
+    topic, nparts = "rec", 2
+    produced = [0]
+
+    def produce(part, n):
+        recs = [
+            (str(produced[0] + i).encode(), str(produced[0] + i).encode())
+            for i in range(n)
+        ]
+        produced[0] += n
+        with _connect(addr) as sock:
+            batch = KW.encode_record_batch(recs)
+            err, _ = _produce_one(sock, 1, topic, part, batch)
+            assert err == 0
+
+    ckpt = str(tmp_path / "ckpt")
+    name = f"kwrec_{uuid.uuid4().hex[:8]}"
+    spark.dataSource.register(make_kafka_wire_stream_datasource())
+
+    def run_once():
+        s = (
+            spark.readStream.format("kafka_wire_stream")
+            .option("addr", addr)
+            .option("topic", topic)
+            .option("nparts", str(nparts))
+            .option("pkg", _repo_root())
+            .load()
+        )
+        agg = s.groupBy("value").agg(F.count("*").alias("c"))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        rows = spark.table(name).collect()
+        # (total records counted, distinct values seen, max per-value
+        # count — 1 proves no record was double-counted)
+        return (
+            sum(r["c"] for r in rows),
+            len(rows),
+            max(r["c"] for r in rows),
+        )
+
+    produce(0, 5)
+    produce(1, 3)
+    assert run_once() == (8, 8, 1)
+    # "crash" happened (query stopped); appends land on BOTH a fresh
+    # region of partition 1 and the already-consumed partition 0
+    produce(0, 4)
+    produce(1, 2)
+    assert run_once() == (14, 14, 1)  # no dupes, no loss
+    # third restart with one more record: state restored again, still
+    # exactly-once (a from-zero re-read would double the first 14)
+    produce(1, 1)
+    assert run_once() == (15, 15, 1)

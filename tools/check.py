@@ -24,6 +24,13 @@ import pandas as pd
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# BEFORE any SparkSession/registry load: lets the conditionally-
+# registered transformWithState query (t21) into this gate sweep —
+# the shim lands on PYTHONPATH pre-JVM, so state-server workers see it
+from real_time_big_data_analytics_spark.compat import enable_protobuf_shim
+
+enable_protobuf_shim()
+
 from real_time_big_data_analytics_spark.registry import all_queries
 from real_time_big_data_analytics_spark.session import get_spark
 

@@ -92,6 +92,10 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     args = ap.parse_args()
 
+    from real_time_big_data_analytics_spark.compat import enable_protobuf_shim
+
+    enable_protobuf_shim()  # pre-JVM: the conditional t21 registers
+
     from real_time_big_data_analytics_spark.registry import all_queries
     from real_time_big_data_analytics_spark.session import get_spark
 
