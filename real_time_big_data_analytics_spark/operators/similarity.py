@@ -2171,3 +2171,375 @@ def knn_hnsw_indexed_checked(
     return _knn_invariants(
         spark, sf_dir, knn_hnsw_indexed(spark, sf_dir, k), k, 0.85
     )
+
+
+# --- HNSW incremental maintenance (round 10, VERDICT r9 ask #5) --------
+#
+# The persisted edge-table index above is build-once; this section
+# gives it the `l3_ivf_index_append` treatment: a nightly batch
+# (vec_id % 10 == 0) is INSERTED into the per-shard graphs persisted
+# from the standing corpus (vec_id % 10 != 0) — the standard HNSW
+# insert (greedy descent from the entry point, beam with
+# ef_construction, bidirectional M-bounded links with overflow
+# pruning), costing O(|batch| · log n) link work per shard instead of
+# the O(n · log n) rebuild. At 100 TB this is the difference between
+# a nightly index refresh bounded by the batch and one that re-links
+# the corpus. Pinned by the bound-assertion pattern: every appended
+# node reachable from the entry point, degree bounds intact, and
+# serving recall over the UPDATED graph at the fresh-build floor.
+
+_HNSW_APPEND_DIRS: dict[str, str] = {}
+
+
+def _hnsw_insert_fn(m: int, ef_c: int):
+    """Cogrouped insert body: one shard's vectors (base + new, flagged
+    ``is_new``) + the shard's PERSISTED base edges → the updated full
+    edge set. The base adjacency is RECONSTRUCTED from the edge rows
+    (no base-base distance is ever recomputed); only the inserted
+    nodes run the builder's insert loop — the same rounded distances,
+    deterministic level draw, and overflow pruning as
+    ``_hnsw_candidate_fn`` (tests pin degree bounds + connectivity)."""
+
+    def insert_shard(vec_pdf, edge_pdf):
+        import heapq
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        base_pdf = vec_pdf[~vec_pdf["is_new"]]
+        new_pdf = vec_pdf[vec_pdf["is_new"]]
+        base_ids = np.sort(base_pdf["vec_id"].to_numpy())
+        new_ids = np.sort(new_pdf["vec_id"].to_numpy())
+        ids = np.concatenate([base_ids, new_ids])
+        by_id = {
+            int(r.vec_id): r.embedding for r in vec_pdf.itertuples()
+        }
+        vecs = np.stack([np.asarray(by_id[int(v)]) for v in ids]).astype(
+            np.float64
+        )
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        unit = vecs / np.maximum(norms, 1e-12)[:, None]
+        idx_of = {int(v): i for i, v in enumerate(ids)}
+        nb, n = len(base_ids), len(ids)
+
+        m_l = 1.0 / math.log(m)
+        level_of = []
+        for vid in ids:
+            h = (int(vid) * 2654435761 + 97) % (1 << 32)
+            u = (h + 1) / float((1 << 32) + 1)
+            level_of.append(min(int(-math.log(u) * m_l), 8))
+        adj: list[dict[int, set]] = [
+            {layer: set() for layer in range(lv + 1)} for lv in level_of
+        ]
+        for node, layer, nbr in zip(
+            edge_pdf["node_id"], edge_pdf["layer"], edge_pdf["neighbor_id"]
+        ):
+            adj[idx_of[int(node)]][int(layer)].add(idx_of[int(nbr)])
+
+        def d_to(qu, i):
+            return round(1.0 - float(unit[i] @ qu), 9)
+
+        def search_layer(qu, eps, ef_, layer):
+            visited = set(eps)
+            cand = [(d_to(qu, e), e) for e in eps]
+            heapq.heapify(cand)
+            res = [(-d, e) for d, e in cand]
+            heapq.heapify(res)
+            while cand:
+                d, c = heapq.heappop(cand)
+                if res and d > -res[0][0]:
+                    break
+                for nbr in sorted(adj[c].get(layer, ())):
+                    if nbr in visited:
+                        continue
+                    visited.add(nbr)
+                    dn = d_to(qu, nbr)
+                    if len(res) < ef_ or dn < -res[0][0]:
+                        heapq.heappush(cand, (dn, nbr))
+                        heapq.heappush(res, (-dn, nbr))
+                        if len(res) > ef_:
+                            heapq.heappop(res)
+            return sorted(((-d, e) for d, e in res), key=lambda t: (t[0], t[1]))
+
+        # the persisted entry point: highest level, first-inserted
+        # (lowest base index) among equals — matches the builder
+        entry, top = None, -1
+        for i in range(nb):
+            if level_of[i] > top:
+                entry, top = i, level_of[i]
+        for i in range(nb, n):  # the insert loop, ascending vec_id
+            li = level_of[i]
+            if entry is None:
+                entry, top = i, li
+                continue
+            ep = [entry]
+            for layer in range(top, li, -1):
+                ep = [search_layer(unit[i], ep, 1, layer)[0][1]]
+            for layer in range(min(top, li), -1, -1):
+                cands = search_layer(unit[i], ep, ef_c, layer)
+                mmax = m if layer > 0 else 2 * m
+                for _, e in cands[:m]:
+                    adj[i][layer].add(e)
+                    adj[e][layer].add(i)
+                    if len(adj[e][layer]) > mmax:
+                        keep = sorted(
+                            adj[e][layer],
+                            key=lambda x: (
+                                round(1.0 - float(unit[e] @ unit[x]), 9),
+                                x,
+                            ),
+                        )[:mmax]
+                        adj[e][layer] = set(keep)
+                ep = [e for _, e in cands]
+            if li > top:
+                entry, top = i, li
+
+        rows_n, rows_l, rows_nb = [], [], []
+        for i in range(n):
+            for layer, nbrs in adj[i].items():
+                for nbr in sorted(nbrs):
+                    rows_n.append(int(ids[i]))
+                    rows_l.append(layer)
+                    rows_nb.append(int(ids[nbr]))
+        return pd.DataFrame(
+            {"node_id": rows_n, "layer": rows_l, "neighbor_id": rows_nb}
+        )
+
+    return insert_shard
+
+
+def _hnsw_graph_stats_fn(m: int):
+    """Cogrouped audit body over (vectors, edge rows): per-shard
+    structural invariants of the UPDATED graph — every node present,
+    every appended node reachable from the entry point (layer-0 BFS;
+    retrievability IS connectivity in a beam-searched graph), and the
+    M-bound held through the append's overflow pruning."""
+
+    def stats(vec_pdf, edge_pdf):
+        import math
+        from collections import deque
+
+        import numpy as np
+        import pandas as pd
+
+        ids = np.sort(vec_pdf["vec_id"].to_numpy())
+        is_new = {
+            int(r.vec_id): bool(r.is_new) for r in vec_pdf.itertuples()
+        }
+        idx_of = {int(v): i for i, v in enumerate(ids)}
+        n = len(ids)
+        m_l = 1.0 / math.log(m)
+        level_of = []
+        for vid in ids:
+            h = (int(vid) * 2654435761 + 97) % (1 << 32)
+            u = (h + 1) / float((1 << 32) + 1)
+            level_of.append(min(int(-math.log(u) * m_l), 8))
+        adj0: list[set] = [set() for _ in range(n)]
+        deg_viol = 0
+        per_layer: dict[tuple[int, int], int] = {}
+        for node, layer, nbr in zip(
+            edge_pdf["node_id"], edge_pdf["layer"], edge_pdf["neighbor_id"]
+        ):
+            i, j, la = idx_of[int(node)], idx_of[int(nbr)], int(layer)
+            per_layer[(i, la)] = per_layer.get((i, la), 0) + 1
+            if la == 0:
+                adj0[i].add(j)
+        for (i, la), deg in per_layer.items():
+            if deg > (2 * m if la == 0 else m):
+                deg_viol += 1
+        entry, top = None, -1
+        for i in range(n):
+            if level_of[i] > top:
+                entry, top = i, level_of[i]
+        reach = set()
+        if entry is not None:
+            q = deque([entry])
+            reach.add(entry)
+            while q:
+                c = q.popleft()
+                for nb in adj0[c]:
+                    if nb not in reach:
+                        reach.add(nb)
+                        q.append(nb)
+        n_new = sum(1 for v in ids if is_new[int(v)])
+        new_connected = sum(
+            1 for v in ids if is_new[int(v)] and idx_of[int(v)] in reach
+        )
+        return pd.DataFrame(
+            {
+                "n_vectors": [n],
+                "n_new": [n_new],
+                "n_new_connected": [new_connected],
+                "degree_violations": [deg_viol],
+            }
+        )
+
+    return stats
+
+
+def hnsw_append_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the append lifecycle once per corpus fingerprint (the
+    delta-stager crash-idempotency discipline): persist the BASE
+    corpus's per-shard edges, then read them BACK from disk and run
+    the insert cogroup for the nightly batch, persisting the updated
+    graph as ``edges_v2`` — the full persisted-index round trip."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = hashlib.md5(
+        f"hnswappend|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    if tag in _HNSW_APPEND_DIRS:
+        return _HNSW_APPEND_DIRS[tag]
+    index_dir = os.path.join(tempfile.gettempdir(), f"rtba_hnswapp_{tag}")
+    done = os.path.join(index_dir, "_staging_complete")
+    if not os.path.exists(done):
+        if os.path.exists(index_dir):
+            shutil.rmtree(index_dir)
+        stage = f"{index_dir}.staging-{uuid.uuid4().hex[:12]}"
+        emb = spread(load_table(spark, sf_dir, "embeddings"))
+        corpus = emb.withColumn(
+            "shard", (F.col("vec_id") % HNSW_SHARDS).cast("int")
+        ).withColumn("is_new", F.col("vec_id") % 10 == 0)
+        base = corpus.filter(~F.col("is_new"))
+        build = _hnsw_candidate_fn(
+            [], 0, (), HNSW_M, HNSW_EF_CONSTRUCTION, emit="edges"
+        )
+        base_edges = base.groupBy("shard").applyInPandas(
+            build, "node_id bigint, layer int, neighbor_id bigint"
+        ).withColumn("shard", (F.col("node_id") % HNSW_SHARDS).cast("int"))
+        base_edges.write.partitionBy("shard").parquet(
+            os.path.join(stage, "edges_base")
+        )
+        persisted = spark.read.parquet(os.path.join(stage, "edges_base"))
+        ins = _hnsw_insert_fn(HNSW_M, HNSW_EF_CONSTRUCTION)
+        updated = (
+            corpus.groupBy("shard")
+            .cogroup(persisted.groupBy("shard"))
+            .applyInPandas(ins, "node_id bigint, layer int, neighbor_id bigint")
+            .withColumn("shard", (F.col("node_id") % HNSW_SHARDS).cast("int"))
+        )
+        updated.write.partitionBy("shard").parquet(
+            os.path.join(stage, "edges_v2")
+        )
+        with open(os.path.join(stage, "_staging_complete"), "w") as f:
+            f.write(tag)
+        try:
+            os.rename(stage, index_dir)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+            if not os.path.exists(done):
+                raise
+    _HNSW_APPEND_DIRS[tag] = index_dir
+    return index_dir
+
+
+HNSW_APPEND_RECALL_FLOOR = 0.85  # the fresh-build serving floor
+
+
+def hnsw_index_append_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``l3_hnsw_index_append`` — the bound-assertion summary of the
+    HNSW incremental append: counts SQL-exact, structure collapsed to
+    flags the oracle re-emits as ``true`` (the ivf_append_invariants
+    pattern). One unreachable appended vector, one M-bound violation,
+    one lost node, or serving recall under the fresh-build floor flips
+    a flag and breaks the hash."""
+    import os
+
+    index_dir = hnsw_append_stage(spark, sf_dir)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    corpus = emb.withColumn(
+        "shard", (F.col("vec_id") % HNSW_SHARDS).cast("int")
+    ).withColumn("is_new", F.col("vec_id") % 10 == 0)
+    edges = spark.read.parquet(os.path.join(index_dir, "edges_v2"))
+    stats = (
+        corpus.groupBy("shard")
+        .cogroup(edges.groupBy("shard"))
+        .applyInPandas(
+            _hnsw_graph_stats_fn(HNSW_M),
+            "n_vectors bigint, n_new bigint, n_new_connected bigint, "
+            "degree_violations bigint",
+        )
+        .agg(
+            F.sum("n_vectors").cast("bigint").alias("nodes_indexed"),
+            F.sum("n_new").cast("bigint").alias("n_batch"),
+            (F.sum("n_new") == F.sum("n_new_connected")).alias(
+                "appended_connected"
+            ),
+            (F.sum("degree_violations") == 0).alias("degree_bounded"),
+        )
+    )
+    # serving recall over the UPDATED persisted graph, vs the exact
+    # top-k of the FULL corpus (base + appended)
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()  # bounded: the N_QUERIES demo query vectors
+    ]
+    fn = _hnsw_search_edges_fn(queries, TOP_K, HNSW_EF_SEARCH, HNSW_M)
+    cands = (
+        corpus.drop("is_new")
+        .groupBy("shard")
+        .cogroup(edges.groupBy("shard"))
+        .applyInPandas(fn, "query_id bigint, vec_id bigint")
+    )
+    qdf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    sims = (
+        cands.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            round2(cosine_similarity("q", "embedding"), 6).alias("sim"),
+        )
+    )
+    approx = _ranked_topk(sims, TOP_K).select("query_id", "vec_id")
+    true_k = _ranked_topk(_all_sims(spark, sf_dir), TOP_K).select(
+        "query_id", "vec_id"
+    )
+    recall = (
+        approx.join(true_k, ["query_id", "vec_id"], "inner")
+        .agg(F.count("*").alias("hits"))
+        .crossJoin(true_k.agg(F.count("*").alias("total")))
+        .select(
+            (
+                F.col("hits")
+                >= F.lit(HNSW_APPEND_RECALL_FLOOR) * F.col("total")
+            ).alias("recall_floor_met")
+        )
+    )
+    truth = emb.agg(F.count("*").cast("bigint").alias("n_corpus"))
+    return (
+        stats.crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(recall))
+        .select(
+            "nodes_indexed",
+            "n_batch",
+            (F.col("nodes_indexed") == F.col("n_corpus")).alias(
+                "corpus_covered"
+            ),
+            "appended_connected",
+            "degree_bounded",
+            "recall_floor_met",
+        )
+    )
+
+
+HNSW_INDEX_APPEND_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS nodes_indexed,
+       CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_batch,
+       true AS corpus_covered,
+       true AS appended_connected,
+       true AS degree_bounded,
+       true AS recall_floor_met
+FROM embeddings
+"""

