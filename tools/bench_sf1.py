@@ -50,14 +50,48 @@ TOP10 = (
 )
 EXCLUDED = {
     "l3_mmr_diversified_topk": "input (embeddings) is a dimension table "
-    "in this harness; fact replication measures nothing about it",
+    "in this harness; fact replication measures nothing about it "
+    "(and its greedy unroll is pool-bounded, not corpus-bounded)",
+    "s_kafka_wire_idempotent_produce": "rides s_kafka_wire_roundtrip's "
+    "benched wire shape (same fetch/decode scan; staging differs only "
+    "in header fields + replays)",
 }
+
+# Round-9/10 operators measured at 10x (VERDICT r9 ask #3): the HNSW
+# paths scale on the EMBEDDINGS axis (scale_smoke.build_embed); the
+# delta/ES/video queries scale on the fact axis (their stagers
+# re-stage per corpus fingerprint, so the 10x number includes a
+# one-time staging run amortized out by min-of-3).
+R9R10_ADDS = (
+    "l3_knn_hnsw_serving",      # the serving path, not the invariant twin
+    "l3_hnsw_index_append",
+    "s_delta_deletion_vectors",
+    "s_delta_dv_sidecar",
+    "s_delta_partition_prune",  # pruning ratio should be scale-invariant
+    "s_es_wire_pushdown",
+    "l5_video_pframe_stats",
+)
+
+# Names that are not registry entries: direct callables (the serving
+# path of a query whose registered form carries verification twins).
+def _special_queries():
+    from real_time_big_data_analytics_spark.operators import similarity
+
+    return {
+        "l3_knn_hnsw_serving": lambda spark, sf: similarity.knn_hnsw(spark, sf)
+    }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="merge results into the existing BENCH_SF1.json instead of "
+        "replacing it (round-10 incremental refresh)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -66,7 +100,11 @@ def main() -> None:
 
     spark = get_spark("rtba-bench-sf1")
     queries = all_queries()
+    special = _special_queries()
     names = tuple(args.names) or TOP10
+
+    def fn_of(name):
+        return special[name] if name in special else queries[name].fn
 
     amb_pre = bench._ambient()
     big = scale_smoke.build(spark, args.sf, args.k)
@@ -75,23 +113,30 @@ def main() -> None:
         if any(n in scale_smoke.UNIQUE_QUERIES for n in names)
         else None
     )
+    big_embed = (
+        scale_smoke.build_embed(spark, args.sf, args.k)
+        if any(n in scale_smoke.EMBED_QUERIES for n in names)
+        else None
+    )
     bench.force(queries["q1_pricing_summary"].fn(spark, args.sf))  # warm-up
 
     report = {}
     for name in names:
-        big_dir = (
-            big_uniq if name in scale_smoke.UNIQUE_QUERIES else big
-        )
+        if name in scale_smoke.EMBED_QUERIES:
+            big_dir, corpus = big_embed, "embed"
+        elif name in scale_smoke.UNIQUE_QUERIES:
+            big_dir, corpus = big_uniq, "unique"
+        else:
+            big_dir, corpus = big, "verbatim"
         times = {}
         for label, sf_dir in (("base", args.sf), ("sf1", big_dir)):
             runs = []
             for _ in range(3):
                 t0 = time.monotonic()
-                bench.force(queries[name].fn(spark, sf_dir))
+                bench.force(fn_of(name)(spark, sf_dir))
                 runs.append(time.monotonic() - t0)
             times[label] = round(min(runs), 3)
         ratio = round(times["sf1"] / max(times["base"], 1e-9), 2)
-        corpus = "unique" if name in scale_smoke.UNIQUE_QUERIES else "verbatim"
         report[name] = {**times, "ratio": ratio, "corpus": corpus}
         print(
             f"{name:32s} base={times['base']:7.3f}s "
@@ -99,6 +144,7 @@ def main() -> None:
             flush=True,
         )
 
+    path = os.path.join(REPO, "BENCH_SF1.json")
     out = {
         "k": args.k,
         "base_sf": args.sf,
@@ -107,7 +153,16 @@ def main() -> None:
         "ambient_pre": amb_pre,
         "ambient_post": bench._ambient(),
     }
-    path = os.path.join(REPO, "BENCH_SF1.json")
+    if args.merge and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        merged_q = dict(prev.get("queries") or {})
+        merged_q.update(report)
+        out["queries"] = merged_q
+        out["merged_rounds"] = sorted(
+            set(prev.get("merged_rounds") or []) | {"r10"}
+        )
+        out["ambient_pre_prev"] = prev.get("ambient_pre")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"wrote": path, "k": args.k,

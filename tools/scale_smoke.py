@@ -173,6 +173,59 @@ def build(spark, src: str, k: int) -> str:
     return out
 
 
+def build_embed(spark, src: str, k: int) -> str:
+    """EMBEDDINGS-scaled corpus (round 10, VERDICT r9 ask #3):
+    ``embeddings`` is a dimension table under ``build``'s fact
+    replication, so the ANN family had no measured 10x ratio. Here it
+    is replicated K times with vec_id shifts (copy i keeps its
+    vectors/labels — corpus GROWTH, which is what shard-local graph
+    build and search costs scale with); every other table is copied
+    as-is (only embeddings-readers are valid against this corpus).
+    The N_QUERIES demo query vectors (vec_id < 5) live in copy 0 and
+    stay the query set at every K."""
+    from pyspark.sql import functions as F
+
+    st = os.stat(os.path.join(src, "embeddings.parquet"))
+    tag = hashlib.md5(
+        f"{src}|embed|{k}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"rtba_scale_embed_{tag}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def rd(name):
+        return spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+
+    for name in FACTS + tuple(d for d in DIMS if d != "embeddings"):
+        rd(name).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+    emb = rd("embeddings")
+    span = emb.agg(F.max("vec_id")).first()[0] + 1
+    copies = [emb]
+    for i in range(1, k):
+        copies.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(int(i * span)))
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    open(os.path.join(out, "_SUCCESS"), "w").close()
+    return out
+
+
+# Queries whose scale axis is the EMBEDDINGS corpus: route to
+# build_embed's vector-replicated dir (they read no fact table).
+EMBED_QUERIES = (
+    "l3_knn_hnsw",
+    "l3_knn_hnsw_serving",
+    "l3_knn_hnsw_indexed",
+    "l3_hnsw_index_append",
+)
+
+
 # Queries valid in --unique mode (documents-only readers): the near-dup
 # pair stages and the L6 pipelines whose 10x clique-corpus ratios
 # SCALE.md attributes to the replicated-duplicate workload, not the plan.
