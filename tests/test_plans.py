@@ -145,6 +145,7 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "m6_gaussian_nb",  # 1-row class-parameters broadcast
         "l4_bm25_search",  # 1-row N/avgdl scalar broadcast
         "l3_ivf_append_invariants",  # 1-row truth-counts broadcast
+        "l3_hnsw_index_append",  # 1-row truth/recall-flag broadcasts
         "q11_important_part_values",  # 1-row grand-total threshold broadcast
         # m1/m3: 1-row bound-assertion flag broadcast onto the counts
         "m1_train_score_users",
