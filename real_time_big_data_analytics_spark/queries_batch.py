@@ -4013,3 +4013,19 @@ register(
     sql=DELTA_CM_PARTITIONED_SQL,
     tags=("source", "delta", "column-mapping", "partition-pruning"),
 )
+
+# round 10: OPTIMIZE/compaction — 16 small files rewritten as 2 sorted
+# files under dataChange=false, so the commit serves identical data
+# AND stays out of the change feed (a true-flagged compaction would
+# re-emit the whole table to every incremental consumer).
+from .sources.delta_log import (  # noqa: E402
+    DELTA_OPTIMIZE_COMPACTION_SQL,
+    delta_optimize_compaction,
+)
+
+register(
+    "s_delta_optimize_compaction",
+    delta_optimize_compaction,
+    sql=DELTA_OPTIMIZE_COMPACTION_SQL,
+    tags=("source", "delta", "optimize", "compaction", "cdf"),
+)

@@ -317,6 +317,7 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         "s_delta_cm_id_mode",
         "s_delta_cm_partitioned",
         "l3_hnsw_index_append",
+        "s_delta_optimize_compaction",
         # conditional (registers only where the protobuf shim reaches
         # the workers — never in the current grading driver's session)
         "t21_stream_tws_stats",

@@ -1860,3 +1860,186 @@ FROM v JOIN events e ON e.event_type = v.part_value
 GROUP BY v.version, v.part_value
 ORDER BY v.version, v.part_value
 """
+
+
+# --- OPTIMIZE / compaction (round 10): dataChange=false commits --------
+
+
+def _build_optimize_table(spark, sf_dir: str, stage_dir: str, tag: str) -> None:
+    """Three-version staging for the OPTIMIZE lifecycle:
+
+    - v0: the even-event_id rows written as 16 SMALL files (the
+      small-file problem every streaming ingest creates);
+    - v1: OPTIMIZE — remove all 16 adds and add 2 compacted files
+      holding the SAME rows sorted by (user_id, event_id), every
+      action carrying ``dataChange: false`` (the public protocol rule
+      that lets readers and the change feed know no rows changed);
+    - v2: a normal append (the odd rows, dataChange: true).
+
+    The compaction rewrite is sorted so the compacted files double as
+    a clustering pass — the real OPTIMIZE ... ZORDER shape (here a
+    lexicographic sort; the Morton-curve variant is the
+    dq_zorder_pruning_audit family's subject)."""
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    evens = events.filter(F.col("event_id") % 2 == 0)
+    odds = events.filter(F.col("event_id") % 2 == 1)
+
+    small = evens.repartition(16)
+    adds_v0 = []
+    sub = "files_small"
+    out = os.path.join(stage_dir, sub)
+    small.write.mode("overwrite").parquet(out)
+    for fn in sorted(os.listdir(out)):
+        if fn.endswith(".parquet"):
+            adds_v0.append(
+                {
+                    "add": {
+                        "path": f"{sub}/{fn}",
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(out, fn)),
+                        "modificationTime": _T0,
+                        "dataChange": True,
+                    }
+                }
+            )
+    meta = {
+        "metaData": {
+            "id": f"rtba-opt-{tag}",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": events.schema.json(),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": _T0,
+        }
+    }
+    write_commit(stage_dir, 0, [PROTOCOL_ACTION, meta] + adds_v0)
+
+    # v1: OPTIMIZE — same rows, EXACTLY 2 per-file-clustered files
+    # (repartition pins the count; a global sort + coalesce collapses
+    # under AQE), dataChange FALSE on both sides (a true-flagged
+    # compaction would replay every row into the change feed as
+    # delete+insert — the bug this pins)
+    compacted = evens.repartition(2).sortWithinPartitions(
+        "user_id", "event_id"
+    )
+    sub2 = "files_opt"
+    out2 = os.path.join(stage_dir, sub2)
+    compacted.write.mode("overwrite").parquet(out2)
+    actions = [
+        {
+            "remove": {
+                "path": a["add"]["path"],
+                "deletionTimestamp": _T0,
+                "dataChange": False,
+            }
+        }
+        for a in adds_v0
+    ]
+    for fn in sorted(os.listdir(out2)):
+        if fn.endswith(".parquet"):
+            actions.append(
+                {
+                    "add": {
+                        "path": f"{sub2}/{fn}",
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(out2, fn)),
+                        "modificationTime": _T0,
+                        "dataChange": False,
+                    }
+                }
+            )
+    write_commit(stage_dir, 1, actions)
+
+    adds_v2 = _write_version_files(
+        spark, odds.repartition(2), stage_dir, "v2"
+    )
+    write_commit(stage_dir, 2, adds_v2)
+
+
+def stage_events_as_delta_optimized(spark, sf_dir: str) -> str:
+    # kind "deltaopt2": repartition-pinned file counts must not reuse
+    # a cached coalesce-built table
+    return _stage_table(
+        spark, sf_dir, "deltaopt2", builder=_build_optimize_table
+    )
+
+
+def delta_optimize_compaction(spark, sf_dir: str):
+    """``s_delta_optimize_compaction`` — the OPTIMIZE lifecycle read
+    back at every version, with the two protocol binds that make
+    compaction correct at scale:
+
+    - the v1 rewrite serves IDENTICAL data through 2 files instead of
+      16 (``files_active`` audited from the log; at 100 TB compaction
+      is what keeps scan task counts proportional to bytes, not to
+      ingest batch counts);
+    - ``dataChange: false`` keeps the optimize commit OUT of the
+      change feed: ``cdf_rows`` per version is N_evens / 0 / N_odds —
+      a compaction that replayed its rows into CDF would re-emit the
+      whole table to every incremental consumer (the real protocol's
+      reason for the flag)."""
+    from pyspark.sql import functions as F
+
+    table_dir = stage_events_as_delta_optimized(spark, sf_dir)
+    out = None
+    for v in (0, 1, 2):
+        snap = replay(table_dir, v)
+        try:
+            cdf_rows = changes_between(spark, table_dir, v, v).count()
+        except ValueError:
+            cdf_rows = 0  # no dataChange actions in this commit
+        df = (
+            read_snapshot(spark, table_dir, version=v)
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+                F.min("event_id").alias("min_event_id"),
+                F.max("event_id").alias("max_event_id"),
+            )
+            .withColumn("version", F.lit(v).cast("bigint"))
+            .withColumn(
+                "files_active", F.lit(len(snap["files"])).cast("bigint")
+            )
+            .withColumn("cdf_rows", F.lit(int(cdf_rows)).cast("bigint"))
+            .select(
+                "version", "n", "n_users", "total_value",
+                "min_event_id", "max_event_id", "files_active", "cdf_rows",
+            )
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+DELTA_OPTIMIZE_COMPACTION_SQL = """
+WITH v(version, with_odds, files_active) AS (
+    VALUES (CAST(0 AS BIGINT), false, CAST(16 AS BIGINT)),
+           (CAST(1 AS BIGINT), false, CAST(2 AS BIGINT)),
+           (CAST(2 AS BIGINT), true,  CAST(4 AS BIGINT))
+), ev AS (
+    SELECT CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_even,
+           CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_odd
+    FROM events
+)
+SELECT v.version,
+       count(*) AS n,
+       count(DISTINCT e.user_id) AS n_users,
+       round(sum(e.value), 2) AS total_value,
+       min(e.event_id) AS min_event_id,
+       max(e.event_id) AS max_event_id,
+       v.files_active,
+       CASE WHEN v.version = 0 THEN (SELECT n_even FROM ev)
+            WHEN v.version = 2 THEN (SELECT n_odd FROM ev)
+            ELSE CAST(0 AS BIGINT) END AS cdf_rows
+FROM v JOIN events e ON (e.event_id % 2 = 0) OR v.with_odds
+GROUP BY v.version, v.files_active
+ORDER BY v.version
+"""

@@ -929,3 +929,39 @@ def test_checkpoint_persists_deletion_vectors(tmp_path, spark):
     assert cp_active == json_active
     # the reproduced ADVICE failure: deleted rows stayed deleted
     assert {r.id for r in D.read_snapshot(spark, table).collect()} == {2}
+
+
+def test_optimize_datachange_false_stays_out_of_cdf(tmp_path, spark):
+    """Round 10: a dataChange=false rewrite (OPTIMIZE) serves identical
+    data through fewer files and contributes NOTHING to the change
+    feed — a true-flagged compaction would re-emit the whole table to
+    every incremental consumer."""
+    table, adds1 = _toy_table(tmp_path, spark)
+    # compact: remove the original files, add one rewritten file with
+    # dataChange=false
+    df = spark.read.parquet(
+        *[os.path.join(table, a["add"]["path"]) for a in adds1]
+    )
+    sub = "files_opt"
+    df.coalesce(1).write.parquet(os.path.join(table, sub))
+    actions = [
+        {"remove": {"path": a["add"]["path"], "deletionTimestamp": 0,
+                    "dataChange": False}}
+        for a in adds1
+    ]
+    for fn in sorted(os.listdir(os.path.join(table, sub))):
+        if fn.endswith(".parquet"):
+            actions.append(
+                {"add": {"path": f"{sub}/{fn}", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": False}}
+            )
+    D.write_commit(table, 1, actions)
+    # identical data, fewer files
+    assert {r.id for r in D.read_snapshot(spark, table).collect()} == {1, 2}
+    assert len(D.replay(table, 1)["files"]) == 1
+    # the optimize commit is invisible to the change feed
+    ch = D.changes_between(spark, table, 0, 1)
+    assert {r.commit_version for r in ch.select("commit_version").collect()} == {0}
+    with pytest.raises(ValueError, match="no dataChange"):
+        D.changes_between(spark, table, 1, 1)
