@@ -1548,6 +1548,60 @@ register(
 )
 
 
+def _kafka_wire_read_committed(spark, sf_dir):
+    """KIP-98 transactions, consumer side (round 10) — the events
+    table produced through COMMITTED transactions, with two staged
+    adversaries a read_committed consumer must defeat: an ABORTED
+    transaction re-producing poison duplicates of the first rows of
+    every partition, and an OPEN transaction pinning the last-stable
+    offset. The scan runs at isolation=read_committed: the broker
+    serves only below the LSO plus the abortedTransactions list, and
+    the reader walks batches with the public client algorithm
+    (activate aborted pids at their first offset, deactivate at the
+    marker, never deliver control batches). One leaked poison row,
+    one lost committed row, or a mis-handled marker breaks the hash
+    against the oracle's recomputation from parquet. The wire-level
+    semantics (LSO, markers, abort-then-commit pids) are pinned
+    byte-level in tests/test_kafka_wire.py."""
+    from pyspark.sql import functions as F
+
+    from .sources.pyds import read_events_via_kafka_wire_transactional
+
+    raw = read_events_via_kafka_wire_transactional(
+        spark, sf_dir, isolation="read_committed"
+    )
+    parsed = raw.select(
+        F.from_json(
+            "value",
+            "event_id bigint, user_id bigint, event_type string, value double",
+        ).alias("r"),
+    ).select("r.*")
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_id").alias("n_distinct_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+register(
+    "s_kafka_wire_read_committed",
+    _kafka_wire_read_committed,
+    sql="""
+    SELECT event_type, count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_id) AS n_distinct_events,
+           round(sum(value), 2) AS total_value,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+    FROM events GROUP BY event_type
+    """,
+    tags=("source", "kafka", "wire", "transactions", "read-committed"),
+)
+
+
 def _kafka_wire_stream(spark, sf_dir):
     """Streaming twin — the same broker log consumed through the
     ``kafka_wire_stream`` Python Data Source (offset = consumer

@@ -25,7 +25,16 @@ implements, from the public Kafka protocol spec
   retries — the failure mode the reference sidesteps with
   ``retries=0``, ProducerFinal.scala:55), refuses sequence gaps
   (OUT_OF_ORDER_SEQUENCE_NUMBER) and stale epochs
-  (INVALID_PRODUCER_EPOCH);
+  (INVALID_PRODUCER_EPOCH), and rewrites each batch's baseOffset at
+  append (offset assignment);
+- **KIP-98 transactions, both sides** (round 10): transactional
+  batches (attributes bit 4), EndTxn (key 26) writing COMMIT/ABORT
+  control batches (bit 5, the [version, type] marker record), the
+  last-stable offset pinned by open transactions, Fetch
+  isolation_level=READ_COMMITTED serving only below the LSO plus the
+  abortedTransactions list, and the public consumer walk
+  (``filter_read_committed``) that activates aborted pids at their
+  first offset and deactivates at the marker;
 - ``MiniBroker`` — an in-process TCP server speaking that subset over
   a REAL socket, storing produced batches per (topic, partition) and
   serving them back to fetches byte-identically.
@@ -121,6 +130,10 @@ def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 # other codec is refused loudly rather than mis-decoded.
 CODEC_NONE, CODEC_GZIP = 0, 1
 _CODEC_MASK = 0x07
+# attributes bit 4: isTransactional; bit 5: isControl (the KIP-98
+# transactional-messaging flags)
+ATTR_TRANSACTIONAL = 0x10
+ATTR_CONTROL = 0x20
 
 
 def encode_record_batch(
@@ -132,6 +145,8 @@ def encode_record_batch(
     producer_id: int = -1,
     producer_epoch: int = -1,
     base_sequence: int = -1,
+    transactional: bool = False,
+    control: bool = False,
 ) -> bytes:
     """[(key, value)] → one RecordBatch v2 (CreateTime, not
     transactional, not control). ``codec=CODEC_GZIP`` gzip-compresses
@@ -169,10 +184,15 @@ def encode_record_batch(
     elif codec != CODEC_NONE:
         raise ValueError(f"unsupported codec {codec}")
     n = len(records)
+    attrs = codec
+    if transactional:
+        attrs |= ATTR_TRANSACTIONAL
+    if control:
+        attrs |= ATTR_CONTROL
     after_crc = (
         struct.pack(
             ">hiqqqhii",
-            codec,
+            attrs,
             n - 1,
             base_timestamp,
             base_timestamp,
@@ -245,6 +265,82 @@ def decode_record_batch(buf: bytes) -> list[tuple[bytes | None, bytes]]:
     return out
 
 
+def batch_attributes(buf: bytes) -> int:
+    """The RecordBatch v2 attributes int16 (codec bits + the
+    transactional/control flags)."""
+    (attrs,) = struct.unpack(">h", buf[21:23])
+    return attrs
+
+
+# control-record types (the public ControlRecordType enum)
+CTRL_ABORT, CTRL_COMMIT = 0, 1
+
+
+def encode_control_batch(
+    producer_id: int,
+    producer_epoch: int,
+    commit: bool,
+    *,
+    base_offset: int = 0,
+) -> bytes:
+    """One transaction MARKER: a control batch holding a single record
+    whose key is [version int16 = 0][type int16 = commit|abort] — the
+    record consumers never see but use to resolve transactional
+    batches (KIP-98). Written by the broker at EndTxn, occupying one
+    offset like any record."""
+    key = struct.pack(">hh", 0, CTRL_COMMIT if commit else CTRL_ABORT)
+    return encode_record_batch(
+        [(key, b"")],
+        base_offset=base_offset,
+        producer_id=producer_id,
+        producer_epoch=producer_epoch,
+        transactional=True,
+        control=True,
+    )
+
+
+def filter_read_committed_with_offsets(
+    record_set: bytes, aborted: list[tuple[int, int]]
+) -> list[tuple[int, bytes | None, bytes]]:
+    """The READ_COMMITTED client algorithm (public consumer behavior):
+    walk batches in offset order keeping an active set of aborted
+    producer ids — a pid activates when the walk passes an aborted
+    transaction's first offset (from the Fetch response's
+    abortedTransactions list) and deactivates at that pid's next
+    marker. Control batches are never delivered; records of an
+    actively-aborted pid's transactional batches are dropped. Returns
+    [(offset, key, value)]."""
+    pending = sorted(aborted, key=lambda t: t[1])  # (pid, first_offset)
+    active: set[int] = set()
+    out: list[tuple[int, bytes | None, bytes]] = []
+    for b in split_record_sets(record_set):
+        (base,) = struct.unpack(">q", b[:8])
+        while pending and pending[0][1] <= base:
+            active.add(pending.pop(0)[0])
+        attrs = batch_attributes(b)
+        pid = batch_producer_info(b)[0]
+        if attrs & ATTR_CONTROL:
+            active.discard(pid)  # marker ends this pid's open txn
+            continue
+        if attrs & ATTR_TRANSACTIONAL and pid in active:
+            continue  # aborted transaction's data
+        out.extend(
+            (base + i, k, v) for i, (k, v) in enumerate(decode_record_batch(b))
+        )
+    return out
+
+
+def filter_read_committed(
+    record_set: bytes, aborted: list[tuple[int, int]]
+) -> list[tuple[bytes | None, bytes]]:
+    return [
+        (k, v)
+        for _off, k, v in filter_read_committed_with_offsets(
+            record_set, aborted
+        )
+    ]
+
+
 def batch_producer_info(buf: bytes) -> tuple[int, int, int, int]:
     """(producerId, producerEpoch, baseSequence, recordCount) from one
     RecordBatch v2's fixed header — the fields the broker's KIP-98
@@ -261,10 +357,14 @@ def batch_producer_info(buf: bytes) -> tuple[int, int, int, int]:
 
 API_PRODUCE, API_FETCH, API_VERSIONS = 0, 1, 18
 API_INIT_PRODUCER_ID = 22
+API_END_TXN = 26
 
 # public error codes the idempotent path uses
 ERR_OUT_OF_ORDER_SEQUENCE = 45
 ERR_INVALID_PRODUCER_EPOCH = 47
+
+# Fetch isolation levels (public)
+READ_UNCOMMITTED, READ_COMMITTED = 0, 1
 
 
 def _str(s: str | None) -> bytes:
@@ -328,11 +428,52 @@ def init_producer_id(sock: socket.socket, correlation_id: int = 0) -> tuple[int,
     return pid, epoch
 
 
-def fetch_request_v4(topic: str, partition: int, offset: int = 0) -> bytes:
-    """Fetch v4 body: replica=-1, max_wait, min_bytes, max_bytes,
-    isolation=0, one topic/partition."""
+def end_txn_request_v0(
+    transactional_id: str, producer_id: int, producer_epoch: int, commit: bool
+) -> bytes:
+    """EndTxn v0 body (KIP-98): the producer asks for COMMIT or ABORT
+    markers to be written to every partition its transaction touched."""
     return (
-        struct.pack(">iiiib", -1, 100, 1, 1 << 20, 0)
+        _str(transactional_id)
+        + struct.pack(">qh", producer_id, producer_epoch)
+        + struct.pack(">b", 1 if commit else 0)
+    )
+
+
+def end_txn(
+    sock: socket.socket,
+    transactional_id: str,
+    producer_id: int,
+    producer_epoch: int,
+    commit: bool,
+    correlation_id: int = 0,
+) -> None:
+    resp = call(
+        sock,
+        frame_request(
+            API_END_TXN,
+            0,
+            correlation_id,
+            end_txn_request_v0(
+                transactional_id, producer_id, producer_epoch, commit
+            ),
+        ),
+    )
+    _throttle, err = struct.unpack(">ih", resp[:6])
+    if err != 0:
+        raise IOError(f"EndTxn refused: error {err}")
+
+
+def fetch_request_v4(
+    topic: str,
+    partition: int,
+    offset: int = 0,
+    isolation: int = READ_UNCOMMITTED,
+) -> bytes:
+    """Fetch v4 body: replica=-1, max_wait, min_bytes, max_bytes,
+    isolation level, one topic/partition."""
+    return (
+        struct.pack(">iiiib", -1, 100, 1, 1 << 20, isolation)
         + struct.pack(">i", 1)
         + _str(topic)
         + struct.pack(">i", 1)
@@ -383,6 +524,12 @@ class MiniBroker:
         # metadata — the max.in.flight bound).
         self._next_pid = 0
         self._producers: dict[tuple[str, int, int], dict] = {}
+        # KIP-98 transactions: per (topic, partition) the OPEN
+        # transactions {pid: first_offset} (they hold the LSO down)
+        # and the closed ABORTED ones [(pid, first_offset)] consumers
+        # need to resolve read_committed fetches.
+        self._open_txns: dict[tuple[str, int], dict[int, int]] = {}
+        self._aborted_txns: dict[tuple[str, int], list[tuple[int, int]]] = {}
         broker = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -423,6 +570,7 @@ class MiniBroker:
                 (API_FETCH, 4, 4),
                 (API_VERSIONS, 0, 0),
                 (API_INIT_PRODUCER_ID, 0, 0),
+                (API_END_TXN, 0, 0),
             ):
                 out += struct.pack(">hhh", k, lo, hi)
         elif api_key == API_PRODUCE and api_version == 3:
@@ -435,6 +583,8 @@ class MiniBroker:
                 self._next_pid += 1
             # throttle, error, producer_id, producer_epoch
             out = struct.pack(">ihqh", 0, 0, pid, 0)
+        elif api_key == API_END_TXN and api_version == 0:
+            out = self._end_txn(body)
         else:
             out = struct.pack(">h", 35)  # UNSUPPORTED_VERSION
         return struct.pack(">i", 4 + len(out)) + struct.pack(">i", corr) + out
@@ -508,14 +658,47 @@ class MiniBroker:
                             st["dups"][bseq] = base
                             while len(st["dups"]) > 5:  # the in-flight bound
                                 st["dups"].pop(min(st["dups"]))
+                            if batch_attributes(b) & ATTR_TRANSACTIONAL:
+                                # first transactional batch opens the
+                                # txn on this partition (holds the LSO)
+                                self._open_txns.setdefault(key, {}).setdefault(
+                                    pid, base
+                                )
                 parts += struct.pack(">ihqq", partition, err, first_offset, -1)
             resp_topics += _str(topic) + struct.pack(">i", nparts) + parts
         return (
             struct.pack(">i", ntopics) + resp_topics + struct.pack(">i", 0)
         )  # throttle_time
 
+    def _end_txn(self, body: bytes) -> bytes:
+        """EndTxn v0: write a COMMIT/ABORT control batch to every
+        partition this producer's transaction touched (the coordinator
+        + WriteTxnMarkers collapse for a single-node broker), close
+        the open txn (releasing the LSO) and, on abort, record the
+        (pid, first_offset) entry read_committed fetches serve."""
+        _txn_id, pos = _read_str(body, 0)
+        pid, epoch, committed = struct.unpack(">qhb", body[pos : pos + 11])
+        with self._produce_lock:
+            for key, open_txns in list(self._open_txns.items()):
+                if pid not in open_txns:
+                    continue
+                first = open_txns.pop(pid)
+                base = sum(
+                    len(decode_record_batch(x)) for x in self.log.get(key, [])
+                )
+                self.log.setdefault(key, []).append(
+                    encode_control_batch(
+                        pid, epoch, bool(committed), base_offset=base
+                    )
+                )
+                if not committed:
+                    self._aborted_txns.setdefault(key, []).append((pid, first))
+        return struct.pack(">ih", 0, 0)  # throttle, error
+
     def _fetch(self, body: bytes) -> bytes:
-        pos = 4 + 4 + 4 + 4 + 1  # replica, max_wait, min_bytes, max_bytes, isolation
+        # replica, max_wait, min_bytes, max_bytes, isolation
+        isolation = body[16]
+        pos = 4 + 4 + 4 + 4 + 1
         (ntopics,) = struct.unpack(">i", body[pos : pos + 4])
         pos += 4
         out = struct.pack(">i", 0) + struct.pack(">i", ntopics)  # throttle, topics
@@ -529,46 +712,84 @@ class MiniBroker:
                     ">iqi", body[pos : pos + 16]
                 )
                 pos += 16
-                batches = self.log.get((topic, partition), [])
+                key = (topic, partition)
+                batches = self.log.get(key, [])
+                open_txns = self._open_txns.get(key, {})
+                hw = sum(len(decode_record_batch(b)) for b in batches)
+                # LSO: first offset of any OPEN transaction — nothing
+                # at/after it is stable yet
+                lso = min(open_txns.values()) if open_txns else hw
+                limit = lso if isolation == READ_COMMITTED else hw
                 # Honor the requested fetch offset (ADVICE r6): serve
-                # only batches that still contain records at >= offset.
-                # Batch granularity matches real Kafka semantics — a
-                # fetch from mid-batch returns the whole batch and the
-                # consumer skips records below its position.
+                # only batches that still contain records at >= offset
+                # and (read_committed) below the LSO. Batch granularity
+                # matches real Kafka semantics — a fetch from mid-batch
+                # returns the whole batch and the consumer skips
+                # records below its position.
                 served, base = [], 0
+                aborted: list[tuple[int, int]] = []
                 for b in batches:
                     count = len(decode_record_batch(b))
-                    if base + count > offset:
+                    if base + count > offset and base < limit:
                         served.append(b)
                     base += count
+                if isolation == READ_COMMITTED:
+                    aborted = [
+                        (apid, first)
+                        for apid, first in self._aborted_txns.get(key, [])
+                        if first < limit
+                    ]
                 record_set = b"".join(served)
-                hw = base
-                # partition, error, high_watermark, last_stable, [aborted]=0
-                out += struct.pack(">ihqqi", partition, 0, hw, hw, 0)
+                # partition, error, high_watermark, last_stable,
+                # abortedTransactions [(producer_id, first_offset)...]
+                out += struct.pack(
+                    ">ihqqi", partition, 0, hw, lso, len(aborted)
+                )
+                for apid, first in aborted:
+                    out += struct.pack(">qq", apid, first)
                 out += struct.pack(">i", len(record_set)) + record_set
         return out
 
 
-def parse_fetch_record_sets(resp: bytes) -> dict[tuple[str, int], bytes]:
-    """Fetch v4 response body → {(topic, partition): record_set bytes}."""
+def parse_fetch_response(resp: bytes) -> dict[tuple[str, int], dict]:
+    """Fetch v4 response body → {(topic, partition): {"record_set",
+    "high_watermark", "last_stable", "aborted": [(pid, first_offset)]}}
+    — the full per-partition payload a read_committed consumer needs."""
     pos = 4  # throttle_time
     (ntopics,) = struct.unpack(">i", resp[pos : pos + 4])
     pos += 4
-    out: dict[tuple[str, int], bytes] = {}
+    out: dict[tuple[str, int], dict] = {}
     for _ in range(ntopics):
         topic, pos = _read_str(resp, pos)
         (nparts,) = struct.unpack(">i", resp[pos : pos + 4])
         pos += 4
         for _ in range(nparts):
-            partition, _err, _hw, _ls, naborted = struct.unpack(
+            partition, _err, hw, ls, naborted = struct.unpack(
                 ">ihqqi", resp[pos : pos + 26]
             )
-            pos += 26 + 16 * naborted  # aborted txn = producer_id + first_offset
+            pos += 26
+            aborted = []
+            for _ in range(naborted):
+                apid, first = struct.unpack(">qq", resp[pos : pos + 16])
+                pos += 16
+                aborted.append((apid, first))
             (set_len,) = struct.unpack(">i", resp[pos : pos + 4])
             pos += 4
-            out[(topic, partition)] = resp[pos : pos + set_len]
+            out[(topic, partition)] = {
+                "record_set": resp[pos : pos + set_len],
+                "high_watermark": hw,
+                "last_stable": ls,
+                "aborted": aborted,
+            }
             pos += set_len
     return out
+
+
+def parse_fetch_record_sets(resp: bytes) -> dict[tuple[str, int], bytes]:
+    """Fetch v4 response body → {(topic, partition): record_set bytes}."""
+    return {
+        k: v["record_set"] for k, v in parse_fetch_response(resp).items()
+    }
 
 
 def split_record_sets(record_set: bytes) -> list[bytes]:

@@ -404,6 +404,9 @@ def make_kafka_wire_datasource():
             self.topic = options["topic"]
             self.nparts = int(options["nparts"])
             self.pkg = options["pkg"]
+            # "read_uncommitted" (default) | "read_committed" — the
+            # consumer isolation.level knob (KIP-98, round 10)
+            self.isolation = options.get("isolation", "read_uncommitted")
 
         def partitions(self):
             return [_WirePartition(i) for i in range(self.nparts)]
@@ -421,6 +424,7 @@ def make_kafka_wire_datasource():
                 kafka_wire as kw,
             )
 
+            committed = self.isolation == "read_committed"
             host, port = self.addr.rsplit(":", 1)
             with socket.create_connection((host, int(port)), timeout=60) as sock:
                 resp = kw.call(
@@ -429,20 +433,36 @@ def make_kafka_wire_datasource():
                         kw.API_FETCH,
                         4,
                         partition.kpart,
-                        kw.fetch_request_v4(self.topic, partition.kpart, offset=0),
+                        kw.fetch_request_v4(
+                            self.topic,
+                            partition.kpart,
+                            offset=0,
+                            isolation=kw.READ_COMMITTED
+                            if committed
+                            else kw.READ_UNCOMMITTED,
+                        ),
                     ),
                 )
-            record_set = kw.parse_fetch_record_sets(resp)[
-                (self.topic, partition.kpart)
-            ]
+            part = kw.parse_fetch_response(resp)[(self.topic, partition.kpart)]
             kparts, koffs, keys, vals = [], [], [], []
-            for b in kw.split_record_sets(record_set):
-                (base,) = struct.unpack(">q", b[:8])
-                for i, (k, v) in enumerate(kw.decode_record_batch(b)):
-                    kparts.append(partition.kpart)
-                    koffs.append(base + i)
-                    keys.append(None if k is None else k.decode())
-                    vals.append(v.decode())
+            if committed:
+                rows = kw.filter_read_committed_with_offsets(
+                    part["record_set"], part["aborted"]
+                )
+            else:
+                rows = [
+                    (base + i, k, v)
+                    for b in kw.split_record_sets(part["record_set"])
+                    # control batches carry txn markers, never app data
+                    if not kw.batch_attributes(b) & kw.ATTR_CONTROL
+                    for (base,) in (struct.unpack(">q", b[:8]),)
+                    for i, (k, v) in enumerate(kw.decode_record_batch(b))
+                ]
+            for off, k, v in rows:
+                kparts.append(partition.kpart)
+                koffs.append(off)
+                keys.append(None if k is None else k.decode())
+                vals.append(v.decode())
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(kparts, pa.int32()),
@@ -715,6 +735,184 @@ def stage_events_on_wire_idempotent(spark, sf_dir: str) -> str:
     payload.foreachPartition(_produce_partition)
     _WIRE_BROKERS[tag] = addr
     return addr
+
+
+WIRE_TXN_TOPIC = "events_txn"
+
+
+def stage_events_on_wire_transactional(spark, sf_dir: str) -> str:
+    """KIP-98 TRANSACTIONS staging (round 10): each Spark task opens a
+    transaction (its batches flag isTransactional), produces its rows,
+    and COMMITS via EndTxn — then the driver stages two adversaries a
+    read_committed consumer must defeat:
+
+    - an ABORTED transaction re-producing the first rows of every
+      partition (poison duplicates: one leak doubles counts and breaks
+      the registry hash);
+    - an OPEN transaction (one batch per partition, never ended) that
+      pins the last-stable offset — data that might still abort must
+      be invisible, which is exactly what LSO enforces."""
+    import atexit
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from . import kafka_wire as KW
+    from .tables import load_table
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(
+        f"wiretxn|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    if tag in _WIRE_BROKERS:
+        return _WIRE_BROKERS[tag]
+
+    broker = KW.MiniBroker()
+    addr = broker.start()
+    atexit.register(broker.stop)
+
+    payload = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % WIRE_NPARTS).cast("int").alias("kpart"),
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+            )
+        ).alias("value"),
+    )
+
+    topic, nparts = WIRE_TXN_TOPIC, WIRE_NPARTS
+    pkg = _repo_root()
+
+    def _produce_partition(rows):
+        import socket
+        import struct
+        import sys
+
+        if pkg not in sys.path:
+            sys.path.insert(0, pkg)
+        from real_time_big_data_analytics_spark.sources import kafka_wire as kw
+
+        by_kpart: dict[int, list[tuple[bytes, bytes]]] = {}
+        for r in rows:
+            by_kpart.setdefault(r.kpart, []).append(
+                (r.key.encode(), r.value.encode())
+            )
+        if not by_kpart:
+            return
+        host, port = addr.rsplit(":", 1)
+        corr = 0
+        with socket.create_connection((host, int(port)), timeout=60) as sock:
+            pid, epoch = kw.init_producer_id(sock)
+            for kpart, recs in by_kpart.items():
+                seq = 0
+                for i in range(0, len(recs), 2000):
+                    chunk = recs[i : i + 2000]
+                    batch = kw.encode_record_batch(
+                        chunk,
+                        producer_id=pid,
+                        producer_epoch=epoch,
+                        base_sequence=seq,
+                        transactional=True,
+                    )
+                    seq += len(chunk)
+                    corr += 1
+                    resp = kw.call(
+                        sock,
+                        kw.frame_request(
+                            kw.API_PRODUCE,
+                            3,
+                            corr,
+                            kw.produce_request_v3(topic, kpart, batch),
+                        ),
+                    )
+                    (tlen,) = struct.unpack(">h", resp[4:6])
+                    err = struct.unpack(">h", resp[10 + tlen : 12 + tlen])[0]
+                    if err != 0:
+                        raise IOError(f"produce refused: error {err}")
+            corr += 1
+            kw.end_txn(sock, f"task-{pid}", pid, epoch, commit=True,
+                       correlation_id=corr)
+
+    payload.foreachPartition(_produce_partition)
+
+    # the adversaries (driver-side, bounded: a few rows per partition)
+    import socket
+
+    decoys = [
+        (r.kpart, r.key.encode(), r.value.encode())
+        for r in payload.filter(F.col("key").cast("bigint") < 16).collect()
+    ]  # bounded: at most 16 users' rows
+    host, port = addr.rsplit(":", 1)
+    with socket.create_connection((host, int(port)), timeout=60) as sock:
+        apid, aepoch = KW.init_producer_id(sock)
+        seqs: dict[int, int] = {}
+        corr = 0
+        by_part: dict[int, list[tuple[bytes, bytes]]] = {}
+        for kpart, k, v in decoys:
+            by_part.setdefault(kpart, []).append((k, v))
+        for kpart, recs in by_part.items():
+            batch = KW.encode_record_batch(
+                recs,
+                producer_id=apid,
+                producer_epoch=aepoch,
+                base_sequence=seqs.get(kpart, 0),
+                transactional=True,
+            )
+            seqs[kpart] = seqs.get(kpart, 0) + len(recs)
+            corr += 1
+            KW.call(
+                sock,
+                KW.frame_request(
+                    KW.API_PRODUCE, 3, corr,
+                    KW.produce_request_v3(topic, kpart, batch),
+                ),
+            )
+        corr += 1
+        KW.end_txn(sock, "decoy", apid, aepoch, commit=False,
+                   correlation_id=corr)
+        # the OPEN transaction: one marker-less batch per partition
+        opid, oepoch = KW.init_producer_id(sock)
+        for kpart in range(nparts):
+            batch = KW.encode_record_batch(
+                [(b"open", b'{"event_id":-1}')],
+                producer_id=opid,
+                producer_epoch=oepoch,
+                base_sequence=0,
+                transactional=True,
+            )
+            corr += 1
+            KW.call(
+                sock,
+                KW.frame_request(
+                    KW.API_PRODUCE, 3, corr,
+                    KW.produce_request_v3(topic, kpart, batch),
+                ),
+            )
+    _WIRE_BROKERS[tag] = addr
+    return addr
+
+
+def read_events_via_kafka_wire_transactional(
+    spark, sf_dir: str, isolation: str = "read_committed"
+):
+    """Stage (transactional producers + aborted/open adversaries) and
+    scan the topic back at the requested isolation level."""
+    addr = stage_events_on_wire_transactional(spark, sf_dir)
+    spark.dataSource.register(make_kafka_wire_datasource())
+    return (
+        spark.read.format("kafka_wire")
+        .option("addr", addr)
+        .option("topic", WIRE_TXN_TOPIC)
+        .option("nparts", str(WIRE_NPARTS))
+        .option("pkg", _repo_root())
+        .option("isolation", isolation)
+        .load()
+    )
 
 
 def read_events_via_kafka_wire_idempotent(spark, sf_dir: str):

@@ -513,3 +513,158 @@ def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path, broker):
     # exactly-once (a from-zero re-read would double the first 14)
     produce(1, 1)
     assert run_once() == (15, 15, 1)
+
+
+# --------------------------------------- KIP-98 transactions (EOS read)
+
+
+def _fetch_resp(sock, corr, topic, part, isolation=KW.READ_UNCOMMITTED):
+    resp = KW.call(
+        sock,
+        KW.frame_request(
+            KW.API_FETCH, 4, corr,
+            KW.fetch_request_v4(topic, part, isolation=isolation),
+        ),
+    )
+    return KW.parse_fetch_response(resp)[(topic, part)]
+
+
+def test_transactional_commit_abort_read_committed(broker):
+    """Two transactions on one partition: A commits, B aborts. A
+    read_committed consumer sees ONLY A's records (the abortedTxn list
+    + marker walk drops B's; control batches are never delivered);
+    read_uncommitted still surfaces B's data records."""
+    _, addr = broker
+    with _connect(addr) as sock:
+        pa, ea = KW.init_producer_id(sock, 1)
+        pb, eb = KW.init_producer_id(sock, 2)
+        ba = KW.encode_record_batch(
+            [(b"a1", b"good1"), (b"a2", b"good2")],
+            producer_id=pa, producer_epoch=ea, base_sequence=0,
+            transactional=True,
+        )
+        bb = KW.encode_record_batch(
+            [(b"b1", b"poison")],
+            producer_id=pb, producer_epoch=eb, base_sequence=0,
+            transactional=True,
+        )
+        assert _produce_one(sock, 3, "t", 0, ba)[0] == 0
+        assert _produce_one(sock, 4, "t", 0, bb)[0] == 0
+        KW.end_txn(sock, "txA", pa, ea, commit=True, correlation_id=5)
+        KW.end_txn(sock, "txB", pb, eb, commit=False, correlation_id=6)
+        rc = _fetch_resp(sock, 7, "t", 0, isolation=KW.READ_COMMITTED)
+        ru = _fetch_resp(sock, 8, "t", 0)
+    # markers occupy offsets: 2 data + 1 poison + 2 markers = hw 5
+    assert rc["high_watermark"] == 5 and rc["last_stable"] == 5
+    assert rc["aborted"] == [(pb, 2)]
+    got = KW.filter_read_committed(rc["record_set"], rc["aborted"])
+    assert got == [(b"a1", b"good1"), (b"a2", b"good2")]
+    # read_uncommitted surfaces the aborted DATA records (no filter),
+    # and the raw set contains the two control batches
+    raw = [
+        rec
+        for b in KW.split_record_sets(ru["record_set"])
+        if not KW.batch_attributes(b) & KW.ATTR_CONTROL
+        for rec in KW.decode_record_batch(b)
+    ]
+    assert (b"b1", b"poison") in raw
+    ctrl = [
+        b for b in KW.split_record_sets(ru["record_set"])
+        if KW.batch_attributes(b) & KW.ATTR_CONTROL
+    ]
+    assert len(ctrl) == 2
+
+
+def test_open_transaction_holds_lso(broker):
+    """An UNFINISHED transaction pins the last-stable offset: a
+    read_committed fetch serves nothing at/after its first offset
+    (consumers cannot see data that might abort); commit releases it."""
+    _, addr = broker
+    with _connect(addr) as sock:
+        # a committed plain record first
+        assert _produce_one(
+            sock, 1, "t", 0, KW.encode_record_batch([(b"k0", b"v0")])
+        )[0] == 0
+        pid, epoch = KW.init_producer_id(sock)
+        open_b = KW.encode_record_batch(
+            [(b"k1", b"v1")],
+            producer_id=pid, producer_epoch=epoch, base_sequence=0,
+            transactional=True,
+        )
+        assert _produce_one(sock, 2, "t", 0, open_b)[0] == 0
+        rc = _fetch_resp(sock, 3, "t", 0, isolation=KW.READ_COMMITTED)
+        assert rc["last_stable"] == 1 and rc["high_watermark"] == 2
+        assert KW.filter_read_committed(
+            rc["record_set"], rc["aborted"]
+        ) == [(b"k0", b"v0")]
+        ru = _fetch_resp(sock, 4, "t", 0)
+        assert ru["last_stable"] == 1  # LSO reported either way
+        raw = [
+            rec
+            for b in KW.split_record_sets(ru["record_set"])
+            for rec in KW.decode_record_batch(b)
+        ]
+        assert (b"k1", b"v1") in raw  # read_uncommitted sees it
+        KW.end_txn(sock, "tx", pid, epoch, commit=True, correlation_id=5)
+        rc2 = _fetch_resp(sock, 6, "t", 0, isolation=KW.READ_COMMITTED)
+        assert rc2["last_stable"] == 3  # marker took offset 2
+        assert KW.filter_read_committed(
+            rc2["record_set"], rc2["aborted"]
+        ) == [(b"k0", b"v0"), (b"k1", b"v1")]
+
+
+def test_abort_then_commit_same_pid_filters_only_aborted(broker):
+    """One producer aborts its first transaction and commits its
+    second: the consumer walk must drop exactly the first txn's
+    records (the abort marker DEACTIVATES the pid before the second
+    txn's batches arrive)."""
+    _, addr = broker
+    with _connect(addr) as sock:
+        pid, epoch = KW.init_producer_id(sock)
+        b1 = KW.encode_record_batch(
+            [(b"x", b"aborted")],
+            producer_id=pid, producer_epoch=epoch, base_sequence=0,
+            transactional=True,
+        )
+        assert _produce_one(sock, 1, "t", 0, b1)[0] == 0
+        KW.end_txn(sock, "tx", pid, epoch, commit=False, correlation_id=2)
+        b2 = KW.encode_record_batch(
+            [(b"y", b"kept")],
+            producer_id=pid, producer_epoch=epoch, base_sequence=1,
+            transactional=True,
+        )
+        assert _produce_one(sock, 3, "t", 0, b2)[0] == 0
+        KW.end_txn(sock, "tx", pid, epoch, commit=True, correlation_id=4)
+        rc = _fetch_resp(sock, 5, "t", 0, isolation=KW.READ_COMMITTED)
+    assert rc["aborted"] == [(pid, 0)]
+    assert KW.filter_read_committed(
+        rc["record_set"], rc["aborted"]
+    ) == [(b"y", b"kept")]
+
+
+def test_spark_scan_isolation_levels_differ(spark, sf_dir):
+    """Through the actual Spark datasource: read_committed equals the
+    committed corpus exactly; read_uncommitted additionally surfaces
+    the aborted poison duplicates AND the open transaction's rows —
+    the staged adversaries are really on the wire and really filtered
+    by isolation, not by staging accident."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.sources.pyds import (
+        read_events_via_kafka_wire_transactional,
+    )
+    from real_time_big_data_analytics_spark.sources.tables import load_table
+
+    rc = read_events_via_kafka_wire_transactional(
+        spark, sf_dir, isolation="read_committed"
+    )
+    ru = read_events_via_kafka_wire_transactional(
+        spark, sf_dir, isolation="read_uncommitted"
+    )
+    n_events = load_table(spark, sf_dir, "events").count()
+    n_rc, n_ru = rc.count(), ru.count()
+    assert n_rc == n_events
+    assert n_ru > n_rc  # poison + open rows visible without isolation
+    # the open transaction's sentinel rows exist ONLY uncommitted
+    assert ru.filter(F.col("key") == "open").count() == 8
+    assert rc.filter(F.col("key") == "open").count() == 0
