@@ -1859,6 +1859,107 @@ def _es_wire_terms_agg(spark, sf_dir):
     )
 
 
+def _es_wire_composite_agg(spark, sf_dir):
+    """The HIGH-CARDINALITY aggregation path (round 10): a composite
+    aggregation over (event_type, user_id) paged server-side with
+    ``after_key`` cursors — the public ES mechanism that makes bucket
+    spaces BIGGER than any single response streamable (terms caps at
+    ``size`` and drops the tail; composite pages the whole space in
+    key order, which is what a 100 TB dashboard actually uses). The
+    client walks every page (size 57 — deliberately not a divisor of
+    the bucket count, so the last page is partial and the cursor edge
+    is exercised), then reduces the buckets per event_type. The
+    oracle recomputes bucket counts, per-bucket doc sums, AND the
+    page count ceil(buckets/57) from parquet — a lost page, a
+    duplicated cursor boundary, or a dropped tail bucket breaks the
+    hash."""
+    import json
+    import math
+
+    from .sources import es_wire as EW
+    from .sources.pyds import ES_INDEX, stage_events_in_es
+
+    addr = stage_events_in_es(spark, sf_dir)
+    page_size = 57
+    after = None
+    buckets = []
+    pages = 0
+    while True:
+        comp = {
+            "size": page_size,
+            "sources": [
+                {"etype": {"terms": {"field": "event_type"}}},
+                {"uid": {"terms": {"field": "user_id"}}},
+            ],
+        }
+        if after is not None:
+            comp["after"] = after
+        resp = EW.es_request(
+            addr,
+            "POST",
+            f"/{ES_INDEX}/_search",
+            json.dumps(
+                {
+                    "size": 0,
+                    "aggs": {
+                        "pairs": {
+                            "composite": comp,
+                            "aggs": {
+                                "total_value": {"sum": {"field": "value"}}
+                            },
+                        }
+                    },
+                }
+            ).encode(),
+        )
+        agg = resp["aggregations"]["pairs"]
+        buckets.extend(agg["buckets"])
+        pages += 1
+        after = agg.get("after_key")
+        if after is None:
+            break
+    per_type: dict[str, list] = {}
+    for b in buckets:
+        per_type.setdefault(b["key"]["etype"], []).append(b)
+    rows = [
+        (
+            et,
+            len(bs),
+            int(sum(b["doc_count"] for b in bs)),
+            round(math.fsum(b["total_value"]["value"] for b in bs), 2),
+            pages,
+        )
+        for et, bs in sorted(per_type.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_buckets bigint, n_docs bigint, "
+        "total_value double, pages bigint",
+    )
+
+
+register(
+    "s_es_wire_composite_agg",
+    _es_wire_composite_agg,
+    sql="""
+    WITH b AS (
+      SELECT event_type, user_id, count(*) AS n,
+             sum(value) AS s
+      FROM events GROUP BY event_type, user_id
+    ), p AS (
+      SELECT CAST(CEIL(count(*) / 57.0) AS BIGINT) AS pages FROM b
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           round(sum(s), 2) AS total_value,
+           (SELECT pages FROM p) AS pages
+    FROM b GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("source", "elasticsearch", "wire", "composite", "pagination"),
+)
+
+
 def _es_wire_sink_datasource(spark, sf_dir):
     """The streaming-SINK extension point itself: the events stream
     written through ``writeStream.format("es_wire_sink")`` — a Python

@@ -319,6 +319,7 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         "l3_hnsw_index_append",
         "s_delta_optimize_compaction",
         "s_kafka_wire_read_committed",
+        "s_es_wire_composite_agg",
         # conditional (registers only where the protobuf shim reaches
         # the workers — never in the current grading driver's session)
         "t21_stream_tws_stats",

@@ -549,6 +549,46 @@ class MiniES:
                     ),
                     "buckets": buckets,
                 }
+            elif kind == "composite":
+                # the high-cardinality pagination agg (round 10): the
+                # full bucket space streams to the client in
+                # after_key-ordered PAGES, so no size cap / tail bucket
+                # is ever dropped — the scale answer to terms' size
+                # knob (real ES pages composite aggs exactly this way)
+                comp = spec["composite"]
+                page = int(comp.get("size", 10))
+                sources = []  # [(source_name, field)]
+                for src in comp["sources"]:
+                    (sname,) = src.keys()
+                    inner = src[sname]
+                    if list(inner.keys()) != ["terms"]:
+                        raise ValueError(
+                            "only terms composite sources implemented"
+                        )
+                    sources.append((sname, inner["terms"]["field"]))
+                groups: dict[tuple, list] = {}
+                for r in parsed:
+                    key = tuple(r.get(f) for _n, f in sources)
+                    if any(v is None for v in key):
+                        continue  # composite drops missing-key docs
+                    groups.setdefault(key, []).append(r)
+                ordered = sorted(groups.items(), key=lambda kv: kv[0])
+                after = comp.get("after")
+                if after is not None:
+                    cursor = tuple(after[n] for n, _f in sources)
+                    ordered = [kv for kv in ordered if kv[0] > cursor]
+                buckets = []
+                for key, rows in ordered[:page]:
+                    b = {
+                        "key": {n: v for (n, _f), v in zip(sources, key)},
+                        "doc_count": len(rows),
+                    }
+                    b.update(sub_aggs(spec, rows))
+                    buckets.append(b)
+                agg_out = {"buckets": buckets}
+                if len(ordered) > page and buckets:
+                    agg_out["after_key"] = buckets[-1]["key"]
+                out[name] = agg_out
             else:
                 out[name] = {"value": metric(kind, spec[kind], parsed)}
         return 200, {

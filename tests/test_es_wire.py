@@ -539,3 +539,72 @@ def test_pushdown_filters_reach_scan_and_server(spark):
         if r.event_type == "purchase" and r.value >= 50.0
     }
     assert got == base and got
+
+
+def test_composite_agg_pages_full_bucket_space(es):
+    """Round 10: the composite aggregation streams the FULL bucket
+    space in after_key-ordered pages — no size cap, no dropped tail
+    (terms' failure mode at high cardinality). Pins: page boundaries
+    lose and duplicate nothing, the cursor resumes exactly after the
+    last key, the final page carries no after_key, and docs missing a
+    source field are dropped (the documented composite behavior)."""
+    addr, _ = es
+    # 26 buckets (a..z) x 2 docs, plus one doc missing the group field
+    lines = []
+    i = 0
+    for c in "abcdefghijklmnopqrstuvwxyz":
+        for v in (1.0, 2.0):
+            lines.append(json.dumps({"index": {"_index": "t", "_id": str(i)}}))
+            lines.append(json.dumps({"grp": c, "sub": i % 2, "value": v}))
+            i += 1
+    lines.append(json.dumps({"index": {"_index": "t", "_id": "x"}}))
+    lines.append(json.dumps({"value": 99.0}))  # no grp: dropped
+    _req(addr, "PUT", "/t", obj={"settings": {"number_of_shards": 1}})
+    _req(addr, "POST", "/_bulk", ndjson=("\n".join(lines) + "\n").encode())
+    _req(addr, "POST", "/t/_refresh")
+
+    def page(after=None, size=7):
+        comp = {
+            "size": size,
+            "sources": [{"g": {"terms": {"field": "grp"}}}],
+        }
+        if after is not None:
+            comp["after"] = after
+        _status, resp = _req(
+            addr, "POST", "/t/_search",
+            obj={"size": 0,
+                 "aggs": {"p": {"composite": comp,
+                                "aggs": {"s": {"sum": {"field": "value"}}}}}},
+        )
+        return resp["aggregations"]["p"]
+
+    keys, after, pages = [], None, 0
+    while True:
+        agg = page(after)
+        for b in agg["buckets"]:
+            keys.append(b["key"]["g"])
+            assert b["doc_count"] == 2 and b["s"]["value"] == 3.0
+        pages += 1
+        after = agg.get("after_key")
+        if after is None:
+            break
+    assert keys == sorted("abcdefghijklmnopqrstuvwxyz")  # 26, in order
+    assert pages == 4  # ceil(26/7): the last page is partial
+    # cursor resume is exact: page after 'g' starts at 'h'
+    agg = page(after={"g": "g"}, size=3)
+    assert [b["key"]["g"] for b in agg["buckets"]] == ["h", "i", "j"]
+    assert agg["after_key"] == {"g": "j"}
+    # two-source composite orders by the full key tuple
+    _status, resp = _req(
+        addr, "POST", "/t/_search",
+        obj={"size": 0, "aggs": {"p": {"composite": {
+            "size": 5,
+            "sources": [
+                {"g": {"terms": {"field": "grp"}}},
+                {"s2": {"terms": {"field": "sub"}}},
+            ]}}}},
+    )
+    b0 = resp["aggregations"]["p"]["buckets"]
+    assert [(b["key"]["g"], b["key"]["s2"]) for b in b0] == [
+        ("a", 0), ("a", 1), ("b", 0), ("b", 1), ("c", 0),
+    ]
