@@ -4140,6 +4140,107 @@ register(
 )
 
 
+def _avro_schema_evolution_read(spark, sf_dir):
+    """Avro SCHEMA RESOLUTION (round 10) — the SAME container bytes
+    ``s_avro_ocf_roundtrip`` staged (writer schema V1) re-read under
+    an evolved READER schema V2: ``user_id``/``value`` renamed via
+    aliases (uid/amount), ``props`` dropped (skipped byte-exactly),
+    ``source`` added from its default, and ``ts_us`` WIDENED
+    long->double (the spec's promotion table) — the moves that let a
+    100 TB lake evolve without rewriting historical files. Resolution
+    happens executor-side (one task per container file, mapInPandas);
+    the oracle recomputes every aggregate from parquet THROUGH the
+    renamed/promoted columns, so a mis-skipped field (which would
+    shear the whole byte stream), a wrong alias, a lost default, or a
+    broken promotion diverges."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .sources.pyds import _repo_root, stage_events_as_avro
+
+    out_dir = stage_events_as_avro(spark, sf_dir)
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".avro")
+    )
+    reader_schema = {
+        "type": "record",
+        "name": "EventV2",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "ts_us_d", "type": "double", "aliases": ["ts_us"]},
+            {"name": "uid", "type": "long", "aliases": ["user_id"]},
+            {"name": "event_type", "type": "string"},
+            {"name": "amount", "type": "double", "aliases": ["value"]},
+            {"name": "source", "type": "string", "default": "legacy"},
+        ],
+    }
+    rs_json = json.dumps(reader_schema)
+    pkg = _repo_root()
+
+    def read_resolved(batches):
+        import json as _j
+        import sys
+
+        if pkg not in sys.path:
+            sys.path.insert(0, pkg)
+        import pandas as pd
+
+        from real_time_big_data_analytics_spark.sources import avro_ocf
+
+        rs = _j.loads(rs_json)
+        for pdf in batches:
+            for path in pdf["path"]:
+                rows = list(avro_ocf.read_ocf(path, reader_schema=rs))
+                yield pd.DataFrame(
+                    {
+                        "event_id": [r["event_id"] for r in rows],
+                        "ts_us_d": [r["ts_us_d"] for r in rows],
+                        "uid": [r["uid"] for r in rows],
+                        "event_type": [r["event_type"] for r in rows],
+                        "amount": [r["amount"] for r in rows],
+                        "source": [r["source"] for r in rows],
+                    }
+                )
+
+    parsed = (
+        spark.createDataFrame([(p,) for p in files], "path string")
+        .repartition(len(files))
+        .mapInPandas(
+            read_resolved,
+            "event_id bigint, ts_us_d double, uid bigint, "
+            "event_type string, amount double, source string",
+        )
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("uid").alias("n_users"),
+        F.round(F.sum("amount"), 2).alias("total_amount"),
+        F.min("ts_us_d").alias("min_ts_us"),
+        F.max("event_id").alias("max_event_id"),
+        F.max("source").alias("source"),
+    )
+
+
+register(
+    "s_avro_schema_evolution_read",
+    _avro_schema_evolution_read,
+    sql="""
+    SELECT event_type, count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_amount,
+           CAST(min(epoch_us(ts)) AS DOUBLE) AS min_ts_us,
+           max(event_id) AS max_event_id,
+           'legacy' AS source
+    FROM events GROUP BY event_type
+    """,
+    tags=("source", "avro", "schema-evolution", "resolution"),
+)
+
+
 def _avro_ocf_roundtrip(spark, sf_dir):
     """Avro container-file round-trip IN-ENGINE: the events table
     written as Avro OCF part files through Spark's write path (one

@@ -320,6 +320,7 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         "s_delta_optimize_compaction",
         "s_kafka_wire_read_committed",
         "s_es_wire_composite_agg",
+        "s_avro_schema_evolution_read",
         # conditional (registers only where the protobuf shim reaches
         # the workers — never in the current grading driver's session)
         "t21_stream_tws_stats",

@@ -173,6 +173,162 @@ def _decode_value(buf: io.BytesIO, typ):
     raise NotImplementedError(f"avro type {typ!r}")
 
 
+# -- schema resolution (the spec's "Schema Resolution" section) ---------
+#
+# Round 10: a READER schema different from the file's WRITER schema —
+# the feature that lets a 100 TB lake evolve (add a field with a
+# default, rename via aliases, drop a field, widen a numeric type)
+# without rewriting historical files. Fields match by name or reader
+# ALIAS; writer-only fields are skipped byte-exactly; reader-only
+# fields take their declared default (no default -> loud error);
+# numeric/string-bytes promotions follow the spec's table; union
+# branches resolve STATICALLY against the reader union (no
+# backtracking reads).
+
+
+class SchemaResolutionError(ValueError):
+    pass
+
+
+_PROMOTIONS = {
+    ("int", "long"),
+    ("int", "float"),
+    ("int", "double"),
+    ("long", "float"),
+    ("long", "double"),
+    ("float", "double"),
+    ("string", "bytes"),
+    ("bytes", "string"),
+}
+
+
+def _strip_logical(t):
+    if isinstance(t, dict) and "logicalType" in t:
+        return t["type"]
+    return t
+
+
+def _type_name(t) -> str:
+    t = _strip_logical(t)
+    if isinstance(t, dict):
+        return t.get("type")
+    if isinstance(t, list):
+        return "union"
+    return t
+
+
+def _skip_value(buf: io.BytesIO, typ) -> None:
+    """Consume one value of ``typ`` without materializing it — the
+    writer-only-field path of resolution."""
+    typ = _strip_logical(typ)
+    if isinstance(typ, list):
+        branch = read_long(buf)
+        if not 0 <= branch < len(typ):
+            raise ValueError(f"union branch {branch} out of range")
+        _skip_value(buf, typ[branch])
+    elif isinstance(typ, dict) and typ.get("type") == "record":
+        for f in typ["fields"]:
+            _skip_value(buf, f["type"])
+    elif typ in ("long", "int"):
+        read_long(buf)
+    elif typ in ("string", "bytes"):
+        read_bytes(buf)
+    elif typ == "double":
+        buf.read(8)
+    elif typ == "float":
+        buf.read(4)
+    elif typ == "boolean":
+        buf.read(1)
+    elif typ == "null":
+        pass
+    else:
+        raise NotImplementedError(f"avro type {typ!r}")
+
+
+def _promote(v, w_name: str, r_name: str):
+    if w_name == r_name:
+        return v
+    if (w_name, r_name) not in _PROMOTIONS:
+        raise SchemaResolutionError(
+            f"writer {w_name!r} does not resolve to reader {r_name!r}"
+        )
+    if r_name in ("float", "double"):
+        return float(v)
+    if r_name == "long":
+        return int(v)
+    if r_name == "bytes":
+        return v.encode("utf-8") if isinstance(v, str) else v
+    return v.decode("utf-8") if isinstance(v, bytes) else v
+
+
+def _first_compatible(w, r_union: list):
+    """The reader-union branch the writer type statically resolves to
+    (unions resolve WITHOUT reading — a failed trial read would have
+    consumed bytes)."""
+    wn = _type_name(w)
+    for rb in r_union:
+        rn = _type_name(rb)
+        if rn == wn or (wn, rn) in _PROMOTIONS:
+            return rb
+    raise SchemaResolutionError(
+        f"writer {wn!r} matches no branch of reader union "
+        f"{[_type_name(b) for b in r_union]}"
+    )
+
+
+def _default_value(field: dict):
+    if "default" not in field:
+        raise SchemaResolutionError(
+            f"reader field {field['name']!r} absent from writer schema "
+            "and declares no default"
+        )
+    d = field["default"]
+    t = _strip_logical(field["type"])
+    if isinstance(t, list):
+        t = _strip_logical(t[0])  # union default types as the FIRST branch
+    if t == "bytes" and isinstance(d, str):
+        return d.encode("latin-1")  # the spec's bytes-default encoding
+    if t in ("float", "double") and d is not None:
+        return float(d)
+    return d
+
+
+def _decode_resolved(buf: io.BytesIO, w, r):
+    w, r = _strip_logical(w), _strip_logical(r)
+    if isinstance(w, list):  # writer union: decode branch, then resolve
+        branch = read_long(buf)
+        if not 0 <= branch < len(w):
+            raise ValueError(f"union branch {branch} out of range")
+        return _decode_resolved(buf, w[branch], r)
+    if isinstance(r, list):  # reader union: static branch selection
+        return _decode_resolved(buf, w, _first_compatible(w, r))
+    if isinstance(w, dict) and w.get("type") == "record":
+        if not (isinstance(r, dict) and r.get("type") == "record"):
+            raise SchemaResolutionError(
+                f"writer record does not resolve to reader {_type_name(r)!r}"
+            )
+        rf_by_name: dict[str, dict] = {}
+        for rf in r["fields"]:
+            rf_by_name.setdefault(rf["name"], rf)
+            for alias in rf.get("aliases", ()):  # rename support
+                rf_by_name.setdefault(alias, rf)
+        out: dict = {}
+        consumed: set[int] = set()
+        for wf in w["fields"]:
+            rf = rf_by_name.get(wf["name"])
+            if rf is None or id(rf) in consumed:
+                _skip_value(buf, wf["type"])  # writer-only field
+            else:
+                out[rf["name"]] = _decode_resolved(buf, wf["type"], rf["type"])
+                consumed.add(id(rf))
+        for rf in r["fields"]:
+            if id(rf) not in consumed:
+                out[rf["name"]] = _default_value(rf)
+        return out
+    v = _decode_value(buf, w)
+    return _promote(v, _type_name(w), _type_name(r))
+
+
 # -- container file ----------------------------------------------------
 
 
@@ -233,10 +389,14 @@ def write_ocf(
     return n_total
 
 
-def read_ocf(path: str):
+def read_ocf(path: str, reader_schema: dict | None = None):
     """Yield row dicts from an Avro container file written by any
     conforming writer (sync marker verified per block, so truncation
-    or mid-file corruption raises instead of yielding garbage)."""
+    or mid-file corruption raises instead of yielding garbage).
+    ``reader_schema`` switches on SCHEMA RESOLUTION: the file decodes
+    with its embedded writer schema but yields the reader's shape
+    (aliases renamed, defaults filled, writer-only fields skipped,
+    promotions applied)."""
     with open(path, "rb") as f:
         raw = f.read()
     buf = io.BytesIO(raw)
@@ -282,7 +442,11 @@ def read_ocf(path: str):
         block = io.BytesIO(data)
         for _ in range(count):
             try:
-                yield _decode_value(block, schema)
+                yield (
+                    _decode_value(block, schema)
+                    if reader_schema is None
+                    else _decode_resolved(block, schema, reader_schema)
+                )
             except (KeyError, TypeError, AttributeError, IndexError) as e:
                 # a corrupt byte in the SCHEMA JSON yields a parseable
                 # but mis-shaped schema node; surface the designed

@@ -197,3 +197,91 @@ def test_write_produces_part_files_and_success(spark, sf_dir):
     with open(os.path.join(out, "_SUCCESS")) as f:
         total = int(f.read())
     assert total == sum(1 for p in parts for _ in A.read_ocf(os.path.join(out, p)))
+
+
+# ---------------------------------------- schema resolution (round 10)
+
+
+def _rec(fields):
+    return {"type": "record", "name": "R", "fields": fields}
+
+
+def test_schema_resolution_rename_default_skip_promote(tmp_path):
+    """One file, four evolution moves at once: a field renamed via
+    reader ALIASES, a writer-only field skipped byte-exactly, a
+    reader-only field filled from its default, and int->long /
+    float->double promotions."""
+    from real_time_big_data_analytics_spark.sources import avro_ocf as A
+
+    writer = _rec([
+        {"name": "id", "type": "long"},
+        {"name": "old_name", "type": "string"},
+        {"name": "dropme", "type": ["null", "string"]},
+        {"name": "flag", "type": "int"},
+        {"name": "score", "type": "float"},
+    ])
+    rows = [
+        {"id": 1, "old_name": "a", "dropme": "x", "flag": 7, "score": 1.5},
+        {"id": 2, "old_name": "b", "dropme": None, "flag": -3, "score": 2.5},
+    ]
+    p = str(tmp_path / "e.avro")
+    A.write_ocf(p, writer, rows)
+    reader = _rec([
+        {"name": "id", "type": "long"},
+        {"name": "new_name", "type": "string", "aliases": ["old_name"]},
+        {"name": "flag", "type": "long"},          # int -> long
+        {"name": "score", "type": "double"},       # float -> double
+        {"name": "source", "type": "string", "default": "legacy"},
+    ])
+    got = list(A.read_ocf(p, reader_schema=reader))
+    assert got == [
+        {"id": 1, "new_name": "a", "flag": 7, "score": 1.5,
+         "source": "legacy"},
+        {"id": 2, "new_name": "b", "flag": -3, "score": 2.5,
+         "source": "legacy"},
+    ]
+    assert all(isinstance(r["score"], float) for r in got)
+    # without a reader schema the writer shape comes back untouched
+    raw = list(A.read_ocf(p))
+    assert raw[0]["old_name"] == "a" and raw[0]["dropme"] == "x"
+
+
+def test_schema_resolution_union_and_string_bytes(tmp_path):
+    """Union moves: writer non-union -> reader union (static branch
+    pick), writer union -> reader union, and the string<->bytes
+    promotion inside a union branch."""
+    from real_time_big_data_analytics_spark.sources import avro_ocf as A
+
+    writer = _rec([
+        {"name": "a", "type": "string"},
+        {"name": "b", "type": ["null", "string"]},
+    ])
+    p = str(tmp_path / "u.avro")
+    A.write_ocf(p, writer, [{"a": "hi", "b": "there"}, {"a": "x", "b": None}])
+    reader = _rec([
+        {"name": "a", "type": ["null", "bytes"]},   # non-union -> union+promote
+        {"name": "b", "type": ["null", "bytes"]},   # union -> union+promote
+    ])
+    got = list(A.read_ocf(p, reader_schema=reader))
+    assert got == [{"a": b"hi", "b": b"there"}, {"a": b"x", "b": None}]
+
+
+def test_schema_resolution_refusals(tmp_path):
+    """No default for a missing field, and an impossible promotion,
+    both fail LOUDLY (never silently null — the spec's error rule)."""
+    import pytest
+
+    from real_time_big_data_analytics_spark.sources import avro_ocf as A
+
+    writer = _rec([{"name": "id", "type": "long"}])
+    p = str(tmp_path / "r.avro")
+    A.write_ocf(p, writer, [{"id": 1}])
+    no_default = _rec([
+        {"name": "id", "type": "long"},
+        {"name": "extra", "type": "string"},  # absent + no default
+    ])
+    with pytest.raises(A.SchemaResolutionError, match="no default"):
+        list(A.read_ocf(p, reader_schema=no_default))
+    bad_promote = _rec([{"name": "id", "type": "string"}])  # long -/-> string
+    with pytest.raises(A.SchemaResolutionError, match="does not resolve"):
+        list(A.read_ocf(p, reader_schema=bad_promote))
