@@ -965,3 +965,52 @@ def test_optimize_datachange_false_stays_out_of_cdf(tmp_path, spark):
     assert {r.commit_version for r in ch.select("commit_version").collect()} == {0}
     with pytest.raises(ValueError, match="no dataChange"):
         D.changes_between(spark, table, 1, 1)
+
+
+def test_checkpoint_persists_sidecar_descriptors(tmp_path, spark):
+    """The round-10 combination matrix: SIDECAR ("u") descriptors must
+    survive the checkpoint round trip exactly like inline ones — the
+    checkpoint stores the descriptor (not the bitmap), and replay
+    through the checkpoint resolves the same deletion_vector_*.bin."""
+    from real_time_big_data_analytics_spark.sources import delta_dv as DV
+
+    table, adds1 = _toy_table(tmp_path, spark)
+    import pyspark.sql.functions as F
+
+    pos = (
+        spark.read.parquet(os.path.join(table, "files_v0"))
+        .select(
+            F.col("_metadata.file_name").alias("fn"),
+            F.col("_metadata.row_index").alias("ri"),
+            "id",
+        )
+        .filter(F.col("id") == 1)
+        .collect()
+    )
+    per_file = {}
+    for r in pos:
+        per_file.setdefault(r.fn, []).append(int(r.ri))
+    hit_adds = [
+        a for a in adds1 if os.path.basename(a["add"]["path"]) in per_file
+    ]
+    descs = DV.dv_sidecar_write(
+        table,
+        [per_file[os.path.basename(a["add"]["path"])] for a in hit_adds],
+    )
+    actions = []
+    for a, d in zip(hit_adds, descs):
+        actions.append(
+            {"remove": {"path": a["add"]["path"], "deletionTimestamp": 0,
+                        "dataChange": True}}
+        )
+        new_add = dict(a["add"])
+        new_add["deletionVector"] = d
+        actions.append({"add": new_add})
+    D.write_commit(table, 1, actions)
+    json_active = D.replay(table, 1)["_active"]
+    D.write_checkpoint(table, 1)
+    D.expire_commits_before_checkpoint(table)
+    cp_active = D.replay(table, 1)["_active"]
+    assert cp_active == json_active
+    # the u-descriptor still resolves and the scan still filters
+    assert {r.id for r in D.read_snapshot(spark, table).collect()} == {2}

@@ -35,6 +35,9 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
     # queries (oracle-hash-checked)
     "S2": (
         "s_kafka_wire_roundtrip",
+        # round 10: the full public KIP-98 exactly-once surface
+        "s_kafka_wire_idempotent_produce",
+        "s_kafka_wire_read_committed",
         "pytest:tests/test_kafka_codec.py",
         "pytest:tests/test_kafka_wire.py",
     ),
@@ -53,6 +56,7 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
         "s_avro_ocf_roundtrip",
         "s_avro_ocf_codec_parity",
         "s_avro_ocf_stream",
+        "s_avro_schema_evolution_read",  # round 10: schema resolution
         "pytest:tests/test_avro_ocf.py",
     ),
     "S5": ("dq_zorder_pruning_audit", "pytest:tests/test_sources.py"),
@@ -68,6 +72,7 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
         "s_es_wire_pushdown",  # round 9: filters pushed as Query DSL
         "s_es_verdict_index",  # the reference's saveToEs topology whole
         "s_es_wire_sink_datasource",  # DataSourceStreamWriter sink API
+        "s_es_wire_composite_agg",  # round 10: after_key pagination
         "t15_stream_cdc_materialize",
         "pytest:tests/test_es_wire.py",
     ),
@@ -82,6 +87,10 @@ COMPONENT_COVERAGE: dict[str, tuple[str, ...]] = {
         "s_delta_partition_prune",  # round 9: partitionValues pruning
         "s_delta_deletion_vectors",  # round 9: DV row-level deletes
         "s_delta_column_mapping",  # round 9: metadata-only renames
+        "s_delta_dv_sidecar",  # round 10: "u" sidecar DV files
+        "s_delta_cm_id_mode",  # round 10: parquet field-id resolution
+        "s_delta_cm_partitioned",  # round 10: physical partitionValues
+        "s_delta_optimize_compaction",  # round 10: dataChange=false
         "pytest:tests/test_delta_log.py",
     ),
     # §2.2 projections / per-record transforms
