@@ -9,6 +9,22 @@ import sys
 
 PUREPB_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "purepb")
 
+# Set at the FIRST successful shim activation: was there a JVM yet?
+# The answer at activation time decides worker reachability for the
+# whole process (a JVM launched later inherits the env), and stashing
+# it makes tws_runtime_available() independent of WHEN the registry
+# happens to load relative to the first SparkSession — pytest subsets
+# and the full suite must agree on the registry surface.
+_ACTIVATED_PRE_JVM: bool | None = None
+
+
+def _note_activation() -> None:
+    global _ACTIVATED_PRE_JVM
+    if _ACTIVATED_PRE_JVM is None:
+        from pyspark import SparkContext
+
+        _ACTIVATED_PRE_JVM = SparkContext._active_spark_context is None
+
 
 def enable_protobuf_shim() -> bool:
     """Make ``google.protobuf`` importable via the pure-Python shim —
@@ -23,6 +39,7 @@ def enable_protobuf_shim() -> bool:
     try:
         import google.protobuf  # noqa: F401
 
+        _note_activation()
         return True  # real library (or already-active shim): hands off
     except ImportError:
         pass
@@ -38,6 +55,7 @@ def enable_protobuf_shim() -> bool:
     try:
         import google.protobuf  # noqa: F401
 
+        _note_activation()
         return True
     except ImportError:
         return False
@@ -67,6 +85,13 @@ def tws_runtime_available() -> bool:
         return False
     if "rtba-shim" not in getattr(gp, "__version__", ""):
         return True  # real library: on site-packages, reaches workers
+    if _ACTIVATED_PRE_JVM:
+        # the shim landed on the env BEFORE any JVM existed in this
+        # process — every JVM launched since (or later) inherits it,
+        # so worker reachability holds no matter when the registry
+        # loads relative to the first SparkSession (the paired-pytest
+        # ordering trap)
+        return True
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context

@@ -448,3 +448,21 @@ def test_t21_conditional_registration_both_branches():
     assert out.returncode == 0 and "absent-ok" in out.stdout, (
         out.stdout, out.stderr,
     )
+
+
+def test_tws_availability_insensitive_to_jvm_timing(spark):
+    """Round 10 regression: the registry surface must not depend on
+    WHEN all_queries() first runs relative to the first SparkSession.
+    The shim activated pre-JVM (conftest), so with a LIVE JVM in this
+    process the availability gate still answers True — previously it
+    flipped False post-JVM and a (test_delta_log, test_receipts)
+    pytest subset rendered a different RECEIPTS surface than the full
+    suite."""
+    assert spark.sparkContext is not None  # a JVM is definitely live
+    from real_time_big_data_analytics_spark.compat import (
+        tws_runtime_available,
+    )
+    from real_time_big_data_analytics_spark.registry import all_queries
+
+    assert tws_runtime_available()
+    assert "t21_stream_tws_stats" in all_queries()
