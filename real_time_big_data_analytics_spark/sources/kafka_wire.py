@@ -513,6 +513,14 @@ class MiniBroker:
 
     def __init__(self):
         self.log: dict[tuple[str, int], list[bytes]] = {}
+        # Per-partition offset metadata kept beside the raw batches:
+        # _meta[key] = [(base_offset, record_count)] and _counts[key]
+        # = next offset. Appends and fetches previously re-DECODED the
+        # whole log to compute offsets — O(batches²) CRC+varint work
+        # that made large-topic staging quadratic (surfaced by the
+        # 10× sf1 run); real brokers keep exactly this index.
+        self._meta: dict[tuple[str, int], list[tuple[int, int]]] = {}
+        self._counts: dict[tuple[str, int], int] = {}
         # Concurrent producers (one per Spark task in the distributed
         # produce path) race on the base-offset read + append below;
         # ThreadingTCPServer gives each connection its own thread.
@@ -608,14 +616,13 @@ class MiniBroker:
                 # validate before acking — a corrupt batch is refused
                 try:
                     batches = split_record_sets(record_set)
-                    for b in batches:
-                        decode_record_batch(b)
+                    n_records = [len(decode_record_batch(b)) for b in batches]
                 except ValueError:
                     parts += struct.pack(">ihqq", partition, 2, -1, -1)  # CORRUPT_MESSAGE
                     continue
                 err, first_offset = 0, -1
                 with self._produce_lock:
-                    for b in batches:
+                    for b, n_recs in zip(batches, n_records):
                         pid, epoch, bseq, count = batch_producer_info(b)
                         if pid >= 0:
                             st = self._producers.setdefault(
@@ -638,10 +645,7 @@ class MiniBroker:
                             if bseq != st["next_seq"]:
                                 err = ERR_OUT_OF_ORDER_SEQUENCE
                                 break
-                        base = sum(
-                            len(decode_record_batch(x))
-                            for x in self.log.get(key, [])
-                        )
+                        base = self._counts.get(key, 0)
                         # offset assignment: the broker REWRITES the
                         # batch's baseOffset to its log position (the
                         # producer stamps 0) — baseOffset sits outside
@@ -651,6 +655,8 @@ class MiniBroker:
                         self.log.setdefault(key, []).append(
                             struct.pack(">q", base) + b[8:]
                         )
+                        self._meta.setdefault(key, []).append((base, n_recs))
+                        self._counts[key] = base + n_recs
                         if first_offset < 0:
                             first_offset = base
                         if pid >= 0:
@@ -683,14 +689,14 @@ class MiniBroker:
                 if pid not in open_txns:
                     continue
                 first = open_txns.pop(pid)
-                base = sum(
-                    len(decode_record_batch(x)) for x in self.log.get(key, [])
-                )
+                base = self._counts.get(key, 0)
                 self.log.setdefault(key, []).append(
                     encode_control_batch(
                         pid, epoch, bool(committed), base_offset=base
                     )
                 )
+                self._meta.setdefault(key, []).append((base, 1))
+                self._counts[key] = base + 1
                 if not committed:
                     self._aborted_txns.setdefault(key, []).append((pid, first))
         return struct.pack(">ih", 0, 0)  # throttle, error
@@ -714,8 +720,9 @@ class MiniBroker:
                 pos += 16
                 key = (topic, partition)
                 batches = self.log.get(key, [])
+                meta = self._meta.get(key, [])
                 open_txns = self._open_txns.get(key, {})
-                hw = sum(len(decode_record_batch(b)) for b in batches)
+                hw = self._counts.get(key, 0)
                 # LSO: first offset of any OPEN transaction — nothing
                 # at/after it is stable yet
                 lso = min(open_txns.values()) if open_txns else hw
@@ -725,14 +732,14 @@ class MiniBroker:
                 # and (read_committed) below the LSO. Batch granularity
                 # matches real Kafka semantics — a fetch from mid-batch
                 # returns the whole batch and the consumer skips
-                # records below its position.
-                served, base = [], 0
+                # records below its position. Selection runs on the
+                # offset INDEX — no batch decode on the fetch path.
+                served = [
+                    b
+                    for b, (base, count) in zip(batches, meta)
+                    if base + count > offset and base < limit
+                ]
                 aborted: list[tuple[int, int]] = []
-                for b in batches:
-                    count = len(decode_record_batch(b))
-                    if base + count > offset and base < limit:
-                        served.append(b)
-                    base += count
                 if isolation == READ_COMMITTED:
                     aborted = [
                         (apid, first)

@@ -55,6 +55,12 @@ EXCLUDED = {
     "s_kafka_wire_idempotent_produce": "rides s_kafka_wire_roundtrip's "
     "benched wire shape (same fetch/decode scan; staging differs only "
     "in header fields + replays)",
+    "s_es_wire_composite_agg": "its 10x wall clock is the loopback "
+    "MiniES re-parsing the whole corpus per page REQUEST (a test-"
+    "harness property; real ES serves composite pages from Lucene "
+    "per shard) — the engine-side cost is one bounded driver loop "
+    "over after_key pages, already covered by the ES wire scans' "
+    "measured shapes",
 }
 
 # Round-9/10 operators measured at 10x (VERDICT r9 ask #3): the HNSW
