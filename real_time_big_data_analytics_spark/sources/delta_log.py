@@ -38,10 +38,11 @@ Implemented subset (disclosed):
 - COLUMN MAPPING, name AND id mode (round 9/10): logical->physical
   indirection via the delta.columnMapping.* field metadata; renames
   are metadata-only commits. Name mode resolves physical column
-  names; id mode resolves parquet FIELD IDS through Spark's native
-  ``spark.sql.parquet.fieldId.read.enabled`` path (file column names
-  are immaterial, per the spec). Both compose with partitioned
-  tables: ``partitionValues`` key by physical name.
+  names; id mode resolves parquet FIELD IDS read from each file's
+  own footer (file column names are immaterial, per the spec; the
+  session-global ``spark.sql.parquet.fieldId.read.enabled`` conf is
+  deliberately NOT touched — see ``read_snapshot``). Both compose
+  with partitioned tables: ``partitionValues`` key by physical name.
 
 No foreign delta reader exists in the sandbox (no delta-spark JAR, no
 duckdb delta extension — probed in tests/test_delta_log.py), so the
@@ -636,32 +637,82 @@ def read_snapshot(
         raise ValueError(f"unsupported columnMapping mode {cm_mode!r}")
     phys_of = _cm_physical_names(snap["metadata"]) if cm_mode else {}
     data_fields = [f for f in schema_json["fields"] if f["name"] not in part_cols]
+    types = {f.name: f.dataType for f in schema.fields}
+    wanted: list[tuple[int, str]] = []
     if cm_mode == "id":
-        # id mode: parquet FIELD IDS (not names) are authoritative —
-        # Spark's native field-id resolution does exactly this when
-        # the requested schema carries parquet.field.id metadata, so
-        # the scan stays a single pushdown-capable native read even
-        # though the files' column names are arbitrary
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        types = {f.name: f.dataType for f in schema.fields}
-        id_schema = StructType(
-            [
-                StructField(
-                    f["name"],
-                    types[f["name"]],
-                    True,
-                    {
-                        "parquet.field.id": int(
-                            f["metadata"]["delta.columnMapping.id"]
-                        )
-                    },
-                )
-                for f in data_fields
-            ]
-        )
+        # id mode: parquet FIELD IDS (not names) are authoritative.
+        # Resolution happens HERE, not via the session conf
+        # ``spark.sql.parquet.fieldId.read.enabled`` — that conf is
+        # session-global and consumed lazily at scan EXECUTION time
+        # (probed: the per-read option form returns nulls because
+        # ParquetFileFormat overwrites the hadoop conf entry from the
+        # SQL conf), so a try/finally restore would break the returned
+        # lazy DataFrame and leaving it set leaks id-resolution into
+        # every later parquet read in the session (ADVICE r10).
+        wanted = [
+            (int(f["metadata"]["delta.columnMapping.id"]), f["name"])
+            for f in data_fields
+        ]
     active = prune_files(snap, partition_filter)
     if not active:
         return spark.createDataFrame([], schema)
+
+    def _id_groups(abs_paths: list[str]) -> dict[tuple, list[str]]:
+        """id mode: map field id → physical column name from each
+        file's parquet footer (driver-side, the same O(files) order as
+        the log replay that produced ``abs_paths``) and group files by
+        the resulting name tuple — a table written by one writer has
+        one group, i.e. still ONE native pushdown-capable scan. An id
+        absent from a file maps to a sentinel name no file carries, so
+        the schema'd read serves NULLs for it (schema evolution)."""
+        import pyarrow.parquet as papq
+
+        groups: dict[tuple, list[str]] = {}
+        for p in abs_paths:
+            by_id: dict[int, str] = {}
+            for fld in papq.read_schema(p):
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    by_id[int(fid)] = fld.name
+            key = tuple(
+                by_id.get(fid, f"__delta_absent_{fid}") for fid, _ in wanted
+            )
+            groups.setdefault(key, []).append(p)
+        return groups
+
+    def _scan_logical(abs_paths, attach=None, extra=()):
+        """Native scan(s) over ``abs_paths``. id mode resolves physical
+        names per file group and aliases to LOGICAL names; name/none
+        modes return file columns as-is (``to_logical`` handles name
+        mode afterwards). ``attach`` runs on the raw scan BEFORE the
+        id-mode alias select so it can still reach ``_metadata``;
+        columns it adds are listed in ``extra`` to survive the select."""
+        if cm_mode != "id":
+            df = spark.read.parquet(*sorted(abs_paths))
+            return [attach(df) if attach else df]
+        parts = []
+        groups = _id_groups(abs_paths)
+        for key in sorted(groups):
+            grp = groups[key]
+            phys = StructType(
+                [
+                    StructField(pname, types[lname], True)
+                    for pname, (_fid, lname) in zip(key, wanted)
+                ]
+            )
+            df = spark.read.schema(phys).parquet(*sorted(grp))
+            if attach:
+                df = attach(df)
+            parts.append(
+                df.select(
+                    *[
+                        F.col(pname).alias(lname)
+                        for pname, (_fid, lname) in zip(key, wanted)
+                    ],
+                    *extra,
+                )
+            )
+        return parts
 
     def read_files(adds: list[dict]):
         """One scan for the plain files + ONE scan and ONE broadcast
@@ -679,13 +730,10 @@ def read_snapshot(
             (a for a in adds if a.get("deletionVector")),
             key=lambda a: a["path"],
         )
-        reader = spark.read.schema(id_schema) if cm_mode == "id" else spark.read
         parts = []
         if plain:
-            parts.append(
-                reader.parquet(
-                    *[os.path.join(table_dir, p) for p in sorted(plain)]
-                )
+            parts.extend(
+                _scan_logical([os.path.join(table_dir, p) for p in plain])
             )
         if dvd:
             descs = [
@@ -716,26 +764,43 @@ def read_snapshot(
             deleted = spark.createDataFrame(
                 descs, "__dv_path string, __dv_desc string"
             ).mapInPandas(expand, "__dv_path string, __dv_ri bigint")
-            df = (
-                reader.parquet(
-                    *[os.path.join(table_dir, a["path"]) for a in dvd]
-                )
-                .withColumn(
-                    # normalize the scheme'd URI to the plain absolute
-                    # path the descriptor rows carry ("file:///x" and
-                    # "file:/x" both -> "/x")
+
+            def attach(df):
+                # normalize the scheme'd PERCENT-ENCODED URI to the
+                # plain absolute path the descriptor rows carry:
+                # strip "file:///x"/"file:/x" -> "/x", then decode
+                # %XX escapes (a table_dir with spaces etc. would
+                # otherwise miss every join key and silently
+                # resurrect deleted rows — ADVICE r10). url_decode is
+                # form-decoding ('+' -> space), so protect literal
+                # '+' as %2B first; URIs never use '+' for space.
+                return df.withColumn(
                     "__dv_path",
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    F.url_decode(
+                        F.regexp_replace(
+                            F.regexp_replace(
+                                F.col("_metadata.file_path"),
+                                "^file:/+",
+                                "/",
+                            ),
+                            r"\+",
+                            "%2B",
+                        )
                     ),
+                ).withColumn("__dv_ri", F.col("_metadata.row_index"))
+
+            for df in _scan_logical(
+                [os.path.join(table_dir, a["path"]) for a in dvd],
+                attach=attach,
+                extra=("__dv_path", "__dv_ri"),
+            ):
+                parts.append(
+                    df.join(
+                        F.broadcast(deleted),
+                        ["__dv_path", "__dv_ri"],
+                        "left_anti",
+                    ).drop("__dv_path", "__dv_ri")
                 )
-                .withColumn("__dv_ri", F.col("_metadata.row_index"))
-            )
-            parts.append(
-                df.join(
-                    F.broadcast(deleted), ["__dv_path", "__dv_ri"], "left_anti"
-                ).drop("__dv_path", "__dv_ri")
-            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1680,8 +1745,8 @@ def delta_cm_id_mode(spark, sf_dir: str):
     at v1 (logical ``value``) and v2 (after the metadata-only rename:
     ``revenue``): the files' column names are deliberately foreign
     (``anon_N``), so every value in this result was resolved through
-    parquet field ids (Spark's native
-    ``spark.sql.parquet.fieldId.read.enabled`` path). A reader that
+    parquet field ids (footer-driven per-file resolution — see
+    ``read_snapshot``). A reader that
     falls back to name matching returns all-null columns and the
     aggregates diverge."""
     from pyspark.sql import functions as F

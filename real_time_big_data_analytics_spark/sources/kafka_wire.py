@@ -758,6 +758,22 @@ class MiniBroker:
         return out
 
 
+def parse_produce_response(resp: bytes) -> tuple[int, int]:
+    """Produce v3 response body (correlation id already stripped) →
+    ``(error_code, base_offset)`` for the single (topic, partition)
+    this repo's producers send per request. Layout: ntopics(int32) +
+    topic(str16) + nparts(int32) + partition(int32) + error(int16) +
+    base_offset(int64) + log_append_time(int64) — so the error code
+    sits at ``14 + len(topic)``, AFTER the partition int32. Producers
+    must raise on a nonzero error or broker refusals
+    (OUT_OF_ORDER_SEQUENCE, INVALID_PRODUCER_EPOCH, CORRUPT_MESSAGE)
+    are silently swallowed during staging."""
+    (tlen,) = struct.unpack(">h", resp[4:6])
+    pos = 6 + tlen + 4
+    _partition, err, offset = struct.unpack(">ihq", resp[pos : pos + 14])
+    return err, offset
+
+
 def parse_fetch_response(resp: bytes) -> dict[tuple[str, int], dict]:
     """Fetch v4 response body → {(topic, partition): {"record_set",
     "high_watermark", "last_stable", "aborted": [(pid, first_offset)]}}

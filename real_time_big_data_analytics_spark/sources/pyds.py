@@ -373,12 +373,7 @@ def stage_events_on_wire(spark, sf_dir: str) -> str:
                             kw.produce_request_v3(topic, kpart, batch),
                         ),
                     )
-                    # partition error code sits past ntopics + topic
-                    # string + nparts + partition id
-                    (tlen,) = struct.unpack(">h", resp[4:6])
-                    err = struct.unpack(
-                        ">h", resp[10 + tlen : 12 + tlen]
-                    )[0]
+                    err, _off = kw.parse_produce_response(resp)
                     if err != 0:
                         raise IOError(f"produce refused: error {err}")
 
@@ -705,11 +700,10 @@ def stage_events_on_wire_idempotent(spark, sf_dir: str) -> str:
                         kw.produce_request_v3(topic, kpart, batch),
                     ),
                 )
-                (tlen,) = struct.unpack(">h", resp[4:6])
-                err = struct.unpack(">h", resp[10 + tlen : 12 + tlen])[0]
+                err, offset = kw.parse_produce_response(resp)
                 if err != 0:
                     raise IOError(f"produce refused: error {err}")
-                return err
+                return offset
 
             for kpart, recs in by_kpart.items():
                 seq = 0
@@ -724,13 +718,23 @@ def stage_events_on_wire_idempotent(spark, sf_dir: str) -> str:
                         base_sequence=seq,
                     )
                     seq += len(chunk)
-                    send(batch)
-                    sent.append(batch)
-                # the deliberate replays: first and last batch, byte-
+                    sent.append((batch, send(batch)))
+                # the deliberate replays: the LAST TWO batches, byte-
                 # identical — exactly-once means the broker acks them
-                # (error 0, original offset) WITHOUT appending
-                send(sent[0])
-                send(sent[-1])
+                # with error 0 and the ORIGINAL offset WITHOUT
+                # appending. Only batches inside the broker's 5-deep
+                # in-flight dup window are replayable (earlier
+                # baseSequences are evicted and refused with
+                # OUT_OF_ORDER_SEQUENCE — the correct broker behavior,
+                # not a dedup), so replaying sent[0] would hard-fail
+                # any task producing >5 batches to one partition.
+                for batch, orig_offset in sent[-2:]:
+                    acked = send(batch)
+                    if acked != orig_offset:
+                        raise IOError(
+                            "idempotent replay acked offset "
+                            f"{acked} != original {orig_offset}"
+                        )
 
     payload.foreachPartition(_produce_partition)
     _WIRE_BROKERS[tag] = addr
@@ -830,8 +834,7 @@ def stage_events_on_wire_transactional(spark, sf_dir: str) -> str:
                             kw.produce_request_v3(topic, kpart, batch),
                         ),
                     )
-                    (tlen,) = struct.unpack(">h", resp[4:6])
-                    err = struct.unpack(">h", resp[10 + tlen : 12 + tlen])[0]
+                    err, _off = kw.parse_produce_response(resp)
                     if err != 0:
                         raise IOError(f"produce refused: error {err}")
             corr += 1
@@ -865,13 +868,17 @@ def stage_events_on_wire_transactional(spark, sf_dir: str) -> str:
             )
             seqs[kpart] = seqs.get(kpart, 0) + len(recs)
             corr += 1
-            KW.call(
-                sock,
-                KW.frame_request(
-                    KW.API_PRODUCE, 3, corr,
-                    KW.produce_request_v3(topic, kpart, batch),
-                ),
+            err, _off = KW.parse_produce_response(
+                KW.call(
+                    sock,
+                    KW.frame_request(
+                        KW.API_PRODUCE, 3, corr,
+                        KW.produce_request_v3(topic, kpart, batch),
+                    ),
+                )
             )
+            if err != 0:
+                raise IOError(f"decoy produce refused: error {err}")
         corr += 1
         KW.end_txn(sock, "decoy", apid, aepoch, commit=False,
                    correlation_id=corr)
@@ -886,13 +893,17 @@ def stage_events_on_wire_transactional(spark, sf_dir: str) -> str:
                 transactional=True,
             )
             corr += 1
-            KW.call(
-                sock,
-                KW.frame_request(
-                    KW.API_PRODUCE, 3, corr,
-                    KW.produce_request_v3(topic, kpart, batch),
-                ),
+            err, _off = KW.parse_produce_response(
+                KW.call(
+                    sock,
+                    KW.frame_request(
+                        KW.API_PRODUCE, 3, corr,
+                        KW.produce_request_v3(topic, kpart, batch),
+                    ),
+                )
             )
+            if err != 0:
+                raise IOError(f"open-txn produce refused: error {err}")
     _WIRE_BROKERS[tag] = addr
     return addr
 

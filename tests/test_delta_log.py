@@ -1014,3 +1014,111 @@ def test_checkpoint_persists_sidecar_descriptors(tmp_path, spark):
     assert cp_active == json_active
     # the u-descriptor still resolves and the scan still filters
     assert {r.id for r in D.read_snapshot(spark, table).collect()} == {2}
+
+
+# --- round 11: ADVICE fixes pinned ------------------------------------
+
+
+def test_dv_scan_survives_special_char_table_dir(tmp_path, spark):
+    """ADVICE r10: ``_metadata.file_path`` is a PERCENT-ENCODED URI,
+    so a table_dir containing spaces/'+'/'%' used to miss every DV
+    anti-join key and silently resurrect deleted rows. Pin the decode:
+    stage a DV'd table under such a dir and assert the deletes hold."""
+    from real_time_big_data_analytics_spark.sources import delta_dv as DV
+
+    root = tmp_path / "dv dir +plus %41"
+    root.mkdir()
+    table = str(root / "t")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    adds1 = D._write_version_files(spark, df1, table, "v0")
+    meta = {
+        "metaData": {
+            "id": "toy",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df1.schema.json(),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": 0,
+        }
+    }
+    D.write_commit(table, 0, [D.PROTOCOL_ACTION, meta] + adds1)
+    import pyspark.sql.functions as F
+
+    pos = (
+        spark.read.parquet(os.path.join(table, "files_v0"))
+        .select(
+            F.col("_metadata.file_name").alias("fn"),
+            F.col("_metadata.row_index").alias("ri"),
+            "id",
+        )
+        .filter(F.col("id") == 1)
+        .collect()
+    )
+    per_file = {}
+    for r in pos:
+        per_file.setdefault(r.fn, []).append(int(r.ri))
+    actions = []
+    for a in adds1:
+        fn = os.path.basename(a["add"]["path"])
+        if fn not in per_file:
+            continue
+        actions.append(
+            {"remove": {"path": a["add"]["path"], "deletionTimestamp": 0,
+                        "dataChange": True}}
+        )
+        new_add = dict(a["add"])
+        new_add["deletionVector"] = DV.dv_inline_descriptor(per_file[fn])
+        actions.append({"add": new_add})
+    D.write_commit(table, 1, actions)
+    assert {r.id for r in D.read_snapshot(spark, table).collect()} == {2}
+
+
+def test_id_mode_leaves_session_conf_untouched(tmp_path, spark):
+    """ADVICE r10: id-mode reads used to flip
+    ``spark.sql.parquet.fieldId.read.enabled`` session-wide and never
+    restore it. Resolution now goes through each file's own footer, so
+    the conf must be untouched before, during, and after collect —
+    and heterogeneous physical names / a file missing an id still
+    resolve (per-group scans, NULL for the absent id)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    key = "spark.sql.parquet.fieldId.read.enabled"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")
+        table = str(tmp_path / "cmhet")
+        w1 = StructType(
+            [
+                StructField("aaa", LongType(), True, {"parquet.field.id": 1}),
+                StructField("bbb", LongType(), True, {"parquet.field.id": 2}),
+            ]
+        )
+        w2 = StructType(
+            [
+                # different physical names, same ids, and id 2 ABSENT
+                StructField("zzz", LongType(), True, {"parquet.field.id": 1}),
+            ]
+        )
+        adds = D._write_version_files(
+            spark, spark.createDataFrame([(1, 10), (2, 20)], w1), table, "v0"
+        )
+        adds += D._write_version_files(
+            spark, spark.createDataFrame([(3,)], w2), table, "v1"
+        )
+        fields = [("id", "long"), ("score", "long")]
+        D.write_commit(
+            table,
+            0,
+            [D.PROTOCOL_ACTION, D._cm_meta("t", fields, mode="id")] + adds,
+        )
+        df = D.read_snapshot(spark, table)
+        assert df.columns == ["id", "score"]
+        assert {(r.id, r.score) for r in df.collect()} == {
+            (1, 10), (2, 20), (3, None),
+        }
+        assert spark.conf.get(key) == "false"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -668,3 +668,42 @@ def test_spark_scan_isolation_levels_differ(spark, sf_dir):
     # the open transaction's sentinel rows exist ONLY uncommitted
     assert ru.filter(F.col("key") == "open").count() == 8
     assert rc.filter(F.col("key") == "open").count() == 0
+
+
+def test_parse_produce_response_reads_error_at_correct_offset(broker):
+    """ADVICE r10: the staging paths used to read the error int16 at
+    ``10 + len(topic)`` — the top half of the partition int32, always
+    0 — so broker refusals were silently swallowed. Pin the shared
+    parser against the broker for BOTH a success and a refusal, and
+    against this file's independent struct parse."""
+    _, addr = broker
+    with _connect(addr) as sock:
+        pid, epoch = KW.init_producer_id(sock)
+        ok = KW.encode_record_batch(
+            [(b"a", b"1")], producer_id=pid, producer_epoch=epoch,
+            base_sequence=0,
+        )
+        resp = KW.call(
+            sock,
+            KW.frame_request(
+                KW.API_PRODUCE, 3, 1, KW.produce_request_v3("tp", 0, ok)
+            ),
+        )
+        assert KW.parse_produce_response(resp) == (0, 0)
+        gap = KW.encode_record_batch(
+            [(b"b", b"2")], producer_id=pid, producer_epoch=epoch,
+            base_sequence=9,
+        )
+        resp = KW.call(
+            sock,
+            KW.frame_request(
+                KW.API_PRODUCE, 3, 2, KW.produce_request_v3("tp", 0, gap)
+            ),
+        )
+        err, _off = KW.parse_produce_response(resp)
+        assert err == KW.ERR_OUT_OF_ORDER_SEQUENCE  # NOT 0
+        # agrees with the independent parse _produce_one has always used
+        (tlen,) = struct.unpack(">h", resp[4:6])
+        pos = 6 + tlen + 4
+        _p, err2, off2, _ts = struct.unpack(">ihqq", resp[pos : pos + 22])
+        assert (err, _off) == (err2, off2)
