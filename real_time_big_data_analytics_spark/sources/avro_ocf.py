@@ -15,9 +15,11 @@ Implemented subset (everything the events/documents tables need):
 - container layout: ``Obj\\x01`` magic, file-metadata map
   (``avro.schema`` JSON + ``avro.codec``), 16-byte sync marker, then
   data blocks of ``(count, byte-size, payload, sync)``;
-- codecs: ``null`` and ``deflate`` (raw DEFLATE, i.e. zlib with
+- codecs: ``null``, ``deflate`` (raw DEFLATE, i.e. zlib with
   windowBits=-15 — spec wording: "deflate ... as specified in
-  RFC 1951");
+  RFC 1951") and ``snappy`` (raw snappy block + BE CRC-32 of the
+  plain bytes, via the pure-Python codec in ``snappy_codec`` —
+  round 11); ``bzip2``/``xz``/``zstandard`` stay refused loudly;
 - binary encoding: zigzag-varint longs/ints, IEEE-754 LE
   double/float, length-prefixed string/bytes, 1-byte boolean,
   zero-byte null, unions as ``(branch-index, value)``;
@@ -45,6 +47,8 @@ import json
 import os
 import struct
 import zlib
+
+from . import snappy_codec
 
 MAGIC = b"Obj\x01"
 SYNC = bytes(range(16))  # fixed marker: deterministic output files
@@ -342,7 +346,7 @@ def write_ocf(
     """Write ``rows`` (dicts keyed by field name) as one Avro container
     file; returns the row count. Writes to a temp name and renames —
     the task-commit idiom, so readers never see a partial file."""
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported codec {codec!r}")
     schema_json = json.dumps(schema, separators=(",", ":"))
     tmp = f"{path}.inprogress"
@@ -371,6 +375,10 @@ def write_ocf(
             data = payload.getvalue()
             if codec == "deflate":
                 data = zlib.compress(data, 6)[2:-4]  # strip zlib wrap -> raw
+            elif codec == "snappy":
+                # Avro spec: raw snappy block + BE CRC-32 of the
+                # PLAIN bytes (round 11, pure-Python codec)
+                data = snappy_codec.avro_snappy_encode(data)
             head = io.BytesIO()
             write_long(head, len(block))
             write_long(head, len(data))
@@ -417,7 +425,7 @@ def read_ocf(path: str, reader_schema: dict | None = None):
         raise ValueError(f"{path}: file metadata lacks avro.schema")
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(f"avro codec {codec!r}")
     sync = buf.read(16)
     if len(sync) != 16:
@@ -439,6 +447,11 @@ def read_ocf(path: str, reader_schema: dict | None = None):
                 data = zlib.decompress(data, -15)
             except zlib.error as e:
                 raise ValueError(f"{path}: corrupt deflate block ({e})") from e
+        elif codec == "snappy":
+            try:
+                data = snappy_codec.avro_snappy_decode(data)
+            except ValueError as e:
+                raise ValueError(f"{path}: corrupt snappy block ({e})") from e
         block = io.BytesIO(data)
         for _ in range(count):
             try:

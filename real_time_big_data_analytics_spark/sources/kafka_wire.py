@@ -53,6 +53,8 @@ codec in ``sources/kafka.py`` is the fixed (§1.4.1) equivalent.
 
 from __future__ import annotations
 
+import json
+import os
 import socket
 import socketserver
 import struct
@@ -125,10 +127,12 @@ def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 
 
 # RecordBatch v2 attributes bits 0-2: the compression codec
-# (kafka.apache.org/protocol "attributes"). Only the codecs the
-# sandbox's stdlib can honor are implemented; a batch flagging any
-# other codec is refused loudly rather than mis-decoded.
-CODEC_NONE, CODEC_GZIP = 0, 1
+# (kafka.apache.org/protocol "attributes"). none/gzip/snappy are
+# implemented in-engine (snappy via the pure-Python codec in
+# ``snappy_codec``, round 11 — the dominant codec on real topics);
+# lz4 (3) and zstd (4) are still refused loudly rather than
+# mis-decoded.
+CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY = 0, 1, 2
 _CODEC_MASK = 0x07
 # attributes bit 4: isTransactional; bit 5: isControl (the KIP-98
 # transactional-messaging flags)
@@ -181,6 +185,12 @@ def encode_record_batch(
         # fixed mtime: byte-reproducible batches (same reason as the
         # avro deflate path)
         payload = gzip.compress(payload, mtime=0)
+    elif codec == CODEC_SNAPPY:
+        from . import snappy_codec
+
+        # the xerial stream framing the Java client writes (and the
+        # deterministic own-compressor keeps batches byte-reproducible)
+        payload = snappy_codec.xerial_frame(payload)
     elif codec != CODEC_NONE:
         raise ValueError(f"unsupported codec {codec}")
     n = len(records)
@@ -237,6 +247,15 @@ def decode_record_batch(buf: bytes) -> list[tuple[bytes | None, bytes]]:
             records_section = gzip.decompress(bytes(after_crc[40:]))
         except (OSError, EOFError, zlib.error) as e:
             raise ValueError(f"gzip records section malformed: {e}") from e
+        after_crc = after_crc[:40] + records_section
+    elif codec == CODEC_SNAPPY:
+        from . import snappy_codec
+
+        # accept both public payload shapes: the xerial stream (Java
+        # clients) and a bare raw block (librdkafka) — magic-sniffed
+        records_section = snappy_codec.maybe_xerial_unframe(
+            bytes(after_crc[40:])
+        )
         after_crc = after_crc[:40] + records_section
     elif codec != CODEC_NONE:
         raise ValueError(f"unsupported codec {codec} in batch attributes")
@@ -358,6 +377,11 @@ def batch_producer_info(buf: bytes) -> tuple[int, int, int, int]:
 API_PRODUCE, API_FETCH, API_VERSIONS = 0, 1, 18
 API_INIT_PRODUCER_ID = 22
 API_END_TXN = 26
+# the consumer-group coordinator triple (round 11): committed-offset
+# durability, the half of the reference's ``GROUP_ID_CONFIG ->
+# "group"`` consumer contract (ConsumerESFinal.scala:43) that lives
+# broker-side rather than in Structured Streaming checkpoints
+API_OFFSET_COMMIT, API_OFFSET_FETCH, API_FIND_COORDINATOR = 8, 9, 10
 
 # public error codes the idempotent path uses
 ERR_OUT_OF_ORDER_SEQUENCE = 45
@@ -464,6 +488,89 @@ def end_txn(
         raise IOError(f"EndTxn refused: error {err}")
 
 
+def find_coordinator(
+    sock: socket.socket, group: str, correlation_id: int = 0
+) -> tuple[str, int]:
+    """FindCoordinator v0 (group key) → (host, port). The real client
+    dance: locate the group's coordinator before any offset RPC."""
+    resp = call(
+        sock,
+        frame_request(
+            API_FIND_COORDINATOR, 0, correlation_id, _str(group)
+        ),
+    )
+    err, _node = struct.unpack(">hi", resp[:6])
+    if err != 0:
+        raise IOError(f"FindCoordinator refused: error {err}")
+    host, pos = _read_str(resp, 6)
+    (port,) = struct.unpack(">i", resp[pos : pos + 4])
+    return host, port
+
+
+def offset_commit(
+    sock: socket.socket,
+    group: str,
+    topic: str,
+    offsets: dict[int, int],
+    correlation_id: int = 0,
+) -> None:
+    """OffsetCommit v0 for one topic; raises on any partition error
+    (including the coordinator's monotonicity refusal)."""
+    body = _str(group) + struct.pack(">i", 1) + _str(topic)
+    body += struct.pack(">i", len(offsets))
+    for partition in sorted(offsets):
+        body += struct.pack(">iq", partition, offsets[partition]) + _str("")
+    resp = call(
+        sock, frame_request(API_OFFSET_COMMIT, 0, correlation_id, body)
+    )
+    pos = 4  # ntopics
+    _topic, pos = _read_str(resp, pos)
+    (nparts,) = struct.unpack(">i", resp[pos : pos + 4])
+    pos += 4
+    for _ in range(nparts):
+        partition, err = struct.unpack(">ih", resp[pos : pos + 6])
+        pos += 6
+        if err != 0:
+            raise IOError(
+                f"OffsetCommit refused for partition {partition}: error {err}"
+            )
+
+
+def offset_fetch(
+    sock: socket.socket,
+    group: str,
+    topic: str,
+    partitions: list[int],
+    correlation_id: int = 0,
+) -> dict[int, int]:
+    """OffsetFetch v1 (broker-stored offsets) → {partition: committed
+    offset}, −1 where the group never committed."""
+    body = _str(group) + struct.pack(">i", 1) + _str(topic)
+    body += struct.pack(">i", len(partitions))
+    for partition in partitions:
+        body += struct.pack(">i", partition)
+    resp = call(
+        sock, frame_request(API_OFFSET_FETCH, 1, correlation_id, body)
+    )
+    pos = 4  # ntopics
+    _topic, pos = _read_str(resp, pos)
+    (nparts,) = struct.unpack(">i", resp[pos : pos + 4])
+    pos += 4
+    out: dict[int, int] = {}
+    for _ in range(nparts):
+        partition, off = struct.unpack(">iq", resp[pos : pos + 12])
+        pos += 12
+        _meta_s, pos = _read_str(resp, pos)
+        (err,) = struct.unpack(">h", resp[pos : pos + 2])
+        pos += 2
+        if err != 0:
+            raise IOError(
+                f"OffsetFetch refused for partition {partition}: error {err}"
+            )
+        out[partition] = off
+    return out
+
+
 def fetch_request_v4(
     topic: str,
     partition: int,
@@ -511,7 +618,17 @@ class MiniBroker:
     a Kafka reimplementation; everything outside the subset returns
     error_code 35 (UNSUPPORTED_VERSION)."""
 
-    def __init__(self):
+    def __init__(self, data_dir: str | None = None):
+        """``data_dir`` turns on log + committed-offset durability
+        (round 11): every appended batch goes to a per-partition
+        segment file and every OffsetCommit to an append-only
+        ``offsets.jsonl``; a new MiniBroker pointed at the same dir
+        replays both at startup — which is what lets the group-resume
+        staging 'crash' the broker mid-consume and prove the consumer
+        position survives. Producer/transaction state is deliberately
+        NOT persisted (real brokers snapshot it; nothing here depends
+        on it across restarts)."""
+        self._data_dir = data_dir
         self.log: dict[tuple[str, int], list[bytes]] = {}
         # Per-partition offset metadata kept beside the raw batches:
         # _meta[key] = [(base_offset, record_count)] and _counts[key]
@@ -538,6 +655,12 @@ class MiniBroker:
         # need to resolve read_committed fetches.
         self._open_txns: dict[tuple[str, int], dict[int, int]] = {}
         self._aborted_txns: dict[tuple[str, int], list[tuple[int, int]]] = {}
+        # consumer-group committed offsets: (group, topic, partition)
+        # -> next offset to consume (the Kafka convention: commit the
+        # offset AFTER the last processed record)
+        self._group_offsets: dict[tuple[str, str, int], int] = {}
+        if data_dir:
+            self._load_data_dir()
         broker = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -566,20 +689,88 @@ class MiniBroker:
         self._server.shutdown()
         self._server.server_close()
 
+    # -- durability (round 11) ----------------------------------------
+    def _segment_path(self, key: tuple[str, int]) -> str:
+        return os.path.join(self._data_dir, f"{key[0]}__{key[1]}.log")
+
+    def _load_data_dir(self) -> None:
+        """Replay segment files (self-delimiting RecordBatch framing)
+        and the committed-offset journal. The offset index rebuilds
+        from each batch's header fields alone — no record decode."""
+        os.makedirs(self._data_dir, exist_ok=True)
+        for fn in sorted(os.listdir(self._data_dir)):
+            if not fn.endswith(".log"):
+                continue
+            topic, _, part = fn[:-4].rpartition("__")
+            key = (topic, int(part))
+            with open(os.path.join(self._data_dir, fn), "rb") as f:
+                raw = f.read()
+            for b in split_record_sets(raw):
+                (base,) = struct.unpack(">q", b[:8])
+                (count,) = struct.unpack(">i", b[57:61])
+                self.log.setdefault(key, []).append(b)
+                self._meta.setdefault(key, []).append((base, count))
+                self._counts[key] = base + count
+        journal = os.path.join(self._data_dir, "offsets.jsonl")
+        if os.path.exists(journal):
+            with open(journal) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    self._group_offsets[
+                        (rec["group"], rec["topic"], int(rec["partition"]))
+                    ] = int(rec["offset"])
+
+    def _store_batch(
+        self, key: tuple[str, int], stored: bytes, base: int, n_recs: int
+    ) -> None:
+        """Append one (offset-rewritten) batch to the in-memory log +
+        offset index, and — when durable — to the partition's segment
+        file. Caller holds ``_produce_lock``."""
+        self.log.setdefault(key, []).append(stored)
+        self._meta.setdefault(key, []).append((base, n_recs))
+        self._counts[key] = base + n_recs
+        if self._data_dir:
+            with open(self._segment_path(key), "ab") as f:
+                f.write(stored)
+
+    def _commit_offset(
+        self, group: str, topic: str, partition: int, offset: int
+    ) -> None:
+        self._group_offsets[(group, topic, partition)] = offset
+        if self._data_dir:
+            with open(os.path.join(self._data_dir, "offsets.jsonl"), "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "group": group,
+                            "topic": topic,
+                            "partition": partition,
+                            "offset": offset,
+                        }
+                    )
+                    + "\n"
+                )
+
     # -- protocol -----------------------------------------------------
     def _respond(self, req: bytes) -> bytes:
         api_key, api_version, corr = struct.unpack(">hhi", req[:8])
         _, pos = _read_str(req, 8)  # client_id
         body = req[pos:]
         if api_key == API_VERSIONS:
-            out = struct.pack(">h", 0) + struct.pack(">i", 4)
-            for k, lo, hi in (
+            supported = (
                 (API_PRODUCE, 3, 3),
                 (API_FETCH, 4, 4),
                 (API_VERSIONS, 0, 0),
                 (API_INIT_PRODUCER_ID, 0, 0),
                 (API_END_TXN, 0, 0),
-            ):
+                (API_OFFSET_COMMIT, 0, 0),
+                (API_OFFSET_FETCH, 1, 1),
+                (API_FIND_COORDINATOR, 0, 0),
+            )
+            out = struct.pack(">h", 0) + struct.pack(">i", len(supported))
+            for k, lo, hi in supported:
                 out += struct.pack(">hhh", k, lo, hi)
         elif api_key == API_PRODUCE and api_version == 3:
             out = self._produce(body)
@@ -593,6 +784,18 @@ class MiniBroker:
             out = struct.pack(">ihqh", 0, 0, pid, 0)
         elif api_key == API_END_TXN and api_version == 0:
             out = self._end_txn(body)
+        elif api_key == API_OFFSET_COMMIT and api_version == 0:
+            out = self._offset_commit(body)
+        elif api_key == API_OFFSET_FETCH and api_version == 1:
+            out = self._offset_fetch(body)
+        elif api_key == API_FIND_COORDINATOR and api_version == 0:
+            # single-node broker IS its own group coordinator; v0 is
+            # group-keyed by definition. err, node_id, host, port
+            _group, _ = _read_str(body, 0)
+            host, port = self._server.server_address
+            out = struct.pack(">hi", 0, 0) + _str(host) + struct.pack(
+                ">i", port
+            )
         else:
             out = struct.pack(">h", 35)  # UNSUPPORTED_VERSION
         return struct.pack(">i", 4 + len(out)) + struct.pack(">i", corr) + out
@@ -652,11 +855,9 @@ class MiniBroker:
                         # the CRC, so the bytes stay CRC-valid and
                         # consumers compute true record offsets
                         # (base + i), which positioned fetches depend on
-                        self.log.setdefault(key, []).append(
-                            struct.pack(">q", base) + b[8:]
+                        self._store_batch(
+                            key, struct.pack(">q", base) + b[8:], base, n_recs
                         )
-                        self._meta.setdefault(key, []).append((base, n_recs))
-                        self._counts[key] = base + n_recs
                         if first_offset < 0:
                             first_offset = base
                         if pid >= 0:
@@ -690,16 +891,72 @@ class MiniBroker:
                     continue
                 first = open_txns.pop(pid)
                 base = self._counts.get(key, 0)
-                self.log.setdefault(key, []).append(
+                self._store_batch(
+                    key,
                     encode_control_batch(
                         pid, epoch, bool(committed), base_offset=base
-                    )
+                    ),
+                    base,
+                    1,
                 )
-                self._meta.setdefault(key, []).append((base, 1))
-                self._counts[key] = base + 1
                 if not committed:
                     self._aborted_txns.setdefault(key, []).append((pid, first))
         return struct.pack(">ih", 0, 0)  # throttle, error
+
+    def _offset_commit(self, body: bytes) -> bytes:
+        """OffsetCommit v0: group + [topic + [partition, offset,
+        metadata]] -> [topic + [partition, error]]. A commit BEHIND
+        an existing committed offset is refused (error 55,
+        OFFSET_NOT_AVAILABLE stands in for the monotonicity guard a
+        real coordinator's generation fencing provides) so a zombie
+        consumer cannot rewind the group."""
+        group, pos = _read_str(body, 0)
+        (ntopics,) = struct.unpack(">i", body[pos : pos + 4])
+        pos += 4
+        out = struct.pack(">i", ntopics)
+        for _ in range(ntopics):
+            topic, pos = _read_str(body, pos)
+            (nparts,) = struct.unpack(">i", body[pos : pos + 4])
+            pos += 4
+            parts = b""
+            for _ in range(nparts):
+                partition, offset = struct.unpack(">iq", body[pos : pos + 12])
+                pos += 12
+                _meta_s, pos = _read_str(body, pos)
+                with self._produce_lock:
+                    prev = self._group_offsets.get(
+                        (group, topic, partition), -1
+                    )
+                    if offset < prev:
+                        parts += struct.pack(">ih", partition, 55)
+                        continue
+                    self._commit_offset(group, topic, partition, offset)
+                parts += struct.pack(">ih", partition, 0)
+            out += _str(topic) + struct.pack(">i", nparts) + parts
+        return out
+
+    def _offset_fetch(self, body: bytes) -> bytes:
+        """OffsetFetch v1 (broker-stored offsets): group + [topic +
+        [partition]] -> [topic + [partition, offset, metadata,
+        error]]; an uncommitted partition answers offset −1 (the
+        consumer starts from auto.offset.reset)."""
+        group, pos = _read_str(body, 0)
+        (ntopics,) = struct.unpack(">i", body[pos : pos + 4])
+        pos += 4
+        out = struct.pack(">i", ntopics)
+        for _ in range(ntopics):
+            topic, pos = _read_str(body, pos)
+            (nparts,) = struct.unpack(">i", body[pos : pos + 4])
+            pos += 4
+            parts = b""
+            for _ in range(nparts):
+                (partition,) = struct.unpack(">i", body[pos : pos + 4])
+                pos += 4
+                off = self._group_offsets.get((group, topic, partition), -1)
+                parts += struct.pack(">iq", partition, off) + _str("")
+                parts += struct.pack(">h", 0)
+            out += _str(topic) + struct.pack(">i", nparts) + parts
+        return out
 
     def _fetch(self, body: bytes) -> bytes:
         # replica, max_wait, min_bytes, max_bytes, isolation

@@ -68,7 +68,7 @@ def test_long_roundtrip_extremes():
         assert A.read_long(io.BytesIO(buf.getvalue())) == n
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_python_roundtrip(tmp_path, codec):
     rows = _rows(5000)
     path = str(tmp_path / f"ev_{codec}.avro")
@@ -77,7 +77,7 @@ def test_python_roundtrip(tmp_path, codec):
     assert list(A.read_ocf(path)) == rows
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_java_reads_our_file(spark, tmp_path, codec):
     """FOREIGN decode: the official Apache Avro Java reader (inside
     pyspark's JVM) must read every record we wrote, byte-compatible."""
@@ -105,17 +105,23 @@ def test_java_reads_our_file(spark, tmp_path, codec):
     assert got == rows
 
 
-def test_we_read_java_file(spark, tmp_path):
+@pytest.mark.parametrize("jcodec", ["deflate", "snappy"])
+def test_we_read_java_file(spark, tmp_path, jcodec):
     """Reverse interop: a file written by the official Java
-    DataFileWriter (deflate codec, its RANDOM sync marker) decodes
+    DataFileWriter (its RANDOM sync marker; snappy via the bundled
+    snappy-java native codec — true foreign snappy bytes) decodes
     exactly with read_ocf."""
     jvm = spark._jvm
     schema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(EV_SCHEMA))
     writer = jvm.org.apache.avro.file.DataFileWriter(
         jvm.org.apache.avro.generic.GenericDatumWriter(schema)
     )
-    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
-    path = str(tmp_path / "java_written.avro")
+    writer.setCodec(
+        jvm.org.apache.avro.file.CodecFactory.deflateCodec(6)
+        if jcodec == "deflate"
+        else jvm.org.apache.avro.file.CodecFactory.snappyCodec()
+    )
+    path = str(tmp_path / f"java_written_{jcodec}.avro")
     writer.create(schema, jvm.java.io.File(path))
     rows = _rows(123)
     for r in rows:

@@ -707,3 +707,111 @@ def test_parse_produce_response_reads_error_at_correct_offset(broker):
         pos = 6 + tlen + 4
         _p, err2, off2, _ts = struct.unpack(">ihqq", resp[pos : pos + 22])
         assert (err, _off) == (err2, off2)
+
+
+def test_snappy_batch_roundtrip_and_bare_raw_accepted(broker):
+    """Round 11: attributes codec bits = 2 (snappy). The encoder
+    writes the xerial stream (the Java client's shape); the decoder
+    must take BOTH that and a bare raw-snappy payload (librdkafka's
+    shape) — built here by hand-swapping the payload while recomputing
+    the CRC, exactly what a foreign producer would send."""
+    from real_time_big_data_analytics_spark.sources import snappy_codec as SN
+
+    recs = [(f"k{i}".encode(), (f'{{"v":{i}}}' * 3).encode()) for i in range(500)]
+    batch = KW.encode_record_batch(recs, codec=KW.CODEC_SNAPPY)
+    assert KW.decode_record_batch(batch) == recs
+    # wire trip through the broker preserves it
+    _, addr = broker
+    with _connect(addr) as sock:
+        err, _ = _produce_one(sock, 1, "sn", 0, batch)
+        assert err == 0
+        assert _fetch_all(sock, 2, "sn", 0) == recs
+    # bare raw-snappy payload (no xerial magic): rebuild the batch
+    plain = KW.encode_record_batch(recs)  # codec none
+    records_section = plain[61:]  # after the fixed 61-byte envelope
+    raw_payload = SN.compress(records_section)
+    attrs_codec = struct.pack(">h", KW.CODEC_SNAPPY)
+    after_crc = attrs_codec + plain[23:61] + raw_payload
+    crc = KW.crc32c(after_crc)
+    tail = struct.pack(">ibI", -1, 2, crc) + after_crc
+    bare = struct.pack(">qi", 0, len(tail)) + tail
+    assert KW.decode_record_batch(bare) == recs
+
+
+def test_group_offsets_survive_broker_restart(tmp_path):
+    """Round 11: OffsetCommit durability — a NEW MiniBroker replaying
+    the same data_dir serves the committed offset AND the log from
+    disk; appends after restart continue the offset sequence."""
+    d = str(tmp_path / "broker")
+    recs = [(f"k{i}".encode(), f"v{i}".encode()) for i in range(7)]
+    b1 = KW.MiniBroker(data_dir=d)
+    addr = b1.start()
+    with _connect(addr) as sock:
+        host, port = addr.rsplit(":", 1)
+        assert KW.find_coordinator(sock, "group") == (host, int(port))
+        assert _produce_one(sock, 1, "t", 0, KW.encode_record_batch(recs)) == (0, 0)
+        assert KW.offset_fetch(sock, "group", "t", [0]) == {0: -1}
+        KW.offset_commit(sock, "group", "t", {0: 4})
+    b1.stop()
+    b2 = KW.MiniBroker(data_dir=d)
+    addr2 = b2.start()
+    try:
+        with _connect(addr2) as sock:
+            assert KW.offset_fetch(sock, "group", "t", [0]) == {0: 4}
+            # a different group is independent and uncommitted
+            assert KW.offset_fetch(sock, "g2", "t", [0]) == {0: -1}
+            assert _fetch_all(sock, 1, "t", 0) == recs  # log replayed
+            # append continues at offset 7, not 0
+            err, off = _produce_one(
+                sock, 2, "t", 0, KW.encode_record_batch([(b"x", b"y")])
+            )
+            assert (err, off) == (0, 7)
+    finally:
+        b2.stop()
+
+
+def test_offset_commit_rewind_refused(broker):
+    """A commit BEHIND the group's position is refused (the
+    coordinator's zombie-consumer guard) — forward and equal commits
+    are accepted."""
+    _, addr = broker
+    with _connect(addr) as sock:
+        KW.offset_commit(sock, "grp_mono", "t", {0: 10})
+        KW.offset_commit(sock, "grp_mono", "t", {0: 10})  # idempotent re-commit
+        KW.offset_commit(sock, "grp_mono", "t", {0: 25})
+        with pytest.raises(IOError, match="error 55"):
+            KW.offset_commit(sock, "grp_mono", "t", {0: 24})
+        assert KW.offset_fetch(sock, "grp_mono", "t", [0]) == {0: 25}
+
+
+def test_fetch_from_committed_offset_resumes_exactly(broker):
+    """The consume-commit-resume loop at wire level: batch-granular
+    fetch from the committed offset serves the remainder exactly once
+    when commits land on batch boundaries."""
+    _, addr = broker
+    topic = "t_resume"
+    b1 = [(b"a", b"1"), (b"b", b"2")]
+    b2 = [(b"c", b"3"), (b"d", b"4"), (b"e", b"5")]
+    with _connect(addr) as sock:
+        assert _produce_one(sock, 1, topic, 0, KW.encode_record_batch(b1))[0] == 0
+        assert _produce_one(sock, 2, topic, 0, KW.encode_record_batch(b2))[0] == 0
+        # consumer 1 processes the first batch and commits its end
+        got1 = _fetch_all(sock, 3, topic, 0)
+        assert got1 == b1 + b2
+        KW.offset_commit(sock, "group", topic, {0: 2})
+        # consumer 2 (post-crash) resumes from OffsetFetch
+        start = KW.offset_fetch(sock, "group", topic, [0])[0]
+        assert start == 2
+        fresp = KW.call(
+            sock,
+            KW.frame_request(
+                KW.API_FETCH, 4, 4, KW.fetch_request_v4(topic, 0, start)
+            ),
+        )
+        sets = KW.parse_fetch_record_sets(fresp)
+        rest = [
+            rec
+            for b in KW.split_record_sets(sets[(topic, 0)])
+            for rec in KW.decode_record_batch(b)
+        ]
+        assert rest == b2  # no b1 re-delivery, nothing lost
