@@ -4029,3 +4029,19 @@ register(
     sql=DELTA_OPTIMIZE_COMPACTION_SQL,
     tags=("source", "delta", "optimize", "compaction", "cdf"),
 )
+
+# round 11 (VERDICT r10 ask #3): the last two names on the delta
+# writer's disclosed v2 list — CHECK constraints enforced at commit
+# (violating append refused whole, log untouched) and generated
+# columns materialized/verified per delta.generationExpression.
+from .sources.delta_log import (  # noqa: E402
+    DELTA_CHECK_CONSTRAINTS_SQL,
+    delta_check_constraints,
+)
+
+register(
+    "s_delta_check_constraints",
+    delta_check_constraints,
+    sql=DELTA_CHECK_CONSTRAINTS_SQL,
+    tags=("source", "delta", "constraints", "generated-columns"),
+)

@@ -42,7 +42,14 @@ Implemented subset (disclosed):
   own footer (file column names are immaterial, per the spec; the
   session-global ``spark.sql.parquet.fieldId.read.enabled`` conf is
   deliberately NOT touched — see ``read_snapshot``). Both compose
-  with partitioned tables: ``partitionValues`` key by physical name.
+  with partitioned tables: ``partitionValues`` key by physical name;
+- CHECK CONSTRAINTS + GENERATED COLUMNS (round 11,
+  ``append_with_constraints``): ``delta.constraints.*`` enforced at
+  commit in one aggregate pass — a violating append is refused WHOLE
+  (no files, no commit); ``delta.generationExpression`` columns are
+  materialized when omitted and verified when provided. This empties
+  the module's previously-disclosed not-implemented list of v2
+  writer features.
 
 No foreign delta reader exists in the sandbox (no delta-spark JAR, no
 duckdb delta extension — probed in tests/test_delta_log.py), so the
@@ -174,6 +181,97 @@ def commit_with_retry(
     raise ValueError(
         f"{table_dir}: lost the commit race {max_attempts} times"
     )
+
+
+class CheckConstraintViolation(ValueError):
+    """Raised when an append would commit rows that violate a CHECK
+    constraint or disagree with a generated column's expression.
+    Carries ``{label: violating_row_count}`` so callers can audit
+    exactly what was refused."""
+
+    def __init__(self, violations: dict[str, int]):
+        self.violations = dict(violations)
+        super().__init__(
+            "commit refused: "
+            + ", ".join(
+                f"{k} ({v} rows)" for k, v in sorted(violations.items())
+            )
+        )
+
+
+def append_with_constraints(
+    spark, table_dir: str, df, tag: str, read_version: int | None = None
+) -> int:
+    """Writer-side enforcement of the last two delta protocol v2
+    writer features on this module's disclosed list (round 11,
+    VERDICT r10 ask #3), per PROTOCOL.md:
+
+    - **CHECK constraints** (``delta.constraints.<name>`` in the table
+      configuration, legacy minWriterVersion 3): every constraint
+      expression must not evaluate to FALSE on any appended row (NULL
+      passes, the SQL CHECK convention). One violating row anywhere
+      and the WHOLE append is refused — no data files written, no
+      commit, the log byte-identical to before.
+    - **Generated columns** (``delta.generationExpression`` in a
+      field's schema metadata, legacy minWriterVersion 4): a column
+      the writer materializes from its expression when the incoming
+      frame omits it, and VERIFIES (null-safe equality) when the
+      frame provides it — a provided value disagreeing with the
+      expression is refused like a constraint violation.
+
+    All validations run in ONE aggregate pass over ``df`` (a single
+    Spark job however many constraints exist — at 100 TB you cannot
+    afford a scan per constraint), and files are written only after
+    the pass comes back clean. Returns the committed version."""
+    from pyspark.sql import functions as F
+
+    snap = replay(table_dir)
+    meta = snap["metadata"]
+    schema_json = json.loads(meta["schemaString"])
+    cfg = meta.get("configuration") or {}
+
+    checks: list[tuple[str, object]] = []  # (label, violation bool col)
+    for f in schema_json["fields"]:
+        gen = (f.get("metadata") or {}).get("delta.generationExpression")
+        if not gen:
+            continue
+        name = f["name"]
+        expr = F.expr(gen)
+        if isinstance(f["type"], str):
+            expr = expr.cast(f["type"])
+        if name in df.columns:
+            checks.append(
+                (f"generated column {name}", ~expr.eqNullSafe(F.col(name)))
+            )
+        else:
+            df = df.withColumn(name, expr)
+    for key in sorted(cfg):
+        if not key.startswith("delta.constraints."):
+            continue
+        cname = key[len("delta.constraints.") :]
+        checks.append(
+            (
+                f"CHECK {cname}",
+                # violated ONLY when FALSE: NULL passes (SQL CHECK)
+                ~F.coalesce(F.expr(cfg[key]).cast("boolean"), F.lit(True)),
+            )
+        )
+    if checks:
+        counts = df.agg(
+            *[
+                F.sum(F.when(cond, 1).otherwise(0)).alias(f"c{i}")
+                for i, (_label, cond) in enumerate(checks)
+            ]
+        ).collect()[0]
+        violations = {
+            label: int(counts[i] or 0)
+            for i, (label, _cond) in enumerate(checks)
+            if counts[i]
+        }
+        if violations:
+            raise CheckConstraintViolation(violations)
+    adds = _write_version_files(spark, df, table_dir, tag)
+    return commit_with_retry(table_dir, adds, read_version=read_version)
 
 
 def vacuum(table_dir: str) -> list[str]:
@@ -2107,4 +2205,159 @@ SELECT v.version,
 FROM v JOIN events e ON (e.event_id % 2 = 0) OR v.with_odds
 GROUP BY v.version, v.files_active
 ORDER BY v.version
+"""
+
+
+# -- round 11: CHECK constraints + generated columns --------------------
+
+
+def _build_constraints_table(spark, sf_dir: str, stage_dir: str, tag: str) -> None:
+    """v0 declares the writer features (minWriterVersion 4): two CHECK
+    constraints in the table configuration and a generated column in
+    the schema metadata. Then three appends through
+    ``append_with_constraints``:
+
+    - a DIRTY frame (value negated where ``event_id % 7 == 0``) —
+      refused whole, log and file set untouched;
+    - a frame PROVIDING the generated column with wrong values
+      (``user_id % 10 + 1``) — refused the same way;
+    - the clean remainder — committed as v1, the generated
+      ``user_bucket`` materialized into the data files.
+
+    The refused counts land in ``_constraints_audit.json`` so the
+    registry query can bind them into its oracle-checked result."""
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+
+    fields = [
+        {"name": "event_id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "user_id", "type": "long", "nullable": True, "metadata": {}},
+        {
+            "name": "event_type",
+            "type": "string",
+            "nullable": True,
+            "metadata": {},
+        },
+        {"name": "value", "type": "double", "nullable": True, "metadata": {}},
+        {"name": "props", "type": "string", "nullable": True, "metadata": {}},
+        {
+            "name": "user_bucket",
+            "type": "long",
+            "nullable": True,
+            "metadata": {"delta.generationExpression": "user_id % 10"},
+        },
+    ]
+    meta = {
+        "metaData": {
+            "id": f"constraints_{tag}",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}, separators=(",", ":")
+            ),
+            "partitionColumns": [],
+            "configuration": {
+                # NULL passes (props may be NULL): the SQL CHECK rule
+                "delta.constraints.propsLenValid": "length(props) >= 0",
+                "delta.constraints.valueNonNegative": "value >= 0",
+            },
+            "createdTime": _T0,
+        }
+    }
+    write_commit(
+        stage_dir,
+        0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}, meta],
+    )
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    audit: dict[str, dict[str, int]] = {}
+    dirty = base.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, -F.col("value")).otherwise(
+            F.col("value")
+        ),
+    )
+    try:
+        append_with_constraints(spark, stage_dir, dirty, f"{tag}_bad")
+    except CheckConstraintViolation as e:
+        audit["check_refused"] = e.violations
+    else:
+        raise AssertionError("violating append was not refused")
+    if log_versions(stage_dir) != [0] or os.path.exists(
+        os.path.join(stage_dir, f"files_{tag}_bad")
+    ):
+        raise AssertionError("refused append touched the table")
+    clean = base.filter(F.col("event_id") % 7 != 0)
+    try:
+        append_with_constraints(
+            spark,
+            stage_dir,
+            clean.withColumn("user_bucket", F.col("user_id") % 10 + 1),
+            f"{tag}_wronggen",
+        )
+    except CheckConstraintViolation as e:
+        audit["generated_refused"] = e.violations
+    else:
+        raise AssertionError("wrong generated values were not refused")
+    if log_versions(stage_dir) != [0]:
+        raise AssertionError("refused append touched the log")
+    v = append_with_constraints(spark, stage_dir, clean, f"{tag}_v1")
+    if v != 1:
+        raise AssertionError(f"clean append landed at v{v}, expected 1")
+    with open(os.path.join(stage_dir, "_constraints_audit.json"), "w") as f:
+        json.dump(audit, f, sort_keys=True)
+
+
+def stage_events_as_delta_constraints(spark, sf_dir: str) -> str:
+    return _stage_table(
+        spark, sf_dir, "delta_ck", builder=_build_constraints_table
+    )
+
+
+def delta_check_constraints(spark, sf_dir: str):
+    """``s_delta_check_constraints`` — the constraint-guarded table
+    read back: ``n``/``total_value`` prove the dirty append really
+    never landed; ``bucket_sum``/``n_buckets`` aggregate the GENERATED
+    column out of the data files (materialized by the writer, not the
+    scan); the two ``*_refused`` audit columns carry the violating-row
+    counts from the refused commits, which the oracle recomputes from
+    the parquet truth."""
+    from pyspark.sql import functions as F
+
+    table_dir = stage_events_as_delta_constraints(spark, sf_dir)
+    with open(os.path.join(table_dir, "_constraints_audit.json")) as f:
+        audit = json.load(f)
+    n_check = audit["check_refused"]["CHECK valueNonNegative"]
+    n_gen = audit["generated_refused"]["generated column user_bucket"]
+    return (
+        read_snapshot(spark, table_dir)
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum("user_bucket").alias("bucket_sum"),
+            F.countDistinct("user_bucket").alias("n_buckets"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .withColumn("n_check_refused", F.lit(n_check).cast("bigint"))
+        .withColumn("n_gen_refused", F.lit(n_gen).cast("bigint"))
+    )
+
+
+DELTA_CHECK_CONSTRAINTS_SQL = """
+SELECT count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS total_value,
+       CAST(sum(user_id % 10) AS BIGINT) AS bucket_sum,
+       count(DISTINCT user_id % 10) AS n_buckets,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id,
+       (SELECT count(*) FROM events WHERE event_id % 7 = 0)
+           AS n_check_refused,
+       (SELECT count(*) FROM events WHERE event_id % 7 <> 0)
+           AS n_gen_refused
+FROM events WHERE event_id % 7 <> 0
 """

