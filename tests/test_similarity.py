@@ -732,3 +732,89 @@ def test_hnsw_append_base_results_preserved(spark, sf_dir):
         .count()
     )
     assert bad == 0  # every served pair exists in the exact relation
+
+
+# --- round 11: HNSW delete maintenance ---------------------------------
+
+
+def test_hnsw_delete_invariants_all_true(spark, sf_dir):
+    """VERDICT r10 ask #4 'done' bind: deleted ids never returned
+    (both tombstone-serving and post-compaction), survivors reachable,
+    M bound held through repair, recall over the survivor truth at the
+    0.85 floor, and the per-shard threshold decision populated."""
+    row = similarity.hnsw_index_delete_invariants(spark, sf_dir).collect()[0]
+    assert row.tombstone_serve_clean and row.deleted_never_returned
+    assert row.no_deleted_refs and row.survivors_reachable
+    assert row.degree_bounded and row.recall_floor_met
+    assert row.survivors_covered
+    assert 0 < row.n_deleted < row.n_corpus
+    assert row.shards_compacted == similarity.HNSW_SHARDS
+
+
+def test_hnsw_compaction_is_not_vacuous(spark, sf_dir):
+    """Adversarial control: the UNCOMPACTED base edge table still
+    references deleted ids — the audit that passes on edges_compacted
+    must FAIL on edges_base, proving no_deleted_refs measures the
+    compaction, not the query plumbing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    index_dir = similarity.hnsw_delete_stage(spark, sf_dir)
+    base = spark.read.parquet(os.path.join(index_dir, "edges_base"))
+    compacted = spark.read.parquet(
+        os.path.join(index_dir, "edges_compacted")
+    )
+    def refs_deleted(edges):
+        return (
+            edges.filter(
+                (F.col("node_id") % 17 == 3)
+                | (F.col("neighbor_id") % 17 == 3)
+            ).count()
+        )
+    assert refs_deleted(base) > 0
+    assert refs_deleted(compacted) == 0
+    # compaction shrank the node set by exactly the tombstone count
+    base_nodes = base.select("node_id").distinct().count()
+    comp_nodes = compacted.select("node_id").distinct().count()
+    n_deleted = (
+        similarity.spread(
+            similarity.load_table(spark, sf_dir, "embeddings")
+        ).filter(F.col("vec_id") % 17 == 3).count()
+    )
+    assert base_nodes - comp_nodes == n_deleted
+
+
+def test_hnsw_compacted_graph_serves_near_neighbors(spark, sf_dir):
+    """Retrievability through the repair: query the compacted graph
+    with a SURVIVOR's own embedding under a synthetic query id — the
+    top hit must be that survivor (distance ~0), proving the repaired
+    links keep its neighborhood searchable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    index_dir = similarity.hnsw_delete_stage(spark, sf_dir)
+    emb = similarity.spread(
+        similarity.load_table(spark, sf_dir, "embeddings")
+    )
+    # a survivor adjacent to the deleted set: vec_id 20 (20%17=3 is
+    # deleted... 20 % 17 == 3 -> deleted! pick 21)
+    probe = emb.filter(F.col("vec_id") == 21).collect()[0]
+    assert probe.vec_id % 17 != 3
+    queries = [(-1, [float(x) for x in probe.embedding])]
+    survivors = emb.filter(F.col("vec_id") % 17 != 3).withColumn(
+        "shard", (F.col("vec_id") % similarity.HNSW_SHARDS).cast("int")
+    )
+    cedges = spark.read.parquet(os.path.join(index_dir, "edges_compacted"))
+    fn = similarity._hnsw_search_edges_fn(
+        queries, similarity.TOP_K, similarity.HNSW_EF_SEARCH,
+        similarity.HNSW_M,
+    )
+    got = (
+        survivors.groupBy("shard")
+        .cogroup(cedges.groupBy("shard"))
+        .applyInPandas(fn, "query_id bigint, vec_id bigint")
+        .collect()
+    )
+    assert any(int(r.vec_id) == 21 for r in got)
