@@ -26,6 +26,12 @@ Implemented subset (everything FileMetaData needs):
 
 No data pages are read, so codecs never matter here (SNAPPY/ZSTD
 chunks audit the same as uncompressed ones).
+
+Round 11 adds the PAGE INDEX (``read_page_index`` /
+``page_prune_ranges``): ColumnIndex/OffsetIndex structs walked from
+the file positions the ColumnChunk advertises, with page-level
+min/max pruning replayed and two-side verified — the scan-pruning
+lever below row-group stats (``dq_parquet_page_index_stats``).
 """
 
 from __future__ import annotations
@@ -174,18 +180,11 @@ def _decode_stat(raw: bytes | None, physical: str):
     return raw  # INT96 / fixed-len: opaque
 
 
-def read_footer(path: str) -> dict:
-    """Parse one parquet file's FileMetaData. Returns::
-
-        {version, num_rows, created_by, schema: [{name, type}...],
-         row_groups: [{num_rows, total_byte_size,
-                       columns: [{path, type, codec, encodings,
-                                  num_values, total_compressed_size,
-                                  total_uncompressed_size,
-                                  data_page_offset,
-                                  dictionary_page_offset,
-                                  null_count, min, max}, ...]}, ...]}
-    """
+def _read_raw_footer(path: str) -> dict:
+    """The raw FileMetaData struct ({field_id: value}), shared by
+    :func:`read_footer` and :func:`read_page_index` (which needs the
+    ColumnChunk's index-location fields 4-7 that the interpreted shape
+    drops)."""
     with open(path, "rb") as f:
         f.seek(0, 2)
         size = f.tell()
@@ -200,7 +199,22 @@ def read_footer(path: str) -> dict:
             raise ValueError(f"{path}: footer length {meta_len} exceeds file")
         f.seek(size - 8 - meta_len)
         raw = f.read(meta_len)
-    fm = _read_struct(io.BytesIO(raw))
+    return _read_struct(io.BytesIO(raw))
+
+
+def read_footer(path: str) -> dict:
+    """Parse one parquet file's FileMetaData. Returns::
+
+        {version, num_rows, created_by, schema: [{name, type}...],
+         row_groups: [{num_rows, total_byte_size,
+                       columns: [{path, type, codec, encodings,
+                                  num_values, total_compressed_size,
+                                  total_uncompressed_size,
+                                  data_page_offset,
+                                  dictionary_page_offset,
+                                  null_count, min, max}, ...]}, ...]}
+    """
+    fm = _read_raw_footer(path)
     try:
         return _interpret(fm)
     except (AttributeError, TypeError, KeyError, IndexError) as e:
@@ -275,6 +289,128 @@ def _interpret(fm: dict) -> dict:
 # flag instead of value bounds — a writer-side omission flips the flag
 # detectably rather than silently diverging from the data-side oracle.
 UNBOUNDED_WIDTH_COLS = frozenset({"documents.text", "events.props"})
+
+
+# -- round 11: the PAGE index (ColumnIndex / OffsetIndex) ---------------
+
+BOUNDARY_ORDERS = ("UNORDERED", "ASCENDING", "DESCENDING")
+
+
+def read_page_index(path: str) -> list[list[dict]]:
+    """Walk the PageIndex structures (parquet-format PageIndex.md) —
+    the page-level pruning metadata that lives OUTSIDE the footer, at
+    file positions the ColumnChunk advertises (column_index_offset/
+    length fields 6/7, offset_index_offset/length fields 4/5):
+
+    - **ColumnIndex** per column chunk: per-page ``null_pages`` /
+      ``min_values`` / ``max_values`` (typed via the chunk's physical
+      type) + ``boundary_order`` + optional ``null_counts``;
+    - **OffsetIndex** per column chunk: ``page_locations`` rows of
+      (offset, compressed_page_size, first_row_index) — the row
+      coordinates that turn a pruned page into a skippable ROW RANGE.
+
+    Returns one list per row group, one dict per column chunk:
+    ``{path, type, num_rows, column_index|None, offset_index|None}``.
+    This is the 100 TB scan-pruning lever below row-group stats: a
+    predicate that row-group pruning cannot reject (the chunk's range
+    covers it) still skips every PAGE whose bounds exclude it."""
+    fm = _read_raw_footer(path)
+    try:
+        out = []
+        for rg in fm.get(4, []):
+            cols = []
+            for cc in rg.get(1, []):
+                md = cc.get(3, {})
+                physical = PHYSICAL_TYPES[md[1]]
+                entry: dict = {
+                    "path": ".".join(p.decode() for p in md.get(3, [])),
+                    "type": physical,
+                    "num_rows": rg.get(3),
+                    "column_index": None,
+                    "offset_index": None,
+                }
+                ci_off, ci_len = cc.get(6), cc.get(7)
+                if ci_off is not None and ci_len:
+                    with open(path, "rb") as f:
+                        f.seek(ci_off)
+                        ci = _read_struct(io.BytesIO(f.read(ci_len)))
+                    null_pages = [bool(b) for b in ci.get(1, [])]
+                    entry["column_index"] = {
+                        "null_pages": null_pages,
+                        # a null page's min/max slots are UNDEFINED
+                        # (writers emit empty byte arrays) — decode
+                        # only the populated pages
+                        "min_values": [
+                            None if np_ else _decode_stat(v, physical)
+                            for np_, v in zip(null_pages, ci.get(2, []))
+                        ],
+                        "max_values": [
+                            None if np_ else _decode_stat(v, physical)
+                            for np_, v in zip(null_pages, ci.get(3, []))
+                        ],
+                        "boundary_order": BOUNDARY_ORDERS[ci.get(4, 0)],
+                        "null_counts": ci.get(5),
+                    }
+                oi_off, oi_len = cc.get(4), cc.get(5)
+                if oi_off is not None and oi_len:
+                    with open(path, "rb") as f:
+                        f.seek(oi_off)
+                        oi = _read_struct(io.BytesIO(f.read(oi_len)))
+                    entry["offset_index"] = {
+                        "page_locations": [
+                            {
+                                "offset": pl.get(1),
+                                "compressed_page_size": pl.get(2),
+                                "first_row_index": pl.get(3),
+                            }
+                            for pl in oi.get(1, [])
+                        ]
+                    }
+                cols.append(entry)
+            out.append(cols)
+        return out
+    except (AttributeError, TypeError, KeyError, IndexError, struct.error) as e:
+        raise ValueError(
+            f"{path}: malformed page index ({type(e).__name__}: {e})"
+        ) from e
+
+
+def page_prune_ranges(
+    entry: dict, lo=None, hi=None
+) -> dict:
+    """Replay page-level min/max pruning for ``lo <= col <= hi``
+    (either bound optional) over one column chunk's page index.
+    Returns ``{total_pages, pruned_pages, pruned_ranges}`` where
+    ``pruned_ranges`` are [start_row, end_row) ROW coordinates within
+    the row group (from the OffsetIndex) that a conforming reader
+    skips entirely. A null-only page is prunable for any non-null
+    predicate; a page whose max < lo or min > hi cannot contain a
+    match (truncated BYTE_ARRAY bounds stay conservative: the spec
+    requires min_values <= values <= max_values, so this replay
+    never over-prunes)."""
+    ci, oi = entry["column_index"], entry["offset_index"]
+    if ci is None or oi is None:
+        raise ValueError(f"{entry['path']}: page index absent")
+    locs = oi["page_locations"]
+    n_pages = len(locs)
+    num_rows = entry["num_rows"]
+    pruned = []
+    for i in range(n_pages):
+        start = locs[i]["first_row_index"]
+        end = locs[i + 1]["first_row_index"] if i + 1 < n_pages else num_rows
+        if ci["null_pages"][i]:
+            pruned.append((start, end))
+            continue
+        mn, mx = ci["min_values"][i], ci["max_values"][i]
+        if (lo is not None and mx is not None and mx < lo) or (
+            hi is not None and mn is not None and mn > hi
+        ):
+            pruned.append((start, end))
+    return {
+        "total_pages": n_pages,
+        "pruned_pages": len(pruned),
+        "pruned_ranges": pruned,
+    }
 
 
 def footer_column_stats(spark, sf_dir: str, tables=("events", "documents")):
@@ -452,3 +588,283 @@ FOOTER_STATS_SQL = (
     )
     + "\nORDER BY col_name"
 )
+
+
+# -- round 11: the page-index audit query -------------------------------
+
+_PAGE_INDEX_DIRS: dict[str, str] = {}
+PAGE_INDEX_COLS = ("event_id", "user_id", "value")
+
+
+def stage_events_page_indexed(spark, sf_dir: str) -> str:
+    """Write ``events`` as a value-clustered parquet layout WITH page
+    indexes: ``repartitionByRange(4, value)`` + sort-within-partition
+    so each file's pages carry tight ``value`` bounds (the layout
+    page-level pruning rewards), ~1000-row pages via
+    ``parquet.page.row.count.limit`` so even the small staging corpora
+    have multiple pages per chunk. parquet-mr (Spark's writer) emits
+    ColumnIndex/OffsetIndex by default — these are FOREIGN index
+    bytes, not ours. Staged once per corpus fingerprint
+    (crash-idempotent scratch + atomic rename)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(
+        f"pageidx|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    if tag in _PAGE_INDEX_DIRS:
+        return _PAGE_INDEX_DIRS[tag]
+    out_dir = os.path.join(tempfile.gettempdir(), f"rtba_pageidx_{tag}")
+    done = os.path.join(out_dir, "_staging_complete")
+    if not os.path.exists(done):
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        stage = f"{out_dir}.staging-{uuid.uuid4().hex[:12]}"
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "value")
+            .repartitionByRange(4, F.col("value"), F.col("event_id"))
+            .sortWithinPartitions("value", "event_id")
+            .write.option("parquet.page.row.count.limit", "1000")
+            .parquet(os.path.join(stage, "data"))
+        )
+        with open(os.path.join(stage, "_staging_complete"), "w") as f:
+            f.write(tag)
+        try:
+            os.rename(stage, out_dir)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+            if not os.path.exists(done):
+                raise
+    _PAGE_INDEX_DIRS[tag] = out_dir
+    return out_dir
+
+
+def page_index_stats(spark, sf_dir: str):
+    """``dq_parquet_page_index_stats`` — the page-level pruning
+    metadata (VERDICT r10 ask #5) decoded from parquet-mr's OWN index
+    bytes and bound to the data three ways:
+
+    - ``vmin``/``vmax``/``nulls``/``rows_covered`` aggregate the
+      per-page ColumnIndex bounds and OffsetIndex row spans across
+      every file and row group; the oracle recomputes the same
+      numbers FROM THE ROWS, so a misparsed varint, a wrong
+      first_row_index, or a dropped page breaks the hash;
+    - ``pruning_sound``/``kept_complete``: each file task replays
+      min/max pruning for ``col <= (fmin + (fmax-fmin)/4)`` and
+      verifies against a pyarrow row-level read (a second FOREIGN
+      reader) that pruned row ranges hold ZERO matching rows and kept
+      pages hold ALL of them — the two directions a pruning bug can
+      fail;
+    - ``boundary``: the sort column's chunks must publish ASCENDING
+      boundary order (what makes page-bound binary search legal).
+
+    Scale: one task per part file (the footer_column_stats pattern) —
+    a 100 TB table audits as an embarrassingly-parallel metadata scan
+    plus one column read per file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import round2
+
+    pkg = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    data_dir = os.path.join(
+        stage_events_page_indexed(spark, sf_dir), "data"
+    )
+    paths = [
+        os.path.join(data_dir, f)
+        for f in sorted(os.listdir(data_dir))
+        if f.endswith(".parquet")
+    ]
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(max(len(paths), 1))
+    audit_cols = PAGE_INDEX_COLS
+
+    def parse(iterator):
+        import sys
+
+        if pkg not in sys.path:
+            sys.path.insert(0, pkg)
+        import pandas as pd
+        import pyarrow.parquet as papq
+
+        from real_time_big_data_analytics_spark.sources.parquet_footer import (
+            page_prune_ranges,
+            read_page_index,
+        )
+
+        for pdf in iterator:
+            rows = []
+            for path in pdf["path"]:
+                pi = read_page_index(path)
+                values = {
+                    c: papq.read_table(path, columns=[c]).column(c).to_pylist()
+                    for c in audit_cols
+                }
+                for col in audit_cols:
+                    vmin = vmax = None
+                    nulls = 0
+                    covered = 0
+                    n_pages = 0
+                    present = True
+                    boundaries = set()
+                    chunks = []  # (entry, rg_row_offset)
+                    rg_off = 0
+                    for rg in pi:
+                        for e in rg:
+                            if e["path"] != col:
+                                continue
+                            if (
+                                e["column_index"] is None
+                                or e["offset_index"] is None
+                            ):
+                                present = False
+                                continue
+                            ci, oi = e["column_index"], e["offset_index"]
+                            locs = oi["page_locations"]
+                            n_pages += len(locs)
+                            boundaries.add(ci["boundary_order"])
+                            for i, mn in enumerate(ci["min_values"]):
+                                if mn is None:
+                                    continue
+                                vmin = mn if vmin is None else min(vmin, mn)
+                            for mx in ci["max_values"]:
+                                if mx is None:
+                                    continue
+                                vmax = mx if vmax is None else max(vmax, mx)
+                            nulls += sum(ci["null_counts"] or [])
+                            for i in range(len(locs)):
+                                start = locs[i]["first_row_index"]
+                                end = (
+                                    locs[i + 1]["first_row_index"]
+                                    if i + 1 < len(locs)
+                                    else e["num_rows"]
+                                )
+                                covered += end - start
+                            chunks.append((e, rg_off))
+                        rg_off += rg[0]["num_rows"] if rg else 0
+                    # pruning replay + two-sided verification
+                    sound = complete = True
+                    if present and vmin is not None and vmax is not None:
+                        thr = vmin + (vmax - vmin) / 4
+                        if col != "value":
+                            thr = int(thr)
+                        vals = values[col]
+                        matches = {
+                            i
+                            for i, v in enumerate(vals)
+                            if v is not None and v <= thr
+                        }
+                        kept_rows = set()
+                        for e, off in chunks:
+                            pr = page_prune_ranges(e, lo=None, hi=None)
+                            pruned = page_prune_ranges(e, hi=thr)
+                            pruned_abs = {
+                                r
+                                for s, en in pruned["pruned_ranges"]
+                                for r in range(off + s, off + en)
+                            }
+                            all_rows = set(
+                                range(off, off + e["num_rows"])
+                            )
+                            kept_rows |= all_rows - pruned_abs
+                            if pruned_abs & matches:
+                                sound = False
+                            _ = pr
+                        if not matches <= kept_rows:
+                            complete = False
+                    rows.append(
+                        {
+                            "col": col,
+                            "vmin": None if vmin is None else float(vmin),
+                            "vmax": None if vmax is None else float(vmax),
+                            "nulls": int(nulls),
+                            "rows_covered": int(covered),
+                            "index_present": bool(present),
+                            "value_ascending": (
+                                boundaries == {"ASCENDING"}
+                                if col == "value"
+                                else True
+                            ),
+                            "pruning_sound": bool(sound),
+                            "kept_complete": bool(complete),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "col", "vmin", "vmax", "nulls", "rows_covered",
+                    "index_present", "value_ascending", "pruning_sound",
+                    "kept_complete",
+                ],
+            )
+
+    per_file = files.mapInPandas(
+        parse,
+        "col string, vmin double, vmax double, nulls bigint, "
+        "rows_covered bigint, index_present boolean, "
+        "value_ascending boolean, pruning_sound boolean, "
+        "kept_complete boolean",
+    )
+    return (
+        per_file.groupBy("col")
+        .agg(
+            F.count("*").cast("bigint").alias("files"),
+            round2(F.min("vmin") + F.lit(0.0), 2).alias("vmin"),
+            round2(F.max("vmax") + F.lit(0.0), 2).alias("vmax"),
+            F.sum("nulls").cast("bigint").alias("nulls"),
+            F.sum("rows_covered").cast("bigint").alias("rows_covered"),
+            F.min("index_present").alias("index_present"),
+            F.min("value_ascending").alias("value_ascending"),
+            F.min("pruning_sound").alias("pruning_sound"),
+            F.min("kept_complete").alias("kept_complete"),
+        )
+        .orderBy("col")
+    )
+
+
+PAGE_INDEX_STATS_SQL = """
+WITH agg AS (
+    SELECT count(*) AS n,
+           round(min(event_id) + 0.0, 2) AS min_eid,
+           round(max(event_id) + 0.0, 2) AS max_eid,
+           CAST(count(*) - count(event_id) AS BIGINT) AS null_eid,
+           round(min(user_id) + 0.0, 2) AS min_uid,
+           round(max(user_id) + 0.0, 2) AS max_uid,
+           CAST(count(*) - count(user_id) AS BIGINT) AS null_uid,
+           round(min(value) + 0.0, 2) AS min_val,
+           round(max(value) + 0.0, 2) AS max_val,
+           CAST(count(*) - count(value) AS BIGINT) AS null_val
+    FROM events
+)
+SELECT c.col,
+       CAST(4 AS BIGINT) AS files,
+       CASE c.col WHEN 'event_id' THEN min_eid
+                  WHEN 'user_id' THEN min_uid
+                  ELSE min_val END AS vmin,
+       CASE c.col WHEN 'event_id' THEN max_eid
+                  WHEN 'user_id' THEN max_uid
+                  ELSE max_val END AS vmax,
+       CASE c.col WHEN 'event_id' THEN null_eid
+                  WHEN 'user_id' THEN null_uid
+                  ELSE null_val END AS nulls,
+       CAST(n AS BIGINT) AS rows_covered,
+       true AS index_present,
+       true AS value_ascending,
+       true AS pruning_sound,
+       true AS kept_complete
+FROM agg, (VALUES ('event_id'), ('user_id'), ('value')) AS c(col)
+ORDER BY c.col
+"""

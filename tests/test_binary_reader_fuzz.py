@@ -142,3 +142,40 @@ def test_parquet_footer_length_bomb_rejected():
         f.flush()
         with pytest.raises(ValueError, match="exceeds"):
             PF.read_footer(f.name)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_page_index_reader_survives_byte_flips(tmp_path_factory, data):
+    """Round 11: the page-index walk (footer fields 4-7 + seeked
+    ColumnIndex/OffsetIndex structs) under single-bit corruption —
+    decode correctly, or raise from the designed class; never hang,
+    never return shapes that crash the caller."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from real_time_big_data_analytics_spark.sources.parquet_footer import (
+        read_page_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("pz") / "p.parquet")
+    papq.write_table(
+        pa.table({"a": list(range(2000))}),
+        path,
+        write_page_index=True,
+        data_page_size=1,
+        write_batch_size=500,
+    )
+    raw = bytearray(open(path, "rb").read())
+    pos = data.draw(st.integers(min_value=0, max_value=len(raw) - 1))
+    bit = data.draw(st.integers(min_value=0, max_value=7))
+    raw[pos] ^= 1 << bit
+    open(path, "wb").write(bytes(raw))
+    try:
+        out = read_page_index(path)
+        for rg in out:
+            for e in rg:
+                if e["column_index"] is not None:
+                    assert isinstance(e["column_index"]["min_values"], list)
+    except BaseException as e:
+        assert _clean_failure(e), f"undesigned failure: {type(e).__name__}: {e}"
