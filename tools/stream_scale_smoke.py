@@ -178,6 +178,13 @@ def main() -> int:
         "of rate — the state-vs-length control; pair with chunks scaled "
         "by k so per-batch volume stays fixed",
     )
+    ap.add_argument(
+        "--providers",
+        default="rocksdb",
+        help="comma list of state-store providers to run: rocksdb, "
+        "default (HDFS-backed) — 'rocksdb,default' produces the "
+        "side-by-side table SCALE.md §r11 records",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -188,7 +195,6 @@ def main() -> int:
     from real_time_big_data_analytics_spark.streaming import runner
 
     spark = get_spark("rtba-stream-scale")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
     # recentProgress keeps only the last N batch reports (default 100);
     # the time-shift control replays 500+ micro-batches and the state
     # receipt must cover ALL of them
@@ -204,30 +210,47 @@ def main() -> int:
     base = build_chunked(spark, args.sf, 1, base_chunks)
     queries = all_queries()
 
+    providers = {
+        "rocksdb": ROCKSDB,
+        "default": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider"
+        ),
+    }
+    chosen = [p.strip() for p in args.providers.split(",") if p.strip()]
     report: dict[str, dict] = {}
     for name in args.names or STREAM_QUERIES:
         report[name] = {}
-        for label, sf_dir in (("base", base), (f"x{args.k}", big)):
-            t0 = time.monotonic()
-            n_out = queries[name].fn(spark, sf_dir).count()
-            wall = time.monotonic() - t0
-            m = state_metrics(runner.LAST_RECENT_PROGRESS)
-            m["wall_sec"] = round(wall, 2)
-            m["events_per_sec"] = round(m["input_rows"] / wall, 1)
-            m["out_rows"] = n_out
-            report[name][label] = m
-            print(
-                f"{name:36s} {label:6s} wall={wall:7.2f}s "
-                f"in={m['input_rows']:>9d} eps={m['events_per_sec']:>10.1f} "
-                f"batches={m['batches']:>3d} max_state_rows={m['max_state_rows']:>9d} "
-                f"max_state_bytes={m['max_state_bytes']:>11d}"
+        for prov in chosen:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                providers[prov],
             )
-        b, x = report[name]["base"], report[name][f"x{args.k}"]
-        report[name]["state_rows_ratio"] = round(
-            x["max_state_rows"] / max(b["max_state_rows"], 1), 2
-        )
-        report[name]["wall_ratio"] = round(x["wall_sec"] / max(b["wall_sec"], 1e-9), 2)
-    print(json.dumps({"k": args.k, "chunks": args.chunks, "provider": "rocksdb",
+            rep = report[name] if len(chosen) == 1 else report[name].setdefault(prov, {})
+            for label, sf_dir in (("base", base), (f"x{args.k}", big)):
+                t0 = time.monotonic()
+                n_out = queries[name].fn(spark, sf_dir).count()
+                wall = time.monotonic() - t0
+                m = state_metrics(runner.LAST_RECENT_PROGRESS)
+                m["wall_sec"] = round(wall, 2)
+                m["events_per_sec"] = round(m["input_rows"] / wall, 1)
+                m["out_rows"] = n_out
+                rep[label] = m
+                print(
+                    f"{name:36s} {prov:8s} {label:6s} wall={wall:7.2f}s "
+                    f"in={m['input_rows']:>9d} eps={m['events_per_sec']:>10.1f} "
+                    f"batches={m['batches']:>3d} max_state_rows={m['max_state_rows']:>9d} "
+                    f"max_state_bytes={m['max_state_bytes']:>11d}"
+                )
+            b, x = rep["base"], rep[f"x{args.k}"]
+            rep["state_rows_ratio"] = round(
+                x["max_state_rows"] / max(b["max_state_rows"], 1), 2
+            )
+            rep["wall_ratio"] = round(
+                x["wall_sec"] / max(b["wall_sec"], 1e-9), 2
+            )
+    print(json.dumps({"k": args.k, "chunks": args.chunks,
+                      "providers": chosen,
                       "mode": "time_shift" if args.time_shift else "rate",
                       "queries": report}))
     return 0
