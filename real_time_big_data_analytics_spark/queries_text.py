@@ -1528,6 +1528,48 @@ def _kafka_wire_snappy_roundtrip(spark, sf_dir):
     )
 
 
+def _kafka_wire_codec_matrix(spark, sf_dir):
+    """Round 11 follow-through on ask #1: with snappy in-engine and
+    lz4/zstd riding pyarrow's C++ frame codecs (probed present — the
+    refuse-loudly fallback stays for environments without it), the
+    staged topic cycles ALL FIVE protocol codec values per batch.
+    The scan-back aggregate equals the parquet oracle only if every
+    attributes-bits branch inflates correctly in both directions."""
+    from pyspark.sql import functions as F
+
+    from .sources.pyds import read_events_via_kafka_wire_codec_matrix
+
+    raw = read_events_via_kafka_wire_codec_matrix(spark, sf_dir)
+    parsed = raw.select(
+        F.from_json("value", _WIRE_EVENT_SCHEMA).alias("r"),
+        F.col("key"),
+    ).select("key", "r.*")
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.sum(F.length("props")).cast("bigint").alias("props_chars"),
+    )
+
+
+register(
+    "s_kafka_wire_codec_matrix",
+    _kafka_wire_codec_matrix,
+    sql="""
+    SELECT event_type, count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id,
+           CAST(sum(length(props)) AS BIGINT) AS props_chars
+    FROM events GROUP BY event_type
+    """,
+    tags=("source", "kafka", "wire", "codec", "python-datasource"),
+)
+
+
 register(
     "s_kafka_wire_snappy_roundtrip",
     _kafka_wire_snappy_roundtrip,
@@ -4487,6 +4529,54 @@ def _avro_ocf_snappy(spark, sf_dir):
         F.sum(F.col("ts_us") % 1000000007).cast("bigint").alias("ts_checksum"),
         F.sum(F.length("props")).cast("bigint").alias("props_chars"),
     )
+
+
+def _avro_ocf_codec_matrix(spark, sf_dir):
+    """Round 11: the REST of the Avro spec's codec set — ``bzip2``
+    (stdlib bz2), ``xz`` (stdlib lzma, .xz container) and
+    ``zstandard`` (zstd frame via pyarrow) — each staged and scanned
+    independently, the ``s_avro_ocf_codec_parity`` pattern. With
+    deflate/null (r7) and snappy (this round) the module now accepts
+    every codec Avro 1.12 names."""
+    from pyspark.sql import functions as F
+
+    from .sources.pyds import read_events_via_avro_ocf
+
+    out = None
+    for codec in ("bzip2", "xz", "zstandard"):
+        df = (
+            read_events_via_avro_ocf(spark, sf_dir, codec=codec)
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("event_id").alias("n_ids"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+                F.sum(F.col("ts_us") % 1000000007)
+                .cast("bigint")
+                .alias("ts_checksum"),
+            )
+            .withColumn("codec", F.lit(codec))
+            .select("codec", "n", "n_ids", "total_value", "ts_checksum")
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+register(
+    "s_avro_ocf_codec_matrix",
+    _avro_ocf_codec_matrix,
+    sql="""
+    SELECT c.codec, t.n, t.n_ids, t.total_value, t.ts_checksum
+    FROM (
+        SELECT count(*) AS n,
+               count(DISTINCT event_id) AS n_ids,
+               round(sum(value), 2) AS total_value,
+               CAST(sum(epoch_us(ts) % 1000000007) AS BIGINT) AS ts_checksum
+        FROM events
+    ) t
+    CROSS JOIN (VALUES ('bzip2'), ('xz'), ('zstandard')) AS c(codec)
+    """,
+    tags=("source", "avro", "codec", "python-datasource"),
+)
 
 
 register(

@@ -333,6 +333,8 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         "s_delta_check_constraints",
         "l3_hnsw_index_delete",
         "dq_parquet_page_index_stats",
+        "s_kafka_wire_codec_matrix",
+        "s_avro_ocf_codec_matrix",
     }
 )
 

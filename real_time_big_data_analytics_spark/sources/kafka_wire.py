@@ -129,11 +129,41 @@ def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 # RecordBatch v2 attributes bits 0-2: the compression codec
 # (kafka.apache.org/protocol "attributes"). none/gzip/snappy are
 # implemented in-engine (snappy via the pure-Python codec in
-# ``snappy_codec``, round 11 — the dominant codec on real topics);
-# lz4 (3) and zstd (4) are still refused loudly rather than
-# mis-decoded.
-CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY = 0, 1, 2
+# ``snappy_codec``, round 11 — the dominant codec on real topics).
+# lz4 (3, the KIP-57 LZ4 FRAME format) and zstd (4, the zstd frame)
+# ride pyarrow's C++ codecs — a baked-in dependency, probed at call
+# time — closing the full five-codec matrix; where pyarrow lacks the
+# codec the refusal stays loud, never a mis-decode.
+CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4, CODEC_ZSTD = 0, 1, 2, 3, 4
 _CODEC_MASK = 0x07
+
+
+def _pa_frame_compress(payload: bytes, codec_name: str) -> bytes:
+    try:
+        import pyarrow as pa
+
+        return pa.compress(payload, codec=codec_name, asbytes=True)
+    except ImportError as e:  # pragma: no cover - pyarrow is baked in
+        raise ValueError(
+            f"codec {codec_name} needs pyarrow, which is unavailable"
+        ) from e
+
+
+def _pa_frame_decompress(payload: bytes, codec_name: str) -> bytes:
+    """Frame formats (LZ4F / zstd) self-describe their length, which
+    ``pa.input_stream`` honors — no decompressed-size oracle needed."""
+    try:
+        import pyarrow as pa
+    except ImportError as e:  # pragma: no cover - pyarrow is baked in
+        raise ValueError(
+            f"codec {codec_name} needs pyarrow, which is unavailable"
+        ) from e
+    try:
+        return pa.input_stream(
+            pa.py_buffer(payload), compression=codec_name
+        ).read()
+    except (pa.ArrowInvalid, pa.ArrowIOError, OSError) as e:
+        raise ValueError(f"{codec_name} records section malformed: {e}") from e
 # attributes bit 4: isTransactional; bit 5: isControl (the KIP-98
 # transactional-messaging flags)
 ATTR_TRANSACTIONAL = 0x10
@@ -191,6 +221,10 @@ def encode_record_batch(
         # the xerial stream framing the Java client writes (and the
         # deterministic own-compressor keeps batches byte-reproducible)
         payload = snappy_codec.xerial_frame(payload)
+    elif codec == CODEC_LZ4:
+        payload = _pa_frame_compress(payload, "lz4")
+    elif codec == CODEC_ZSTD:
+        payload = _pa_frame_compress(payload, "zstd")
     elif codec != CODEC_NONE:
         raise ValueError(f"unsupported codec {codec}")
     n = len(records)
@@ -255,6 +289,11 @@ def decode_record_batch(buf: bytes) -> list[tuple[bytes | None, bytes]]:
         # clients) and a bare raw block (librdkafka) — magic-sniffed
         records_section = snappy_codec.maybe_xerial_unframe(
             bytes(after_crc[40:])
+        )
+        after_crc = after_crc[:40] + records_section
+    elif codec in (CODEC_LZ4, CODEC_ZSTD):
+        records_section = _pa_frame_decompress(
+            bytes(after_crc[40:]), "lz4" if codec == CODEC_LZ4 else "zstd"
         )
         after_crc = after_crc[:40] + records_section
     elif codec != CODEC_NONE:

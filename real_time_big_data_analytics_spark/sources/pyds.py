@@ -356,6 +356,8 @@ def stage_events_on_wire(
             "none": kw.CODEC_NONE,
             "gzip": kw.CODEC_GZIP,
             "snappy": kw.CODEC_SNAPPY,
+            "lz4": kw.CODEC_LZ4,
+            "zstd": kw.CODEC_ZSTD,
         }
         by_kpart: dict[int, list[tuple[bytes, bytes]]] = {}
         for r in rows:
@@ -722,6 +724,29 @@ def stage_group_resume_consumed(spark, sf_dir: str) -> str:
 
 
 WIRE_SNAPPY_TOPIC = "events_snappy"
+WIRE_CODEC_MATRIX_TOPIC = "events_codecs"
+
+
+def read_events_via_kafka_wire_codec_matrix(spark, sf_dir: str):
+    """Round 11: the FULL five-codec RecordBatch matrix — the per-batch
+    cycle lz4 → zstd → snappy → gzip → none interleaves every codec
+    value the Kafka protocol defines in one topic (lz4 = KIP-57 LZ4
+    frame, zstd = zstd frame, both via pyarrow's C++ codecs; snappy =
+    the xerial stream). One batch mis-inflated under any codec and the
+    scan-back aggregate diverges from the parquet oracle."""
+    addr = stage_events_on_wire(
+        spark, sf_dir, codecs=("lz4", "zstd", "snappy", "gzip", "none"),
+        topic=WIRE_CODEC_MATRIX_TOPIC,
+    )
+    spark.dataSource.register(make_kafka_wire_datasource())
+    return (
+        spark.read.format("kafka_wire")
+        .option("addr", addr)
+        .option("topic", WIRE_CODEC_MATRIX_TOPIC)
+        .option("nparts", str(WIRE_NPARTS))
+        .option("pkg", _repo_root())
+        .load()
+    )
 
 
 def read_events_via_kafka_wire_snappy(spark, sf_dir: str):

@@ -166,7 +166,7 @@ def main() -> None:
         merged_q.update(report)
         out["queries"] = merged_q
         out["merged_rounds"] = sorted(
-            set(prev.get("merged_rounds") or []) | {"r10"}
+            set(prev.get("merged_rounds") or []) | {"r11"}
         )
         out["ambient_pre_prev"] = prev.get("ambient_pre")
     with open(path, "w") as f:
