@@ -68,7 +68,9 @@ def test_long_roundtrip_extremes():
         assert A.read_long(io.BytesIO(buf.getvalue())) == n
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize(
+    "codec", ["null", "deflate", "snappy", "bzip2", "xz", "zstandard"]
+)
 def test_python_roundtrip(tmp_path, codec):
     rows = _rows(5000)
     path = str(tmp_path / f"ev_{codec}.avro")
@@ -77,7 +79,9 @@ def test_python_roundtrip(tmp_path, codec):
     assert list(A.read_ocf(path)) == rows
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize(
+    "codec", ["null", "deflate", "snappy", "bzip2", "xz", "zstandard"]
+)
 def test_java_reads_our_file(spark, tmp_path, codec):
     """FOREIGN decode: the official Apache Avro Java reader (inside
     pyspark's JVM) must read every record we wrote, byte-compatible."""
@@ -105,7 +109,9 @@ def test_java_reads_our_file(spark, tmp_path, codec):
     assert got == rows
 
 
-@pytest.mark.parametrize("jcodec", ["deflate", "snappy"])
+@pytest.mark.parametrize(
+    "jcodec", ["deflate", "snappy", "bzip2", "xz", "zstandard"]
+)
 def test_we_read_java_file(spark, tmp_path, jcodec):
     """Reverse interop: a file written by the official Java
     DataFileWriter (its RANDOM sync marker; snappy via the bundled
@@ -116,10 +122,15 @@ def test_we_read_java_file(spark, tmp_path, jcodec):
     writer = jvm.org.apache.avro.file.DataFileWriter(
         jvm.org.apache.avro.generic.GenericDatumWriter(schema)
     )
+    cf = jvm.org.apache.avro.file.CodecFactory
     writer.setCodec(
-        jvm.org.apache.avro.file.CodecFactory.deflateCodec(6)
-        if jcodec == "deflate"
-        else jvm.org.apache.avro.file.CodecFactory.snappyCodec()
+        {
+            "deflate": lambda: cf.deflateCodec(6),
+            "snappy": cf.snappyCodec,
+            "bzip2": cf.bzip2Codec,
+            "xz": lambda: cf.xzCodec(6),
+            "zstandard": lambda: cf.zstandardCodec(3),
+        }[jcodec]()
     )
     path = str(tmp_path / f"java_written_{jcodec}.avro")
     writer.create(schema, jvm.java.io.File(path))

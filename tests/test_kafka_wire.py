@@ -815,3 +815,33 @@ def test_fetch_from_committed_offset_resumes_exactly(broker):
             for rec in KW.decode_record_batch(b)
         ]
         assert rest == b2  # no b1 re-delivery, nothing lost
+
+
+def test_lz4_zstd_batch_roundtrip_and_wire_trip(broker):
+    """Round 11: attribute codecs 3 (KIP-57 LZ4 frame) and 4 (zstd
+    frame) — payload magic pinned to the public frame formats, full
+    encode → broker → fetch → decode trip, and corruption surfacing
+    as the designed ValueError class."""
+    recs = [(f"k{i}".encode(), (f'{{"v":{i}}}' * 2).encode()) for i in range(400)]
+    _, addr = broker
+    for codec, magic, topic in (
+        (KW.CODEC_LZ4, bytes.fromhex("04224d18"), "lz"),
+        (KW.CODEC_ZSTD, bytes.fromhex("28b52ffd"), "zs"),
+    ):
+        batch = KW.encode_record_batch(recs, codec=codec)
+        # the compressed payload starts after the 61-byte envelope
+        assert batch[61 : 61 + 4] == magic
+        assert KW.decode_record_batch(batch) == recs
+        with _connect(addr) as sock:
+            err, _ = _produce_one(sock, 1, topic, 0, batch)
+            assert err == 0
+            assert _fetch_all(sock, 2, topic, 0) == recs
+        # corrupt INSIDE the frame with a recomputed CRC: the codec
+        # itself must refuse (not just the CRC envelope)
+        body = bytearray(batch[21:])
+        body[60] ^= 0xFF  # a frame byte past the 40-byte batch header
+        crc = KW.crc32c(bytes(body))
+        tail = struct.pack(">ibI", -1, 2, crc) + bytes(body)
+        bad = struct.pack(">qi", 0, len(tail)) + tail
+        with pytest.raises(ValueError):
+            KW.decode_record_batch(bad)
