@@ -3918,6 +3918,23 @@ register(
     tags=("dq", "parquet", "page-index", "pruning", "metadata"),
 )
 
+# round 11 bonus: the bloom-filter pruning tier — split-block blooms
+# (xxhash64, BlockSplitBloomFilter) decoded from parquet-mr's bytes,
+# probed for every present distinct value (no false negatives) and a
+# fixed absent set (majority excluded); the point-predicate skip lever
+# min/max bounds cannot provide on high-cardinality ids.
+from .sources.parquet_footer import (  # noqa: E402
+    BLOOM_PROBE_STATS_SQL,
+    bloom_probe_stats,
+)
+
+register(
+    "dq_parquet_bloom_probe_stats",
+    bloom_probe_stats,
+    sql=BLOOM_PROBE_STATS_SQL,
+    tags=("dq", "parquet", "bloom-filter", "pruning", "metadata"),
+)
+
 
 # --- round 7: Delta-log table semantics over parquet files ---
 

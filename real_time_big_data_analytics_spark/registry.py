@@ -335,6 +335,7 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         "dq_parquet_page_index_stats",
         "s_kafka_wire_codec_matrix",
         "s_avro_ocf_codec_matrix",
+        "dq_parquet_bloom_probe_stats",
     }
 )
 

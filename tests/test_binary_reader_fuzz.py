@@ -179,3 +179,52 @@ def test_page_index_reader_survives_byte_flips(tmp_path_factory, data):
                     assert isinstance(e["column_index"]["min_values"], list)
     except BaseException as e:
         assert _clean_failure(e), f"undesigned failure: {type(e).__name__}: {e}"
+
+
+_BLOOM_FUZZ_BYTES: list[bytes] = []
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_bloom_filter_reader_survives_byte_flips(spark, tmp_path_factory, data):
+    """Round 11: the bloom header + bitset walk under single-bit
+    corruption — decode, or raise from the designed class. A corrupt
+    BITSET that still parses is acceptable (blooms are probabilistic),
+    but the probe path must never crash on it. The clean file is
+    written ONCE by parquet-mr (this pyarrow lacks
+    bloom_filter_columns) and mutated per example."""
+    from real_time_big_data_analytics_spark.sources.parquet_footer import (
+        bloom_might_contain,
+        read_bloom_filters,
+    )
+
+    if not _BLOOM_FUZZ_BYTES:
+        import glob
+        import os
+
+        from pyspark.sql import functions as F
+
+        d = str(tmp_path_factory.mktemp("bz") / "clean")
+        (
+            spark.range(0, 500)
+            .select(F.col("id").alias("a"))
+            .coalesce(1)
+            .write.option("parquet.bloom.filter.enabled#a", "true")
+            .option("parquet.bloom.filter.expected.ndv#a", "500")
+            .option("parquet.enable.dictionary#a", "false")
+            .parquet(d)
+        )
+        src = glob.glob(os.path.join(d, "*.parquet"))[0]
+        _BLOOM_FUZZ_BYTES.append(open(src, "rb").read())
+    path = str(tmp_path_factory.mktemp("bz") / "b.parquet")
+    raw = bytearray(_BLOOM_FUZZ_BYTES[0])
+    pos = data.draw(st.integers(min_value=0, max_value=len(raw) - 1))
+    bit = data.draw(st.integers(min_value=0, max_value=7))
+    raw[pos] ^= 1 << bit
+    open(path, "wb").write(bytes(raw))
+    try:
+        for rg in read_bloom_filters(path):
+            for b in rg.values():
+                bloom_might_contain(b, 3)
+    except BaseException as e:
+        assert _clean_failure(e), f"undesigned failure: {type(e).__name__}: {e}"

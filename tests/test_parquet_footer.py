@@ -273,3 +273,126 @@ def test_spark_written_page_index_decodes(spark, tmp_path):
     assert by_col["v"]["column_index"]["boundary_order"] == "ASCENDING"
     assert by_col["a"]["column_index"]["boundary_order"] == "UNORDERED"
     assert len(by_col["v"]["offset_index"]["page_locations"]) >= 15
+
+
+# --- round 11: bloom filters (split-block, xxhash64) -------------------
+
+
+def test_xxhash64_reference_vectors():
+    """The xxHash64 reference test vectors (Cyan4973/xxHash README +
+    widely published): any drift breaks every bloom probe."""
+    from real_time_big_data_analytics_spark.sources.parquet_footer import (
+        xxhash64,
+    )
+
+    assert xxhash64(b"") == 0xEF46DB3751D8E999
+    assert xxhash64(b"", seed=1) == 0xD5AFBA1336A3BE4B
+    assert xxhash64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxhash64(b"abc") == 0x44BC2CF5AD770999
+    # >32 bytes exercises the 4-lane stripe path
+    assert (
+        xxhash64(b"xxhash is a fast non-cryptographic hash algorithm!!")
+        == xxhash64(b"xxhash is a fast non-cryptographic hash algorithm!!")
+    )
+
+
+def _bloom_file(spark, tmp_path, col_expr, name, ndv="20000"):
+    import glob
+    import os
+
+    d = str(tmp_path / f"bl_{name}")
+    (
+        spark.range(0, 20000)
+        .select(col_expr.alias(name))
+        .coalesce(1)
+        .write.option(f"parquet.bloom.filter.enabled#{name}", "true")
+        .option(f"parquet.bloom.filter.expected.ndv#{name}", ndv)
+        .option(f"parquet.enable.dictionary#{name}", "false")
+        .parquet(d)
+    )
+    return glob.glob(os.path.join(d, "*.parquet"))[0]
+
+
+def test_bloom_no_false_negatives_and_java_hash_agreement(spark, tmp_path):
+    """FOREIGN validation against parquet-mr's own
+    BlockSplitBloomFilter (via py4j): our xxhash64-of-plain-encoding
+    values probe True in THEIR reader for present values, their
+    findHash agrees with our bloom_might_contain on the same bitset
+    bytes, and no present value ever probes False in ours."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.sources.parquet_footer import (
+        bloom_hash_value,
+        bloom_might_contain,
+        read_bloom_filters,
+    )
+
+    p = _bloom_file(spark, tmp_path, (F.col("id") * 7919) % 100000, "uid")
+    blooms = read_bloom_filters(p)
+    assert len(blooms) == 1 and "uid" in blooms[0]
+    b = blooms[0]["uid"]
+    assert b["type"] == "INT64" and b["num_bytes"] % 32 == 0
+    present = sorted({(i * 7919) % 100000 for i in range(20000)})
+    assert all(bloom_might_contain(b, v) for v in present)  # zero FN
+    absent = [10**12 + j for j in range(200)]
+    hits = sum(1 for v in absent if bloom_might_contain(b, v))
+    assert hits < 100  # fpp ~1%: a majority of absents excluded
+    # the Java reader on the same bytes agrees probe-by-probe
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(p), conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+    rg = reader.getRowGroups().get(0)
+    jbf = reader.getBloomFilterDataReader(rg).readBloomFilter(
+        rg.getColumns().get(0)
+    )
+    try:
+        for v in present[:50] + absent[:50]:
+            h = bloom_hash_value(v, "INT64")
+            signed = h - (1 << 64) if h >= 1 << 63 else h
+            assert jbf.findHash(signed) == bloom_might_contain(b, v), v
+    finally:
+        reader.close()
+
+
+def test_bloom_byte_array_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.sources.parquet_footer import (
+        bloom_might_contain,
+        read_bloom_filters,
+    )
+
+    p = _bloom_file(
+        spark, tmp_path,
+        F.concat(F.lit("user_"), F.col("id").cast("string")), "name",
+    )
+    b = read_bloom_filters(p)[0]["name"]
+    assert b["type"] == "BYTE_ARRAY"
+    assert all(
+        bloom_might_contain(b, f"user_{i}") for i in range(0, 20000, 97)
+    )
+    absent_hits = sum(
+        1 for j in range(200) if bloom_might_contain(b, f"ghost_{j}")
+    )
+    assert absent_hits < 100
+
+
+def test_bloom_reader_rejects_corrupt_header(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_analytics_spark.sources.parquet_footer import (
+        _read_raw_footer,
+        read_bloom_filters,
+    )
+
+    p = _bloom_file(spark, tmp_path, (F.col("id") * 31) % 4096, "x")
+    fm = _read_raw_footer(p)
+    off = fm[4][0][1][0][3][14]
+    raw = bytearray(open(p, "rb").read())
+    raw[off] = 0xFF  # clobber the header's first field byte
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError):
+        read_bloom_filters(p)
