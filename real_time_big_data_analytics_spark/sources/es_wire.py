@@ -401,6 +401,20 @@ class MiniES:
             cache[key] = parts
         return cache[key]
 
+    def _parsed_docs(self, st: dict) -> dict:
+        """Caller holds ``self._lock``. ``{_id: parsed source dict}``,
+        built once per index version — the in-memory analog of a
+        shard's doc values. Aggregation requests (incl. every
+        composite-agg PAGE) used to re-``json.loads`` the whole corpus
+        per request; consumers must treat the parsed objects as
+        READ-ONLY (they are shared across requests)."""
+        cache = st.setdefault("_cache", {})
+        if "parsed" not in cache:
+            cache["parsed"] = {
+                i: json.loads(s) for i, s in st["docs"].items()
+            }
+        return cache["parsed"]
+
     def _search(self, index: str, query: str, body: bytes):
         req = json.loads(body or b"{}")
         size = int(req.get("size", 10))
@@ -417,8 +431,10 @@ class MiniES:
                 }
             st = self.indices[index]
             if wants_aggs:
-                # aggregations see the whole filtered index (no slice)
-                docs = dict(st["docs"])
+                # aggregations see the whole filtered index (no slice);
+                # the per-version parsed cache replaces the old
+                # copy + re-parse of the corpus per request
+                parsed_docs = self._parsed_docs(st)
             else:
                 if slice_spec is not None:
                     sid, smax = int(slice_spec["id"]), int(slice_spec["max"])
@@ -433,15 +449,12 @@ class MiniES:
                 # (ADVICE r8), and copying the whole corpus per sliced
                 # request was the other half of the O(N × n) read
                 docs = {i: st["docs"][i] for i in ids}
-        if dsl is not None and wants_aggs:
-            docs = {
-                i: s
-                for i, s in docs.items()
-                if _match_query(dsl, json.loads(s))
-            }
         if wants_aggs:
+            rows = list(parsed_docs.values())
+            if dsl is not None:
+                rows = [r for r in rows if _match_query(dsl, r)]
             return self._aggregate(
-                docs, req.get("aggs") or req["aggregations"], size
+                rows, req.get("aggs") or req["aggregations"], size
             )
         if dsl is not None:
             # Query-DSL filtering (term / range / bool.filter) — the
@@ -483,14 +496,14 @@ class MiniES:
             resp["_scroll_id"] = scroll_id
         return 200, resp
 
-    def _aggregate(self, docs: dict, aggs: dict, size: int):
+    def _aggregate(self, parsed: list, aggs: dict, size: int):
         """The Aggregations-API subset the reference's Kibana
         dashboards issue (terms bucketing with metric sub-aggs, plus
         top-level sum/avg/min/max/value_count) — computed SERVER-side
-        over the indexed documents, like real ES. Terms buckets order
-        by doc_count desc with key asc tiebreak (the documented
-        default) and report sum_other_doc_count for the tail."""
-        parsed = [json.loads(s) for s in docs.values()]
+        over the indexed documents (pre-parsed, READ-ONLY — see
+        ``_parsed_docs``), like real ES. Terms buckets order by
+        doc_count desc with key asc tiebreak (the documented default)
+        and report sum_other_doc_count for the tail."""
 
         def metric(kind: str, spec: dict, rows: list) -> float:
             import math

@@ -421,6 +421,11 @@ API_END_TXN = 26
 # "group"`` consumer contract (ConsumerESFinal.scala:43) that lives
 # broker-side rather than in Structured Streaming checkpoints
 API_OFFSET_COMMIT, API_OFFSET_FETCH, API_FIND_COORDINATOR = 8, 9, 10
+# ListOffsets (round 11): how a consumer with NO committed offset
+# resolves auto.offset.reset — earliest (-2) / latest (-1) — plus
+# offset-for-timestamp lookup over the batch header timestamps
+API_LIST_OFFSETS = 2
+TS_EARLIEST, TS_LATEST = -2, -1
 
 # public error codes the idempotent path uses
 ERR_OUT_OF_ORDER_SEQUENCE = 45
@@ -544,6 +549,29 @@ def find_coordinator(
     host, pos = _read_str(resp, 6)
     (port,) = struct.unpack(">i", resp[pos : pos + 4])
     return host, port
+
+
+def list_offsets(
+    sock: socket.socket,
+    topic: str,
+    partition: int,
+    timestamp: int = TS_EARLIEST,
+    correlation_id: int = 0,
+) -> int:
+    """ListOffsets v1 for one partition → the resolved offset
+    (earliest/latest/first-at-or-after-timestamp)."""
+    body = struct.pack(">i", -1) + struct.pack(">i", 1) + _str(topic)
+    body += struct.pack(">i", 1) + struct.pack(">iq", partition, timestamp)
+    resp = call(
+        sock, frame_request(API_LIST_OFFSETS, 1, correlation_id, body)
+    )
+    pos = 4  # ntopics
+    _topic, pos = _read_str(resp, pos)
+    pos += 4  # nparts
+    _p, err, _ts, off = struct.unpack(">ihqq", resp[pos : pos + 22])
+    if err != 0:
+        raise IOError(f"ListOffsets refused: error {err}")
+    return off
 
 
 def offset_commit(
@@ -807,6 +835,7 @@ class MiniBroker:
                 (API_OFFSET_COMMIT, 0, 0),
                 (API_OFFSET_FETCH, 1, 1),
                 (API_FIND_COORDINATOR, 0, 0),
+                (API_LIST_OFFSETS, 1, 1),
             )
             out = struct.pack(">h", 0) + struct.pack(">i", len(supported))
             for k, lo, hi in supported:
@@ -823,6 +852,8 @@ class MiniBroker:
             out = struct.pack(">ihqh", 0, 0, pid, 0)
         elif api_key == API_END_TXN and api_version == 0:
             out = self._end_txn(body)
+        elif api_key == API_LIST_OFFSETS and api_version == 1:
+            out = self._list_offsets(body)
         elif api_key == API_OFFSET_COMMIT and api_version == 0:
             out = self._offset_commit(body)
         elif api_key == API_OFFSET_FETCH and api_version == 1:
@@ -941,6 +972,47 @@ class MiniBroker:
                 if not committed:
                     self._aborted_txns.setdefault(key, []).append((pid, first))
         return struct.pack(">ih", 0, 0)  # throttle, error
+
+    def _list_offsets(self, body: bytes) -> bytes:
+        """ListOffsets v1: replica + [topic + [partition, timestamp]]
+        -> [topic + [partition, error, timestamp, offset]]. −2 =
+        earliest (log start, 0 here — no retention deletes), −1 =
+        latest (high watermark), T >= 0 = the first offset whose batch
+        could hold a record at/after T, resolved from the batch HEADER
+        maxTimestamp fields (bytes 35..43 of each stored batch — no
+        record decode), exactly the index walk a real broker does over
+        its time index."""
+        pos = 4  # replica_id
+        (ntopics,) = struct.unpack(">i", body[pos : pos + 4])
+        pos += 4
+        out = struct.pack(">i", ntopics)
+        for _ in range(ntopics):
+            topic, pos = _read_str(body, pos)
+            (nparts,) = struct.unpack(">i", body[pos : pos + 4])
+            pos += 4
+            parts = b""
+            for _ in range(nparts):
+                partition, ts = struct.unpack(">iq", body[pos : pos + 12])
+                pos += 12
+                key = (topic, partition)
+                with self._produce_lock:
+                    hw = self._counts.get(key, 0)
+                    if ts == TS_LATEST:
+                        off = hw
+                    elif ts == TS_EARLIEST:
+                        off = 0
+                    else:
+                        off = hw  # nothing at/after ts -> latest
+                        for b, (base, _n) in zip(
+                            self.log.get(key, []), self._meta.get(key, [])
+                        ):
+                            (max_ts,) = struct.unpack(">q", b[35:43])
+                            if max_ts >= ts:
+                                off = base
+                                break
+                parts += struct.pack(">ihqq", partition, 0, ts, off)
+            out += _str(topic) + struct.pack(">i", nparts) + parts
+        return out
 
     def _offset_commit(self, body: bytes) -> bytes:
         """OffsetCommit v0: group + [topic + [partition, offset,

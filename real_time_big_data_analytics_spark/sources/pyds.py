@@ -658,8 +658,14 @@ def stage_group_resume_consumed(spark, sf_dir: str) -> str:
                         start = kw.offset_fetch(
                             sock, group, topic, [kpart], correlation_id=1
                         )[kpart]
-                    if start < 0:
-                        start = 0
+                        if start < 0:
+                            # no committed offset: auto.offset.reset =
+                            # earliest, resolved over the wire like a
+                            # real consumer (ListOffsets, round 11)
+                            start = kw.list_offsets(
+                                sock, topic, kpart, kw.TS_EARLIEST,
+                                correlation_id=4,
+                            )
                     # the coordinator v0 answer is the broker itself;
                     # fetch over a coordinator-addressed socket to
                     # prove the redirect target serves data

@@ -845,3 +845,27 @@ def test_lz4_zstd_batch_roundtrip_and_wire_trip(broker):
         bad = struct.pack(">qi", 0, len(tail)) + tail
         with pytest.raises(ValueError):
             KW.decode_record_batch(bad)
+
+
+def test_list_offsets_earliest_latest_and_timestamp(broker):
+    """Round 11: ListOffsets v1 — earliest/latest resolve from the
+    offset index; a timestamp lookup walks the batch-header
+    maxTimestamp fields (no record decode) and returns the first
+    offset whose batch could hold a record at/after T."""
+    _, addr = broker
+    topic = "t_lo"
+    with _connect(addr) as sock:
+        assert KW.list_offsets(sock, topic, 0, KW.TS_EARLIEST) == 0
+        assert KW.list_offsets(sock, topic, 0, KW.TS_LATEST) == 0
+        b1 = KW.encode_record_batch([(b"a", b"1")], base_timestamp=1000)
+        b2 = KW.encode_record_batch(
+            [(b"b", b"2"), (b"c", b"3")], base_timestamp=2000
+        )
+        assert _produce_one(sock, 1, topic, 0, b1)[0] == 0
+        assert _produce_one(sock, 2, topic, 0, b2)[0] == 0
+        assert KW.list_offsets(sock, topic, 0, KW.TS_EARLIEST) == 0
+        assert KW.list_offsets(sock, topic, 0, KW.TS_LATEST) == 3
+        assert KW.list_offsets(sock, topic, 0, 500) == 0    # before all
+        assert KW.list_offsets(sock, topic, 0, 1500) == 1   # second batch
+        assert KW.list_offsets(sock, topic, 0, 2000) == 1
+        assert KW.list_offsets(sock, topic, 0, 9999) == 3   # after all
