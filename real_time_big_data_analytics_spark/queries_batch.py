@@ -3935,6 +3935,21 @@ register(
     tags=("dq", "parquet", "bloom-filter", "pruning", "metadata"),
 )
 
+# round 11 bonus: RESTORE — rollback as a forward commit (the undone
+# version stays time-travelable; restored rows serve through the
+# ORIGINAL files, pinned by the same_files_as_v1 structural flag).
+from .sources.delta_log import (  # noqa: E402
+    DELTA_RESTORE_SQL,
+    delta_restore,
+)
+
+register(
+    "s_delta_restore",
+    delta_restore,
+    sql=DELTA_RESTORE_SQL,
+    tags=("source", "delta", "restore", "time-travel"),
+)
+
 
 # --- round 7: Delta-log table semantics over parquet files ---
 

@@ -336,6 +336,7 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         "s_kafka_wire_codec_matrix",
         "s_avro_ocf_codec_matrix",
         "dq_parquet_bloom_probe_stats",
+        "s_delta_restore",
     }
 )
 

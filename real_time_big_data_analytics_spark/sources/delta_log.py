@@ -2361,3 +2361,118 @@ SELECT count(*) AS n,
            AS n_gen_refused
 FROM events WHERE event_id % 7 <> 0
 """
+
+
+# -- round 11: RESTORE (version rollback as a forward commit) -----------
+
+
+def restore_to_version(table_dir: str, version: int) -> int:
+    """Delta RESTORE semantics: roll the table BACK to ``version`` by
+    rolling the log FORWARD — one new commit whose adds/removes make
+    the active file set equal the target snapshot's. Nothing is
+    deleted (history including the undone versions stays time-
+    travelable; the restored-over files remain dead until vacuum),
+    which is what distinguishes RESTORE from log truncation and why
+    it is safe under concurrent readers. The commit carries a
+    ``commitInfo`` with operation RESTORE + the target version, the
+    shape delta-spark writes. Returns the committed version."""
+    target = replay(table_dir, version)
+    head = replay(table_dir)
+    want = target["_active"]
+    have = head["_active"]
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+                "timestamp": _T0,
+            }
+        }
+    ]
+    for path in sorted(set(have) - set(want)):
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": _T0,
+                    "dataChange": True,
+                }
+            }
+        )
+    for path in sorted(set(want) - set(have)):
+        actions.append({"add": dict(want[path], dataChange=True)})
+    return commit_with_retry(table_dir, actions)
+
+
+def stage_events_as_delta_restored(spark, sf_dir: str) -> str:
+    """The shared three-version table + a v3 RESTORE back to v1."""
+
+    def build(spark_, sf_dir_, stage_dir, tag):
+        _build_three_version_table(spark_, sf_dir_, stage_dir, tag)
+        v = restore_to_version(stage_dir, 1)
+        if v != 3:
+            raise AssertionError(f"restore landed at v{v}, expected 3")
+
+    return _stage_table(spark, sf_dir, "delta_restore", builder=build)
+
+
+def delta_restore(spark, sf_dir: str):
+    """``s_delta_restore`` — the RESTORE lifecycle read at every
+    version: v1 (pre-compaction: evens + odds-mod-1), v2 (the
+    compaction overwrite), v3 (RESTORE to v1 — same ROWS as v1
+    through v1's original files, audited by ``files_active``), with
+    the undone v2 still time-travelable. A restore that forgot a
+    remove double-counts the compacted rows; one that dropped an add
+    loses them — either breaks the hash."""
+    from pyspark.sql import functions as F
+
+    table_dir = stage_events_as_delta_restored(spark, sf_dir)
+    v1_files = set(replay(table_dir, 1)["files"])
+    out = None
+    for v in (1, 2, 3):
+        snap = replay(table_dir, v)
+        df = (
+            read_snapshot(spark, table_dir, version=v)
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+                F.min("event_id").alias("min_event_id"),
+                F.max("event_id").alias("max_event_id"),
+            )
+            .withColumn("version", F.lit(v).cast("bigint"))
+            .withColumn(
+                # the structural bind: v3 serves v1's ROWS through
+                # v1's ORIGINAL files (true), while v2's compaction
+                # files differ (false) — SF-independent, unlike raw
+                # file counts
+                "same_files_as_v1",
+                F.lit(set(snap["files"]) == v1_files),
+            )
+            .select(
+                "version", "n", "n_users", "total_value",
+                "min_event_id", "max_event_id", "same_files_as_v1",
+            )
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+DELTA_RESTORE_SQL = """
+WITH v(version, with_twos, same_files_as_v1) AS (
+    VALUES (CAST(1 AS BIGINT), false, true),
+           (CAST(2 AS BIGINT), true,  false),
+           (CAST(3 AS BIGINT), false, true)
+)
+SELECT v.version,
+       count(*) AS n,
+       count(DISTINCT e.user_id) AS n_users,
+       round(sum(e.value), 2) AS total_value,
+       min(e.event_id) AS min_event_id,
+       max(e.event_id) AS max_event_id,
+       v.same_files_as_v1
+FROM v JOIN events e
+  ON (e.event_id % 3 IN (0, 1)) OR v.with_twos
+GROUP BY v.version, v.same_files_as_v1
+ORDER BY v.version
+"""

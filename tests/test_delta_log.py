@@ -1219,3 +1219,32 @@ def test_provided_generated_values_verified(tmp_path, spark):
         D.append_with_constraints(spark, table, bad, "bad")
     assert ei.value.violations == {"generated column dbl": 1}
     assert D.log_versions(table) == [0, 1]
+
+
+def test_restore_rolls_forward_and_preserves_history(tmp_path, spark):
+    """RESTORE = a forward commit that re-creates the target's active
+    set: the undone version stays time-travelable, restored rows serve
+    through the ORIGINAL files (no data rewritten), and a remove-only
+    diff (restoring past an append) works too."""
+    table, adds1 = _toy_table(tmp_path, spark)  # v0: ids {1,2}
+    df2 = spark.createDataFrame([(3, "c")], "id bigint, s string")
+    D.write_commit(table, 1, D._write_version_files(spark, df2, table, "v1"))
+    assert {r.id for r in D.read_snapshot(spark, table).collect()} == {1, 2, 3}
+    v = D.restore_to_version(table, 0)
+    assert v == 2
+    assert {r.id for r in D.read_snapshot(spark, table).collect()} == {1, 2}
+    # history intact: the undone v1 still time-travels
+    assert {r.id for r in D.read_snapshot(spark, table, 1).collect()} == {1, 2, 3}
+    # active set is v0's exact files
+    assert set(D.replay(table)["files"]) == set(D.replay(table, 0)["files"])
+    # commitInfo carries the RESTORE operation
+    actions = [
+        json.loads(ln)
+        for ln in open(D._commit_path(table, 2)).read().splitlines()
+        if ln.strip()
+    ]
+    ci = [a for a in actions if "commitInfo" in a]
+    assert ci and ci[0]["commitInfo"]["operation"] == "RESTORE"
+    # restore forward again (to v1) — re-adds the removed file
+    assert D.restore_to_version(table, 1) == 3
+    assert {r.id for r in D.read_snapshot(spark, table).collect()} == {1, 2, 3}
