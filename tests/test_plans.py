@@ -146,6 +146,8 @@ def test_no_rowwise_python_or_cartesian_anywhere(spark, sf_dir):
         "l4_bm25_search",  # 1-row N/avgdl scalar broadcast
         "l3_ivf_append_invariants",  # 1-row truth-counts broadcast
         "l3_hnsw_index_append",  # 1-row truth/recall-flag broadcasts
+        "l3_hnsw_index_delete",  # 1-row audit-flag broadcasts (counts,
+        # reachability, serve-clean, no-refs, recall) crossJoined
         "q11_important_part_values",  # 1-row grand-total threshold broadcast
         # m1/m3: 1-row bound-assertion flag broadcast onto the counts
         "m1_train_score_users",

@@ -163,9 +163,10 @@ def test_avro_codec_crc_binds_plain_bytes():
 @settings(max_examples=80, deadline=None)
 @given(st.data())
 def test_decompress_survives_byte_flips(data):
-    base = S.compress(
-        b'{"k":1,"v":"snappy snappy"}' * 50 + os.urandom(64)
-    )
+    # deterministic base bytes: hypothesis replays the test body and
+    # flags any run-to-run divergence as Flaky, so no urandom here
+    noise = bytes((i * 197 + 11) % 256 for i in range(64))
+    base = S.compress(b'{"k":1,"v":"snappy snappy"}' * 50 + noise)
     raw = bytearray(base)
     pos = data.draw(st.integers(min_value=0, max_value=len(raw) - 1))
     bit = data.draw(st.integers(min_value=0, max_value=7))
