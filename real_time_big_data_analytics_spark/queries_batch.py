@@ -3950,6 +3950,22 @@ register(
     tags=("source", "delta", "restore", "time-travel"),
 )
 
+# round 11 bonus: ADD-COLUMN schema evolution — a metadata-only
+# widening; pre-widening files serve NULL for the new column because
+# the reader scans with the CURRENT metadata schema, never file
+# inference.
+from .sources.delta_log import (  # noqa: E402
+    DELTA_SCHEMA_EVOLUTION_SQL,
+    delta_schema_evolution,
+)
+
+register(
+    "s_delta_schema_evolution",
+    delta_schema_evolution,
+    sql=DELTA_SCHEMA_EVOLUTION_SQL,
+    tags=("source", "delta", "schema-evolution"),
+)
+
 
 # --- round 7: Delta-log table semantics over parquet files ---
 

@@ -337,6 +337,7 @@ DRIVER_CHECK_DEFER: frozenset[str] = frozenset(
         "s_avro_ocf_codec_matrix",
         "dq_parquet_bloom_probe_stats",
         "s_delta_restore",
+        "s_delta_schema_evolution",
     }
 )
 

@@ -781,12 +781,29 @@ def read_snapshot(
     def _scan_logical(abs_paths, attach=None, extra=()):
         """Native scan(s) over ``abs_paths``. id mode resolves physical
         names per file group and aliases to LOGICAL names; name/none
-        modes return file columns as-is (``to_logical`` handles name
-        mode afterwards). ``attach`` runs on the raw scan BEFORE the
-        id-mode alias select so it can still reach ``_metadata``;
-        columns it adds are listed in ``extra`` to survive the select."""
+        modes read with the CURRENT metaData schema under physical
+        names (``to_logical`` maps name mode afterwards) — reading
+        with the metadata schema rather than file inference is what
+        makes ADD-COLUMN schema evolution work: files written before
+        the column existed serve NULLs for it instead of poisoning
+        the scan with the first file's narrower schema (round 11).
+        ``attach`` runs on the raw scan BEFORE the id-mode alias
+        select so it can still reach ``_metadata``; columns it adds
+        are listed in ``extra`` to survive the select."""
         if cm_mode != "id":
-            df = spark.read.parquet(*sorted(abs_paths))
+            phys_struct = StructType(
+                [
+                    StructField(
+                        phys_of.get(f["name"], f["name"])
+                        if cm_mode == "name"
+                        else f["name"],
+                        types[f["name"]],
+                        True,
+                    )
+                    for f in data_fields
+                ]
+            )
+            df = spark.read.schema(phys_struct).parquet(*sorted(abs_paths))
             return [attach(df) if attach else df]
         parts = []
         groups = _id_groups(abs_paths)
@@ -2475,4 +2492,136 @@ FROM v JOIN events e
   ON (e.event_id % 3 IN (0, 1)) OR v.with_twos
 GROUP BY v.version, v.same_files_as_v1
 ORDER BY v.version
+"""
+
+
+# -- round 11: ADD-COLUMN schema evolution ------------------------------
+
+
+def _build_schema_evolution_table(
+    spark, sf_dir: str, stage_dir: str, tag: str
+) -> None:
+    """v0: (event_id, user_id, value) rows with even event_id under
+    schema A; v1: a metaData commit WIDENING the schema with
+    ``category`` string + odd-event_id files that carry it. The v0
+    data files are never touched — the latest snapshot must serve
+    them with ``category`` NULL (reading with the CURRENT metadata
+    schema, not file inference)."""
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+
+    def meta_action(fields):
+        return {
+            "metaData": {
+                "id": f"evo_{tag}",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            {
+                                "name": n,
+                                "type": t,
+                                "nullable": True,
+                                "metadata": {},
+                            }
+                            for n, t in fields
+                        ],
+                    }
+                ),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": _T0,
+            }
+        }
+
+    ev = load_table(spark, sf_dir, "events")
+    v0_rows = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    adds0 = _write_version_files(spark, v0_rows, stage_dir, "v0")
+    write_commit(
+        stage_dir,
+        0,
+        [
+            PROTOCOL_ACTION,
+            meta_action(
+                [("event_id", "long"), ("user_id", "long"), ("value", "double")]
+            ),
+        ]
+        + adds0,
+    )
+    v1_rows = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.concat(F.lit("c"), (F.col("user_id") % 5).cast("string")).alias(
+            "category"
+        ),
+    )
+    adds1 = _write_version_files(spark, v1_rows, stage_dir, "v1")
+    write_commit(
+        stage_dir,
+        1,
+        [
+            meta_action(
+                [
+                    ("event_id", "long"),
+                    ("user_id", "long"),
+                    ("value", "double"),
+                    ("category", "string"),
+                ]
+            )
+        ]
+        + adds1,
+    )
+
+
+def stage_events_as_delta_evolved(spark, sf_dir: str) -> str:
+    return _stage_table(
+        spark, sf_dir, "delta_evo", builder=_build_schema_evolution_table
+    )
+
+
+def delta_schema_evolution(spark, sf_dir: str):
+    """``s_delta_schema_evolution`` — ADD COLUMN as a metadata-only
+    widening: v0 reads under the 3-column schema; the latest snapshot
+    reads BOTH generations under the 4-column schema, old files
+    serving NULL ``category`` (``n_no_category`` = the even half) and
+    new files their written values — per-category aggregates bind the
+    NULL routing exactly."""
+    from pyspark.sql import functions as F
+
+    table_dir = stage_events_as_delta_evolved(spark, sf_dir)
+    v0 = read_snapshot(spark, table_dir, version=0)
+    head = read_snapshot(spark, table_dir)
+    v0_agg = v0.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).withColumn("category", F.lit("(v0)"))
+    head_agg = head.groupBy(
+        F.coalesce(F.col("category"), F.lit("(none)")).alias("category")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return v0_agg.select("category", "n", "total_value").unionByName(
+        head_agg
+    )
+
+
+DELTA_SCHEMA_EVOLUTION_SQL = """
+SELECT '(v0)' AS category, count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT '(none)' AS category, count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT concat('c', CAST(user_id % 5 AS VARCHAR)) AS category,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events WHERE event_id % 2 = 1
+GROUP BY user_id % 5
 """

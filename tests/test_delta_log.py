@@ -1248,3 +1248,45 @@ def test_restore_rolls_forward_and_preserves_history(tmp_path, spark):
     # restore forward again (to v1) — re-adds the removed file
     assert D.restore_to_version(table, 1) == 3
     assert {r.id for r in D.read_snapshot(spark, table).collect()} == {1, 2, 3}
+
+
+def test_add_column_evolution_serves_nulls_from_old_files(tmp_path, spark):
+    """ADD COLUMN is a metadata-only widening: files written before
+    the column existed serve NULL for it under the latest snapshot
+    (the reader scans with the CURRENT metadata schema, not the first
+    file's inferred one), while time travel to v0 still reads the
+    narrow shape."""
+    table, adds1 = _toy_table(tmp_path, spark)  # v0: (id, s)
+    wide = {
+        "metaData": {
+            "id": "toy",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "id", "type": "long", "nullable": True,
+                         "metadata": {}},
+                        {"name": "s", "type": "string", "nullable": True,
+                         "metadata": {}},
+                        {"name": "flag", "type": "long", "nullable": True,
+                         "metadata": {}},
+                    ],
+                }
+            ),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": 0,
+        }
+    }
+    df2 = spark.createDataFrame(
+        [(3, "c", 7)], "id bigint, s string, flag bigint"
+    )
+    D.write_commit(
+        table, 1, [wide] + D._write_version_files(spark, df2, table, "v1")
+    )
+    head = D.read_snapshot(spark, table)
+    assert head.columns == ["id", "s", "flag"]
+    got = {(r.id, r.s, r.flag) for r in head.collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 7)}
+    assert D.read_snapshot(spark, table, 0).columns == ["id", "s"]
