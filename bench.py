@@ -175,6 +175,16 @@ HEADLINE = [
     # queries ride already-benched wire/scan shapes and stay
     # unheadlined.
     "l3_hnsw_index_append",
+    # round-11 additions: the two genuinely new cost shapes — the
+    # pure-Python snappy codec inside the wire produce/fetch path
+    # (per-byte Python compression cycled with gzip/none), and the
+    # HNSW delete lifecycle (tombstone-excluding beam search +
+    # cogrouped one-hop compaction + reachability/recall audits).
+    # The group-resume, page-index, bloom, constraints, restore and
+    # codec-matrix queries ride already-benched wire/metadata/scan
+    # shapes and stay unheadlined.
+    "s_kafka_wire_snappy_roundtrip",
+    "l3_hnsw_index_delete",
 ]
 
 
