@@ -736,7 +736,7 @@ def page_index_stats(spark, sf_dir: str):
                             locs = oi["page_locations"]
                             n_pages += len(locs)
                             boundaries.add(ci["boundary_order"])
-                            for i, mn in enumerate(ci["min_values"]):
+                            for mn in ci["min_values"]:
                                 if mn is None:
                                     continue
                                 vmin = mn if vmin is None else min(vmin, mn)
@@ -769,7 +769,6 @@ def page_index_stats(spark, sf_dir: str):
                         }
                         kept_rows = set()
                         for e, off in chunks:
-                            pr = page_prune_ranges(e, lo=None, hi=None)
                             pruned = page_prune_ranges(e, hi=thr)
                             pruned_abs = {
                                 r
@@ -782,7 +781,6 @@ def page_index_stats(spark, sf_dir: str):
                             kept_rows |= all_rows - pruned_abs
                             if pruned_abs & matches:
                                 sound = False
-                            _ = pr
                         if not matches <= kept_rows:
                             complete = False
                     rows.append(
