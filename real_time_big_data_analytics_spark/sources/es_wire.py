@@ -451,10 +451,18 @@ class MiniES:
                 docs = {i: st["docs"][i] for i in ids}
         if wants_aggs:
             rows = list(parsed_docs.values())
-            if dsl is not None:
+            agg_cache = None
+            if dsl is None:
+                # version-scoped memo for UNFILTERED aggregations
+                # (captured under the lock with the parsed snapshot
+                # so both belong to the same index version)
+                with self._lock:
+                    agg_cache = st.setdefault("_cache", {})
+            else:
                 rows = [r for r in rows if _match_query(dsl, r)]
             return self._aggregate(
-                rows, req.get("aggs") or req["aggregations"], size
+                rows, req.get("aggs") or req["aggregations"], size,
+                cache=agg_cache,
             )
         if dsl is not None:
             # Query-DSL filtering (term / range / bool.filter) — the
@@ -496,7 +504,7 @@ class MiniES:
             resp["_scroll_id"] = scroll_id
         return 200, resp
 
-    def _aggregate(self, parsed: list, aggs: dict, size: int):
+    def _aggregate(self, parsed: list, aggs: dict, size: int, cache=None):
         """The Aggregations-API subset the reference's Kibana
         dashboards issue (terms bucketing with metric sub-aggs, plus
         top-level sum/avg/min/max/value_count) — computed SERVER-side
@@ -617,13 +625,24 @@ class MiniES:
                             "only terms composite sources implemented"
                         )
                     sources.append((sname, inner["terms"]["field"]))
-                groups: dict[tuple, list] = {}
-                for r in parsed:
-                    key = tuple(r.get(f) for _n, f in sources)
-                    if any(v is None for v in key):
-                        continue  # composite drops missing-key docs
-                    groups.setdefault(key, []).append(r)
-                ordered = sorted(groups.items(), key=lambda kv: kv[0])
+                # the FULL ordered bucket space is identical for every
+                # page of one composite walk — memoize it per index
+                # version (cache is version-scoped; only unfiltered
+                # requests get one), so N pages cost ONE corpus pass
+                # instead of N. Real ES gets the same effect from its
+                # per-segment ordinals.
+                ckey = ("composite_groups", json.dumps(sources))
+                ordered = None if cache is None else cache.get(ckey)
+                if ordered is None:
+                    groups: dict[tuple, list] = {}
+                    for r in parsed:
+                        key = tuple(r.get(f) for _n, f in sources)
+                        if any(v is None for v in key):
+                            continue  # composite drops missing-key docs
+                        groups.setdefault(key, []).append(r)
+                    ordered = sorted(groups.items(), key=lambda kv: kv[0])
+                    if cache is not None:
+                        cache[ckey] = ordered
                 after = comp.get("after")
                 if after is not None:
                     cursor = tuple(after[n] for n, _f in sources)
