@@ -55,13 +55,11 @@ EXCLUDED = {
     "s_kafka_wire_idempotent_produce": "rides s_kafka_wire_roundtrip's "
     "benched wire shape (same fetch/decode scan; staging differs only "
     "in header fields + replays)",
-    "s_es_wire_composite_agg": "its 10x wall clock is the loopback "
-    "MiniES re-parsing the whole corpus per page REQUEST (a test-"
-    "harness property; real ES serves composite pages from Lucene "
-    "per shard) — the engine-side cost is one bounded driver loop "
-    "over after_key pages, already covered by the ES wire scans' "
-    "measured shapes",
 }
+# s_es_wire_composite_agg left the excluded set in round 11: the
+# version-scoped parsed-doc + composite-bucket-space caches ended the
+# re-parse/re-group-per-page cost (hours-class at 10x through r10;
+# 6.4 s measured after)
 
 # Round-9/10 operators measured at 10x (VERDICT r9 ask #3): the HNSW
 # paths scale on the EMBEDDINGS axis (scale_smoke.build_embed); the
