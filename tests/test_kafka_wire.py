@@ -265,14 +265,16 @@ def test_unknown_codec_bits_refused():
     recs = [(b"k", b"v")]
     plain = KW.encode_record_batch(recs)
     body = bytearray(plain[21:])
-    attrs = struct.unpack(">h", body[:2])[0] | 3  # flag lz4 (unimplemented)
+    # codec bits 5-7 are unassigned in the Kafka protocol (0-4 are all
+    # implemented as of round 11: none/gzip/snappy/lz4/zstd)
+    attrs = struct.unpack(">h", body[:2])[0] | 5
     body[:2] = struct.pack(">h", attrs)
     crc = KW.crc32c(bytes(body))
     forged = plain[:12] + struct.pack(">ibI", -1, 2, crc) + bytes(body)
     with pytest.raises(ValueError, match="unsupported codec"):
         KW.decode_record_batch(forged)
     with pytest.raises(ValueError, match="unsupported codec"):
-        KW.encode_record_batch(recs, codec=4)
+        KW.encode_record_batch(recs, codec=5)
 
 
 def test_gzip_batches_through_broker(broker):
