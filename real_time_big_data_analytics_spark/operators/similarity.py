@@ -327,32 +327,57 @@ def _knn_invariants(
         .filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"))
     )
-    per_q = (
-        approx.join(exact, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.every(
-                F.col("exact_sim").isNotNull()
-                & (F.abs(F.col("sim") - F.col("exact_sim")) < 1e-9)
-            ).alias("sims_exact"),
-            (F.count("*") <= F.lit(k)).alias("within_k"),
+    # Optimization r11 (guide §1.2/#1 — don't compute things twice):
+    # ``approx`` used to feed TWO consumers (the per-query flag
+    # aggregate and a separate global recall count), so Catalyst
+    # planned the whole ANN candidate subtree — an applyInPandas graph
+    # build for HNSW — twice; AQE exchange reuse can't dedup work
+    # ABOVE the reused exchange. Folding the recall hit-count into the
+    # same per-query aggregate (true-top-k membership joined in as a
+    # marker) and summing it with an unpartitioned window leaves ONE
+    # reference to ``approx`` in the plan. At local[32]/sf0.1 the
+    # duplicate ran in otherwise-idle task slots, but at driver-bench
+    # low core counts and at 100 TB it was a full second ANN pass.
+    joined = approx.join(exact, ["query_id", "vec_id"], "left")
+    if min_recall is not None:
+        true_k = _ranked_topk(_all_sims(spark, sf_dir), k).select(
+            "query_id", "vec_id", F.lit(1).alias("is_true")
         )
-    )
+        joined = joined.join(F.broadcast(true_k), ["query_id", "vec_id"], "left")
+    per_q_aggs = [
+        F.every(
+            F.col("exact_sim").isNotNull()
+            & (F.abs(F.col("sim") - F.col("exact_sim")) < 1e-9)
+        ).alias("sims_exact"),
+        (F.count("*") <= F.lit(k)).alias("within_k"),
+    ]
+    if min_recall is not None:
+        per_q_aggs.append(
+            F.sum(F.coalesce("is_true", F.lit(0))).alias("hits")
+        )
+    per_q = joined.groupBy("query_id").agg(*per_q_aggs)
     out = queries.join(per_q, "query_id", "left").select(
         "query_id",
         # a query with an empty candidate set satisfies both vacuously
         F.coalesce("sims_exact", F.lit(True)).alias("sims_exact"),
         F.coalesce("within_k", F.lit(True)).alias("within_k"),
+        *(
+            [F.coalesce("hits", F.lit(0)).alias("hits")]
+            if min_recall is not None
+            else []
+        ),
     )
     if min_recall is not None:
-        true_k = _ranked_topk(_all_sims(spark, sf_dir), k).select("query_id", "vec_id")
-        flag = (
-            approx.join(true_k, ["query_id", "vec_id"], "inner")
-            .agg(F.count("*").alias("hits"))
-            .crossJoin(true_k.agg(F.count("*").alias("total")))
-            .select((F.col("hits") >= min_recall * F.col("total")).alias("recall_ok"))
+        total = true_k.agg(F.count("*").alias("total"))
+        out = (
+            out.crossJoin(F.broadcast(total))
+            .withColumn(
+                "recall_ok",
+                F.sum("hits").over(Window.partitionBy())
+                >= min_recall * F.col("total"),
+            )
+            .drop("hits", "total")
         )
-        out = out.crossJoin(F.broadcast(flag))
     return out
 
 
@@ -1673,6 +1698,54 @@ HNSW_M = 8
 HNSW_EF_CONSTRUCTION = 64
 HNSW_EF_SEARCH = 64
 HNSW_SHARDS = 4
+
+
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's ``hash()`` of one INT column: Murmur3_x86_32 over the
+    4-byte value with Spark's seed 42 — a driver-side twin used only
+    to PLAN partition counts (validated against F.hash in tests)."""
+    mask = 0xFFFFFFFF
+    k = (x & mask) * 0xCC9E2D51 & mask
+    k = ((k << 15) | (k >> 17)) & mask
+    k = k * 0x1B873593 & mask
+    h = (seed ^ k) & mask
+    h = ((h << 13) | (h >> 19)) & mask
+    h = (h * 5 + 0xE6546B64) & mask
+    h ^= 4  # total byte length
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & mask
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & mask
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _spread_parts(n_groups: int) -> int:
+    """Smallest partition count that gives every shard id 0..n-1 its
+    own hash partition (Spark pmod(murmur3, p) collides badly for
+    small consecutive ints: 0..3 land in 2-3 of 32 buckets)."""
+    hs = [_murmur3_int32(i) for i in range(n_groups)]
+    p = n_groups
+    while len({h % p for h in hs}) < n_groups:
+        p += 1
+    return p
+
+
+_SHARD_PARTS = _spread_parts(HNSW_SHARDS)
+
+
+def _sharded(df: DataFrame):
+    """Per-shard grouping for the COMPUTE-heavy graph stages (build /
+    insert / compact / search inside applyInPandas): an explicit
+    ``repartition(p, "shard")`` pins the exchange's partition count
+    (AQE leaves user-specified counts alone), because byte-based AQE
+    partition coalescing otherwise merges the few-KB shard partitions
+    into ONE task and serializes every shard's O(n log n) graph build
+    — partition bytes are the wrong proxy for per-group CPU here.
+    ``p`` is the smallest count placing each shard id in its own hash
+    partition (optimization r11; guide §2.5 "synthetic partitioning
+    keys with too few distinct values")."""
+    return df.repartition(_SHARD_PARTS, "shard").groupBy("shard")
 HNSW_EF_SWEEP = (4, 16, 64)
 # empirical per-ef recall floors pinned by tests at every harness SF;
 # chosen with margin below observed minima (see tests/test_similarity)
@@ -1849,7 +1922,7 @@ def _hnsw_candidates(
     fn = _hnsw_candidate_fn(
         queries, k, tuple(efs), HNSW_M, HNSW_EF_CONSTRUCTION
     )
-    return corpus.groupBy("shard").applyInPandas(
+    return _sharded(corpus).applyInPandas(
         fn, "query_id bigint, vec_id bigint, ef int"
     )
 
@@ -2003,7 +2076,7 @@ def hnsw_index_write(spark: SparkSession, sf_dir: str) -> str:
         fn = _hnsw_candidate_fn(
             [], 0, (), HNSW_M, HNSW_EF_CONSTRUCTION, emit="edges"
         )
-        edges = corpus.groupBy("shard").applyInPandas(
+        edges = _sharded(corpus).applyInPandas(
             fn, "node_id bigint, layer int, neighbor_id bigint"
         ).withColumn("shard", (F.col("node_id") % HNSW_SHARDS).cast("int"))
         edges.write.partitionBy("shard").parquet(os.path.join(stage, "edges"))
@@ -2144,8 +2217,8 @@ def knn_hnsw_indexed(
     )
     fn = _hnsw_search_edges_fn(queries, k, ef_search, HNSW_M)
     cands = (
-        corpus.groupBy("shard")
-        .cogroup(edges.groupBy("shard"))
+        _sharded(corpus)
+        .cogroup(_sharded(edges))
         .applyInPandas(fn, "query_id bigint, vec_id bigint")
     )
     qdf = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -2410,7 +2483,7 @@ def hnsw_append_stage(spark: SparkSession, sf_dir: str) -> str:
         build = _hnsw_candidate_fn(
             [], 0, (), HNSW_M, HNSW_EF_CONSTRUCTION, emit="edges"
         )
-        base_edges = base.groupBy("shard").applyInPandas(
+        base_edges = _sharded(base).applyInPandas(
             build, "node_id bigint, layer int, neighbor_id bigint"
         ).withColumn("shard", (F.col("node_id") % HNSW_SHARDS).cast("int"))
         base_edges.write.partitionBy("shard").parquet(
@@ -2419,8 +2492,8 @@ def hnsw_append_stage(spark: SparkSession, sf_dir: str) -> str:
         persisted = spark.read.parquet(os.path.join(stage, "edges_base"))
         ins = _hnsw_insert_fn(HNSW_M, HNSW_EF_CONSTRUCTION)
         updated = (
-            corpus.groupBy("shard")
-            .cogroup(persisted.groupBy("shard"))
+            _sharded(corpus)
+            .cogroup(_sharded(persisted))
             .applyInPandas(ins, "node_id bigint, layer int, neighbor_id bigint")
             .withColumn("shard", (F.col("node_id") % HNSW_SHARDS).cast("int"))
         )
@@ -2458,8 +2531,8 @@ def hnsw_index_append_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("is_new", F.col("vec_id") % 10 == 0)
     edges = spark.read.parquet(os.path.join(index_dir, "edges_v2"))
     stats = (
-        corpus.groupBy("shard")
-        .cogroup(edges.groupBy("shard"))
+        _sharded(corpus)
+        .cogroup(_sharded(edges))
         .applyInPandas(
             _hnsw_graph_stats_fn(HNSW_M),
             "n_vectors bigint, n_new bigint, n_new_connected bigint, "
@@ -2484,9 +2557,8 @@ def hnsw_index_append_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     fn = _hnsw_search_edges_fn(queries, TOP_K, HNSW_EF_SEARCH, HNSW_M)
     cands = (
-        corpus.drop("is_new")
-        .groupBy("shard")
-        .cogroup(edges.groupBy("shard"))
+        _sharded(corpus.drop("is_new"))
+        .cogroup(_sharded(edges))
         .applyInPandas(fn, "query_id bigint, vec_id bigint")
     )
     qdf = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -2770,7 +2842,7 @@ def hnsw_delete_stage(spark: SparkSession, sf_dir: str) -> str:
         build = _hnsw_candidate_fn(
             [], 0, (), HNSW_M, HNSW_EF_CONSTRUCTION, emit="edges"
         )
-        base_edges = corpus.groupBy("shard").applyInPandas(
+        base_edges = _sharded(corpus).applyInPandas(
             build, "node_id bigint, layer int, neighbor_id bigint"
         ).withColumn("shard", (F.col("node_id") % HNSW_SHARDS).cast("int"))
         base_edges.write.partitionBy("shard").parquet(
@@ -2807,11 +2879,11 @@ def hnsw_delete_stage(spark: SparkSession, sf_dir: str) -> str:
         )
         to_compact = flagged.filter(F.col("shard").isin(compact_shards))
         compacted = (
-            to_compact.groupBy("shard")
+            _sharded(to_compact)
             .cogroup(
-                persisted.filter(
+                _sharded(persisted.filter(
                     F.col("shard").isin(compact_shards)
-                ).groupBy("shard")
+                ))
             )
             .applyInPandas(
                 _hnsw_compact_fn(HNSW_M),
@@ -2880,8 +2952,8 @@ def hnsw_index_delete_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base_edges = spark.read.parquet(os.path.join(index_dir, "edges_base"))
     serve_v1 = (
-        corpus.groupBy("shard")
-        .cogroup(base_edges.groupBy("shard"))
+        _sharded(corpus)
+        .cogroup(_sharded(base_edges))
         .applyInPandas(
             _hnsw_search_excluding_fn(
                 queries, TOP_K, HNSW_EF_SEARCH, HNSW_M, v1_ids
@@ -2914,9 +2986,8 @@ def hnsw_index_delete_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivor "new" makes its new-connected count a full layer-0 BFS
     # coverage check of the compacted graph
     reach = (
-        survivors.withColumn("is_new", F.lit(True))
-        .groupBy("shard")
-        .cogroup(cedges.groupBy("shard"))
+        _sharded(survivors.withColumn("is_new", F.lit(True)))
+        .cogroup(_sharded(cedges))
         .applyInPandas(
             _hnsw_graph_stats_fn(HNSW_M),
             "n_vectors bigint, n_new bigint, n_new_connected bigint, "
@@ -2931,8 +3002,8 @@ def hnsw_index_delete_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     serve_v2 = (
-        survivors.groupBy("shard")
-        .cogroup(cedges.groupBy("shard"))
+        _sharded(survivors)
+        .cogroup(_sharded(cedges))
         .applyInPandas(
             _hnsw_search_edges_fn(queries, TOP_K, HNSW_EF_SEARCH, HNSW_M),
             "query_id bigint, vec_id bigint",

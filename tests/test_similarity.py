@@ -818,3 +818,36 @@ def test_hnsw_compacted_graph_serves_near_neighbors(spark, sf_dir):
         .collect()
     )
     assert any(int(r.vec_id) == 21 for r in got)
+
+
+def test_murmur_twin_matches_spark_hash_and_shards_spread(spark):
+    """The driver-side Murmur3 twin used to PLAN the shard exchange's
+    partition count must match Spark's hash() exactly, and the chosen
+    count must place every shard id in its own partition — otherwise
+    AQE-proof repartitioning would still serialize graph builds."""
+    ints = list(range(-5, 40)) + [2**31 - 1, -(2**31)]
+    rows = (
+        spark.createDataFrame([(i,) for i in ints], "x int")
+        .select("x", F.hash("x").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert similarity._murmur3_int32(r.x) == r.h, r.x
+    p = similarity._SHARD_PARTS
+    hs = {similarity._murmur3_int32(s) % p for s in range(similarity.HNSW_SHARDS)}
+    assert len(hs) == similarity.HNSW_SHARDS
+    # and through the real exchange: distinct spark partitions per shard
+    df = spark.createDataFrame(
+        [(s,) for s in range(similarity.HNSW_SHARDS)], "shard int"
+    )
+    got = (
+        similarity._sharded(df)
+        .applyInPandas(
+            lambda pdf: __import__("pandas").DataFrame(
+                {"shard": [int(pdf["shard"].iloc[0])], "n": [len(pdf)]}
+            ),
+            "shard int, n bigint",
+        )
+        .collect()
+    )
+    assert sorted(r.shard for r in got) == list(range(similarity.HNSW_SHARDS))
