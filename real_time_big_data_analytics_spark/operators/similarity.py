@@ -1143,75 +1143,87 @@ def mmr_diversified_topk(
     can't flip a pick; the oracle replays the identical unrolled
     greedy recurrence.
     """
-    # cache(): the greedy unroll references pool/csims in every step's
-    # lineage — uncached, each of the k picks would re-run the corpus
-    # scan. Both are k-bounded metadata (queries×pool and its pair
-    # square), not data: ≤100 / ≤2k rows at any corpus size.
-    pool = (
+    # Optimization r11 (guide §8 "decide with small rows" / §5 driver
+    # rules): the only corpus-scale stage is the pool build (the same
+    # brute-force scan as ``knn_bruteforce``); everything after runs on
+    # ≤ n_queries×pool_m rows of METADATA. The previous shape unrolled
+    # the k greedy steps as k Spark jobs (a localCheckpoint per pick,
+    # plus cached pool/csims materializations) — ~6 scheduler round
+    # trips to pick 25 rows. The greedy recurrence now runs on the
+    # driver over the collected pool (a bounded collect, same class as
+    # the query-vector collects the IVF/HNSW paths already do) with
+    # BIT-IDENTICAL arithmetic: the candidate cosines replicate the
+    # Catalyst fold (sequential double accumulation over float32
+    # values) and the rounding replicates round2's floor/ceil
+    # construction, so the emitted doubles — and the oracle hash —
+    # are unchanged. 3.5 s → one pool job + one 25-row createDataFrame.
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    pool_rows = (
         _ranked_topk(_all_sims(spark, sf_dir), pool_m)
         .select("query_id", "vec_id", "sim")
-        .cache()
+        .join(emb, "vec_id")  # ride each member's vector along: ONE job
+        .collect()  # bounded: n_queries × pool_m metadata rows
     )
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    a = pool.select("query_id", F.col("vec_id").alias("a_id"))
-    b = pool.select(F.col("query_id").alias("qb"), F.col("vec_id").alias("b_id"))
-    pairs = a.join(
-        b, (a.query_id == b.qb) & (a.a_id != b.b_id)
-    ).select("query_id", "a_id", "b_id")
-    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
-    csims = (
-        ea.join(F.broadcast(pairs), "a_id")
-        .join(F.broadcast(eb.join(F.broadcast(pairs.select("b_id").distinct()), "b_id")), "b_id")
-        .select(
-            "query_id",
-            "a_id",
-            "b_id",
-            round2(cosine_similarity("ea", "eb"), 6).alias("csim"),
-        )
-        .cache()
-    )
-    lam2 = 1.0 - lam  # one IEEE subtract, mirrored verbatim in the oracle
-    sel: DataFrame | None = None
-    for t in range(1, k + 1):
-        if sel is None:
-            cand = pool.withColumn("pen", F.lit(0.0))
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding] for r in pool_rows
+    }
+
+    def _fold_dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def _round_s(x: float, scale: int) -> float:
+        # round2's exact construction: compare the EXACT fractional
+        # part against 0.5 (never floor(p + 0.5)) — C/DuckDB semantics
+        import math
+
+        p = x * float(10**scale)
+        if p >= 0:
+            fl = float(math.floor(p))
+            n = fl + 1.0 if p - fl >= 0.5 else fl
         else:
-            sel_ids = sel.select("query_id", F.col("vec_id").alias("b_id"))
-            remaining = pool.join(
-                sel.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
-            )
-            pen = (
-                csims.join(F.broadcast(sel_ids), ["query_id", "b_id"], "left_semi")
-                .groupBy("query_id", "a_id")
-                .agg(F.max("csim").alias("pen"))
-                .withColumnRenamed("a_id", "vec_id")
-            )
-            cand = remaining.join(
-                F.broadcast(pen), ["query_id", "vec_id"], "left"
-            ).withColumn("pen", F.coalesce("pen", F.lit(0.0)))
-        scored = cand.withColumn(
-            "score", F.lit(lam) * F.col("sim") - F.lit(lam2) * F.col("pen")
+            ce = float(math.ceil(p))
+            n = ce - 1.0 if ce - p >= 0.5 else ce
+        return n / float(10**scale)
+
+    def _cos(a_id: int, b_id: int) -> float:
+        import math
+
+        a, b = vecs[a_id], vecs[b_id]
+        cos = _fold_dot(a, b) / (
+            math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b))
         )
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-        pick = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "vec_id",
-                "sim",
-                F.lit(t).cast("bigint").alias("step"),
-                round2("score", 6).alias("mmr_score"),
-            )
-            # lineage truncation per greedy step (the clustering-loop
-            # pattern): without it each step's plan nests all prior
-            # steps' windows/anti-joins and Catalyst re-optimization
-            # dominates wall clock; pick is ≤ one row per query
-            .localCheckpoint()
-        )
-        sel = pick if sel is None else sel.unionByName(pick)
-    return sel
+        return _round_s(cos, 6)
+
+    by_q: dict[int, list] = {}
+    for r in pool_rows:
+        by_q.setdefault(int(r.query_id), []).append((int(r.vec_id), float(r.sim)))
+    lam2 = 1.0 - lam  # one IEEE subtract, mirrored verbatim in the oracle
+    out_rows = []
+    for qid in sorted(by_q):
+        members = by_q[qid]
+        selected: list[int] = []
+        for t in range(1, k + 1):
+            best = None
+            for vid, sim in members:
+                if vid in selected:
+                    continue
+                pen = (
+                    max(_cos(vid, s) for s in selected) if selected else 0.0
+                )
+                score = lam * sim - lam2 * pen
+                key = (-score, vid)
+                if best is None or key < best[0]:
+                    best = (key, vid, sim, score)
+            _key, vid, sim, score = best
+            selected.append(vid)
+            out_rows.append((qid, vid, sim, t, _round_s(score, 6)))
+    return spark.createDataFrame(
+        out_rows,
+        schema="query_id bigint, vec_id bigint, sim double, step bigint, mmr_score double",
+    )
 
 
 PCA_ITERS = 3
