@@ -79,14 +79,24 @@ def trade_pagerank(
         "src", "dst", (F.col("w") / F.sum("w").over(out_w)).alias("p")
     ).localCheckpoint()
 
+    # Explicit broadcasts on the node-grain sides (optimization r11,
+    # guide §3.1 "pick the join strategy deliberately"): ranks/inbound
+    # are ≤ n_nodes rows by construction at ANY corpus scale, but the
+    # localCheckpoint above truncates lineage statistics, so Catalyst
+    # planned every iteration's join as SortMergeJoin (2 exchanges
+    # each) and left it to AQE to demote at runtime — 5 replans and 10
+    # static exchanges for KB-sized inputs. The hints make the static
+    # plan broadcast-only.
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(n_iter):
         inbound = (
-            trans.join(ranks, trans.src == ranks.node)
+            trans.join(F.broadcast(ranks), trans.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
         )
-        ranks = nodes.join(inbound, nodes.node == inbound.dst, "left").select(
+        ranks = nodes.join(
+            F.broadcast(inbound), nodes.node == inbound.dst, "left"
+        ).select(
             "node",
             (
                 F.lit((1.0 - damping) / n_nodes)
@@ -258,7 +268,18 @@ def trade_label_propagation(
         )
         .agg(F.sum(cents).alias("w"))
     )
-    edges = (
+    # Optimization r11 (guide §8 "decide with small rows" / §5 driver
+    # rules): the iteration operates on the AGGREGATED graph — at most
+    # nation² = 625 integer-weight edges at ANY corpus scale — but
+    # each round ran as its own Spark job (join + window argmax +
+    # localCheckpoint), ~n_iter scheduler round trips over KB-scale
+    # metadata. The fact-scale stage (the edge aggregation) stays
+    # distributed; the recurrence now runs on the driver over the
+    # collected edge list. Every mass is an exact INTEGER (the cents
+    # discipline exists precisely so the argmax is order-insensitive),
+    # so the driver replay is bit-identical to the distributed rounds
+    # by construction — same sums, same (m desc, label asc) tie-break.
+    edge_rows = (
         directed.select("src", "dst", "w")
         .unionAll(
             directed.select(
@@ -267,32 +288,29 @@ def trade_label_propagation(
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").cast("bigint").alias("w"))
-        .localCheckpoint()
+        .collect()  # bounded: <= nation×nation rows at any scale
     )
-    nodes = nation.select(F.col("n_nationkey").alias("node")).localCheckpoint()
-    labels = nodes.select("node", F.col("node").alias("label"))
+    node_rows = nation.select(F.col("n_nationkey").alias("node")).collect()
+    labels = {int(r.node): int(r.node) for r in node_rows}
+    adj = [(int(r.src), int(r.dst), int(r.w)) for r in edge_rows]
     for _ in range(n_iter):
-        nb = labels.select(F.col("node").alias("dst"), "label")
-        mass = (
-            edges.join(nb, "dst")
-            .groupBy(F.col("src").alias("node"), "label")
-            .agg(F.sum("w").alias("m"))
-        )
-        w_pick = Window.partitionBy("node").orderBy(F.desc("m"), F.asc("label"))
-        picked = (
-            mass.withColumn("rn", F.row_number().over(w_pick))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
-        )
-        labels = (
-            labels.join(picked, "node", "left")
-            .select(
-                "node", F.coalesce("new_label", "label").alias("label")
-            )
-            .localCheckpoint()
-        )
+        mass: dict[tuple[int, int], int] = {}
+        for src, dst, w in adj:
+            key = (src, labels[dst])
+            mass[key] = mass.get(key, 0) + w
+        best: dict[int, tuple[int, int]] = {}
+        for (node, label), m in mass.items():
+            cur = best.get(node)
+            # argmax by (m desc, label asc) — the window's exact order
+            if cur is None or (-m, label) < cur:
+                best[node] = (-m, label)
+        for node, (_negm, label) in best.items():
+            labels[node] = label
+    labeled = spark.createDataFrame(
+        sorted(labels.items()), schema="node bigint, label bigint"
+    )
     return (
-        labels.join(F.broadcast(nation), labels.node == nation.n_nationkey)
+        labeled.join(F.broadcast(nation), labeled.node == nation.n_nationkey)
         .select("n_name", F.col("label").cast("bigint").alias("community"))
     )
 

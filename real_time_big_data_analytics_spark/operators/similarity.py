@@ -1053,9 +1053,16 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataF
     """
     from .text import bm25_search
 
+    # localCheckpoint (optimization r11, guide §1.2/#1): ``lex`` feeds
+    # THREE plan references (the fusion join's lexical side, the seed
+    # filter, and — through the seeds — the semantic side's lineage),
+    # so the whole BM25 postings-traversal subtree was planned and
+    # executed twice. The BM25 output is term×k rows — materializing
+    # it once is a KB-sized checkpoint, and no parallelism is lost
+    # because the semantic side STRICTLY depends on the seeds anyway.
     lex = bm25_search(spark, sf_dir).select(
         "term", F.col("doc_id").alias("l_id"), F.col("rk").alias("rk_lex")
-    )
+    ).localCheckpoint()
     seeds = lex.filter(F.col("rk_lex") == 1).select(
         "term", F.col("l_id").alias("seed_id")
     )
