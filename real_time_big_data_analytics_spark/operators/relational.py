@@ -3327,22 +3327,34 @@ def copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
     pairs = a.join(b, "o").filter(F.col("pa") < F.col("pb"))
     cnt = pairs.groupBy("pa", "pb").agg(F.count("*").alias("c_ab"))
-    sym = cnt.select(
-        F.col("pa").alias("part_a"), F.col("pb").alias("part_b"), "c_ab"
-    ).unionAll(
-        cnt.select(
-            F.col("pb").alias("part_a"), F.col("pa").alias("part_b"), "c_ab"
-        )
+    # Optimization r11 (guide §2.4/§1.2#1): the symmetric direction
+    # used to be a unionAll of the SAME cnt subtree, and the per-part
+    # counts joined onto the union — post-AQE evidence (plans/r11)
+    # showed ZERO exchange reuse, so the basket self-join + pair count
+    # ran twice and lineitem scanned 12× per query. Both n_a and n_b
+    # now attach at pair grain (each cnt row carries both parts) and
+    # the flip is ONE explode over the joined rows — the pair subtree
+    # and its two count joins evaluate exactly once.
+    both = cnt.join(
+        n.select(F.col("p").alias("pa"), F.col("n_ord").alias("na")), "pa"
+    ).join(n.select(F.col("p").alias("pb"), F.col("n_ord").alias("nb")), "pb")
+    sym_cols = F.array(
+        F.struct(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+        ),
+        F.struct(
+            F.col("pb").alias("part_a"),
+            F.col("pa").alias("part_b"),
+            F.col("nb").alias("n_a"),
+            F.col("na").alias("n_b"),
+        ),
     )
     scored = (
-        sym.join(
-            n.select(F.col("p").alias("part_a"), F.col("n_ord").alias("n_a")),
-            "part_a",
-        )
-        .join(
-            n.select(F.col("p").alias("part_b"), F.col("n_ord").alias("n_b")),
-            "part_b",
-        )
+        both.select("c_ab", F.explode(sym_cols).alias("s"))
+        .select("s.part_a", "s.part_b", "c_ab", "s.n_a", "s.n_b")
         .withColumn(
             "cos_raw",
             F.col("c_ab") / F.sqrt(F.col("n_a") * F.col("n_b")),
