@@ -393,7 +393,12 @@ def logreg_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights (rounded 1e-4), n, and integer train-set confusion counts
     at the 0.5 threshold.
     """
-    u = logreg_gd_features(spark, sf_dir)
+    # Materialize the user-grain feature table once (optimization r11,
+    # guide §5 caching): the unrolled GD recurrence references ``u``
+    # in every step's lineage, so the events scan + user aggregate ran
+    # LOGREG_ITERS+1 times — and the steps are strictly sequential, so
+    # a checkpoint here loses no task-slot parallelism. One fact scan.
+    u = logreg_gd_features(spark, sf_dir).localCheckpoint()
     lr = F.lit(LOGREG_LR)
 
     def sigmoid(z):
@@ -461,7 +466,14 @@ def kmeans_lloyd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     k = KMEANS_K
-    u = logreg_gd_features(spark, sf_dir).select("user_id", "x1", "x2")
+    # Same materialization as m5 (optimization r11): the KMEANS_ITERS+1
+    # sequential scans of the user-grain feature table collapse to one
+    # events pass + KB-scale re-reads.
+    u = (
+        logreg_gd_features(spark, sf_dir)
+        .select("user_id", "x1", "x2")
+        .localCheckpoint()
+    )
     # deterministic init: k smallest user_ids, pivoted to one row
     # (k-row sort + window — bounded, not a corpus sort: limit(k)
     # plans as TakeOrderedAndProject)
@@ -942,7 +954,12 @@ def logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts); the DuckDB twin replays it with the identical i1-i3
     CTEs and the identical rank arithmetic.
     """
-    u = logreg_gd_features(spark, sf_dir)
+    # Materialize the user-grain feature table once (optimization r11,
+    # guide §5 caching): the unrolled GD recurrence references ``u``
+    # in every step's lineage, so the events scan + user aggregate ran
+    # LOGREG_ITERS+1 times — and the steps are strictly sequential, so
+    # a checkpoint here loses no task-slot parallelism. One fact scan.
+    u = logreg_gd_features(spark, sf_dir).localCheckpoint()
     lr = F.lit(LOGREG_LR)
 
     def sigmoid(z):
@@ -1183,7 +1200,12 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulps cannot flip a bin; everything after is exact counts and
     <=10-term sums rounded at output.
     """
-    u = logreg_gd_features(spark, sf_dir)
+    # Materialize the user-grain feature table once (optimization r11,
+    # guide §5 caching): the unrolled GD recurrence references ``u``
+    # in every step's lineage, so the events scan + user aggregate ran
+    # LOGREG_ITERS+1 times — and the steps are strictly sequential, so
+    # a checkpoint here loses no task-slot parallelism. One fact scan.
+    u = logreg_gd_features(spark, sf_dir).localCheckpoint()
     lr = F.lit(LOGREG_LR)
 
     def sigmoid(z):
@@ -1243,7 +1265,12 @@ def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the m5 scoring pass, then ONE aggregate producing
     the four confusion cells; kappa is 1-row arithmetic.
     """
-    u = logreg_gd_features(spark, sf_dir)
+    # Materialize the user-grain feature table once (optimization r11,
+    # guide §5 caching): the unrolled GD recurrence references ``u``
+    # in every step's lineage, so the events scan + user aggregate ran
+    # LOGREG_ITERS+1 times — and the steps are strictly sequential, so
+    # a checkpoint here loses no task-slot parallelism. One fact scan.
+    u = logreg_gd_features(spark, sf_dir).localCheckpoint()
     lr = F.lit(LOGREG_LR)
 
     def sigmoid(z):
