@@ -2070,7 +2070,17 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    e = und.groupBy("src", "dst").agg(F.count("*").cast("double").alias("w"))
+    # Materialize the vocabulary-bounded edge list once (optimization
+    # r11, guide §5 caching): ``e`` feeds ew (per iteration), nodes
+    # (per iteration) and deg, so the FACT-SCALE pair extraction above
+    # was re-planned ~2·ITER+2 times into one giant job. The unrolled
+    # iterations are strictly sequential, so the checkpoint loses no
+    # task-slot parallelism; everything downstream is vocab-scale.
+    e = (
+        und.groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+        .localCheckpoint()
+    )
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     ew = e.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("ow")).alias("share"), "w"
