@@ -3027,6 +3027,10 @@ def hnsw_index_delete_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             _hnsw_search_edges_fn(queries, TOP_K, HNSW_EF_SEARCH, HNSW_M),
             "query_id bigint, vec_id bigint",
         )
+        # two consumers (the deleted-id flag and the recall sims) —
+        # materialize the ≤ n_queries×k candidate rows once so the
+        # survivor beam-search cogroup runs once, not twice (r11)
+        .localCheckpoint()
     )
     clean_v2 = serve_v2.agg(
         (F.sum((F.col("vec_id") % 17 == 3).cast("int")) == 0).alias(
