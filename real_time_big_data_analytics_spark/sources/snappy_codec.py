@@ -105,26 +105,61 @@ def _emit_copies(out: bytearray, offset: int, length: int) -> None:
 
 
 def _compress_fragment(src: bytes, out: bytearray) -> None:
+    # Optimization r12 (guide §1.2#2 per-task work, byte-identical
+    # output — verified against the r11 loop over JSON payloads,
+    # random/incompressible bytes, runs, and edge sizes): the match
+    # extension walks 64- then 8-byte slice comparisons before the
+    # per-byte tail (memcmp-speed for the long matches JSON produces),
+    # and literal/copy emission is inlined with hoisted locals so the
+    # scan loop pays no function-call overhead per element.
     n = len(src)
     if n < 4:
         _emit_literal(out, src)
         return
     table: dict[bytes, int] = {}
+    table_get = table.get
+    pack = struct.pack
+    append = out.append
     s = 0
     lit_start = 0
     skip = 32  # reference acceleration: step grows over incompressible data
     while s + 4 <= n:
         key = src[s : s + 4]
-        cand = table.get(key, -1)
+        cand = table_get(key, -1)
         table[key] = s
         if cand >= 0:
             # extend the 4-byte seed match as far as it goes
             m, c = s + 4, cand + 4
+            while m + 64 <= n and src[m : m + 64] == src[c : c + 64]:
+                m += 64
+                c += 64
+            while m + 8 <= n and src[m : m + 8] == src[c : c + 8]:
+                m += 8
+                c += 8
             while m < n and src[m] == src[c]:
                 m += 1
                 c += 1
-            _emit_literal(out, src[lit_start:s])
-            _emit_copies(out, s - cand, m - s)
+            ln = s - lit_start
+            if ln:  # literal element, inlined from _emit_literal
+                if ln <= 60:
+                    append((ln - 1) << 2)
+                elif ln <= 0x100:
+                    append(60 << 2)
+                    append(ln - 1)
+                else:
+                    append(61 << 2)
+                    out += pack("<H", ln - 1)
+                out += src[lit_start:s]
+            # copy elements, inlined from _emit_copies (same chunking:
+            # 64-length copies then the 1..64 remainder)
+            length = m - s
+            off2 = pack("<H", s - cand)
+            while length > 64:
+                append((63 << 2) | 2)
+                out += off2
+                length -= 64
+            append(((length - 1) << 2) | 2)
+            out += off2
             s = m
             lit_start = m
             skip = 32

@@ -833,9 +833,14 @@ def test_murmur_twin_matches_spark_hash_and_shards_spread(spark):
     )
     for r in rows:
         assert similarity._murmur3_int32(r.x) == r.h, r.x
-    p = similarity._SHARD_PARTS
+    p = similarity._spread_parts(similarity.HNSW_SHARDS)
     hs = {similarity._murmur3_int32(s) % p for s in range(similarity.HNSW_SHARDS)}
     assert len(hs) == similarity.HNSW_SHARDS
+    # the memoized planner agrees with a fresh computation, and a
+    # NON-default shard count gets its own spread (ADVICE r11)
+    assert similarity._SPREAD_PARTS_MEMO[similarity.HNSW_SHARDS] == p
+    p6 = similarity._spread_parts(6)
+    assert len({similarity._murmur3_int32(s) % p6 for s in range(6)}) == 6
     # and through the real exchange: distinct spark partitions per shard
     df = spark.createDataFrame(
         [(s,) for s in range(similarity.HNSW_SHARDS)], "shard int"
