@@ -145,8 +145,18 @@ def lossless_fuzzy_name_pairs(
     canonical-name tables, the realistic ER vocabulary case.
     """
     part = load_table(spark, sf_dir, "part")
+    # NO spread() here (optimization r12, VERDICT r11 ask #8): unlike
+    # candidate_pairs — whose Levenshtein stage inherits the scan's
+    # partitioning through a broadcast self-join — everything here runs
+    # AFTER the groupBy(name) exchange, so the pinned 32-partition
+    # repartition of the raw part table bought nothing and cost a full
+    # extra shuffle. Removing it: 1.01 -> 0.36 s at local[32] and
+    # 0.48 -> 0.37 s at local[8] (min-of-6 A/B, outputs identical) —
+    # and the inverted low-core ratio (the driver's 0.40) disappears
+    # with the overhead that caused it. At scale the map-side partial
+    # aggregation of groupBy needs no pre-shuffle either.
     names = (
-        spread(part)
+        part
         .groupBy(F.col("p_name").alias("name"))
         .agg(F.count("*").alias("n_parts"))
         .withColumn("len", F.length("name"))
