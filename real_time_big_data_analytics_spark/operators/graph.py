@@ -9,13 +9,13 @@ the customer's nation to the supplier's nation
 revenue concentrates.
 
 Execution shape: the edge aggregation collapses the fact table to a
-nation×nation matrix (≤ 625 rows) and is ``localCheckpoint``-ed
-once; the fixed-iteration rank recurrence then composes LAZILY into
-a single Catalyst plan — five chained broadcast-join+agg steps over
-the checkpointed KB-scale edge list, one job, no per-iteration
-driver synchronization. At 100 TB the edge build dominates (one
-fact-table pass); the iteration cost is the aggregated graph's size,
-not the corpus's. For graphs too big to re-join lazily (billions of
+nation×nation matrix (≤ 625 rows); the fixed-iteration rank
+recurrence then replays DRIVER-side over the collected normalized
+edges (optimization r12 — the LPA/MMR bounded-collect precedent; the
+previous lazily-composed 5-iteration plan spent ~1.2 s/run
+scheduling KB-data stages). At 100 TB the edge build dominates (one
+fact-table pass); the recurrence cost is the aggregated graph's
+size, not the corpus's. For graphs too big to collect (billions of
 edges), checkpoint per iteration exactly as ``min_label_components``
 does — the recurrence is identical.
 
@@ -67,49 +67,67 @@ def trade_pagerank(
 
     Returns (n_name, rank) for every nation, rank rounded at 1e-6.
     Nations with no inbound trade keep the teleport term only.
-    """
-    nation = load_table(spark, sf_dir, "nation")
-    nodes = nation.select(F.col("n_nationkey").alias("node")).localCheckpoint()
-    n_nodes = nodes.count()
 
-    # normalized transition probabilities, materialized once
+    Optimization r12 (guide §8 "decide with small rows", the LPA/MMR
+    precedent): the fact-scale edge aggregation stays distributed; the
+    rank recurrence replays DRIVER-side over the collected ≤ nation²
+    normalized edges (bounded at ANY corpus scale — same argument as
+    ``trade_label_propagation``). The lazily-composed 5-iteration
+    Spark plan spent ~1.2 s scheduling ~15 KB-data stages per run;
+    the replay is one collect + pure-Python recurrence. r11 left this
+    alone fearing float summation-order flips; measured: per-dst masses
+    accumulated in sorted (src, dst) edge order land on EXACTLY the
+    committed rounded ranks at all three SFs (frame-equal vs the old
+    plan; the 1e-6 output rounding is what absorbs order ulps — the
+    DuckDB CTE sums in its own order too). Final rounding uses the
+    MMR driver twin of round2's exact floor/ceil construction.
+    NOTE plan captures: the operator is eager at construction (the
+    ADVICE r11 eager-collect contract — plan_dump shows only the
+    residual createDataFrame; the real work is the edge aggregate,
+    whose plan is ``trade_edges``'s)."""
+    nation = load_table(spark, sf_dir, "nation")
+    names = {
+        int(r.n_nationkey): r.n_name
+        for r in nation.select("n_nationkey", "n_name").collect()
+    }  # bounded: one row per nation
+    nodes = sorted(names)
+    n_nodes = len(nodes)
+
+    # normalized transition probabilities — the only fact-scale work
     edges = trade_edges(spark, sf_dir)
     out_w = Window.partitionBy("src")
     trans = edges.select(
         "src", "dst", (F.col("w") / F.sum("w").over(out_w)).alias("p")
-    ).localCheckpoint()
-
-    # Explicit broadcasts on the node-grain sides (optimization r11,
-    # guide §3.1 "pick the join strategy deliberately"): ranks/inbound
-    # are ≤ n_nodes rows by construction at ANY corpus scale, but the
-    # localCheckpoint above truncates lineage statistics, so Catalyst
-    # planned every iteration's join as SortMergeJoin (2 exchanges
-    # each) and left it to AQE to demote at runtime — 5 replans and 10
-    # static exchanges for KB-sized inputs. The hints make the static
-    # plan broadcast-only.
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(n_iter):
-        inbound = (
-            trans.join(F.broadcast(ranks), trans.src == ranks.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
-        )
-        ranks = nodes.join(
-            F.broadcast(inbound), nodes.node == inbound.dst, "left"
-        ).select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n_nodes)
-                + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
-            ).alias("rank"),
-        )
-
-    return (
-        ranks.join(F.broadcast(nation), ranks.node == nation.n_nationkey)
-        .select(
-            F.col("n_name"), round2(F.col("rank"), 6).alias("rank")
-        )
     )
+    rows = sorted(
+        (int(r.src), int(r.dst), float(r.p)) for r in trans.collect()
+    )  # bounded: ≤ nation² edges at any corpus scale
+
+    def _round_s(x: float, scale: int) -> float:
+        # round2's exact construction (the MMR twin): compare the
+        # EXACT fractional part against 0.5 — C/DuckDB semantics
+        import math
+
+        p = x * float(10**scale)
+        if p >= 0:
+            fl = float(math.floor(p))
+            n = fl + 1.0 if p - fl >= 0.5 else fl
+        else:
+            ce = float(math.ceil(p))
+            n = ce - 1.0 if ce - p >= 0.5 else ce
+        return n / float(10**scale)
+
+    ranks = {v: 1.0 / n_nodes for v in nodes}
+    for _ in range(n_iter):
+        mass: dict[int, float] = {}
+        for s, d, p in rows:
+            mass[d] = mass.get(d, 0.0) + ranks[s] * p
+        ranks = {
+            v: (1.0 - damping) / n_nodes + damping * mass.get(v, 0.0)
+            for v in nodes
+        }
+    out = [(names[v], _round_s(ranks[v], 6)) for v in nodes]
+    return spark.createDataFrame(out, "n_name string, rank double")
 
 
 def _undirected_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1189,6 +1189,13 @@ def mmr_diversified_topk(
     }
 
     def _fold_dot(a: list, b: list) -> float:
+        # ADVICE r11: zip() truncates ragged pairs where the Spark
+        # path's zip_with null-pads and propagates NULL — fail loudly
+        # instead of silently diverging from Catalyst semantics
+        if len(a) != len(b):
+            raise ValueError(
+                f"ragged embedding pair: {len(a)} vs {len(b)} dims"
+            )
         acc = 0.0
         for x, y in zip(a, b):
             acc += x * y
@@ -1208,14 +1215,16 @@ def mmr_diversified_topk(
             n = ce - 1.0 if ce - p >= 0.5 else ce
         return n / float(10**scale)
 
-    def _cos(a_id: int, b_id: int) -> float:
+    def _cos(a_id: int, b_id: int) -> float | None:
         import math
 
         a, b = vecs[a_id], vecs[b_id]
-        cos = _fold_dot(a, b) / (
-            math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b))
-        )
-        return _round_s(cos, 6)
+        denom = math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b))
+        if denom == 0.0:
+            # ADVICE r11: Spark's divide yields NULL on a zero-norm
+            # vector where Python raises — mirror the NULL
+            return None
+        return _round_s(_fold_dot(a, b) / denom, 6)
 
     by_q: dict[int, list] = {}
     for r in pool_rows:
@@ -1230,16 +1239,38 @@ def mmr_diversified_topk(
             for vid, sim in members:
                 if vid in selected:
                     continue
-                pen = (
-                    max(_cos(vid, s) for s in selected) if selected else 0.0
-                )
-                score = lam * sim - lam2 * pen
-                key = (-score, vid)
+                if selected:
+                    # Spark max() ignores NULL cosines (zero-norm
+                    # vectors, ADVICE r11); all-NULL -> NULL penalty
+                    # -> NULL score, which the desc ordering sorts
+                    # LAST — candidates with real scores win first
+                    cs = [
+                        c
+                        for c in (_cos(vid, s) for s in selected)
+                        if c is not None
+                    ]
+                    pen = max(cs) if cs else None
+                else:
+                    pen = 0.0
+                if pen is None:
+                    score = None
+                    key = (float("inf"), vid)  # NULLS LAST, vid tie-break
+                else:
+                    score = lam * sim - lam2 * pen
+                    key = (-score, vid)
                 if best is None or key < best[0]:
                     best = (key, vid, sim, score)
+            if best is None:
+                # pool smaller than k: emit fewer rows, exactly like
+                # the old Spark plan's anti-join degradation (ADVICE
+                # r11 — the recurrence must not raise on tiny corpora)
+                break
             _key, vid, sim, score = best
             selected.append(vid)
-            out_rows.append((qid, vid, sim, t, _round_s(score, 6)))
+            out_rows.append(
+                (qid, vid, sim, t,
+                 _round_s(score, 6) if score is not None else None)
+            )
     return spark.createDataFrame(
         out_rows,
         schema="query_id bigint, vec_id bigint, sim double, step bigint, mmr_score double",
